@@ -1,0 +1,125 @@
+"""Text-level extractors: hashes, event ids, JSON flatten, proto inference,
+program wildcard → regex.
+
+Semantics re-implemented from the reference parsers:
+- Parse_Hash (/root/reference/src/parsers/hash.c:41-153): first hex token
+  of exactly 32/40/64 chars → md5/sha1/sha256.
+- event-id (/root/reference/src/event-id.c:61-125): windows-style
+  ``NNNN:`` id inside the first 10 chars of the message.
+- Parse_JSON (/root/reference/src/parsers/json.c:40-134): recursive
+  flatten to dotted key paths (``.alert.signature_id`` style), max 256
+  keys (src/sagan-defs.h:66 JSON_MAX_OBJECTS).
+- Parse_Proto / Parse_Proto_Program (/root/reference/src/parsers/proto.c):
+  keyword → tcp/udp/icmp.
+- Wildcard (/root/reference/src/util.c:970-990): ``*``/``?`` glob for the
+  ``program`` pre-match field.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+JSON_MAX_OBJECTS = 256
+
+_HASH_RES = {
+    "md5": re.compile(r"(?<![0-9A-Fa-f])([0-9A-Fa-f]{32})(?![0-9A-Fa-f])"),
+    "sha1": re.compile(r"(?<![0-9A-Fa-f])([0-9A-Fa-f]{40})(?![0-9A-Fa-f])"),
+    "sha256": re.compile(r"(?<![0-9A-Fa-f])([0-9A-Fa-f]{64})(?![0-9A-Fa-f])"),
+}
+
+# id followed by ': ' at start or after a space, within the head window
+_EVENT_ID_RE = re.compile(r"(?:^|\s)(\d{1,10}):")
+EVENT_ID_HEAD = 10  # reference event-id.c head-window size
+
+
+def extract_hashes(text: str) -> dict[str, str]:
+    """First md5/sha1/sha256 in the message ('' if absent). A sha256 also
+    contains runs of 32/40 hex chars but the boundary guards keep the
+    shorter patterns from matching inside it, as the reference's exact
+    length validation does (hash.c:41-153)."""
+    out = {}
+    for kind, rx in _HASH_RES.items():
+        m = rx.search(text)
+        out[kind] = m.group(1).lower() if m else ""
+    return out
+
+
+def extract_event_id(text: str) -> str:
+    """Windows-style event id in the first 10 chars ('' if absent)."""
+    m = _EVENT_ID_RE.search(text[: EVENT_ID_HEAD + 2])
+    if m and m.start(1) <= EVENT_ID_HEAD:
+        return m.group(1)
+    return ""
+
+
+def _flatten(obj, prefix: str, out: dict[str, str]) -> None:
+    if len(out) >= JSON_MAX_OBJECTS:
+        return
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _flatten(v, f"{prefix}.{k}", out)
+    elif isinstance(obj, bool):
+        out[prefix] = "true" if obj else "false"
+    elif obj is None:
+        out[prefix] = "null"
+    elif isinstance(obj, float):
+        out[prefix] = repr(obj) if obj != int(obj) else str(int(obj))
+    elif isinstance(obj, (int, str)):
+        out[prefix] = str(obj)
+    else:  # arrays and anything else → compact JSON string
+        out[prefix] = json.dumps(obj, separators=(",", ":"))
+
+
+def flatten_json(obj) -> dict[str, str]:
+    """Flatten a parsed JSON object to {'.a.b': 'value'} string pairs
+    (nested objects re-enter the scan, json.c:64-67; key concat
+    json.c:85)."""
+    out: dict[str, str] = {}
+    _flatten(obj, "", out)
+    return out
+
+
+def try_parse_json_text(text: str) -> dict[str, str] | None:
+    """If the message *is* a JSON object (json input mode analog,
+    src/input-json.c:47-547), return its flattened k/v map, else None."""
+    s = text.lstrip()
+    if not s.startswith("{"):
+        return None
+    try:
+        obj = json.loads(s)
+    except (ValueError, RecursionError):
+        return None
+    if not isinstance(obj, dict):
+        return None
+    return flatten_json(obj)
+
+
+_PROTO_KEYWORDS = [
+    # (keyword, proto) — a minimal protocol.map analog
+    # (reference src/protocol-map.c + etc/protocol.map)
+    ("tcp", "tcp"), ("udp", "udp"), ("icmp", "icmp"),
+    ("ssh", "tcp"), ("http", "tcp"), ("https", "tcp"), ("smtp", "tcp"),
+    ("ftp", "tcp"), ("telnet", "tcp"), ("dns", "udp"), ("ntp", "udp"),
+    ("snmp", "udp"), ("syslog", "udp"), ("ping", "icmp"),
+]
+
+
+def infer_proto(text: str) -> str:
+    low = text.lower()
+    for kw, proto in _PROTO_KEYWORDS:
+        if kw in low:
+            return proto
+    return ""
+
+
+def prematch_regex(spec: str) -> re.Pattern:
+    """Compile a ``program:``-style spec ('|'-alternation with '*'/'?'
+    wildcards, reference engine.c:492-581 + util.c:970-990 Wildcard) into
+    one anchored regex. '!' prefix negation is handled by the caller."""
+    alts = []
+    for alt in spec.split("|"):
+        alt = alt.strip()
+        esc = re.escape(alt).replace(r"\*", ".*").replace(r"\?", ".")
+        alts.append(esc)
+    return re.compile(r"^(?:%s)$" % "|".join(alts))
