@@ -1,0 +1,22 @@
+"""Large-scale training-data operations over document / embedding tables:
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + IVF), text analysis (language
+ID, quality scoring, token counts, fingerprints), and multimodal column
+plumbing. All Ray-Data-first: vectorized map_batches + pre-aggregated
+groupbys."""
+
+from .dedup import (  # noqa: F401
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from .ann import brute_force_topk, ivf_topk  # noqa: F401
+from .textstats import (  # noqa: F401
+    fingerprint,
+    langid,
+    quality,
+    token_counts,
+)

@@ -75,7 +75,11 @@ def extract_ips(text: str, max_ips: int = MAX_PARSE_IP) -> list[tuple[str, int]]
                 port = int(pm.group(1) or pm.group(2))
         else:
             cand = m.group("v6")
-            if ":" not in cand or cand.count(":") < 2 or not is_valid_ip(cand):
+            # require ≥2 colons and at least one hex digit ("::", the
+            # unspecified address, is not a parseable endpoint — the
+            # reference's zero-IP invalidity, util.c is_notlocalhost)
+            if (cand.count(":") < 2 or not any(c in "0123456789abcdefABCDEF" for c in cand)
+                    or not is_valid_ip(cand)):
                 continue
             pm = _PORT_AFTER.match(text, m.end())
             # bare v6 followed by ':port' is ambiguous; accept '#' and 'port N'

@@ -477,7 +477,8 @@ class _BatchCtx:
             return self._text
         if self._append is None:
             role = pa.array(self.role_np, pa.large_string())
-            self._append = pc.binary_join_element_wise(self._text, role, " | ")
+            self._append = pc.binary_join_element_wise(
+                self._text, role, pa.scalar(" | ", pa.large_string()))
         return self._append
 
     def texts_np(self):

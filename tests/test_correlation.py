@@ -1,0 +1,197 @@
+"""Hand-crafted sequences where verdicts differ if per-conv ordering or
+window semantics are wrong (FIXTURES.md §2.9). Each scenario asserts both
+oracle-vs-Ray parity (via helpers.run_both) and the *absolute* expected
+verdicts, so the spec itself is pinned, not just the two implementations'
+agreement."""
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+
+from sagan_ray.synth import SCHEMA
+
+from .helpers import run_both
+
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def mk(rows):
+    """rows: (conv_id, turn_idx, text, offset_seconds)"""
+    return pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": ["assistant"] * len(rows),
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+        "tool": [""] * len(rows),
+        "ts": [T0 + timedelta(seconds=r[3]) for r in rows],
+    }, schema=SCHEMA)
+
+
+XBIT = """
+alert any any any -> any any (msg:"set"; content:"login failed"; xbits: set,brute,track ip_src,expire 600; sid:1;)
+alert any any any -> any any (msg:"isset"; content:"login success"; xbits: isset,brute,track ip_src; sid:2;)
+alert any any any -> any any (msg:"isnotset"; content:"login success"; xbits: isnotset,brute,track ip_src; sid:3;)
+alert any any any -> any any (msg:"unset"; content:"logout"; xbits: unset,brute,track ip_src; sid:4;)
+"""
+
+
+def hits_of(oracle):
+    return sorted((c, t, s) for c, t, s in oracle.hits)
+
+
+def test_xbit_set_then_isset():
+    tbl = mk([
+        ("a", 0, "login failed", 0),
+        ("a", 1, "login success", 10),       # isset fires (sid 2)
+        ("b", 0, "login success", 5),        # no prior set → isnotset (sid 3)
+    ])
+    oracle, _ = run_both(XBIT, tbl)
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 1, 2), ("b", 0, 3)]
+
+
+def test_xbit_expire():
+    tbl = mk([
+        ("a", 0, "login failed", 0),
+        ("a", 1, "login success", 700),      # expired (600s) → isnotset
+    ])
+    oracle, _ = run_both(XBIT, tbl)
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 1, 3)]
+
+
+def test_xbit_unset():
+    tbl = mk([
+        ("a", 0, "login failed", 0),
+        ("a", 1, "logout", 10),              # unset
+        ("a", 2, "login success", 20),       # isnotset
+    ])
+    oracle, _ = run_both(XBIT, tbl)
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 1, 4), ("a", 2, 3)]
+
+
+def test_xbit_state_is_per_conv():
+    tbl = mk([
+        ("a", 0, "login failed", 0),
+        ("b", 0, "login success", 50),       # conv b unaffected by conv a
+    ])
+    oracle, _ = run_both(XBIT, tbl)
+    assert hits_of(oracle) == [("a", 0, 1), ("b", 0, 3)]
+
+
+AFTER = """
+alert any any any -> any any (msg:"after 2 in 300"; content:"EV"; after: track by_src, count 2, seconds 300; sid:10;)
+"""
+
+
+def test_after_suppress_until_count_exceeded():
+    tbl = mk([
+        ("a", 0, "EV", 0),      # new key → suppressed (after.c:193-229)
+        ("a", 1, "EV", 10),     # count=2, not > 2 → suppressed
+        ("a", 2, "EV", 20),     # count=3 > 2 → alert
+        ("a", 3, "EV", 30),     # count=4 → alert
+    ])
+    oracle, engine = run_both(AFTER, tbl)
+    assert len(oracle.hits) == 4                      # saganfound counts all
+    emitted = sorted(engine.routed().to_pandas()["turn_idx"].astype(int).unique())
+    assert emitted == [2, 3]
+
+
+def test_after_window_reset():
+    tbl = mk([
+        ("a", 0, "EV", 0),
+        ("a", 1, "EV", 10),
+        ("a", 2, "EV", 20),     # alert (count 3)
+        ("a", 3, "EV", 400),    # gap 380 > 300 since anchor (0)... but
+                                # utime slid to 20 on the alert → 380>300 reset
+        ("a", 4, "EV", 410),
+        ("a", 5, "EV", 420),    # alert again
+    ])
+    oracle, engine = run_both(AFTER, tbl)
+    emitted = sorted(engine.routed().to_pandas()["turn_idx"].astype(int).unique())
+    assert emitted == [2, 5]
+
+
+THRESH = """
+alert any any any -> any any (msg:"limit 2/600"; content:"EV"; threshold: type limit, track by_src, count 2, seconds 600; sid:20;)
+alert any any any -> any any (msg:"suppress 2 gap120"; content:"SV"; threshold: type suppress, track by_src, count 2, seconds 120; sid:21;)
+"""
+
+
+def test_threshold_limit_first_c_alert():
+    tbl = mk([
+        ("a", 0, "EV", 0),      # new → alert
+        ("a", 1, "EV", 10),     # count=2 → alert
+        ("a", 2, "EV", 20),     # count=3 > 2 → suppressed
+        ("a", 3, "EV", 700),    # anchored window expired → reset → alert
+    ])
+    oracle, engine = run_both(THRESH, tbl)
+    r = engine.routed().to_pandas()
+    emitted = sorted(r[r.sid == 20]["turn_idx"].astype(int))
+    assert emitted == [0, 1, 3]
+
+
+def test_threshold_suppress_slides():
+    tbl = mk([
+        ("a", 0, "SV", 0),      # alert
+        ("a", 1, "SV", 100),    # count=2 → alert
+        ("a", 2, "SV", 200),    # count=3 → suppress (gap 100 < 120 keeps window)
+        ("a", 3, "SV", 300),    # still sliding → suppress
+        ("a", 4, "SV", 500),    # gap 200 > 120 → reset → alert
+    ])
+    oracle, engine = run_both(THRESH, tbl)
+    r = engine.routed().to_pandas()
+    emitted = sorted(r[r.sid == 21]["turn_idx"].astype(int))
+    assert emitted == [0, 1, 4]
+
+
+FLEX = """
+alert any any any -> any any (msg:"fset"; content:"login attempt"; flexbits: set,fb,300; flexbit_noalert; sid:30;)
+alert any any any -> any any (msg:"fisset"; content:"login failed"; flexbits: isset,none,fb; sid:31;)
+alert any any any -> any any (msg:"fcount"; content:"check"; flexbits: count,none,>1,fb; sid:32;)
+"""
+
+
+def test_flexbit_set_isset_count_noalert():
+    tbl = mk([
+        ("a", 0, "login attempt", 0),    # set, noalert → hit but no route
+        ("a", 1, "login failed", 10),    # isset fires
+        ("a", 2, "check", 20),           # count: 1 entry, need >1 → no hit
+        ("a", 3, "login attempt", 30),   # same endpoints → updates entry
+        ("a", 4, "check", 40),           # still 1 entry → no hit
+    ])
+    oracle, engine = run_both(FLEX, tbl)
+    assert sorted(s for _, _, s in oracle.hits) == [30, 30, 31]
+    routed_sids = set(engine.routed().to_pandas()["sid"].astype(int))
+    assert routed_sids == {31}          # noalert rule routed nowhere
+
+
+PASS_STATEFUL = """
+alert any any any -> any any (msg:"set"; content:"login failed"; xbits: set,brute,track ip_src,expire 600; sid:40;)
+pass any any any -> any any (msg:"stateful pass"; content:"login success"; xbits: isset,brute,track ip_src; sid:41;)
+alert any any any -> any any (msg:"maybe shadowed"; content:"login success"; sid:42;)
+"""
+
+
+def test_stateful_pass_shadows_conditionally():
+    tbl = mk([
+        ("a", 0, "login failed", 0),
+        ("a", 1, "login success", 10),   # pass matches (isset) → 42 shadowed
+        ("b", 0, "login success", 5),    # pass fails (no set) → 42 fires
+    ])
+    oracle, _ = run_both(PASS_STATEFUL, tbl)
+    assert hits_of(oracle) == [("a", 0, 40), ("a", 1, 41), ("b", 0, 42)]
+
+
+def test_disk_order_irrelevant():
+    """The same logical rows in scrambled on-disk order must yield
+    identical verdicts (the stable-(conv_id, turn_idx) ordering contract)."""
+    rows = [
+        ("a", 0, "login failed", 0),
+        ("a", 1, "login success", 10),
+        ("a", 2, "logout", 20),
+        ("a", 3, "login success", 30),
+        ("b", 0, "login success", 0),
+    ]
+    o1, _ = run_both(XBIT, mk(rows))
+    o2, _ = run_both(XBIT, mk(list(reversed(rows))))
+    assert hits_of(o1) == hits_of(o2)
+    assert o1.hit_counts() == {1: 1, 2: 1, 3: 2, 4: 1}
