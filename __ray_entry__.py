@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse→enrich→classify→correlate→route
+pipeline over transcripts derived from ``/root/testdata/sf0.001``;
+``queries()`` / ``oracle_sql()`` expose every implemented operator family
+(SURVEY.md §2 + the training-data ops) with DuckDB oracles where the
+semantics are SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in sagan_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,37 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: events → transcripts → full rule
+    engine (content/pcre/json/enrich/correlation) → per-(sink, sid) alert
+    counts."""
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.pipelines.queries import (
+        RS_CONTENT,
+        RS_ROUTING,
+        RS_STATEFUL,
+        _transcripts,
+    )
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import build_lookups
+
+    ruleset = parse_rules(RS_CONTENT + RS_ROUTING + RS_STATEFUL)
+    eng = run_engine(_transcripts("/root/testdata/sf0.001"), ruleset,
+                     build_lookups(), EngineConfig())
+    df = eng.routed_exploded().groupby(["sink", "sid"]).count().to_pandas()
+    df = df.rename(columns={"count()": "n"})
+    df["sid"] = df["sid"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["sink", "sid"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sagan_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sagan_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,186 @@
+"""Benchmark driver. Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...}
+
+Headline: end-to-end routed turns/sec of the full engine pipeline
+(read parquet → classify → correlate → route → per-sink counts) over a
+deterministic synthetic transcript table sized to the sf dir
+(~20 turns per events row). Additional timed queries cover the
+training-data ops over the sf tables.
+
+``--scaling`` runs the plain bench twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm) input
+and reports throughput at both plus scaling efficiency — the sandbox
+substitute for the N vs 4N cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TURNS_PER_EVENT = 20
+
+BENCH_RULES = """
+var HOME_NET [10.0.0.0/8]
+alert any any any -> any any (msg:"auth fail"; content:"authentication failure"; sid:9001;)
+alert any $HOME_NET any -> any any (msg:"fail w/ ip"; content:"authentication failure"; parse_src_ip:1; sid:9002;)
+alert any any any -> any any (msg:"err nocase"; content:"error"; nocase; content:!"retry=0"; sid:9003;)
+alert any any any -> any any (msg:"meta users"; meta_content:"user %sagan%",alice,bob,carol,mallory; sid:9004;)
+alert any any any -> any any (msg:"pcre"; pcre:"/timeout after \\d+s/"; sid:9005;)
+alert any any any -> any any (msg:"eid"; event_id: 4624,4625; sid:9006;)
+alert any any any -> any any (msg:"json sev"; json_content:".severity","critical"; sid:9007;)
+alert any any any -> any any (msg:"json pcre"; json_pcre:".event","/^(sort|merge|join)$/"; sid:9008;)
+alert any any any -> any any (msg:"geo"; content:"beacon"; parse_src_ip:1; country_code: track by_src, is RU; sid:9009;)
+alert any any any -> any any (msg:"bl"; content:"beacon"; parse_src_ip:1; blacklist: by_src; sid:9010;)
+alert any any any -> any any (msg:"intel"; zeekintel: domain; sid:9011;)
+alert any any any -> any any (msg:"hash intel"; content:"malware"; zeekintel: file_hash; sid:9012;)
+drop any any any -> any any (msg:"drop hb"; content:"heartbeat"; sid:9013;)
+pass any any any -> any any (msg:"bypass logout"; content:"logout"; sid:9014;)
+alert any any any -> any any (msg:"brute set"; content:"login failed"; xbits: set,brute,track ip_src,expire 600; sid:9015;)
+alert any any any -> any any (msg:"post-brute"; content:"login success"; xbits: isset,brute,track ip_src; sid:9016;)
+alert any any any -> any any (msg:"after"; content:"login"; after: track by_src, count 3, seconds 600; sid:9017;)
+alert any any any -> any any (msg:"thresh"; content:"ERROR"; threshold: type limit, track by_src, count 5, seconds 600; sid:9018;)
+"""
+
+
+def sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_input(sf_dir: str) -> tuple[str, int]:
+    """Deterministic transcript dir sized to the sf tier (cached)."""
+    import pyarrow.parquet as pq
+
+    from sagan_ray.synth import write_transcripts
+
+    n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    n_turns = n_events * TURNS_PER_EVENT
+    out = f"/tmp/sagan_ray_bench/transcripts_{n_turns}"
+    write_transcripts(out, n_turns, seed=42)
+    total = sum(pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+                for f in os.listdir(out) if f.endswith(".parquet"))
+    return out, total
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.sources.transcripts import read_transcripts
+    from sagan_ray.synth import build_lookups
+
+    tdir, n_turns = bench_input(SF_DIR)
+
+    # warm the page cache so we measure compute+shuffle, not first-read IO
+    _ = read_transcripts(tdir).count()
+
+    ruleset = parse_rules(BENCH_RULES)
+    cfg = EngineConfig(ignore_list=("DEBUG heartbeat",))
+    lookups = build_lookups()
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    eng = run_engine(read_transcripts(tdir), ruleset, lookups, cfg,
+                     batch_size=32768)
+    counts = eng.routed_exploded().groupby(["sink", "sid"]).count().to_pandas()
+    headline = time.time() - t0
+    queries["engine_full"] = round(headline, 3)
+    n_routed = int(counts["count()"].sum())
+
+    # ---- secondary queries over the sf tables ------------------------
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 3)
+
+    from sagan_ray.datapipe import (
+        brute_force_topk,
+        exact_dedup,
+        minhash_lsh_candidates,
+        token_counts,
+    )
+    from sagan_ray.pipelines.aggregates import client_stats
+
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    embeds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    timed("dedup_exact", lambda: exact_dedup(docs).count())
+    timed("dedup_minhash_cand", lambda: minhash_lsh_candidates(docs).count())
+    timed("text_tokens", lambda: token_counts(docs).count())
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    qv = np.asarray(pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+                    .slice(0, 8).to_pandas()["embedding"].tolist(), dtype=np.float32)
+    timed("ann_topk", lambda: brute_force_topk(embeds, qv, k=10).count())
+    timed("client_stats", lambda: client_stats(read_transcripts(tdir)).count())
+
+    result = {
+        "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "n_routed": n_routed,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 → 32, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_turns": r_hi["n_turns"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -288,15 +288,14 @@ class ReferenceEvaluator:
             if rule.geoip_track:
                 ip = src_ip if rule.geoip_track == "by_src" else dst_ip
                 if not ip:
-                    continue  # GEOIP_SKIP ⇒ isset stays false ⇒ fail
+                    continue  # invalid IP ⇒ GEOIP_SKIP ⇒ fail
                 cc = self.lookups.geo.lookup(ip) if self.lookups.geo else None
-                in_list = cc is not None and cc in rule.geoip_codes
-                if rule.geoip_isnot:
-                    if in_list:
-                        continue
-                else:
-                    if not in_list:
-                        continue
+                if cc is None:
+                    continue  # country not found ⇒ GEOIP_SKIP ⇒ fail
+                              # (geoip.c:195-209 NOT_FOUND → SKIP)
+                in_list = cc in rule.geoip_codes
+                if rule.geoip_isnot == in_list:
+                    continue
 
             # ---- blacklist gate (engine.c:1147-1174) -----------------
             if rule.blacklist:

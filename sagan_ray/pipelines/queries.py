@@ -1,0 +1,691 @@
+"""Driver-facing query catalog: every operator family exposed as a
+callable over an ``sf_dir`` of driver tables, paired (where expressible)
+with an ANSI-SQL oracle string run by DuckDB on the same tables
+(__ray_entry__ contract).
+
+Engine queries run over transcripts deterministically derived from the
+``events`` table (sagan_ray.sources.events — the rendering is pure
+arithmetic so the SQL oracle reproduces the text column exactly).
+Training-data queries run over ``documents`` / ``embeddings``.
+
+Column names match between the Ray result and the oracle SQL — the
+driver's value-hash sorts columns by name.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..rules import parse_rules
+from ..sources.events import EVENTS_AS_TRANSCRIPTS_SQL, read_events_as_transcripts
+from ..synth import build_lookups
+from .engine import input_counters, run_engine
+
+_T = f"WITH t AS ({EVENTS_AS_TRANSCRIPTS_SQL})"
+
+# ---------------------------------------------------------------------------
+# engine rulesets over the rendered events-transcripts
+# ---------------------------------------------------------------------------
+
+RS_CONTENT = """
+alert any any any -> any any (msg:"auth fail"; content:"auth failure"; sid:2001;)
+alert any any any -> any any (msg:"signup"; content:"signup"; sid:2002;)
+alert any any any -> any any (msg:"nocase"; content:"AUTH FAILURE"; nocase; sid:2003;)
+alert any any any -> any any (msg:"and-chain"; content:"purchase"; content:"user"; sid:2004;)
+alert any any any -> any any (msg:"negated"; content:"user"; content:!"signup"; sid:2005;)
+alert any any any -> any any (msg:"window"; content:"auth"; offset:6; depth:8; sid:2006;)
+"""
+
+SQL_CONTENT = _T + """
+SELECT sid, count(*) AS n FROM (
+  SELECT 2001 AS sid FROM t WHERE contains(text, 'auth failure')
+  UNION ALL SELECT 2002 FROM t WHERE contains(text, 'signup')
+  UNION ALL SELECT 2003 FROM t WHERE contains(lower(text), lower('AUTH FAILURE'))
+  UNION ALL SELECT 2004 FROM t WHERE contains(text, 'purchase') AND contains(text, 'user')
+  UNION ALL SELECT 2005 FROM t WHERE contains(text, 'user') AND NOT contains(text, 'signup')
+  UNION ALL SELECT 2006 FROM t WHERE contains(substr(text, 7, 9), 'auth')
+) GROUP BY sid ORDER BY sid
+"""
+
+RS_PREMATCH = """
+alert any any any -> any any (msg:"roles"; program:"error|signup"; content:"user"; sid:2011;)
+alert any any any -> any any (msg:"wild"; program:"p*"; sid:2012;)
+alert any any any -> any any (msg:"question"; program:"vie?"; sid:2013;)
+alert any any any -> any any (msg:"append"; program:"click"; append_program; content:"} | click"; sid:2014;)
+"""
+
+SQL_PREMATCH = _T + """
+SELECT sid, count(*) AS n FROM (
+  SELECT 2011 AS sid FROM t WHERE role IN ('error','signup') AND contains(text, 'user')
+  UNION ALL SELECT 2012 FROM t WHERE role LIKE 'p%'
+  UNION ALL SELECT 2013 FROM t WHERE role LIKE 'vie_'
+  UNION ALL SELECT 2014 FROM t WHERE role = 'click' AND contains(text || ' | ' || role, '} | click')
+) GROUP BY sid ORDER BY sid
+"""
+
+RS_PCRE = """
+alert any any any -> any any (msg:"uid"; pcre:"/u\\d{6}/"; sid:2021;)
+alert any any any -> any any (msg:"ci"; pcre:"/AUTH FAILURE/i"; sid:2022;)
+alert any any any -> any any (msg:"conj"; pcre:"/from 10\\./"; pcre:"/via ssh$/"; sid:2023;)
+alert any any any -> any any (msg:"negated"; content:"user"; pcre:!"/signup|purchase/"; sid:2024;)
+"""
+
+SQL_PCRE = _T + """
+SELECT sid, count(*) AS n FROM (
+  SELECT 2021 AS sid FROM t WHERE regexp_matches(text, 'u[0-9]{6}')
+  UNION ALL SELECT 2022 FROM t WHERE regexp_matches(text, '(?i)AUTH FAILURE')
+  UNION ALL SELECT 2023 FROM t WHERE regexp_matches(text, 'from 10\\.') AND regexp_matches(text, 'via ssh$')
+  UNION ALL SELECT 2024 FROM t WHERE contains(text, 'user') AND NOT regexp_matches(text, 'signup|purchase')
+) GROUP BY sid ORDER BY sid
+"""
+
+RS_EVENTID = """
+alert any any any -> any any (msg:"4625"; event_id: 4625; sid:2031;)
+alert any any any -> any any (msg:"20x"; event_id: 200,201; sid:2032;)
+alert any any any -> any any (msg:"eid+content"; event_id: 100; content:"view"; sid:2033;)
+"""
+
+SQL_EVENTID = _T + """
+SELECT sid, count(*) AS n FROM (
+  SELECT 2031 AS sid FROM t WHERE role = 'error'
+  UNION ALL SELECT 2032 FROM t WHERE role IN ('signup','purchase')
+  UNION ALL SELECT 2033 FROM t WHERE role = 'view' AND contains(text, 'view')
+) GROUP BY sid ORDER BY sid
+"""
+
+RS_JSON = """
+alert any any any -> any any (msg:"k eq 7"; json_content:".k","7"; sid:2041;)
+alert any any any -> any any (msg:"k pcre"; json_pcre:".k","/^1[0-9]$/"; sid:2042;)
+alert any any any -> any any (msg:"k meta"; json_meta_content:".k",1,2,3; sid:2043;)
+alert any any any -> any any (msg:"k contains"; json_content:".k","9"; json_contains; sid:2044;)
+alert any any any -> any any (msg:"missing key"; json_content:".nope","x"; sid:2045;)
+"""
+
+SQL_JSON = _T + """
+SELECT sid, count(*) AS n FROM (
+  SELECT 2041 AS sid FROM t WHERE role='click' AND json_extract_string(text, '$.k') = '7'
+  UNION ALL SELECT 2042 FROM t WHERE role='click' AND regexp_matches(json_extract_string(text, '$.k'), '^1[0-9]$')
+  UNION ALL SELECT 2043 FROM t WHERE role='click' AND json_extract_string(text, '$.k') IN ('1','2','3')
+  UNION ALL SELECT 2044 FROM t WHERE role='click' AND contains(json_extract_string(text, '$.k'), '9')
+) GROUP BY sid ORDER BY sid
+"""
+
+# geo table: 10.i.0.0/16 (i<96) → ['US','DE','FR','CN','RU','BR','IN','JP','GB','NL'][i%10]
+_CC_CASE = ("CASE WHEN (user_id % 128) < 96 THEN "
+            "['US','DE','FR','CN','RU','BR','IN','JP','GB','NL'][(user_id % 128) % 10 + 1] "
+            "ELSE NULL END")
+
+RS_ENRICH = """
+alert any any any -> any any (msg:"geo de"; content:"auth failure"; parse_src_ip:1; country_code: track by_src, is DE; sid:2051;)
+alert any any any -> any any (msg:"geo not us de"; content:"auth failure"; parse_src_ip:1; country_code: track by_src, isnot US,DE; sid:2052;)
+alert any any any -> any any (msg:"blacklist"; content:"auth failure"; parse_src_ip:1; blacklist: by_src; sid:2053;)
+alert any [10.0.0.0/12] any -> any any (msg:"flow src"; content:"auth failure"; parse_src_ip:1; sid:2054;)
+"""
+
+SQL_ENRICH = (
+    "WITH e AS (SELECT user_id, " + _CC_CASE + " AS cc FROM events WHERE event_type = 'error') "
+    "SELECT sid, count(*) AS n FROM ("
+    "  SELECT 2051 AS sid FROM e WHERE cc = 'DE' "
+    "  UNION ALL SELECT 2052 FROM e WHERE cc IS NOT NULL AND cc NOT IN ('US','DE') "
+    "  UNION ALL SELECT 2053 FROM e WHERE (user_id % 128) IN (13, 66) "
+    "  UNION ALL SELECT 2054 FROM e WHERE (user_id % 128) < 16 "
+    ") GROUP BY sid ORDER BY sid"
+)
+# note 2052: 'isnot' requires a *found* country in-range (unknown → the
+# reference's GEOIP_MISS still sets isset for isnot)…
+
+RS_ROUTING = """
+alert any any any -> any any (msg:"base"; content:"auth failure"; sid:2101;)
+alert any any any -> any any (msg:"mailed"; content:"purchase"; email:soc@example.com; sid:2102;)
+drop any any any -> any any (msg:"dropped"; content:"signup"; sid:2103;)
+pass any any any -> any any (msg:"bypass view"; content:"view user"; sid:2104;)
+alert any any any -> any any (msg:"shadowed"; content:"view user"; sid:2105;)
+"""
+
+SQL_ROUTING = _T + """
+SELECT s.sink, c.sid, c.n FROM (
+  SELECT 2101 AS sid, count(*) AS n FROM t WHERE contains(text, 'auth failure')
+  UNION ALL SELECT 2102, count(*) FROM t WHERE contains(text, 'purchase')
+) c
+CROSS JOIN (SELECT unnest(['alert','fast','eve','syslog']) AS sink) s
+UNION ALL
+SELECT 'email' AS sink, 2102 AS sid, count(*) AS n FROM t WHERE contains(text, 'purchase')
+ORDER BY sink, sid
+"""
+
+RS_STATEFUL = """
+alert any any any -> any any (msg:"after3"; content:"auth failure"; after: track by_src, count 3, seconds 86400; sid:2111;)
+alert any any any -> any any (msg:"limit2"; content:"purchase"; threshold: type limit, track by_src, count 2, seconds 86400; sid:2112;)
+alert any any any -> any any (msg:"suppress2"; content:"view"; threshold: type suppress, track by_src, count 2, seconds 7200; sid:2113;)
+alert any any any -> any any (msg:"set on error"; content:"auth failure"; xbits: set,err,track ip_src,expire 86400; sid:2114;)
+alert any any any -> any any (msg:"purchase after error"; content:"purchase"; xbits: isset,err,track ip_src; sid:2115;)
+"""
+
+
+
+def _typed(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
+    """Reindex to the expected columns (robust to empty Ray results, which
+    lose their schema) and apply dtypes."""
+    out = df.reindex(columns=list(cols))
+    for c, t in cols.items():
+        out[c] = out[c].astype(t)
+    return out
+
+
+def _transcripts(sf_dir: str):
+    return read_events_as_transcripts(sf_dir)
+
+
+def _engine(sf_dir: str, ruleset_text: str, config: EngineConfig | None = None):
+    rs = parse_rules(ruleset_text)
+    return run_engine(_transcripts(sf_dir), rs, build_lookups(),
+                      config or EngineConfig(), batch_size=8192)
+
+
+def _hit_counts_df(sf_dir: str, ruleset_text: str) -> pd.DataFrame:
+    eng = _engine(sf_dir, ruleset_text)
+    df = eng.matches.groupby("sid").count().to_pandas()
+    df = df.rename(columns={"count()": "n"})
+    df["sid"] = df["sid"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("sid").reset_index(drop=True)[["sid", "n"]]
+
+
+def q_engine_content(sf_dir: str):
+    return _hit_counts_df(sf_dir, RS_CONTENT)
+
+
+def q_engine_prematch(sf_dir: str):
+    return _hit_counts_df(sf_dir, RS_PREMATCH)
+
+
+def q_engine_pcre(sf_dir: str):
+    return _hit_counts_df(sf_dir, RS_PCRE)
+
+
+def q_engine_eventid(sf_dir: str):
+    return _hit_counts_df(sf_dir, RS_EVENTID)
+
+
+def q_engine_json(sf_dir: str):
+    return _hit_counts_df(sf_dir, RS_JSON)
+
+
+def q_engine_enrich(sf_dir: str):
+    return _hit_counts_df(sf_dir, RS_ENRICH)
+
+
+def q_engine_routing(sf_dir: str):
+    eng = _engine(sf_dir, RS_ROUTING)
+    df = eng.routed_exploded().groupby(["sink", "sid"]).count().to_pandas()
+    df = df.rename(columns={"count()": "n"})
+    df["sid"] = df["sid"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["sink", "sid"]).reset_index(drop=True)[["sink", "sid", "n"]]
+
+
+def q_engine_stateful(sf_dir: str):
+    """after/threshold/xbit correlation over per-user transcripts — not
+    SQL-expressible (sequential anchored windows); rows-only check +
+    pytest parity vs the reference evaluator."""
+    eng = _engine(sf_dir, RS_STATEFUL)
+    df = eng.routed().to_pandas()[["conv_id", "turn_idx", "sid"]]
+    df["sid"] = df["sid"].astype("int64")
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df.sort_values(["conv_id", "turn_idx", "sid"]).reset_index(drop=True)
+
+
+def q_engine_counters(sf_dir: str):
+    cfg = EngineConfig(ignore_list=("100: view",))
+    got = input_counters(_transcripts(sf_dir), cfg)
+    return pd.DataFrame([got])[
+        ["events_received", "events_processed", "null_message", "ignored"]]
+
+
+SQL_COUNTERS = _T + """
+SELECT count(*) AS events_received,
+       count(*) FILTER (WHERE NOT contains(text, '100: view')) AS events_processed,
+       0::BIGINT AS null_message,
+       count(*) FILTER (WHERE contains(text, '100: view')) AS ignored
+FROM t
+"""
+
+
+def q_client_stats(sf_dir: str):
+    from .aggregates import client_stats
+
+    out = client_stats(_transcripts(sf_dir)).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["bytes"] = out["bytes"].astype("int64")
+    return (out.sort_values("conv_id").reset_index(drop=True)
+            [["conv_id", "n_events", "bytes", "first_seen", "last_seen"]])
+
+
+SQL_CLIENT_STATS = _T + """
+SELECT conv_id, count(*) AS n_events,
+       sum(octet_length(encode(text)))::BIGINT AS bytes,
+       min(ts) AS first_seen, max(ts) AS last_seen
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_track_clients(sf_dir: str):
+    from .aggregates import track_clients
+
+    ds = _transcripts(sf_dir)
+    horizon = ds.max("ts")
+    out = track_clients(ds, horizon, timeout_seconds=2 * 86400).to_pandas()
+    out = out[["conv_id", "last_seen", "stopped"]]
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+SQL_TRACK_CLIENTS = _T + """
+SELECT conv_id, max(ts) AS last_seen,
+       max(ts) < (SELECT max(ts) FROM t) - INTERVAL 2 DAY AS stopped
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_rule_tracking(sf_dir: str):
+    from .aggregates import rule_tracking
+
+    eng = _engine(sf_dir, RS_CONTENT)
+    df = rule_tracking(eng).to_pandas()[["sid", "n_fired", "fired"]]
+    df["sid"] = df["sid"].astype("int64")
+    df["n_fired"] = df["n_fired"].astype("int64")
+    return df.sort_values("sid").reset_index(drop=True)
+
+
+SQL_RULE_TRACKING = _T + """
+SELECT r.sid, coalesce(c.n, 0)::BIGINT AS n_fired, c.n IS NOT NULL AS fired
+FROM (SELECT unnest([2001,2002,2003,2004,2005,2006]) AS sid) r
+LEFT JOIN (
+  SELECT sid, count(*) AS n FROM (
+    SELECT 2001 AS sid FROM t WHERE contains(text, 'auth failure')
+    UNION ALL SELECT 2002 FROM t WHERE contains(text, 'signup')
+    UNION ALL SELECT 2003 FROM t WHERE contains(lower(text), lower('AUTH FAILURE'))
+    UNION ALL SELECT 2004 FROM t WHERE contains(text, 'purchase') AND contains(text, 'user')
+    UNION ALL SELECT 2005 FROM t WHERE contains(text, 'user') AND NOT contains(text, 'signup')
+    UNION ALL SELECT 2006 FROM t WHERE contains(substr(text, 7, 9), 'auth')
+  ) GROUP BY sid
+) c USING (sid) ORDER BY r.sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-stream windows (streaming-shaped ops, ray_guide pattern)
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows per user: a new session starts after a >30 min gap.
+    groupby(user).map_groups over ts-sorted events — the per-key ordered
+    window machinery the correlation stage also relies on."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        new_s = (gaps.isna() | (gaps > 1800)).astype(int)
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_sessions": [int(new_s.sum())],
+                             "n_events": [len(g)]})
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    out = out.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 1h windows per user: pre-aggregated per batch, then one
+    small groupby (the partial-aggregate shuffle-minimizing pattern)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(tbl.column("ts"), unit="hour")
+        t = tbl.set_column(tbl.schema.get_field_index("ts"), "hour", hour)
+        g = pa.TableGroupBy(t, ["user_id", "hour"]).aggregate(
+            [("value", "min"), ("value", "max"), ([], "count_all")])
+        return g.rename_columns(["user_id", "hour", "min_value", "max_value", "n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["user_id", "hour"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Min("min_value", alias_name="min_value"),
+                        Max("max_value", alias_name="max_value"))
+             .to_pandas())
+    out = out.astype({"user_id": "int64", "n": "int64"})
+    return (out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+            [["user_id", "hour", "n", "min_value", "max_value"]])
+
+
+SQL_TUMBLING = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id, hour ORDER BY user_id, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..datapipe import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir)).to_pandas()[["doc_id"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    from ..datapipe import minhash_lsh_dedup
+
+    out = _typed(minhash_lsh_dedup(_docs(sf_dir), threshold=0.9).to_pandas(),
+                 {"a": "int64", "b": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from ..datapipe import simhash_dedup
+
+    out = _typed(simhash_dedup(_docs(sf_dir), max_hamming=2).to_pandas(),
+                 {"a": "int64", "b": "int64", "hamming": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_dedup_ngram(sf_dir: str):
+    from ..datapipe import ngram_jaccard_pairs
+
+    out = _typed(ngram_jaccard_pairs(_docs(sf_dir), threshold=0.9).to_pandas(),
+                 {"a": "int64", "b": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_text_tokens(sf_dir: str):
+    from ..datapipe import token_counts
+
+    out = token_counts(_docs(sf_dir)).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_tokens": "int64", "n_subwords": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]'))::BIGINT AS n_subwords
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(sf_dir: str):
+    from ..datapipe import quality
+
+    out = quality(_docs(sf_dir)).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_chars": "int64", "n_words": "int64"})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_chars", "n_words"]])
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id, length(text)::BIGINT AS n_chars,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(sf_dir: str):
+    from ..datapipe import fingerprint
+
+    out = fingerprint(_docs(sf_dir)).to_pandas()[["doc_id", "fp_md5"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9_\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_langid(sf_dir: str):
+    from ..datapipe import langid
+
+    out = langid(_docs(sf_dir)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _embeds(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 64)
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.asarray(df["embedding"].tolist(), dtype=np.float32)
+
+
+def q_embed_topk(sf_dir: str):
+    from ..datapipe import brute_force_topk
+
+    q = _query_vectors(sf_dir, 3)
+    out = brute_force_topk(_embeds(sf_dir), q, k=5).to_pandas()
+    out = out.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            [["query_id", "vec_id", "rank"]])
+
+
+SQL_EMBED_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cosine
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Exact cosine-similar pairs (≥0.9) via broadcast matrix + blocked
+    matmul per batch — the exact baseline; the LSH-bucketed variant is
+    q_embed_near_dup_lsh."""
+    import ray
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids_all = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(full["embedding"].to_pylist(), dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids_all, unit))
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        aid, aunit = ray.get(ref)
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ aunit.T
+        ii, jj = np.where(sims >= 0.9)
+        keep = ids[ii] < aid[jj]          # each unordered pair exactly once
+        return pa.table({"a": pa.array(ids[ii][keep], pa.int64()),
+                         "b": pa.array(aid[jj][keep], pa.int64())})
+
+    out = _typed(_embeds(sf_dir).map_batches(pairs, batch_format="pyarrow").to_pandas(),
+                 {"a": "int64", "b": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_EMBED_NEAR_DUP = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+ORDER BY a, b
+"""
+
+
+def q_embed_near_dup_lsh(sf_dir: str):
+    from ..datapipe import embedding_near_dup
+
+    out = _typed(embedding_near_dup(_embeds(sf_dir), threshold=0.9).to_pandas(),
+                 {"a": "int64", "b": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_embed_ivf(sf_dir: str):
+    from ..datapipe import ivf_topk
+
+    q = _query_vectors(sf_dir, 3)
+    out = ivf_topk(_embeds(sf_dir), q, k=5, n_cells=8, nprobe=4).to_pandas()
+    out = out.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            [["query_id", "vec_id", "rank"]])
+
+
+def q_embed_label_stats(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        sq = np.einsum("ij,ij->i", mat, mat)
+        t = pa.table({"label": tbl.column("label"),
+                      "sq": pa.array(sq, pa.float64())})
+        g = pa.TableGroupBy(t, "label").aggregate([("sq", "sum"), ([], "count_all")])
+        return g.rename_columns(["label", "sq", "n"])
+
+    out = (_embeds(sf_dir).map_batches(partial, batch_format="pyarrow")
+           .groupby("label").aggregate(Sum("sq", alias_name="sq"),
+                                       Sum("n", alias_name="n")).to_pandas())
+    out["mean_sq_norm"] = (out["sq"] / out["n"]).round(6)
+    out = out.astype({"label": "int64", "n": "int64"})
+    return (out.sort_values("label").reset_index(drop=True)
+            [["label", "n", "mean_sq_norm"]])
+
+
+SQL_EMBED_LABEL_STATS = """
+SELECT label::BIGINT AS label, count(*) AS n,
+       round(sum(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) / count(*), 6) AS mean_sq_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing: deterministic media table → image-feature
+    actor-pool stage (decode kernel stubbed; see datapipe.multimodal)."""
+    import ray.data as rd
+
+    from ..datapipe.multimodal import media_pipeline, synth_media
+
+    tbl = synth_media(200, seed=42)
+    out = media_pipeline(rd.from_arrow(tbl), fake=True).to_pandas()
+    out["media_id"] = out["media_id"].astype("int64")
+    out["feat_head"] = out["feature"].map(lambda v: round(float(v[0]), 6))
+    return (out.sort_values("media_id").reset_index(drop=True)
+            [["media_id", "feat_head"]])
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "engine_content": q_engine_content,
+    "engine_prematch": q_engine_prematch,
+    "engine_pcre": q_engine_pcre,
+    "engine_eventid": q_engine_eventid,
+    "engine_json": q_engine_json,
+    "engine_enrich": q_engine_enrich,
+    "engine_routing": q_engine_routing,
+    "engine_stateful": q_engine_stateful,
+    "engine_counters": q_engine_counters,
+    "client_stats": q_client_stats,
+    "track_clients": q_track_clients,
+    "rule_tracking": q_rule_tracking,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "text_langid": q_text_langid,
+    "embed_topk": q_embed_topk,
+    "embed_near_dup": q_embed_near_dup,
+    "embed_near_dup_lsh": q_embed_near_dup_lsh,
+    "embed_ivf": q_embed_ivf,
+    "embed_label_stats": q_embed_label_stats,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "engine_content": SQL_CONTENT,
+    "engine_prematch": SQL_PREMATCH,
+    "engine_pcre": SQL_PCRE,
+    "engine_eventid": SQL_EVENTID,
+    "engine_json": SQL_JSON,
+    "engine_enrich": SQL_ENRICH,
+    "engine_routing": SQL_ROUTING,
+    "engine_counters": SQL_COUNTERS,
+    "client_stats": SQL_CLIENT_STATS,
+    "track_clients": SQL_TRACK_CLIENTS,
+    "rule_tracking": SQL_RULE_TRACKING,
+    "events_sessionize": SQL_SESSIONIZE,
+    "events_tumbling": SQL_TUMBLING,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "embed_topk": SQL_EMBED_TOPK,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "embed_label_stats": SQL_EMBED_LABEL_STATS,
+    # rows-only (non-SQL-expressible): engine_stateful (sequential anchored
+    # windows), dedup_minhash/simhash/ngram (hash-based sketches),
+    # text_langid (model heuristic), embed_ivf / embed_near_dup_lsh
+    # (approximate), multimodal_features (stubbed decode)
+}

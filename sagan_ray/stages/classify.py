@@ -324,14 +324,15 @@ class RuleClassifier:
             if rule.dst_port_eq is not None and dst_port != rule.dst_port_eq:
                 continue
 
-            # geoip
+            # geoip (unknown country ⇒ GEOIP_SKIP ⇒ fail, geoip.c:195-209)
             if rule.geoip_track:
                 ip = src_ip if rule.geoip_track == "by_src" else dst_ip
                 if not ip:
                     continue
                 cc = lk.geo.lookup(ip) if lk.geo else None
-                in_list = cc is not None and cc in rule.geoip_codes
-                if rule.geoip_isnot == in_list:
+                if cc is None:
+                    continue
+                if rule.geoip_isnot == (cc in rule.geoip_codes):
                     continue
 
             # blacklist

@@ -1,0 +1,222 @@
+"""Tests for the training-data ops: dedup family, ANN, text stats,
+multimodal plumbing — verified against brute-force / DuckDB ground truth
+on the sf0.001 driver tables."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    import ray.data as rd
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeds():
+    import ray.data as rd
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_matches_duckdb(docs, docs_tbl):
+    import duckdb
+
+    from sagan_ray.datapipe import exact_dedup
+
+    got = sorted(exact_dedup(docs).to_pandas()["doc_id"].astype(int))
+    want = sorted(r[0] for r in duckdb.connect().execute(
+        "select min(doc_id) from docs group by text",
+        ).fetchall()) if False else sorted(
+        r[0] for r in duckdb.sql(
+            f"select min(doc_id) d from read_parquet('{SF}/documents.parquet') group by text"
+        ).fetchall())
+    assert got == want
+
+
+def test_minhash_candidates_catch_true_dups(docs, docs_tbl):
+    from sagan_ray.datapipe import minhash_lsh_dedup
+    from sagan_ray.datapipe.dedup import _jaccard
+
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    # ground truth: all pairs with jaccard >= 0.9 (exact duplicates exist
+    # in the synthetic corpus); cap the brute force to stay fast
+    ids = sorted(texts)[:200]
+    truth = {(a, b) for a, b in itertools.combinations(ids, 2)
+             if texts[a] == texts[b] or _jaccard(texts[a], texts[b]) >= 0.9}
+    got_df = minhash_lsh_dedup(docs, threshold=0.9).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_df["a"], got_df["b"])
+           if a in set(ids) and b in set(ids)}
+    # LSH with 16 bands / 4 rows has >99.9% recall at j>=0.9
+    assert truth <= got
+    # and verified pairs are genuinely similar
+    for a, b in got:
+        assert _jaccard(texts[a], texts[b]) >= 0.9
+
+
+def test_simhash_identical_docs_pair(docs, docs_tbl):
+    from sagan_ray.datapipe import simhash_dedup
+
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    dup_pairs = {(a, b) for a, b in itertools.combinations(sorted(texts), 2)
+                 if texts[a] == texts[b]}
+    got_df = simhash_dedup(docs).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_df["a"], got_df["b"])}
+    assert dup_pairs <= got    # hamming 0 pairs always found
+
+
+def test_ngram_jaccard_exact(docs, docs_tbl):
+    from sagan_ray.datapipe import ngram_jaccard_pairs
+    from sagan_ray.datapipe.dedup import _jaccard
+
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    got = ngram_jaccard_pairs(docs, threshold=0.8).to_pandas()
+    got_pairs = {(int(a), int(b)): j for a, b, j in
+                 zip(got["a"], got["b"], got["jaccard"])}
+    truth = {(a, b): _jaccard(texts[a], texts[b])
+             for a, b in itertools.combinations(sorted(texts), 2)
+             if _jaccard(texts[a], texts[b]) >= 0.8}
+    assert set(got_pairs) == set(truth)
+    for k in truth:
+        assert abs(got_pairs[k] - truth[k]) < 1e-9
+
+
+def test_brute_force_topk_exact(embeds):
+    from sagan_ray.datapipe import brute_force_topk
+
+    df = embeds.to_pandas()
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[:3]
+    got = brute_force_topk(embeds, queries, k=5).to_pandas()
+    for qi in range(3):
+        sims = unit @ (queries[qi] / np.linalg.norm(queries[qi]))
+        order = np.lexsort((df["vec_id"].to_numpy(), -sims))
+        want = list(df["vec_id"].to_numpy()[order][:5])
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert list(sub["vec_id"].astype(int)) == [int(x) for x in want]
+
+
+def test_ivf_recall(embeds):
+    from sagan_ray.datapipe import brute_force_topk, ivf_topk
+
+    df = embeds.to_pandas()
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+    queries = mat[:5]
+    exact = brute_force_topk(embeds, queries, k=10).to_pandas()
+    approx = ivf_topk(embeds, queries, k=10, n_cells=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"].astype(int))
+        a = set(approx[approx.query_id == qi]["vec_id"].astype(int))
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6   # nprobe=4 of 8 cells
+
+
+def test_embedding_near_dup_planted_pairs():
+    """Random 64-d embeddings have no cosine>=0.9 pairs (verified via
+    DuckDB), so plant near-duplicates and check they are found."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import embedding_near_dup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    # ids 100..104 are jittered copies of ids 0..4
+    dups = base[:5] + 0.01 * rng.standard_normal((5, 16)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    ids = list(range(50)) + list(range(100, 105))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}))
+    got = embedding_near_dup(ds, threshold=0.99, n_planes=4).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.get("a", []), got.get("b", []))}
+    # LSH with 4 planes: a 0.99-cosine pair collides in a bucket with
+    # high probability; require at least 4 of the 5 planted pairs
+    planted = {(i, 100 + i) for i in range(5)}
+    assert len(planted & got_pairs) >= 4
+    # and no false positives below threshold
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    idmap = {v: i for i, v in enumerate(ids)}
+    for a, b in got_pairs:
+        assert unit[idmap[a]] @ unit[idmap[b]] >= 0.99 - 1e-6
+
+
+def test_token_counts_match_duckdb(docs):
+    import duckdb
+
+    from sagan_ray.datapipe import token_counts
+
+    got = token_counts(docs).to_pandas().sort_values("doc_id")
+    want = duckdb.sql(
+        f"""select doc_id, case when trim(text)='' then 0
+            else len(regexp_split_to_array(trim(text), '\\s+')) end n
+            from read_parquet('{SF}/documents.parquet') order by doc_id"""
+    ).df()
+    assert list(got["n_tokens"]) == list(want["n"].astype(int))
+
+
+def test_quality_and_langid_shapes(docs):
+    from sagan_ray.datapipe import langid, quality
+
+    q = quality(docs).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    assert (q["n_words"] > 0).any()
+    lid = langid(docs).to_pandas()
+    assert set(lid.columns) == {"doc_id", "lang_pred", "lang_conf"}
+    assert len(lid) == len(q)
+
+
+def test_fingerprint_deterministic_and_normalizing(docs):
+    from sagan_ray.datapipe import fingerprint
+    import ray.data as rd
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["Hello, World!", "hello  world", "different"]})
+    fp = fingerprint(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert fp["fp_md5"].iloc[0] == fp["fp_md5"].iloc[1]
+    assert fp["fp_md5"].iloc[0] != fp["fp_md5"].iloc[2]
+
+
+def test_multimodal_plumbing():
+    import ray.data as rd
+
+    from sagan_ray.datapipe.multimodal import (
+        DecodeImages,
+        SampleFrames,
+        media_pipeline,
+        synth_media,
+    )
+
+    tbl = synth_media(60)
+    ds = rd.from_arrow(tbl)
+    feats = media_pipeline(ds, fake=True).to_pandas()
+    assert (feats["feature"].map(len) == DecodeImages.FEATURE_DIM).all()
+    # determinism: same payload → same feature
+    f2 = media_pipeline(rd.from_arrow(tbl), fake=True).to_pandas()
+    m1 = dict(zip(feats["media_id"], feats["feature"].map(tuple)))
+    m2 = dict(zip(f2["media_id"], f2["feature"].map(tuple)))
+    assert m1 == m2
+
+    frames = rd.from_arrow(tbl).map_batches(
+        lambda t: t.filter(__import__("pyarrow").compute.equal(t.column("kind"), "video")),
+        batch_format="pyarrow").map_batches(
+        SampleFrames, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2).to_pandas()
+    assert (frames["frame_ms"] % 1000 == 0).all()
+
+    # the non-fake stub must fail loudly, not silently fake
+    with pytest.raises(Exception):
+        rd.from_arrow(tbl.slice(0, 4)).map_batches(
+            DecodeImages, batch_format="pyarrow", concurrency=1).materialize()
