@@ -93,11 +93,11 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
     lookups_ref = ray.put(lookups or Lookups())
 
     if concurrency is None:
-        # actor pool sized to the session CPUs, leaving headroom for the
-        # read and shuffle stages so no stage starves (ray_guide actor-pool
-        # sizing note)
+        # autoscaling actor pool: starts small (cheap for small inputs),
+        # scales to the session CPUs minus headroom for the read and
+        # shuffle stages so no stage starves (ray_guide actor-pool sizing)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, ncpu - 2)
+        concurrency = (1, max(2, ncpu - 2))
 
     matches = ds.map_batches(
         RuleClassifier,

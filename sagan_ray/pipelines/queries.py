@@ -175,8 +175,18 @@ def _typed(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
     return out
 
 
+_TRANSCRIPT_CACHE: dict[str, object] = {}
+
+
 def _transcripts(sf_dir: str):
-    return read_events_as_transcripts(sf_dir)
+    """Events→transcripts Dataset, materialized once per sf_dir and shared
+    across the query catalog (the adapter's per-user numbering groupby is
+    paid once, not per query)."""
+    ds = _TRANSCRIPT_CACHE.get(sf_dir)
+    if ds is None:
+        ds = read_events_as_transcripts(sf_dir).materialize()
+        _TRANSCRIPT_CACHE[sf_dir] = ds
+    return ds
 
 
 def _engine(sf_dir: str, ruleset_text: str, config: EngineConfig | None = None):
