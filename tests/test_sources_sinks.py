@@ -1,0 +1,139 @@
+"""Wire-format parsers, sink writer, checkpoint/resume, events adapter."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def test_parse_pipe_batch_fields_and_malformed():
+    from sagan_ray.sources.wire import parse_pipe_batch
+
+    lines = [
+        "conv-1|0|user|bash|2024-03-01T12:00:00|hello world",
+        "conv-1|1|assistant||2024-03-01 12:00:05.250|with|pipes|in|text",
+        "garbage line no pipes",
+        "conv-2|notanint|user||2024-03-01T12:00:00|x",
+        "conv-3|2|user||badts|y",
+    ]
+    out = parse_pipe_batch(pa.table({"text": lines}))
+    d = out.to_pylist()
+    assert d[0]["conv_id"] == "conv-1" and d[0]["turn_idx"] == 0
+    assert d[0]["text"] == "hello world" and not d[0]["malformed"]
+    # message may itself contain pipes (split limited to 6 fields)
+    assert d[1]["text"] == "with|pipes|in|text" and not d[1]["malformed"]
+    assert d[1]["ts"].microsecond == 250000
+    assert d[2]["malformed"] and d[2]["text"] == "garbage line no pipes"
+    assert d[3]["malformed"] and d[4]["malformed"]
+
+
+def test_parse_json_batch_with_map():
+    from sagan_ray.sources.wire import parse_json_batch
+
+    lines = [
+        json.dumps({"c": "a", "i": 3, "who": "user", "msg": "hi",
+                    "when": "2024-03-01T00:00:00"}),
+        "not json at all",
+        json.dumps({"c": "b", "i": 0, "who": "tool", "msg": "x",
+                    "when": "2024-03-01T00:00:01", "extra": {"deep": "v"}}),
+    ]
+    fmap = {"conv_id": ".c", "turn_idx": ".i", "role": ".who",
+            "text": ".msg", "ts": ".when", "tool": ".extra.deep"}
+    out = parse_json_batch(pa.table({"text": lines}), field_map=fmap).to_pylist()
+    assert out[0]["conv_id"] == "a" and out[0]["turn_idx"] == 3
+    assert not out[0]["malformed"]
+    assert out[1]["malformed"]
+    assert out[2]["tool"] == "v"
+
+
+def test_json_map_percent_json_keeps_raw():
+    from sagan_ray.sources.wire import parse_json_batch
+
+    line = json.dumps({"c": "a", "x": 1})
+    fmap = {"conv_id": ".c", "text": "%JSON%"}
+    out = parse_json_batch(pa.table({"text": [line]}), field_map=fmap).to_pylist()
+    assert out[0]["text"] == line
+
+
+def test_events_adapter_deterministic_and_sql_consistent(tmp_path):
+    """The adapter's rendering must equal its documented SQL."""
+    import duckdb
+
+    from sagan_ray.sources.events import (
+        EVENTS_AS_TRANSCRIPTS_SQL,
+        read_events_as_transcripts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (read_events_as_transcripts(sf).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = (con.execute(EVENTS_AS_TRANSCRIPTS_SQL).df()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert list(got["conv_id"]) == list(want["conv_id"])
+    assert list(got["turn_idx"]) == list(want["turn_idx"])
+    assert list(got["text"]) == list(want["text"])
+
+
+def test_write_sinks_and_resume(tmp_path):
+    import ray.data as rd
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.io.sinks import write_sinks
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import gen_transcripts
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"m"; content:"login"; email:a@b; sid:1;)')
+    tbl = gen_transcripts(1500, seed=3)
+    eng = run_engine(rd.from_arrow(tbl), rules, None, EngineConfig(),
+                     concurrency=2, batch_size=512)
+    out = str(tmp_path / "sinks")
+    counts = write_sinks(eng, out)
+    assert set(counts) == {"alert", "fast", "eve", "syslog", "email"}
+    assert len(set(counts.values())) == 1  # same alerts in every sink
+    assert os.path.exists(os.path.join(out, "sink=alert"))
+    # resume: second call is a no-op served from the manifest
+    again = write_sinks(eng, out)
+    assert again == counts
+
+
+def test_partitioned_write_resume(tmp_path):
+    import ray.data as rd
+
+    from sagan_ray.state import RunManifest, partitioned_write
+
+    ds = rd.from_items([{"k": "a", "v": i} for i in range(10)]
+                       + [{"k": "b", "v": i} for i in range(5)])
+    out = str(tmp_path / "o")
+    r1 = partitioned_write(ds, out, "k")
+    assert r1["written"] == {"k=a": 10, "k=b": 5}
+    # simulate a rerun: both partitions done → nothing rewritten
+    r2 = partitioned_write(ds, out, "k")
+    assert r2["written"] == {}
+    assert set(r2["skipped"]) == {"k=a", "k=b"}
+    m = RunManifest(out)
+    assert m.done("k=a") and m.done("k=b")
+
+
+def test_eve_format():
+    import ray.data as rd
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.io.sinks import eve_format_batch
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import gen_transcripts
+
+    rules = parse_rules('alert any any any -> any any (msg:"m"; content:"login"; sid:7;)')
+    eng = run_engine(rd.from_arrow(gen_transcripts(800, seed=4)), rules,
+                     None, EngineConfig(), concurrency=2, batch_size=512)
+    evedf = eng.routed().map_batches(eve_format_batch,
+                                     batch_format="pyarrow").to_pandas()
+    assert len(evedf) > 0
+    rec = json.loads(evedf["eve"].iloc[0])
+    assert rec["event_type"] == "alert" and rec["alert"]["signature_id"] == 7
+    assert rec["payload"]  # byte-preserved message rides along
