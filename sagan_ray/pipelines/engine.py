@@ -72,14 +72,45 @@ class EngineResult:
         return self.matches.map_batches(explode, batch_format="pyarrow")
 
     # ---- aggregates (parity gates) -----------------------------------
+    def _sid_counts(self, emitted_only: bool) -> dict[int, int]:
+        """Pre-aggregated per-sid counts: one partial row per sid per
+        batch crosses the exchange instead of every match row (the
+        shuffle-minimizing aggregate pattern)."""
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            if emitted_only:
+                tbl = tbl.filter(tbl.column("emit").combine_chunks())
+            g = pa.TableGroupBy(tbl.select(["sid"]), "sid").aggregate([([], "count_all")])
+            return g.rename_columns(["sid", "n"])
+
+        from ray.data.aggregate import Sum
+
+        df = (self.matches.map_batches(partial, batch_format="pyarrow")
+              .groupby("sid").aggregate(Sum("n", alias_name="n")).to_pandas())
+        return dict(zip(df["sid"].astype(int), df["n"].astype(int)))
+
     def hit_counts(self) -> dict[int, int]:
-        df = self.matches.groupby("sid").count().to_pandas()
-        return dict(zip(df["sid"].astype(int), df["count()"].astype(int)))
+        return self._sid_counts(emitted_only=False)
 
     def routed_counts(self) -> dict[tuple[str, int], int]:
-        df = self.routed_exploded().groupby(["sink", "sid"]).count().to_pandas()
-        return {(s, int(sid)): int(n)
-                for s, sid, n in zip(df["sink"], df["sid"], df["count()"])}
+        """Per-(sink, sid) alert counts. The sink fan-out is resolved
+        driver-side from the ruleset (sinks per sid are static), so no
+        exploded rows ever shuffle."""
+        per_sid = self._sid_counts(emitted_only=True)
+        out: dict[tuple[str, int], int] = {}
+        by_sid = {}
+        for r in self.ruleset:
+            by_sid.setdefault(r.sid, r)
+        for sid, n in per_sid.items():
+            r = by_sid[sid]
+            sinks = list(self.config.sinks)
+            if r.email:
+                sinks.append(SINK_EMAIL)
+            if r.external:
+                sinks.append(SINK_EXTERNAL)
+            for s in sinks:
+                out[(s, sid)] = out.get((s, sid), 0) + n
+        return out
 
 
 def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
@@ -109,21 +140,33 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
     )
 
     if ruleset.has_stateful:
+        import numpy as _np
+        import pandas as _pd
         import pyarrow.compute as _pc
+
+        # bucket count: enough for parallelism, few enough that each
+        # map_groups call amortizes python overhead over many convs.
+        # hash is pandas' stable siphash — deterministic across processes.
+        n_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
         stateless = matches.map_batches(
             lambda t: t.filter(_pc.invert(t.column("stateful").combine_chunks())),
             batch_format="pyarrow")
-        stateful = matches.map_batches(
-            lambda t: t.filter(t.column("stateful").combine_chunks()),
-            batch_format="pyarrow")
+
+        def to_stateful_bucket(t: pa.Table) -> pa.Table:
+            t = t.filter(t.column("stateful").combine_chunks())
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            b = (_pd.util.hash_array(conv.astype(object)) % n_buckets).astype(_np.int32)
+            return t.append_column("bucket", pa.array(b))
+
+        stateful = matches.map_batches(to_stateful_bucket, batch_format="pyarrow")
         correlate = make_correlator(ruleset)
 
         def corr_wrapper(df):
             out = correlate(df)
             return out[_MATCH_COLS]  # stable column order for the union
 
-        corr = stateful.groupby("conv_id").map_groups(
+        corr = stateful.groupby("bucket").map_groups(
             corr_wrapper, batch_format="pandas")
         # normalize the pandas round-trip back to MATCH_SCHEMA (int32 widths,
         # large_string) so the union has one schema

@@ -399,22 +399,27 @@ class RuleClassifier:
                           for r in rules], dtype=bool)[rule_idx]
         emits = emits & ~stateful  # stateful verdicts decided by correlator
 
-        # per-hit extracted fields (rule-specific positional picks)
+        # per-hit extracted fields (rule-specific positional picks); only
+        # rules that pick positions / defaults pay the python loop
         m = len(row_idx)
         src_ips = [""] * m
         dst_ips = [""] * m
         src_ports = np.zeros(m, dtype=np.int32)
         dst_ports = np.zeros(m, dtype=np.int32)
         usernames = [""] * m
-        for k in range(m):
-            r = rules[rule_idx[k]]
-            i = row_idx[k]
-            if r.needs_ips() or r.is_stateful:
-                s, d, sp, dp = _extract_fields(r, ctx, i)
-                src_ips[k], dst_ips[k] = s, d
-                src_ports[k], dst_ports[k] = sp, dp
-            if self.needs_username:
-                usernames[k] = ctx.username_row(i)
+        need_extract = [bool(r.parse_src_ip or r.parse_dst_ip
+                             or r.default_src_port or r.default_dst_port)
+                        for r in rules]
+        if any(need_extract) or self.needs_username:
+            for k in range(m):
+                ri = rule_idx[k]
+                i = row_idx[k]
+                if need_extract[ri]:
+                    s, d, sp, dp = _extract_fields(rules[ri], ctx, i)
+                    src_ips[k], dst_ips[k] = s, d
+                    src_ports[k], dst_ports[k] = sp, dp
+                if self.needs_username:
+                    usernames[k] = ctx.username_row(i)
 
         take = pa.array(row_idx, pa.int64())
         return pa.Table.from_arrays([
@@ -580,10 +585,11 @@ def _drop_invalid(tbl: pa.Table, config: EngineConfig) -> pa.Table:
 
 
 def _extract_fields(rule: Rule, ctx: _BatchCtx, i: int):
-    """Per-rule positional IP/port extraction (engine.c:791-921)."""
+    """Per-rule positional IP/port extraction (engine.c:791-921). Only
+    rules that actually pick a position pay the extraction regex."""
     src_ip = dst_ip = ""
     src_port = dst_port = 0
-    if rule.needs_ips() or rule.is_stateful:
+    if rule.parse_src_ip or rule.parse_dst_ip:
         ips = ctx.ips_row(i)
         if rule.parse_src_ip and rule.parse_src_ip <= len(ips):
             src_ip, src_port = ips[rule.parse_src_ip - 1]

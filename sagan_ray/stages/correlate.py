@@ -37,13 +37,18 @@ def make_correlator(ruleset: RuleSet):
     helper = ReferenceEvaluator(ruleset)
 
     def correlate(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["turn_idx", "rule_idx"], kind="mergesort")
+        """Processes a block that may hold MANY conversations (bucketed by
+        hash(conv_id)): rows are sorted by (conv_id, turn_idx, rule_idx)
+        and per-conv state resets at each conv boundary — one python call
+        per bucket instead of one per conversation."""
+        df = df.sort_values(["conv_id", "turn_idx", "rule_idx"], kind="mergesort")
         st = _ConvState()
         rules = ruleset.rules
 
         routed_flags = []    # per input record: is it a hit (routing passed)?
         emit_flags = []      # per input record: does it alert (post-suppression)?
 
+        conv_ids = df["conv_id"].to_numpy()
         rule_idx = df["rule_idx"].to_numpy()
         turn_idx = df["turn_idx"].to_numpy()
         ts_epoch = df["ts_epoch"].to_numpy()
@@ -58,7 +63,12 @@ def make_correlator(ruleset: RuleSet):
 
         res = _Res()
         skip_turn = -1  # pass short-circuit: skip remaining matches of turn
+        cur_conv = None
         for k in range(len(df)):
+            if conv_ids[k] != cur_conv:
+                cur_conv = conv_ids[k]
+                st = _ConvState()
+                skip_turn = -1
             t = int(turn_idx[k])
             if t == skip_turn:
                 routed_flags.append(False)
