@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from ..config import EngineConfig, Lookups
 from ..functions.ip import extract_ips, net_group_contains
 from ..functions.textutil import (
-    extract_event_id,
+    EVENT_ID_HEAD,
     extract_hashes,
     infer_proto,
     prematch_regex,
@@ -243,6 +243,13 @@ class RuleClassifier:
                 hh = ctx.hhmm()
                 m &= ((a <= hh) & (hh <= b)) if a <= b else ((hh >= a) | (hh <= b))
             mask = _and(mask, m)
+            if not mask.any():
+                return None
+
+        # json rules only ever match messages that ARE a JSON object —
+        # vectorized prefilter before the per-row residual parse
+        if plan.needs_json:
+            mask = _and(mask, ctx.json_candidates())
             if not mask.any():
                 return None
 
@@ -527,9 +534,26 @@ class _BatchCtx:
 
     def event_ids(self) -> np.ndarray:
         if self._eids is None:
-            texts = self.texts_np()
-            self._eids = np.array([extract_event_id(t) for t in texts], dtype=object)
+            # vectorized head-window id extract (event-id.c:61-125):
+            # RE2 over the first 12 chars, then enforce the 10-char window
+            head = pc.utf8_slice_codeunits(self._text, start=0, stop=12)
+            ext = pc.extract_regex(head, r"(?P<pre>^|.*?\s)(?P<eid>\d{1,10}):")
+            pre = pc.struct_field(ext, "pre").to_numpy(zero_copy_only=False)
+            eid = pc.struct_field(ext, "eid").to_numpy(zero_copy_only=False)
+            out = np.empty(len(eid), dtype=object)
+            for i in range(len(eid)):
+                e = eid[i]
+                out[i] = e if e is not None and len(pre[i]) <= EVENT_ID_HEAD else ""
+            self._eids = out
         return self._eids
+
+    def json_candidates(self) -> np.ndarray:
+        m = getattr(self, "_json_cand", None)
+        if m is None:
+            m = pc.starts_with(pc.utf8_ltrim_whitespace(self._text), "{").to_numpy(
+                zero_copy_only=False).astype(bool, copy=False)
+            self._json_cand = m
+        return m
 
     def dow(self) -> np.ndarray:
         if self._dow is None:
