@@ -68,7 +68,8 @@ def extract_ips(text: str, max_ips: int = MAX_PARSE_IP) -> list[tuple[str, int]]
                 port = int(m.group("v6bport"))
         elif m.group("v4"):
             cand = m.group("v4")
-            if not is_valid_ip(cand):
+            # fast octet validation (the regex already guarantees shape)
+            if any(int(o) > 255 for o in cand.split(".")):
                 continue
             pm = _PORT_AFTER.match(text, m.end())
             if pm:

@@ -144,6 +144,14 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
         import pandas as _pd
         import pyarrow.compute as _pc
 
+        # Both the stateless pass-through and the correlation branch
+        # consume the classifier output; without pinning, Ray would
+        # re-execute the whole classify stage once per branch. The match
+        # stream is the *reduced* data (hit rows only), so pinning it in
+        # the object store is cheap relative to a second classify pass —
+        # and at 100 TB it spills rather than OOMs.
+        matches = matches.materialize()
+
         # bucket count: enough for parallelism, few enough that each
         # map_groups call amortizes python overhead over many convs.
         # hash is pandas' stable siphash — deterministic across processes.

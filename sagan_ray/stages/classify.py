@@ -253,6 +253,30 @@ class RuleClassifier:
             if not mask.any():
                 return None
 
+        # zeekintel text kinds (domain/url/software/file_name) are exact
+        # substring scans of the message against small tables — fully
+        # vectorizable, and they prefilter the residual for the other
+        # kinds; a rule gated on file_hash can only match rows that
+        # contain a 32+-char hex run
+        if rule.zeekintel:
+            for kind, table in (("domain", "domain"), ("url", "url"),
+                                ("software", "software"), ("file_name", "filename")):
+                if kind in rule.zeekintel:
+                    vals = sorted(self.lookups.intel_set(table))
+                    m = np.zeros(n, dtype=bool)
+                    for v in vals:
+                        m |= pc.match_substring(text, v).to_numpy(
+                            zero_copy_only=False).astype(bool, copy=False)
+                    mask = _and(mask, m)
+                    if not mask.any():
+                        return None
+            if "file_hash" in rule.zeekintel:
+                m = pc.match_substring_regex(text, r"[0-9a-fA-F]{32}").to_numpy(
+                    zero_copy_only=False).astype(bool, copy=False)
+                mask = _and(mask, m)
+                if not mask.any():
+                    return None
+
         if mask is None:
             mask = np.ones(n, dtype=bool)
 
@@ -359,11 +383,10 @@ class RuleClassifier:
                 if not hit:
                     continue
 
-            # zeekintel
+            # zeekintel (lazy: each kind fetches only the derivation it
+            # actually needs — engine.c:1297-1360)
             if rule.zeekintel:
-                if not _zeekintel_row(rule, lk, t, src_ip, dst_ip,
-                                      ctx.ips_row(i), ctx.hashes_row(i),
-                                      ctx.username_row(i)):
+                if not _zeekintel_row(rule, lk, ctx, i, t, src_ip, dst_ip):
                     continue
 
             keep.append(i)
@@ -628,8 +651,8 @@ def _extract_fields(rule: Rule, ctx: _BatchCtx, i: int):
     return src_ip, dst_ip, src_port, dst_port
 
 
-def _zeekintel_row(rule: Rule, lk: Lookups, text: str, src_ip: str, dst_ip: str,
-                   ips, hashes, username: str) -> bool:
+def _zeekintel_row(rule: Rule, lk: Lookups, ctx: _BatchCtx, i: int,
+                   text: str, src_ip: str, dst_ip: str) -> bool:
     ipset = lk.intel_set("ip")
     for kind in rule.zeekintel:
         if kind == "src_ipaddr":
@@ -639,10 +662,10 @@ def _zeekintel_row(rule: Rule, lk: Lookups, text: str, src_ip: str, dst_ip: str,
         elif kind == "both":
             ok = src_ip in ipset and dst_ip in ipset
         elif kind == "all":
-            ok = any(ip in ipset for ip, _ in ips)
+            ok = any(ip in ipset for ip, _ in ctx.ips_row(i))
         elif kind == "file_hash":
             hs = lk.intel_set("hash")
-            ok = any(h and h in hs for h in hashes.values())
+            ok = any(h and h in hs for h in ctx.hashes_row(i).values())
         elif kind == "domain":
             ok = any(v in text for v in lk.intel_set("domain"))
         elif kind == "url":
@@ -650,7 +673,8 @@ def _zeekintel_row(rule: Rule, lk: Lookups, text: str, src_ip: str, dst_ip: str,
         elif kind == "software":
             ok = any(v in text for v in lk.intel_set("software"))
         elif kind == "user_name":
-            ok = username in lk.intel_set("username") if username else False
+            u = ctx.username_row(i)
+            ok = u in lk.intel_set("username") if u else False
         elif kind == "file_name":
             ok = any(v in text for v in lk.intel_set("filename"))
         else:
