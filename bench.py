@@ -105,7 +105,7 @@ def run_bench() -> dict:
 
     t0 = time.time()
     eng = run_engine(read_transcripts(tdir), ruleset, lookups, cfg,
-                     batch_size=32768)
+                     batch_size=32768, concurrency=max(2, NUM_CPUS - 2))
     counts = eng.routed_exploded().groupby(["sink", "sid"]).count().to_pandas()
     headline = time.time() - t0
     queries["engine_full"] = round(headline, 3)
