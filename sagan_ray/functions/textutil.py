@@ -95,6 +95,39 @@ def try_parse_json_text(text: str) -> dict[str, str] | None:
     return flatten_json(obj)
 
 
+def json_atom_match(ja, val) -> bool:
+    """Evaluate one JsonAtom against a (possibly missing) flattened JSON
+    value — the single shared implementation used by both the oracle
+    evaluator and the vectorized classifier residual. Returns the raw
+    predicate result BEFORE negation (caller applies ``== ja.negated``).
+
+    Missing key ⇒ False (reference src/json-content.c:80-90). kind
+    'content' is full-string equality unless ``contains``
+    (json-content.c Search_Case/Search_Nocase); ``decode_base64``
+    decodes the value first (json-content.c json_decode_base64).
+    """
+    if val is None:
+        return False
+    if ja.decode_base64:
+        import base64 as _b64
+
+        try:
+            val = _b64.b64decode(val, validate=False).decode("utf-8", "replace")
+        except (ValueError, TypeError):
+            return False
+    if ja.kind == "content":
+        v, p = val, ja.values[0]
+        if ja.nocase:
+            v, p = v.lower(), p.lower()
+        return (p in v) if ja.contains else (v == p)
+    if ja.kind == "pcre":
+        return ja.compiled().search(val) is not None
+    # meta: OR-list
+    v = val.lower() if ja.nocase else val
+    pats = [x.lower() for x in ja.values] if ja.nocase else ja.values
+    return any((p in v) if ja.contains else (v == p) for p in pats)
+
+
 _PROTO_KEYWORDS = [
     # (keyword, proto) — a minimal protocol.map analog
     # (reference src/protocol-map.c + etc/protocol.map)

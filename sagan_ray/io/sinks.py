@@ -48,6 +48,31 @@ def eve_format_batch(tbl: pa.Table) -> pa.Table:
     return tbl.append_column("eve", pa.array(out, pa.large_string()))
 
 
+def eve_log_all(ds):
+    """Log_JSON analog (reference src/output-plugins/eve.c:69-93 +
+    json-handler.c:292): EVE-shape EVERY record, not just alerts — an
+    all-rows map_batches over the raw transcript stream."""
+    import json as _json
+
+    def f(tbl: pa.Table) -> pa.Table:
+        rows = tbl.to_pylist()
+        out = [
+            _json.dumps({
+                "timestamp": str(r["ts"]),
+                "event_type": "log",
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"],
+                "role": r["role"],
+                "tool": r["tool"],
+                "payload": r["text"],
+            }, separators=(",", ":"), ensure_ascii=False)
+            for r in rows
+        ]
+        return pa.table({"eve": pa.array(out, pa.large_string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def write_sinks(engine_result, out_dir: str, *, overwrite: bool = False) -> dict:
     """Fan routed alerts out to one Parquet directory per sink and return
     {sink: rows}. Executes the match pipeline once (single explode pass,

@@ -38,6 +38,7 @@ from ..functions.textutil import (
     extract_event_id,
     extract_hashes,
     infer_proto,
+    json_atom_match,
     prematch_regex,
     try_parse_json_text,
 )
@@ -214,21 +215,7 @@ class ReferenceEvaluator:
                 if j is None:
                     continue  # no JSON ⇒ missing key ⇒ no match
                 for ja in rule.json_atoms:
-                    val = j.get(ja.key)
-                    if val is None:
-                        found = False
-                    elif ja.kind == "content":
-                        v, p = val, ja.values[0]
-                        if ja.nocase:
-                            v, p = v.lower(), p.lower()
-                        found = (p in v) if ja.contains else (v == p)
-                    elif ja.kind == "pcre":
-                        found = ja.compiled().search(val) is not None
-                    else:  # meta
-                        v = val.lower() if ja.nocase else val
-                        pats = [p.lower() for p in ja.values] if ja.nocase else ja.values
-                        found = any((p in v) if ja.contains else (v == p) for p in pats)
-                    if found == ja.negated:
+                    if json_atom_match(ja, j.get(ja.key)) == ja.negated:
                         ok = False
                         break
                 if not ok:
@@ -496,7 +483,9 @@ class ReferenceEvaluator:
     # ---- flexbits ----------------------------------------------------
     @staticmethod
     def _flex_match(f, e, src_ip, dst_ip, src_port, dst_port, username) -> bool:
-        """Direction comparisons (flexbit-mmap.c:120-240 condition table)."""
+        """Direction comparisons (flexbit-mmap.c:120-320 condition table;
+        ``*_p`` variants additionally compare ports, flexbit-mmap.c:240+;
+        direction ids per src/flexbit.c:63-140)."""
         d = f.direction
         if d == "none":
             return True
@@ -514,6 +503,16 @@ class ReferenceEvaluator:
             return e[1] == dst_ip
         if d == "username":
             return e[5] == username
+        if d == "both_p":
+            return (e[1] == src_ip and e[2] == dst_ip
+                    and e[3] == src_port and e[4] == dst_port)
+        if d == "by_src_p":
+            return e[1] == src_ip and e[3] == src_port
+        if d == "by_dst_p":
+            return e[2] == dst_ip and e[4] == dst_port
+        if d == "reverse_p":
+            return (e[1] == dst_ip and e[2] == src_ip
+                    and e[3] == dst_port and e[4] == src_port)
         return False
 
     def _flexbit_condition(self, conds, st: _ConvState, src_ip, dst_ip,

@@ -142,46 +142,37 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
     if ruleset.has_stateful:
         import numpy as _np
         import pandas as _pd
-        import pyarrow.compute as _pc
 
-        # Both the stateless pass-through and the correlation branch
-        # consume the classifier output; without pinning, Ray would
-        # re-execute the whole classify stage once per branch. The match
-        # stream is the *reduced* data (hit rows only), so pinning it in
-        # the object store is cheap relative to a second classify pass —
-        # and at 100 TB it spills rather than OOMs.
-        matches = matches.materialize()
-
+        # Single fully-pipelined path: every match row (stateless verdicts
+        # already final) flows through ONE hash-bucketed shuffle; the
+        # correlator replays stateful rows per conversation in
+        # (turn_idx, rule_idx) order and passes stateless rows through
+        # untouched. No materialize barrier, no branch/union double
+        # consumption — read, classify, shuffle and correlate overlap
+        # under the streaming executor.
+        #
         # bucket count: enough for parallelism, few enough that each
         # map_groups call amortizes python overhead over many convs.
         # hash is pandas' stable siphash — deterministic across processes.
         n_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-        stateless = matches.map_batches(
-            lambda t: t.filter(_pc.invert(t.column("stateful").combine_chunks())),
-            batch_format="pyarrow")
-
-        def to_stateful_bucket(t: pa.Table) -> pa.Table:
-            t = t.filter(t.column("stateful").combine_chunks())
+        def add_bucket(t: pa.Table) -> pa.Table:
             conv = t.column("conv_id").to_numpy(zero_copy_only=False)
             b = (_pd.util.hash_array(conv.astype(object)) % n_buckets).astype(_np.int32)
             return t.append_column("bucket", pa.array(b))
 
-        stateful = matches.map_batches(to_stateful_bucket, batch_format="pyarrow")
         correlate = make_correlator(ruleset)
 
         def corr_wrapper(df):
             out = correlate(df)
-            return out[_MATCH_COLS]  # stable column order for the union
+            return out[_MATCH_COLS]  # stable column order
 
-        corr = stateful.groupby("bucket").map_groups(
-            corr_wrapper, batch_format="pandas")
-        # normalize the pandas round-trip back to MATCH_SCHEMA (int32 widths,
-        # large_string) so the union has one schema
-        corr = corr.map_batches(
-            lambda t: t.select(_MATCH_COLS).cast(MATCH_SCHEMA),
-            batch_format="pyarrow")
-        matches = stateless.union(corr)
+        matches = (matches.map_batches(add_bucket, batch_format="pyarrow")
+                   .groupby("bucket")
+                   .map_groups(corr_wrapper, batch_format="pandas")
+                   # normalize the pandas round-trip back to MATCH_SCHEMA
+                   .map_batches(lambda t: t.select(_MATCH_COLS).cast(MATCH_SCHEMA),
+                                batch_format="pyarrow"))
 
     return EngineResult(matches=matches, ruleset=ruleset, config=config)
 

@@ -123,6 +123,7 @@ class JsonAtom:
     nocase: bool = False
     negated: bool = False
     contains: bool = False      # json_contains modifier → substring match
+    decode_base64: bool = False  # json_decode_base64: decode value first
     flags: int = 0              # for pcre kind
     _compiled: Optional[re.Pattern] = field(default=None, repr=False, compare=False)
 

@@ -337,6 +337,11 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
         elif name == "json_contains":
             if last_json is not None:
                 last_json.contains = True
+        elif name == "json_decode_base64":
+            # decode the JSON value from base64 before matching
+            # (reference src/json-content.c json_decode_base64 modifier)
+            if last_json is not None:
+                last_json.decode_base64 = True
         elif name == "json_pcre":
             parts = _split_commas_outside_quotes(val)
             key = _unquote(parts[0])

@@ -30,6 +30,7 @@ from ..functions.textutil import (
     EVENT_ID_HEAD,
     extract_hashes,
     infer_proto,
+    json_atom_match,
     prematch_regex,
     try_parse_json_text,
 )
@@ -313,21 +314,7 @@ class RuleClassifier:
                 if j is None:
                     continue
                 for ja in rule.json_atoms:
-                    val = j.get(ja.key)
-                    if val is None:
-                        found = False
-                    elif ja.kind == "content":
-                        v, p = val, ja.values[0]
-                        if ja.nocase:
-                            v, p = v.lower(), p.lower()
-                        found = (p in v) if ja.contains else (v == p)
-                    elif ja.kind == "pcre":
-                        found = ja.compiled().search(val) is not None
-                    else:
-                        v = val.lower() if ja.nocase else val
-                        pats = [x.lower() for x in ja.values] if ja.nocase else ja.values
-                        found = any((p in v) if ja.contains else (v == p) for p in pats)
-                    if found == ja.negated:
+                    if json_atom_match(ja, j.get(ja.key)) == ja.negated:
                         ok = False
                         break
                 if not ok:

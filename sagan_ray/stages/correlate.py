@@ -51,6 +51,8 @@ def make_correlator(ruleset: RuleSet):
         conv_ids = df["conv_id"].to_numpy()
         rule_idx = df["rule_idx"].to_numpy()
         turn_idx = df["turn_idx"].to_numpy()
+        stateful_f = df["stateful"].to_numpy()
+        emit_in = df["emit"].to_numpy()
         ts_epoch = df["ts_epoch"].to_numpy()
         src_ips = df["src_ip"].to_numpy()
         dst_ips = df["dst_ip"].to_numpy()
@@ -69,6 +71,14 @@ def make_correlator(ruleset: RuleSet):
                 cur_conv = conv_ids[k]
                 st = _ConvState()
                 skip_turn = -1
+            if not stateful_f[k]:
+                # stateless verdict is already final (classify stage);
+                # pass-through — such rows never touch state, and any row
+                # whose fate depends on a stateful pass rule was flagged
+                # stateful wholesale by the classifier
+                routed_flags.append(True)
+                emit_flags.append(bool(emit_in[k]))
+                continue
             t = int(turn_idx[k])
             if t == skip_turn:
                 routed_flags.append(False)
