@@ -28,6 +28,9 @@ from ..stages.correlate import make_correlator
 
 _MATCH_COLS = [f.name for f in MATCH_SCHEMA]
 
+# per-worker compiled-classifier cache (see run_engine.classify_batch)
+_WORKER_CLASSIFIERS: dict = {}
+
 
 @dataclass
 class EngineResult:
@@ -123,58 +126,111 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
     ruleset_ref = ray.put(ruleset)
     lookups_ref = ray.put(lookups or Lookups())
 
-    if concurrency is None:
-        # autoscaling actor pool: starts small (cheap for small inputs),
-        # scales to the session CPUs minus headroom for the read and
-        # shuffle stages so no stage starves (ray_guide actor-pool sizing)
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, ncpu - 2))
+    # ``concurrency`` is accepted for API compatibility but unused: the
+    # classify stage runs as stateless tasks that scale with the session.
+    del concurrency
+
+    # Stateless tasks + per-worker classifier cache instead of an actor
+    # pool: the compiled ruleset is cheap to build (ms) but an actor pool
+    # pays seconds of spin-up per execution; plain tasks reuse Ray's warm
+    # worker processes and schedule elastically. The cache keys on the
+    # broadcast ref so a new ruleset invalidates it.
+    rs_key = ruleset_ref.binary()
+
+    def classify_batch(tbl: pa.Table) -> pa.Table:
+        cls = _WORKER_CLASSIFIERS.get(rs_key)
+        if cls is None:
+            cls = RuleClassifier(ray.get(ruleset_ref), ray.get(lookups_ref), config)
+            if len(_WORKER_CLASSIFIERS) > 4:
+                _WORKER_CLASSIFIERS.clear()
+            _WORKER_CLASSIFIERS[rs_key] = cls
+        return cls(tbl)
 
     matches = ds.map_batches(
-        RuleClassifier,
-        fn_constructor_args=(ruleset_ref, lookups_ref, config),
+        classify_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
     )
 
     if ruleset.has_stateful:
-        import numpy as _np
-        import pandas as _pd
-
-        # Single fully-pipelined path: every match row (stateless verdicts
-        # already final) flows through ONE hash-bucketed shuffle; the
-        # correlator replays stateful rows per conversation in
-        # (turn_idx, rule_idx) order and passes stateless rows through
-        # untouched. No materialize barrier, no branch/union double
-        # consumption — read, classify, shuffle and correlate overlap
-        # under the streaming executor.
-        #
-        # bucket count: enough for parallelism, few enough that each
-        # map_groups call amortizes python overhead over many convs.
-        # hash is pandas' stable siphash — deterministic across processes.
-        n_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
-            b = (_pd.util.hash_array(conv.astype(object)) % n_buckets).astype(_np.int32)
-            return t.append_column("bucket", pa.array(b))
-
-        correlate = make_correlator(ruleset)
-
-        def corr_wrapper(df):
-            out = correlate(df)
-            return out[_MATCH_COLS]  # stable column order
-
-        matches = (matches.map_batches(add_bucket, batch_format="pyarrow")
-                   .groupby("bucket")
-                   .map_groups(corr_wrapper, batch_format="pandas")
-                   # normalize the pandas round-trip back to MATCH_SCHEMA
-                   .map_batches(lambda t: t.select(_MATCH_COLS).cast(MATCH_SCHEMA),
-                                batch_format="pyarrow"))
+        # one reduce task per ~2 cores: fewer buckets = fewer tiny object
+        # transfers in the exchange; raise for bigger clusters/inputs
+        n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        matches = _correlate_exchange(matches, ruleset, n_buckets)
 
     return EngineResult(matches=matches, ruleset=ruleset, config=config)
+
+
+def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int):
+    """Two-stage hash exchange + per-bucket ordered replay for the
+    stateful tail — raw Ray core, not ``groupby().map_groups``.
+
+    Rationale (measured at 2M turns / 1.4M matches, 32 CPUs): the
+    correlation state machine itself is ~1 s single-threaded, but Ray
+    Data's sort-based ``groupby('bucket').map_groups`` costs 12-70 s of
+    shuffle/convert overhead — per-key ordered stateful scanning is the
+    one operator the Dataset API can't express efficiently (SURVEY.md
+    §4.2), so per the custom-operator guidance it drops to Ray tasks:
+
+      stage 1 (map): each classify output block splits into a
+        stateless slice (verdicts already final) + one slice per
+        hash(conv_id) bucket;
+      stage 2 (reduce): one task per bucket concatenates its slices,
+        sorts by (conv_id, turn_idx, rule_idx) and replays the state
+        machine.
+
+    Every conversation lands wholly in one bucket task (the partitioning
+    assumption correlation needs); n_buckets bounds reduce-task memory at
+    scale — raise it for bigger inputs, salt only if one conversation's
+    *matches* outgrow a worker (SURVEY.md §4 hard part #4). Trade-off:
+    ``to_arrow_refs`` pins the (reduced) match stream in the object store
+    and the exchange isn't lineage-reconstructable — acceptable for the
+    smallest, already-filtered leg of the pipeline.
+    """
+    import numpy as _np
+    import pandas as _pd
+    import ray
+    import ray.data as rd
+
+    correlate = make_correlator(ruleset)
+
+    @ray.remote
+    def split_block(tbl: pa.Table, nb: int):
+        sf = tbl.column("stateful").combine_chunks()
+        stateless = tbl.filter(pc.invert(sf))
+        state = tbl.filter(sf)
+        conv = state.column("conv_id").to_numpy(zero_copy_only=False)
+        b = (_pd.util.hash_array(conv.astype(object)) % nb).astype(_np.int64)
+        order = _np.argsort(b, kind="stable")
+        state = state.take(pa.array(order))
+        bounds = _np.searchsorted(b[order], _np.arange(nb + 1))
+        outs = [stateless]
+        for k in range(nb):
+            outs.append(state.slice(bounds[k], bounds[k + 1] - bounds[k]))
+        return tuple(outs)
+
+    @ray.remote
+    def corr_bucket(*tables):
+        parts = [t for t in tables if len(t)]
+        if not parts:
+            return MATCH_SCHEMA.empty_table()
+        df = pa.concat_tables(parts).to_pandas()
+        out = correlate(df)[_MATCH_COLS]
+        if len(out) == 0:
+            return MATCH_SCHEMA.empty_table()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(MATCH_SCHEMA)
+
+    refs = matches_ds.to_arrow_refs()
+    stateless_refs = []
+    bucket_parts: list[list] = [[] for _ in range(n_buckets)]
+    for r in refs:
+        outs = split_block.options(num_returns=n_buckets + 1).remote(r, n_buckets)
+        stateless_refs.append(outs[0])
+        for k in range(n_buckets):
+            bucket_parts[k].append(outs[k + 1])
+    corr_refs = [corr_bucket.remote(*bucket_parts[k]) for k in range(n_buckets)]
+    return rd.from_arrow_refs(stateless_refs + corr_refs)
 
 
 def input_counters(ds, config: EngineConfig | None = None) -> dict[str, int]:
