@@ -105,11 +105,11 @@ def run_bench() -> dict:
 
     t0 = time.time()
     eng = run_engine(read_transcripts(tdir), ruleset, lookups, cfg,
-                     batch_size=32768, concurrency=max(2, NUM_CPUS - 2))
-    counts = eng.routed_exploded().groupby(["sink", "sid"]).count().to_pandas()
+                     batch_size=32768)
+    counts = eng.routed_counts()
     headline = time.time() - t0
     queries["engine_full"] = round(headline, 3)
-    n_routed = int(counts["count()"].sum())
+    n_routed = int(sum(counts.values()))
 
     # ---- secondary queries over the sf tables ------------------------
     def timed(name, fn):
