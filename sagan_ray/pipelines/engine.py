@@ -42,6 +42,10 @@ class EngineResult:
     matches: "ray.data.Dataset"
     ruleset: RuleSet
     config: EngineConfig
+    # per-task partial (sid, hits, emits) table refs produced inline by the
+    # correlation exchange — counts come from these tiny tables instead of
+    # a second pass over the match stream
+    count_refs: list | None = None
 
     def routed(self):
         return self.matches.map_batches(
@@ -76,9 +80,21 @@ class EngineResult:
 
     # ---- aggregates (parity gates) -----------------------------------
     def _sid_counts(self, emitted_only: bool) -> dict[int, int]:
-        """Pre-aggregated per-sid counts: one partial row per sid per
-        batch crosses the exchange instead of every match row (the
-        shuffle-minimizing aggregate pattern)."""
+        """Per-sid counts. When the correlation exchange ran, the partial
+        count tables were produced inline by its tasks (zero extra
+        passes); otherwise one pre-aggregated pass over the match stream
+        (one partial row per sid per batch crosses the exchange)."""
+        import ray
+
+        col = "emits" if emitted_only else "hits"
+        if self.count_refs is not None:
+            out: dict[int, int] = {}
+            for t in ray.get(list(self.count_refs)):
+                for sid, n in zip(t.column("sid").to_pylist(),
+                                  t.column(col).to_pylist()):
+                    if n:
+                        out[sid] = out.get(sid, 0) + int(n)
+            return out
 
         def partial(tbl: pa.Table) -> pa.Table:
             if emitted_only:
@@ -157,7 +173,9 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
         # one reduce task per ~2 cores: fewer buckets = fewer tiny object
         # transfers in the exchange; raise for bigger clusters/inputs
         n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-        matches = _correlate_exchange(matches, ruleset, n_buckets)
+        matches, count_refs = _correlate_exchange(matches, ruleset, n_buckets)
+        return EngineResult(matches=matches, ruleset=ruleset, config=config,
+                            count_refs=count_refs)
 
     return EngineResult(matches=matches, ruleset=ruleset, config=config)
 
@@ -195,8 +213,22 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int):
 
     correlate = make_correlator(ruleset)
 
+    def _count_partial(tbl: pa.Table) -> pa.Table:
+        """(sid, hits, emits) partial for one match table."""
+        if len(tbl) == 0:
+            return pa.table({"sid": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64()),
+                             "emits": pa.array([], pa.int64())})
+        t = pa.table({"sid": tbl.column("sid").combine_chunks(),
+                      "emit": pc.cast(tbl.column("emit").combine_chunks(),
+                                      pa.int64())})
+        g = pa.TableGroupBy(t, "sid").aggregate([([], "count_all"), ("emit", "sum")])
+        return g.rename_columns(["sid", "hits", "emits"])
+
     @ray.remote
     def split_block(tbl: pa.Table, nb: int):
+        """Map side: stateless slice + per-bucket stateful slices + the
+        stateless count partial."""
         sf = tbl.column("stateful").combine_chunks()
         stateless = tbl.filter(pc.invert(sf))
         state = tbl.filter(sf)
@@ -205,32 +237,44 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int):
         order = _np.argsort(b, kind="stable")
         state = state.take(pa.array(order))
         bounds = _np.searchsorted(b[order], _np.arange(nb + 1))
-        outs = [stateless]
+        outs = [stateless, _count_partial(stateless)]
         for k in range(nb):
             outs.append(state.slice(bounds[k], bounds[k + 1] - bounds[k]))
         return tuple(outs)
 
-    @ray.remote
+    @ray.remote(num_returns=2)
     def corr_bucket(*tables):
+        """Reduce side: ordered replay of one bucket + its count partial."""
         parts = [t for t in tables if len(t)]
         if not parts:
-            return MATCH_SCHEMA.empty_table()
+            e = MATCH_SCHEMA.empty_table()
+            return e, _count_partial(e)
         df = pa.concat_tables(parts).to_pandas()
         out = correlate(df)[_MATCH_COLS]
         if len(out) == 0:
-            return MATCH_SCHEMA.empty_table()
-        return pa.Table.from_pandas(out, preserve_index=False).cast(MATCH_SCHEMA)
+            e = MATCH_SCHEMA.empty_table()
+            return e, _count_partial(e)
+        tbl = pa.Table.from_pandas(out, preserve_index=False).cast(MATCH_SCHEMA)
+        return tbl, _count_partial(tbl)
 
-    refs = matches_ds.to_arrow_refs()
-    stateless_refs = []
+    # stream classify output blocks into split tasks as they finish, so
+    # the map side of the exchange overlaps the classify stage
+    stateless_refs: list = []
+    count_refs: list = []
     bucket_parts: list[list] = [[] for _ in range(n_buckets)]
-    for r in refs:
-        outs = split_block.options(num_returns=n_buckets + 1).remote(r, n_buckets)
-        stateless_refs.append(outs[0])
-        for k in range(n_buckets):
-            bucket_parts[k].append(outs[k + 1])
-    corr_refs = [corr_bucket.remote(*bucket_parts[k]) for k in range(n_buckets)]
-    return rd.from_arrow_refs(stateless_refs + corr_refs)
+    for bundle in matches_ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            outs = split_block.options(num_returns=n_buckets + 2).remote(
+                block_ref, n_buckets)
+            stateless_refs.append(outs[0])
+            count_refs.append(outs[1])
+            for k in range(n_buckets):
+                bucket_parts[k].append(outs[k + 2])
+    for k in range(n_buckets):
+        tbl_ref, cnt_ref = corr_bucket.remote(*bucket_parts[k])
+        stateless_refs.append(tbl_ref)
+        count_refs.append(cnt_ref)
+    return rd.from_arrow_refs(stateless_refs), count_refs
 
 
 def input_counters(ds, config: EngineConfig | None = None) -> dict[str, int]:

@@ -235,7 +235,8 @@ def write_transcripts(out_dir: str, n_turns: int, seed: int = 42,
         conv_offset += 10_000_000  # chunks own disjoint conv-id ranges
         for off in range(0, len(tbl), rows_per_file):
             pq.write_table(tbl.slice(off, rows_per_file),
-                           os.path.join(out_dir, f"part-{part:05d}.parquet"))
+                           os.path.join(out_dir, f"part-{part:05d}.parquet"),
+                           row_group_size=min(rows_per_file, 32768))
             part += 1
         remaining -= this
         cseed += 1000  # distinct rng stream per chunk
