@@ -47,6 +47,14 @@ from ..rules.model import Rule, RuleSet
 _EPOCH = datetime(1970, 1, 1)
 
 
+def _to_port(v) -> int:
+    try:
+        p = int(v)
+        return p if 0 < p <= 65535 else 0
+    except (TypeError, ValueError):
+        return 0
+
+
 def ts_epoch(ts) -> int:
     """Event-time epoch seconds from a (tz-naive, UTC) timestamp."""
     if isinstance(ts, (int, float)):
@@ -161,6 +169,18 @@ class ReferenceEvaluator:
             # append_program: engine.c:595-627
             msg = f"{text} | {role}" if rule.append_program else text
 
+            # json_map field overrides (engine.c:321-488): applied before
+            # the per-field checks below; absent keys leave the field to
+            # normal extraction
+            jm: dict[str, str] = {}
+            if rule.json_maps:
+                j = self._json(text)
+                if j:
+                    for fld, key in rule.json_maps:
+                        v = j.get(key)
+                        if v is not None:
+                            jm[fld] = v
+
             # ---- content chain ---------------------------------------
             ok = True
             prev_depth = 0
@@ -206,7 +226,7 @@ class ReferenceEvaluator:
                     event_id = extract_event_id(text)
                     if not event_id and (j := self._json(text)) is not None:
                         event_id = j.get(".event_id", "")
-                if event_id not in rule.event_ids:
+                if jm.get("event_id", event_id) not in rule.event_ids:
                     continue
 
             # ---- json_* ----------------------------------------------
@@ -221,25 +241,30 @@ class ReferenceEvaluator:
                 if not ok:
                     continue
 
-            # ---- field extraction (engine.c:791-921) -----------------
-            src_ip = dst_ip = ""
-            src_port = dst_port = 0
+            # ---- field extraction (engine.c:791-921; json_map base
+            # values overwritten only when extraction finds something) ---
+            src_ip = jm.get("src_ip", "")
+            dst_ip = jm.get("dst_ip", "")
+            src_port = _to_port(jm.get("src_port"))
+            dst_port = _to_port(jm.get("dst_port"))
             if rule.needs_ips():
                 if ips is None:
                     ips = extract_ips(text)
                 if rule.parse_src_ip and rule.parse_src_ip <= len(ips):
-                    src_ip, src_port = ips[rule.parse_src_ip - 1]
+                    src_ip, p = ips[rule.parse_src_ip - 1]
+                    if rule.parse_port and p:
+                        src_port = p
                 if rule.parse_dst_ip and rule.parse_dst_ip <= len(ips):
-                    dst_ip, dst_port = ips[rule.parse_dst_ip - 1]
-            if not rule.parse_port:
-                src_port = dst_port = 0
+                    dst_ip, p = ips[rule.parse_dst_ip - 1]
+                    if rule.parse_port and p:
+                        dst_port = p
             if src_port == 0:
                 src_port = rule.default_src_port
             if dst_port == 0:
                 dst_port = rule.default_dst_port
 
-            proto = ""
-            if rule.parse_proto:
+            proto = jm.get("proto", "")
+            if rule.parse_proto and not proto:
                 if proto_inferred is None:
                     proto_inferred = infer_proto(text)
                 proto = proto_inferred
@@ -248,14 +273,17 @@ class ReferenceEvaluator:
 
             hsh = ""
             if rule.parse_hash:
-                if hashes is None:
-                    hashes = extract_hashes(text)
-                hsh = hashes.get(rule.parse_hash, "")
+                hsh = jm.get(rule.parse_hash, "")
+                if not hsh:
+                    if hashes is None:
+                        hashes = extract_hashes(text)
+                    hsh = hashes.get(rule.parse_hash, "")
 
-            username = ""
-            j = self._json(text)
-            if j is not None:
-                username = j.get(".username", "")
+            username = jm.get("username", "")
+            if not username:
+                j = self._json(text)
+                if j is not None:
+                    username = j.get(".username", "")
 
             # ---- flow gate (src/flow.c, engine.c:926-940) ------------
             if rule.proto not in ("any", "syslog") and proto != rule.proto:

@@ -224,6 +224,14 @@ class Rule:
     # append_program: match text + " | " + role (engine.c:595-627)
     append_program: bool = False
 
+    # json_map: per-rule remapping of flattened JSON keys onto internal
+    # fields BEFORE matching (reference engine.c:321-488; original
+    # message/program restored after each rule, engine.c:1514-1529).
+    # Entries are (field, dotted_key); mappable fields: message, program,
+    # event_id, src_ip, dst_ip, src_port, dst_port, proto, username,
+    # md5, sha1, sha256.
+    json_maps: list[tuple[str, str]] = field(default_factory=list)
+
     # --- stateless predicates
     contents: list[ContentAtom] = field(default_factory=list)
     meta_contents: list[MetaContent] = field(default_factory=list)

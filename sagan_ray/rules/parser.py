@@ -348,6 +348,23 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
             pat, flags = _parse_pcre(_unquote(parts[1]))
             rule.json_atoms.append(JsonAtom(kind="pcre", key=key, values=[pat], flags=flags))
             last_json = rule.json_atoms[-1]
+        elif name == "json_map":
+            # json_map: "src_ip", ".key"  (rules.c:2014-2146)
+            parts = _split_commas_outside_quotes(val)
+            fieldname = _unquote(parts[0]).lower()
+            if fieldname == "dest_ip":
+                fieldname = "dst_ip"
+            allowed = {"event_id", "src_ip", "dst_ip",
+                       "src_port", "dst_port", "proto", "username",
+                       "md5", "sha1", "sha256"}
+            if fieldname in ("message", "program"):
+                raise RuleParseError(
+                    "json_map of message/program is not supported — the "
+                    "JSON flatten already exposes every key to "
+                    "json_content/json_pcre (match those directly)")
+            if fieldname not in allowed:
+                raise RuleParseError(f"bad json_map field {fieldname!r}")
+            rule.json_maps.append((fieldname, _unquote(parts[1])))
         elif name == "json_meta_content":
             parts = _split_commas_outside_quotes(val)
             negated = parts[0].startswith("!")

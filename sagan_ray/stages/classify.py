@@ -74,7 +74,7 @@ class _RulePlan:
 
     __slots__ = ("rule", "prematch_role", "prematch_tool", "meta_regexes",
                  "pcre_re2", "pcre_py", "needs_ips", "needs_json",
-                 "needs_hashes", "slow_gates")
+                 "needs_hashes", "slow_gates", "jm_fields")
 
     def __init__(self, rule: Rule):
         self.rule = rule
@@ -112,10 +112,12 @@ class _RulePlan:
         self.needs_ips = rule.needs_ips()
         self.needs_json = bool(rule.json_atoms)
         self.needs_hashes = bool(rule.parse_hash) or "file_hash" in rule.zeekintel
+        self.jm_fields = {f for f, _ in rule.json_maps}
         # gates that require per-row python on the candidate subset
         self.slow_gates = bool(
             self.needs_ips or rule.geoip_track or rule.blacklist
             or rule.zeekintel or rule.parse_hash or self.pcre_py
+            or rule.json_maps
         )
 
 
@@ -136,8 +138,10 @@ class RuleClassifier:
         self.plans = [_RulePlan(r) for r in ruleset]
         self.needs_username = any(
             (r.after and r.after.by_username) or
+            (r.threshold and r.threshold.by_username) or
             any(f.direction == "username" for f in r.flexbits) or
-            "user_name" in r.zeekintel
+            "user_name" in r.zeekintel or
+            any(f == "username" for f, _ in r.json_maps)
             for r in ruleset)
         self.any_json = any(p.needs_json for p in self.plans) or self.needs_username
         # stateless pass rules truncate later hits with certainty
@@ -227,7 +231,8 @@ class RuleClassifier:
                 return None
 
         # ---- event_id (src/event-id.c) -------------------------------
-        if rule.event_ids:
+        # (deferred to the residual when json_map remaps event_id)
+        if rule.event_ids and "event_id" not in plan.jm_fields:
             eids = ctx.event_ids()
             m = np.isin(eids, np.array(rule.event_ids, dtype=object))
             mask = _and(mask, m)
@@ -320,10 +325,24 @@ class RuleClassifier:
                 if not ok:
                     continue
 
-            src_ip, dst_ip, src_port, dst_port = _extract_fields(rule, ctx, i)
+            # json_map overrides (engine.c:321-488)
+            jm: dict[str, str] = {}
+            if rule.json_maps:
+                j = ctx.json_row(i)
+                if j:
+                    for fld, key in rule.json_maps:
+                        v = j.get(key)
+                        if v is not None:
+                            jm[fld] = v
+                if rule.event_ids:  # deferred event_id check
+                    eid = jm.get("event_id", ctx.event_ids()[i])
+                    if eid not in rule.event_ids:
+                        continue
 
-            proto = ""
-            if rule.parse_proto:
+            src_ip, dst_ip, src_port, dst_port = _extract_fields(rule, ctx, i, jm)
+
+            proto = jm.get("proto", "")
+            if rule.parse_proto and not proto:
                 proto = infer_proto(t)
             if not proto:
                 proto = rule.default_proto
@@ -373,7 +392,7 @@ class RuleClassifier:
             # zeekintel (lazy: each kind fetches only the derivation it
             # actually needs — engine.c:1297-1360)
             if rule.zeekintel:
-                if not _zeekintel_row(rule, lk, ctx, i, t, src_ip, dst_ip):
+                if not _zeekintel_row(rule, lk, ctx, i, t, src_ip, dst_ip, jm):
                     continue
 
             keep.append(i)
@@ -425,18 +444,28 @@ class RuleClassifier:
         dst_ports = np.zeros(m, dtype=np.int32)
         usernames = [""] * m
         need_extract = [bool(r.parse_src_ip or r.parse_dst_ip
-                             or r.default_src_port or r.default_dst_port)
+                             or r.default_src_port or r.default_dst_port
+                             or r.json_maps)
                         for r in rules]
         if any(need_extract) or self.needs_username:
             for k in range(m):
                 ri = rule_idx[k]
                 i = row_idx[k]
+                r_obj = rules[ri]
+                jm: dict = {}
+                if r_obj.json_maps:
+                    j = ctx.json_row(i)
+                    if j:
+                        for fld, key in r_obj.json_maps:
+                            v = j.get(key)
+                            if v is not None:
+                                jm[fld] = v
                 if need_extract[ri]:
-                    s, d, sp, dp = _extract_fields(rules[ri], ctx, i)
+                    s, d, sp, dp = _extract_fields(r_obj, ctx, i, jm)
                     src_ips[k], dst_ips[k] = s, d
                     src_ports[k], dst_ports[k] = sp, dp
                 if self.needs_username:
-                    usernames[k] = ctx.username_row(i)
+                    usernames[k] = jm.get("username") or ctx.username_row(i)
 
         take = pa.array(row_idx, pa.int64())
         return pa.Table.from_arrays([
@@ -618,19 +647,34 @@ def _drop_invalid(tbl: pa.Table, config: EngineConfig) -> pa.Table:
     return tbl.filter(ok)
 
 
-def _extract_fields(rule: Rule, ctx: _BatchCtx, i: int):
-    """Per-rule positional IP/port extraction (engine.c:791-921). Only
-    rules that actually pick a position pay the extraction regex."""
-    src_ip = dst_ip = ""
-    src_port = dst_port = 0
+def _to_port(v) -> int:
+    try:
+        p = int(v)
+        return p if 0 < p <= 65535 else 0
+    except (TypeError, ValueError):
+        return 0
+
+
+def _extract_fields(rule: Rule, ctx: _BatchCtx, i: int,
+                    jm: dict | None = None):
+    """Per-rule positional IP/port extraction (engine.c:791-921), starting
+    from json_map base values; extraction overwrites only when it finds
+    something. Only rules that pick a position pay the regex."""
+    jm = jm or {}
+    src_ip = jm.get("src_ip", "")
+    dst_ip = jm.get("dst_ip", "")
+    src_port = _to_port(jm.get("src_port"))
+    dst_port = _to_port(jm.get("dst_port"))
     if rule.parse_src_ip or rule.parse_dst_ip:
         ips = ctx.ips_row(i)
         if rule.parse_src_ip and rule.parse_src_ip <= len(ips):
-            src_ip, src_port = ips[rule.parse_src_ip - 1]
+            src_ip, p = ips[rule.parse_src_ip - 1]
+            if rule.parse_port and p:
+                src_port = p
         if rule.parse_dst_ip and rule.parse_dst_ip <= len(ips):
-            dst_ip, dst_port = ips[rule.parse_dst_ip - 1]
-    if not rule.parse_port:
-        src_port = dst_port = 0
+            dst_ip, p = ips[rule.parse_dst_ip - 1]
+            if rule.parse_port and p:
+                dst_port = p
     if src_port == 0:
         src_port = rule.default_src_port
     if dst_port == 0:
@@ -639,7 +683,8 @@ def _extract_fields(rule: Rule, ctx: _BatchCtx, i: int):
 
 
 def _zeekintel_row(rule: Rule, lk: Lookups, ctx: _BatchCtx, i: int,
-                   text: str, src_ip: str, dst_ip: str) -> bool:
+                   text: str, src_ip: str, dst_ip: str,
+                   jm: dict | None = None) -> bool:
     ipset = lk.intel_set("ip")
     for kind in rule.zeekintel:
         if kind == "src_ipaddr":
@@ -660,7 +705,7 @@ def _zeekintel_row(rule: Rule, lk: Lookups, ctx: _BatchCtx, i: int,
         elif kind == "software":
             ok = any(v in text for v in lk.intel_set("software"))
         elif kind == "user_name":
-            u = ctx.username_row(i)
+            u = (jm or {}).get("username") or ctx.username_row(i)
             ok = u in lk.intel_set("username") if u else False
         elif kind == "file_name":
             ok = any(v in text for v in lk.intel_set("filename"))

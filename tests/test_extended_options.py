@@ -47,3 +47,28 @@ def test_eve_log_all_rows():
     assert len(out) == len(tbl)
     rec = json.loads(out["eve"].iloc[0])
     assert rec["event_type"] == "log" and "payload" in rec
+
+
+def test_json_map_fields():
+    import json as _json
+
+    rules = """
+alert any any any -> any any (msg:"mapped eid"; json_map:"event_id",".eid"; event_id: 777; sid:10;)
+alert any any any -> any any (msg:"mapped ip geo"; json_map:"src_ip",".client"; country_code: track by_src, is RU; sid:11;)
+alert any any any -> any any (msg:"mapped user after"; json_map:"username",".u"; json_content:".act","fail"; after: track by_username, count 1, seconds 600; sid:12;)
+"""
+    tbl = mk([
+        ("a", 0, _json.dumps({"eid": 777, "x": 1}), 0),
+        ("a", 1, _json.dumps({"eid": 778}), 5),
+        ("a", 2, _json.dumps({"client": "203.0.113.5", "act": "x"}), 10),   # RU range
+        ("a", 3, _json.dumps({"client": "10.0.1.1", "act": "x"}), 15),      # US range
+        ("a", 4, _json.dumps({"u": "kate", "act": "fail"}), 20),  # after count 1 → suppressed first
+        ("a", 5, _json.dumps({"u": "kate", "act": "fail"}), 25),  # second → alert
+        ("a", 6, _json.dumps({"u": "leo", "act": "fail"}), 30),   # different user key
+    ])
+    oracle, engine = run_both(rules, tbl)
+    assert hits_of(oracle) == [("a", 0, 10), ("a", 2, 11),
+                               ("a", 4, 12), ("a", 5, 12), ("a", 6, 12)]
+    r = engine.routed().to_pandas()
+    emitted = sorted(r[r.sid == 12]["turn_idx"].astype(int))
+    assert emitted == [5]   # per-username after keys: kate alerts on 2nd, leo suppressed
