@@ -40,9 +40,14 @@ def run_both(ruleset, tbl: pa.Table, config: EngineConfig | None = None,
 
     matches = engine.matches.to_pandas()
     routed = engine.routed_exploded().to_pandas()
+    # empty Ray results lose their schema — reindex to the expected columns
+    matches = matches.reindex(columns=[f.name for f in
+                                       __import__("sagan_ray.stages.classify",
+                                                  fromlist=["MATCH_SCHEMA"]).MATCH_SCHEMA])
+    routed = routed.reindex(columns=list(matches.columns) + ["sink"])
 
     # (a) rule-hit counts per sid
-    ray_hits = collections.Counter(matches["sid"].astype(int))
+    ray_hits = collections.Counter(matches["sid"].dropna().astype(int))
     assert dict(ray_hits) == oracle.hit_counts(), (
         f"hit counts diverge: ray={dict(sorted(ray_hits.items()))} "
         f"oracle={dict(sorted(oracle.hit_counts().items()))}")

@@ -1,0 +1,77 @@
+"""Seeded randomized parity fuzz: generate random rulesets over random
+transcript tables and require oracle ≡ Ray on every one. Catches
+interaction bugs the hand-written fixtures miss (random window bounds,
+random stateful parameters, random orderings). Fully deterministic —
+failures reproduce by seed."""
+
+import numpy as np
+import pytest
+
+from sagan_ray.rules import parse_rules
+from sagan_ray.synth import gen_transcripts
+
+from .helpers import run_both
+
+WORDS = ["login", "failed", "success", "ERROR", "timeout", "beacon",
+         "connection", "malware", "user", "alice", "heartbeat", "résumé"]
+
+
+def _rand_rule(rng: np.random.Generator, sid: int) -> str:
+    opts = []
+    action = rng.choice(["alert"] * 6 + ["drop", "pass"])
+    # 1-3 content atoms with random windows
+    for _ in range(int(rng.integers(1, 4))):
+        w = WORDS[int(rng.integers(0, len(WORDS)))]
+        neg = "!" if rng.integers(0, 5) == 0 else ""
+        opts.append(f'content:{neg}"{w}"')
+        if rng.integers(0, 3) == 0:
+            opts.append(f"offset:{int(rng.integers(0, 30))}")
+        if rng.integers(0, 3) == 0:
+            opts.append(f"depth:{int(rng.integers(1, 40))}")
+        if rng.integers(0, 4) == 0:
+            opts.append(f"distance:{int(rng.integers(1, 10))}")
+            if rng.integers(0, 2) == 0:
+                opts.append(f"within:{int(rng.integers(1, 30))}")
+    if rng.integers(0, 3) == 0:
+        w1, w2 = rng.choice(WORDS, 2, replace=False)
+        opts.append(f'meta_content:"%sagan%",{w1},{w2}')
+        if rng.integers(0, 2) == 0:
+            opts.append("meta_nocase")
+    if rng.integers(0, 3) == 0:
+        w = WORDS[int(rng.integers(0, len(WORDS)))]
+        opts.append(f'pcre:"/{w} \\w+/"')
+    if rng.integers(0, 4) == 0:
+        opts.append(f'program:"{rng.choice(["user", "assistant", "sys*", "to?l"])}"')
+    # stateful options
+    kind = rng.integers(0, 8)
+    if kind == 0:
+        opts.append(f"after: track by_src, count {int(rng.integers(1, 4))}, "
+                    f"seconds {int(rng.integers(30, 900))}")
+    elif kind == 1:
+        t = rng.choice(["limit", "suppress"])
+        opts.append(f"threshold: type {t}, track by_src, "
+                    f"count {int(rng.integers(1, 4))}, seconds {int(rng.integers(30, 900))}")
+    elif kind == 2:
+        op = rng.choice(["set", "isset", "isnotset", "unset"])
+        name = rng.choice(["b1", "b2"])
+        track = rng.choice(["ip_src", "ip_pair"])
+        opts.append(f"xbits: {op},{name},track {track},expire {int(rng.integers(60, 600))}")
+    elif kind == 3:
+        op = rng.choice(["set", "isset", "isnotset"])
+        if op == "set":
+            opts.append(f"flexbits: set,f1,{int(rng.integers(60, 600))}")
+        else:
+            opts.append(f"flexbits: {op},none,f1")
+    opts.append(f"msg:\"fuzz {sid}\"")
+    opts.append(f"sid:{sid}")
+    return f"{action} any any any -> any any ({'; '.join(opts)};)"
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505,
+                                  606, 707, 808, 909, 1111])
+def test_fuzz_ruleset_parity(seed):
+    rng = np.random.default_rng(seed)
+    text = "\n".join(_rand_rule(rng, 5000 + i) for i in range(int(rng.integers(4, 10))))
+    ruleset = parse_rules(text)
+    tbl = gen_transcripts(int(rng.integers(800, 2500)), seed=seed)
+    run_both(ruleset, tbl, expect_hits=False)
