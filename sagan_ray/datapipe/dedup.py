@@ -59,19 +59,41 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # shingling + minhash
 # ----------------------------------------------------------------------
 
+# word → stable 64-bit hash, memoized per process (vocabulary is small
+# relative to corpus; blake2b only runs once per distinct word)
+_WORD_HASHES: dict[str, int] = {}
+_HORNER = np.uint64(1099511628211)
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASHES.get(w)
+    if h is None:
+        if len(_WORD_HASHES) > 2_000_000:
+            _WORD_HASHES.clear()
+        h = int.from_bytes(hashlib.blake2b(w.encode("utf-8", "surrogatepass"),
+                                           digest_size=8).digest(), "little")
+        _WORD_HASHES[w] = h
+    return h
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Deterministic 61-bit hashes of word k-shingles."""
+    """Deterministic 61-bit hashes of word k-shingles — vectorized Horner
+    combine over memoized per-word hashes (no per-shingle digest)."""
     words = _WORD_RE.findall(text.lower())
+    if not words:
+        return np.array([_word_hash("") % _MERSENNE], dtype=np.uint64)
+    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64,
+                     count=len(words))
     if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8", "surrogatepass"),
-                            digest_size=8).digest(), "little") % _MERSENNE
-    return out
+        acc = wh[0]
+        for j in range(1, len(words)):
+            acc = acc * _HORNER + wh[j]
+        return np.array([acc % _MERSENNE], dtype=np.uint64)
+    n = len(words) - k + 1
+    acc = wh[:n].copy()
+    for j in range(1, k):
+        acc = acc * _HORNER + wh[j:j + n]     # uint64 wraparound is the mod
+    return acc % _MERSENNE
 
 
 def _minhash_params(n_perm: int, seed: int = 1234):
@@ -149,9 +171,10 @@ def minhash_lsh_dedup(ds, *, threshold: float = 0.8, text_col: str = "text",
 
     cands = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                    k=k, n_perm=n_perm, bands=bands)
-    texts_ref = ray.put(dict(zip(
-        ds.select_columns([id_col]).to_pandas()[id_col],
-        ds.select_columns([text_col]).to_pandas()[text_col])))
+    # ONE execution for the id→text lookup — two separate .to_pandas()
+    # calls can deliver blocks in different orders and mis-zip the pairs
+    lookup_df = ds.select_columns([id_col, text_col]).to_pandas()
+    texts_ref = ray.put(dict(zip(lookup_df[id_col], lookup_df[text_col])))
 
     def verify(tbl: pa.Table) -> pa.Table:
         lookup = ray.get(texts_ref)
@@ -218,12 +241,13 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
 
 def _simhash64(text: str) -> int:
     words = _WORD_RE.findall(text.lower())
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = int.from_bytes(hashlib.blake2b(w.encode("utf-8", "surrogatepass"),
-                                           digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
+    if not words:
+        return 0
+    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64,
+                     count=len(words))
+    # vectorized bit unpack: (n_words, 64) sign contributions
+    bits = (wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
     v = 0
     for i in range(64):
         if acc[i] > 0:
