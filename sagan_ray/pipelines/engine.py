@@ -111,6 +111,28 @@ class EngineResult:
     def hit_counts(self) -> dict[int, int]:
         return self._sid_counts(emitted_only=False)
 
+    def metrics(self) -> pa.Table:
+        """Per-partition lineage/metrics table (SURVEY.md §4.2): one row
+        per exchange partial — map-side partials carry the stateless
+        matches of one classify output block, reduce-side partials one
+        correlation bucket — with per-sid hit/emit counts. The operational
+        answer to 'which partition produced what'."""
+        import ray
+
+        if self.count_refs is None:
+            return pa.table({"part": pa.array([], pa.string()),
+                             "sid": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64()),
+                             "emits": pa.array([], pa.int64())})
+        empty = pa.table({"sid": pa.array([], pa.int64()),
+                          "hits": pa.array([], pa.int64()),
+                          "emits": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.string())})
+        parts = [empty]
+        for i, t in enumerate(ray.get(list(self.count_refs))):
+            parts.append(t.append_column("part", pa.array([f"p{i:05d}"] * len(t))))
+        return pa.concat_tables(parts)
+
     def routed_counts(self) -> dict[tuple[str, int], int]:
         """Per-(sink, sid) alert counts. The sink fan-out is resolved
         driver-side from the ruleset (sinks per sid are static), so no

@@ -82,6 +82,30 @@ SELECT sid, count(*) AS n FROM (
 ) GROUP BY sid ORDER BY sid
 """
 
+RS_META = """
+alert any any any -> any any (msg:"meta roles"; meta_content:"user %sagan%",u000001,u000002,u000013; sid:2025;)
+alert any any any -> any any (msg:"meta nocase"; meta_content:"%sagan%",AUTH,SIGNUP; meta_nocase; sid:2026;)
+alert any any any -> any any (msg:"meta negated"; content:"user"; meta_content:!"%sagan%",signup,purchase; sid:2027;)
+alert any any any -> any any (msg:"alert time day"; content:"user"; alert_time: days 0123456, hours 0000-2359; sid:2028;)
+alert any any any -> any any (msg:"alert hours window"; content:"auth"; alert_time: hours 0600-1800; sid:2029;)
+alert any any any -> any any (msg:"alert hours wrap"; content:"auth"; alert_time: hours 2200-0559; sid:2030;)
+"""
+
+SQL_META = _T + """
+SELECT sid, count(*) AS n FROM (
+  SELECT 2025 AS sid FROM t WHERE contains(text, 'user u000001')
+     OR contains(text, 'user u000002') OR contains(text, 'user u000013')
+  UNION ALL SELECT 2026 FROM t WHERE contains(lower(text), 'auth') OR contains(lower(text), 'signup')
+  UNION ALL SELECT 2027 FROM t WHERE contains(text, 'user')
+     AND NOT (contains(text, 'signup') OR contains(text, 'purchase'))
+  UNION ALL SELECT 2028 FROM t WHERE contains(text, 'user')
+  UNION ALL SELECT 2029 FROM t WHERE contains(text, 'auth')
+     AND (hour(ts) * 100 + minute(ts)) BETWEEN 600 AND 1800
+  UNION ALL SELECT 2030 FROM t WHERE contains(text, 'auth')
+     AND ((hour(ts) * 100 + minute(ts)) >= 2200 OR (hour(ts) * 100 + minute(ts)) <= 559)
+) GROUP BY sid ORDER BY sid
+"""
+
 RS_EVENTID = """
 alert any any any -> any any (msg:"4625"; event_id: 4625; sid:2031;)
 alert any any any -> any any (msg:"20x"; event_id: 200,201; sid:2032;)
@@ -214,6 +238,10 @@ def q_engine_prematch(sf_dir: str):
 
 def q_engine_pcre(sf_dir: str):
     return _hit_counts_df(sf_dir, RS_PCRE)
+
+
+def q_engine_meta(sf_dir: str):
+    return _hit_counts_df(sf_dir, RS_META)
 
 
 def q_engine_eventid(sf_dir: str):
@@ -646,6 +674,7 @@ QUERIES = {
     "engine_content": q_engine_content,
     "engine_prematch": q_engine_prematch,
     "engine_pcre": q_engine_pcre,
+    "engine_meta": q_engine_meta,
     "engine_eventid": q_engine_eventid,
     "engine_json": q_engine_json,
     "engine_enrich": q_engine_enrich,
@@ -677,6 +706,7 @@ ORACLES = {
     "engine_content": SQL_CONTENT,
     "engine_prematch": SQL_PREMATCH,
     "engine_pcre": SQL_PCRE,
+    "engine_meta": SQL_META,
     "engine_eventid": SQL_EVENTID,
     "engine_json": SQL_JSON,
     "engine_enrich": SQL_ENRICH,
