@@ -156,8 +156,15 @@ class EngineResult:
 
 def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
                config: EngineConfig | None = None, *,
-               concurrency=None, batch_size: int = 16384) -> EngineResult:
-    """Build the lazy match pipeline over a transcript Dataset."""
+               concurrency=None, batch_size: int = 16384,
+               state_dir: str | None = None) -> EngineResult:
+    """Build the lazy match pipeline over a transcript Dataset.
+
+    ``state_dir``: when given, correlation state (xbits/flexbits/after/
+    threshold) is loaded per bucket before the replay and snapshotted back
+    after it — incremental runs over later input continue each
+    conversation's state (requires later runs to carry strictly later
+    turn_idx per conv; see sagan_ray.state.snapshot)."""
     import ray
 
     config = config or EngineConfig()
@@ -195,14 +202,21 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
         # one reduce task per ~2 cores: fewer buckets = fewer tiny object
         # transfers in the exchange; raise for bigger clusters/inputs
         n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-        matches, count_refs = _correlate_exchange(matches, ruleset, n_buckets)
+        if state_dir is not None:
+            from ..state.snapshot import check_state_meta, write_state_meta
+
+            check_state_meta(state_dir, n_buckets)
+            write_state_meta(state_dir, n_buckets)
+        matches, count_refs = _correlate_exchange(matches, ruleset, n_buckets,
+                                                  state_dir=state_dir)
         return EngineResult(matches=matches, ruleset=ruleset, config=config,
                             count_refs=count_refs)
 
     return EngineResult(matches=matches, ruleset=ruleset, config=config)
 
 
-def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int):
+def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
+                        state_dir: str | None = None):
     """Two-stage hash exchange + per-bucket ordered replay for the
     stateful tail — raw Ray core, not ``groupby().map_groups``.
 
@@ -265,14 +279,26 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int):
         return tuple(outs)
 
     @ray.remote(num_returns=2)
-    def corr_bucket(*tables):
-        """Reduce side: ordered replay of one bucket + its count partial."""
+    def corr_bucket(bucket_id, *tables):
+        """Reduce side: ordered replay of one bucket + its count partial;
+        optionally resumes from / snapshots to the bucket's state file."""
+        init_states = out_states = None
+        if state_dir is not None:
+            from ..state.snapshot import load_bucket_state, save_bucket_state
+
+            init_states = load_bucket_state(state_dir, bucket_id)
+            out_states = dict(init_states)
         parts = [t for t in tables if len(t)]
         if not parts:
+            if state_dir is not None:
+                save_bucket_state(state_dir, bucket_id, out_states)
             e = MATCH_SCHEMA.empty_table()
             return e, _count_partial(e)
         df = pa.concat_tables(parts).to_pandas()
-        out = correlate(df)[_MATCH_COLS]
+        out = correlate(df, init_states=init_states, out_states=out_states)[_MATCH_COLS]
+        if state_dir is not None:
+            save_bucket_state(state_dir, bucket_id, out_states,
+                              watermark=int(df["ts_epoch"].max()))
         if len(out) == 0:
             e = MATCH_SCHEMA.empty_table()
             return e, _count_partial(e)
@@ -293,7 +319,7 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int):
             for k in range(n_buckets):
                 bucket_parts[k].append(outs[k + 2])
     for k in range(n_buckets):
-        tbl_ref, cnt_ref = corr_bucket.remote(*bucket_parts[k])
+        tbl_ref, cnt_ref = corr_bucket.remote(k, *bucket_parts[k])
         stateless_refs.append(tbl_ref)
         count_refs.append(cnt_ref)
     return rd.from_arrow_refs(stateless_refs), count_refs

@@ -36,7 +36,9 @@ def make_correlator(ruleset: RuleSet):
     # stateless half is what the vectorized classifier re-implements).
     helper = ReferenceEvaluator(ruleset)
 
-    def correlate(df: pd.DataFrame) -> pd.DataFrame:
+    def correlate(df: pd.DataFrame,
+                  init_states: dict | None = None,
+                  out_states: dict | None = None) -> pd.DataFrame:
         """Processes a block that may hold MANY conversations (bucketed by
         hash(conv_id)): rows are sorted by (conv_id, turn_idx, rule_idx)
         and per-conv state resets at each conv boundary — one python call
@@ -68,8 +70,14 @@ def make_correlator(ruleset: RuleSet):
         cur_conv = None
         for k in range(len(df)):
             if conv_ids[k] != cur_conv:
+                if out_states is not None and cur_conv is not None:
+                    out_states[cur_conv] = st
                 cur_conv = conv_ids[k]
-                st = _ConvState()
+                # checkpoint resume: continue a conversation's state from a
+                # prior incremental run (the mmap-persistence analog,
+                # reference src/ipc.c:458-733); requires later runs to
+                # carry strictly later turn_idx for the conv
+                st = (init_states or {}).get(cur_conv) or _ConvState()
                 skip_turn = -1
             if not stateful_f[k]:
                 # stateless verdict is already final (classify stage);
@@ -142,6 +150,9 @@ def make_correlator(ruleset: RuleSet):
 
             noalert = bool(rule.flexbits) and rule.flexbit_noalert
             emit_flags.append(rule.action == "alert" and not noalert)
+
+        if out_states is not None and cur_conv is not None:
+            out_states[cur_conv] = st
 
         out = df.copy()
         out["routed"] = routed_flags

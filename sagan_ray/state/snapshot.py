@@ -1,0 +1,135 @@
+"""Correlation-state snapshots: per-bucket Parquet serialization of the
+xbit/flexbit/after/threshold state so an incremental run continues where
+the last one stopped — the analog of the reference's version-checked mmap
+state files that survive restarts (/root/reference/src/ipc.c:458-733,
+config etc/sagan.yaml:190-212).
+
+Layout: ``state_dir/bucket=K/state.parquet`` — one row per state entry,
+tagged by kind, written atomically (tmp + rename). The bucket partitioning
+must match the engine's conv-hash buckets, so ``n_buckets`` is recorded in
+``state_dir/_STATE.json`` and validated on load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..oracle.evaluator import _ConvState
+
+STATE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("kind", pa.string()),        # xbit | flexbit | after | threshold
+    ("name", pa.string()),        # xbit/flexbit name; '' otherwise
+    ("sid", pa.int64()),          # after/threshold rule sid; 0 otherwise
+    ("track_key", pa.string()),
+    ("src_ip", pa.string()),
+    ("dst_ip", pa.string()),
+    ("src_port", pa.int32()),
+    ("dst_port", pa.int32()),
+    ("username", pa.string()),
+    ("count", pa.int64()),
+    ("utime", pa.int64()),
+    ("expire", pa.int64()),
+])
+
+
+def states_to_table(states: dict[str, _ConvState]) -> pa.Table:
+    rows = []
+    for conv, st in states.items():
+        for (name, key), expire in st.xbits.items():
+            rows.append({"conv_id": conv, "kind": "xbit", "name": name,
+                         "track_key": key, "expire": int(expire)})
+        for e in st.flexbits:
+            rows.append({"conv_id": conv, "kind": "flexbit", "name": e[0],
+                         "src_ip": e[1], "dst_ip": e[2],
+                         "src_port": int(e[3]), "dst_port": int(e[4]),
+                         "username": e[5], "expire": int(e[6])})
+        for (sid, key), (count, utime) in st.after.items():
+            rows.append({"conv_id": conv, "kind": "after", "sid": int(sid),
+                         "track_key": key, "count": int(count),
+                         "utime": int(utime)})
+        for (sid, key), (count, utime) in st.threshold.items():
+            rows.append({"conv_id": conv, "kind": "threshold", "sid": int(sid),
+                         "track_key": key, "count": int(count),
+                         "utime": int(utime)})
+    if not rows:
+        return STATE_SCHEMA.empty_table()
+    full = [{**{f.name: ("" if pa.types.is_string(f.type) else 0)
+                for f in STATE_SCHEMA}, **r} for r in rows]
+    return pa.Table.from_pylist(full, schema=STATE_SCHEMA)
+
+
+def table_to_states(tbl: pa.Table) -> dict[str, _ConvState]:
+    states: dict[str, _ConvState] = {}
+    for r in tbl.to_pylist():
+        st = states.setdefault(r["conv_id"], _ConvState())
+        k = r["kind"]
+        if k == "xbit":
+            st.xbits[(r["name"], r["track_key"])] = r["expire"]
+        elif k == "flexbit":
+            st.flexbits.append([r["name"], r["src_ip"], r["dst_ip"],
+                                r["src_port"], r["dst_port"],
+                                r["username"], r["expire"]])
+        elif k == "after":
+            st.after[(r["sid"], r["track_key"])] = [r["count"], r["utime"]]
+        elif k == "threshold":
+            st.threshold[(r["sid"], r["track_key"])] = [r["count"], r["utime"]]
+    return states
+
+
+def prune_states(states: dict[str, _ConvState], watermark: int) -> None:
+    """Evict entries that can no longer influence any later event (the
+    Clean_IPC_Object analog, reference src/ipc.c:78): xbits/flexbits whose
+    expiry is at or before the event-time watermark. after/threshold
+    entries are kept — they self-reset on window expiry and are bounded by
+    (sid × track-key) cardinality."""
+    dead = []
+    for conv, st in states.items():
+        st.xbits = {k: v for k, v in st.xbits.items() if v > watermark}
+        st.flexbits = [e for e in st.flexbits if e[6] > watermark]
+        if not (st.xbits or st.flexbits or st.after or st.threshold):
+            dead.append(conv)
+    for conv in dead:
+        del states[conv]
+
+
+def save_bucket_state(state_dir: str, bucket: int,
+                      states: dict[str, _ConvState],
+                      watermark: int | None = None) -> None:
+    if watermark is not None:
+        prune_states(states, watermark)
+    d = os.path.join(state_dir, f"bucket={bucket}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".state.parquet.tmp")
+    pq.write_table(states_to_table(states), tmp)
+    os.replace(tmp, os.path.join(d, "state.parquet"))
+
+
+def load_bucket_state(state_dir: str, bucket: int) -> dict[str, _ConvState]:
+    p = os.path.join(state_dir, f"bucket={bucket}", "state.parquet")
+    if not os.path.exists(p):
+        return {}
+    return table_to_states(pq.read_table(p))
+
+
+def write_state_meta(state_dir: str, n_buckets: int) -> None:
+    os.makedirs(state_dir, exist_ok=True)
+    with open(os.path.join(state_dir, "_STATE.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "v": 1}, f)
+
+
+def check_state_meta(state_dir: str, n_buckets: int) -> None:
+    p = os.path.join(state_dir, "_STATE.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            meta = json.load(f)
+        if meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"state_dir was written with n_buckets={meta.get('n_buckets')}, "
+                f"current engine uses {n_buckets} — bucket layouts must match "
+                "(the version check the reference applies to its mmap files, "
+                "ipc.c:504-517)")

@@ -1,0 +1,133 @@
+"""Incremental correlation with state checkpoints: two engine runs over
+the first/second halves of a stream (state_dir carrying xbit/after/
+threshold state across) must produce exactly the verdicts of one oracle
+pass over the full stream — the mmap-persistence analog
+(reference src/ipc.c:458-733)."""
+
+import collections
+
+import pyarrow as pa
+
+from sagan_ray.config import EngineConfig
+from sagan_ray.oracle import ReferenceEvaluator
+from sagan_ray.pipelines.engine import run_engine
+from sagan_ray.rules import parse_rules
+from sagan_ray.synth import build_lookups
+
+from .test_correlation import mk
+
+RULES = """
+alert any any any -> any any (msg:"set"; content:"login failed"; xbits: set,brute,track ip_src,expire 600; sid:1;)
+alert any any any -> any any (msg:"isset"; content:"login success"; xbits: isset,brute,track ip_src; sid:2;)
+alert any any any -> any any (msg:"after2"; content:"EV"; after: track by_src, count 2, seconds 900; sid:3;)
+alert any any any -> any any (msg:"lim2"; content:"TV"; threshold: type limit, track by_src, count 2, seconds 900; sid:4;)
+alert any any any -> any any (msg:"fset"; content:"mark"; flexbits: set,fb,800; flexbit_noalert; sid:5;)
+alert any any any -> any any (msg:"fisset"; content:"probe"; flexbits: isset,none,fb; sid:6;)
+"""
+
+ROWS = [
+    # run 1
+    ("a", 0, "login failed", 0),
+    ("a", 1, "EV", 10),
+    ("a", 2, "TV", 20),
+    ("a", 3, "mark", 30),
+    ("b", 0, "EV", 0),
+    # run 2 — verdicts depend on run-1 state
+    ("a", 4, "login success", 100),   # isset fires only via checkpoint
+    ("a", 5, "EV", 110),              # after count=2 → still suppressed
+    ("a", 6, "EV", 120),              # count=3 > 2 → alert
+    ("a", 7, "TV", 130),              # limit count=2 → alert
+    ("a", 8, "TV", 140),              # count=3 → suppressed
+    ("a", 9, "probe", 150),           # flexbit isset via checkpoint
+    ("b", 1, "EV", 50),
+    ("c", 0, "login success", 10),    # no prior set → no isset
+    # expiry across runs: xbit expires before this probe
+    ("d", 0, "login failed", 0),
+]
+
+ROWS2_EXPIRED = [("d", 1, "login success", 700)]  # xbit expire 600 → isnot
+
+
+def _run(tbl, state_dir):
+    import ray.data as rd
+
+    rules = parse_rules(RULES)
+    eng = run_engine(rd.from_arrow(tbl), rules, build_lookups(), EngineConfig(),
+                     batch_size=512, state_dir=state_dir)
+    df = eng.routed().to_pandas()
+    return collections.Counter(
+        zip(df["conv_id"], df["turn_idx"].astype(int), df["sid"].astype(int)))
+
+
+def test_incremental_equals_single_pass(tmp_path):
+    all_rows = ROWS + ROWS2_EXPIRED
+    split = 5  # run 1 gets the first five rows (all turn_idx-earlier per conv)
+    run1_rows = [r for r in all_rows if (r[0], r[1]) in
+                 {(x[0], x[1]) for x in ROWS[:split]}]
+    run2_rows = [r for r in all_rows if (r[0], r[1]) not in
+                 {(x[0], x[1]) for x in run1_rows}]
+
+    state_dir = str(tmp_path / "state")
+    got = _run(mk(run1_rows), state_dir) + _run(mk(run2_rows), state_dir)
+
+    oracle = ReferenceEvaluator(parse_rules(RULES), build_lookups(),
+                                EngineConfig()).evaluate(mk(all_rows).to_pylist())
+    want = collections.Counter(
+        (c, t, s) for sink, s, c, t in oracle.routed if sink == "alert")
+    assert got == want
+    # the checkpoint-dependent verdicts actually happened
+    assert ("a", 4, 2) in got      # xbit isset across runs
+    assert ("a", 6, 3) in got      # after counter carried across runs
+    assert ("a", 8, 4) not in got  # threshold suppression carried
+    assert ("a", 9, 6) in got      # flexbit isset across runs
+    assert ("d", 1, 2) not in got  # xbit expired across runs
+
+
+def test_state_files_written_and_pruned(tmp_path):
+    state_dir = str(tmp_path / "st")
+    _run(mk(ROWS[:5]), state_dir)
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(state_dir, d, "state.parquet")
+             for d in os.listdir(state_dir) if d.startswith("bucket=")]
+    assert files
+    rows = []
+    for f in files:
+        rows.extend(pq.read_table(f).to_pylist())
+    kinds = collections.Counter(r["kind"] for r in rows)
+    assert kinds["xbit"] >= 1 and kinds["after"] >= 1
+
+    # a later run far past every expiry prunes the stale bit state in the
+    # buckets it touches (conv 'a'/'b' probes land in the same buckets as
+    # their stored state; untouched buckets keep theirs — no evidence time
+    # passed there, matching the reference's lazy Clean_IPC_Object sweep)
+    _run(mk([("a", 100, "login failed", 10_000_000),
+             ("b", 100, "login failed", 10_000_000)]), state_dir)
+    rows2 = []
+    for d in os.listdir(state_dir):
+        if d.startswith("bucket="):
+            rows2.extend(pq.read_table(
+                os.path.join(state_dir, d, "state.parquet")).to_pylist())
+    stale = [r for r in rows2 if r["kind"] in ("xbit", "flexbit")
+             and r["expire"] <= 10_000_000]
+    assert not stale
+    # the probe's own fresh xbits survive
+    assert any(r["kind"] == "xbit" and r["expire"] > 10_000_000 for r in rows2)
+
+
+def test_state_meta_mismatch_raises(tmp_path):
+    import json
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    state_dir = str(tmp_path / "st")
+    os.makedirs(state_dir)
+    with open(os.path.join(state_dir, "_STATE.json"), "w") as f:
+        json.dump({"n_buckets": 999, "v": 1}, f)
+    with pytest.raises(ValueError):
+        run_engine(rd.from_arrow(mk(ROWS[:2])), parse_rules(RULES),
+                   build_lookups(), EngineConfig(), state_dir=state_dir)
