@@ -265,6 +265,96 @@ def q_engine_routing(sf_dir: str):
     return df.sort_values(["sink", "sid"]).reset_index(drop=True)[["sink", "sid", "n"]]
 
 
+RS_AFTER_SQL = """
+alert any any any -> any any (msg:"after2"; content:"auth failure"; after: track by_src, count 2, seconds 86400; sid:2121;)
+"""
+
+# After2 recurrence (src/after.c:51-229) as a recursive CTE: new key →
+# suppressed; else count+1; window-expiry (> seconds) resets; alert iff
+# target < count; utime slides on reset OR alert.
+SQL_AFTER = f"""
+WITH RECURSIVE t AS ({EVENTS_AS_TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t WHERE contains(text, 'auth failure')),
+s AS (
+  SELECT conv_id, turn_idx, rn, et, 1 AS cnt, et AS utime, TRUE AS suppressed
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.rn, m.et,
+         CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END,
+         CASE WHEN m.et - s.utime > 86400 THEN m.et
+              WHEN 2 < (CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END)
+                   THEN m.et ELSE s.utime END,
+         NOT (2 < CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END)
+  FROM m JOIN s ON m.conv_id = s.conv_id AND m.rn = s.rn + 1)
+SELECT conv_id, turn_idx, 2121 AS sid FROM s WHERE NOT suppressed
+ORDER BY conv_id, turn_idx
+"""
+
+RS_THRESH_SQL = """
+alert any any any -> any any (msg:"lim"; content:"purchase"; threshold: type limit, track by_src, count 2, seconds 86400; sid:2122;)
+alert any any any -> any any (msg:"sup"; content:"signup"; threshold: type suppress, track by_src, count 2, seconds 43200; sid:2123;)
+"""
+
+# Threshold2 recurrences (src/threshold.c:54-234): 'limit' anchors utime
+# (slides only on window reset); 'suppress' slides utime on every event.
+# New keys alert; suppressed iff target < count after the reset check.
+SQL_THRESH = f"""
+WITH RECURSIVE t AS ({EVENTS_AS_TRANSCRIPTS_SQL}),
+ml AS (
+  SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t WHERE contains(text, 'purchase')),
+sl AS (
+  SELECT conv_id, turn_idx, rn, et, 1 AS cnt, et AS utime, FALSE AS suppressed
+  FROM ml WHERE rn = 1
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.rn, m.et,
+         CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END,
+         CASE WHEN m.et - s.utime > 86400 THEN m.et ELSE s.utime END,
+         2 < (CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END)
+  FROM ml m JOIN sl s ON m.conv_id = s.conv_id AND m.rn = s.rn + 1),
+ms AS (
+  SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t WHERE contains(text, 'signup')),
+ss AS (
+  SELECT conv_id, turn_idx, rn, et, 1 AS cnt, et AS utime, FALSE AS suppressed
+  FROM ms WHERE rn = 1
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.rn, m.et,
+         CASE WHEN m.et - s.utime > 43200 THEN 1 ELSE s.cnt + 1 END,
+         m.et,
+         2 < (CASE WHEN m.et - s.utime > 43200 THEN 1 ELSE s.cnt + 1 END)
+  FROM ms m JOIN ss s ON m.conv_id = s.conv_id AND m.rn = s.rn + 1)
+SELECT conv_id, turn_idx, 2122 AS sid FROM sl WHERE NOT suppressed
+UNION ALL
+SELECT conv_id, turn_idx, 2123 AS sid FROM ss WHERE NOT suppressed
+ORDER BY conv_id, turn_idx, sid
+"""
+
+
+def _routed_rows_df(sf_dir: str, ruleset_text: str) -> pd.DataFrame:
+    eng = _engine(sf_dir, ruleset_text)
+    df = eng.routed().to_pandas()
+    df = _typed(df, {"conv_id": "str", "turn_idx": "int64", "sid": "int64"})
+    return (df.sort_values(["conv_id", "turn_idx", "sid"])
+            .reset_index(drop=True)[["conv_id", "turn_idx", "sid"]])
+
+
+def q_engine_after(sf_dir: str):
+    """`after` verdicts per routed row, SQL-verified via a recursive CTE
+    that replays the anchored-window recurrence."""
+    return _routed_rows_df(sf_dir, RS_AFTER_SQL)
+
+
+def q_engine_threshold(sf_dir: str):
+    """threshold limit+suppress verdicts, SQL-verified (recursive CTE)."""
+    return _routed_rows_df(sf_dir, RS_THRESH_SQL)
+
+
 def q_engine_stateful(sf_dir: str):
     """after/threshold/xbit correlation over per-user transcripts — not
     SQL-expressible (sequential anchored windows); rows-only check +
@@ -679,6 +769,8 @@ QUERIES = {
     "engine_json": q_engine_json,
     "engine_enrich": q_engine_enrich,
     "engine_routing": q_engine_routing,
+    "engine_after": q_engine_after,
+    "engine_threshold": q_engine_threshold,
     "engine_stateful": q_engine_stateful,
     "engine_counters": q_engine_counters,
     "client_stats": q_client_stats,
@@ -711,6 +803,8 @@ ORACLES = {
     "engine_json": SQL_JSON,
     "engine_enrich": SQL_ENRICH,
     "engine_routing": SQL_ROUTING,
+    "engine_after": SQL_AFTER,
+    "engine_threshold": SQL_THRESH,
     "engine_counters": SQL_COUNTERS,
     "client_stats": SQL_CLIENT_STATS,
     "track_clients": SQL_TRACK_CLIENTS,
