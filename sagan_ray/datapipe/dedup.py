@@ -38,21 +38,21 @@ def _hash_texts_md5(texts) -> list[str]:
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the smallest id per distinct text. Returns the surviving rows
-    (all original columns)."""
+    (all original columns). Only the 16-byte content hash partitions the
+    exchange; within a bucket texts are exact-compared (collision-safe)."""
+    from .exchange import hash_group_apply
 
     def add_hash(tbl: pa.Table) -> pa.Table:
         texts = tbl.column(text_col).to_pylist()
         return tbl.append_column("__h", pa.array(_hash_texts_md5(texts)))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # within one hash bucket, exact-compare texts (hash collisions safe)
         g = g.sort_values(id_col, kind="mergesort")
-        return g.drop_duplicates(subset=[text_col], keep="first")
+        return (g.drop_duplicates(subset=[text_col], keep="first")
+                 .drop(columns=["__h"]))
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("__h")
-              .map_groups(keep_first, batch_format="pandas")
-              .drop_columns(["__h"]))
+    return hash_group_apply(ds.map_batches(add_hash, batch_format="pyarrow"),
+                            ["__h"], keep_first)
 
 
 # ----------------------------------------------------------------------
@@ -136,20 +136,35 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
                          "band": pa.array(out_band, pa.int32()),
                          "key": pa.array(out_key, pa.string())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        out = list(itertools.combinations(ids, 2))
-        return pd.DataFrame(out, columns=["a", "b"])
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of each (band, key) group are in this bucket: sort,
+        # find boundaries, pair within groups of ≥2
+        df = df.sort_values(["band", "key", id_col], kind="mergesort")
+        keys = (df["band"].astype(str) + "|" + df["key"].astype(str)).to_numpy()
+        ids = df[id_col].to_numpy()
+        out_a, out_b = [], []
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or keys[i] != keys[start]:
+                if i - start > 1:
+                    grp = sorted(set(ids[start:i].tolist()))
+                    for x, y in itertools.combinations(grp, 2):
+                        out_a.append(x)
+                        out_b.append(y)
+                start = i
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
 
-    cands = (ds.map_batches(sig_batch, batch_format="pyarrow")
-               .groupby(["band", "key"])
-               .map_groups(pairs, batch_format="pandas"))
+    from .exchange import hash_group_apply
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    cands = hash_group_apply(ds.map_batches(sig_batch, batch_format="pyarrow"),
+                             ["band", "key"], pairs_bucket,
+                             out_schema=pair_schema)
     # distinct pairs (a pair can collide in several bands)
-    return cands.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return hash_group_apply(cands, ["a", "b"],
+                            lambda g: g.drop_duplicates(),
+                            out_schema=pair_schema)
 
 
 def _jaccard(t1: str, t2: str, k: int = 3) -> float:
@@ -208,31 +223,44 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
                          "sh": pa.array(osh, pa.uint64()),
                          "size": pa.array(osz, pa.int64())})
 
-    def pair_in_posting(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[id_col], g["size"]))
-        if len(rows) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "sa": pd.Series([], dtype="int64"),
-                                 "sb": pd.Series([], dtype="int64")})
-        out = [(x[0], y[0], x[1], y[1])
-               for x, y in itertools.combinations(rows, 2)]
-        return pd.DataFrame(out, columns=["a", "b", "sa", "sb"])
+    def postings_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sh", id_col], kind="mergesort")
+        sh = df["sh"].to_numpy()
+        ids = df[id_col].to_numpy()
+        sizes = df["size"].to_numpy()
+        out = []
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or sh[i] != sh[start]:
+                if i - start > 1:
+                    rows = sorted(set(zip(ids[start:i].tolist(),
+                                          sizes[start:i].tolist())))
+                    for x, y in itertools.combinations(rows, 2):
+                        out.append((x[0], y[0], x[1], y[1]))
+                start = i
+        return pd.DataFrame(out, columns=["a", "b", "sa", "sb"]).astype(
+            {"a": "int64", "b": "int64", "sa": "int64", "sb": "int64"})
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        inter = len(g)
-        sa, sb = int(g["sa"].iloc[0]), int(g["sb"].iloc[0])
-        j = inter / max(1, sa + sb - inter)
-        if j < threshold:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"a": [int(g["a"].iloc[0])],
-                             "b": [int(g["b"].iloc[0])], "jaccard": [j]})
+    def finish_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # count co-occurrences per (a,b): vectorized groupby-size
+        g = (df.groupby(["a", "b", "sa", "sb"], sort=False)
+               .size().reset_index(name="inter"))
+        j = g["inter"] / (g["sa"] + g["sb"] - g["inter"]).clip(lower=1)
+        g = g.assign(jaccard=j.astype("float64"))
+        g = g[g["jaccard"] >= threshold]
+        return g[["a", "b", "jaccard"]].astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"})
 
-    return (ds.map_batches(explode, batch_format="pyarrow")
-              .groupby("sh").map_groups(pair_in_posting, batch_format="pandas")
-              .groupby(["a", "b"]).map_groups(finish, batch_format="pandas"))
+    from .exchange import hash_group_apply
+
+    posts_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("sa", pa.int64()), ("sb", pa.int64())])
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("jaccard", pa.float64())])
+    posts = hash_group_apply(ds.map_batches(explode, batch_format="pyarrow"),
+                             ["sh"], postings_bucket, out_schema=posts_schema)
+    return hash_group_apply(posts, ["a", "b"], finish_bucket,
+                            out_schema=out_schema)
 
 
 # ----------------------------------------------------------------------
@@ -277,23 +305,36 @@ def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
                          "key": pa.array(okey, pa.int64()),
                          "sig": pa.array(osig, pa.uint64())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g[id_col], g["sig"])))
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["band", "key", id_col], kind="mergesort")
+        keys = (df["band"].astype(str) + "|" + df["key"].astype(str)).to_numpy()
+        ids = df[id_col].to_numpy()
+        sigs = df["sig"].to_numpy()
         out = []
-        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
-            d = bin(int(sa) ^ int(sb)).count("1")
-            if d <= max_hamming:
-                out.append((ia, ib, d))
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or keys[i] != keys[start]:
+                if i - start > 1:
+                    rows = sorted(set(zip(ids[start:i].tolist(),
+                                          sigs[start:i].tolist())))
+                    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+                        d = bin(int(sa) ^ int(sb)).count("1")
+                        if d <= max_hamming:
+                            out.append((ia, ib, d))
+                start = i
+        return pd.DataFrame(out, columns=["a", "b", "hamming"]).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"})
 
-    cands = (ds.map_batches(sig, batch_format="pyarrow")
-               .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas"))
-    return cands.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    from .exchange import hash_group_apply
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("hamming", pa.int64())])
+    cands = hash_group_apply(ds.map_batches(sig, batch_format="pyarrow"),
+                             ["band", "key"], pairs_bucket,
+                             out_schema=pair_schema)
+    return hash_group_apply(cands, ["a", "b"],
+                            lambda g: g.drop_duplicates(subset=["a", "b"]),
+                            out_schema=pair_schema)
 
 
 # ----------------------------------------------------------------------
