@@ -85,19 +85,55 @@ def client_stats(ds, key: str = "conv_id", text_col: str = "text",
 
 def track_clients(ds, horizon_ts, *, timeout_seconds: int = 3600,
                   key: str = "conv_id", ts_col: str = "ts"):
-    """Keys whose last event is older than ``horizon_ts - timeout``
-    (stopped-logging detection). ``horizon_ts`` is event-time 'now' —
-    deterministic, unlike the reference's wall clock."""
-    last = client_stats(ds, key=key, ts_col=ts_col)
+    """Stopped/resumed-logging detection (reference
+    src/processors/track-clients.c:78-331): per key —
+
+    - ``stopped``: last event older than ``horizon_ts - timeout``;
+    - ``had_outage``: some inter-event gap exceeded the timeout and the
+      key later resumed (the 'client came back' report).
+
+    ``horizon_ts`` is event-time 'now' — deterministic, unlike the
+    reference's wall clock. Gap detection needs per-key ordered scans —
+    one hash_group_apply exchange over (key, ts) pairs only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    cutoff = horizon_ts - __import__("datetime").timedelta(seconds=timeout_seconds)
+
+    slim = ds.map_batches(lambda t: t.select([key, ts_col]),
+                          batch_format="pyarrow")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        out_k, out_last, out_gap = [], [], []
+        ks = df[key].to_numpy()
+        ts = df[ts_col].to_numpy()
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or ks[i] != ks[start]:
+                seg = ts[start:i]
+                gaps = np.diff(seg).astype("timedelta64[s]").astype(np.int64) \
+                    if len(seg) > 1 else np.array([], dtype=np.int64)
+                out_k.append(ks[start])
+                out_last.append(seg[-1])
+                out_gap.append(int(gaps.max()) if len(gaps) else 0)
+                start = i
+        return pd.DataFrame({key: out_k, "last_seen": out_last,
+                             "max_gap_s": pd.Series(out_gap, dtype="int64")})
+
+    per = hash_group_apply(slim, [key], per_key)
 
     def flag(tbl: pa.Table) -> pa.Table:
-        import datetime as _dt
-
-        cutoff = horizon_ts - _dt.timedelta(seconds=timeout_seconds)
         stopped = pc.less(tbl.column("last_seen"), pa.scalar(cutoff))
-        return tbl.append_column("stopped", stopped)
+        outage = pc.greater(tbl.column("max_gap_s"),
+                            pa.scalar(timeout_seconds, pa.int64()))
+        return (tbl.append_column("stopped", stopped)
+                   .append_column("had_outage", outage))
 
-    return last.map_batches(flag, batch_format="pyarrow")
+    return per.map_batches(flag, batch_format="pyarrow")
 
 
 def rule_tracking(engine_result):

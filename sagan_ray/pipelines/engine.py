@@ -3,15 +3,20 @@
 Ray-Data-first shape (SURVEY.md §3.4):
 
     ds = ray.data.read_parquet(transcripts)
-    matches = ds.map_batches(RuleClassifier, ...)        # fused parse+classify
-    stateful → groupby("conv_id").map_groups(correlate)  # ordered state machine
-    routed  = matches.filter(emit)                       # alerts
-    routed × sinks → write_parquet / counts              # fan-out + parity gate
+    matches = ds.map_batches(classify_batch)   # fused parse+classify (tasks,
+                                               # per-worker compiled ruleset)
+    matches → _correlate_exchange              # ONE hash exchange on
+                                               # hash(conv_id): per-bucket
+                                               # ordered replay of the
+                                               # stateful tail; stateless
+                                               # verdicts pass through
+    routed  = matches.filter(emit) × sinks     # fan-out + parity counts
+                                               # (from inline partials)
 
-Only matched rows of stateful rules cross the one hash shuffle
-(groupby conv_id); everything else streams. The ruleset and lookup tables
-are broadcast once via ``ray.put`` and read in each classifier actor's
-``__init__``.
+Only matched rows cross the exchange (stateful ones carry state); the
+ruleset and lookup tables are broadcast once via ``ray.put`` and compiled
+once per worker. See _correlate_exchange for why the exchange is raw Ray
+tasks rather than ``groupby().map_groups``.
 """
 
 from __future__ import annotations

@@ -406,14 +406,21 @@ def q_track_clients(sf_dir: str):
     ds = _transcripts(sf_dir)
     horizon = ds.max("ts")
     out = track_clients(ds, horizon, timeout_seconds=2 * 86400).to_pandas()
-    out = out[["conv_id", "last_seen", "stopped"]]
+    out["max_gap_s"] = out["max_gap_s"].astype("int64")
+    out = out[["conv_id", "last_seen", "stopped", "max_gap_s", "had_outage"]]
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
 SQL_TRACK_CLIENTS = _T + """
+, g AS (
+  SELECT conv_id, ts,
+         coalesce(floor(epoch(ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)))::BIGINT, 0) AS gap_s
+  FROM t)
 SELECT conv_id, max(ts) AS last_seen,
-       max(ts) < (SELECT max(ts) FROM t) - INTERVAL 2 DAY AS stopped
-FROM t GROUP BY conv_id ORDER BY conv_id
+       max(ts) < (SELECT max(ts) FROM t) - INTERVAL 2 DAY AS stopped,
+       max(gap_s)::BIGINT AS max_gap_s,
+       max(gap_s) > 2 * 86400 AS had_outage
+FROM g GROUP BY conv_id ORDER BY conv_id
 """
 
 

@@ -137,3 +137,37 @@ def test_eve_format():
     rec = json.loads(evedf["eve"].iloc[0])
     assert rec["event_type"] == "alert" and rec["alert"]["signature_id"] == 7
     assert rec["payload"]  # byte-preserved message rides along
+
+
+def test_pipe_wire_to_engine_end_to_end(tmp_path):
+    """Raw pipe-format lines → wire parse → malformed filter → full engine:
+    the File_Input → SyslogInput_Pipe → Sagan_Engine flow (SURVEY §3.1)."""
+    import pyarrow.compute as pc
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.sources.wire import read_pipe_lines
+
+    lines = [
+        "conv-a|0|user|bash|2024-03-01T10:00:00|login failed from 1.2.3.4:22",
+        "conv-a|1|assistant||2024-03-01T10:00:05|login success",
+        "garbage without pipes",
+        "conv-b|0|user||2024-03-01T10:00:00|nothing interesting",
+    ]
+    p = tmp_path / "wire.log"
+    p.write_text("\n".join(lines))
+
+    rules = parse_rules("""
+alert any any any -> any any (msg:"set"; content:"login failed"; xbits: set,b,track ip_src; sid:1;)
+alert any any any -> any any (msg:"isset"; content:"login success"; xbits: isset,b,track ip_src; sid:2;)
+""")
+    records = read_pipe_lines(str(p)).map_batches(
+        lambda t: t.filter(pc.invert(t.column("malformed").combine_chunks()))
+                   .drop_columns(["malformed"]),
+        batch_format="pyarrow")
+    eng = run_engine(records, rules, None, EngineConfig(), batch_size=64)
+    routed = eng.routed().to_pandas()
+    got = sorted(zip(routed["conv_id"], routed["turn_idx"].astype(int),
+                     routed["sid"].astype(int)))
+    assert got == [("conv-a", 0, 1), ("conv-a", 1, 2)]
