@@ -42,6 +42,33 @@ def _rand_rule(rng: np.random.Generator, sid: int) -> str:
         opts.append(f'pcre:"/{w} \\w+/"')
     if rng.integers(0, 4) == 0:
         opts.append(f'program:"{rng.choice(["user", "assistant", "sys*", "to?l"])}"')
+    if rng.integers(0, 6) == 0:
+        opts.append("append_program")
+    if rng.integers(0, 5) == 0:
+        sev = rng.choice(["low", "critical", "HIGH"])
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            opts.append(f'json_content:".severity","{sev}"')
+            if rng.integers(0, 2) == 0:
+                opts.append("json_nocase")
+        elif kind == 1:
+            opts.append('json_pcre:".event","/^(sort|merge)/"')
+        else:
+            opts.append('json_meta_content:".severity",low,high')
+    if rng.integers(0, 6) == 0:
+        opts.append('json_map:"username",".username"')
+    if rng.integers(0, 6) == 0:
+        days = "".join(sorted(set(str(d) for d in rng.integers(0, 7, size=4))))
+        a, b = int(rng.integers(0, 2400)), int(rng.integers(0, 2400))
+        opts.append(f"alert_time: days {days}, hours {a:04d}-{b:04d}")
+    if rng.integers(0, 6) == 0:
+        opts.append("parse_src_ip:1")
+        g = rng.integers(0, 3)
+        if g == 0:
+            opts.append(f'country_code: track by_src, '
+                        f'{rng.choice(["is", "isnot"])} RU,US')
+        elif g == 1:
+            opts.append(f'blacklist: {rng.choice(["by_src", "all"])}')
     # stateful options
     kind = rng.integers(0, 8)
     if kind == 0:
