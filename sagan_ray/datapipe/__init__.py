@@ -14,6 +14,7 @@ from .dedup import (  # noqa: F401
     simhash_dedup,
 )
 from .ann import brute_force_topk, ivf_topk  # noqa: F401
+from .exchange import hash_group_apply  # noqa: F401
 from .textstats import (  # noqa: F401
     fingerprint,
     langid,

@@ -488,6 +488,33 @@ FROM e GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_topk(sf_dir: str):
+    """Top-10 noisiest users by event count (sort + limit over a
+    pre-aggregated groupby — the rule-tracking-style hot-list report)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl, "user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+             .sort(["n", "user_id"], descending=[True, True]).limit(10)
+             .to_pandas())
+    out = out.astype({"user_id": "int64", "n": "int64"})
+    return out.reset_index(drop=True)[["user_id", "n"]]
+
+
+SQL_EVENTS_TOPK = """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id DESC LIMIT 10
+"""
+
+
 def q_events_tumbling(sf_dir: str):
     """Tumbling 1h windows per user: pre-aggregated per batch, then one
     small groupby (the partial-aggregate shuffle-minimizing pattern)."""
@@ -784,6 +811,7 @@ QUERIES = {
     "track_clients": q_track_clients,
     "rule_tracking": q_rule_tracking,
     "events_sessionize": q_events_sessionize,
+    "events_topk": q_events_topk,
     "events_tumbling": q_events_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -817,6 +845,7 @@ ORACLES = {
     "track_clients": SQL_TRACK_CLIENTS,
     "rule_tracking": SQL_RULE_TRACKING,
     "events_sessionize": SQL_SESSIONIZE,
+    "events_topk": SQL_EVENTS_TOPK,
     "events_tumbling": SQL_TUMBLING,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_tokens": SQL_TEXT_TOKENS,
