@@ -550,6 +550,101 @@ FROM events GROUP BY user_id, hour ORDER BY user_id, hour
 """
 
 
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-q1-style grouped aggregate over lineitem (pre-aggregated
+    partials; monetary sums rounded to 2dp for float-order stability)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_extendedprice", "max"), ("l_extendedprice", "min"),
+             ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_price", "max_price", "min_price", "n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_price", alias_name="sum_price"),
+                      Max("max_price", alias_name="max_price"),
+                      Min("min_price", alias_name="min_price"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True)
+            [["l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+              "max_price", "min_price", "n"]])
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       max(l_extendedprice) AS max_price,
+       min(l_extendedprice) AS min_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast-join demo: orders ⨝ customer ⨝ nation (both small sides
+    shipped once via ray.put; lookup per batch — never a shuffle join)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cmap = {int(c): nmap[int(n)] for c, n in
+            zip(cust["c_custkey"], cust["c_nationkey"])}
+    ref = ray.put(cmap)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        nations = [lookup.get(int(k), "UNKNOWN")
+                   for k in tbl.column("o_custkey").to_pylist()]
+        t = tbl.append_column("nation", pa.array(nations, pa.string()))
+        g = pa.TableGroupBy(t.select(["nation", "o_totalprice"]),
+                            "nation").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["nation", "total", "n_orders"])
+
+    out = (ds.map_batches(attach, batch_format="pyarrow")
+           .groupby("nation").aggregate(Sum("total", alias_name="total"),
+                                        Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out["total"] = out["total"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out.sort_values("nation").reset_index(drop=True)
+            [["nation", "total", "n_orders"]])
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS total,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -812,6 +907,8 @@ QUERIES = {
     "rule_tracking": q_rule_tracking,
     "events_sessionize": q_events_sessionize,
     "events_topk": q_events_topk,
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_nation": q_orders_by_nation,
     "events_tumbling": q_events_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -846,6 +943,8 @@ ORACLES = {
     "rule_tracking": SQL_RULE_TRACKING,
     "events_sessionize": SQL_SESSIONIZE,
     "events_topk": SQL_EVENTS_TOPK,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "orders_by_nation": SQL_ORDERS_BY_NATION,
     "events_tumbling": SQL_TUMBLING,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_tokens": SQL_TEXT_TOKENS,
