@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from ..config import SINK_EMAIL, SINK_EXTERNAL, EngineConfig, Lookups
 from ..rules.model import RuleSet
 from ..stages.classify import MATCH_SCHEMA, RuleClassifier
-from ..stages.correlate import make_correlator
+from ..stages.correlate import make_arrow_correlator, make_correlator
 
 _MATCH_COLS = [f.name for f in MATCH_SCHEMA]
 
@@ -252,7 +252,7 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
     import ray
     import ray.data as rd
 
-    correlate = make_correlator(ruleset)
+    correlate_tbl = make_arrow_correlator(ruleset)
 
     def _count_partial(tbl: pa.Table) -> pa.Table:
         """(sid, hits, emits) partial for one match table."""
@@ -299,16 +299,15 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
                 save_bucket_state(state_dir, bucket_id, out_states)
             e = MATCH_SCHEMA.empty_table()
             return e, _count_partial(e)
-        df = pa.concat_tables(parts).to_pandas()
-        out = correlate(df, init_states=init_states, out_states=out_states)[_MATCH_COLS]
+        tbl = pa.concat_tables(parts)
+        out = correlate_tbl(tbl, init_states=init_states,
+                            out_states=out_states).select(_MATCH_COLS)
         if state_dir is not None:
+            import pyarrow.compute as _pc
+
             save_bucket_state(state_dir, bucket_id, out_states,
-                              watermark=int(df["ts_epoch"].max()))
-        if len(out) == 0:
-            e = MATCH_SCHEMA.empty_table()
-            return e, _count_partial(e)
-        tbl = pa.Table.from_pandas(out, preserve_index=False).cast(MATCH_SCHEMA)
-        return tbl, _count_partial(tbl)
+                              watermark=int(_pc.max(tbl.column("ts_epoch")).as_py()))
+        return out, _count_partial(out)
 
     # stream classify output blocks into split tasks as they finish, so
     # the map side of the exchange overlaps the classify stage

@@ -165,3 +165,43 @@ def make_correlator(ruleset: RuleSet):
 
 def correlate_group_fn(ruleset: RuleSet):
     return make_correlator(ruleset)
+
+
+def make_arrow_correlator(ruleset: RuleSet):
+    """Arrow-native variant for the exchange reduce side: sorts the bucket
+    table with an Arrow kernel and runs the state machine over numpy views
+    of the key/meta columns only — the (large) ``text`` column is never
+    materialized as Python objects; survivors are selected with ``take``.
+    Semantics identical to make_correlator (delegates to the same machine
+    via a shared row loop against the oracle helpers)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pandas_correlate = make_correlator(ruleset)
+
+    def correlate_tbl(tbl: pa.Table, init_states=None, out_states=None) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("conv_id", "ascending"),
+                            ("turn_idx", "ascending"),
+                            ("rule_idx", "ascending")])
+        tbl = tbl.take(idx)
+        # pandas frame over the SMALL columns only (text/role/tool excluded)
+        import pandas as pd
+
+        small_cols = ["conv_id", "turn_idx", "rule_idx", "ts_epoch",
+                      "src_ip", "dst_ip", "src_port", "dst_port",
+                      "username", "stateful", "emit"]
+        df = tbl.select(small_cols).to_pandas()
+        out = pandas_correlate(df, init_states=init_states,
+                               out_states=out_states)
+        keep = np.asarray(out.index, dtype=np.int64)
+        kept = tbl.take(pa.array(np.sort(keep)))
+        emit_by_pos = pd.Series(out["emit"].to_numpy(), index=out.index)
+        emit_sorted = emit_by_pos.loc[np.sort(keep)].to_numpy()
+        return kept.set_column(kept.schema.get_field_index("emit"), "emit",
+                               pa.array(emit_sorted.astype(bool)))
+
+    return correlate_tbl
