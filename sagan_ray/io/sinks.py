@@ -18,7 +18,6 @@ import json
 import os
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def eve_format_batch(tbl: pa.Table) -> pa.Table:

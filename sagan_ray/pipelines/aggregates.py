@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def client_stats(ds, key: str = "conv_id", text_col: str = "text",

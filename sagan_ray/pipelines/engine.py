@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from ..config import SINK_EMAIL, SINK_EXTERNAL, EngineConfig, Lookups
 from ..rules.model import RuleSet
 from ..stages.classify import MATCH_SCHEMA, RuleClassifier
-from ..stages.correlate import make_arrow_correlator, make_correlator
+from ..stages.correlate import make_arrow_correlator
 
 _MATCH_COLS = [f.name for f in MATCH_SCHEMA]
 

@@ -6,8 +6,6 @@ pass over the full stream — the mmap-persistence analog
 
 import collections
 
-import pyarrow as pa
-
 from sagan_ray.config import EngineConfig
 from sagan_ray.oracle import ReferenceEvaluator
 from sagan_ray.pipelines.engine import run_engine

@@ -4,7 +4,6 @@ import json
 import os
 
 import pyarrow as pa
-import pytest
 
 
 def test_parse_pipe_batch_fields_and_malformed():
