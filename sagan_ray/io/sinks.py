@@ -76,11 +76,21 @@ def write_sinks(engine_result, out_dir: str, *, overwrite: bool = False) -> dict
     """Fan routed alerts out to one Parquet directory per sink and return
     {sink: rows}. Executes the match pipeline once (single explode pass,
     partitioned write)."""
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_SUCCESS.json")
     if not overwrite and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             return json.load(f)
+    # a crashed prior run (no manifest) or an overwrite rerun may have
+    # left part files behind; counting from the directory would then
+    # inflate the manifest — clear the sink dirs first
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
+    for entry in os.listdir(out_dir):
+        if entry.startswith("sink="):
+            shutil.rmtree(os.path.join(out_dir, entry))
 
     exploded = engine_result.routed_exploded()
     # hive partitioning by sink → out_dir/sink=alert/... (resumable per sink)

@@ -124,15 +124,12 @@ class EngineResult:
         answer to 'which partition produced what'."""
         import ray
 
-        if self.count_refs is None:
-            return pa.table({"part": pa.array([], pa.string()),
-                             "sid": pa.array([], pa.int64()),
-                             "hits": pa.array([], pa.int64()),
-                             "emits": pa.array([], pa.int64())})
         empty = pa.table({"sid": pa.array([], pa.int64()),
                           "hits": pa.array([], pa.int64()),
                           "emits": pa.array([], pa.int64()),
                           "part": pa.array([], pa.string())})
+        if self.count_refs is None:
+            return empty
         parts = [empty]
         for i, t in enumerate(ray.get(list(self.count_refs))):
             parts.append(t.append_column("part", pa.array([f"p{i:05d}"] * len(t))))
@@ -303,10 +300,17 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         out = correlate_tbl(tbl, init_states=init_states,
                             out_states=out_states).select(_MATCH_COLS)
         if state_dir is not None:
-            import pyarrow.compute as _pc
-
+            # per-conversation watermarks (max ts seen per conv in this
+            # run) — a bucket-global max could prune live bits of convs
+            # whose stream lags the bucket's fastest conv
+            wm_tbl = pa.TableGroupBy(
+                tbl.select(["conv_id", "ts_epoch"]), "conv_id"
+            ).aggregate([("ts_epoch", "max")])
+            watermarks = dict(zip(
+                wm_tbl.column("conv_id").to_pylist(),
+                (int(v) for v in wm_tbl.column("ts_epoch_max").to_pylist())))
             save_bucket_state(state_dir, bucket_id, out_states,
-                              watermark=int(_pc.max(tbl.column("ts_epoch")).as_py()))
+                              watermarks=watermarks)
         return out, _count_partial(out)
 
     # stream classify output blocks into split tasks as they finish, so

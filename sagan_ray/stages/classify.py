@@ -113,11 +113,17 @@ class _RulePlan:
         self.needs_json = bool(rule.json_atoms)
         self.needs_hashes = bool(rule.parse_hash) or "file_hash" in rule.zeekintel
         self.jm_fields = {f for f, _ in rule.json_maps}
-        # gates that require per-row python on the candidate subset
+        # gates that require per-row python on the candidate subset.
+        # The header flow gate (proto / src_port_eq / dst_port_eq,
+        # evaluator.py:289-299) lives in _residual too, so any rule that
+        # carries one must route through it even with no parse_* options —
+        # e.g. `alert tcp any any -> any 22 (content:"x";)`.
         self.slow_gates = bool(
             self.needs_ips or rule.geoip_track or rule.blacklist
             or rule.zeekintel or rule.parse_hash or self.pcre_py
             or rule.json_maps
+            or rule.proto not in ("any", "syslog")
+            or rule.src_port_eq is not None or rule.dst_port_eq is not None
         )
 
 
@@ -583,6 +589,15 @@ class _BatchCtx:
             for i in range(len(eid)):
                 e = eid[i]
                 out[i] = e if e is not None and len(pre[i]) <= EVENT_ID_HEAD else ""
+            # oracle fallback (evaluator.py:226-228): when head extraction
+            # fails and the message is a JSON object, use its flattened
+            # `.event_id` key. Only JSON-candidate rows pay the parse —
+            # try_parse_json_text rejects non-'{' texts anyway.
+            for i in np.flatnonzero(self.json_candidates()):
+                if not out[i]:
+                    j = self.json_row(i)
+                    if j is not None:
+                        out[i] = j.get(".event_id", "")
             self._eids = out
         return self._eids
 

@@ -81,16 +81,23 @@ def table_to_states(tbl: pa.Table) -> dict[str, _ConvState]:
     return states
 
 
-def prune_states(states: dict[str, _ConvState], watermark: int) -> None:
+def prune_states(states: dict[str, _ConvState],
+                 watermarks: dict[str, int]) -> None:
     """Evict entries that can no longer influence any later event (the
     Clean_IPC_Object analog, reference src/ipc.c:78): xbits/flexbits whose
-    expiry is at or before the event-time watermark. after/threshold
-    entries are kept — they self-reset on window expiry and are bounded by
-    (sid × track-key) cardinality."""
+    expiry is at or before that conversation's OWN event-time watermark
+    (max ts seen for the conv in this run). Event times are unrelated
+    across conversations, so a bucket-global watermark could prune a
+    still-live bit of a lagging conv; convs not seen in this run are left
+    untouched. after/threshold entries are kept — they self-reset on
+    window expiry and are bounded by (sid × track-key) cardinality."""
     dead = []
-    for conv, st in states.items():
-        st.xbits = {k: v for k, v in st.xbits.items() if v > watermark}
-        st.flexbits = [e for e in st.flexbits if e[6] > watermark]
+    for conv, wm in watermarks.items():
+        st = states.get(conv)
+        if st is None:
+            continue
+        st.xbits = {k: v for k, v in st.xbits.items() if v > wm}
+        st.flexbits = [e for e in st.flexbits if e[6] > wm]
         if not (st.xbits or st.flexbits or st.after or st.threshold):
             dead.append(conv)
     for conv in dead:
@@ -99,9 +106,9 @@ def prune_states(states: dict[str, _ConvState], watermark: int) -> None:
 
 def save_bucket_state(state_dir: str, bucket: int,
                       states: dict[str, _ConvState],
-                      watermark: int | None = None) -> None:
-    if watermark is not None:
-        prune_states(states, watermark)
+                      watermarks: dict[str, int] | None = None) -> None:
+    if watermarks is not None:
+        prune_states(states, watermarks)
     d = os.path.join(state_dir, f"bucket={bucket}")
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, ".state.parquet.tmp")

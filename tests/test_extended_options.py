@@ -72,3 +72,44 @@ alert any any any -> any any (msg:"mapped user after"; json_map:"username",".u";
     r = engine.routed().to_pandas()
     emitted = sorted(r[r.sid == 12]["turn_idx"].astype(int))
     assert emitted == [5]   # per-username after keys: kate alerts on 2nd, leo suppressed
+
+
+def test_flow_gate_without_parse_options():
+    """Regression (round-2 ADVICE high): a proto/port header gate on a rule
+    with no parse_*/IP options must still gate — the classifier once skipped
+    the residual entirely for such rules and emitted false alerts."""
+    rules = """
+alert tcp any any -> any any (msg:"bare proto"; content:"conn"; sid:1;)
+alert tcp any any -> any any (msg:"proto inferred"; content:"conn"; parse_proto; sid:2;)
+alert udp any any -> any any (msg:"proto mismatch"; content:"conn"; parse_proto; sid:3;)
+alert any any any -> any 22 (msg:"bare dport"; content:"conn"; sid:4;)
+alert any any any -> any 22 (msg:"dport default"; content:"conn"; default_dst_port:22; sid:5;)
+alert tcp any any -> any any (msg:"default proto"; content:"plainline"; default_proto:tcp; sid:6;)
+"""
+    tbl = mk([
+        ("a", 0, "conn opened via ssh", 0),      # infer→tcp: sid 2, 5
+        ("a", 1, "conn plain no proto", 10),     # no proto: sid 5 only
+        ("a", 2, "plainline here", 20),          # sid 6 (default_proto)
+    ])
+    oracle, _ = run_both(rules, tbl)
+    assert hits_of(oracle) == [("a", 0, 2), ("a", 0, 5), ("a", 1, 5), ("a", 2, 6)]
+
+
+def test_event_id_json_fallback():
+    """Regression (round-2 ADVICE medium): the oracle falls back to the
+    flattened JSON ``.event_id`` key when head extraction fails
+    (evaluator.py:226-228); the vectorized path must too."""
+    rules = """
+alert any any any -> any any (msg:"eid"; event_id: 4625; sid:1;)
+alert any any any -> any any (msg:"eid2"; event_id: 4625,4624; sid:2;)
+"""
+    tbl = mk([
+        ("a", 0, "4625: authentication failure", 0),           # head window
+        ("a", 1, json.dumps({"event_id": "4625", "x": 1}), 10),  # JSON fallback
+        ("a", 2, json.dumps({"event_id": 4624}), 20),            # int → "4624"
+        ("a", 3, json.dumps({"other": "4625"}), 30),             # no key → miss
+        ("a", 4, "prefix pushes 4625: out of the head window", 40),
+    ])
+    oracle, _ = run_both(rules, tbl)
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 1),
+                               ("a", 1, 2), ("a", 2, 2)]

@@ -89,9 +89,24 @@ def _rand_rule(rng: np.random.Generator, sid: int) -> str:
             opts.append(f"flexbits: set,f1,{int(rng.integers(60, 600))}")
         else:
             opts.append(f"flexbits: {op},none,f1")
+    # header flow gates (proto / port-eq) — with NO parse_* options some
+    # of the time, so the bare-flow-gate residual path is exercised
+    # (regression: slow_gates once omitted proto/port-eq)
+    proto = "any"
+    sport = dport = "any"
+    if rng.integers(0, 3) == 0:
+        proto = str(rng.choice(["tcp", "udp", "icmp"]))
+        if rng.integers(0, 2) == 0:
+            opts.append("parse_proto")
+        if rng.integers(0, 3) == 0:
+            opts.append(f"default_proto:{rng.choice(['tcp', 'udp'])}")
+    if rng.integers(0, 5) == 0:
+        dport = str(int(rng.integers(1, 100)))
+        if rng.integers(0, 2) == 0:
+            opts.append(f"default_dst_port:{dport}")
     opts.append(f"msg:\"fuzz {sid}\"")
     opts.append(f"sid:{sid}")
-    return f"{action} any any any -> any any ({'; '.join(opts)};)"
+    return f"{action} {proto} any {sport} -> any {dport} ({'; '.join(opts)};)"
 
 
 @pytest.mark.parametrize("seed", [101, 202, 303, 404, 505,

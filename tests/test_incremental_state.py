@@ -129,3 +129,18 @@ def test_state_meta_mismatch_raises(tmp_path):
     with pytest.raises(ValueError):
         run_engine(rd.from_arrow(mk(ROWS[:2])), parse_rules(RULES),
                    build_lookups(), EngineConfig(), state_dir=state_dir)
+
+
+def test_lagging_conv_state_survives_fast_conv(tmp_path):
+    """Regression (round-2 ADVICE medium): event times are unrelated across
+    conversations — a conv whose stream lags the bucket's fastest conv must
+    NOT have its still-live bit pruned by the faster conv's watermark.
+    ('lag' and 'fast' hash into the same 4-bucket slot.)"""
+    state_dir = str(tmp_path / "st")
+    # run 1: lag sets an xbit at t=0 (expire 600 → live until 600)
+    got = _run(mk([("lag", 0, "login failed", 0)]), state_dir)
+    # run 2: only fast advances, far past lag's expiry
+    got += _run(mk([("fast", 0, "login failed", 50_000)]), state_dir)
+    # run 3: lag probes at t=100 — its bit is still live
+    got += _run(mk([("lag", 1, "login success", 100)]), state_dir)
+    assert ("lag", 1, 2) in got
