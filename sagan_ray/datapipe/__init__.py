@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_dedup,
+    verify_pairs_jaccard,
 )
 from .ann import brute_force_topk, ivf_topk  # noqa: F401
 from .exchange import hash_group_apply  # noqa: F401

@@ -175,92 +175,184 @@ def _jaccard(t1: str, t2: str, k: int = 3) -> float:
     return len(s1 & s2) / max(1, len(s1 | s2))
 
 
+# candidate-pair verification join: (did, a, b, sh) — corpus rows carry
+# packed shingles with a/b null, request rows carry the pair with sh null
+_VERIFY_SCHEMA = pa.schema([("did", pa.int64()), ("a", pa.int64()),
+                            ("b", pa.int64()), ("sh", pa.binary())])
+_PAIR_J_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+
+def verify_pairs_jaccard(ds, cands, *, threshold: float,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3):
+    """Exact word-k-shingle Jaccard over candidate ``(a, b)`` pairs via a
+    two-stage hash-exchange join against the corpus by id — nothing ever
+    materializes on the driver:
+
+      stage 1 (bucket by doc id): corpus rows carry their packed
+        sorted-unique shingle-hash set; each pair requests both sides'
+        sets; the per-bucket join attaches sets to requests;
+      stage 2 (bucket by pair): the two sides of each pair meet, the
+        intersection/union sizes give the exact Jaccard.
+
+    Only candidate-sized data crosses the second exchange; the corpus
+    crosses the first once, as packed uint64 shingles (no text)."""
+    from .exchange import hash_group_apply
+
+    def corpus_rows(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_pylist()
+        texts = tbl.column(text_col).to_pylist()
+        packed = [np.unique(_shingle_hashes(t, k)).tobytes() for t in texts]
+        n = len(ids)
+        return pa.table({
+            "did": pa.array([int(i) for i in ids], pa.int64()),
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+            "sh": pa.array(packed, pa.binary()),
+        }, schema=_VERIFY_SCHEMA)
+
+    def request_rows(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").combine_chunks().cast(pa.int64())
+        b = tbl.column("b").combine_chunks().cast(pa.int64())
+        n = len(tbl)
+        did = pa.chunked_array([a, b]).combine_chunks()
+        aa = pa.chunked_array([a, a]).combine_chunks()
+        bb = pa.chunked_array([b, b]).combine_chunks()
+        return pa.table({"did": did, "a": aa, "b": bb,
+                         "sh": pa.nulls(2 * n, pa.binary())},
+                        schema=_VERIFY_SCHEMA)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_corpus = df["a"].isna()
+        lut = dict(zip(df.loc[is_corpus, "did"], df.loc[is_corpus, "sh"]))
+        req = df.loc[~is_corpus]
+        sh = req["did"].map(lut)
+        out = pd.DataFrame({
+            "did": req["did"].astype("int64"),
+            "a": req["a"].astype("int64"),
+            "b": req["b"].astype("int64"),
+            "sh": sh,
+        })
+        return out[out["sh"].notna()]
+
+    def pair_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a", "b", "did"], kind="mergesort")
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        did = df["did"].to_numpy()
+        sh = df["sh"].to_numpy()
+        oa, ob, oj = [], [], []
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or a[i] != a[start] or b[i] != b[start]:
+                sa = sb = None
+                for j in range(start, i):
+                    if did[j] == a[start]:
+                        sa = np.frombuffer(sh[j], dtype=np.uint64)
+                    elif did[j] == b[start]:
+                        sb = np.frombuffer(sh[j], dtype=np.uint64)
+                if sa is not None and sb is not None:
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    jac = inter / max(1, sa.size + sb.size - inter)
+                    if jac >= threshold:
+                        oa.append(int(a[start]))
+                        ob.append(int(b[start]))
+                        oj.append(float(jac))
+                start = i
+        return pd.DataFrame({"a": pd.Series(oa, dtype="int64"),
+                             "b": pd.Series(ob, dtype="int64"),
+                             "jaccard": pd.Series(oj, dtype="float64")})
+
+    sides = ds.map_batches(corpus_rows, batch_format="pyarrow").union(
+        cands.map_batches(request_rows, batch_format="pyarrow"))
+    joined = hash_group_apply(sides, ["did"], attach,
+                              out_schema=pa.schema(
+                                  [("did", pa.int64()), ("a", pa.int64()),
+                                   ("b", pa.int64()), ("sh", pa.binary())]))
+    return hash_group_apply(joined, ["a", "b"], pair_jaccard,
+                            out_schema=_PAIR_J_SCHEMA)
+
+
 def minhash_lsh_dedup(ds, *, threshold: float = 0.8, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3, n_perm: int = 64,
                       bands: int = 16):
-    """Verified near-dup pairs: LSH candidates whose true shingle Jaccard
-    ≥ threshold. Texts for verification ride a broadcast id→text lookup
-    (fine while the candidate set is small relative to the corpus; at
-    100 TB the verify stage would join against the corpus by id instead)."""
-    import ray
-
+    """Verified near-dup pairs (a, b, jaccard): LSH candidates whose TRUE
+    word-k-shingle Jaccard ≥ threshold. Verification is a hash-exchange
+    join of candidate pairs against the corpus by id
+    (``verify_pairs_jaccard``) — two streaming passes over the input, no
+    driver-side materialization. With n_perm=64 / bands=16 a J≥0.9 pair
+    misses every band with probability (1-0.9⁴)¹⁶ ≈ 4e-8, so on fixture
+    data the output equals the exact-Jaccard pair set (the DuckDB oracle
+    exploits this)."""
     cands = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                    k=k, n_perm=n_perm, bands=bands)
-    # ONE execution for the id→text lookup — two separate .to_pandas()
-    # calls can deliver blocks in different orders and mis-zip the pairs
-    lookup_df = ds.select_columns([id_col, text_col]).to_pandas()
-    texts_ref = ray.put(dict(zip(lookup_df[id_col], lookup_df[text_col])))
-
-    def verify(tbl: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        a = tbl.column("a").to_pylist()
-        b = tbl.column("b").to_pylist()
-        sims = [_jaccard(lookup[x], lookup[y], k) for x, y in zip(a, b)]
-        out = tbl.append_column("jaccard", pa.array(sims, pa.float64()))
-        import pyarrow.compute as pc
-        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
-
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return verify_pairs_jaccard(ds, cands, threshold=threshold,
+                                text_col=text_col, id_col=id_col, k=k)
 
 
 def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 3):
-    """Exact n-gram Jaccard similar pairs via inverted-shingle join: explode
-    (shingle_hash → id), groupby shingle, pair within posting lists, count
-    co-occurrences, normalize by set sizes. Exact (no LSH approximation);
-    cost bounded by posting-list sizes."""
+                        id_col: str = "doc_id", k: int = 3,
+                        max_posting: int = 4096):
+    """Similar pairs by exact word-k-shingle Jaccard via inverted-shingle
+    candidate generation + exact verification join.
+
+    Skew guard: a shingle shared by more than ``max_posting`` docs (a
+    stop-shingle) would produce O(n²) candidate pairs in one bucket; such
+    posting lists are dropped from candidate generation (count logged).
+    Verification stays exact — dropped shingles still count in each doc's
+    shingle set — so results only change for pairs whose EVERY shared
+    shingle is a stop-shingle (impossible at high thresholds in practice;
+    the fixture's max posting list is ~7)."""
+    import logging
 
     def explode(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_pylist()
         texts = tbl.column(text_col).to_pylist()
-        oid, osh, osz = [], [], []
+        oid, osh = [], []
         for i, t in zip(ids, texts):
             sh = np.unique(_shingle_hashes(t, k))
-            oid.extend([i] * len(sh))
+            oid.extend([int(i)] * len(sh))
             osh.extend(sh.tolist())
-            osz.extend([len(sh)] * len(sh))
-        return pa.table({id_col: pa.array(oid, pa.int64()),
-                         "sh": pa.array(osh, pa.uint64()),
-                         "size": pa.array(osz, pa.int64())})
+        return pa.table({"did": pa.array(oid, pa.int64()),
+                         "sh": pa.array(osh, pa.uint64())})
 
     def postings_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sh", id_col], kind="mergesort")
+        df = df.sort_values(["sh", "did"], kind="mergesort")
         sh = df["sh"].to_numpy()
-        ids = df[id_col].to_numpy()
-        sizes = df["size"].to_numpy()
-        out = []
+        ids = df["did"].to_numpy()
+        out_a, out_b = [], []
+        dropped = 0
         start = 0
         for i in range(1, len(df) + 1):
             if i == len(df) or sh[i] != sh[start]:
-                if i - start > 1:
-                    rows = sorted(set(zip(ids[start:i].tolist(),
-                                          sizes[start:i].tolist())))
-                    for x, y in itertools.combinations(rows, 2):
-                        out.append((x[0], y[0], x[1], y[1]))
+                size = i - start
+                if size > max_posting:
+                    dropped += 1
+                elif size > 1:
+                    grp = sorted(set(ids[start:i].tolist()))
+                    for x, y in itertools.combinations(grp, 2):
+                        out_a.append(x)
+                        out_b.append(y)
                 start = i
-        return pd.DataFrame(out, columns=["a", "b", "sa", "sb"]).astype(
-            {"a": "int64", "b": "int64", "sa": "int64", "sb": "int64"})
-
-    def finish_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # count co-occurrences per (a,b): vectorized groupby-size
-        g = (df.groupby(["a", "b", "sa", "sb"], sort=False)
-               .size().reset_index(name="inter"))
-        j = g["inter"] / (g["sa"] + g["sb"] - g["inter"]).clip(lower=1)
-        g = g.assign(jaccard=j.astype("float64"))
-        g = g[g["jaccard"] >= threshold]
-        return g[["a", "b", "jaccard"]].astype(
-            {"a": "int64", "b": "int64", "jaccard": "float64"})
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropped %d stop-shingle posting lists "
+                "(> %d docs) from candidate generation", dropped, max_posting)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")}
+                            ).drop_duplicates()
 
     from .exchange import hash_group_apply
 
-    posts_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                              ("sa", pa.int64()), ("sb", pa.int64())])
-    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                            ("jaccard", pa.float64())])
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     posts = hash_group_apply(ds.map_batches(explode, batch_format="pyarrow"),
-                             ["sh"], postings_bucket, out_schema=posts_schema)
-    return hash_group_apply(posts, ["a", "b"], finish_bucket,
-                            out_schema=out_schema)
+                             ["sh"], postings_bucket, out_schema=pair_schema)
+    cands = hash_group_apply(posts, ["a", "b"],
+                             lambda g: g.drop_duplicates(),
+                             out_schema=pair_schema)
+    return verify_pairs_jaccard(ds, cands, threshold=threshold,
+                                text_col=text_col, id_col=id_col, k=k)
 
 
 # ----------------------------------------------------------------------
@@ -341,45 +433,95 @@ def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
 # embedding near-dup
 # ----------------------------------------------------------------------
 
+_PLANE_CACHE: dict = {}
+
+
 def embedding_near_dup(ds, *, threshold: float = 0.95, vec_col: str = "embedding",
-                       id_col: str = "vec_id", n_planes: int = 8, seed: int = 7,
-                       dim: int | None = None):
-    """Cosine-similar pairs via random-hyperplane LSH buckets + exact
-    verification inside each bucket. Recall is probabilistic; n_planes=8
-    gives 256 buckets. For guaranteed-exact small-scale checks use the
-    brute-force path in tests."""
-    rng = np.random.default_rng(seed)
-    planes = None
+                       id_col: str = "vec_id", n_planes: int = 8,
+                       n_tables: int = 16, seed: int = 7,
+                       max_bucket: int = 8192):
+    """Cosine-similar pairs via multi-table random-hyperplane LSH + exact
+    cosine verification inside each (table, bucket) group.
+
+    Recall for a pair at angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables —
+    n_tables=16 × n_planes=8 gives ≈99.99% at cosine 0.97 (measured in
+    tests/test_datapipe.py against the brute-force exact path). Groups run
+    through the bucketed hash exchange (``hash_group_apply``), not Ray
+    Data's sort-based groupby (10-70 s overhead, CLAUDE.md perf notes).
+    ``max_bucket`` bounds the in-bucket all-pairs matmul: oversized
+    buckets are truncated to the smallest ids and the drop is logged —
+    at scale raise n_planes instead so buckets stay small."""
+    import logging
 
     def bucketize(tbl: pa.Table) -> pa.Table:
-        nonlocal planes
         vecs = np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float32)
+        dim = vecs.shape[1]
+        key = (seed, dim, n_planes, n_tables)
+        planes = _PLANE_CACHE.get(key)
         if planes is None:
             planes = np.random.default_rng(seed).standard_normal(
-                (vecs.shape[1], n_planes)).astype(np.float32)
+                (n_tables, dim, n_planes)).astype(np.float32)
+            _PLANE_CACHE[key] = planes
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        signs = (unit @ planes) > 0
-        bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        return pa.table({id_col: tbl.column(id_col),
-                         "bucket": pa.array(bucket),
-                         "unit": pa.array(unit.tolist(),
-                                          pa.list_(pa.float32()))})
+        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
+        packed = [u.tobytes() for u in unit]
+        out_id, out_t, out_bkt, out_u = [], [], [], []
+        pw = (1 << np.arange(n_planes))
+        for t in range(n_tables):
+            bucket = (((unit @ planes[t]) > 0) * pw).sum(axis=1).astype(np.int64)
+            out_id.extend(ids.tolist())
+            out_t.extend([t] * len(ids))
+            out_bkt.extend(bucket.tolist())
+            out_u.extend(packed)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "table": pa.array(out_t, pa.int32()),
+                         "bucket": pa.array(out_bkt, pa.int64()),
+                         "unit": pa.array(out_u, pa.binary())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        mat = np.asarray(g["unit"].tolist(), dtype=np.float32)
-        sims = mat @ mat.T
-        ii, jj = np.where(np.triu(sims, 1) >= threshold)
-        if len(ii) == 0:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
-        return pd.DataFrame({"a": a, "b": b,
-                             "cosine": sims[ii, jj].astype(np.float64)})
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["table", "bucket", id_col], kind="mergesort")
+        tb = df["table"].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        ids = df[id_col].to_numpy()
+        units = df["unit"].to_numpy()
+        oa, ob, oc = [], [], []
+        truncated = 0
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or tb[i] != tb[start] or bkt[i] != bkt[start]:
+                size = i - start
+                if size > 1:
+                    stop = i
+                    if size > max_bucket:
+                        truncated += 1
+                        stop = start + max_bucket  # ids sorted: keep smallest
+                    gids = ids[start:stop]
+                    mat = np.stack([np.frombuffer(u, dtype=np.float32)
+                                    for u in units[start:stop]])
+                    sims = mat @ mat.T
+                    ii, jj = np.where(np.triu(sims, 1) >= threshold)
+                    oa.extend(gids[ii].tolist())
+                    ob.extend(gids[jj].tolist())
+                    oc.extend(sims[ii, jj].astype(np.float64).tolist())
+                start = i
+        if truncated:
+            logging.getLogger(__name__).warning(
+                "embedding_near_dup: truncated %d oversized LSH buckets to "
+                "%d members (raise n_planes at scale)", truncated, max_bucket)
+        return pd.DataFrame({"a": pd.Series(oa, dtype="int64"),
+                             "b": pd.Series(ob, dtype="int64"),
+                             "cosine": pd.Series(oc, dtype="float64")})
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
-              .groupby("bucket").map_groups(pairs, batch_format="pandas"))
+    from .exchange import hash_group_apply
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cosine", pa.float64())])
+    cands = hash_group_apply(ds.map_batches(bucketize, batch_format="pyarrow"),
+                             ["table", "bucket"], pairs_bucket,
+                             out_schema=pair_schema)
+    # a pair can collide in several tables — keep one row per (a, b)
+    return hash_group_apply(cands, ["a", "b"],
+                            lambda g: g.drop_duplicates(subset=["a", "b"]),
+                            out_schema=pair_schema)

@@ -671,8 +671,42 @@ def q_dedup_minhash(sf_dir: str):
     from ..datapipe import minhash_lsh_dedup
 
     out = _typed(minhash_lsh_dedup(_docs(sf_dir), threshold=0.9).to_pandas(),
-                 {"a": "int64", "b": "int64"})
+                 {"a": "int64", "b": "int64", "jaccard": "float64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# exact word-3-shingle Jaccard pairs — the oracle for BOTH dedup_minhash
+# (LSH misses a J≥0.9 pair with prob (1-0.9⁴)¹⁶ ≈ 4e-8, so on fixture data
+# verified-LSH output equals the exact pair set) and dedup_ngram (exact by
+# construction). Shingling mirrors datapipe.dedup._shingle_hashes: words =
+# non-space runs of lower(text); <3 words (incl. empty) form one shingle
+# of the whole word sequence.
+SQL_DEDUP_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.i::DOUBLE / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.9
+ORDER BY a, b
+"""
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -687,7 +721,7 @@ def q_dedup_ngram(sf_dir: str):
     from ..datapipe import ngram_jaccard_pairs
 
     out = _typed(ngram_jaccard_pairs(_docs(sf_dir), threshold=0.9).to_pandas(),
-                 {"a": "int64", "b": "int64"})
+                 {"a": "int64", "b": "int64", "jaccard": "float64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -788,9 +822,11 @@ FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
 
 
 def q_embed_near_dup(sf_dir: str):
-    """Exact cosine-similar pairs (≥0.9) via broadcast matrix + blocked
+    """Exact cosine-similar pairs (≥0.45) via broadcast matrix + blocked
     matmul per batch — the exact baseline; the LSH-bucketed variant is
-    q_embed_near_dup_lsh."""
+    q_embed_near_dup_lsh. Threshold 0.45 yields 7/14/144 pairs at
+    sf0.001/0.01/0.1 (the fixture embeddings are random vectors), so the
+    oracle comparison is non-vacuous at every scale."""
     import ray
     import pyarrow.parquet as pq
 
@@ -806,7 +842,7 @@ def q_embed_near_dup(sf_dir: str):
         m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ aunit.T
-        ii, jj = np.where(sims >= 0.9)
+        ii, jj = np.where(sims >= 0.45)
         keep = ids[ii] < aid[jj]          # each unordered pair exactly once
         return pa.table({"a": pa.array(ids[ii][keep], pa.int64()),
                          "b": pa.array(aid[jj][keep], pa.int64())})
@@ -819,15 +855,19 @@ def q_embed_near_dup(sf_dir: str):
 SQL_EMBED_NEAR_DUP = """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 ORDER BY a, b
 """
 
 
 def q_embed_near_dup_lsh(sf_dir: str):
+    """Approximate (multi-table hyperplane LSH) variant of
+    q_embed_near_dup — rows-only check; recall vs the exact path is
+    measured in tests/test_datapipe.py with planted near-duplicates."""
     from ..datapipe import embedding_near_dup
 
-    out = _typed(embedding_near_dup(_embeds(sf_dir), threshold=0.9).to_pandas(),
+    out = _typed(embedding_near_dup(_embeds(sf_dir), threshold=0.45,
+                                    n_tables=32).to_pandas(),
                  {"a": "int64", "b": "int64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -947,6 +987,8 @@ ORACLES = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "events_tumbling": SQL_TUMBLING,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_JACCARD,
+    "dedup_ngram": SQL_DEDUP_JACCARD,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
@@ -954,7 +996,7 @@ ORACLES = {
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,
     # rows-only (non-SQL-expressible): engine_stateful (sequential anchored
-    # windows), dedup_minhash/simhash/ngram (hash-based sketches),
+    # windows), dedup_simhash (hash-based sketch),
     # text_langid (model heuristic), embed_ivf / embed_near_dup_lsh
     # (approximate), multimodal_features (stubbed decode)
 }

@@ -141,15 +141,77 @@ def test_embedding_near_dup_planted_pairs():
         "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}))
     got = embedding_near_dup(ds, threshold=0.99, n_planes=4).to_pandas()
     got_pairs = {(int(a), int(b)) for a, b in zip(got.get("a", []), got.get("b", []))}
-    # LSH with 4 planes: a 0.99-cosine pair collides in a bucket with
-    # high probability; require at least 4 of the 5 planted pairs
+    # measured recall vs the exact (brute-force) pair set — multi-table
+    # LSH (16 tables default) should find essentially all 0.99-cos pairs
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.triu(unit @ unit.T, 1)
+    ii, jj = np.where(sims >= 0.99)
+    exact = {(min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ii, jj)}
+    assert exact, "fixture planted no pairs — vacuous"
+    recall = len(exact & got_pairs) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} vs exact {len(exact)} pairs"
     planted = {(i, 100 + i) for i in range(5)}
     assert len(planted & got_pairs) >= 4
     # and no false positives below threshold
-    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     idmap = {v: i for i, v in enumerate(ids)}
     for a, b in got_pairs:
         assert unit[idmap[a]] @ unit[idmap[b]] >= 0.99 - 1e-6
+
+
+def test_embedding_near_dup_bucket_cap_logs(caplog):
+    """Oversized LSH buckets are truncated (bounded all-pairs matmul) and
+    the drop is logged — the 100-TB skew guard."""
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    # one dominant direction → most vectors share an LSH bucket
+    vecs = (np.tile(rng.standard_normal(16), (80, 1))
+            + 0.01 * rng.standard_normal((80, 16))).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}))
+    with caplog.at_level(logging.WARNING, logger="sagan_ray.datapipe.dedup"):
+        got = embedding_near_dup(ds, threshold=0.99, n_planes=2, n_tables=1,
+                                 max_bucket=16).to_pandas()
+    # pairs exist but are bounded by the cap: at most C(16,2) per bucket
+    assert 0 < len(got) <= 16 * 15 // 2 * 4
+
+
+def test_ngram_stop_shingle_cap(docs_tbl):
+    """A shingle shared by every doc (stop-shingle) must not explode into
+    O(n²) candidate pairs: with max_posting below corpus size the posting
+    list is dropped, while planted near-dup pairs (which share rare
+    shingles) are still found with their exact Jaccard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import ngram_jaccard_pairs
+    from sagan_ray.datapipe.dedup import _jaccard
+
+    common = "the quick brown fox"          # shared 3-shingles everywhere
+    texts = [f"{common} doc {i} unique tail {i * 7} content {i * 13}"
+             for i in range(120)]
+    # plant two near-dup pairs that share rare shingles
+    texts[100] = "alpha beta gamma delta epsilon zeta eta theta"
+    texts[101] = "alpha beta gamma delta epsilon zeta eta iota"
+    texts[110] = texts[111] = "exact duplicate body with many words here"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(texts, pa.large_string())}))
+    got = ngram_jaccard_pairs(ds, threshold=0.6, max_posting=50).to_pandas()
+    pairs = {(int(a), int(b)): j for a, b, j in
+             zip(got["a"], got["b"], got["jaccard"])}
+    assert (110, 111) in pairs and abs(pairs[(110, 111)] - 1.0) < 1e-9
+    assert (100, 101) in pairs
+    assert abs(pairs[(100, 101)] - _jaccard(texts[100], texts[101])) < 1e-9
+    # the stop-shingle postings were dropped, so no all-pairs blowup from
+    # the 120-doc common prefix (those pairs' true jaccard is < 0.6 anyway)
+    assert len(pairs) < 50
 
 
 def test_token_counts_match_duckdb(docs):
