@@ -40,6 +40,9 @@ class Lookups:
     geo: CidrTable | None = None            # cidr → ISO country code
     blacklist: CidrTable | None = None      # cidr membership
     intel: dict[str, set[str]] = field(default_factory=dict)   # kind → values
+    # liblognorm rulebase analog (functions.normalize.NormalizeTable),
+    # consumed by rules carrying the `normalize` option
+    normalize: object | None = None
 
     def intel_set(self, kind: str) -> set[str]:
         return self.intel.get(kind, set())

@@ -156,6 +156,8 @@ class ReferenceEvaluator:
         hashes = None
         event_id = None
         proto_inferred = None
+        norm = None     # normalization result, computed once per row
+                        # (liblognormalize.c runs once per record too)
 
         for rule in self.ruleset:
             # ---- pre-match -------------------------------------------
@@ -241,12 +243,24 @@ class ReferenceEvaluator:
                 if not ok:
                     continue
 
-            # ---- field extraction (engine.c:791-921; json_map base
-            # values overwritten only when extraction finds something) ---
-            src_ip = jm.get("src_ip", "")
-            dst_ip = jm.get("dst_ip", "")
-            src_port = _to_port(jm.get("src_port"))
-            dst_port = _to_port(jm.get("dst_port"))
+            # ---- normalize (liblognormalize.c:105-264): rules with the
+            # `normalize` option see the rulebase-extracted fields as base
+            # values; json_map overrides them, positional extraction
+            # overwrites only when it finds something ------------------
+            base = jm
+            if rule.normalize and self.lookups.normalize is not None:
+                if norm is None:
+                    norm = self.lookups.normalize.apply(text)
+                if norm:
+                    base = {**norm, **jm}
+
+            # ---- field extraction (engine.c:791-921; json_map/normalize
+            # base values overwritten only when extraction finds
+            # something) ------------------------------------------------
+            src_ip = base.get("src_ip", "")
+            dst_ip = base.get("dst_ip", "")
+            src_port = _to_port(base.get("src_port"))
+            dst_port = _to_port(base.get("dst_port"))
             if rule.needs_ips():
                 if ips is None:
                     ips = extract_ips(text)
@@ -263,7 +277,7 @@ class ReferenceEvaluator:
             if dst_port == 0:
                 dst_port = rule.default_dst_port
 
-            proto = jm.get("proto", "")
+            proto = base.get("proto", "")
             if rule.parse_proto and not proto:
                 if proto_inferred is None:
                     proto_inferred = infer_proto(text)
@@ -273,13 +287,13 @@ class ReferenceEvaluator:
 
             hsh = ""
             if rule.parse_hash:
-                hsh = jm.get(rule.parse_hash, "")
+                hsh = base.get(rule.parse_hash, "")
                 if not hsh:
                     if hashes is None:
                         hashes = extract_hashes(text)
                     hsh = hashes.get(rule.parse_hash, "")
 
-            username = jm.get("username", "")
+            username = base.get("username", "")
             if not username:
                 j = self._json(text)
                 if j is not None:

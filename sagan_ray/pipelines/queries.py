@@ -265,6 +265,35 @@ def q_engine_routing(sf_dir: str):
     return df.sort_values(["sink", "sid"]).reset_index(drop=True)[["sink", "sid", "n"]]
 
 
+# normalize (liblognorm analog): the rulebase sample extracts
+# username/src-ip/src-port from the auth-failure template; the rules gate
+# on the NORMALIZED src_port / src_ip via the flow header — no parse_*
+# options, so only normalization can supply the fields.
+RS_NORMALIZE = """
+alert any any 1042 -> any any (msg:"norm port"; normalize; content:"auth failure"; sid:2151;)
+alert any [10.0.0.0/12] any -> any any (msg:"norm net"; normalize; content:"auth failure"; sid:2152;)
+"""
+
+SQL_NORMALIZE = _T + r""",
+m AS (SELECT conv_id, turn_idx, text FROM t WHERE contains(text, 'auth failure')),
+f AS (SELECT conv_id, turn_idx,
+        regexp_extract(text, 'from (\d+\.\d+\.\d+\.\d+):(\d+) via', 1) AS sip,
+        CAST(regexp_extract(text, 'from (\d+\.\d+\.\d+\.\d+):(\d+) via', 2) AS INT) AS sport
+      FROM m)
+SELECT conv_id, turn_idx, 2151 AS sid FROM f WHERE sport = 1042
+UNION ALL
+SELECT conv_id, turn_idx, 2152 AS sid FROM f WHERE CAST(split_part(sip, '.', 2) AS INT) < 16
+ORDER BY conv_id, turn_idx, sid
+"""
+
+
+def q_engine_normalize(sf_dir: str):
+    """liblognorm-analog normalization: rules flow-gate on fields the
+    rulebase extracted (src_port / src_ip), SQL-verified via
+    regexp_extract."""
+    return _routed_rows_df(sf_dir, RS_NORMALIZE)
+
+
 RS_AFTER_SQL = """
 alert any any any -> any any (msg:"after2"; content:"auth failure"; after: track by_src, count 2, seconds 86400; sid:2121;)
 """
@@ -937,6 +966,7 @@ QUERIES = {
     "engine_eventid": q_engine_eventid,
     "engine_json": q_engine_json,
     "engine_enrich": q_engine_enrich,
+    "engine_normalize": q_engine_normalize,
     "engine_routing": q_engine_routing,
     "engine_after": q_engine_after,
     "engine_threshold": q_engine_threshold,
@@ -974,6 +1004,7 @@ ORACLES = {
     "engine_eventid": SQL_EVENTID,
     "engine_json": SQL_JSON,
     "engine_enrich": SQL_ENRICH,
+    "engine_normalize": SQL_NORMALIZE,
     "engine_routing": SQL_ROUTING,
     "engine_after": SQL_AFTER,
     "engine_threshold": SQL_THRESH,

@@ -239,6 +239,12 @@ class Rule:
     event_ids: list[str] = field(default_factory=list)
     json_atoms: list[JsonAtom] = field(default_factory=list)
 
+    # normalize: run the message through the loaded normalization
+    # rulebase (the liblognorm analog, functions.normalize) and use the
+    # extracted src/dst/port/username/proto fields as base values
+    # (reference src/rules.c:2764-2766, src/liblognormalize.c:105-264)
+    normalize: bool = False
+
     # --- extraction (reference engine.c:791-921, parse rules.c:960-1172)
     parse_src_ip: int = 0       # 1-based position into the Parse_IP cache
     parse_dst_ip: int = 0

@@ -381,6 +381,10 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
                 last_json.contains = True
 
         # ---- extraction ----------------------------------------------
+        elif name == "normalize":
+            # liblognorm analog (rules.c:2764-2766; the old "normalize:
+            # type" form is deprecated there too)
+            rule.normalize = True
         elif name == "parse_src_ip":
             rule.parse_src_ip = int(val)
         elif name == "parse_dst_ip":

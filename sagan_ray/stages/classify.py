@@ -121,7 +121,7 @@ class _RulePlan:
         self.slow_gates = bool(
             self.needs_ips or rule.geoip_track or rule.blacklist
             or rule.zeekintel or rule.parse_hash or self.pcre_py
-            or rule.json_maps
+            or rule.json_maps or rule.normalize
             or rule.proto not in ("any", "syslog")
             or rule.src_port_eq is not None or rule.dst_port_eq is not None
         )
@@ -345,9 +345,17 @@ class RuleClassifier:
                     if eid not in rule.event_ids:
                         continue
 
-            src_ip, dst_ip, src_port, dst_port = _extract_fields(rule, ctx, i, jm)
+            # normalize base values (liblognormalize.c:105-264); json_map
+            # overrides, positional extraction overwrites when it finds
+            base = jm
+            if rule.normalize and lk.normalize is not None:
+                nm = ctx.norm_row(i, lk.normalize)
+                if nm:
+                    base = {**nm, **jm}
 
-            proto = jm.get("proto", "")
+            src_ip, dst_ip, src_port, dst_port = _extract_fields(rule, ctx, i, base)
+
+            proto = base.get("proto", "")
             if rule.parse_proto and not proto:
                 proto = infer_proto(t)
             if not proto:
@@ -398,7 +406,7 @@ class RuleClassifier:
             # zeekintel (lazy: each kind fetches only the derivation it
             # actually needs — engine.c:1297-1360)
             if rule.zeekintel:
-                if not _zeekintel_row(rule, lk, ctx, i, t, src_ip, dst_ip, jm):
+                if not _zeekintel_row(rule, lk, ctx, i, t, src_ip, dst_ip, base):
                     continue
 
             keep.append(i)
@@ -451,8 +459,9 @@ class RuleClassifier:
         usernames = [""] * m
         need_extract = [bool(r.parse_src_ip or r.parse_dst_ip
                              or r.default_src_port or r.default_dst_port
-                             or r.json_maps)
+                             or r.json_maps or r.normalize)
                         for r in rules]
+        norm_table = self.lookups.normalize
         if any(need_extract) or self.needs_username:
             for k in range(m):
                 ri = rule_idx[k]
@@ -466,12 +475,17 @@ class RuleClassifier:
                             v = j.get(key)
                             if v is not None:
                                 jm[fld] = v
+                base = jm
+                if r_obj.normalize and norm_table is not None:
+                    nm = ctx.norm_row(i, norm_table)
+                    if nm:
+                        base = {**nm, **jm}
                 if need_extract[ri]:
-                    s, d, sp, dp = _extract_fields(r_obj, ctx, i, jm)
+                    s, d, sp, dp = _extract_fields(r_obj, ctx, i, base)
                     src_ips[k], dst_ips[k] = s, d
                     src_ports[k], dst_ports[k] = sp, dp
                 if self.needs_username:
-                    usernames[k] = jm.get("username") or ctx.username_row(i)
+                    usernames[k] = base.get("username") or ctx.username_row(i)
 
         take = pa.array(row_idx, pa.int64())
         return pa.Table.from_arrays([
@@ -529,6 +543,7 @@ class _BatchCtx:
         self._ips: dict = {}
         self._hashes: dict = {}
         self._json: dict = {}
+        self._norm: dict = {}
 
     def text(self, append_program: bool):
         if not append_program:
@@ -637,6 +652,12 @@ class _BatchCtx:
         if i not in self._json:
             self._json[i] = try_parse_json_text(self.texts_np()[i])
         return self._json[i]
+
+    def norm_row(self, i: int, table) -> dict:
+        v = self._norm.get(i)
+        if v is None:
+            v = self._norm[i] = table.apply(self.texts_np()[i])
+        return v
 
     def username_row(self, i: int) -> str:
         j = self.json_row(i)

@@ -82,11 +82,25 @@ def intel_entries() -> dict[str, list[str]]:
     }
 
 
+# liblognorm-analog rulebase over the synthetic templates (kept in sync
+# with rulesets/normalize.rulebase, which exercises the file loader)
+NORMALIZE_RULEBASE = """
+rule=:%eid:number%: auth failure for %username:word% from %src-ip:ipv4%:%src-port:number% via %proto:word%
+rule=:%eid:number%: authentication failure for %username:word% from %src-ip:ipv4%:%src-port:number% via %proto:word%
+rule=:%eid:number%: authentication success for %username:word% from %src-ip:ipv4%:%src-port:number% via %proto:word%
+rule=:connection from %src-ip:ipv4%:%src-port:number% to %dst-ip:ipv4%:%dst-port:number% proto %proto:word% state %state:word%
+rule=:login %stage:word% user %username:word% from %src-ip:ipv4%:%src-port:number%
+"""
+
+
 def build_lookups() -> Lookups:
+    from .functions.normalize import parse_rulebase
+
     return Lookups(
         geo=CidrTable(geo_entries()),
         blacklist=CidrTable([(c, "1") for c in blacklist_entries()]),
         intel={k: set(v) for k, v in intel_entries().items()},
+        normalize=parse_rulebase(NORMALIZE_RULEBASE),
     )
 
 
