@@ -99,13 +99,315 @@ class _ConvState:
         self.threshold: dict[tuple[int, str], list[int]] = {}
 
 
+_PREMATCH_CACHE: dict[str, object] = {}
+
+
+def _prematch(spec: str, value: str) -> bool:
+    rx = _PREMATCH_CACHE.get(spec)
+    if rx is None:
+        if len(_PREMATCH_CACHE) > 10_000:
+            _PREMATCH_CACHE.clear()
+        rx = prematch_regex(spec)
+        _PREMATCH_CACHE[spec] = rx
+    return rx.match(value or "") is not None
+
+
+class RowCache:
+    """Per-record lazy derivations shared across rules — the analog of the
+    reference's per-record Parse_IP / Parse_JSON caches (engine.c:800-843).
+    Built once per row; ``match_stateless`` consults it for every rule that
+    does NOT remap the message (remapped rules recompute on the remapped
+    text, as the reference does after engine.c:321-488)."""
+
+    __slots__ = ("text", "role", "tool", "now", "_ips", "_hashes", "_eid",
+                 "_proto", "_json", "_json_done", "_norm")
+
+    def __init__(self, text: str, role: str, tool: str, now: int):
+        self.text = text
+        self.role = role
+        self.tool = tool
+        self.now = now
+        self._ips = None
+        self._hashes = None
+        self._eid = None
+        self._proto = None
+        self._json = None
+        self._json_done = False
+        self._norm = None
+
+    def ips(self):
+        if self._ips is None:
+            self._ips = extract_ips(self.text)
+        return self._ips
+
+    def hashes(self):
+        if self._hashes is None:
+            self._hashes = extract_hashes(self.text)
+        return self._hashes
+
+    def json(self):
+        if not self._json_done:
+            self._json = try_parse_json_text(self.text)
+            self._json_done = True
+        return self._json
+
+    def event_id(self) -> str:
+        if self._eid is None:
+            eid = extract_event_id(self.text)
+            if not eid and (j := self.json()) is not None:
+                eid = j.get(".event_id", "")
+            self._eid = eid
+        return self._eid
+
+    def proto_inferred(self) -> str:
+        if self._proto is None:
+            self._proto = infer_proto(self.text)
+        return self._proto
+
+    def norm(self, table) -> dict:
+        if self._norm is None:
+            self._norm = table.apply(self.text)
+        return self._norm
+
+
+def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
+    """THE stateless predicate chain — the single shared implementation
+    consulted by both the reference evaluator and the vectorized
+    classifier's residual path (which prefilters candidates with
+    vectorized masks and re-checks here). One rule against one record:
+    returns None on no-match, else the extracted field dict
+    (src_ip, dst_ip, src_port, dst_port, username).
+
+    Order mirrors engine.c:92-1360: json_map remap (321-488, restored
+    per-rule as 1514-1529 does) → pre-match (492-581) → content → meta →
+    pcre → event_id → json_* → normalize/extraction (739-921) → flow
+    (926-940) → geoip (1031-1126) → blacklist (1147-1174) → zeekintel
+    (1297-1360) → alert_time (aetas.c:48-144)."""
+    # ---- json_map field overrides, incl. message/program remap --------
+    jm: dict[str, str] = {}
+    if rule.json_maps:
+        j = rc.json()
+        if j:
+            for fld, key in rule.json_maps:
+                v = j.get(key)
+                if v is not None:
+                    jm[fld] = v
+    remapped = "message" in jm
+    eff_text = jm.get("message", rc.text)
+    eff_role = jm.get("program", rc.role)
+
+    # ---- pre-match ----------------------------------------------------
+    if rule.program is not None and not _prematch(rule.program, eff_role):
+        return None
+    if rule.facility is not None and not _prematch(rule.facility, rc.tool):
+        return None
+    if rule.tag is not None and not _prematch(rule.tag, rc.tool):
+        return None
+
+    # append_program: engine.c:595-627
+    msg = f"{eff_text} | {eff_role}" if rule.append_program else eff_text
+
+    # ---- content chain ------------------------------------------------
+    prev_depth = 0
+    for atom in rule.contents:
+        start, stop = atom.window(prev_depth)
+        win = msg[start:stop]
+        if atom.nocase:
+            found = atom.pattern.lower() in win.lower()
+        else:
+            found = atom.pattern in win
+        if found == atom.negated:
+            return None
+        prev_depth = atom.depth
+
+    # ---- meta_content (OR-list, src/meta-content.c:159-224) -----------
+    for mc in rule.meta_contents:
+        if mc.nocase:
+            low = msg.lower()
+            found = any(p.lower() in low for p in mc.patterns)
+        else:
+            found = any(p in msg for p in mc.patterns)
+        if found == mc.negated:
+            return None
+
+    # ---- pcre (AND, src/pcre-s.c:39-68) -------------------------------
+    for patom in rule.pcres:
+        found = patom.compiled().search(msg) is not None
+        if found == patom.negated:
+            return None
+
+    # ---- event_id (src/event-id.c:61-125 + flattened-JSON fallback) ---
+    if rule.event_ids:
+        if remapped:
+            event_id = extract_event_id(eff_text)
+            if not event_id and (j := rc.json()) is not None:
+                event_id = j.get(".event_id", "")
+        else:
+            event_id = rc.event_id()
+        if jm.get("event_id", event_id) not in rule.event_ids:
+            return None
+
+    # ---- json_* (over the ORIGINAL message's flattened JSON) ----------
+    if rule.json_atoms:
+        j = rc.json()
+        if j is None:
+            return None  # no JSON ⇒ missing key ⇒ no match
+        for ja in rule.json_atoms:
+            if json_atom_match(ja, j.get(ja.key)) == ja.negated:
+                return None
+
+    # ---- normalize base values (liblognormalize.c:105-264) ------------
+    base = jm
+    if rule.normalize and lookups.normalize is not None:
+        nm = (lookups.normalize.apply(eff_text) if remapped
+              else rc.norm(lookups.normalize))
+        if nm:
+            base = {**nm, **jm}
+
+    # ---- field extraction (engine.c:791-921; base values overwritten
+    # only when extraction finds something) ------------------------------
+    src_ip = base.get("src_ip", "")
+    dst_ip = base.get("dst_ip", "")
+    src_port = _to_port(base.get("src_port"))
+    dst_port = _to_port(base.get("dst_port"))
+    ips = None
+    if rule.needs_ips():
+        ips = extract_ips(eff_text) if remapped else rc.ips()
+        if rule.parse_src_ip and rule.parse_src_ip <= len(ips):
+            src_ip, p = ips[rule.parse_src_ip - 1]
+            if rule.parse_port and p:
+                src_port = p
+        if rule.parse_dst_ip and rule.parse_dst_ip <= len(ips):
+            dst_ip, p = ips[rule.parse_dst_ip - 1]
+            if rule.parse_port and p:
+                dst_port = p
+    if src_port == 0:
+        src_port = rule.default_src_port
+    if dst_port == 0:
+        dst_port = rule.default_dst_port
+
+    proto = base.get("proto", "")
+    if rule.parse_proto and not proto:
+        proto = infer_proto(eff_text) if remapped else rc.proto_inferred()
+    if not proto:
+        proto = rule.default_proto
+
+    username = base.get("username", "")
+    if not username:
+        j = rc.json()
+        if j is not None:
+            username = j.get(".username", "")
+
+    # ---- flow gate (src/flow.c, engine.c:926-940) ---------------------
+    if rule.proto not in ("any", "syslog") and proto != rule.proto:
+        return None
+    if rule.src_nets is not None and not (
+            src_ip and net_group_contains(rule.src_nets, src_ip)):
+        return None
+    if rule.dst_nets is not None and not (
+            dst_ip and net_group_contains(rule.dst_nets, dst_ip)):
+        return None
+    if rule.src_port_eq is not None and src_port != rule.src_port_eq:
+        return None
+    if rule.dst_port_eq is not None and dst_port != rule.dst_port_eq:
+        return None
+
+    # ---- geoip gate (engine.c:1031-1126; NOT_FOUND → SKIP → fail) -----
+    if rule.geoip_track:
+        ip = src_ip if rule.geoip_track == "by_src" else dst_ip
+        if not ip:
+            return None
+        cc = lookups.geo.lookup(ip) if lookups.geo else None
+        if cc is None:
+            return None
+        if rule.geoip_isnot == (cc in rule.geoip_codes):
+            return None
+
+    # ---- blacklist gate (engine.c:1147-1174) --------------------------
+    if rule.blacklist:
+        bl = lookups.blacklist
+        if bl is None:
+            return None
+        mode = rule.blacklist
+        if mode == "by_src":
+            hit = bool(src_ip) and src_ip in bl
+        elif mode == "by_dst":
+            hit = bool(dst_ip) and dst_ip in bl
+        elif mode == "both":
+            hit = bool(src_ip) and bool(dst_ip) and src_ip in bl and dst_ip in bl
+        else:  # all — any parsed IP (engine.c:1160-1170)
+            if ips is None:
+                ips = extract_ips(eff_text) if remapped else rc.ips()
+            hit = any(ip in bl for ip, _ in ips)
+        if not hit:
+            return None
+
+    # ---- zeekintel gate (engine.c:1297-1360) --------------------------
+    if rule.zeekintel:
+        if ips is None:
+            ips = extract_ips(eff_text) if remapped else rc.ips()
+        hashes = extract_hashes(eff_text) if remapped else rc.hashes()
+        if not _zeekintel(rule, lookups, eff_text, src_ip, dst_ip,
+                          ips, hashes, username):
+            return None
+
+    # ---- alert_time (src/aetas.c:48-144; event ts, 0=Sunday) ----------
+    if rule.alert_days is not None or rule.alert_hours is not None:
+        dow = ((rc.now // 86400) + 4) % 7
+        if rule.alert_days is not None and dow not in rule.alert_days:
+            return None
+        if rule.alert_hours is not None:
+            sec = rc.now % 86400
+            hhmm = (sec // 3600) * 100 + (sec % 3600) // 60
+            a, b = rule.alert_hours
+            in_win = (a <= hhmm <= b) if a <= b else (hhmm >= a or hhmm <= b)
+            if not in_win:
+                return None
+
+    return {"src_ip": src_ip, "dst_ip": dst_ip, "src_port": src_port,
+            "dst_port": dst_port, "username": username}
+
+
+def _zeekintel(rule: Rule, lk: Lookups, text: str, src_ip: str, dst_ip: str,
+               ips, hashes, username: str) -> bool:
+    """All listed intel lookups must hit (engine.c:1297-1360). Non-IP
+    kinds are substring scans of the message (zeek-intel.c:507-778)."""
+    ipset = lk.intel_set("ip")
+    for kind in rule.zeekintel:
+        if kind == "src_ipaddr":
+            ok = src_ip in ipset
+        elif kind == "dst_ipaddr":
+            ok = dst_ip in ipset
+        elif kind == "both":
+            ok = src_ip in ipset and dst_ip in ipset
+        elif kind == "all":
+            ok = any(ip in ipset for ip, _ in ips)
+        elif kind == "file_hash":
+            hs = lk.intel_set("hash")
+            ok = any(h and h in hs for h in hashes.values())
+        elif kind == "domain":
+            ok = any(v in text for v in lk.intel_set("domain"))
+        elif kind == "url":
+            ok = any(v in text for v in lk.intel_set("url"))
+        elif kind == "software":
+            ok = any(v in text for v in lk.intel_set("software"))
+        elif kind == "user_name":
+            ok = username in lk.intel_set("username") if username else False
+        elif kind == "file_name":
+            ok = any(v in text for v in lk.intel_set("filename"))
+        else:
+            ok = False
+        if not ok:
+            return False
+    return True
+
+
 class ReferenceEvaluator:
     def __init__(self, ruleset: RuleSet, lookups: Lookups | None = None,
                  config: EngineConfig | None = None):
         self.ruleset = ruleset
         self.lookups = lookups or Lookups()
         self.config = config or EngineConfig()
-        self._prematch_cache: dict[str, object] = {}
 
     # ------------------------------------------------------------------
     def evaluate(self, rows: list[dict]) -> EvalResult:
@@ -136,232 +438,21 @@ class ReferenceEvaluator:
         return res
 
     # ------------------------------------------------------------------
-    def _prematch(self, spec: str, value: str) -> bool:
-        rx = self._prematch_cache.get(spec)
-        if rx is None:
-            rx = prematch_regex(spec)
-            self._prematch_cache[spec] = rx
-        return rx.match(value or "") is not None
-
     def _eval_row(self, row: dict, st: _ConvState, res: EvalResult) -> None:
-        text: str = row["text"]
-        role: str = row.get("role") or ""
-        tool: str = row.get("tool") or ""
         now = ts_epoch(row["ts"])
-
-        # lazy per-row derivations (computed once, reused across rules —
-        # the analog of the reference's per-record Parse_IP cache,
-        # engine.c:800-843)
-        ips = None
-        hashes = None
-        event_id = None
-        proto_inferred = None
-        norm = None     # normalization result, computed once per row
-                        # (liblognormalize.c runs once per record too)
+        rc = RowCache(row["text"], row.get("role") or "",
+                      row.get("tool") or "", now)
 
         for rule in self.ruleset:
-            # ---- pre-match -------------------------------------------
-            if rule.program is not None and not self._prematch(rule.program, role):
+            # ---- stateless chain (shared spec: match_stateless) ------
+            f = match_stateless(rule, rc, self.lookups)
+            if f is None:
                 continue
-            if rule.facility is not None and not self._prematch(rule.facility, tool):
-                continue
-            if rule.tag is not None and not self._prematch(rule.tag, tool):
-                continue
-
-            # append_program: engine.c:595-627
-            msg = f"{text} | {role}" if rule.append_program else text
-
-            # json_map field overrides (engine.c:321-488): applied before
-            # the per-field checks below; absent keys leave the field to
-            # normal extraction
-            jm: dict[str, str] = {}
-            if rule.json_maps:
-                j = self._json(text)
-                if j:
-                    for fld, key in rule.json_maps:
-                        v = j.get(key)
-                        if v is not None:
-                            jm[fld] = v
-
-            # ---- content chain ---------------------------------------
-            ok = True
-            prev_depth = 0
-            for atom in rule.contents:
-                start, stop = atom.window(prev_depth)
-                win = msg[start:stop]
-                if atom.nocase:
-                    found = atom.pattern.lower() in win.lower()
-                else:
-                    found = atom.pattern in win
-                if found == atom.negated:
-                    ok = False
-                    break
-                prev_depth = atom.depth
-            if not ok:
-                continue
-
-            # ---- meta_content (OR-list, src/meta-content.c:159-224) --
-            for mc in rule.meta_contents:
-                if mc.nocase:
-                    low = msg.lower()
-                    found = any(p.lower() in low for p in mc.patterns)
-                else:
-                    found = any(p in msg for p in mc.patterns)
-                if found == mc.negated:
-                    ok = False
-                    break
-            if not ok:
-                continue
-
-            # ---- pcre (AND, src/pcre-s.c:39-68) ----------------------
-            for pa in rule.pcres:
-                found = pa.compiled().search(msg) is not None
-                if found == pa.negated:
-                    ok = False
-                    break
-            if not ok:
-                continue
-
-            # ---- event_id (src/event-id.c:61-125) --------------------
-            if rule.event_ids:
-                if event_id is None:
-                    event_id = extract_event_id(text)
-                    if not event_id and (j := self._json(text)) is not None:
-                        event_id = j.get(".event_id", "")
-                if jm.get("event_id", event_id) not in rule.event_ids:
-                    continue
-
-            # ---- json_* ----------------------------------------------
-            if rule.json_atoms:
-                j = self._json(text)
-                if j is None:
-                    continue  # no JSON ⇒ missing key ⇒ no match
-                for ja in rule.json_atoms:
-                    if json_atom_match(ja, j.get(ja.key)) == ja.negated:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-
-            # ---- normalize (liblognormalize.c:105-264): rules with the
-            # `normalize` option see the rulebase-extracted fields as base
-            # values; json_map overrides them, positional extraction
-            # overwrites only when it finds something ------------------
-            base = jm
-            if rule.normalize and self.lookups.normalize is not None:
-                if norm is None:
-                    norm = self.lookups.normalize.apply(text)
-                if norm:
-                    base = {**norm, **jm}
-
-            # ---- field extraction (engine.c:791-921; json_map/normalize
-            # base values overwritten only when extraction finds
-            # something) ------------------------------------------------
-            src_ip = base.get("src_ip", "")
-            dst_ip = base.get("dst_ip", "")
-            src_port = _to_port(base.get("src_port"))
-            dst_port = _to_port(base.get("dst_port"))
-            if rule.needs_ips():
-                if ips is None:
-                    ips = extract_ips(text)
-                if rule.parse_src_ip and rule.parse_src_ip <= len(ips):
-                    src_ip, p = ips[rule.parse_src_ip - 1]
-                    if rule.parse_port and p:
-                        src_port = p
-                if rule.parse_dst_ip and rule.parse_dst_ip <= len(ips):
-                    dst_ip, p = ips[rule.parse_dst_ip - 1]
-                    if rule.parse_port and p:
-                        dst_port = p
-            if src_port == 0:
-                src_port = rule.default_src_port
-            if dst_port == 0:
-                dst_port = rule.default_dst_port
-
-            proto = base.get("proto", "")
-            if rule.parse_proto and not proto:
-                if proto_inferred is None:
-                    proto_inferred = infer_proto(text)
-                proto = proto_inferred
-            if not proto:
-                proto = rule.default_proto
-
-            hsh = ""
-            if rule.parse_hash:
-                hsh = base.get(rule.parse_hash, "")
-                if not hsh:
-                    if hashes is None:
-                        hashes = extract_hashes(text)
-                    hsh = hashes.get(rule.parse_hash, "")
-
-            username = base.get("username", "")
-            if not username:
-                j = self._json(text)
-                if j is not None:
-                    username = j.get(".username", "")
-
-            # ---- flow gate (src/flow.c, engine.c:926-940) ------------
-            if rule.proto not in ("any", "syslog") and proto != rule.proto:
-                continue
-            if rule.src_nets is not None and not (
-                    src_ip and net_group_contains(rule.src_nets, src_ip)):
-                continue
-            if rule.dst_nets is not None and not (
-                    dst_ip and net_group_contains(rule.dst_nets, dst_ip)):
-                continue
-            if rule.src_port_eq is not None and src_port != rule.src_port_eq:
-                continue
-            if rule.dst_port_eq is not None and dst_port != rule.dst_port_eq:
-                continue
-
-            # ---- geoip gate (engine.c:1031-1126) ---------------------
-            if rule.geoip_track:
-                ip = src_ip if rule.geoip_track == "by_src" else dst_ip
-                if not ip:
-                    continue  # invalid IP ⇒ GEOIP_SKIP ⇒ fail
-                cc = self.lookups.geo.lookup(ip) if self.lookups.geo else None
-                if cc is None:
-                    continue  # country not found ⇒ GEOIP_SKIP ⇒ fail
-                              # (geoip.c:195-209 NOT_FOUND → SKIP)
-                in_list = cc in rule.geoip_codes
-                if rule.geoip_isnot == in_list:
-                    continue
-
-            # ---- blacklist gate (engine.c:1147-1174) -----------------
-            if rule.blacklist:
-                bl = self.lookups.blacklist
-                if bl is None:
-                    continue
-                if ips is None:
-                    ips = extract_ips(text)
-                mode = rule.blacklist
-                if mode == "by_src":
-                    hit = bool(src_ip) and src_ip in bl
-                elif mode == "by_dst":
-                    hit = bool(dst_ip) and dst_ip in bl
-                elif mode == "both":
-                    hit = bool(src_ip) and bool(dst_ip) and src_ip in bl and dst_ip in bl
-                else:  # all — any of the parsed IPs (engine.c:1160-1170)
-                    hit = any(ip in bl for ip, _ in ips)
-                if not hit:
-                    continue
-
-            # ---- zeekintel gate (engine.c:1297-1360) -----------------
-            if rule.zeekintel:
-                if not self._zeekintel(rule, text, src_ip, dst_ip, ips, hashes, username):
-                    continue
-
-            # ---- alert_time (src/aetas.c:48-144; event ts) -----------
-            if rule.alert_days is not None or rule.alert_hours is not None:
-                ts = row["ts"]
-                dow = (ts.weekday() + 1) % 7  # reference: 0=Sunday
-                if rule.alert_days is not None and dow not in rule.alert_days:
-                    continue
-                if rule.alert_hours is not None:
-                    hhmm = ts.hour * 100 + ts.minute
-                    a, b = rule.alert_hours
-                    in_win = (a <= hhmm <= b) if a <= b else (hhmm >= a or hhmm <= b)
-                    if not in_win:
-                        continue
+            src_ip = f["src_ip"]
+            dst_ip = f["dst_ip"]
+            src_port = f["src_port"]
+            dst_port = f["dst_port"]
+            username = f["username"]
 
             # ---- xbit conditions (xbit-mmap.c:181-408) ---------------
             xbit_ok = True
@@ -437,56 +528,6 @@ class ReferenceEvaluator:
                 for sink in sinks:
                     res.routed.append((sink, rule.sid, row["conv_id"], row["turn_idx"]))
             # drop: counted in hits, routed nowhere
-
-    # ------------------------------------------------------------------
-    _json_cache_key = None
-    _json_cache_val = None
-
-    def _json(self, text: str):
-        if self._json_cache_key is text:
-            return self._json_cache_val
-        self._json_cache_key = text
-        self._json_cache_val = try_parse_json_text(text)
-        return self._json_cache_val
-
-    def _zeekintel(self, rule: Rule, text: str, src_ip: str, dst_ip: str,
-                   ips, hashes, username: str) -> bool:
-        """All listed intel lookups must hit (engine.c:1297-1360 requires
-        zeekintel_results true). Non-IP kinds are substring scans of the
-        message against the loaded tables (zeek-intel.c:507-778)."""
-        lk = self.lookups
-        if ips is None:
-            ips = extract_ips(text)
-        if hashes is None:
-            hashes = extract_hashes(text)
-        ipset = lk.intel_set("ip")
-        for kind in rule.zeekintel:
-            if kind == "src_ipaddr":
-                ok = src_ip in ipset
-            elif kind == "dst_ipaddr":
-                ok = dst_ip in ipset
-            elif kind == "both":
-                ok = src_ip in ipset and dst_ip in ipset
-            elif kind == "all":
-                ok = any(ip in ipset for ip, _ in ips)
-            elif kind == "file_hash":
-                hs = lk.intel_set("hash")
-                ok = any(h and h in hs for h in hashes.values())
-            elif kind == "domain":
-                ok = any(v in text for v in lk.intel_set("domain"))
-            elif kind == "url":
-                ok = any(v in text for v in lk.intel_set("url"))
-            elif kind == "software":
-                ok = any(v in text for v in lk.intel_set("software"))
-            elif kind == "user_name":
-                ok = username in lk.intel_set("username") if username else False
-            elif kind == "file_name":
-                ok = any(v in text for v in lk.intel_set("filename"))
-            else:
-                ok = False
-            if not ok:
-                return False
-        return True
 
     # ---- xbits -------------------------------------------------------
     @staticmethod

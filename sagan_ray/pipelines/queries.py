@@ -294,6 +294,32 @@ def q_engine_normalize(sf_dir: str):
     return _routed_rows_df(sf_dir, RS_NORMALIZE)
 
 
+# json_map message/program remap (engine.c:321-488, restore 1514-1529):
+# click events' texts are raw JSON ({"k": N}); sid 2161 rewrites the
+# message to the .k value before the content check, sid 2162 rewrites the
+# program (matched by the prematch wildcard). Only JSON rows can remap —
+# non-JSON rows evaluate against their original text/role.
+RS_REMAP = """
+alert any any any -> any any (msg:"remap msg"; program:"click"; json_map:"message",".k"; content:"7"; sid:2161;)
+alert any any any -> any any (msg:"remap prog"; json_map:"program",".k"; program:"8*"; sid:2162;)
+"""
+
+SQL_REMAP = _T + r""",
+k AS (SELECT conv_id, turn_idx, regexp_extract(text, '"k": (\d+)', 1) AS kv
+      FROM t WHERE role = 'click')
+SELECT conv_id, turn_idx, 2161 AS sid FROM k WHERE contains(kv, '7')
+UNION ALL
+SELECT conv_id, turn_idx, 2162 AS sid FROM k WHERE kv LIKE '8%'
+ORDER BY conv_id, turn_idx, sid
+"""
+
+
+def q_engine_remap(sf_dir: str):
+    """Per-rule message/program remap from flattened JSON keys,
+    SQL-verified."""
+    return _routed_rows_df(sf_dir, RS_REMAP)
+
+
 RS_AFTER_SQL = """
 alert any any any -> any any (msg:"after2"; content:"auth failure"; after: track by_src, count 2, seconds 86400; sid:2121;)
 """
@@ -967,6 +993,7 @@ QUERIES = {
     "engine_json": q_engine_json,
     "engine_enrich": q_engine_enrich,
     "engine_normalize": q_engine_normalize,
+    "engine_remap": q_engine_remap,
     "engine_routing": q_engine_routing,
     "engine_after": q_engine_after,
     "engine_threshold": q_engine_threshold,
@@ -1005,6 +1032,7 @@ ORACLES = {
     "engine_json": SQL_JSON,
     "engine_enrich": SQL_ENRICH,
     "engine_normalize": SQL_NORMALIZE,
+    "engine_remap": SQL_REMAP,
     "engine_routing": SQL_ROUTING,
     "engine_after": SQL_AFTER,
     "engine_threshold": SQL_THRESH,

@@ -356,12 +356,10 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
                 fieldname = "dst_ip"
             allowed = {"event_id", "src_ip", "dst_ip",
                        "src_port", "dst_port", "proto", "username",
-                       "md5", "sha1", "sha256"}
-            if fieldname in ("message", "program"):
-                raise RuleParseError(
-                    "json_map of message/program is not supported — the "
-                    "JSON flatten already exposes every key to "
-                    "json_content/json_pcre (match those directly)")
+                       "md5", "sha1", "sha256",
+                       # message/program remap + per-rule restore
+                       # (engine.c:321-488, 1514-1529)
+                       "message", "program"}
             if fieldname not in allowed:
                 raise RuleParseError(f"bad json_map field {fieldname!r}")
             rule.json_maps.append((fieldname, _unquote(parts[1])))

@@ -25,15 +25,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import EngineConfig, Lookups
-from ..functions.ip import extract_ips, net_group_contains
 from ..functions.textutil import (
     EVENT_ID_HEAD,
-    extract_hashes,
-    infer_proto,
-    json_atom_match,
     prematch_regex,
     try_parse_json_text,
 )
+from ..oracle.evaluator import RowCache, match_stateless
 from ..rules.model import Rule, RuleSet
 
 MATCH_SCHEMA = pa.schema([
@@ -74,7 +71,7 @@ class _RulePlan:
 
     __slots__ = ("rule", "prematch_role", "prematch_tool", "meta_regexes",
                  "pcre_re2", "pcre_py", "needs_ips", "needs_json",
-                 "needs_hashes", "slow_gates", "jm_fields")
+                 "needs_hashes", "slow_gates", "jm_fields", "remaps_text")
 
     def __init__(self, rule: Rule):
         self.rule = rule
@@ -113,6 +110,10 @@ class _RulePlan:
         self.needs_json = bool(rule.json_atoms)
         self.needs_hashes = bool(rule.parse_hash) or "file_hash" in rule.zeekintel
         self.jm_fields = {f for f, _ in rule.json_maps}
+        # message/program remap (engine.c:321-488): every text predicate
+        # must re-evaluate per row against the remapped message, so the
+        # vectorized masks only serve as a prefilter (∪ JSON candidates)
+        self.remaps_text = bool({"message", "program"} & self.jm_fields)
         # gates that require per-row python on the candidate subset.
         # The header flow gate (proto / src_port_eq / dst_port_eq,
         # evaluator.py:289-299) lives in _residual too, so any rule that
@@ -186,6 +187,22 @@ class RuleClassifier:
 
     # ------------------------------------------------------------------
     def _eval_rule(self, plan: _RulePlan, ctx: "_BatchCtx", n: int):
+        if plan.remaps_text:
+            # remapped-message rules: a non-JSON row evaluates against its
+            # original text (no remap possible), so the vectorized mask is
+            # exact for it; any JSON row may remap — union them and let
+            # match_stateless re-decide per candidate
+            mask = self._vector_mask(plan, ctx, n) | ctx.json_candidates()
+            return self._residual(plan, ctx, np.flatnonzero(mask))
+        mask = self._vector_mask(plan, ctx, n)
+        if not mask.any():
+            return None
+        cand = np.flatnonzero(mask)
+        if plan.pcre_py or plan.needs_json or plan.slow_gates:
+            cand = self._residual(plan, ctx, cand)
+        return cand
+
+    def _vector_mask(self, plan: _RulePlan, ctx: "_BatchCtx", n: int) -> np.ndarray:
         rule = plan.rule
         mask: np.ndarray | None = None  # None = all-true so far
 
@@ -193,11 +210,11 @@ class RuleClassifier:
         if plan.prematch_role is not None:
             mask = _and(mask, ctx.factor_mask("role", plan.prematch_role))
             if not mask.any():
-                return None
+                return mask
         for rx in plan.prematch_tool:
             mask = _and(mask, ctx.factor_mask("tool", rx))
             if not mask.any():
-                return None
+                return mask
 
         text = ctx.text(rule.append_program)
 
@@ -213,7 +230,7 @@ class RuleClassifier:
                 m = ~m
             mask = _and(mask, m)
             if not mask.any():
-                return None
+                return mask
             prev_depth = atom.depth
 
         # ---- meta_content (src/meta-content.c) -----------------------
@@ -224,7 +241,7 @@ class RuleClassifier:
                 m = ~m
             mask = _and(mask, m)
             if not mask.any():
-                return None
+                return mask
 
         # ---- pcre via RE2 (src/pcre-s.c) -----------------------------
         for rx, negated in plan.pcre_re2:
@@ -234,7 +251,7 @@ class RuleClassifier:
                 m = ~m
             mask = _and(mask, m)
             if not mask.any():
-                return None
+                return mask
 
         # ---- event_id (src/event-id.c) -------------------------------
         # (deferred to the residual when json_map remaps event_id)
@@ -243,7 +260,7 @@ class RuleClassifier:
             m = np.isin(eids, np.array(rule.event_ids, dtype=object))
             mask = _and(mask, m)
             if not mask.any():
-                return None
+                return mask
 
         # ---- alert_time (src/aetas.c) --------------------------------
         if rule.alert_days is not None or rule.alert_hours is not None:
@@ -256,14 +273,14 @@ class RuleClassifier:
                 m &= ((a <= hh) & (hh <= b)) if a <= b else ((hh >= a) | (hh <= b))
             mask = _and(mask, m)
             if not mask.any():
-                return None
+                return mask
 
         # json rules only ever match messages that ARE a JSON object —
         # vectorized prefilter before the per-row residual parse
         if plan.needs_json:
             mask = _and(mask, ctx.json_candidates())
             if not mask.any():
-                return None
+                return mask
 
         # zeekintel text kinds (domain/url/software/file_name) are exact
         # substring scans of the message against small tables — fully
@@ -281,135 +298,33 @@ class RuleClassifier:
                             zero_copy_only=False).astype(bool, copy=False)
                     mask = _and(mask, m)
                     if not mask.any():
-                        return None
+                        return mask
             if "file_hash" in rule.zeekintel:
                 m = pc.match_substring_regex(text, r"[0-9a-fA-F]{32}").to_numpy(
                     zero_copy_only=False).astype(bool, copy=False)
                 mask = _and(mask, m)
                 if not mask.any():
-                    return None
+                    return mask
 
         if mask is None:
             mask = np.ones(n, dtype=bool)
-
-        cand = np.flatnonzero(mask)
-
-        # ---- residual python gates on the candidate subset -----------
-        if plan.pcre_py or plan.needs_json or plan.slow_gates:
-            cand = self._residual(plan, ctx, cand)
-        return cand
+        return mask
 
     # ------------------------------------------------------------------
     def _residual(self, plan: _RulePlan, ctx: "_BatchCtx", cand: np.ndarray) -> np.ndarray:
-        """Row-at-a-time gates for the (small) candidate subset: python-only
-        pcre, json predicates, IP/CIDR/intel lookups. Mirrors the oracle
-        evaluator exactly — sagan_ray.oracle.evaluator is the spec."""
+        """Per-candidate re-check through ``match_stateless`` — the SAME
+        code path the oracle evaluator runs, so residual semantics can
+        never drift from the spec. The vectorized masks only prefilter;
+        the field dicts are memoized for ``_explode``."""
         rule = plan.rule
         lk = self.lookups
-        texts = ctx.texts_np()
         keep = []
+        fields = ctx.match_fields
         for i in cand:
-            t = texts[i]
-            msg = ctx.append_text_row(i) if rule.append_program else t
-
-            ok = True
-            for rx, negated in plan.pcre_py:
-                if (rx.search(msg) is not None) == negated:
-                    ok = False
-                    break
-            if not ok:
-                continue
-
-            if plan.needs_json:
-                j = ctx.json_row(i)
-                if j is None:
-                    continue
-                for ja in rule.json_atoms:
-                    if json_atom_match(ja, j.get(ja.key)) == ja.negated:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-
-            # json_map overrides (engine.c:321-488)
-            jm: dict[str, str] = {}
-            if rule.json_maps:
-                j = ctx.json_row(i)
-                if j:
-                    for fld, key in rule.json_maps:
-                        v = j.get(key)
-                        if v is not None:
-                            jm[fld] = v
-                if rule.event_ids:  # deferred event_id check
-                    eid = jm.get("event_id", ctx.event_ids()[i])
-                    if eid not in rule.event_ids:
-                        continue
-
-            # normalize base values (liblognormalize.c:105-264); json_map
-            # overrides, positional extraction overwrites when it finds
-            base = jm
-            if rule.normalize and lk.normalize is not None:
-                nm = ctx.norm_row(i, lk.normalize)
-                if nm:
-                    base = {**nm, **jm}
-
-            src_ip, dst_ip, src_port, dst_port = _extract_fields(rule, ctx, i, base)
-
-            proto = base.get("proto", "")
-            if rule.parse_proto and not proto:
-                proto = infer_proto(t)
-            if not proto:
-                proto = rule.default_proto
-
-            # flow gate
-            if rule.proto not in ("any", "syslog") and proto != rule.proto:
-                continue
-            if rule.src_nets is not None and not (
-                    src_ip and net_group_contains(rule.src_nets, src_ip)):
-                continue
-            if rule.dst_nets is not None and not (
-                    dst_ip and net_group_contains(rule.dst_nets, dst_ip)):
-                continue
-            if rule.src_port_eq is not None and src_port != rule.src_port_eq:
-                continue
-            if rule.dst_port_eq is not None and dst_port != rule.dst_port_eq:
-                continue
-
-            # geoip (unknown country ⇒ GEOIP_SKIP ⇒ fail, geoip.c:195-209)
-            if rule.geoip_track:
-                ip = src_ip if rule.geoip_track == "by_src" else dst_ip
-                if not ip:
-                    continue
-                cc = lk.geo.lookup(ip) if lk.geo else None
-                if cc is None:
-                    continue
-                if rule.geoip_isnot == (cc in rule.geoip_codes):
-                    continue
-
-            # blacklist
-            if rule.blacklist:
-                bl = lk.blacklist
-                if bl is None:
-                    continue
-                mode = rule.blacklist
-                if mode == "by_src":
-                    hit = bool(src_ip) and src_ip in bl
-                elif mode == "by_dst":
-                    hit = bool(dst_ip) and dst_ip in bl
-                elif mode == "both":
-                    hit = bool(src_ip) and bool(dst_ip) and src_ip in bl and dst_ip in bl
-                else:
-                    hit = any(ip in bl for ip, _ in ctx.ips_row(i))
-                if not hit:
-                    continue
-
-            # zeekintel (lazy: each kind fetches only the derivation it
-            # actually needs — engine.c:1297-1360)
-            if rule.zeekintel:
-                if not _zeekintel_row(rule, lk, ctx, i, t, src_ip, dst_ip, base):
-                    continue
-
-            keep.append(i)
+            f = match_stateless(rule, ctx.row_cache(int(i)), lk)
+            if f is not None:
+                fields[(rule.idx, int(i))] = f
+                keep.append(i)
         return np.asarray(keep, dtype=np.int64)
 
     # ------------------------------------------------------------------
@@ -457,35 +372,38 @@ class RuleClassifier:
         src_ports = np.zeros(m, dtype=np.int32)
         dst_ports = np.zeros(m, dtype=np.int32)
         usernames = [""] * m
+        # rules whose extracted fields are non-trivial; residual-matched
+        # rules have their field dicts memoized already, the rest (e.g.
+        # default-port-only rules with no slow gates) compute here
         need_extract = [bool(r.parse_src_ip or r.parse_dst_ip
                              or r.default_src_port or r.default_dst_port
                              or r.json_maps or r.normalize)
                         for r in rules]
-        norm_table = self.lookups.normalize
         if any(need_extract) or self.needs_username:
+            fields = ctx.match_fields
+            # rules whose username can only be the .username JSON fallback
+            # (no json_map/normalize source) read it directly — no full
+            # match_stateless pass per match row
+            uname_simple = [not (r.normalize or "username" in pl.jm_fields)
+                            for r, pl in zip(rules, self.plans)]
             for k in range(m):
                 ri = rule_idx[k]
-                i = row_idx[k]
-                r_obj = rules[ri]
-                jm: dict = {}
-                if r_obj.json_maps:
-                    j = ctx.json_row(i)
-                    if j:
-                        for fld, key in r_obj.json_maps:
-                            v = j.get(key)
-                            if v is not None:
-                                jm[fld] = v
-                base = jm
-                if r_obj.normalize and norm_table is not None:
-                    nm = ctx.norm_row(i, norm_table)
-                    if nm:
-                        base = {**nm, **jm}
-                if need_extract[ri]:
-                    s, d, sp, dp = _extract_fields(r_obj, ctx, i, base)
-                    src_ips[k], dst_ips[k] = s, d
-                    src_ports[k], dst_ports[k] = sp, dp
+                i = int(row_idx[k])
+                if need_extract[ri] or (self.needs_username
+                                        and not uname_simple[ri]):
+                    f = fields.get((ri, i))
+                    if f is None:
+                        f = match_stateless(rules[ri], ctx.row_cache(i),
+                                            self.lookups)
+                    if f is not None:
+                        if need_extract[ri]:
+                            src_ips[k], dst_ips[k] = f["src_ip"], f["dst_ip"]
+                            src_ports[k], dst_ports[k] = f["src_port"], f["dst_port"]
+                        if self.needs_username:
+                            usernames[k] = f["username"]
+                        continue
                 if self.needs_username:
-                    usernames[k] = base.get("username") or ctx.username_row(i)
+                    usernames[k] = ctx.username_row(i)
 
         take = pa.array(row_idx, pa.int64())
         return pa.Table.from_arrays([
@@ -540,10 +458,11 @@ class _BatchCtx:
         self._eids = None
         self._dow = None
         self._hhmm = None
-        self._ips: dict = {}
-        self._hashes: dict = {}
         self._json: dict = {}
-        self._norm: dict = {}
+        self._rc: dict = {}
+        # (rule_idx, row) → extracted-field dict, memoized by _residual
+        # for reuse in _explode
+        self.match_fields: dict = {}
 
     def text(self, append_program: bool):
         if not append_program:
@@ -636,28 +555,19 @@ class _BatchCtx:
             self._hhmm = (sec // 3600) * 100 + (sec % 3600) // 60
         return self._hhmm
 
-    def ips_row(self, i: int):
-        v = self._ips.get(i)
-        if v is None:
-            v = self._ips[i] = extract_ips(self.texts_np()[i])
-        return v
-
-    def hashes_row(self, i: int):
-        v = self._hashes.get(i)
-        if v is None:
-            v = self._hashes[i] = extract_hashes(self.texts_np()[i])
-        return v
-
     def json_row(self, i: int):
         if i not in self._json:
             self._json[i] = try_parse_json_text(self.texts_np()[i])
         return self._json[i]
 
-    def norm_row(self, i: int, table) -> dict:
-        v = self._norm.get(i)
-        if v is None:
-            v = self._norm[i] = table.apply(self.texts_np()[i])
-        return v
+    def row_cache(self, i: int) -> RowCache:
+        """Per-row RowCache for match_stateless (shared across rules)."""
+        rc = self._rc.get(i)
+        if rc is None:
+            rc = RowCache(self.texts_np()[i], self.role_np[i],
+                          self.tool_np[i], int(self.ts_epoch[i]))
+            self._rc[i] = rc
+        return rc
 
     def username_row(self, i: int) -> str:
         j = self.json_row(i)
@@ -683,70 +593,3 @@ def _drop_invalid(tbl: pa.Table, config: EngineConfig) -> pa.Table:
     return tbl.filter(ok)
 
 
-def _to_port(v) -> int:
-    try:
-        p = int(v)
-        return p if 0 < p <= 65535 else 0
-    except (TypeError, ValueError):
-        return 0
-
-
-def _extract_fields(rule: Rule, ctx: _BatchCtx, i: int,
-                    jm: dict | None = None):
-    """Per-rule positional IP/port extraction (engine.c:791-921), starting
-    from json_map base values; extraction overwrites only when it finds
-    something. Only rules that pick a position pay the regex."""
-    jm = jm or {}
-    src_ip = jm.get("src_ip", "")
-    dst_ip = jm.get("dst_ip", "")
-    src_port = _to_port(jm.get("src_port"))
-    dst_port = _to_port(jm.get("dst_port"))
-    if rule.parse_src_ip or rule.parse_dst_ip:
-        ips = ctx.ips_row(i)
-        if rule.parse_src_ip and rule.parse_src_ip <= len(ips):
-            src_ip, p = ips[rule.parse_src_ip - 1]
-            if rule.parse_port and p:
-                src_port = p
-        if rule.parse_dst_ip and rule.parse_dst_ip <= len(ips):
-            dst_ip, p = ips[rule.parse_dst_ip - 1]
-            if rule.parse_port and p:
-                dst_port = p
-    if src_port == 0:
-        src_port = rule.default_src_port
-    if dst_port == 0:
-        dst_port = rule.default_dst_port
-    return src_ip, dst_ip, src_port, dst_port
-
-
-def _zeekintel_row(rule: Rule, lk: Lookups, ctx: _BatchCtx, i: int,
-                   text: str, src_ip: str, dst_ip: str,
-                   jm: dict | None = None) -> bool:
-    ipset = lk.intel_set("ip")
-    for kind in rule.zeekintel:
-        if kind == "src_ipaddr":
-            ok = src_ip in ipset
-        elif kind == "dst_ipaddr":
-            ok = dst_ip in ipset
-        elif kind == "both":
-            ok = src_ip in ipset and dst_ip in ipset
-        elif kind == "all":
-            ok = any(ip in ipset for ip, _ in ctx.ips_row(i))
-        elif kind == "file_hash":
-            hs = lk.intel_set("hash")
-            ok = any(h and h in hs for h in ctx.hashes_row(i).values())
-        elif kind == "domain":
-            ok = any(v in text for v in lk.intel_set("domain"))
-        elif kind == "url":
-            ok = any(v in text for v in lk.intel_set("url"))
-        elif kind == "software":
-            ok = any(v in text for v in lk.intel_set("software"))
-        elif kind == "user_name":
-            u = (jm or {}).get("username") or ctx.username_row(i)
-            ok = u in lk.intel_set("username") if u else False
-        elif kind == "file_name":
-            ok = any(v in text for v in lk.intel_set("filename"))
-        else:
-            ok = False
-        if not ok:
-            return False
-    return True

@@ -113,3 +113,30 @@ alert any any any -> any any (msg:"eid2"; event_id: 4625,4624; sid:2;)
     oracle, _ = run_both(rules, tbl)
     assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 1),
                                ("a", 1, 2), ("a", 2, 2)]
+
+
+def test_json_map_message_program_remap():
+    """json_map of message/program (engine.c:321-488, restored per rule
+    at 1514-1529): text predicates run against the remapped message, the
+    prematch against the remapped program; non-JSON rows keep originals."""
+    rules = """
+alert any any any -> any any (msg:"m"; json_map:"message",".payload"; content:"attack"; sid:1;)
+alert any any any -> any any (msg:"p"; json_map:"program",".prog"; program:"daemon"; content:"x"; sid:2;)
+alert any any any -> any any (msg:"m2"; json_map:"message",".payload"; content:"payload"; sid:3;)
+"""
+    tbl = mk([
+        ("a", 0, json.dumps({"payload": "axe attack", "prog": "daemon"}), 0),
+        # non-JSON: original text/role evaluate (role is 'assistant')
+        ("a", 1, "plain attack text", 10),
+        ("a", 2, json.dumps({"payload": "benign"}), 20),
+        # key absent → no remap → original JSON text matches "payload"
+        ("a", 3, json.dumps({"other": 1, "note": "payload here"}), 30),
+    ])
+    oracle, _ = run_both(rules, tbl)
+    # sid1: row0 remapped ("axe attack"), row1 original text
+    # sid2: row0 only (remapped program 'daemon', text contains 'x')
+    # sid3: row0 remapped has no 'payload'; rows 2 ("payload" in raw JSON
+    # is remapped away → no) — row2 remaps to "benign" → no; row3 no
+    # remap → raw JSON contains 'payload'
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 1),
+                               ("a", 3, 3)]

@@ -57,6 +57,10 @@ def _rand_rule(rng: np.random.Generator, sid: int) -> str:
             opts.append('json_meta_content:".severity",low,high')
     if rng.integers(0, 6) == 0:
         opts.append('json_map:"username",".username"')
+    if rng.integers(0, 8) == 0:
+        opts.append('json_map:"message",".event"')
+    if rng.integers(0, 10) == 0:
+        opts.append('json_map:"program",".severity"')
     if rng.integers(0, 6) == 0:
         days = "".join(sorted(set(str(d) for d in rng.integers(0, 7, size=4))))
         a, b = int(rng.integers(0, 2400)), int(rng.integers(0, 2400))
