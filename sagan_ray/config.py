@@ -43,6 +43,9 @@ class Lookups:
     # liblognorm rulebase analog (functions.normalize.NormalizeTable),
     # consumed by rules carrying the `normalize` option
     normalize: object | None = None
+    # bluedot offline category snapshot: kind → value → CATEGORY
+    # (kinds: ip, hash, url, filename, ja3 — bluedot.c:736-1648)
+    bluedot: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def intel_set(self, kind: str) -> set[str]:
         return self.intel.get(kind, set())

@@ -342,6 +342,47 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
         if not hit:
             return None
 
+    # ---- bluedot gate (offline snapshot analog of bluedot.c:736-1648;
+    # category of the looked-up value must be in the rule's list, the
+    # Sagan_Bluedot_Cat_Compare semantics; engine.c checks it between
+    # blacklist and zeekintel) ------------------------------------------
+    if rule.bluedot_kind:
+        bd = lookups.bluedot
+        cats = rule.bluedot_cats
+        kind = rule.bluedot_kind
+        if kind == "ip_reputation":
+            tbl = bd.get("ip", {})
+            tr = rule.bluedot_track
+            if tr == "by_src":
+                ok = bool(src_ip) and tbl.get(src_ip) in cats
+            elif tr == "by_dst":
+                ok = bool(dst_ip) and tbl.get(dst_ip) in cats
+            elif tr == "both":
+                ok = (bool(src_ip) and bool(dst_ip)
+                      and tbl.get(src_ip) in cats and tbl.get(dst_ip) in cats)
+            else:  # all — any parsed IP (bluedot_ipaddr_type 4)
+                if ips is None:
+                    ips = extract_ips(eff_text) if remapped else rc.ips()
+                ok = any(tbl.get(ip) in cats for ip, _ in ips)
+        elif kind == "file_hash":
+            tbl = bd.get("hash", {})
+            hashes = extract_hashes(eff_text) if remapped else rc.hashes()
+            ok = any(h and tbl.get(h) in cats for h in hashes.values())
+        elif kind == "ja3":
+            # JA3 arrives as a field of the structured record — the
+            # flattened-JSON `.ja3` key in the transcript mapping
+            j = rc.json()
+            v = j.get(".ja3", "") if j else ""
+            ok = bool(v) and bd.get("ja3", {}).get(v) in cats
+        elif kind == "url":
+            ok = any(c in cats and u in eff_text
+                     for u, c in bd.get("url", {}).items())
+        else:  # filename
+            ok = any(c in cats and fn in eff_text
+                     for fn, c in bd.get("filename", {}).items())
+        if not ok:
+            return None
+
     # ---- zeekintel gate (engine.c:1297-1360) --------------------------
     if rule.zeekintel:
         if ips is None:

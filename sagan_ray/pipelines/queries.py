@@ -320,6 +320,31 @@ def q_engine_remap(sf_dir: str):
     return _routed_rows_df(sf_dir, RS_REMAP)
 
 
+# bluedot offline reputation snapshot (bluedot.c:736-1648 analog): the
+# snapshot categorizes the deterministic event-template source IPs of
+# users 7 and 99 as MALICIOUS; the rule gates on the extracted src IP's
+# category.
+RS_BLUEDOT = """
+alert any any any -> any any (msg:"bd ip"; content:"auth failure"; parse_src_ip:1; bluedot: type ip_reputation, track by_src, none, MALICIOUS; sid:2171;)
+alert any any any -> any any (msg:"bd tor"; content:"auth failure"; parse_src_ip:1; bluedot: type ip_reputation, track by_src, none, TOR,PROXY; sid:2172;)
+"""
+
+SQL_BLUEDOT = _T + r""",
+f AS (SELECT conv_id, turn_idx,
+        regexp_extract(text, 'from (\d+\.\d+\.\d+\.\d+):', 1) AS sip
+      FROM t WHERE contains(text, 'auth failure'))
+SELECT conv_id, turn_idx, 2171 AS sid FROM f
+WHERE sip IN ('10.7.49.8', '10.99.181.100')
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_engine_bluedot(sf_dir: str):
+    """Offline bluedot category-snapshot gate, SQL-verified (the TOR/PROXY
+    rule matches no event-template IP — a negative control)."""
+    return _routed_rows_df(sf_dir, RS_BLUEDOT)
+
+
 RS_AFTER_SQL = """
 alert any any any -> any any (msg:"after2"; content:"auth failure"; after: track by_src, count 2, seconds 86400; sid:2121;)
 """
@@ -994,6 +1019,7 @@ QUERIES = {
     "engine_enrich": q_engine_enrich,
     "engine_normalize": q_engine_normalize,
     "engine_remap": q_engine_remap,
+    "engine_bluedot": q_engine_bluedot,
     "engine_routing": q_engine_routing,
     "engine_after": q_engine_after,
     "engine_threshold": q_engine_threshold,
@@ -1033,6 +1059,7 @@ ORACLES = {
     "engine_enrich": SQL_ENRICH,
     "engine_normalize": SQL_NORMALIZE,
     "engine_remap": SQL_REMAP,
+    "engine_bluedot": SQL_BLUEDOT,
     "engine_routing": SQL_ROUTING,
     "engine_after": SQL_AFTER,
     "engine_threshold": SQL_THRESH,

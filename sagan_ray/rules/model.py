@@ -264,6 +264,16 @@ class Rule:
     blacklist: Optional[str] = None
     # zeekintel: comma list of intel lookups (engine.c:1297-1360)
     zeekintel: list[str] = field(default_factory=list)
+    # bluedot reputation gate — offline category-snapshot analog of the
+    # reference's Bluedot API lookups (processors/bluedot.c:736-1648,
+    # parse rules.c:3742-3993). kind: ip_reputation|file_hash|url|
+    # filename|ja3; track applies to ip_reputation (1=src 2=dst 3=both
+    # 4=all per bluedot_ipaddr_type); cats must intersect the snapshot's
+    # category for the looked-up value. mdate/cdate effective periods are
+    # accepted-and-ignored (the snapshot carries no timestamps).
+    bluedot_kind: Optional[str] = None
+    bluedot_track: Optional[str] = None
+    bluedot_cats: list[str] = field(default_factory=list)
 
     # --- time gate: alert_time days/hours (src/aetas.c:48-144). Uses event
     # ts, not wall clock (deterministic batch semantics).
@@ -312,6 +322,7 @@ class Rule:
             self.parse_src_ip or self.parse_dst_ip or self.blacklist
             or self.geoip_track or self.zeekintel
             or self.src_nets or self.dst_nets
+            or self.bluedot_kind == "ip_reputation"
         )
 
 

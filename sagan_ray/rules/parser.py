@@ -413,6 +413,37 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
             rule.blacklist = val.strip().lower()
         elif name == "zeekintel" or name == "bro_intel":
             rule.zeekintel = [v.strip().lower() for v in val.split(",") if v.strip()]
+        elif name == "bluedot":
+            # "type ip_reputation, track by_src, none, MAL,TOR" or
+            # "type file_hash, MAL" (rules.c:3742-3993). The effective-
+            # period token is accepted and ignored (offline snapshot).
+            parts = [p.strip() for p in val.split(",")]
+            mm = re.match(r"type\s+(\w+)$", parts[0])
+            if not mm:
+                raise RuleParseError(f"bluedot needs 'type <kind>': {val!r}")
+            kind = mm.group(1).lower()
+            if kind not in ("ip_reputation", "file_hash", "url",
+                            "filename", "ja3"):
+                raise RuleParseError(f"bad bluedot type {kind!r}")
+            idx = 1
+            if kind == "ip_reputation":
+                tm = re.match(r"track\s+(by_src|by_dst|both|all)$",
+                              parts[idx] if idx < len(parts) else "")
+                if not tm:
+                    raise RuleParseError(
+                        f"bluedot ip_reputation needs 'track by_src|by_dst|"
+                        f"both|all': {val!r}")
+                rule.bluedot_track = tm.group(1)
+                idx += 1
+                if idx < len(parts) and (
+                        parts[idx].lower() == "none"
+                        or "effective_period" in parts[idx].lower()):
+                    idx += 1
+            rule.bluedot_kind = kind
+            rule.bluedot_cats = [c.strip().upper()
+                                 for c in parts[idx:] if c.strip()]
+            if not rule.bluedot_cats:
+                raise RuleParseError(f"bluedot needs categories: {val!r}")
 
         elif name == "alert_time":
             # "days 0123456, hours 0800-1800" (rules.c:3146-3254)

@@ -122,7 +122,7 @@ class _RulePlan:
         self.slow_gates = bool(
             self.needs_ips or rule.geoip_track or rule.blacklist
             or rule.zeekintel or rule.parse_hash or self.pcre_py
-            or rule.json_maps or rule.normalize
+            or rule.json_maps or rule.normalize or rule.bluedot_kind
             or rule.proto not in ("any", "syslog")
             or rule.src_port_eq is not None or rule.dst_port_eq is not None
         )

@@ -93,6 +93,21 @@ rule=:login %stage:word% user %username:word% from %src-ip:ipv4%:%src-port:numbe
 """
 
 
+def bluedot_entries() -> dict[str, dict[str, str]]:
+    """Offline bluedot category snapshot (kind → value → CATEGORY).
+    The ip values are the deterministic event-template IPs of users 7
+    and 99 plus the blacklist-bait addresses."""
+    return {
+        "ip": {"10.7.49.8": "MALICIOUS", "10.99.181.100": "MALICIOUS",
+               "10.13.7.7": "TOR", "10.66.1.2": "PROXY"},
+        "hash": {hashlib.md5(b"bad0").hexdigest(): "MALICIOUS",
+                 hashlib.md5(b"bad1").hexdigest(): "RANSOMWARE"},
+        "url": {"http://evil.example.com/x": "MALICIOUS"},
+        "filename": {"payload.bin": "MALICIOUS"},
+        "ja3": {"e7d705a3286e19ea42f587b344ee6865": "MALICIOUS"},
+    }
+
+
 def build_lookups() -> Lookups:
     from .functions.normalize import parse_rulebase
 
@@ -101,6 +116,7 @@ def build_lookups() -> Lookups:
         blacklist=CidrTable([(c, "1") for c in blacklist_entries()]),
         intel={k: set(v) for k, v in intel_entries().items()},
         normalize=parse_rulebase(NORMALIZE_RULEBASE),
+        bluedot=bluedot_entries(),
     )
 
 

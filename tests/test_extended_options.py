@@ -140,3 +140,30 @@ alert any any any -> any any (msg:"m2"; json_map:"message",".payload"; content:"
     # remap → raw JSON contains 'payload'
     assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 1),
                                ("a", 3, 3)]
+
+
+def test_bluedot_kinds_parity():
+    """Offline bluedot category snapshot (bluedot.c:736-1648 analog):
+    category of the looked-up value must be in the rule's list."""
+    import hashlib
+
+    bad_md5 = hashlib.md5(b"bad0").hexdigest()
+    ransom_md5 = hashlib.md5(b"bad1").hexdigest()
+    rules = """
+alert any any any -> any any (msg:"bd src"; content:"beacon"; parse_src_ip:1; bluedot: type ip_reputation, track by_src, none, TOR; sid:1;)
+alert any any any -> any any (msg:"bd all"; content:"beacon"; bluedot: type ip_reputation, track all, mdate_effective_period 1 month, PROXY,TOR; sid:2;)
+alert any any any -> any any (msg:"bd hash"; content:"scan"; bluedot: type file_hash, MALICIOUS; sid:3;)
+alert any any any -> any any (msg:"bd file"; content:"found"; bluedot: type filename, MALICIOUS; sid:4;)
+alert any any any -> any any (msg:"bd ja3"; bluedot: type ja3, MALICIOUS; sid:5;)
+"""
+    tbl = mk([
+        ("a", 0, "beacon to 10.13.7.7:99 now", 0),          # TOR ip → 1, 2
+        ("a", 1, "beacon to 10.66.1.2:99 now", 10),         # PROXY → 2 only
+        ("a", 2, "beacon to 10.1.1.1:99 now", 20),          # uncategorized
+        ("a", 3, f"malware scan md5 {bad_md5} found in payload.bin", 30),  # 3, 4
+        ("a", 4, f"malware scan md5 {ransom_md5} ok", 40),   # RANSOMWARE ∉ rule → no
+        ("a", 5, json.dumps({"ja3": "e7d705a3286e19ea42f587b344ee6865"}), 50),  # 5
+    ])
+    oracle, _ = run_both(rules, tbl)
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 2),
+                               ("a", 3, 3), ("a", 3, 4), ("a", 5, 5)]
