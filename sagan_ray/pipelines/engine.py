@@ -217,6 +217,47 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
     return EngineResult(matches=matches, ruleset=ruleset, config=config)
 
 
+def run_engine_dynamic(ds, ruleset: RuleSet, lookups: Lookups | None = None,
+                       config: EngineConfig | None = None, *,
+                       batch_size: int = 16384):
+    """Two-pass dynamic_load analog (reference
+    src/processors/dynamic-rules.c:61-185, parse rules.c:1755-1778).
+
+    Pass 1 evaluates the base ruleset; every ``dynamic_load`` rule that
+    fired anywhere marks its ruleset file for loading (each file loads at
+    most once, as the reference's rules_loaded registry ensures). Pass 2
+    re-runs the whole input with the expanded ruleset.
+
+    Documented deviation: the reference expands the ruleset mid-stream at
+    the first fire, so which records see the new rules depends on arrival
+    order and thread timing; the batch analog applies the expanded
+    ruleset to the WHOLE input, which is deterministic and a superset.
+    Returns (EngineResult, loaded_paths). ``ds`` is consumed once per
+    pass — pass a re-readable source (read_parquet / materialized)."""
+    import copy
+
+    from ..rules.parser import parse_rules_file
+
+    first = run_engine(ds, ruleset, lookups, config, batch_size=batch_size)
+    dynamic_rules = [r for r in ruleset if r.dynamic_ruleset]
+    if not dynamic_rules:
+        return first, []
+    hits = first.hit_counts()
+    loaded: list[str] = []
+    for r in dynamic_rules:
+        if hits.get(r.sid, 0) > 0 and r.dynamic_ruleset not in loaded:
+            loaded.append(r.dynamic_ruleset)
+    if not loaded:
+        return first, []
+    extra = []
+    for path in loaded:
+        extra.extend(copy.copy(r) for r in parse_rules_file(path))
+    expanded = RuleSet(rules=[copy.copy(r) for r in ruleset] + extra,
+                       variables=dict(ruleset.variables))
+    return (run_engine(ds, expanded, lookups, config,
+                       batch_size=batch_size), loaded)
+
+
 def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
                         state_dir: str | None = None):
     """Two-stage hash exchange + per-bucket ordered replay for the

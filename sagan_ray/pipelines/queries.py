@@ -22,7 +22,7 @@ from ..config import EngineConfig
 from ..rules import parse_rules
 from ..sources.events import EVENTS_AS_TRANSCRIPTS_SQL, read_events_as_transcripts
 from ..synth import build_lookups
-from .engine import input_counters, run_engine
+from .engine import input_counters, run_engine, run_engine_dynamic
 
 _T = f"WITH t AS ({EVENTS_AS_TRANSCRIPTS_SQL})"
 
@@ -343,6 +343,38 @@ def q_engine_bluedot(sf_dir: str):
     """Offline bluedot category-snapshot gate, SQL-verified (the TOR/PROXY
     rule matches no event-template IP — a negative control)."""
     return _routed_rows_df(sf_dir, RS_BLUEDOT)
+
+
+# dynamic_load two-pass (dynamic-rules.c:61-185): the detection rule
+# fires on auth failures, which loads rulesets/dynamic-extra.rules for
+# pass 2 — its purchase/signup rules then hit too.
+SQL_DYNAMIC = _T + """
+SELECT sid, count(*)::BIGINT AS n FROM (
+  SELECT 2181 AS sid FROM t WHERE contains(text, 'auth failure')
+  UNION ALL SELECT 2182 FROM t WHERE contains(text, 'purchase')
+  UNION ALL SELECT 2183 FROM t WHERE contains(text, 'signup')
+) GROUP BY sid ORDER BY sid
+"""
+
+
+def q_engine_dynamic(sf_dir: str):
+    """dynamic_load detection → expanded-ruleset second pass,
+    SQL-verified hit counts."""
+    import os
+
+    rules_dir = os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "rulesets"))
+    rs = parse_rules(
+        'alert any any any -> any any (msg:"detect"; content:"auth failure"; '
+        f'dynamic_load: {rules_dir}/dynamic-extra.rules; sid:2181;)')
+    eng, loaded = run_engine_dynamic(_transcripts(sf_dir), rs, build_lookups(),
+                                     EngineConfig(), batch_size=8192)
+    assert loaded, "detection rule did not fire — fixture regression"
+    df = eng.matches.groupby("sid").count().to_pandas()
+    df = df.rename(columns={"count()": "n"})
+    df["sid"] = df["sid"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("sid").reset_index(drop=True)[["sid", "n"]]
 
 
 RS_AFTER_SQL = """
@@ -1020,6 +1052,7 @@ QUERIES = {
     "engine_normalize": q_engine_normalize,
     "engine_remap": q_engine_remap,
     "engine_bluedot": q_engine_bluedot,
+    "engine_dynamic": q_engine_dynamic,
     "engine_routing": q_engine_routing,
     "engine_after": q_engine_after,
     "engine_threshold": q_engine_threshold,
@@ -1060,6 +1093,7 @@ ORACLES = {
     "engine_normalize": SQL_NORMALIZE,
     "engine_remap": SQL_REMAP,
     "engine_bluedot": SQL_BLUEDOT,
+    "engine_dynamic": SQL_DYNAMIC,
     "engine_routing": SQL_ROUTING,
     "engine_after": SQL_AFTER,
     "engine_threshold": SQL_THRESH,

@@ -300,6 +300,11 @@ class Rule:
     email: Optional[str] = None
     external: Optional[str] = None
 
+    # dynamic_load: path of a ruleset to load when this rule fires
+    # (reference src/processors/dynamic-rules.c:61-185, parse
+    # rules.c:1755-1778); consumed by pipelines.engine.run_engine_dynamic
+    dynamic_ruleset: Optional[str] = None
+
     # position in the ruleset (evaluation order)
     idx: int = -1
 

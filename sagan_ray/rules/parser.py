@@ -378,6 +378,13 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
             if last_json is not None:
                 last_json.contains = True
 
+        elif name == "dynamic_load":
+            # ruleset path, $VAR substituted (rules.c:1755-1778)
+            p = val.strip()
+            for vn, vv in (variables or {}).items():
+                p = p.replace(f"${vn}", vv)
+            rule.dynamic_ruleset = p
+
         # ---- extraction ----------------------------------------------
         elif name == "normalize":
             # liblognorm analog (rules.c:2764-2766; the old "normalize:

@@ -167,3 +167,33 @@ alert any any any -> any any (msg:"bd ja3"; bluedot: type ja3, MALICIOUS; sid:5;
     oracle, _ = run_both(rules, tbl)
     assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 2),
                                ("a", 3, 3), ("a", 3, 4), ("a", 5, 5)]
+
+
+def test_dynamic_load_two_pass(tmp_path):
+    """dynamic_load (dynamic-rules.c:61-185): a firing detection rule
+    loads its ruleset for pass 2; a non-firing one loads nothing."""
+    import ray.data as rd
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.pipelines.engine import run_engine_dynamic
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import build_lookups
+
+    extra = tmp_path / "extra.rules"
+    extra.write_text('alert any any any -> any any (msg:"x"; content:"beta"; sid:20;)\n')
+    never = tmp_path / "never.rules"
+    never.write_text('alert any any any -> any any (msg:"y"; content:"gamma"; sid:21;)\n')
+    rules = parse_rules(f"""
+alert any any any -> any any (msg:"fire"; content:"alpha"; dynamic_load: {extra}; sid:10;)
+alert any any any -> any any (msg:"nofire"; content:"zzz-not-present"; dynamic_load: {never}; sid:11;)
+""")
+    tbl = mk([("a", 0, "alpha here", 0), ("a", 1, "beta here", 10),
+              ("a", 2, "gamma here", 20)])
+    eng, loaded = run_engine_dynamic(rd.from_arrow(tbl), rules,
+                                     build_lookups(), EngineConfig(),
+                                     batch_size=64)
+    assert loaded == [str(extra)]
+    got = eng.hit_counts()
+    # detection still hits in pass 2; extra sid 20 hits; never-loaded 21
+    # absent even though 'gamma' is present
+    assert got == {10: 1, 20: 1}
