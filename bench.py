@@ -176,6 +176,23 @@ def run_bench() -> dict:
     timed("ann_topk", lambda: brute_force_topk(embeds, qv, k=10).count())
     timed("client_stats", lambda: client_stats(read_transcripts(tdir)).count())
 
+    # wire-format ingest throughput (vectorized pipe parser over 500k
+    # synthetic lines; single process so the number is a per-core rate)
+    import pyarrow as pa
+
+    from sagan_ray.sources.wire import parse_pipe_batch
+
+    wn = 500_000
+    wire_tbl = pa.table({"text": pa.array(
+        [f"conv-{i % 9999:06d}|{i % 50}|assistant|bash|"
+         f"2024-03-01T12:{i % 60:02d}:{(i * 7) % 60:02d}|payload {i} body"
+         for i in range(wn)], pa.large_string())})
+    t0 = time.time()
+    parse_pipe_batch(wire_tbl)
+    dt = time.time() - t0
+    queries["wire_parse"] = round(dt, 3)
+    wire_rate = round(wn / dt, 1)
+
     result = {
         "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",
         "value": round(headline, 3),
@@ -186,6 +203,7 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "n_routed": n_routed,
         "turns_per_sec": round(n_turns / headline, 1),
+        "wire_lines_per_sec_per_core": wire_rate,
     }
     ray.shutdown()
     return result

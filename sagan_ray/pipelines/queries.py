@@ -377,6 +377,41 @@ def q_engine_dynamic(sf_dir: str):
     return df.sort_values("sid").reset_index(drop=True)[["sid", "n"]]
 
 
+# xbit/flexbit set→isset with expiry, SQL-verified. With no parse_src_ip
+# the xbit track key is constant within a conversation, and set times are
+# monotone in turn order, so "bit live at t" ⇔ "∃ prior set with
+# t < set_time + expire" — an EXISTS join, no recursion needed.
+# (engine_stateful stays rows-only for the full interacting mix.)
+RS_BITS_SQL = """
+alert any any any -> any any (msg:"xset"; content:"auth failure"; xbits: set,brk,track ip_src,expire 3600; sid:2191;)
+alert any any any -> any any (msg:"xchk"; content:"purchase"; xbits: isset,brk,track ip_src; sid:2192;)
+alert any any any -> any any (msg:"fset"; content:"signup"; flexbits: set,fx,7200; flexbit_noalert; sid:2193;)
+alert any any any -> any any (msg:"fchk"; content:"100: view"; flexbits: isset,none,fx; sid:2194;)
+"""
+
+SQL_BITS = _T + """,
+e AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, 'auth failure')),
+p AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, 'purchase')),
+s AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, 'signup')),
+v AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, '100: view'))
+SELECT conv_id, turn_idx, 2191 AS sid FROM e
+UNION ALL
+SELECT DISTINCT p.conv_id, p.turn_idx, 2192 FROM p JOIN e
+  ON e.conv_id = p.conv_id AND e.turn_idx < p.turn_idx AND p.et < e.et + 3600
+UNION ALL
+SELECT DISTINCT v.conv_id, v.turn_idx, 2194 FROM v JOIN s
+  ON s.conv_id = v.conv_id AND s.turn_idx < v.turn_idx AND v.et < s.et + 7200
+ORDER BY conv_id, turn_idx, sid
+"""
+
+
+def q_engine_bits(sf_dir: str):
+    """xbit + flexbit set/isset with expiry — per-conv ordered state
+    through the correlation exchange, verified against an EXISTS-join
+    SQL oracle."""
+    return _routed_rows_df(sf_dir, RS_BITS_SQL)
+
+
 RS_AFTER_SQL = """
 alert any any any -> any any (msg:"after2"; content:"auth failure"; after: track by_src, count 2, seconds 86400; sid:2121;)
 """
@@ -1053,6 +1088,7 @@ QUERIES = {
     "engine_remap": q_engine_remap,
     "engine_bluedot": q_engine_bluedot,
     "engine_dynamic": q_engine_dynamic,
+    "engine_bits": q_engine_bits,
     "engine_routing": q_engine_routing,
     "engine_after": q_engine_after,
     "engine_threshold": q_engine_threshold,
@@ -1094,6 +1130,7 @@ ORACLES = {
     "engine_remap": SQL_REMAP,
     "engine_bluedot": SQL_BLUEDOT,
     "engine_dynamic": SQL_DYNAMIC,
+    "engine_bits": SQL_BITS,
     "engine_routing": SQL_ROUTING,
     "engine_after": SQL_AFTER,
     "engine_threshold": SQL_THRESH,

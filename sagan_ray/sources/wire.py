@@ -52,44 +52,79 @@ def _parse_ts(s: str) -> datetime | None:
         return None
 
 
+_TS_FORMATS = ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S",
+               "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S")
+
+
+def _parse_ts_vec(values: "pd.Series") -> "pd.Series":
+    """Vectorized multi-format timestamp parse: one C-speed pass per
+    format (rows usually share one format), numeric-epoch fallback."""
+    import pandas as pd
+
+    out = pd.Series(pd.NaT, index=values.index, dtype="datetime64[ns]")
+    todo = values.notna()
+    for fmt in _TS_FORMATS:
+        if not todo.any():
+            break
+        parsed = pd.to_datetime(values[todo], format=fmt, errors="coerce")
+        out.loc[parsed.index[parsed.notna()]] = parsed[parsed.notna()]
+        todo = out.isna() & values.notna()
+    if todo.any():
+        num = pd.to_numeric(values[todo], errors="coerce")
+        epoch = pd.to_datetime(num, unit="s", errors="coerce")
+        out.loc[epoch.index[epoch.notna()]] = epoch[epoch.notna()]
+    return out
+
+
 def parse_pipe_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized-split pipe-format parse with per-field sentinels +
-    a ``malformed`` flag column (the malformed_* counter analog)."""
-    lines = tbl.column(text_col).to_pylist()
-    n = len(lines)
-    conv = [""] * n
-    turn = np.zeros(n, dtype=np.int32)
-    role = [""] * n
-    tool = [""] * n
-    ts = [_SENTINEL_TS] * n
-    text = [""] * n
-    bad = np.zeros(n, dtype=bool)
-    for i, line in enumerate(lines):
-        parts = (line or "").split("|", PIPE_FIELDS - 1)
-        if len(parts) != PIPE_FIELDS:
-            bad[i] = True
-            text[i] = line or ""
-            continue
-        conv[i] = parts[0]
-        try:
-            turn[i] = int(parts[1])
-        except ValueError:
-            bad[i] = True
-        role[i] = parts[2]
-        tool[i] = parts[3]
-        t = _parse_ts(parts[4])
-        if t is None:
-            bad[i] = True
-        else:
-            ts[i] = t
-        text[i] = parts[5]
+    """Pipe-format parse with per-field sentinels + a ``malformed`` flag
+    column (the malformed_* counter analog, input-pipe.c:164-338).
+
+    Fully vectorized: one Arrow ``split_pattern`` pass, field extraction
+    by offset arithmetic on the flattened list values (no per-row python
+    on this 100%-of-input stage), per-format C timestamp passes."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = len(tbl)
+    if n == 0:
+        return PARSED_SCHEMA.empty_table()
+    col = pc.fill_null(
+        pc.cast(tbl.column(text_col).combine_chunks(), pa.large_string()), "")
+    parts = pc.split_pattern(col, "|", max_splits=PIPE_FIELDS - 1)
+    parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+    nfields = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    ok = nfields == PIPE_FIELDS
+    flat = parts.values              # flattened field strings
+    base = np.asarray(parts.offsets)[:-1].astype(np.int64)
+
+    def field(j: int) -> pa.Array:
+        # null index → null element for malformed rows (index value
+        # clamped to 0 so even null slots stay in bounds)
+        idx = pa.array(np.where(ok, base + j, 0), pa.int64(), mask=~ok)
+        return flat.take(idx)
+
+    f = [field(j) for j in range(PIPE_FIELDS)]
+    bad = ~ok
+
+    turn_num = pd.to_numeric(f[1].to_pandas(), errors="coerce")
+    bad |= ok & turn_num.isna().to_numpy()
+    turn = turn_num.fillna(0).astype(np.int32).to_numpy()
+
+    ts_parsed = _parse_ts_vec(f[4].to_pandas())
+    bad |= ok & ts_parsed.isna().to_numpy()
+    ts = ts_parsed.fillna(_SENTINEL_TS)
+
+    fill = pa.scalar("", pa.large_string())
+    # malformed rows keep the whole raw line as text (pipe parser parity)
+    text = pc.if_else(pa.array(ok), pc.fill_null(f[5], ""), col)
     return pa.Table.from_arrays([
-        pa.array(conv, pa.string()),
+        pc.cast(pc.fill_null(f[0], ""), pa.string()),
         pa.array(turn, pa.int32()),
-        pa.array(role, pa.string()),
-        pa.array(text, pa.large_string()),
-        pa.array(tool, pa.string()),
-        pa.array(ts, pa.timestamp("us")),
+        pc.cast(pc.fill_null(f[2], ""), pa.string()),
+        pc.cast(text, pa.large_string()),
+        pc.cast(pc.fill_null(f[3], ""), pa.string()),
+        pa.Array.from_pandas(ts).cast(pa.timestamp("us")),
         pa.array(bad, pa.bool_()),
     ], schema=PARSED_SCHEMA)
 
@@ -101,6 +136,51 @@ def _dig(obj, dotted: str):
             return None
         cur = cur[part]
     return cur
+
+
+def _dig_alternatives(obj, spec: str, raw_line: str):
+    """Resolve a map value: ``|``-separated dotted paths, first present
+    wins (the OR-alternative lists Load_Input_JSON_Map builds,
+    input-json-map.c:105-140); ``%JSON%`` yields the raw line."""
+    for path in spec.split("|"):
+        path = path.strip()
+        if path == "%JSON%":
+            return raw_line
+        v = _dig(obj, path)
+        if v is not None:
+            return v
+    return None
+
+
+def load_json_map(path: str, software: str) -> dict[str, str]:
+    """Load a field map from a JSON-lines mapping file — the
+    Load_Input_JSON_Map analog (reference src/input-json-map.c:47-850).
+    Each non-comment line is a JSON object carrying a ``software`` name
+    plus transcript-field → dotted-path entries (values may be
+    ``|``-separated alternatives); the entry matching ``software`` wins.
+    Unknown keys are ignored; missing fields fall back to the default
+    map's path."""
+    fmap = dict(DEFAULT_JSON_MAP)
+    found = False
+    with open(path) as fh:
+        for line in fh:
+            s = line.strip()
+            if not s or s[0] in "#;":
+                continue
+            try:
+                obj = json.loads(s)
+            except ValueError:
+                continue
+            if not isinstance(obj, dict) or obj.get("software") != software:
+                continue
+            found = True
+            for field in SCHEMA.names:
+                if field in obj and isinstance(obj[field], str):
+                    fmap[field] = obj[field]
+            break
+    if not found:
+        raise ValueError(f"no mapping for software {software!r} in {path}")
+    return fmap
 
 
 def parse_json_batch(tbl: pa.Table, text_col: str = "text",
@@ -126,7 +206,7 @@ def parse_json_batch(tbl: pa.Table, text_col: str = "text",
             cols["text"][i] = line or ""
             continue
         for field, path in fmap.items():
-            v = line if path == "%JSON%" else _dig(obj, path)
+            v = _dig_alternatives(obj, path, line)
             if v is None:
                 if field in ("conv_id", "text"):
                     bad[i] = True

@@ -170,3 +170,59 @@ alert any any any -> any any (msg:"isset"; content:"login success"; xbits: isset
     got = sorted(zip(routed["conv_id"], routed["turn_idx"].astype(int),
                      routed["sid"].astype(int)))
     assert got == [("conv-a", 0, 1), ("conv-a", 1, 2)]
+
+
+def test_load_json_map_file(tmp_path):
+    """Load_Input_JSON_Map analog (input-json-map.c:47-850): software
+    selection, |-alternatives, %JSON% passthrough."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from sagan_ray.sources.wire import load_json_map, parse_json_batch
+
+    mp = tmp_path / "json-input.map"
+    mp.write_text(
+        "# comment\n"
+        '{"software": "other", "text": ".nope"}\n'
+        '{"software": "suricata", "conv_id": ".flow_id|.conv", '
+        '"role": ".etype", "text": "%JSON%", "ts": ".timestamp"}\n')
+    fmap = load_json_map(str(mp), "suricata")
+    assert fmap["conv_id"] == ".flow_id|.conv"
+    assert fmap["text"] == "%JSON%"
+    line1 = _json.dumps({"conv": "c9", "etype": "alert",
+                         "timestamp": "2024-03-01T10:00:00", "turn_idx": 3})
+    tbl = pa.table({"text": pa.array([line1], pa.large_string())})
+    out = parse_json_batch(tbl, field_map=fmap).to_pylist()[0]
+    assert out["conv_id"] == "c9"          # .flow_id absent → .conv wins
+    assert out["role"] == "alert"
+    assert out["text"] == line1            # %JSON% keeps the raw line
+    assert not out["malformed"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_json_map(str(mp), "missing-software")
+
+
+def test_pipe_parse_vectorized_parity_edges():
+    """Vectorized pipe parse: sentinel handling for short lines, bad
+    turn, bad ts, extra pipes in the message tail."""
+    import pyarrow as pa
+
+    from sagan_ray.sources.wire import parse_pipe_batch
+
+    tbl = pa.table({"text": pa.array([
+        "c1|4|user|bash|2024-03-01 10:00:00.250|hello world",
+        "c2|x|user||2024-03-01T10:00:00|bad turn",
+        "c3|1|user||not-a-time|bad ts",
+        "no pipes at all",
+        "c4|2|tool|grep|1709290000|tail|with|extra|pipes",
+        None,
+    ], pa.large_string())})
+    out = parse_pipe_batch(tbl).to_pylist()
+    assert [r["malformed"] for r in out] == [False, True, True, True, False, True]
+    assert out[0]["conv_id"] == "c1" and out[0]["turn_idx"] == 4
+    assert str(out[0]["ts"]).startswith("2024-03-01 10:00:00.250")
+    assert out[3]["text"] == "no pipes at all"   # raw line preserved
+    assert out[4]["text"] == "tail|with|extra|pipes"
+    assert out[4]["ts"].year == 2024             # epoch fallback
