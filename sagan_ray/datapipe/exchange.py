@@ -16,11 +16,14 @@ receives every row of its bucket (all rows sharing a key together,
 unsorted); must handle the empty frame; does its own within-bucket
 grouping (vectorized — sort + boundaries — not pandas groupby.apply).
 
-Scale notes: n_buckets bounds reduce-task memory (raise for bigger
-inputs); map-side slices move through the object store once; skewed keys
-concentrate in one bucket — salt upstream if a single key's rows exceed a
-worker (SURVEY.md §4 hard part #4).
-"""
+Scale behavior: map-side split tasks report per-bucket byte sizes (tiny
+arrays); before launching a reduce the driver re-splits any bucket whose
+total exceeds ``max_bucket_bytes`` by a FINER key hash into k sub-tasks
+(the salting path — keys stay whole, so the bucket_fn contract holds).
+Reduce-task memory is therefore bounded by max_bucket_bytes regardless of
+input size or key skew; only a single key whose rows alone exceed the
+bound still lands in one sub-task (inherent to key locality — SURVEY §4
+hard part #4)."""
 
 from __future__ import annotations
 
@@ -28,10 +31,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+DEFAULT_MAX_BUCKET_BYTES = 256 << 20
+
 
 def hash_group_apply(ds, key_cols: list[str], bucket_fn,
                      n_buckets: int | None = None,
-                     out_schema: pa.Schema | None = None):
+                     out_schema: pa.Schema | None = None,
+                     max_bucket_bytes: int = DEFAULT_MAX_BUCKET_BYTES):
     """Returns a Dataset of bucket_fn outputs. ``out_schema`` (optional)
     casts/normalizes each bucket's output so empties keep their schema."""
     import ray
@@ -40,18 +46,35 @@ def hash_group_apply(ds, key_cols: list[str], bucket_fn,
     if n_buckets is None:
         n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
 
+    def _partition(tbl: pa.Table, assign: np.ndarray, k: int):
+        order = np.argsort(assign, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(assign[order], np.arange(k + 1))
+        return [tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                for i in range(k)]
+
+    def _key_hash(tbl: pa.Table) -> np.ndarray:
+        kdf = tbl.select(key_cols).to_pandas()
+        return pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+
     @ray.remote
     def split(tbl: pa.Table, nb: int):
         if len(tbl) == 0:
-            return tuple(tbl.slice(0, 0) for _ in range(nb))
-        kdf = tbl.select(key_cols).to_pandas()
-        h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
-        b = (h % nb).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        bounds = np.searchsorted(b[order], np.arange(nb + 1))
-        return tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-                     for i in range(nb))
+            return (np.zeros(nb, dtype=np.int64),
+                    *(tbl.slice(0, 0) for _ in range(nb)))
+        b = (_key_hash(tbl) % nb).astype(np.int64)
+        slices = _partition(tbl, b, nb)
+        sizes = np.array([s.nbytes for s in slices], dtype=np.int64)
+        return (sizes, *slices)
+
+    @ray.remote
+    def refine(tbl: pa.Table, nb: int, k: int):
+        """Finer split of one oversized-bucket part by (h // nb) % k —
+        independent of the coarse assignment, keys stay whole."""
+        if len(tbl) == 0:
+            return tuple(tbl.slice(0, 0) for _ in range(k))
+        b = ((_key_hash(tbl) // nb) % k).astype(np.int64)
+        return tuple(_partition(tbl, b, k))
 
     @ray.remote
     def reduce_bucket(*tables):
@@ -68,17 +91,33 @@ def hash_group_apply(ds, key_cols: list[str], bucket_fn,
         return tbl
 
     buckets: list[list] = [[] for _ in range(n_buckets)]
+    size_refs: list = []
     for bundle in ds.iter_internal_ref_bundles():
         for ref in bundle.block_refs:
-            outs = split.options(num_returns=n_buckets).remote(ref, n_buckets)
-            if n_buckets == 1:
-                outs = [outs]
+            outs = split.options(num_returns=n_buckets + 1).remote(ref, n_buckets)
+            size_refs.append(outs[0])
             for i in range(n_buckets):
-                buckets[i].append(outs[i])
-    refs = [reduce_bucket.remote(*buckets[i]) for i in range(n_buckets)]
+                buckets[i].append(outs[i + 1])
+
+    bucket_bytes = np.zeros(n_buckets, dtype=np.int64)
+    for s in ray.get(size_refs):
+        bucket_bytes += s
+
+    refs = []
+    for i in range(n_buckets):
+        k = int(min(64, -(-int(bucket_bytes[i]) // max(1, max_bucket_bytes))))
+        if k >= 2:
+            subs: list[list] = [[] for _ in range(k)]
+            for part in buckets[i]:
+                sub_outs = refine.options(num_returns=k).remote(
+                    part, n_buckets, k)
+                for j in range(k):
+                    subs[j].append(sub_outs[j])
+            refs.extend(reduce_bucket.remote(*subs[j]) for j in range(k))
+        else:
+            refs.append(reduce_bucket.remote(*buckets[i]))
     if out_schema is None:
-        import ray as _ray
-        vals = _ray.get(refs)
+        vals = ray.get(refs)
         refs = [r for r, v in zip(refs, vals) if v is not None]
         if not refs:
             return rd.from_items([])

@@ -159,7 +159,8 @@ class EngineResult:
 def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
                config: EngineConfig | None = None, *,
                concurrency=None, batch_size: int = 16384,
-               state_dir: str | None = None) -> EngineResult:
+               state_dir: str | None = None,
+               max_bucket_bytes: int = 256 << 20) -> EngineResult:
     """Build the lazy match pipeline over a transcript Dataset.
 
     ``state_dir``: when given, correlation state (xbits/flexbits/after/
@@ -209,8 +210,9 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
 
             check_state_meta(state_dir, n_buckets)
             write_state_meta(state_dir, n_buckets)
-        matches, count_refs = _correlate_exchange(matches, ruleset, n_buckets,
-                                                  state_dir=state_dir)
+        matches, count_refs = _correlate_exchange(
+            matches, ruleset, n_buckets, state_dir=state_dir,
+            max_bucket_bytes=max_bucket_bytes)
         return EngineResult(matches=matches, ruleset=ruleset, config=config,
                             count_refs=count_refs)
 
@@ -259,7 +261,8 @@ def run_engine_dynamic(ds, ruleset: RuleSet, lookups: Lookups | None = None,
 
 
 def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
-                        state_dir: str | None = None):
+                        state_dir: str | None = None,
+                        max_bucket_bytes: int = 256 << 20):
     """Two-stage hash exchange + per-bucket ordered replay for the
     stateful tail — raw Ray core, not ``groupby().map_groups``.
 
@@ -306,8 +309,9 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
 
     @ray.remote
     def split_block(tbl: pa.Table, nb: int):
-        """Map side: stateless slice + per-bucket stateful slices + the
-        stateless count partial."""
+        """Map side: stateless slice + per-bucket stateful slices (with a
+        tiny per-bucket byte-size array for the driver's skew check) +
+        the stateless count partial."""
         sf = tbl.column("stateful").combine_chunks()
         stateless = tbl.filter(pc.invert(sf))
         state = tbl.filter(sf)
@@ -316,10 +320,27 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         order = _np.argsort(b, kind="stable")
         state = state.take(pa.array(order))
         bounds = _np.searchsorted(b[order], _np.arange(nb + 1))
-        outs = [stateless, _count_partial(stateless)]
-        for k in range(nb):
-            outs.append(state.slice(bounds[k], bounds[k + 1] - bounds[k]))
-        return tuple(outs)
+        slices = [state.slice(bounds[k], bounds[k + 1] - bounds[k])
+                  for k in range(nb)]
+        sizes = _np.array([s.nbytes for s in slices], dtype=_np.int64)
+        return (stateless, _count_partial(stateless), sizes, *slices)
+
+    @ray.remote
+    def refine_block(tbl: pa.Table, nb: int, k: int):
+        """Salting path for oversized buckets: finer conv-hash split
+        ((h // nb) % k) — conversations stay whole, so the per-conv
+        ordered replay is unaffected (SURVEY §4 hard part #4; a single
+        conversation bigger than the bound still lands in one task)."""
+        if len(tbl) == 0:
+            return tuple(tbl.slice(0, 0) for _ in range(k))
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        h = _pd.util.hash_array(conv.astype(object))
+        b = ((h // nb) % k).astype(_np.int64)
+        order = _np.argsort(b, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bounds = _np.searchsorted(b[order], _np.arange(k + 1))
+        return tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                     for i in range(k))
 
     @ray.remote(num_returns=2)
     def corr_bucket(bucket_id, *tables):
@@ -358,19 +379,42 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
     # the map side of the exchange overlaps the classify stage
     stateless_refs: list = []
     count_refs: list = []
+    size_refs: list = []
     bucket_parts: list[list] = [[] for _ in range(n_buckets)]
     for bundle in matches_ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            outs = split_block.options(num_returns=n_buckets + 2).remote(
+            outs = split_block.options(num_returns=n_buckets + 3).remote(
                 block_ref, n_buckets)
             stateless_refs.append(outs[0])
             count_refs.append(outs[1])
+            size_refs.append(outs[2])
             for k in range(n_buckets):
-                bucket_parts[k].append(outs[k + 2])
+                bucket_parts[k].append(outs[k + 3])
+
+    bucket_bytes = _np.zeros(n_buckets, dtype=_np.int64)
+    for s in ray.get(size_refs):
+        bucket_bytes += s
+
     for k in range(n_buckets):
-        tbl_ref, cnt_ref = corr_bucket.remote(k, *bucket_parts[k])
-        stateless_refs.append(tbl_ref)
-        count_refs.append(cnt_ref)
+        sub = int(min(64, -(-int(bucket_bytes[k]) // max(1, max_bucket_bytes))))
+        if sub >= 2 and state_dir is None:
+            # skewed bucket: salt by finer conv hash into `sub` tasks so
+            # reduce memory stays bounded at scale (state_dir runs keep
+            # the 1:1 bucket↔snapshot-file layout and skip refinement)
+            subs: list[list] = [[] for _ in range(sub)]
+            for part in bucket_parts[k]:
+                sub_outs = refine_block.options(num_returns=sub).remote(
+                    part, n_buckets, sub)
+                for j in range(sub):
+                    subs[j].append(sub_outs[j])
+            for j in range(sub):
+                tbl_ref, cnt_ref = corr_bucket.remote(k, *subs[j])
+                stateless_refs.append(tbl_ref)
+                count_refs.append(cnt_ref)
+        else:
+            tbl_ref, cnt_ref = corr_bucket.remote(k, *bucket_parts[k])
+            stateless_refs.append(tbl_ref)
+            count_refs.append(cnt_ref)
     return rd.from_arrow_refs(stateless_refs), count_refs
 
 

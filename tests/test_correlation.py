@@ -195,3 +195,63 @@ def test_disk_order_irrelevant():
     o2, _ = run_both(XBIT, mk(list(reversed(rows))))
     assert hits_of(o1) == hits_of(o2)
     assert o1.hit_counts() == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_skewed_bucket_refinement_matches_oracle():
+    """Oversized correlation buckets are salted into sub-tasks by finer
+    conv hash (max_bucket_bytes forced tiny); verdicts must be identical
+    to the oracle — conversations never split across tasks."""
+    import collections
+
+    import ray.data as rd
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.oracle import ReferenceEvaluator
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import build_lookups, gen_transcripts
+
+    rules = parse_rules(XBIT + """
+alert any any any -> any any (msg:"aft"; content:"ERROR"; after: track by_src, count 2, seconds 600; sid:9;)
+""")
+    tbl = gen_transcripts(3000, seed=31)
+    eng = run_engine(rd.from_arrow(tbl), rules, build_lookups(),
+                     EngineConfig(), batch_size=256, max_bucket_bytes=2048)
+    got = collections.Counter(
+        (r["conv_id"], r["turn_idx"], r["sid"])
+        for r in eng.routed().to_pandas().to_dict("records"))
+    oracle = ReferenceEvaluator(rules, build_lookups(),
+                                EngineConfig()).evaluate(tbl.to_pylist())
+    want = collections.Counter(
+        (c, t, s) for sink, s, c, t in oracle.routed if sink == "alert")
+    assert got == want and got
+
+
+def test_hash_group_apply_refinement():
+    """hash_group_apply with a tiny max_bucket_bytes produces the same
+    result as the unrefined exchange (keys stay whole)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import hash_group_apply
+
+    n = 20_000
+    tbl = pa.table({"k": pa.array([f"key-{i % 37}" for i in range(n)]),
+                    "v": pa.array(range(n), pa.int64())})
+    schema = pa.schema([("k", pa.string()), ("s", pa.int64()),
+                        ("n", pa.int64())])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False)["v"].agg(["sum", "count"]).reset_index()
+        return g.rename(columns={"sum": "s", "count": "n"})
+
+    base = hash_group_apply(rd.from_arrow(tbl), ["k"], agg,
+                            out_schema=schema).to_pandas()
+    refined = hash_group_apply(rd.from_arrow(tbl), ["k"], agg,
+                               out_schema=schema,
+                               max_bucket_bytes=4096).to_pandas()
+    a = base.sort_values("k").reset_index(drop=True)
+    b = refined.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 37        # every key aggregated exactly once
