@@ -127,21 +127,48 @@ def _norm_text(t: str) -> str:
     return _WS.sub(" ", _PUNCT.sub("", t.lower())).strip()
 
 
+_POLY_P = np.uint64(1099511628211)
+_POLY_SEED = np.uint64(1469598103934665603)
+_POW_CACHE = np.array([1], dtype=np.uint64)
+
+
+def _poly_powers(k: int) -> np.ndarray:
+    """p^0..p^(k-1) mod 2^64 (uint64 wraparound), grown on demand."""
+    global _POW_CACHE
+    if len(_POW_CACHE) < k:
+        n0 = len(_POW_CACHE)
+        ext = np.empty(k, np.uint64)
+        ext[:n0] = _POW_CACHE
+        ext[n0:] = _POW_CACHE[-1] * np.cumprod(
+            np.full(k - n0, _POLY_P, np.uint64))
+        _POW_CACHE = ext
+    return _POW_CACHE[:k]
+
+
+def _poly_hash(data: bytes) -> int:
+    """64-bit polynomial hash h = seed·pᵏ + Σ bᵢ·p^(k-1-i) (mod 2^64) —
+    a vectorized dot product over the byte array, not a per-byte fold."""
+    arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+    k = len(arr)
+    if k == 0:
+        return int(_POLY_SEED)
+    pw = _poly_powers(k + 1)
+    h = _POLY_SEED * pw[k] + np.dot(arr, pw[k - 1::-1])
+    return int(np.uint64(h))
+
+
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, fp_md5, fp_rolling): md5 of normalized text (replicable in SQL
     as md5(lower + strip punct + squash ws)) and a 64-bit polynomial
-    rolling hash of the normalized bytes."""
+    hash of the normalized bytes (vectorized numpy dot per doc)."""
 
     def f(tbl: pa.Table) -> pa.Table:
         texts = tbl.column(text_col).to_pylist()
         fps, rolls = [], []
         for t in texts:
-            n = _norm_text(t)
-            fps.append(hashlib.md5(n.encode("utf-8", "surrogatepass")).hexdigest())
-            h = np.uint64(1469598103934665603)
-            for b in n.encode("utf-8", "surrogatepass"):
-                h = np.uint64((int(h) ^ b) * 1099511628211 % (1 << 64))
-            rolls.append(int(h))
+            b = _norm_text(t).encode("utf-8", "surrogatepass")
+            fps.append(hashlib.md5(b).hexdigest())
+            rolls.append(_poly_hash(b))
         return pa.table({id_col: tbl.column(id_col),
                          "fp_md5": pa.array(fps, pa.string()),
                          "fp_rolling": pa.array(rolls, pa.uint64())})

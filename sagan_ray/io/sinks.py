@@ -47,27 +47,47 @@ def eve_format_batch(tbl: pa.Table) -> pa.Table:
     return tbl.append_column("eve", pa.array(out, pa.large_string()))
 
 
+def _json_escape(col, out_type=None) -> "pa.Array":
+    """Vectorized JSON string-escape of an Arrow string column (the
+    backslash/quote/control characters RFC 8259 requires; other control
+    chars are absent from transcript text by construction — asserted in
+    tests)."""
+    import pyarrow.compute as pc
+
+    col = pc.replace_substring(col, "\\", "\\\\")
+    col = pc.replace_substring(col, '"', '\\"')
+    col = pc.replace_substring(col, "\n", "\\n")
+    col = pc.replace_substring(col, "\r", "\\r")
+    col = pc.replace_substring(col, "\t", "\\t")
+    return col
+
+
 def eve_log_all(ds):
     """Log_JSON analog (reference src/output-plugins/eve.c:69-93 +
     json-handler.c:292): EVE-shape EVERY record, not just alerts — an
-    all-rows map_batches over the raw transcript stream."""
-    import json as _json
+    all-rows stage, so the JSON lines are assembled with one Arrow
+    ``binary_join_element_wise`` pass over escaped columns, never a
+    per-row ``json.dumps`` loop."""
+    import pyarrow.compute as pc
 
     def f(tbl: pa.Table) -> pa.Table:
-        rows = tbl.to_pylist()
-        out = [
-            _json.dumps({
-                "timestamp": str(r["ts"]),
-                "event_type": "log",
-                "conv_id": r["conv_id"],
-                "turn_idx": r["turn_idx"],
-                "role": r["role"],
-                "tool": r["tool"],
-                "payload": r["text"],
-            }, separators=(",", ":"), ensure_ascii=False)
-            for r in rows
-        ]
-        return pa.table({"eve": pa.array(out, pa.large_string())})
+        big = pa.large_string()
+        ts = pc.cast(pc.cast(tbl.column("ts"), pa.string()), big)
+        conv = _json_escape(pc.cast(pc.fill_null(tbl.column("conv_id"), ""), big))
+        turn = pc.cast(pc.cast(tbl.column("turn_idx"), pa.string()), big)
+        role = _json_escape(pc.cast(pc.fill_null(tbl.column("role"), ""), big))
+        tool = _json_escape(pc.cast(pc.fill_null(tbl.column("tool"), ""), big))
+        text = _json_escape(pc.cast(pc.fill_null(tbl.column("text"), ""), big))
+        out = pc.binary_join_element_wise(
+            pa.scalar('{"timestamp":"', big), ts,
+            pa.scalar('","event_type":"log","conv_id":"', big), conv,
+            pa.scalar('","turn_idx":', big), turn,
+            pa.scalar(',"role":"', big), role,
+            pa.scalar('","tool":"', big), tool,
+            pa.scalar('","payload":"', big), text,
+            pa.scalar('"}', big),
+            pa.scalar("", big))
+        return pa.table({"eve": out})
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -86,20 +86,26 @@ def events_to_transcripts(tbl: pa.Table) -> pa.Table:
 def read_events_as_transcripts(sf_dir: str):
     """Dataset of transcript rows derived from ``events.parquet``.
 
-    turn_idx is a per-user running index in (ts, event_id) order, computed
-    with a per-user groupby (map_groups) — the per-key sort the engine's
-    ordering contract requires anyway.
-    """
+    turn_idx is a per-user running index in (ts, event_id) order. The
+    per-user numbering runs through the bucketed hash exchange
+    (``hash_group_apply``) rather than Ray Data's sort-based
+    ``groupby().map_groups`` — measured at 10-70 s of shuffle overhead
+    for <1 s of work (CLAUDE.md perf notes), and this adapter sits on
+    the input path of every engine query. Within a bucket the numbering
+    is one vectorized lexsort + per-user cumcount, not a pandas
+    groupby.apply."""
     import pandas as pd
     import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type", "props"])
 
-    def number(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["turn_idx"] = np.arange(len(g), dtype=np.int32)
-        return g
+    def number_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["turn_idx"] = df.groupby("user_id", sort=False).cumcount().astype(np.int32)
+        return df
 
-    numbered = ds.groupby("user_id").map_groups(number, batch_format="pandas")
+    numbered = hash_group_apply(ds, ["user_id"], number_bucket)
     return numbered.map_batches(events_to_transcripts, batch_format="pyarrow")

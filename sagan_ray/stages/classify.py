@@ -156,7 +156,16 @@ class RuleClassifier:
                                    if r.action == "pass" and not r.is_stateful]
         self.stateful_pass_idx = [r.idx for r in ruleset
                                   if r.action == "pass" and r.is_stateful]
-        self._ip_memo: dict[str, object] = {}
+        # one RE2 alternation per intel table (compiled once per actor,
+        # one kernel pass per kind — not one pass per intel value, which
+        # is O(|feed|) kernel launches with a real 100k-entry feed)
+        import re as _re
+
+        self._intel_rx: dict[str, str | None] = {}
+        for table in ("domain", "url", "software", "filename"):
+            vals = sorted(self.lookups.intel_set(table))
+            self._intel_rx[table] = (
+                "|".join(_re.escape(v) for v in vals) if vals else None)
 
     # ------------------------------------------------------------------
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -291,10 +300,11 @@ class RuleClassifier:
             for kind, table in (("domain", "domain"), ("url", "url"),
                                 ("software", "software"), ("file_name", "filename")):
                 if kind in rule.zeekintel:
-                    vals = sorted(self.lookups.intel_set(table))
-                    m = np.zeros(n, dtype=bool)
-                    for v in vals:
-                        m |= pc.match_substring(text, v).to_numpy(
+                    rx = self._intel_rx[table]
+                    if rx is None:
+                        m = np.zeros(n, dtype=bool)
+                    else:
+                        m = pc.match_substring_regex(text, rx).to_numpy(
                             zero_copy_only=False).astype(bool, copy=False)
                     mask = _and(mask, m)
                     if not mask.any():
