@@ -1058,14 +1058,14 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing: deterministic media table → image-feature
-    actor-pool stage (decode kernel stubbed; see datapipe.multimodal)."""
+    """Multimodal: deterministic BMP media table → real image decode +
+    8×8 mean-pool feature in an actor pool (datapipe.multimodal)."""
     import ray.data as rd
 
     from ..datapipe.multimodal import media_pipeline, synth_media
 
     tbl = synth_media(200, seed=42)
-    out = media_pipeline(rd.from_arrow(tbl), fake=True).to_pandas()
+    out = media_pipeline(rd.from_arrow(tbl)).to_pandas()
     out["media_id"] = out["media_id"].astype("int64")
     out["feat_head"] = out["feature"].map(lambda v: round(float(v[0]), 6))
     return (out.sort_values("media_id").reset_index(drop=True)

@@ -261,12 +261,14 @@ def test_multimodal_plumbing():
         synth_media,
     )
 
+    from sagan_ray.datapipe.multimodal import FEATURE_DIM
+
     tbl = synth_media(60)
     ds = rd.from_arrow(tbl)
-    feats = media_pipeline(ds, fake=True).to_pandas()
-    assert (feats["feature"].map(len) == DecodeImages.FEATURE_DIM).all()
-    # determinism: same payload → same feature
-    f2 = media_pipeline(rd.from_arrow(tbl), fake=True).to_pandas()
+    feats = media_pipeline(ds).to_pandas()
+    assert (feats["feature"].map(len) == FEATURE_DIM).all()
+    # determinism: same payload → same feature (real BMP decode)
+    f2 = media_pipeline(rd.from_arrow(tbl)).to_pandas()
     m1 = dict(zip(feats["media_id"], feats["feature"].map(tuple)))
     m2 = dict(zip(f2["media_id"], f2["feature"].map(tuple)))
     assert m1 == m2
@@ -274,11 +276,67 @@ def test_multimodal_plumbing():
     frames = rd.from_arrow(tbl).map_batches(
         lambda t: t.filter(__import__("pyarrow").compute.equal(t.column("kind"), "video")),
         batch_format="pyarrow").map_batches(
-        SampleFrames, fn_constructor_kwargs={"fake": True},
-        batch_format="pyarrow", batch_size=16, concurrency=2).to_pandas()
+        SampleFrames, batch_format="pyarrow", batch_size=16,
+        concurrency=2).to_pandas()
     assert (frames["frame_ms"] % 1000 == 0).all()
+    # sampled frames are decodable BMPs
+    from sagan_ray.datapipe.multimodal import decode_bmp
+    img = decode_bmp(frames["frame"].iloc[0])
+    assert img.shape == (16, 16, 3)
 
-    # the non-fake stub must fail loudly, not silently fake
+    # unsupported formats fail loudly at the codec boundary
     with pytest.raises(Exception):
-        rd.from_arrow(tbl.slice(0, 4)).map_batches(
+        bad = tbl.slice(0, 4).set_column(
+            tbl.schema.get_field_index("payload"), "payload",
+            pa.array([b"\x89PNG fake"] * 4, pa.large_binary()))
+        rd.from_arrow(bad).map_batches(
             DecodeImages, batch_format="pyarrow", concurrency=1).materialize()
+
+
+def test_multimodal_codecs_roundtrip():
+    """BMP / WAV / SGV1 codecs round-trip exactly; resize caps dims."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.multimodal import (
+        DecodeAudio,
+        ResizeImages,
+        decode_bmp,
+        decode_sgv,
+        decode_wav,
+        encode_bmp,
+        encode_sgv,
+        encode_wav,
+        synth_media,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    x = np.sin(np.linspace(0, 20, 1600)).astype(np.float32) * 0.7
+    y, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and len(y) == len(x)
+    assert np.abs(y - x).max() < 1e-3           # PCM16 quantization only
+
+    frames = [encode_bmp(rng.integers(0, 256, (4, 4, 3)).astype(np.uint8))
+              for _ in range(3)]
+    back, interval = decode_sgv(encode_sgv(frames, 250))
+    assert back == frames and interval == 250
+
+    media = synth_media(40, seed=5)
+    imgs = media.filter(
+        __import__("pyarrow").compute.equal(media.column("kind"), "image"))
+    resized = rd.from_arrow(imgs).map_batches(
+        ResizeImages, fn_constructor_kwargs={"max_side": 16},
+        batch_format="pyarrow", batch_size=8, concurrency=2).to_pandas()
+    assert (resized["width"] <= 16).all() and (resized["height"] <= 16).all()
+    shp = decode_bmp(resized["payload"].iloc[0]).shape
+    assert shp[0] == resized["height"].iloc[0] and shp[1] == resized["width"].iloc[0]
+
+    auds = media.filter(
+        __import__("pyarrow").compute.equal(media.column("kind"), "audio"))
+    afeat = rd.from_arrow(auds).map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=8,
+        concurrency=2).to_pandas()
+    assert len(afeat) == len(auds) and (afeat["feature"].map(len) == 64).all()
+    assert (afeat["feature"].map(lambda v: v[0]) > 0).all()   # rms of a sine

@@ -144,3 +144,50 @@ def test_lagging_conv_state_survives_fast_conv(tmp_path):
     # run 3: lag probes at t=100 — its bit is still live
     got += _run(mk([("lag", 1, "login success", 100)]), state_dir)
     assert ("lag", 1, 2) in got
+
+
+def test_follow_loop_incremental(tmp_path):
+    """FIFO analog: files dropped between polls are processed exactly
+    once, with correlation state carried across polls — the combined
+    verdicts equal one oracle pass over the concatenated stream."""
+    import pyarrow.parquet as pq
+
+    from sagan_ray.sources.stream import follow, poll_once
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    rules = parse_rules(RULES)
+
+    pq.write_table(mk(ROWS[:5]), str(in_dir / "part-000.parquet"))
+    r1 = poll_once(str(in_dir), str(out_dir), rules, build_lookups(),
+                   EngineConfig())
+    assert r1["files"] == ["part-000.parquet"]
+
+    # second file arrives; verdicts depend on poll-1 state
+    run2 = [r for r in ROWS + ROWS2_EXPIRED
+            if (r[0], r[1]) not in {(x[0], x[1]) for x in ROWS[:5]}]
+    pq.write_table(mk(run2), str(in_dir / "part-001.parquet"))
+    results = list(follow(str(in_dir), str(out_dir), rules, build_lookups(),
+                          EngineConfig(), poll_seconds=0.01,
+                          idle_polls_to_stop=2))
+    assert [r["files"] for r in results] == [["part-001.parquet"]]
+
+    # re-poll: nothing new (manifest prevents reprocessing)
+    assert poll_once(str(in_dir), str(out_dir), rules, build_lookups(),
+                     EngineConfig())["files"] == []
+
+    import os
+
+    alert_dir = out_dir / "alerts"
+    got = collections.Counter()
+    for f in os.listdir(alert_dir):
+        for r in pq.read_table(os.path.join(alert_dir, f)).to_pylist():
+            got[(r["conv_id"], r["turn_idx"], r["sid"])] += 1
+    oracle = ReferenceEvaluator(parse_rules(RULES), build_lookups(),
+                                EngineConfig()).evaluate(
+        mk(ROWS + ROWS2_EXPIRED).to_pylist())
+    want = collections.Counter(
+        (c, t, s) for sink, s, c, t in oracle.routed if sink == "alert")
+    assert got == want
+    assert ("a", 4, 2) in got      # xbit isset only via carried state
