@@ -46,6 +46,10 @@ class Lookups:
     # bluedot offline category snapshot: kind → value → CATEGORY
     # (kinds: ip, hash, url, filename, ja3 — bluedot.c:736-1648)
     bluedot: dict[str, dict[str, str]] = field(default_factory=dict)
+    # offload predicate registry: name → callable(text, role, tool,
+    # ts_epoch) -> bool|str (the HTTP-offload analog, src/offload.c);
+    # callables must be picklable (broadcast via ray.put)
+    offload: dict[str, object] = field(default_factory=dict)
 
     def intel_set(self, kind: str) -> set[str]:
         return self.intel.get(kind, set())

@@ -204,6 +204,21 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
     if rule.tag is not None and not _prematch(rule.tag, rc.tool):
         return None
 
+    # ---- offload predicate (local UDF analog of src/offload.c:47-167;
+    # engine.c:777 runs it before the content checks; any failure —
+    # unknown name, raising predicate — is the curl-failure → false path)
+    if rule.offload is not None:
+        fn = lookups.offload.get(rule.offload)
+        if fn is None:
+            return None
+        try:
+            resp = fn(eff_text, eff_role, rc.tool, rc.now)
+        except Exception:
+            return None
+        ok = ("true" in resp.lower()) if isinstance(resp, str) else bool(resp)
+        if not ok:
+            return None
+
     # append_program: engine.c:595-627
     msg = f"{eff_text} | {eff_role}" if rule.append_program else eff_text
 

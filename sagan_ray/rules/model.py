@@ -300,6 +300,13 @@ class Rule:
     email: Optional[str] = None
     external: Optional[str] = None
 
+    # offload: name of a registered local UDF predicate (Lookups.offload)
+    # — the no-network analog of POSTing the record to an HTTP endpoint
+    # and continuing only on a "true" response (src/offload.c:47-167,
+    # parse rules.c:3709-3725). Unknown name / raising predicate ⇒ no
+    # match (the curl-failure → false path).
+    offload: Optional[str] = None
+
     # dynamic_load: path of a ruleset to load when this rule fires
     # (reference src/processors/dynamic-rules.c:61-185, parse
     # rules.c:1755-1778); consumed by pipelines.engine.run_engine_dynamic

@@ -378,6 +378,14 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
             if last_json is not None:
                 last_json.contains = True
 
+        elif name == "offload":
+            # "offload: location <name>" (rules.c:3709-3725) or bare name
+            v = val.strip()
+            if v.lower().startswith("location"):
+                v = v[len("location"):].strip()
+            if not v:
+                raise RuleParseError("offload needs a predicate name")
+            rule.offload = v
         elif name == "dynamic_load":
             # ruleset path, $VAR substituted (rules.c:1755-1778)
             p = val.strip()

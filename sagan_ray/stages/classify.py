@@ -123,6 +123,7 @@ class _RulePlan:
             self.needs_ips or rule.geoip_track or rule.blacklist
             or rule.zeekintel or rule.parse_hash or self.pcre_py
             or rule.json_maps or rule.normalize or rule.bluedot_kind
+            or rule.offload is not None
             or rule.proto not in ("any", "syslog")
             or rule.src_port_eq is not None or rule.dst_port_eq is not None
         )

@@ -197,3 +197,39 @@ alert any any any -> any any (msg:"nofire"; content:"zzz-not-present"; dynamic_l
     # detection still hits in pass 2; extra sid 20 hits; never-loaded 21
     # absent even though 'gamma' is present
     assert got == {10: 1, 20: 1}
+
+
+def _offload_retry(text, role, tool, now):
+    return "retry=" in text
+
+
+def _offload_stringy(text, role, tool, now):
+    return "TRUE" if role == "assistant" else "nope"
+
+
+def _offload_boom(text, role, tool, now):
+    raise RuntimeError("backend down")
+
+
+def test_offload_local_predicate():
+    """offload analog (src/offload.c:47-167): registered local UDF gates
+    the rule; stringy responses use the stristr-'true' contract; unknown
+    or raising predicates fail the rule (curl-failure path)."""
+    from sagan_ray.synth import build_lookups
+
+    lk = build_lookups()
+    lk.offload = {"retry": _offload_retry, "stringy": _offload_stringy,
+                  "boom": _offload_boom}
+    rules = """
+alert any any any -> any any (msg:"o1"; content:"ERROR"; offload: location retry; sid:1;)
+alert any any any -> any any (msg:"o2"; content:"ERROR"; offload: stringy; sid:2;)
+alert any any any -> any any (msg:"o3"; content:"ERROR"; offload: boom; sid:3;)
+alert any any any -> any any (msg:"o4"; content:"ERROR"; offload: unregistered; sid:4;)
+"""
+    tbl = mk([
+        ("a", 0, "ERROR: sort failed with timeout after 3s retry=1", 0),
+        ("a", 1, "ERROR: no retries here", 10),
+    ])
+    oracle, _ = run_both(rules, tbl, lookups=lk)
+    # mk() gives every row role 'assistant' → stringy passes both rows
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 2)]
