@@ -28,7 +28,6 @@ from ..config import EngineConfig, Lookups
 from ..functions.textutil import (
     EVENT_ID_HEAD,
     prematch_regex,
-    try_parse_json_text,
 )
 from ..oracle.evaluator import RowCache, match_stateless
 from ..rules.model import Rule, RuleSet
@@ -66,6 +65,52 @@ def _re2_ok(pattern: str) -> bool:
         return False
 
 
+def _required_literal(rx: str) -> tuple[str, bool] | None:
+    """A literal substring every match of ``rx`` must contain, or None.
+    Used to prefilter full-column RE2 scans with a (much cheaper, and
+    batch-memoized) substring scan. Conservative: bails on alternation,
+    groups and counted repeats; a literal char followed by a quantifier
+    is dropped from its run."""
+    body = rx
+    nocase = False
+    while body[:2] == "(?" and len(body) >= 4 and body[3] == ")":
+        if body[2] == "i":
+            nocase = True
+        body = body[4:]
+    if "|" in body or "(" in body or "{" in body:
+        return None
+    runs: list[str] = []
+    cur = ""
+    i = 0
+    n = len(body)
+    meta = set(".^$*+?()[]{}\\")
+    while i < n:
+        c = body[i]
+        if c in "*+?":
+            if cur:
+                cur = cur[:-1]      # quantified char is optional/repeated
+            runs.append(cur)
+            cur = ""
+            i += 1
+        elif c == "\\" and i + 1 < n and not body[i + 1].isalnum():
+            cur += body[i + 1]      # escaped literal (\. \/ …)
+            i += 2
+        elif c == "\\":             # char class (\d \w …) breaks the run
+            runs.append(cur)
+            cur = ""
+            i += 2
+        elif c in meta:
+            runs.append(cur)
+            cur = ""
+            i += 1
+        else:
+            cur += c
+            i += 1
+    runs.append(cur)
+    lit = max(runs, key=len)
+    return (lit, nocase) if len(lit) >= 4 else None
+
+
 class _RulePlan:
     """Per-rule compiled evaluation plan (built once per actor)."""
 
@@ -90,7 +135,7 @@ class _RulePlan:
             rx = ("(?i)" if mc.nocase else "") + "(?:" + alt + ")"
             self.meta_regexes.append((rx, mc.negated))
 
-        self.pcre_re2 = []       # (pattern_with_flags, negated)
+        self.pcre_re2 = []       # (pattern_with_flags, negated, literal|None)
         self.pcre_py = []        # (compiled, negated)
         for patom in rule.pcres:
             import re as _re
@@ -102,7 +147,7 @@ class _RulePlan:
             if patom.flags & _re.MULTILINE:
                 rx = "(?m)" + rx
             if _re2_ok(rx):
-                self.pcre_re2.append((rx, patom.negated))
+                self.pcre_re2.append((rx, patom.negated, _required_literal(rx)))
             else:
                 self.pcre_py.append((patom.compiled(), patom.negated))
 
@@ -226,16 +271,14 @@ class RuleClassifier:
             if not mask.any():
                 return mask
 
-        text = ctx.text(rule.append_program)
-
         # ---- content chain (src/content.c) ---------------------------
+        # masks are memoized per (window, pattern) in the batch ctx, so
+        # rules sharing an atom share one kernel pass
         prev_depth = 0
         for atom in rule.contents:
             start, stop = atom.window(prev_depth)
-            col = ctx.sliced(rule.append_program, start, stop)
-            m = pc.match_substring(col, atom.pattern,
-                                   ignore_case=atom.nocase).to_numpy(zero_copy_only=False)
-            m = m.astype(bool, copy=False)
+            m = ctx.content_mask(rule.append_program, start, stop,
+                                 atom.pattern, atom.nocase)
             if atom.negated:
                 m = ~m
             mask = _and(mask, m)
@@ -245,18 +288,18 @@ class RuleClassifier:
 
         # ---- meta_content (src/meta-content.c) -----------------------
         for rx, negated in plan.meta_regexes:
-            m = pc.match_substring_regex(text, rx).to_numpy(zero_copy_only=False)
-            m = m.astype(bool, copy=False)
+            m = ctx.regex_mask(rule.append_program, rx)
             if negated:
                 m = ~m
             mask = _and(mask, m)
             if not mask.any():
                 return mask
 
-        # ---- pcre via RE2 (src/pcre-s.c) -----------------------------
-        for rx, negated in plan.pcre_re2:
-            m = pc.match_substring_regex(text, rx).to_numpy(zero_copy_only=False)
-            m = m.astype(bool, copy=False)
+        # ---- pcre via RE2 (src/pcre-s.c); a required literal (if one
+        # exists) turns the full-column regex scan into a substring scan
+        # + a subset regex over the few literal-matching rows -----------
+        for rx, negated, lit in plan.pcre_re2:
+            m = ctx.regex_mask(rule.append_program, rx, literal=lit)
             if negated:
                 m = ~m
             mask = _and(mask, m)
@@ -305,14 +348,12 @@ class RuleClassifier:
                     if rx is None:
                         m = np.zeros(n, dtype=bool)
                     else:
-                        m = pc.match_substring_regex(text, rx).to_numpy(
-                            zero_copy_only=False).astype(bool, copy=False)
+                        m = ctx.regex_mask(rule.append_program, rx)
                     mask = _and(mask, m)
                     if not mask.any():
                         return mask
             if "file_hash" in rule.zeekintel:
-                m = pc.match_substring_regex(text, r"[0-9a-fA-F]{32}").to_numpy(
-                    zero_copy_only=False).astype(bool, copy=False)
+                m = ctx.regex_mask(rule.append_program, r"[0-9a-fA-F]{32}")
                 mask = _and(mask, m)
                 if not mask.any():
                     return mask
@@ -469,11 +510,13 @@ class _BatchCtx:
         self._eids = None
         self._dow = None
         self._hhmm = None
-        self._json: dict = {}
         self._rc: dict = {}
         # (rule_idx, row) → extracted-field dict, memoized by _residual
         # for reuse in _explode
         self.match_fields: dict = {}
+        # (kind, window, pattern) → full-column bool mask — rules sharing
+        # a content atom / regex share one kernel pass per batch
+        self._masks: dict = {}
 
     def text(self, append_program: bool):
         if not append_program:
@@ -528,12 +571,13 @@ class _BatchCtx:
             # RE2 over the first 12 chars, then enforce the 10-char window
             head = pc.utf8_slice_codeunits(self._text, start=0, stop=12)
             ext = pc.extract_regex(head, r"(?P<pre>^|.*?\s)(?P<eid>\d{1,10}):")
-            pre = pc.struct_field(ext, "pre").to_numpy(zero_copy_only=False)
-            eid = pc.struct_field(ext, "eid").to_numpy(zero_copy_only=False)
-            out = np.empty(len(eid), dtype=object)
-            for i in range(len(eid)):
-                e = eid[i]
-                out[i] = e if e is not None and len(pre[i]) <= EVENT_ID_HEAD else ""
+            eid_arr = pc.struct_field(ext, "eid")
+            valid = pc.and_kleene(
+                pc.is_valid(eid_arr),
+                pc.less_equal(pc.utf8_length(pc.struct_field(ext, "pre")),
+                              EVENT_ID_HEAD))
+            out = pc.if_else(pc.fill_null(valid, False), eid_arr,
+                             "").to_numpy(zero_copy_only=False)
             # oracle fallback (evaluator.py:226-228): when head extraction
             # fails and the message is a JSON object, use its flattened
             # `.event_id` key. Only JSON-candidate rows pay the parse —
@@ -566,10 +610,49 @@ class _BatchCtx:
             self._hhmm = (sec // 3600) * 100 + (sec % 3600) // 60
         return self._hhmm
 
+    def content_mask(self, append: bool, start: int, stop, pattern: str,
+                     nocase: bool) -> np.ndarray:
+        key = ("ct", append, start, stop, pattern, nocase)
+        m = self._masks.get(key)
+        if m is None:
+            col = self.sliced(append, start, stop)
+            m = pc.match_substring(col, pattern, ignore_case=nocase
+                                   ).to_numpy(zero_copy_only=False
+                                              ).astype(bool, copy=False)
+            self._masks[key] = m
+        return m
+
+    def regex_mask(self, append: bool, rx: str,
+                   literal: tuple[str, bool] | None = None) -> np.ndarray:
+        """Full-column regex mask, memoized. When the regex has a
+        required literal, scan for the literal first (substring kernel,
+        also memoized) and run the regex only on the matching subset —
+        rows without the literal cannot match, so the result is still
+        the exact full-column truth (and safely memoizable)."""
+        key = ("rx", append, rx)
+        m = self._masks.get(key)
+        if m is not None:
+            return m
+        col = self.text(append)
+        if literal is not None:
+            lit, lit_nocase = literal
+            lm = self.content_mask(append, 0, None, lit, lit_nocase)
+            idx = np.flatnonzero(lm)
+            if len(idx) * 8 < len(lm):
+                m = np.zeros(len(lm), dtype=bool)
+                if len(idx):
+                    sub = col.take(pa.array(idx, pa.int64()))
+                    m[idx] = pc.match_substring_regex(sub, rx).to_numpy(
+                        zero_copy_only=False).astype(bool, copy=False)
+                self._masks[key] = m
+                return m
+        m = pc.match_substring_regex(col, rx).to_numpy(
+            zero_copy_only=False).astype(bool, copy=False)
+        self._masks[key] = m
+        return m
+
     def json_row(self, i: int):
-        if i not in self._json:
-            self._json[i] = try_parse_json_text(self.texts_np()[i])
-        return self._json[i]
+        return self.row_cache(i).json()
 
     def row_cache(self, i: int) -> RowCache:
         """Per-row RowCache for match_stateless (shared across rules)."""
