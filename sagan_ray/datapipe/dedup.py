@@ -76,24 +76,81 @@ def _word_hash(w: str) -> int:
     return h
 
 
+_EMPTY_WORD_HASH: int | None = None
+
+
+def _empty_shingle() -> np.ndarray:
+    global _EMPTY_WORD_HASH
+    if _EMPTY_WORD_HASH is None:
+        _EMPTY_WORD_HASH = int(
+            pd.util.hash_array(np.array([""], dtype=object))[0]) % (1 << 61)
+    return np.array([_EMPTY_WORD_HASH], dtype=np.uint64)
+
+
+def _shingle_hashes_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Deterministic 61-bit word-k-shingle hashes for a whole batch: one
+    Arrow lower+split pass, ONE pandas hash_array pass over every word,
+    and a shifted-Horner combine over the flat word-hash array (shingle
+    windows never cross doc boundaries because only in-doc positions are
+    sliced). <k words → one shingle of the whole word sequence; empty →
+    the empty-sequence shingle. This is the hot kernel of every dedup
+    operator — no per-word python."""
+    import pyarrow.compute as pc_
+
+    n = len(texts)
+    if n == 0:
+        return []
+    col = pc_.utf8_lower(pa.array(texts, pa.large_string()))
+    la = pc_.split_pattern_regex(col, r"\s+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.values
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    wlen = pc_.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = wlen > 0                     # split can yield empty edge tokens
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    keep_cum = np.concatenate([[0], np.cumsum(keep)])
+    starts = keep_cum[offs[:-1]]
+    ends = keep_cum[offs[1:]]
+    wh = pd.util.hash_array(words.astype(object)).astype(np.uint64)
+    m = len(wh)
+    if m >= k:
+        acc = wh[: m - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _HORNER + wh[j: m - k + 1 + j]  # uint64 wrap = mod
+        acc %= np.uint64(_MERSENNE)
+    else:
+        acc = np.empty(0, np.uint64)
+    out: list[np.ndarray] = []
+    for d in range(n):
+        s, e = int(starts[d]), int(ends[d])
+        c = e - s
+        if c >= k:
+            out.append(acc[s: e - k + 1])
+        elif c > 0:
+            a = int(wh[s])
+            for j in range(s + 1, e):   # python ints: explicit 2^64 wrap
+                a = (a * 1099511628211 + int(wh[j])) & 0xFFFFFFFFFFFFFFFF
+            out.append(np.array([a % _MERSENNE], np.uint64))
+        else:
+            out.append(_empty_shingle())
+    return out
+
+
+_SHINGLE_CACHE: dict = {}
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Deterministic 61-bit hashes of word k-shingles — vectorized Horner
-    combine over memoized per-word hashes (no per-shingle digest)."""
-    words = _WORD_RE.findall(text.lower())
-    if not words:
-        return np.array([_word_hash("") % _MERSENNE], dtype=np.uint64)
-    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64,
-                     count=len(words))
-    if len(words) < k:
-        acc = wh[0]
-        for j in range(1, len(words)):
-            acc = acc * _HORNER + wh[j]
-        return np.array([acc % _MERSENNE], dtype=np.uint64)
-    n = len(words) - k + 1
-    acc = wh[:n].copy()
-    for j in range(1, k):
-        acc = acc * _HORNER + wh[j:j + n]     # uint64 wraparound is the mod
-    return acc % _MERSENNE
+    """Single-text wrapper over the batch kernel (ONE definition of the
+    shingle identity for candidates, verification and tests), memoized —
+    brute-force test oracles call it O(n²) times over few texts."""
+    key = (text, k)
+    v = _SHINGLE_CACHE.get(key)
+    if v is None:
+        if len(_SHINGLE_CACHE) > 100_000:
+            _SHINGLE_CACHE.clear()
+        v = _SHINGLE_CACHE[key] = _shingle_hashes_batch([text], k)[0]
+    return v
 
 
 def _minhash_params(n_perm: int, seed: int = 1234):
@@ -123,9 +180,10 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
     def sig_batch(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_pylist()
         texts = tbl.column(text_col).to_pylist()
+        all_sh = _shingle_hashes_batch(texts, k)
         out_id, out_band, out_key = [], [], []
-        for i, t in zip(ids, texts):
-            sig = _signature(_shingle_hashes(t, k), a_p, b_p)
+        for i, sh in zip(ids, all_sh):
+            sig = _signature(sh, a_p, b_p)
             for band in range(bands):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
@@ -203,7 +261,8 @@ def verify_pairs_jaccard(ds, cands, *, threshold: float,
     def corpus_rows(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_pylist()
         texts = tbl.column(text_col).to_pylist()
-        packed = [np.unique(_shingle_hashes(t, k)).tobytes() for t in texts]
+        packed = [np.unique(sh).tobytes()
+                  for sh in _shingle_hashes_batch(texts, k)]
         n = len(ids)
         return pa.table({
             "did": pa.array([int(i) for i in ids], pa.int64()),
@@ -307,15 +366,13 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
     import logging
 
     def explode(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_pylist()
+        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
         texts = tbl.column(text_col).to_pylist()
-        oid, osh = [], []
-        for i, t in zip(ids, texts):
-            sh = np.unique(_shingle_hashes(t, k))
-            oid.extend([int(i)] * len(sh))
-            osh.extend(sh.tolist())
-        return pa.table({"did": pa.array(oid, pa.int64()),
-                         "sh": pa.array(osh, pa.uint64())})
+        shs = [np.unique(sh) for sh in _shingle_hashes_batch(texts, k)]
+        counts = np.array([len(s) for s in shs], dtype=np.int64)
+        return pa.table({"did": pa.array(np.repeat(ids, counts), pa.int64()),
+                         "sh": pa.array(np.concatenate(shs) if shs else
+                                        np.empty(0, np.uint64), pa.uint64())})
 
     def postings_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sh", "did"], kind="mergesort")
