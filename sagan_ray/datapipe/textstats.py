@@ -21,7 +21,6 @@ import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
-_BPE_ISH = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
 STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
@@ -43,8 +42,9 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
         empty = pc.equal(pc.utf8_trim_whitespace(text), "")
         toks = pc.if_else(empty, pa.scalar(0, pa.int32()),
                           pc.cast(toks, pa.int32()))
-        texts = text.to_pylist()
-        sub = pa.array([len(_BPE_ISH.findall(t)) for t in texts], pa.int32())
+        # RE2 \w/\s are the ASCII classes the DuckDB oracle spells out —
+        # one vectorized count pass, no per-row findall
+        sub = pc.count_substring_regex(text, r"\w+|[^\w\s]")
         return pa.table({id_col: tbl.column(id_col),
                          "n_tokens": pc.cast(toks, pa.int64()),
                          "n_subwords": pc.cast(sub, pa.int64())})
@@ -153,7 +153,8 @@ def _poly_hash(data: bytes) -> int:
     if k == 0:
         return int(_POLY_SEED)
     pw = _poly_powers(k + 1)
-    h = _POLY_SEED * pw[k] + np.dot(arr, pw[k - 1::-1])
+    with np.errstate(over="ignore"):    # 2^64 wraparound is the modulus
+        h = _POLY_SEED * pw[k] + np.dot(arr, pw[k - 1::-1])
     return int(np.uint64(h))
 
 

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the vectorized kernels that have
+an independent scalar definition: batched shingle hashing, the pipe wire
+parser, the BMP codec, and the polynomial fingerprint hash. These hunt
+the boundary cases the fixture corpora don't reach (weird whitespace,
+short docs, malformed fields, odd image dims)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# text without newlines (wire lines) and without surrogates
+_line_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\n\r"),
+    max_size=60)
+_doc_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc_text, max_size=12), st.integers(2, 5))
+def test_shingle_batch_equals_single(texts, k):
+    """The batch kernel must agree with itself called one text at a time
+    (doc-boundary handling, empty/short docs, unicode whitespace)."""
+    from sagan_ray.datapipe.dedup import _shingle_hashes_batch
+
+    batch = _shingle_hashes_batch(texts, k)
+    for t, got in zip(texts, batch):
+        want = _shingle_hashes_batch([t], k)[0]
+        assert np.array_equal(got, want), (t, k)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.sampled_from(["conv-1", "c", ""]),                     # conv
+        st.sampled_from(["0", "17", "x", "-3", ""]),              # turn
+        _line_text,                                               # role
+        _line_text,                                               # tool
+        st.one_of(                                                # ts
+            st.datetimes(min_value=datetime(1990, 1, 1),
+                         max_value=datetime(2100, 1, 1)).map(
+                lambda d: d.replace(microsecond=0).isoformat()),
+            st.integers(0, 2 ** 31).map(str),
+            st.text(alphabet="abcdef ", max_size=8)),
+        _line_text,                                               # text
+        st.booleans()),                                           # truncate
+    max_size=10))
+def test_pipe_parser_matches_scalar_reference(rows):
+    """Vectorized pipe parse ≡ a straightforward per-row reference."""
+    from sagan_ray.sources.wire import (
+        _SENTINEL_TS,
+        PIPE_FIELDS,
+        _parse_ts,
+        parse_pipe_batch,
+    )
+
+    lines = []
+    for conv, turn, role, tool, ts, text, truncate in rows:
+        line = "|".join([conv, turn, role, tool, ts, text])
+        if truncate:
+            line = line.rsplit("|", 2)[0]      # drop fields → malformed
+        lines.append(line)
+    tbl = pa.table({"text": pa.array(lines, pa.large_string())})
+    got = parse_pipe_batch(tbl).to_pylist()
+
+    for line, g in zip(lines, got):
+        parts = line.split("|", PIPE_FIELDS - 1)
+        if len(parts) != PIPE_FIELDS:
+            assert g["malformed"] and g["text"] == line
+            continue
+        bad = False
+        try:
+            turn = int(parts[1])
+        except ValueError:
+            turn, bad = 0, True
+        t = _parse_ts(parts[4])
+        if t is None:
+            t, bad = _SENTINEL_TS, True
+        assert g["conv_id"] == parts[0]
+        assert g["turn_idx"] == turn
+        assert g["role"] == parts[2]
+        assert g["tool"] == parts[3]
+        assert g["text"] == parts[5]
+        assert g["malformed"] == bad
+        if not bad:
+            assert abs((g["ts"] - t) / timedelta(seconds=1)) < 1e-3, line
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2 ** 32 - 1))
+def test_bmp_roundtrip(h, w, seed):
+    from sagan_ray.datapipe.multimodal import decode_bmp, encode_bmp
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_poly_hash_equals_per_byte_fold(data):
+    """The vectorized dot-product polynomial hash must equal the scalar
+    left-fold definition h = (h·p + b) mod 2^64."""
+    from sagan_ray.datapipe.textstats import _POLY_P, _POLY_SEED, _poly_hash
+
+    h = int(_POLY_SEED)
+    for b in data:
+        h = (h * int(_POLY_P) + b) & 0xFFFFFFFFFFFFFFFF
+    assert _poly_hash(data) == h
