@@ -132,7 +132,8 @@ class EngineResult:
             return empty
         parts = [empty]
         for i, t in enumerate(ray.get(list(self.count_refs))):
-            parts.append(t.append_column("part", pa.array([f"p{i:05d}"] * len(t))))
+            parts.append(t.append_column(
+                "part", pa.array([f"p{i:05d}"] * len(t), pa.string())))
         return pa.concat_tables(parts)
 
     def routed_counts(self) -> dict[tuple[str, int], int]:

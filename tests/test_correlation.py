@@ -255,3 +255,25 @@ def test_hash_group_apply_refinement():
     b = refined.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 37        # every key aggregated exactly once
+
+
+def test_metrics_schema_consistent_with_empty_partials():
+    """Regression: empty count partials once appended a null-typed 'part'
+    column, breaking the metrics concat (and the job entry script)."""
+    import ray.data as rd
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import build_lookups
+
+    rules = parse_rules(XBIT)
+    # tiny input over many buckets → most partials empty
+    tbl = mk([("a", 0, "login failed", 0), ("b", 0, "nothing", 5)])
+    eng = run_engine(rd.from_arrow(tbl), rules, build_lookups(),
+                     EngineConfig(), batch_size=64)
+    eng.routed_counts()
+    m = eng.metrics()
+    assert m.schema.names == ["sid", "hits", "emits", "part"]
+    assert str(m.schema.field("part").type) == "string"
+    assert m.num_rows >= 1
