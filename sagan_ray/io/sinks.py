@@ -23,28 +23,34 @@ import pyarrow as pa
 def eve_format_batch(tbl: pa.Table) -> pa.Table:
     """Shape routed rows as Suricata-EVE-style JSON strings (the
     Format_JSON_Alert_EVE analog, src/json-handler.c:54-232: timestamp,
-    flow/correlation id, signature block, payload)."""
-    n = len(tbl)
-    cols = {name: tbl.column(name).to_pylist()
-            for name in ("conv_id", "turn_idx", "sid", "ts_epoch", "src_ip",
-                         "dst_ip", "src_port", "dst_port", "text", "role", "tool")}
-    out = []
-    for i in range(n):
-        out.append(json.dumps({
-            "timestamp": cols["ts_epoch"][i],
-            "event_type": "alert",
-            "conv_id": cols["conv_id"][i],
-            "turn_idx": cols["turn_idx"][i],
-            "src_ip": cols["src_ip"][i],
-            "src_port": cols["src_port"][i],
-            "dest_ip": cols["dst_ip"][i],
-            "dest_port": cols["dst_port"][i],
-            "alert": {"signature_id": cols["sid"][i], "rev": 1},
-            "role": cols["role"][i],
-            "tool": cols["tool"][i],
-            "payload": cols["text"][i],
-        }, separators=(",", ":"), ensure_ascii=False))
-    return tbl.append_column("eve", pa.array(out, pa.large_string()))
+    flow/correlation id, signature block, payload). Assembled with one
+    Arrow ``binary_join_element_wise`` pass over escaped columns — this
+    formats EVERY routed alert, so no per-row json.dumps."""
+    import pyarrow.compute as pc
+
+    big = pa.large_string()
+
+    def s(name):
+        return pc.cast(pc.cast(tbl.column(name), pa.string()), big)
+
+    def esc(name):
+        return _json_escape(pc.cast(pc.fill_null(tbl.column(name), ""), big))
+
+    out = pc.binary_join_element_wise(
+        pa.scalar('{"timestamp":', big), s("ts_epoch"),
+        pa.scalar(',"event_type":"alert","conv_id":"', big), esc("conv_id"),
+        pa.scalar('","turn_idx":', big), s("turn_idx"),
+        pa.scalar(',"src_ip":"', big), esc("src_ip"),
+        pa.scalar('","src_port":', big), s("src_port"),
+        pa.scalar(',"dest_ip":"', big), esc("dst_ip"),
+        pa.scalar('","dest_port":', big), s("dst_port"),
+        pa.scalar(',"alert":{"signature_id":', big), s("sid"),
+        pa.scalar(',"rev":1},"role":"', big), esc("role"),
+        pa.scalar('","tool":"', big), esc("tool"),
+        pa.scalar('","payload":"', big), esc("text"),
+        pa.scalar('"}', big),
+        pa.scalar("", big))
+    return tbl.append_column("eve", out)
 
 
 def _json_escape(col, out_type=None) -> "pa.Array":
