@@ -62,6 +62,17 @@ def _rand_rule(rng: np.random.Generator, sid: int) -> str:
     if rng.integers(0, 10) == 0:
         opts.append('json_map:"program",".severity"')
     if rng.integers(0, 6) == 0:
+        opts.append("normalize")
+    if rng.integers(0, 10) == 0:
+        kind = rng.choice(["ip_reputation", "file_hash", "filename"])
+        cats = rng.choice(["MALICIOUS", "MALICIOUS,TOR", "RANSOMWARE"])
+        if kind == "ip_reputation":
+            tr = rng.choice(["by_src", "all"])
+            opts.append("parse_src_ip:1")
+            opts.append(f"bluedot: type ip_reputation, track {tr}, none, {cats}")
+        else:
+            opts.append(f"bluedot: type {kind}, {cats}")
+    if rng.integers(0, 6) == 0:
         days = "".join(sorted(set(str(d) for d in rng.integers(0, 7, size=4))))
         a, b = int(rng.integers(0, 2400)), int(rng.integers(0, 2400))
         opts.append(f"alert_time: days {days}, hours {a:04d}-{b:04d}")
