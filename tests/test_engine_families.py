@@ -57,3 +57,19 @@ def test_second_seed_parity():
     tbl2 = gen_transcripts(3000, seed=99)
     run_both("correlate.rules", tbl2)
     run_both("routing.rules", tbl2)
+
+
+def test_bench_ruleset_parity():
+    """The production-sized bench ruleset (107 rules: content/meta/pcre/
+    json/enrich/correlation mix) against the oracle on synthetic
+    transcripts — the most realistic rule mix gets the same parity gate
+    as the per-family fixtures."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import BENCH_RULES
+
+    tbl = gen_transcripts(6000, seed=1234)
+    run_both(BENCH_RULES, tbl,
+             config=EngineConfig(ignore_list=("DEBUG heartbeat",)))
