@@ -207,10 +207,18 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
         # transfers in the exchange; raise for bigger clusters/inputs
         n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
         if state_dir is not None:
-            from ..state.snapshot import check_state_meta, write_state_meta
+            from ..state.snapshot import read_state_meta, write_state_meta
 
-            check_state_meta(state_dir, n_buckets)
-            write_state_meta(state_dir, n_buckets)
+            # the first run fixes the bucket layout for the state dir;
+            # later incremental runs ADOPT it regardless of session size
+            # (the conv→bucket mapping must match the stored snapshots —
+            # the layout-compatibility rule the reference enforces on its
+            # mmap files, ipc.c:504-517)
+            stored = read_state_meta(state_dir)
+            if stored is not None:
+                n_buckets = stored
+            else:
+                write_state_meta(state_dir, n_buckets)
         matches, count_refs = _correlate_exchange(
             matches, ruleset, n_buckets, state_dir=state_dir,
             max_bucket_bytes=max_bucket_bytes)

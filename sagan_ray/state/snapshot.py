@@ -129,14 +129,18 @@ def write_state_meta(state_dir: str, n_buckets: int) -> None:
         json.dump({"n_buckets": n_buckets, "v": 1}, f)
 
 
-def check_state_meta(state_dir: str, n_buckets: int) -> None:
+def read_state_meta(state_dir: str) -> int | None:
+    """The bucket count this state dir was written with (None if new).
+    Raises on an unusable value — the version check the reference applies
+    to its mmap files (ipc.c:504-517)."""
     p = os.path.join(state_dir, "_STATE.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            meta = json.load(f)
-        if meta.get("n_buckets") != n_buckets:
-            raise ValueError(
-                f"state_dir was written with n_buckets={meta.get('n_buckets')}, "
-                f"current engine uses {n_buckets} — bucket layouts must match "
-                "(the version check the reference applies to its mmap files, "
-                "ipc.c:504-517)")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        meta = json.load(f)
+    n = meta.get("n_buckets")
+    if not isinstance(n, int) or not (1 <= n <= 4096):
+        raise ValueError(
+            f"state_dir metadata is corrupt (n_buckets={n!r}); refusing to "
+            "guess a bucket layout — delete the state dir to start fresh")
+    return n

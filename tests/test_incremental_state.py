@@ -115,7 +115,9 @@ def test_state_files_written_and_pruned(tmp_path):
     assert any(r["kind"] == "xbit" and r["expire"] > 10_000_000 for r in rows2)
 
 
-def test_state_meta_mismatch_raises(tmp_path):
+def test_state_meta_adopted_and_corruption_raises(tmp_path):
+    """A state dir's bucket layout is fixed by its first run: later runs
+    adopt it regardless of session size; corrupt metadata raises."""
     import json
     import os
 
@@ -125,7 +127,13 @@ def test_state_meta_mismatch_raises(tmp_path):
     state_dir = str(tmp_path / "st")
     os.makedirs(state_dir)
     with open(os.path.join(state_dir, "_STATE.json"), "w") as f:
-        json.dump({"n_buckets": 999, "v": 1}, f)
+        json.dump({"n_buckets": 7, "v": 1}, f)   # unusual but valid
+    _run(mk(ROWS[:2]), state_dir)
+    assert sum(1 for d in os.listdir(state_dir)
+               if d.startswith("bucket=")) <= 7   # adopted layout
+
+    with open(os.path.join(state_dir, "_STATE.json"), "w") as f:
+        json.dump({"n_buckets": "bogus", "v": 1}, f)
     with pytest.raises(ValueError):
         run_engine(rd.from_arrow(mk(ROWS[:2])), parse_rules(RULES),
                    build_lookups(), EngineConfig(), state_dir=state_dir)

@@ -226,3 +226,22 @@ def test_pipe_parse_vectorized_parity_edges():
     assert out[3]["text"] == "no pipes at all"   # raw line preserved
     assert out[4]["text"] == "tail|with|extra|pipes"
     assert out[4]["ts"].year == 2024             # epoch fallback
+
+
+def test_gzip_pipe_lines(tmp_path):
+    """GZIP file input (reference File_Input reads .gz transparently):
+    ray.data.read_text decompresses by extension; the pipe parser sees
+    identical lines."""
+    import gzip
+
+    from sagan_ray.sources.wire import read_pipe_lines
+
+    lines = [f"c{i % 3}|{i}|user|bash|2024-03-01T10:00:{i % 60:02d}|msg {i}"
+             for i in range(200)]
+    p = tmp_path / "wire.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    out = read_pipe_lines(str(p)).to_pandas()
+    assert len(out) == 200 and not out["malformed"].any()
+    assert set(out["conv_id"]) == {"c0", "c1", "c2"}
+    assert out["text"].iloc[0].startswith("msg ")
