@@ -235,15 +235,20 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
             return None
         prev_depth = atom.depth
 
-    # ---- meta_content (OR-list, src/meta-content.c:159-224) -----------
+    # ---- meta_content (OR-list, src/meta-content.c:159-224; window
+    # slices mirror the content quirks, meta-content.c:74-130) ----------
+    meta_prev_depth = 0
     for mc in rule.meta_contents:
+        start, stop = mc.window(meta_prev_depth)
+        win = msg[start:stop]
         if mc.nocase:
-            low = msg.lower()
+            low = win.lower()
             found = any(p.lower() in low for p in mc.patterns)
         else:
-            found = any(p in msg for p in mc.patterns)
+            found = any(p in win for p in mc.patterns)
         if found == mc.negated:
             return None
+        meta_prev_depth = mc.depth
 
     # ---- pcre (AND, src/pcre-s.c:39-68) -------------------------------
     for patom in rule.pcres:
@@ -304,6 +309,10 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
     proto = base.get("proto", "")
     if rule.parse_proto and not proto:
         proto = infer_proto(eff_text) if remapped else rc.proto_inferred()
+    if rule.parse_proto_program and not proto:
+        # keyword inference over the program/role value
+        # (proto.c Parse_Proto_Program)
+        proto = infer_proto(eff_role)
     if not proto:
         proto = rule.default_proto
 

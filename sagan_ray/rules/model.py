@@ -84,11 +84,23 @@ class ContentAtom:
 class MetaContent:
     """One ``meta_content:"tmpl %sagan%", v1, v2`` option — an OR-list of
     substrings substituted into the template (reference
-    src/meta-content.c:51-224, parse src/rules.c:1913-2012)."""
+    src/meta-content.c:51-224, parse src/rules.c:1913-2012).
+
+    meta_offset/meta_depth/meta_distance/meta_within carry the SAME
+    static-slice window semantics as content (meta-content.c:74-130
+    mirrors content.c:65-117 including the depth+2/within+1 strlcpy
+    quirks and distance chaining off the PREVIOUS meta atom's depth)."""
 
     patterns: list[str]
     nocase: bool = False
     negated: bool = False
+    offset: int = 0
+    depth: int = 0
+    distance: int = 0
+    within: int = 0
+
+    # identical slice arithmetic to ContentAtom.window
+    window = ContentAtom.window
 
 
 @dataclass
@@ -250,6 +262,9 @@ class Rule:
     parse_dst_ip: int = 0
     parse_port: bool = False
     parse_proto: bool = False
+    # infer proto from the program/role value instead of the message
+    # (src/parsers/proto.c Parse_Proto_Program)
+    parse_proto_program: bool = False
     parse_hash: Optional[str] = None    # 'md5'|'sha1'|'sha256'
     default_proto: str = ""
     default_src_port: int = 0

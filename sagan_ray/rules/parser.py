@@ -254,7 +254,7 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
             rule.rev = int(val)
         elif name == "classtype":
             rule.classtype = _unquote(val)
-        elif name == "priority":
+        elif name in ("priority", "pri"):   # rules.c accepts both
             rule.priority = int(val)
         elif name == "reference":
             rule.reference.append(_unquote(val))
@@ -262,9 +262,13 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
             rule.metadata = _unquote(val)
         elif name == "program":
             rule.program = _unquote(val)
-        elif name == "facility":
+        elif name in ("facility", "syslog_facility",
+                      # level/priority prematch fields share the tool
+                      # mapping (SURVEY §1.3: facility/level/priority/tag
+                      # all collapse onto the transcript's tool column)
+                      "syslog_level", "syslog_priority"):
             rule.facility = _unquote(val)
-        elif name == "tag":
+        elif name in ("tag", "syslog_tag"):
             rule.tag = _unquote(val)
         elif name == "append_program":
             rule.append_program = True
@@ -311,6 +315,11 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
         elif name == "meta_nocase":
             if last_meta is not None:
                 last_meta.nocase = True
+        elif name in ("meta_offset", "meta_depth", "meta_distance",
+                      "meta_within"):
+            if last_meta is None:
+                raise RuleParseError(f"{name} without meta_content")
+            setattr(last_meta, name[len("meta_"):], int(val))
 
         # ---- pcre ----------------------------------------------------
         elif name == "pcre":
@@ -337,9 +346,12 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
         elif name == "json_contains":
             if last_json is not None:
                 last_json.contains = True
-        elif name == "json_decode_base64":
-            # decode the JSON value from base64 before matching
-            # (reference src/json-content.c json_decode_base64 modifier)
+        elif name in ("json_decode_base64", "json_decode_base64_meta",
+                      "json_decode_base64_pcre"):
+            # decode the JSON value from base64 before matching; the
+            # reference spells a per-kind variant for meta/pcre atoms
+            # (rules.c json_decode_base64_meta / _pcre) — all three bind
+            # to the most recent json atom here
             if last_json is not None:
                 last_json.decode_base64 = True
         elif name == "json_pcre":
@@ -406,6 +418,8 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
             rule.parse_port = True
         elif name == "parse_proto":
             rule.parse_proto = True
+        elif name == "parse_proto_program":
+            rule.parse_proto_program = True
         elif name == "parse_hash":
             rule.parse_hash = val.strip().lower()
         elif name == "default_proto":

@@ -128,12 +128,12 @@ class _RulePlan:
             tools.append(prematch_regex(rule.tag).pattern)
         self.prematch_tool = tools
 
-        # meta_content → one RE2 alternation per atom
+        # meta_content → one RE2 alternation per atom (with its window)
         self.meta_regexes = []
         for mc in rule.meta_contents:
             alt = "|".join(__import__("re").escape(p) for p in mc.patterns)
             rx = ("(?i)" if mc.nocase else "") + "(?:" + alt + ")"
-            self.meta_regexes.append((rx, mc.negated))
+            self.meta_regexes.append((rx, mc))
 
         self.pcre_re2 = []       # (pattern_with_flags, negated, literal|None)
         self.pcre_py = []        # (compiled, negated)
@@ -286,14 +286,17 @@ class RuleClassifier:
                 return mask
             prev_depth = atom.depth
 
-        # ---- meta_content (src/meta-content.c) -----------------------
-        for rx, negated in plan.meta_regexes:
-            m = ctx.regex_mask(rule.append_program, rx)
-            if negated:
+        # ---- meta_content (src/meta-content.c; content-style windows) -
+        meta_prev_depth = 0
+        for rx, mc in plan.meta_regexes:
+            start, stop = mc.window(meta_prev_depth)
+            m = ctx.regex_mask(rule.append_program, rx, start=start, stop=stop)
+            if mc.negated:
                 m = ~m
             mask = _and(mask, m)
             if not mask.any():
                 return mask
+            meta_prev_depth = mc.depth
 
         # ---- pcre via RE2 (src/pcre-s.c); a required literal (if one
         # exists) turns the full-column regex scan into a substring scan
@@ -623,20 +626,22 @@ class _BatchCtx:
         return m
 
     def regex_mask(self, append: bool, rx: str,
-                   literal: tuple[str, bool] | None = None) -> np.ndarray:
-        """Full-column regex mask, memoized. When the regex has a
-        required literal, scan for the literal first (substring kernel,
-        also memoized) and run the regex only on the matching subset —
-        rows without the literal cannot match, so the result is still
-        the exact full-column truth (and safely memoizable)."""
-        key = ("rx", append, rx)
+                   literal: tuple[str, bool] | None = None,
+                   start: int = 0, stop=None) -> np.ndarray:
+        """Full-column regex mask over the (start, stop) window, memoized.
+        When the regex has a required literal, scan for the literal first
+        (substring kernel, also memoized) and run the regex only on the
+        matching subset — rows without the literal cannot match, so the
+        result is still the exact full-column truth (and safely
+        memoizable)."""
+        key = ("rx", append, rx, start, stop)
         m = self._masks.get(key)
         if m is not None:
             return m
-        col = self.text(append)
+        col = self.sliced(append, start, stop)
         if literal is not None:
             lit, lit_nocase = literal
-            lm = self.content_mask(append, 0, None, lit, lit_nocase)
+            lm = self.content_mask(append, start, stop, lit, lit_nocase)
             idx = np.flatnonzero(lm)
             if len(idx) * 8 < len(lm):
                 m = np.zeros(len(lm), dtype=bool)

@@ -233,3 +233,74 @@ alert any any any -> any any (msg:"o4"; content:"ERROR"; offload: unregistered; 
     oracle, _ = run_both(rules, tbl, lookups=lk)
     # mk() gives every row role 'assistant' → stringy passes both rows
     assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2), ("a", 1, 2)]
+
+
+def test_meta_content_windows_and_aliases():
+    """meta_offset/depth/distance/within mirror the content window quirks
+    (meta-content.c:74-130); syslog_* prematch aliases map to the tool
+    column; pri ≡ priority; parse_proto_program infers from role."""
+    import pyarrow as pa
+
+    from sagan_ray.rules import parse_rules
+
+    rules = """
+alert any any any -> any any (msg:"mw off"; meta_content:"%sagan%",beta,zeta; meta_offset:6; sid:1;)
+alert any any any -> any any (msg:"mw depth"; meta_content:"%sagan%",beta; meta_depth:8; sid:2;)
+alert any any any -> any any (msg:"chain"; meta_content:"%sagan%",alpha; meta_depth:5; meta_content:"%sagan%",gamma; meta_distance:1; sid:3;)
+alert any any any -> any any (msg:"alias"; syslog_facility:"daemon"; content:"alpha"; pri:3; sid:4;)
+alert tcp any any -> any any (msg:"ppp"; content:"alpha"; parse_proto_program; sid:5;)
+"""
+    rs = parse_rules(rules)
+    assert rs.rules[3].priority == 3 and rs.rules[3].facility == "daemon"
+    assert rs.rules[4].parse_proto_program
+
+    from datetime import datetime, timedelta
+
+    from sagan_ray.synth import SCHEMA
+
+    def row(conv, idx, text, role, tool, off):
+        return (conv, idx, text, role, tool, off)
+
+    rows = [
+        # "alpha beta gamma": beta starts at 6 → meta_offset 6 hits sid1;
+        # depth 8 keeps first 9 chars "alpha bet" → no "beta"? "alpha bet"
+        # lacks full "beta"... chars 0..8 = "alpha bet" → miss for sid2
+        ("a", 0, "alpha beta gamma", "assistant", "daemon", 0),
+        # sid3: atom1 "alpha" in depth-5 window "alpha " (depth 5 → first
+        # 6 chars); atom2 distance 1 → window starts at 5+1+1=7 →
+        # "eta gamma" contains gamma → hit
+        ("a", 1, "alpha beta gamma x", "assistant", "", 10),
+        # ssh role → parse_proto_program infers tcp → sid5 matches
+        ("a", 2, "alpha", "ssh", "", 20),
+        # plain role → no proto → sid5 misses
+        ("a", 3, "alpha", "assistant", "", 30),
+    ]
+    T0 = datetime(2024, 3, 1)
+    tbl = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[3] for r in rows],
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+        "tool": [r[4] for r in rows],
+        "ts": [T0 + timedelta(seconds=r[5]) for r in rows],
+    }, schema=SCHEMA)
+    oracle, _ = run_both(rs, tbl)
+    got = hits_of(oracle)
+    assert ("a", 0, 1) in got          # offset window finds beta
+    assert ("a", 0, 2) not in got      # depth window cuts beta short
+    assert ("a", 1, 3) in got          # chained distance window
+    assert ("a", 0, 4) in got          # syslog_facility alias vs tool
+    assert ("a", 2, 5) in got and ("a", 3, 5) not in got
+
+
+def test_json_decode_base64_kind_variants():
+    import base64
+
+    secret = base64.b64encode(b"attack-string").decode()
+    rules = """
+alert any any any -> any any (msg:"meta b64"; json_meta_content:".p",attack-string,other; json_decode_base64_meta; sid:1;)
+alert any any any -> any any (msg:"pcre b64"; json_pcre:".p","/attack-s/"; json_decode_base64_pcre; sid:2;)
+"""
+    tbl = mk([("a", 0, json.dumps({"p": secret}), 0)])
+    oracle, _ = run_both(rules, tbl)
+    assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2)]

@@ -37,6 +37,14 @@ def _rand_rule(rng: np.random.Generator, sid: int) -> str:
         opts.append(f'meta_content:"%sagan%",{w1},{w2}')
         if rng.integers(0, 2) == 0:
             opts.append("meta_nocase")
+        if rng.integers(0, 3) == 0:
+            opts.append(f"meta_offset:{int(rng.integers(0, 25))}")
+        if rng.integers(0, 3) == 0:
+            opts.append(f"meta_depth:{int(rng.integers(1, 40))}")
+        if rng.integers(0, 4) == 0:
+            opts.append(f"meta_distance:{int(rng.integers(1, 10))}")
+            if rng.integers(0, 2) == 0:
+                opts.append(f"meta_within:{int(rng.integers(1, 30))}")
     if rng.integers(0, 3) == 0:
         w = WORDS[int(rng.integers(0, len(WORDS)))]
         opts.append(f'pcre:"/{w} \\w+/"')
