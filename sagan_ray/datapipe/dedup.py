@@ -356,19 +356,30 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
     """Similar pairs by exact word-k-shingle Jaccard via inverted-shingle
     candidate generation + exact verification join.
 
-    Skew guard: a shingle shared by more than ``max_posting`` docs (a
-    stop-shingle) would produce O(n²) candidate pairs in one bucket; such
-    posting lists are dropped from candidate generation (count logged).
-    Verification stays exact — dropped shingles still count in each doc's
-    shingle set — so results only change for pairs whose EVERY shared
-    shingle is a stop-shingle (impossible at high thresholds in practice;
-    the fixture's max posting list is ~7)."""
+    Prefix filter (PPJoin-style, exactness-preserving): with shingles in
+    a canonical order (ascending hash), any pair with J ≥ t must share a
+    shingle within each doc's first ``L - ⌈t·L⌉ + 1`` shingles — only
+    those prefix shingles enter the inverted index, cutting posting
+    volume ~(1-t)× and candidate pairs quadratically. Verification is
+    exact over the FULL shingle sets, so no true pair is lost.
+
+    Skew guard: a shingle still shared by more than ``max_posting`` docs
+    (a stop-shingle) would produce O(n²) candidate pairs in one bucket;
+    such posting lists are dropped from candidate generation (count
+    logged). Results then only change for pairs whose EVERY shared
+    prefix shingle is a stop-shingle (impossible at high thresholds in
+    practice; the fixture's max posting list is ~7)."""
     import logging
+    import math
 
     def explode(tbl: pa.Table) -> pa.Table:
         ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
         texts = tbl.column(text_col).to_pylist()
-        shs = [np.unique(sh) for sh in _shingle_hashes_batch(texts, k)]
+        shs = []
+        for sh in _shingle_hashes_batch(texts, k):
+            u = np.unique(sh)                    # sorted = canonical order
+            p = len(u) - math.ceil(threshold * len(u)) + 1
+            shs.append(u[:max(1, p)])
         counts = np.array([len(s) for s in shs], dtype=np.int64)
         return pa.table({"did": pa.array(np.repeat(ids, counts), pa.int64()),
                          "sh": pa.array(np.concatenate(shs) if shs else
