@@ -213,6 +213,32 @@ class RuleClassifier:
             self._intel_rx[table] = (
                 "|".join(_re.escape(v) for v in vals) if vals else None)
 
+        # content-atom union groups: all positive atoms sharing a
+        # (window, nocase) get ONE union-alternation prescan per batch;
+        # per-pattern substring scans then run only on the union-match
+        # subset (a row outside the union can't match any member, so the
+        # per-pattern result is still exact full-column truth). With
+        # many rare-hit signatures this collapses N full scans into one
+        # scan + N tiny ones.
+        from collections import defaultdict
+
+        grp: dict = defaultdict(set)
+        for plan in self.plans:
+            prev = 0
+            for atom in plan.rule.contents:
+                start, stop = atom.window(prev)
+                if not atom.negated:
+                    grp[(plan.rule.append_program, start, stop,
+                         atom.nocase)].add(atom.pattern)
+                prev = atom.depth
+        # key → (union_regex, member_pattern_set); the subset trick is
+        # only valid for member patterns (a negated atom's pattern may
+        # share the window without being in the union)
+        self.content_groups = {
+            key: (("(?i)" if key[3] else "") + "(?:" + "|".join(
+                _re.escape(p) for p in sorted(pats)) + ")", frozenset(pats))
+            for key, pats in grp.items() if len(pats) >= 3}
+
     # ------------------------------------------------------------------
     def __call__(self, tbl: pa.Table) -> pa.Table:
         tbl = _drop_invalid(tbl, self.config)
@@ -226,7 +252,8 @@ class RuleClassifier:
         ts_epoch = (tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
                     // 1_000_000)
 
-        ctx = _BatchCtx(text_col, role_np, tool_np, ts_epoch)
+        ctx = _BatchCtx(text_col, role_np, tool_np, ts_epoch,
+                        content_groups=self.content_groups)
 
         hit_rows: list[np.ndarray] = []
         hit_rules: list[int] = []
@@ -501,11 +528,13 @@ class RuleClassifier:
 # ----------------------------------------------------------------------
 
 class _BatchCtx:
-    def __init__(self, text_col: pa.ChunkedArray, role_np, tool_np, ts_epoch):
+    def __init__(self, text_col: pa.ChunkedArray, role_np, tool_np, ts_epoch,
+                 content_groups: dict | None = None):
         self._text = text_col
         self.role_np = role_np
         self.tool_np = tool_np
         self.ts_epoch = ts_epoch
+        self._content_groups = content_groups or {}
         self._texts_np = None
         self._append = None
         self._slices: dict = {}
@@ -617,12 +646,39 @@ class _BatchCtx:
                      nocase: bool) -> np.ndarray:
         key = ("ct", append, start, stop, pattern, nocase)
         m = self._masks.get(key)
-        if m is None:
-            col = self.sliced(append, start, stop)
-            m = pc.match_substring(col, pattern, ignore_case=nocase
-                                   ).to_numpy(zero_copy_only=False
-                                              ).astype(bool, copy=False)
-            self._masks[key] = m
+        if m is not None:
+            return m
+        col = self.sliced(append, start, stop)
+        gkey = (append, start, stop, nocase)
+        grp = self._content_groups.get(gkey)
+        if grp is not None and pattern in grp[1]:
+            grp_rx = grp[0]
+            # union prescan: one pass for the whole (window, nocase)
+            # group, then this pattern only on the union-match subset
+            gm = self._masks.get(("grp", gkey))
+            if gm is None:
+                gm = pc.match_substring_regex(col, grp_rx).to_numpy(
+                    zero_copy_only=False).astype(bool, copy=False)
+                self._masks[("grp", gkey)] = gm
+                if gm.mean() > 0.25:
+                    # hot union: subsetting can't pay for itself — stop
+                    # paying the prescan on future batches (the dict is
+                    # shared with the worker-held classifier)
+                    self._content_groups.pop(gkey, None)
+            idx = np.flatnonzero(gm)
+            if len(idx) * 4 < len(gm):
+                m = np.zeros(len(gm), dtype=bool)
+                if len(idx):
+                    sub = col.take(pa.array(idx, pa.int64()))
+                    m[idx] = pc.match_substring(
+                        sub, pattern, ignore_case=nocase).to_numpy(
+                        zero_copy_only=False).astype(bool, copy=False)
+                self._masks[key] = m
+                return m
+        m = pc.match_substring(col, pattern, ignore_case=nocase
+                               ).to_numpy(zero_copy_only=False
+                                          ).astype(bool, copy=False)
+        self._masks[key] = m
         return m
 
     def regex_mask(self, append: bool, rx: str,
