@@ -264,10 +264,13 @@ def verify_pairs_jaccard(ds, cands, *, threshold: float,
         packed = [np.unique(sh).tobytes()
                   for sh in _shingle_hashes_batch(texts, k)]
         n = len(ids)
+        # corpus rows use a = b = -1 rather than nulls so the int64 id
+        # columns never round-trip through pandas float64 (which would
+        # corrupt ids above 2^53); requires non-negative doc ids
         return pa.table({
             "did": pa.array([int(i) for i in ids], pa.int64()),
-            "a": pa.nulls(n, pa.int64()),
-            "b": pa.nulls(n, pa.int64()),
+            "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
             "sh": pa.array(packed, pa.binary()),
         }, schema=_VERIFY_SCHEMA)
 
@@ -279,11 +282,11 @@ def verify_pairs_jaccard(ds, cands, *, threshold: float,
         aa = pa.chunked_array([a, a]).combine_chunks()
         bb = pa.chunked_array([b, b]).combine_chunks()
         return pa.table({"did": did, "a": aa, "b": bb,
-                         "sh": pa.nulls(2 * n, pa.binary())},
+                         "sh": pa.array([b""] * (2 * n), pa.binary())},
                         schema=_VERIFY_SCHEMA)
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        is_corpus = df["a"].isna()
+        is_corpus = df["a"].to_numpy() < 0
         lut = dict(zip(df.loc[is_corpus, "did"], df.loc[is_corpus, "sh"]))
         req = df.loc[~is_corpus]
         sh = req["did"].map(lut)

@@ -54,10 +54,12 @@ def eve_format_batch(tbl: pa.Table) -> pa.Table:
 
 
 def _json_escape(col, out_type=None) -> "pa.Array":
-    """Vectorized JSON string-escape of an Arrow string column (the
-    backslash/quote/control characters RFC 8259 requires; other control
-    chars are absent from transcript text by construction — asserted in
-    tests)."""
+    """Vectorized JSON string-escape of an Arrow string column: the
+    common escapes run as Arrow kernels; rows still containing other C0
+    control characters (rare — wire-ingested payloads can carry them)
+    get a python \\u00XX fallback so the output is always valid RFC 8259."""
+    import re as _re
+
     import pyarrow.compute as pc
 
     col = pc.replace_substring(col, "\\", "\\\\")
@@ -65,6 +67,17 @@ def _json_escape(col, out_type=None) -> "pa.Array":
     col = pc.replace_substring(col, "\n", "\\n")
     col = pc.replace_substring(col, "\r", "\\r")
     col = pc.replace_substring(col, "\t", "\\t")
+    dirty = pc.match_substring_regex(col, r"[\x00-\x1f]")
+    if pc.any(pc.fill_null(dirty, False)).as_py():
+        vals = col.to_numpy(zero_copy_only=False)
+        mask = pc.fill_null(dirty, False).to_numpy(zero_copy_only=False)
+        ctrl = _re.compile(r"[\x00-\x1f]")
+
+        def fix(s):
+            return ctrl.sub(lambda m: f"\\u{ord(m.group(0)):04x}", s)
+
+        col = pa.array([fix(v) if m else v for v, m in zip(vals, mask)],
+                       pa.large_string())
     return col
 
 

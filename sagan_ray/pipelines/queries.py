@@ -370,11 +370,11 @@ def q_engine_dynamic(sf_dir: str):
     eng, loaded = run_engine_dynamic(_transcripts(sf_dir), rs, build_lookups(),
                                      EngineConfig(), batch_size=8192)
     assert loaded, "detection rule did not fire — fixture regression"
-    df = eng.matches.groupby("sid").count().to_pandas()
-    df = df.rename(columns={"count()": "n"})
-    df["sid"] = df["sid"].astype("int64")
-    df["n"] = df["n"].astype("int64")
-    return df.sort_values("sid").reset_index(drop=True)[["sid", "n"]]
+    # per-sid counts from the inline count partials — no groupby shuffle,
+    # no second consumption of the match stream
+    counts = eng.hit_counts()
+    df = pd.DataFrame(sorted(counts.items()), columns=["sid", "n"])
+    return _typed(df, {"sid": "int64", "n": "int64"})
 
 
 # xbit/flexbit set→isset with expiry, SQL-verified. With no parse_src_ip

@@ -65,7 +65,9 @@ def poll_once(input_dir: str, out_dir: str, ruleset: RuleSet,
     state_dir = os.path.join(out_dir, "state")
     eng = run_engine(rd.read_parquet(new), ruleset, lookups, config,
                      batch_size=batch_size, state_dir=state_dir)
-    routed = eng.routed()
+    # materialize once: count + write must not re-execute the pipeline
+    # (a poll's routed set is small — the filtered alert stream)
+    routed = eng.routed().materialize()
     alert_dir = os.path.join(out_dir, "alerts")
     os.makedirs(alert_dir, exist_ok=True)
     n = routed.count()

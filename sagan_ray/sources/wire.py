@@ -107,9 +107,17 @@ def parse_pipe_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     f = [field(j) for j in range(PIPE_FIELDS)]
     bad = ~ok
 
+    # turn must be a plain (ASCII) integer literal in int32 range — the
+    # spec this parser defines; python's int() extras ('1_000', unicode
+    # digits) are intentionally malformed here
+    turn_ok = pc.fill_null(pc.match_substring_regex(
+        f[1], r"^[+-]?\d+$"), False).to_numpy(zero_copy_only=False)
     turn_num = pd.to_numeric(f[1].to_pandas(), errors="coerce")
-    bad |= ok & turn_num.isna().to_numpy()
-    turn = turn_num.fillna(0).astype(np.int32).to_numpy()
+    in_range = turn_num.abs().fillna(np.inf) <= np.iinfo(np.int32).max
+    turn_ok &= in_range.to_numpy()
+    bad |= ok & ~turn_ok
+    turn = turn_num.where(pd.Series(turn_ok), 0).fillna(0).astype(
+        np.int64).astype(np.int32).to_numpy()
 
     ts_parsed = _parse_ts_vec(f[4].to_pandas())
     bad |= ok & ts_parsed.isna().to_numpy()

@@ -77,7 +77,9 @@ def _required_literal(rx: str) -> tuple[str, bool] | None:
         if body[2] == "i":
             nocase = True
         body = body[4:]
-    if "|" in body or "(" in body or "{" in body:
+    # bail on anything whose contents could masquerade as a literal run:
+    # alternation, groups, counted repeats, character classes
+    if any(c in body for c in "|({["):
         return None
     runs: list[str] = []
     cur = ""
@@ -455,11 +457,14 @@ class RuleClassifier:
         dst_ports = np.zeros(m, dtype=np.int32)
         usernames = [""] * m
         # rules whose extracted fields are non-trivial; residual-matched
-        # rules have their field dicts memoized already, the rest (e.g.
-        # default-port-only rules with no slow gates) compute here
-        need_extract = [bool(r.parse_src_ip or r.parse_dst_ip
-                             or r.default_src_port or r.default_dst_port
-                             or r.json_maps or r.normalize)
+        # rules have their field dicts memoized already. Default-port-only
+        # rules (no parse_*/json_map/normalize source) have CONSTANT
+        # fields — fill directly, never per-row match_stateless.
+        dynamic_fields = [bool(r.parse_src_ip or r.parse_dst_ip
+                               or r.json_maps or r.normalize)
+                          for r in rules]
+        need_extract = [dynamic_fields[r.idx]
+                        or bool(r.default_src_port or r.default_dst_port)
                         for r in rules]
         if any(need_extract) or self.needs_username:
             fields = ctx.match_fields
@@ -471,8 +476,8 @@ class RuleClassifier:
             for k in range(m):
                 ri = rule_idx[k]
                 i = int(row_idx[k])
-                if need_extract[ri] or (self.needs_username
-                                        and not uname_simple[ri]):
+                if dynamic_fields[ri] or (self.needs_username
+                                          and not uname_simple[ri]):
                     f = fields.get((ri, i))
                     if f is None:
                         f = match_stateless(rules[ri], ctx.row_cache(i),
@@ -484,6 +489,10 @@ class RuleClassifier:
                         if self.needs_username:
                             usernames[k] = f["username"]
                         continue
+                if need_extract[ri]:
+                    # default-port-only rule: constant fields
+                    src_ports[k] = rules[ri].default_src_port
+                    dst_ports[k] = rules[ri].default_dst_port
                 if self.needs_username:
                     usernames[k] = ctx.username_row(i)
 

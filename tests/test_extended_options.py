@@ -304,3 +304,22 @@ alert any any any -> any any (msg:"pcre b64"; json_pcre:".p","/attack-s/"; json_
     tbl = mk([("a", 0, json.dumps({"p": secret}), 0)])
     oracle, _ = run_both(rules, tbl)
     assert hits_of(oracle) == [("a", 0, 1), ("a", 0, 2)]
+
+
+def test_pcre_char_class_no_false_literal():
+    """Regression (self-review): _required_literal must not treat a
+    character class's contents as a required literal — '/foo[abcd]bar/'
+    matches 'fooabar' which contains no 'abcd' substring."""
+    from sagan_ray.stages.classify import _required_literal
+
+    assert _required_literal(r"foo[abcd]bar") is None
+    assert _required_literal(r"x[^y]z after more text") is None
+    rules = """
+alert any any any -> any any (msg:"cls"; pcre:"/fail[aeiou]d log/"; sid:1;)
+"""
+    tbl = mk([
+        ("a", 0, "failed login attempt failid log", 0),
+        ("a", 1, "no vowels here", 10),
+    ])
+    oracle, _ = run_both(rules, tbl)
+    assert hits_of(oracle) == [("a", 0, 1)]

@@ -37,7 +37,8 @@ def test_shingle_batch_equals_single(texts, k):
 @given(st.lists(
     st.tuples(
         st.sampled_from(["conv-1", "c", ""]),                     # conv
-        st.sampled_from(["0", "17", "x", "-3", ""]),              # turn
+        st.sampled_from(["0", "17", "x", "-3", "", "3.5", "1_000",
+                         "+7", "99999999999999999999"]),          # turn
         _line_text,                                               # role
         _line_text,                                               # tool
         st.one_of(                                                # ts
@@ -72,10 +73,15 @@ def test_pipe_parser_matches_scalar_reference(rows):
         if len(parts) != PIPE_FIELDS:
             assert g["malformed"] and g["text"] == line
             continue
+        import re as _re
+
         bad = False
-        try:
+        # the parser's documented turn spec: plain ASCII integer literal
+        # within int32 range (stricter than python int())
+        if _re.fullmatch(r"[+-]?\d+", parts[1]) and \
+                abs(int(parts[1])) <= 2 ** 31 - 1:
             turn = int(parts[1])
-        except ValueError:
+        else:
             turn, bad = 0, True
         t = _parse_ts(parts[4])
         if t is None:
