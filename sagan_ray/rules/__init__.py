@@ -10,4 +10,9 @@ from .model import (  # noqa: F401
     ThresholdSpec,
     XbitSpec,
 )
-from .parser import parse_rules, parse_rules_file  # noqa: F401
+from .parser import (  # noqa: F401
+    load_classifications,
+    parse_classifications,
+    parse_rules,
+    parse_rules_file,
+)

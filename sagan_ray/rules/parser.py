@@ -168,7 +168,32 @@ _HEADER_RE = re.compile(
 )
 
 
-def parse_rules(text: str, variables: dict[str, str] | None = None) -> RuleSet:
+def parse_classifications(text: str) -> dict[str, int]:
+    """``config classification: shortname,description,priority`` lines →
+    {shortname: priority} (the Load_Classifications analog, reference
+    src/classifications.c:50-140; '#'/';'/blank lines skipped)."""
+    out: dict[str, int] = {}
+    for i, raw in enumerate(text.splitlines(), 1):
+        s = raw.strip()
+        if not s or s[0] in "#;":
+            continue
+        try:
+            _, rest = s.split(":", 1)
+            short, _desc, pri = (p.strip() for p in rest.split(",", 2))
+            out[short] = int(pri)
+        except ValueError as e:
+            raise RuleParseError(
+                f"classification file line {i} malformed: {raw!r}") from e
+    return out
+
+
+def load_classifications(path: str) -> dict[str, int]:
+    with open(path, "r", encoding="utf-8") as f:
+        return parse_classifications(f.read())
+
+
+def parse_rules(text: str, variables: dict[str, str] | None = None,
+                classifications: dict[str, int] | None = None) -> RuleSet:
     variables = dict(variables or {})
     rules: list[Rule] = []
 
@@ -196,7 +221,7 @@ def parse_rules(text: str, variables: dict[str, str] | None = None) -> RuleSet:
             variables[name] = val.strip()
             continue
         try:
-            rule = _parse_one(line, variables)
+            rule = _parse_one(line, variables, classifications)
         except RuleParseError:
             raise
         except Exception as e:  # pragma: no cover - defensive
@@ -211,12 +236,14 @@ def parse_rules(text: str, variables: dict[str, str] | None = None) -> RuleSet:
     return RuleSet(rules=rules, variables=variables)
 
 
-def parse_rules_file(path: str, variables: dict[str, str] | None = None) -> RuleSet:
+def parse_rules_file(path: str, variables: dict[str, str] | None = None,
+                     classifications: dict[str, int] | None = None) -> RuleSet:
     with open(path, "r", encoding="utf-8") as f:
-        return parse_rules(f.read(), variables)
+        return parse_rules(f.read(), variables, classifications)
 
 
-def _parse_one(line: str, variables: dict[str, str]) -> Rule:
+def _parse_one(line: str, variables: dict[str, str],
+               classifications: dict[str, int] | None = None) -> Rule:
     lp = line.find("(")
     rp = line.rfind(")")
     if lp < 0 or rp < 0 or rp < lp:
@@ -253,7 +280,17 @@ def _parse_one(line: str, variables: dict[str, str]) -> Rule:
         elif name == "rev":
             rule.rev = int(val)
         elif name == "classtype":
+            # a loaded classifications table assigns the rule's priority
+            # (rules.c:2570-2596; a later explicit `priority:` overrides,
+            # same order-dependence as the reference); without a table
+            # the classtype is annotation-only
             rule.classtype = _unquote(val)
+            if classifications is not None:
+                if rule.classtype not in classifications:
+                    raise RuleParseError(
+                        f"classtype {rule.classtype!r} not in the loaded "
+                        "classification table (rules.c:2589 aborts too)")
+                rule.priority = classifications[rule.classtype]
         elif name in ("priority", "pri"):   # rules.c accepts both
             rule.priority = int(val)
         elif name == "reference":

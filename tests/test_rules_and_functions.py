@@ -136,3 +136,37 @@ def test_prematch_wildcards():
     rx = prematch_regex("ass*|use?")
     assert rx.match("assistant") and rx.match("user")
     assert not rx.match("tool") and not rx.match("users")
+
+
+def test_classification_config_assigns_priority():
+    """classification.config (classifications.c:50-140): classtype looks
+    up the rule priority; explicit priority after classtype overrides;
+    unknown classtype aborts when a table is loaded."""
+    import os
+
+    import pytest
+
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.rules.parser import RuleParseError, load_classifications
+
+    cls = load_classifications(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "rulesets", "classification.config"))
+    assert cls["suspicious-login"] == 2
+
+    rs = parse_rules("""
+alert any any any -> any any (msg:"a"; content:"x"; classtype:suspicious-login; sid:1;)
+alert any any any -> any any (msg:"b"; content:"x"; classtype:not-suspicious; priority:9; sid:2;)
+alert any any any -> any any (msg:"c"; content:"x"; sid:3;)
+""", classifications=cls)
+    assert rs.rules[0].priority == 2
+    assert rs.rules[1].priority == 9      # explicit override after classtype
+    assert rs.rules[2].priority == 0
+
+    with pytest.raises(RuleParseError):
+        parse_rules('alert any any any -> any any (msg:"d"; '
+                    'classtype:nope; sid:4;)', classifications=cls)
+    # without a table: annotation-only, no abort
+    rs2 = parse_rules('alert any any any -> any any (msg:"d"; '
+                      'content:"x"; classtype:nope; sid:4;)')
+    assert rs2.rules[0].classtype == "nope"
