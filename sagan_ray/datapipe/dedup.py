@@ -267,8 +267,13 @@ def verify_pairs_jaccard(ds, cands, *, threshold: float,
         # corpus rows use a = b = -1 rather than nulls so the int64 id
         # columns never round-trip through pandas float64 (which would
         # corrupt ids above 2^53); requires non-negative doc ids
+        ids = [int(i) for i in ids]
+        if ids and min(ids) < 0:
+            raise ValueError(
+                "verify_pairs_jaccard requires non-negative doc ids "
+                "(-1 is the corpus-row sentinel)")
         return pa.table({
-            "did": pa.array([int(i) for i in ids], pa.int64()),
+            "did": pa.array(ids, pa.int64()),
             "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
             "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
             "sh": pa.array(packed, pa.binary()),
@@ -373,7 +378,6 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
     prefix shingle is a stop-shingle (impossible at high thresholds in
     practice; the fixture's max posting list is ~7)."""
     import logging
-    import math
 
     def explode(tbl: pa.Table) -> pa.Table:
         ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
@@ -381,7 +385,12 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
         shs = []
         for sh in _shingle_hashes_batch(texts, k):
             u = np.unique(sh)                    # sorted = canonical order
-            p = len(u) - math.ceil(threshold * len(u)) + 1
+            # int() truncation of the float product never EXCEEDS the
+            # exact ⌈t·L⌉ (a float rounding a hair past the exact
+            # integer truncates back to it; below, the prefix just gets
+            # one element longer — safe), unlike math.ceil which can
+            # overshoot on products like 0.55*100 = 55.000000000000006
+            p = len(u) - int(threshold * len(u)) + 1
             shs.append(u[:max(1, p)])
         counts = np.array([len(s) for s in shs], dtype=np.int64)
         return pa.table({"did": pa.array(np.repeat(ids, counts), pa.int64()),

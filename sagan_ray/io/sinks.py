@@ -31,7 +31,11 @@ def eve_format_batch(tbl: pa.Table) -> pa.Table:
     big = pa.large_string()
 
     def s(name):
-        return pc.cast(pc.cast(tbl.column(name), pa.string()), big)
+        # fill numeric nulls with 0 — one null operand would otherwise
+        # null out the ENTIRE joined JSON line (binary_join_element_wise
+        # default null handling)
+        return pc.cast(pc.fill_null(pc.cast(tbl.column(name), pa.string()),
+                                    "0"), big)
 
     def esc(name):
         return _json_escape(pc.cast(pc.fill_null(tbl.column(name), ""), big))

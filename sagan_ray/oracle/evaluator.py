@@ -203,6 +203,9 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
         return None
     if rule.tag is not None and not _prematch(rule.tag, rc.tool):
         return None
+    for lv in rule.levels:
+        if not _prematch(lv, rc.tool):
+            return None
 
     # ---- offload predicate (local UDF analog of src/offload.c:47-167;
     # engine.c:777 runs it before the content checks; any failure —

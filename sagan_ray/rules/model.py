@@ -233,6 +233,10 @@ class Rule:
     program: Optional[str] = None
     facility: Optional[str] = None
     tag: Optional[str] = None
+    # additional tool-column prematch constraints (syslog_level /
+    # syslog_priority / repeated facility) — ANDed like the reference's
+    # independent facility/level/priority checks (engine.c:492-581)
+    levels: list[str] = field(default_factory=list)
     # append_program: match text + " | " + role (engine.c:595-627)
     append_program: bool = False
 

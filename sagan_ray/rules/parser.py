@@ -177,13 +177,18 @@ def parse_classifications(text: str) -> dict[str, int]:
         s = raw.strip()
         if not s or s[0] in "#;":
             continue
+        # only 'config classification:' directives count; other config
+        # lines in a combined conf are skipped, as the reference's
+        # directive check does (classifications.c:50-140)
+        head, _, rest = s.partition(":")
+        if head.split() != ["config", "classification"]:
+            continue
         try:
-            _, rest = s.split(":", 1)
             short, _desc, pri = (p.strip() for p in rest.split(",", 2))
             out[short] = int(pri)
         except ValueError as e:
             raise RuleParseError(
-                f"classification file line {i} malformed: {raw!r}") from e
+                f"classification line {i} malformed: {raw!r}") from e
     return out
 
 
@@ -263,7 +268,11 @@ def _parse_one(line: str, variables: dict[str, str],
 
     last_content: ContentAtom | None = None
     last_meta: MetaContent | None = None
-    last_json: JsonAtom | None = None
+    # per-kind trackers: modifiers bind to the latest atom of THEIR kind
+    # (the reference keeps separate counts per family, rules.c)
+    last_jc: JsonAtom | None = None      # json_content
+    last_jp: JsonAtom | None = None      # json_pcre
+    last_jm_atom: JsonAtom | None = None  # json_meta_content
 
     for opt in _split_options(body):
         if ":" in opt:
@@ -299,12 +308,16 @@ def _parse_one(line: str, variables: dict[str, str],
             rule.metadata = _unquote(val)
         elif name == "program":
             rule.program = _unquote(val)
-        elif name in ("facility", "syslog_facility",
-                      # level/priority prematch fields share the tool
-                      # mapping (SURVEY §1.3: facility/level/priority/tag
-                      # all collapse onto the transcript's tool column)
-                      "syslog_level", "syslog_priority"):
-            rule.facility = _unquote(val)
+        elif name in ("facility", "syslog_facility"):
+            if rule.facility is None:
+                rule.facility = _unquote(val)
+            else:               # repeated constraint still ANDs
+                rule.levels.append(_unquote(val))
+        elif name in ("syslog_level", "syslog_priority"):
+            # level/priority prematch fields share the tool mapping
+            # (SURVEY §1.3) but stay INDEPENDENT AND constraints, as the
+            # reference checks each field separately (engine.c:492-581)
+            rule.levels.append(_unquote(val))
         elif name in ("tag", "syslog_tag"):
             rule.tag = _unquote(val)
         elif name == "append_program":
@@ -373,30 +386,34 @@ def _parse_one(line: str, variables: dict[str, str],
             parts = _split_commas_outside_quotes(val)
             negated = parts[0].startswith("!")
             key = _unquote(parts[0][1:] if negated else parts[0])
-            last_json = JsonAtom(kind="content", key=key,
-                                 values=[_decode_hex_escapes(_unquote(parts[1]))],
-                                 negated=negated)
-            rule.json_atoms.append(last_json)
+            last_jc = JsonAtom(kind="content", key=key,
+                               values=[_decode_hex_escapes(_unquote(parts[1]))],
+                               negated=negated)
+            rule.json_atoms.append(last_jc)
         elif name == "json_nocase":
-            if last_json is not None:
-                last_json.nocase = True
+            if last_jc is not None:
+                last_jc.nocase = True
         elif name == "json_contains":
-            if last_json is not None:
-                last_json.contains = True
-        elif name in ("json_decode_base64", "json_decode_base64_meta",
-                      "json_decode_base64_pcre"):
-            # decode the JSON value from base64 before matching; the
-            # reference spells a per-kind variant for meta/pcre atoms
-            # (rules.c json_decode_base64_meta / _pcre) — all three bind
-            # to the most recent json atom here
-            if last_json is not None:
-                last_json.decode_base64 = True
+            if last_jc is not None:
+                last_jc.contains = True
+        elif name == "json_decode_base64":
+            # decode the JSON value from base64 before matching
+            # (src/json-content.c json_decode_base64); per-kind variants
+            # below bind to their own family's latest atom
+            if last_jc is not None:
+                last_jc.decode_base64 = True
+        elif name == "json_decode_base64_pcre":
+            if last_jp is not None:
+                last_jp.decode_base64 = True
+        elif name == "json_decode_base64_meta":
+            if last_jm_atom is not None:
+                last_jm_atom.decode_base64 = True
         elif name == "json_pcre":
             parts = _split_commas_outside_quotes(val)
             key = _unquote(parts[0])
             pat, flags = _parse_pcre(_unquote(parts[1]))
-            rule.json_atoms.append(JsonAtom(kind="pcre", key=key, values=[pat], flags=flags))
-            last_json = rule.json_atoms[-1]
+            last_jp = JsonAtom(kind="pcre", key=key, values=[pat], flags=flags)
+            rule.json_atoms.append(last_jp)
         elif name == "json_map":
             # json_map: "src_ip", ".key"  (rules.c:2014-2146)
             parts = _split_commas_outside_quotes(val)
@@ -417,15 +434,15 @@ def _parse_one(line: str, variables: dict[str, str],
             negated = parts[0].startswith("!")
             key = _unquote(parts[0][1:] if negated else parts[0])
             vals = [_unquote(p) for p in parts[1:]]
-            rule.json_atoms.append(
-                JsonAtom(kind="meta", key=key, values=vals, negated=negated))
-            last_json = rule.json_atoms[-1]
+            last_jm_atom = JsonAtom(kind="meta", key=key, values=vals,
+                                    negated=negated)
+            rule.json_atoms.append(last_jm_atom)
         elif name == "json_meta_nocase":
-            if last_json is not None:
-                last_json.nocase = True
+            if last_jm_atom is not None:
+                last_jm_atom.nocase = True
         elif name == "json_meta_contains":
-            if last_json is not None:
-                last_json.contains = True
+            if last_jm_atom is not None:
+                last_jm_atom.contains = True
 
         elif name == "offload":
             # "offload: location <name>" (rules.c:3709-3725) or bare name
@@ -538,12 +555,11 @@ def _parse_one(line: str, variables: dict[str, str],
             rule.email = _unquote(val)
         elif name == "external":
             rule.external = _unquote(val)
-        elif name in ("normalize", "xbits_pause", "xbits_upause", "flexbits_pause",
-                      "flexbits_upause", "dynamic_load", "offload", "bluedot",
-                      "event_type", "syslog_level", "syslog_priority"):
-            # accepted but inert: timing pauses are meaningless in
-            # deterministic batch execution (SURVEY.md §2.3 #25);
-            # dynamic_load/offload/bluedot are out of scope for v1.
+        elif name in ("xbits_pause", "xbits_upause", "flexbits_pause",
+                      "flexbits_upause", "event_type"):
+            # accepted but inert: timing pauses are sleep-based hacks,
+            # meaningless in deterministic batch execution (SURVEY.md
+            # §2.3 #25); event_type is an EVE annotation only.
             pass
         else:
             raise RuleParseError(f"unknown rule option {name!r}")

@@ -113,7 +113,9 @@ def parse_pipe_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     turn_ok = pc.fill_null(pc.match_substring_regex(
         f[1], r"^[+-]?\d+$"), False).to_numpy(zero_copy_only=False)
     turn_num = pd.to_numeric(f[1].to_pandas(), errors="coerce")
-    in_range = turn_num.abs().fillna(np.inf) <= np.iinfo(np.int32).max
+    # two-sided compare, not abs(): int64-min's abs() overflows silently
+    lo, hi = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+    in_range = ((turn_num >= lo) & (turn_num <= hi)).fillna(False)
     turn_ok &= in_range.to_numpy()
     bad |= ok & ~turn_ok
     turn = turn_num.where(pd.Series(turn_ok), 0).fillna(0).astype(

@@ -94,13 +94,28 @@ def _required_literal(rx: str) -> tuple[str, bool] | None:
             runs.append(cur)
             cur = ""
             i += 1
-        elif c == "\\" and i + 1 < n and not body[i + 1].isalnum():
-            cur += body[i + 1]      # escaped literal (\. \/ …)
-            i += 2
-        elif c == "\\":             # char class (\d \w …) breaks the run
-            runs.append(cur)
-            cur = ""
-            i += 2
+        elif c == "\\":
+            nxt = body[i + 1] if i + 1 < n else ""
+            if not nxt.isalnum() and nxt:
+                cur += nxt          # escaped punctuation (\. \/ …)
+                i += 2
+            elif nxt in "dDwWsSbB":  # class/anchor escapes break the run
+                runs.append(cur)
+                cur = ""
+                i += 2
+            elif nxt == "x" and i + 3 < n:
+                # \xNN consumes two hex digits — they are NOT literal text
+                runs.append(cur)
+                cur = ""
+                i += 4
+            elif nxt in "aAfnrtvz":  # escape literals; don't add to run
+                runs.append(cur)
+                cur = ""
+                i += 2
+            else:
+                # octal escapes, backreferences, \p{...}, unknown — the
+                # following chars could masquerade as literals; bail
+                return None
         elif c in meta:
             runs.append(cur)
             cur = ""
@@ -128,6 +143,8 @@ class _RulePlan:
             tools.append(prematch_regex(rule.facility).pattern)
         if rule.tag:
             tools.append(prematch_regex(rule.tag).pattern)
+        for lv in rule.levels:
+            tools.append(prematch_regex(lv).pattern)
         self.prematch_tool = tools
 
         # meta_content → one RE2 alternation per atom (with its window)

@@ -340,3 +340,26 @@ def test_multimodal_codecs_roundtrip():
         concurrency=2).to_pandas()
     assert len(afeat) == len(auds) and (afeat["feature"].map(len) == 64).all()
     assert (afeat["feature"].map(lambda v: v[0]) > 0).all()   # rms of a sine
+
+
+def test_ngram_prefix_boundary_threshold():
+    """Regression (self-review round 2): math.ceil on binary floats
+    (0.55*100 = 55.000000000000006) shortened the PPJoin prefix below the
+    safe bound; a planted boundary pair (J exactly = t) must be found."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import ngram_jaccard_pairs
+    from sagan_ray.datapipe.dedup import _jaccard
+
+    # doc A: 102 words → 100 shingles; doc B shares a 57-shingle suffix
+    words = [f"w{i}" for i in range(102)]
+    a = " ".join(words)
+    b = " ".join(words[43:] + [f"z{i}" for i in range(2)])
+    j = _jaccard(a, b)
+    assert 0.5 < j < 0.6
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([a, b], pa.large_string())}))
+    got = ngram_jaccard_pairs(ds, threshold=j).to_pandas()
+    assert len(got) == 1 and abs(got["jaccard"].iloc[0] - j) < 1e-12

@@ -323,3 +323,20 @@ alert any any any -> any any (msg:"cls"; pcre:"/fail[aeiou]d log/"; sid:1;)
     ])
     oracle, _ = run_both(rules, tbl)
     assert hits_of(oracle) == [("a", 0, 1)]
+
+
+def test_pcre_escape_literal_extraction():
+    """Regression (self-review round 2): hex/octal escapes must not leak
+    pseudo-literals into the RE2 prefilter; \\d-style classes still allow
+    the surrounding runs."""
+    from sagan_ray.stages.classify import _required_literal
+
+    assert _required_literal(r"\x0d\x0aSTOPHERE") == ("STOPHERE", False)
+    assert _required_literal(r"\101ABCDEFGH") is None          # octal
+    assert _required_literal(r"timeout after \d+s") == ("timeout after ", False)
+    rules = """
+alert any any any -> any any (msg:"hex"; pcre:"/\\x2aSTARRED\\x2a block/"; sid:1;)
+"""
+    tbl = mk([("a", 0, "*STARRED* block here", 0), ("a", 1, "STARRED without stars block", 10)])
+    oracle, _ = run_both(rules, tbl)
+    assert hits_of(oracle) == [("a", 0, 1)]

@@ -38,7 +38,8 @@ def test_shingle_batch_equals_single(texts, k):
     st.tuples(
         st.sampled_from(["conv-1", "c", ""]),                     # conv
         st.sampled_from(["0", "17", "x", "-3", "", "3.5", "1_000",
-                         "+7", "99999999999999999999"]),          # turn
+                         "+7", "99999999999999999999",
+                         "-9223372036854775808", "-2147483648"]),  # turn
         _line_text,                                               # role
         _line_text,                                               # tool
         st.one_of(                                                # ts
@@ -79,7 +80,7 @@ def test_pipe_parser_matches_scalar_reference(rows):
         # the parser's documented turn spec: plain ASCII integer literal
         # within int32 range (stricter than python int())
         if _re.fullmatch(r"[+-]?\d+", parts[1]) and \
-                abs(int(parts[1])) <= 2 ** 31 - 1:
+                -2 ** 31 <= int(parts[1]) <= 2 ** 31 - 1:
             turn = int(parts[1])
         else:
             turn, bad = 0, True
