@@ -4,7 +4,7 @@
   once (``ray.put``), every batch computes a (batch × queries) cosine
   matmul and emits its local top-k per query; a final tiny groupby merges
   per-batch candidates. The shuffle carries only k·queries rows per batch.
-- ivf_topk: the scale path — k-means centroids trained on a driver-side
+- ivf_topk: the scale path — k-means centroids trained on a block-spread
   sample, batches assign vectors to cells, search visits the nprobe
   nearest cells only.
 """
@@ -22,6 +22,58 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _mat(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, d) float32 matrix from a list/fixed-size-list column without
+    boxing every float through to_pylist (zero-copy flatten + reshape;
+    requires uniform vector length, which an embedding column has)."""
+    col = tbl.column(vec_col).combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float32)
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.values
+        d = col.type.list_size
+    else:
+        flat = col.flatten()
+        d = len(flat) // n
+        if d * n != len(flat):
+            # ragged lists — fall back to the boxed path
+            return np.asarray(col.to_pylist(), dtype=np.float32)
+    return (flat.to_numpy(zero_copy_only=False)
+            .astype(np.float32, copy=False).reshape(n, d))
+
+
+def _ids(tbl: pa.Table, id_col: str) -> np.ndarray:
+    return (tbl.column(id_col).combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+
+
+def _emit_topk(qi, out_rows, id_col: str) -> pa.Table:
+    out_q, out_v, out_s = [], [], []
+    for qid, ids_c, sims_c in out_rows:
+        out_q.extend([int(qid)] * len(ids_c))
+        out_v.extend(ids_c.tolist())
+        out_s.extend(sims_c.astype(np.float64).tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     id_col: pa.array(out_v, pa.int64()),
+                     "cosine": pa.array(out_s, pa.float64())})
+
+
+def _make_merge(k: int, id_col: str):
+    """Shared per-query candidate merge: exact and approximate paths MUST
+    rank identically (cosine desc, id asc) for recall comparisons to be
+    meaningful."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return merge
+
+
 def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_ids: np.ndarray | None = None):
@@ -36,30 +88,18 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
 
     def local_topk(tbl: pa.Table) -> pa.Table:
         qm, qi = ray.get(q_ref)
-        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
-        mat = _unit(np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float32))
+        ids = _ids(tbl, id_col)
+        mat = _unit(_mat(tbl, vec_col))
         sims = mat @ qm.T                       # (batch, nq)
         kk = min(k, len(ids))
         top = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, nq)
-        out_q, out_v, out_s = [], [], []
-        for c in range(sims.shape[1]):
-            rows = top[:, c]
-            out_q.extend([int(qi[c])] * len(rows))
-            out_v.extend(ids[rows].tolist())
-            out_s.extend(sims[rows, c].astype(np.float64).tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         id_col: pa.array(out_v, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        rows = [(qi[c], ids[top[:, c]], sims[top[:, c], c])
+                for c in range(sims.shape[1])]
+        return _emit_topk(qi, rows, id_col)
 
     return (ds.map_batches(local_topk, batch_format="pyarrow")
-              .groupby("query_id").map_groups(merge, batch_format="pandas"))
+              .groupby("query_id").map_groups(_make_merge(k, id_col),
+                                              batch_format="pandas"))
 
 
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 5):
@@ -83,17 +123,31 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
              sample_size: int = 4096, seed: int = 5,
              query_ids: np.ndarray | None = None):
     """IVF: restrict each query to its nprobe nearest centroid cells.
-    Centroids come from a driver-side random sample (one small read), then
-    everything streams. Approximate — recall measured against
-    brute_force_topk in tests."""
+    Centroids come from a BLOCK-SPREAD sample (a seeded per-block
+    subsample, so clustered/sorted inputs still contribute rows from many
+    blocks — a plain ``limit(sample_size)`` would train on the dataset
+    prefix only), then everything streams. Approximate — recall measured
+    against brute_force_topk in tests."""
     import ray
 
     q = _unit(np.asarray(queries, dtype=np.float32))
     qids = (np.arange(len(q)) if query_ids is None
             else np.asarray(query_ids)).astype(np.int64)
 
-    sample_df = ds.random_sample(1.0, seed=seed).limit(sample_size).to_pandas()
-    sample = _unit(np.asarray(sample_df[vec_col].tolist(), dtype=np.float32))
+    def block_sample(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        ids0 = _ids(tbl, id_col)
+        rng = np.random.default_rng(seed ^ (int(ids0[0]) & 0xFFFFFFFF))
+        take = min(len(tbl), 64)
+        idx = np.sort(rng.choice(len(tbl), size=take, replace=False))
+        return tbl.take(pa.array(idx, pa.int64()))
+
+    sample_batches = list(
+        ds.map_batches(block_sample, batch_format="pyarrow")
+          .limit(sample_size).iter_batches(batch_format="pyarrow"))
+    sample_tbl = pa.concat_tables(sample_batches)
+    sample = _unit(_mat(sample_tbl, vec_col))
     cent = _kmeans(sample, n_cells, seed=seed)
 
     # query → nprobe candidate cells
@@ -102,10 +156,10 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
 
     def local_topk(tbl: pa.Table) -> pa.Table:
         qm, qi, cm, qc = ray.get(ref)
-        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
-        mat = _unit(np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float32))
+        ids = _ids(tbl, id_col)
+        mat = _unit(_mat(tbl, vec_col))
         cell = np.argmax(mat @ cm.T, axis=1)
-        out_q, out_v, out_s = [], [], []
+        rows = []
         for c in range(len(qm)):
             m = np.isin(cell, qc[c])
             if not m.any():
@@ -113,20 +167,10 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
             sims = mat[m] @ qm[c]
             sub_ids = ids[m]
             kk = min(k, len(sub_ids))
-            rows = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.extend([int(qi[c])] * len(rows))
-            out_v.extend(sub_ids[rows].tolist())
-            out_s.extend(sims[rows].astype(np.float64).tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         id_col: pa.array(out_v, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            rows.append((qi[c], sub_ids[top], sims[top]))
+        return _emit_topk(qi, rows, id_col)
 
     return (ds.map_batches(local_topk, batch_format="pyarrow")
-              .groupby("query_id").map_groups(merge, batch_format="pandas"))
+              .groupby("query_id").map_groups(_make_merge(k, id_col),
+                                              batch_format="pandas"))

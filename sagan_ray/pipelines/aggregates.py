@@ -23,20 +23,15 @@ def client_stats(ds, key: str = "conv_id", text_col: str = "text",
                  ts_col: str = "ts", n_buckets: int | None = None):
     """Per-key: n_events, bytes, first_seen, last_seen.
 
-    Pre-aggregates per batch, then combines partials through a hash
-    exchange (raw Ray tasks) rather than Ray Data's sort-based groupby:
-    for HIGH-cardinality keys the per-batch partials barely reduce the
-    row count, and the sort shuffle measured ~10× slower than bucketed
-    hash-combine at 4M rows / 150k keys. Each bucket task does one
-    vectorized Arrow group-aggregate.
+    Pre-aggregates per batch, then combines partials through the SHARED
+    bucketed hash exchange (datapipe.exchange.hash_group_apply — the same
+    streaming split + skew-refined reduce every wide operator uses; for
+    HIGH-cardinality keys the sort-based groupby measured ~10× slower at
+    4M rows / 150k keys). One vectorized pandas group-aggregate per
+    bucket; empty buckets keep their schema, so nothing materializes on
+    the driver.
     """
-    import numpy as np
-    import pandas as pd
-    import ray
-    import ray.data as rd
-
-    if n_buckets is None:
-        n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    from ..datapipe.exchange import hash_group_apply
 
     def partial(tbl: pa.Table) -> pa.Table:
         b = pc.binary_length(pc.cast(tbl.column(text_col), pa.large_binary()))
@@ -46,40 +41,20 @@ def client_stats(ds, key: str = "conv_id", text_col: str = "text",
             ("bytes", "sum"), (ts_col, "min"), (ts_col, "max"), ([], "count_all")])
         return g.rename_columns([key, "bytes", "first_seen", "last_seen", "n_events"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    schema = pa.schema([(key, pa.string()), ("bytes", pa.int64()),
+                        ("first_seen", pa.timestamp("us")),
+                        ("last_seen", pa.timestamp("us")),
+                        ("n_events", pa.int64())])
 
-    @ray.remote
-    def split(tbl: pa.Table, nb: int):
-        k = tbl.column(key).to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(k.astype(object)) % nb).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        bounds = np.searchsorted(b[order], np.arange(nb + 1))
-        return tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-                     for i in range(nb))
+    def combine(df):
+        g = df.groupby(key, sort=False).agg(
+            bytes=("bytes", "sum"), first_seen=("first_seen", "min"),
+            last_seen=("last_seen", "max"), n_events=("n_events", "sum"))
+        return g.reset_index()
 
-    @ray.remote
-    def combine(*tables):
-        parts = [t for t in tables if len(t)]
-        if not parts:
-            return None
-        t = pa.concat_tables(parts)
-        g = pa.TableGroupBy(t, key).aggregate([
-            ("bytes", "sum"), ("first_seen", "min"),
-            ("last_seen", "max"), ("n_events", "sum")])
-        return g.rename_columns([key, "bytes", "first_seen", "last_seen", "n_events"])
-
-    buckets: list[list] = [[] for _ in range(n_buckets)]
-    for bundle in partials.iter_internal_ref_bundles():
-        for ref in bundle.block_refs:
-            outs = split.options(num_returns=n_buckets).remote(ref, n_buckets)
-            if n_buckets == 1:
-                outs = [outs]
-            for i in range(n_buckets):
-                buckets[i].append(outs[i])
-    refs = [combine.remote(*buckets[i]) for i in range(n_buckets)]
-    refs = [r for r, v in zip(refs, ray.get(refs)) if v is not None]
-    return rd.from_arrow_refs(refs)
+    return hash_group_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                            [key], combine, n_buckets=n_buckets,
+                            out_schema=schema)
 
 
 def track_clients(ds, horizon_ts, *, timeout_seconds: int = 3600,

@@ -36,6 +36,14 @@ def make_correlator(ruleset: RuleSet):
     # stateless half is what the vectorized classifier re-implements).
     helper = ReferenceEvaluator(ruleset)
 
+    # per-rule static predicates, computed once — not re-scanned per row
+    # in the ~1M-row replay loop
+    rule_static = [
+        (any(x.op in ("set", "unset") for x in r.xbits),
+         [f for f in r.flexbits if f.op in ("isset", "isnotset")],
+         [f for f in r.flexbits if f.op == "count"])
+        for r in ruleset.rules]
+
     def correlate(df: pd.DataFrame,
                   init_states: dict | None = None,
                   out_states: dict | None = None) -> pd.DataFrame:
@@ -92,7 +100,9 @@ def make_correlator(ruleset: RuleSet):
                 routed_flags.append(False)
                 emit_flags.append(False)
                 continue
-            rule = rules[int(rule_idx[k])]
+            ri = int(rule_idx[k])
+            rule = rules[ri]
+            has_setunset, conds, counts = rule_static[ri]
             now = int(ts_epoch[k])
             src_ip, dst_ip = src_ips[k], dst_ips[k]
             sp, dp = int(src_ports[k]), int(dst_ports[k])
@@ -100,12 +110,9 @@ def make_correlator(ruleset: RuleSet):
 
             # ---- state conditions (routing gates) --------------------
             routed = True
-            has_setunset = any(x.op in ("set", "unset") for x in rule.xbits)
             if rule.xbits and not has_setunset:
                 routed = helper._xbit_condition(rule, st, src_ip, dst_ip, now)
             if routed and rule.flexbits:
-                conds = [f for f in rule.flexbits if f.op in ("isset", "isnotset")]
-                counts = [f for f in rule.flexbits if f.op == "count"]
                 if conds and not helper._flexbit_condition(
                         conds, st, src_ip, dst_ip, sp, dp, user, now):
                     routed = False

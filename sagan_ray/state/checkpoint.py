@@ -41,6 +41,17 @@ class RunManifest:
 
     def mark(self, partition: str, rows: int) -> None:
         self._data[partition] = {"rows": rows, "done": True}
+        self._flush()
+
+    def unmark(self, partition: str) -> None:
+        """Clear done BEFORE overwriting an existing partition, so a
+        crash mid-swap leaves it flagged for rewrite, never silently
+        skipped while its data is gone."""
+        if partition in self._data:
+            self._data[partition]["done"] = False
+            self._flush()
+
+    def _flush(self) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._data, f, indent=0, sort_keys=True)
@@ -60,21 +71,38 @@ def partitioned_write(ds, out_dir: str, partition_col: str) -> dict:
     from the written files afterwards. Writes land in a staging dir that
     is renamed into place per partition, so a crash never leaves a
     half-written partition that a resume would then skip."""
+    from urllib.parse import unquote
+
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     manifest = RunManifest(out_dir)
-    done_vals = {p.split("=", 1)[1] for p in manifest.partitions()
-                 if manifest.done(p)}
+    # sweep staging dirs stranded by crashed prior runs (their partitions
+    # are not marked done, so their data gets rewritten below)
+    for entry in os.listdir(out_dir):
+        if entry.startswith("_stage_"):
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
 
-    if done_vals:
-        dv = sorted(done_vals)
+    # manifest keys hold the hive-ENCODED dir names ('a b' → 'a%20b',
+    # null → '__HIVE_DEFAULT_PARTITION__'); decode before comparing
+    # against raw column values
+    done_enc = {p.split("=", 1)[1] for p in manifest.partitions()
+                if manifest.done(p)}
+    null_done = "__HIVE_DEFAULT_PARTITION__" in done_enc
+    done_vals = sorted(unquote(v) for v in done_enc
+                       if v != "__HIVE_DEFAULT_PARTITION__")
+
+    if done_enc:
 
         def drop_done(tbl):
             import pyarrow as pa
-            m = pc.is_in(pc.cast(tbl.column(partition_col), pa.string()),
-                         value_set=pa.array(dv, pa.string()))
-            return tbl.filter(pc.invert(m))
+            col = pc.cast(tbl.column(partition_col), pa.string())
+            m = pc.fill_null(
+                pc.is_in(col, value_set=pa.array(done_vals, pa.string())),
+                null_done)
+            if null_done:
+                m = pc.or_(m, pc.is_null(col))
+            return tbl.filter(pc.invert(pc.fill_null(m, False)))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
@@ -90,8 +118,17 @@ def partitioned_write(ds, out_dir: str, partition_col: str) -> dict:
         rows = sum(pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
                    for f in os.listdir(src) if f.endswith(".parquet"))
         if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.replace(src, dst)
+            # unmark → swap aside → swap in: a crash anywhere in here
+            # leaves done=False, so the rerun rewrites instead of
+            # skipping a deleted partition
+            manifest.unmark(entry)
+            old = dst + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(dst, old)
+            os.replace(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(src, dst)
         written[entry] = rows
         manifest.mark(entry, rows)
     shutil.rmtree(stage, ignore_errors=True)

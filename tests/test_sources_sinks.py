@@ -245,3 +245,27 @@ def test_gzip_pipe_lines(tmp_path):
     assert len(out) == 200 and not out["malformed"].any()
     assert set(out["conv_id"]) == {"c0", "c1", "c2"}
     assert out["text"].iloc[0].startswith("msg ")
+
+
+def test_partitioned_write_hive_encoded_resume(tmp_path):
+    """Regression (self-review round 3): partition values needing hive
+    percent-encoding (or null) must still be skipped on resume — the
+    manifest stores encoded dir names while the filter sees raw values."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.state import partitioned_write
+
+    out = str(tmp_path / "o")
+    tbl = pa.table({"k": pa.array(["a b", "a b", "x/y", None, "plain"]),
+                    "v": pa.array(range(5), pa.int64())})
+    r1 = partitioned_write(rd.from_arrow(tbl), out, "k")
+    assert sum(r1["written"].values()) == 5
+    # stranded staging dir from a "crashed" run must be swept
+    os.makedirs(os.path.join(out, "_stage_dead"), exist_ok=True)
+
+    r2 = partitioned_write(rd.from_arrow(tbl), out, "k")
+    assert r2["written"] == {}, f"resume rewrote partitions: {r2}"
+    assert not any(e.startswith("_stage_") for e in os.listdir(out))
