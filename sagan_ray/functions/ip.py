@@ -23,9 +23,13 @@ _V4MAPPED_BASE = int(ipaddress.IPv6Address("::ffff:0:0"))
 # candidate tokens; validity is checked with the ipaddress module
 _IP_CAND = re.compile(
     r"""
-    \[(?P<v6b>[0-9A-Fa-f:]{2,45})\](?::(?P<v6bport>\d{1,5}))?   # [v6]:port
+    \[(?P<v6b>[0-9A-Fa-f:.]{2,45})\](?::(?P<v6bport>\d{1,5}))?  # [v6]:port
   | (?<![\w.:])(?P<v4>(?:\d{1,3}\.){3}\d{1,3})(?![\w.])          # bare v4
-  | (?<![\w.:])(?P<v6>[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,7})(?![\w:]) # bare v6
+    # bare v6, optionally with an embedded dotted-quad tail
+    # (::ffff:1.2.3.4, 64:ff9b::192.0.2.33 — parsers/ip.c handles these
+    # via inet_pton(AF_INET6))
+  | (?<![\w.:])(?P<v6>[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,7}
+                (?:(?:\.\d{1,3}){3})?)(?![\w:.])
     """,
     re.VERBOSE,
 )
@@ -68,8 +72,12 @@ def extract_ips(text: str, max_ips: int = MAX_PARSE_IP) -> list[tuple[str, int]]
                 port = int(m.group("v6bport"))
         elif m.group("v4"):
             cand = m.group("v4")
-            # fast octet validation (the regex already guarantees shape)
-            if any(int(o) > 255 for o in cand.split(".")):
+            # fast octet validation (the regex already guarantees shape);
+            # leading-zero octets are rejected like inet_pton/ipaddress
+            # do — '10.0.0.01' must not be emitted as an IP that
+            # ip_to_int then cannot parse
+            if any(int(o) > 255 or (len(o) > 1 and o[0] == "0")
+                   for o in cand.split(".")):
                 continue
             pm = _PORT_AFTER.match(text, m.end())
             if pm:

@@ -46,7 +46,15 @@ def extract_hashes(text: str) -> dict[str, str]:
 
 
 def extract_event_id(text: str) -> str:
-    """Windows-style event id in the first 10 chars ('' if absent)."""
+    """Windows-style event id in the first 10 chars ('' if absent).
+
+    Documented deviation from event-id.c:61-125: the reference substring-
+    searches ``" <id>: "`` (leading AND trailing space) within the first
+    9 chars, because syslog message bodies start with a space after the
+    header. Transcript texts carry no syslog header, so ids naturally sit
+    at position 0 — this extractor therefore also anchors at start and
+    does not require the trailing space. Both the oracle and the
+    vectorized path implement THIS spec."""
     m = _EVENT_ID_RE.search(text[: EVENT_ID_HEAD + 2])
     if m and m.start(1) <= EVENT_ID_HEAD:
         return m.group(1)
@@ -80,6 +88,13 @@ def flatten_json(obj) -> dict[str, str]:
     return out
 
 
+def _reject_constant(val):
+    # json-c (the reference's parser) rejects NaN/Infinity; python's
+    # json.loads accepts them by default AND _flatten's int(obj) would
+    # then raise — treat such messages as non-JSON instead
+    raise ValueError(f"non-standard JSON constant {val!r}")
+
+
 def try_parse_json_text(text: str) -> dict[str, str] | None:
     """If the message *is* a JSON object (json input mode analog,
     src/input-json.c:47-547), return its flattened k/v map, else None."""
@@ -87,7 +102,7 @@ def try_parse_json_text(text: str) -> dict[str, str] | None:
     if not s.startswith("{"):
         return None
     try:
-        obj = json.loads(s)
+        obj = json.loads(s, parse_constant=_reject_constant)
     except (ValueError, RecursionError):
         return None
     if not isinstance(obj, dict):
@@ -153,6 +168,12 @@ def prematch_regex(spec: str) -> re.Pattern:
     alts = []
     for alt in spec.split("|"):
         alt = alt.strip()
+        if not alt:
+            # the reference tokenizes with strtok, which discards empty
+            # tokens (engine.c:502) — 'sshd|' must not match empty roles
+            continue
         esc = re.escape(alt).replace(r"\*", ".*").replace(r"\?", ".")
         alts.append(esc)
+    if not alts:
+        return re.compile(r"(?!)")      # matches nothing
     return re.compile(r"^(?:%s)$" % "|".join(alts))

@@ -4,20 +4,21 @@ Sink analogs (SURVEY.md §2.1): alert (src/output-plugins/alert.c), fast
 (fast.c), eve (eve.c + src/json-handler.c:54-232 Format_JSON_Alert_EVE),
 syslog (syslog-handler.c), email (esmtp.c), external (external.c).
 
-Resumable layout: each sink writes into ``out_dir/sink=<name>/`` via
-Ray's parquet writer (a directory of part files), and a ``_SUCCESS.json``
-manifest records the finished sinks + row counts — a rerun can skip sinks
-whose manifest entry exists (the batch analog of the reference's
-mmap-persisted restart state, src/ipc.c:458-733; input position is *not*
-checkpointed there either).
+Resumable layout: each sink writes into ``out_dir/sink=<name>/`` through
+``state.checkpoint.partitioned_write`` — staged dirs swap in atomically
+and ``_manifest.json`` records finished sinks + row counts, so a rerun
+filters done sinks out of the explode pass and rewrites only the rest
+(the batch analog of the reference's mmap-persisted restart state,
+src/ipc.c:458-733; input position is *not* checkpointed there either).
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 import pyarrow as pa
+
+from ..config import SINK_EMAIL, SINK_EXTERNAL
 
 
 def eve_format_batch(tbl: pa.Table) -> pa.Table:
@@ -95,9 +96,12 @@ def eve_log_all(ds):
 
     def f(tbl: pa.Table) -> pa.Table:
         big = pa.large_string()
-        ts = pc.cast(pc.cast(tbl.column("ts"), pa.string()), big)
+        # fill numeric/timestamp nulls — one null operand would null the
+        # whole joined line (same hazard eve_format_batch guards)
+        ts = pc.fill_null(pc.cast(pc.cast(tbl.column("ts"), pa.string()), big), "")
         conv = _json_escape(pc.cast(pc.fill_null(tbl.column("conv_id"), ""), big))
-        turn = pc.cast(pc.cast(tbl.column("turn_idx"), pa.string()), big)
+        turn = pc.fill_null(
+            pc.cast(pc.cast(tbl.column("turn_idx"), pa.string()), big), "0")
         role = _json_escape(pc.cast(pc.fill_null(tbl.column("role"), ""), big))
         tool = _json_escape(pc.cast(pc.fill_null(tbl.column("tool"), ""), big))
         text = _json_escape(pc.cast(pc.fill_null(tbl.column("text"), ""), big))
@@ -117,39 +121,36 @@ def eve_log_all(ds):
 
 def write_sinks(engine_result, out_dir: str, *, overwrite: bool = False) -> dict:
     """Fan routed alerts out to one Parquet directory per sink and return
-    {sink: rows}. Executes the match pipeline once (single explode pass,
-    partitioned write)."""
+    {sink: rows} — every CONFIGURED sink appears (0 when it routed
+    nothing). Delegates to ``state.checkpoint.partitioned_write``, so the
+    resume genuinely is per sink: finished sinks are filtered out of the
+    explode pass, staged dirs swap in atomically, and a crashed run
+    rewrites only what its manifest doesn't mark done."""
     import shutil
 
+    from ..state.checkpoint import RunManifest, partitioned_write
+
     os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, "_SUCCESS.json")
-    if not overwrite and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            return json.load(f)
-    # a crashed prior run (no manifest) or an overwrite rerun may have
-    # left part files behind; counting from the directory would then
-    # inflate the manifest — clear the sink dirs first
-    if os.path.exists(manifest_path):
-        os.remove(manifest_path)
-    for entry in os.listdir(out_dir):
-        if entry.startswith("sink="):
-            shutil.rmtree(os.path.join(out_dir, entry))
+    if overwrite:
+        for entry in os.listdir(out_dir):
+            p = os.path.join(out_dir, entry)
+            if entry.startswith("sink=") or entry == "_manifest.json":
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     exploded = engine_result.routed_exploded()
-    # hive partitioning by sink → out_dir/sink=alert/... (resumable per sink)
-    exploded.write_parquet(out_dir, partition_cols=["sink"])
+    partitioned_write(exploded, out_dir, "sink")
 
-    # count from the written files (no pipeline re-execution)
-    import pyarrow.parquet as pq
-
-    per_sink: dict[str, int] = {}
-    for entry in os.listdir(out_dir):
-        if entry.startswith("sink="):
-            sink = entry.split("=", 1)[1]
-            d = os.path.join(out_dir, entry)
-            per_sink[sink] = sum(
-                pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-                for f in os.listdir(d) if f.endswith(".parquet"))
-    with open(manifest_path, "w") as f:
-        json.dump(per_sink, f)
+    manifest = RunManifest(out_dir)
+    per_sink = {p.split("=", 1)[1]: info.get("rows", 0)
+                for p, info in manifest.partitions().items()
+                if info.get("done")}
+    # a sink that routed zero rows writes no partition dir — record 0
+    # so consumers can distinguish 'ran, empty' from 'unknown sink'
+    sinks = set(engine_result.config.sinks)
+    if any(r.email for r in engine_result.ruleset):
+        sinks.add(SINK_EMAIL)
+    if any(r.external for r in engine_result.ruleset):
+        sinks.add(SINK_EXTERNAL)
+    for s in sinks:
+        per_sink.setdefault(s, 0)
     return per_sink
