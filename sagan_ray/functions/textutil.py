@@ -161,10 +161,14 @@ def infer_proto(text: str) -> str:
     return ""
 
 
-def prematch_regex(spec: str) -> re.Pattern:
-    """Compile a ``program:``-style spec ('|'-alternation with '*'/'?'
-    wildcards, reference engine.c:492-581 + util.c:970-990 Wildcard) into
-    one anchored regex. '!' prefix negation is handled by the caller."""
+def prematch_regex(spec: str, wildcards: bool = True) -> re.Pattern:
+    """Compile a prematch spec ('|'-alternation) into one anchored regex.
+    ``wildcards=True`` is the ``program:`` behavior ('*'/'?' globs via
+    util.c:970-990 Wildcard, engine.c:502-511); facility/level/tag/
+    priority use ``wildcards=False`` — the reference compares those with
+    plain strcmp per '|' token (engine.c:512-581), so '*'/'?' there are
+    literal characters. A literal '!' matches itself in every field (the
+    reference has no prematch negation)."""
     alts = []
     for alt in spec.split("|"):
         alt = alt.strip()
@@ -172,7 +176,9 @@ def prematch_regex(spec: str) -> re.Pattern:
             # the reference tokenizes with strtok, which discards empty
             # tokens (engine.c:502) — 'sshd|' must not match empty roles
             continue
-        esc = re.escape(alt).replace(r"\*", ".*").replace(r"\?", ".")
+        esc = re.escape(alt)
+        if wildcards:
+            esc = esc.replace(r"\*", ".*").replace(r"\?", ".")
         alts.append(esc)
     if not alts:
         return re.compile(r"(?!)")      # matches nothing

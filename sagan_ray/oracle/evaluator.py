@@ -102,13 +102,14 @@ class _ConvState:
 _PREMATCH_CACHE: dict[str, object] = {}
 
 
-def _prematch(spec: str, value: str) -> bool:
-    rx = _PREMATCH_CACHE.get(spec)
+def _prematch(spec: str, value: str, wildcards: bool = True) -> bool:
+    key = (spec, wildcards)
+    rx = _PREMATCH_CACHE.get(key)
     if rx is None:
         if len(_PREMATCH_CACHE) > 10_000:
             _PREMATCH_CACHE.clear()
-        rx = prematch_regex(spec)
-        _PREMATCH_CACHE[spec] = rx
+        rx = prematch_regex(spec, wildcards)
+        _PREMATCH_CACHE[key] = rx
     return rx.match(value or "") is not None
 
 
@@ -199,12 +200,16 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
     # ---- pre-match ----------------------------------------------------
     if rule.program is not None and not _prematch(rule.program, eff_role):
         return None
-    if rule.facility is not None and not _prematch(rule.facility, rc.tool):
+    # facility/level/tag/priority: exact strcmp per '|' token — only
+    # program gets the Wildcard glob (engine.c:502-581)
+    if rule.facility is not None and not _prematch(rule.facility, rc.tool,
+                                                   wildcards=False):
         return None
-    if rule.tag is not None and not _prematch(rule.tag, rc.tool):
+    if rule.tag is not None and not _prematch(rule.tag, rc.tool,
+                                              wildcards=False):
         return None
     for lv in rule.levels:
-        if not _prematch(lv, rc.tool):
+        if not _prematch(lv, rc.tool, wildcards=False):
             return None
 
     # ---- offload predicate (local UDF analog of src/offload.c:47-167;
@@ -393,7 +398,12 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
                 ok = any(tbl.get(ip) in cats for ip, _ in ips)
         elif kind == "file_hash":
             tbl = bd.get("hash", {})
-            hashes = extract_hashes(eff_text) if remapped else rc.hashes()
+            # json_map'd md5/sha1/sha256 override extraction per field
+            # (engine.c:427-437 feed the mapped values into the hash
+            # fields the file_hash gates consume)
+            hashes = {**(extract_hashes(eff_text) if remapped else rc.hashes()),
+                      **{k: base[k] for k in ("md5", "sha1", "sha256")
+                         if k in base}}
             ok = any(h and tbl.get(h) in cats for h in hashes.values())
         elif kind == "ja3":
             # JA3 arrives as a field of the structured record — the
@@ -414,7 +424,9 @@ def match_stateless(rule: Rule, rc: RowCache, lookups: Lookups):
     if rule.zeekintel:
         if ips is None:
             ips = extract_ips(eff_text) if remapped else rc.ips()
-        hashes = extract_hashes(eff_text) if remapped else rc.hashes()
+        hashes = {**(extract_hashes(eff_text) if remapped else rc.hashes()),
+                  **{k: base[k] for k in ("md5", "sha1", "sha256")
+                     if k in base}}
         if not _zeekintel(rule, lookups, eff_text, src_ip, dst_ip,
                           ips, hashes, username):
             return None
@@ -532,17 +544,15 @@ class ReferenceEvaluator:
             if not xbit_ok:
                 continue
 
-            # ---- flexbit conditions (routing.c:55-70) ----------------
+            # ---- flexbit conditions (routing.c:55-70; set-only rules
+            # have no conds/counts and fall straight through) -----------
             if rule.flexbits:
-                has_set = any(f.op == "set" for f in rule.flexbits)
                 conds = [f for f in rule.flexbits if f.op in ("isset", "isnotset")]
                 counts = [f for f in rule.flexbits if f.op == "count"]
-                if conds:
-                    if not self._flexbit_condition(conds, st, src_ip, dst_ip,
-                                                   src_port, dst_port, username, now):
-                        continue
-                elif has_set:
-                    pass  # set-only: routing passes
+                if conds and not self._flexbit_condition(
+                        conds, st, src_ip, dst_ip,
+                        src_port, dst_port, username, now):
+                    continue
                 if counts and not all(
                         self._flexbit_count(f, st, src_ip, dst_ip, now) for f in counts):
                     continue

@@ -83,10 +83,25 @@ def _split_options(body: str) -> list[str]:
 
 
 def _unquote(s: str) -> str:
+    """Strip surrounding quotes and unescape \" / \; (the characters the
+    option tokenizer itself escapes). Backslashes are otherwise passed
+    through VERBATIM — the reference hands the quoted bytes to
+    pcre_compile unmodified, so collapsing '\\\\' would turn the pcre
+    'literal backslash + d' into the digit class \\d."""
     s = s.strip()
     if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
         s = s[1:-1]
-    return s.replace('\\"', '"').replace("\\;", ";").replace("\\\\", "\\")
+    return s.replace('\\"', '"').replace("\\;", ";")
+
+
+def _expand_var(s: str, variables: dict[str, str], what: str) -> str:
+    """$VAR substitution with a cycle bound (a circular 'var A $B' +
+    'var B $A' must raise, not hang)."""
+    for _ in range(16):
+        if not s.startswith("$"):
+            return s
+        s = variables.get(s[1:], s[1:]).strip()
+    raise RuleParseError(f"circular $VAR reference expanding {what!r}")
 
 
 def _split_commas_outside_quotes(s: str) -> list[str]:
@@ -133,11 +148,15 @@ def _net_to_range(net: str) -> tuple[int, int]:
 def _parse_net_group(spec: str, variables: dict[str, str]) -> list[tuple[int, int, bool]] | None:
     """``any`` → None; ``[a,b,!c]`` / single CIDR / $VAR → range list."""
     spec = spec.strip()
-    while spec.startswith("$"):
+    for _ in range(16):
+        if not spec.startswith("$"):
+            break
         name = spec[1:]
         if name not in variables:
             raise RuleParseError(f"undefined variable ${name}")
         spec = variables[name].strip()
+    else:
+        raise RuleParseError(f"circular $VAR reference in net group {spec!r}")
     if spec.lower() == "any":
         return None
     if spec.startswith("[") and spec.endswith("]"):
@@ -149,8 +168,7 @@ def _parse_net_group(spec: str, variables: dict[str, str]) -> list[tuple[int, in
         neg = p.startswith("!")
         if neg:
             p = p[1:]
-        while p.startswith("$"):
-            p = variables.get(p[1:], "")
+        p = _expand_var(p, variables, "net group element")
         lo, hi = _net_to_range(p)
         out.append((lo, hi, neg))
     return out
@@ -202,27 +220,32 @@ def parse_rules(text: str, variables: dict[str, str] | None = None,
     variables = dict(variables or {})
     rules: list[Rule] = []
 
-    # join continued lines, drop comments
+    # join continued lines, drop comments. The comment check runs on the
+    # RAW line BEFORE joining, so a '#' line inside a \\-wrapped rule is
+    # skipped instead of being glued into the pending rule text.
     logical_lines: list[str] = []
     pending = ""
     for raw in text.splitlines():
-        line = raw.rstrip()
-        if pending:
-            line = pending + " " + line.strip()
-            pending = ""
-        s = line.strip()
-        if not s or s.startswith("#"):
+        stripped = raw.strip()
+        if not stripped or stripped.startswith("#"):
             continue
-        if s.endswith("\\"):
-            pending = s[:-1]
+        line = (pending + " " + stripped) if pending else stripped
+        pending = ""
+        if line.endswith("\\"):
+            pending = line[:-1]
             continue
-        logical_lines.append(s)
+        logical_lines.append(line)
     if pending:
         logical_lines.append(pending.strip())
 
     for line in logical_lines:
         if line.startswith("var "):
-            _, name, val = line.split(None, 2)
+            try:
+                _, name, val = line.split(None, 2)
+            except ValueError as e:
+                raise RuleParseError(
+                    f"malformed var line (need 'var NAME value'): "
+                    f"{line!r}") from e
             variables[name] = val.strip()
             continue
         try:
@@ -356,10 +379,16 @@ def _parse_one(line: str, variables: dict[str, str],
             tmpl = _decode_hex_escapes(_unquote(parts[0][1:] if negated else parts[0]))
             items = []
             for p in parts[1:]:
-                p = _unquote(p)
-                while p.startswith("$"):
-                    p = variables.get(p[1:], p[1:])
-                items.append(tmpl.replace("%sagan%", p) if "%sagan%" in tmpl else p)
+                # expand $VAR FIRST, then split on commas — a comma-list
+                # variable contributes one OR pattern per element, as the
+                # reference's Var_To_Value-then-strtok does
+                # (rules.c:1953-1980)
+                p = _expand_var(_unquote(p), variables, "meta_content value")
+                for piece in p.split(","):
+                    piece = piece.strip()
+                    if piece:
+                        items.append(tmpl.replace("%sagan%", piece)
+                                     if "%sagan%" in tmpl else piece)
             last_meta = MetaContent(patterns=items, negated=negated)
             rule.meta_contents.append(last_meta)
         elif name == "meta_nocase":

@@ -72,10 +72,14 @@ def events_to_transcripts(tbl: pa.Table) -> pa.Table:
     props = tbl.column("props").to_numpy(zero_copy_only=False)
     conv = pa.array([f"u{int(u):06d}" for u in uid], pa.string())
     text = pa.array(_render_text(uid, etype, props), pa.large_string())
+    if "turn_idx" not in tbl.column_names:
+        raise ValueError(
+            "events_to_transcripts requires a turn_idx column — run the "
+            "per-user numbering exchange first (read_events_as_transcripts);"
+            " fabricating zeros would corrupt per-conv correlation order")
     return pa.Table.from_arrays([
         conv,
-        tbl.column("turn_idx").combine_chunks() if "turn_idx" in tbl.column_names
-        else pa.array(np.zeros(len(tbl), np.int32)),
+        tbl.column("turn_idx").combine_chunks(),
         pc.cast(tbl.column("event_type").combine_chunks(), pa.string()),
         text,
         pa.array([""] * len(tbl), pa.string()),

@@ -138,13 +138,15 @@ class _RulePlan:
     def __init__(self, rule: Rule):
         self.rule = rule
         self.prematch_role = prematch_regex(rule.program).pattern if rule.program else None
+        # facility/tag/level: exact-match alternations (no globs —
+        # engine.c:512-581 strcmp; only program gets Wildcard)
         tools = []
         if rule.facility:
-            tools.append(prematch_regex(rule.facility).pattern)
+            tools.append(prematch_regex(rule.facility, wildcards=False).pattern)
         if rule.tag:
-            tools.append(prematch_regex(rule.tag).pattern)
+            tools.append(prematch_regex(rule.tag, wildcards=False).pattern)
         for lv in rule.levels:
-            tools.append(prematch_regex(lv).pattern)
+            tools.append(prematch_regex(lv, wildcards=False).pattern)
         self.prematch_tool = tools
 
         # meta_content → one RE2 alternation per atom (with its window)

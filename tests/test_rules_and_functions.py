@@ -170,3 +170,46 @@ alert any any any -> any any (msg:"c"; content:"x"; sid:3;)
     rs2 = parse_rules('alert any any any -> any any (msg:"d"; '
                       'content:"x"; classtype:nope; sid:4;)')
     assert rs2.rules[0].classtype == "nope"
+
+
+def test_parser_fifth_review_regressions():
+    """Regressions from the full-parser review: meta $VAR comma lists,
+    circular vars, backslash preservation, comments inside wrapped rules,
+    malformed var lines, exact facility/tag matching."""
+    import pytest
+
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.rules.parser import RuleParseError
+
+    # $VAR expanding to a comma list → one OR pattern per element
+    rs = parse_rules('var USERS alice,bob\n'
+                     'alert any any any -> any any (msg:"m"; '
+                     'meta_content:"user %sagan%",$USERS; sid:1;)')
+    assert rs.rules[0].meta_contents[0].patterns == ["user alice", "user bob"]
+
+    # circular $VAR raises instead of hanging
+    with pytest.raises(RuleParseError):
+        parse_rules('var A $B\nvar B $A\n'
+                    'alert any $A any -> any any (content:"x"; sid:2;)')
+
+    # pcre literal backslash survives parsing: /a\\d/ = backslash + 'd'
+    rs = parse_rules(r'alert any any any -> any any (pcre:"/a\\d/"; sid:3;)')
+    assert rs.rules[0].pcres[0].pattern == r"a\\d"
+    assert rs.rules[0].pcres[0].compiled().search("xa\\dy")
+    assert not rs.rules[0].pcres[0].compiled().search("a7")
+
+    # a comment line inside a \-wrapped rule is skipped, not glued
+    rs = parse_rules('alert any any any -> any any (msg:"w"; \\\n'
+                     '# interleaved comment\n'
+                     'content:"x"; sid:4;)')
+    assert rs.rules[0].sid == 4
+
+    with pytest.raises(RuleParseError):
+        parse_rules("var X\n")
+
+    # facility/tag are exact per '|' token — no globs (engine.c:512-581)
+    from sagan_ray.oracle.evaluator import _prematch
+
+    assert _prematch("brow*", "brow*", wildcards=False)
+    assert not _prematch("brow*", "browser", wildcards=False)
+    assert _prematch("brow*", "browser", wildcards=True)   # program only
