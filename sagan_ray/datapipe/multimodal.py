@@ -285,6 +285,8 @@ class SampleFrames:
                                      tbl.column("duration_ms").to_pylist(),
                                      tbl.column("payload").to_pylist()):
             frames, interval = decode_sgv(payload)
+            if not frames:      # valid zero-frame container → zero rows
+                continue
             for t in range(0, max(1, dur), self.every_ms):
                 idx = min(len(frames) - 1, t // max(1, interval))
                 out_id.append(mid)

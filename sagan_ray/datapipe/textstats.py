@@ -129,12 +129,16 @@ def _norm_text(t: str) -> str:
 
 _POLY_P = np.uint64(1099511628211)
 _POLY_SEED = np.uint64(1469598103934665603)
+_POW_MAX = 1 << 16          # cache cap: ~512 KB per worker, never more
 _POW_CACHE = np.array([1], dtype=np.uint64)
 
 
 def _poly_powers(k: int) -> np.ndarray:
-    """p^0..p^(k-1) mod 2^64 (uint64 wraparound), grown on demand."""
+    """p^0..p^(k-1) mod 2^64 (uint64 wraparound), grown on demand up to
+    the fixed cap (a single huge document must not pin a proportional
+    power table in every worker)."""
     global _POW_CACHE
+    assert k <= _POW_MAX
     if len(_POW_CACHE) < k:
         n0 = len(_POW_CACHE)
         ext = np.empty(k, np.uint64)
@@ -147,14 +151,21 @@ def _poly_powers(k: int) -> np.ndarray:
 
 def _poly_hash(data: bytes) -> int:
     """64-bit polynomial hash h = seed·pᵏ + Σ bᵢ·p^(k-1-i) (mod 2^64) —
-    a vectorized dot product over the byte array, not a per-byte fold."""
+    a vectorized dot product over the byte array, chunked so the power
+    table stays bounded: h ← h·p^m + Σ chunk·p^(m-1-j) per chunk is the
+    same fold."""
     arr = np.frombuffer(data, np.uint8).astype(np.uint64)
     k = len(arr)
     if k == 0:
         return int(_POLY_SEED)
-    pw = _poly_powers(k + 1)
+    h = _POLY_SEED
+    step = _POW_MAX - 1
     with np.errstate(over="ignore"):    # 2^64 wraparound is the modulus
-        h = _POLY_SEED * pw[k] + np.dot(arr, pw[k - 1::-1])
+        for i in range(0, k, step):
+            chunk = arr[i:i + step]
+            m = len(chunk)
+            pw = _poly_powers(m + 1)
+            h = h * pw[m] + np.dot(chunk, pw[m - 1::-1])
     return int(np.uint64(h))
 
 

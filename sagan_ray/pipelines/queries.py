@@ -390,10 +390,10 @@ alert any any any -> any any (msg:"fchk"; content:"100: view"; flexbits: isset,n
 """
 
 SQL_BITS = _T + """,
-e AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, 'auth failure')),
-p AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, 'purchase')),
-s AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, 'signup')),
-v AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et FROM t WHERE contains(text, '100: view'))
+e AS (SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et FROM t WHERE contains(text, 'auth failure')),
+p AS (SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et FROM t WHERE contains(text, 'purchase')),
+s AS (SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et FROM t WHERE contains(text, 'signup')),
+v AS (SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et FROM t WHERE contains(text, '100: view'))
 SELECT conv_id, turn_idx, 2191 AS sid FROM e
 UNION ALL
 SELECT DISTINCT p.conv_id, p.turn_idx, 2192 FROM p JOIN e
@@ -422,7 +422,7 @@ alert any any any -> any any (msg:"after2"; content:"auth failure"; after: track
 SQL_AFTER = f"""
 WITH RECURSIVE t AS ({EVENTS_AS_TRANSCRIPTS_SQL}),
 m AS (
-  SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et,
+  SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
   FROM t WHERE contains(text, 'auth failure')),
 s AS (
@@ -451,7 +451,7 @@ alert any any any -> any any (msg:"sup"; content:"signup"; threshold: type suppr
 SQL_THRESH = f"""
 WITH RECURSIVE t AS ({EVENTS_AS_TRANSCRIPTS_SQL}),
 ml AS (
-  SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et,
+  SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
   FROM t WHERE contains(text, 'purchase')),
 sl AS (
@@ -464,7 +464,7 @@ sl AS (
          2 < (CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END)
   FROM ml m JOIN sl s ON m.conv_id = s.conv_id AND m.rn = s.rn + 1),
 ms AS (
-  SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS et,
+  SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
   FROM t WHERE contains(text, 'signup')),
 ss AS (
@@ -1155,5 +1155,6 @@ ORACLES = {
     # rows-only (non-SQL-expressible): engine_stateful (sequential anchored
     # windows), dedup_simhash (hash-based sketch),
     # text_langid (model heuristic), embed_ivf / embed_near_dup_lsh
-    # (approximate), multimodal_features (stubbed decode)
+    # (approximate), multimodal_features (real BMP decode — SQL simply
+    # can't express the pixel-feature kernel)
 }
