@@ -926,7 +926,46 @@ def q_text_langid(sf_dir: str):
 
     out = langid(_docs(sf_dir)).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out["lang_conf"] = out["lang_conf"].astype("float64")
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "lang_pred", "lang_conf"]])
+
+
+def _sql_stop_score(lang_words: list[str]) -> str:
+    inlist = ",".join(f"'{w}'" for w in lang_words)
+    return (f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+            f"len(list_filter(ws, x -> x IN ({inlist})))::DOUBLE / len(ws) END")
+
+
+def _build_sql_langid() -> str:
+    from ..datapipe.textstats import STOPWORDS
+
+    scores = {lang: _sql_stop_score(sorted(ws))
+              for lang, ws in STOPWORDS.items()}
+    order = list(STOPWORDS)      # en, es, de, fr — first max wins
+    sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    first_max = "CASE WHEN m <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in order) + " END"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+s AS (SELECT doc_id, {sel} FROM w),
+m AS (SELECT doc_id, s_en, s_es, s_de, s_fr,
+             greatest(s_en, s_es, s_de, s_fr) AS m FROM s)
+SELECT doc_id, {first_max} AS lang_pred,
+       CASE WHEN m <= 0 THEN 0.0 ELSE m END AS lang_conf
+FROM m ORDER BY doc_id
+"""
+
+
+# stopword-ratio argmax with first-language tie-breaking — mirrors
+# datapipe.textstats.langid exactly (strict > keeps the earlier language
+# on ties; all-zero scores → 'und'). Valid while document text is ASCII
+# (python \\w == RE2 [a-z0-9_] there); the fixture corpora are.
+SQL_LANGID = _build_sql_langid()
 
 
 # ---------------------------------------------------------------------------
@@ -1149,12 +1188,12 @@ ORACLES = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_langid": SQL_LANGID,
     "embed_topk": SQL_EMBED_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,
     # rows-only (non-SQL-expressible): engine_stateful (sequential anchored
-    # windows), dedup_simhash (hash-based sketch),
-    # text_langid (model heuristic), embed_ivf / embed_near_dup_lsh
-    # (approximate), multimodal_features (real BMP decode — SQL simply
-    # can't express the pixel-feature kernel)
+    # windows), dedup_simhash (hash-based sketch), embed_ivf /
+    # embed_near_dup_lsh (approximate), multimodal_features (real BMP
+    # decode — SQL can't express the pixel-feature kernel)
 }
