@@ -503,14 +503,72 @@ def q_engine_threshold(sf_dir: str):
 
 
 def q_engine_stateful(sf_dir: str):
-    """after/threshold/xbit correlation over per-user transcripts — not
-    SQL-expressible (sequential anchored windows); rows-only check +
-    pytest parity vs the reference evaluator."""
+    """after/threshold/xbit correlation mix over per-user transcripts —
+    SQL-verified: the five rules are state-independent of each other, so
+    the oracle composes two recursive-CTE recurrences (after/threshold)
+    with a monotone-xbit EXISTS join."""
     eng = _engine(sf_dir, RS_STATEFUL)
     df = eng.routed().to_pandas()[["conv_id", "turn_idx", "sid"]]
     df["sid"] = df["sid"].astype("int64")
     df["turn_idx"] = df["turn_idx"].astype("int64")
     return df.sort_values(["conv_id", "turn_idx", "sid"]).reset_index(drop=True)
+
+
+# RS_STATEFUL as SQL: after3 / limit2 / suppress2 replay the After2 /
+# Threshold2 recurrences (same transcriptions as SQL_AFTER/SQL_THRESH);
+# the err xbit is set-only with one reader, so isset ⇔ a prior set within
+# its 86400s expiry (monotone EXISTS, as in SQL_BITS).
+SQL_STATEFUL = f"""
+WITH RECURSIVE t AS ({EVENTS_AS_TRANSCRIPTS_SQL}),
+ma AS (
+  SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t WHERE contains(text, 'auth failure')),
+sa AS (
+  SELECT conv_id, turn_idx, rn, et, 1 AS cnt, et AS utime, TRUE AS suppressed
+  FROM ma WHERE rn = 1
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.rn, m.et,
+         CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END,
+         CASE WHEN m.et - s.utime > 86400 THEN m.et
+              WHEN 3 < (CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END)
+                   THEN m.et ELSE s.utime END,
+         NOT (3 < CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END)
+  FROM ma m JOIN sa s ON m.conv_id = s.conv_id AND m.rn = s.rn + 1),
+mp AS (
+  SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t WHERE contains(text, 'purchase')),
+sl AS (
+  SELECT conv_id, turn_idx, rn, et, 1 AS cnt, et AS utime, FALSE AS suppressed
+  FROM mp WHERE rn = 1
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.rn, m.et,
+         CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END,
+         CASE WHEN m.et - s.utime > 86400 THEN m.et ELSE s.utime END,
+         2 < (CASE WHEN m.et - s.utime > 86400 THEN 1 ELSE s.cnt + 1 END)
+  FROM mp m JOIN sl s ON m.conv_id = s.conv_id AND m.rn = s.rn + 1),
+mv AS (
+  SELECT conv_id, turn_idx, floor(epoch(ts))::BIGINT AS et,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t WHERE contains(text, 'view')),
+sv AS (
+  SELECT conv_id, turn_idx, rn, et, 1 AS cnt, et AS utime, FALSE AS suppressed
+  FROM mv WHERE rn = 1
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.rn, m.et,
+         CASE WHEN m.et - s.utime > 7200 THEN 1 ELSE s.cnt + 1 END,
+         m.et,
+         2 < (CASE WHEN m.et - s.utime > 7200 THEN 1 ELSE s.cnt + 1 END)
+  FROM mv m JOIN sv s ON m.conv_id = s.conv_id AND m.rn = s.rn + 1)
+SELECT conv_id, turn_idx, 2111 AS sid FROM sa WHERE NOT suppressed
+UNION ALL SELECT conv_id, turn_idx, 2112 FROM sl WHERE NOT suppressed
+UNION ALL SELECT conv_id, turn_idx, 2113 FROM sv WHERE NOT suppressed
+UNION ALL SELECT conv_id, turn_idx, 2114 FROM ma
+UNION ALL SELECT DISTINCT p.conv_id, p.turn_idx, 2115 FROM mp p JOIN ma e
+  ON e.conv_id = p.conv_id AND e.turn_idx < p.turn_idx AND p.et < e.et + 86400
+ORDER BY conv_id, turn_idx, sid
+"""
 
 
 def q_engine_counters(sf_dir: str):
@@ -1170,6 +1228,7 @@ ORACLES = {
     "engine_bluedot": SQL_BLUEDOT,
     "engine_dynamic": SQL_DYNAMIC,
     "engine_bits": SQL_BITS,
+    "engine_stateful": SQL_STATEFUL,
     "engine_routing": SQL_ROUTING,
     "engine_after": SQL_AFTER,
     "engine_threshold": SQL_THRESH,
