@@ -133,7 +133,8 @@ def _rand_rule(rng: np.random.Generator, sid: int) -> str:
 
 
 @pytest.mark.parametrize("seed", [101, 202, 303, 404, 505,
-                                  606, 707, 808, 909, 1111])
+                                  606, 707, 808, 909, 1111,
+                                  1212, 1313, 1414, 1515, 1616])
 def test_fuzz_ruleset_parity(seed):
     rng = np.random.default_rng(seed)
     text = "\n".join(_rand_rule(rng, 5000 + i) for i in range(int(rng.integers(4, 10))))
