@@ -6,13 +6,15 @@
 Headline: end-to-end routed turns/sec of the full engine pipeline
 (read parquet → classify → correlate → route → per-sink counts) over a
 deterministic synthetic transcript table sized to the sf dir
-(~20 turns per events row). Additional timed queries cover the
+(40 turns per events row). Additional timed queries cover the
 training-data ops over the sf tables.
 
-``--scaling`` runs the plain bench twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm) input
-and reports throughput at both plus scaling efficiency — the sandbox
-substitute for the N vs 4N cluster criterion (BASELINE.md).
+``--scaling`` runs the headline twice in fresh processes at
+num_cpus=GRAFT_SCALE_LO (default 4) and GRAFT_SCALE_HI (default 16) on
+the same (pre-generated, page-warm) input and reports throughput at both
+plus raw and hardware-control-normalized scaling efficiency — the
+sandbox substitute for the N vs 4N cluster criterion (BASELINE.md
+explains why the 8→32 pair is invalid on this shared-memory VM).
 """
 
 from __future__ import annotations
@@ -148,6 +150,21 @@ def run_bench() -> dict:
     queries["engine_full"] = round(headline, 3)
     n_routed = int(sum(counts.values()))
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": ("end-to-end routed turns/sec "
+                       "(parse→classify→correlate→route→aggregate)"),
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_label(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "n_turns": n_turns,
+            "n_routed": n_routed,
+            "turns_per_sec": round(n_turns / headline, 1),
+        }
+
     # ---- secondary queries over the sf tables ------------------------
     def timed(name, fn):
         t = time.time()
@@ -239,22 +256,32 @@ def control_worker(seconds: float = 6.0) -> None:
 
 
 def run_control(k: int) -> float:
-    """Aggregate no-Ray classifier rows/sec across k plain processes."""
+    """Aggregate no-Ray classifier rows/sec across k plain processes.
+    A crashed worker contributes 0 with a stderr note instead of
+    aborting the whole scaling run after its expensive benchmarks."""
     procs = [subprocess.Popen([sys.executable, os.path.abspath(__file__),
                                "--control-worker"],
-                              stdout=subprocess.PIPE, text=True,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True,
                               cwd=os.path.dirname(os.path.abspath(__file__)))
              for _ in range(k)]
     total = 0.0
     for p in procs:
-        out, _ = p.communicate()
-        total += float(out.strip().splitlines()[-1])
+        out, err = p.communicate()
+        try:
+            total += float(out.strip().splitlines()[-1])
+        except (IndexError, ValueError):
+            print(f"control worker failed (rc={p.returncode}): "
+                  f"{(err or '').strip()[-200:]}", file=sys.stderr)
     return total
 
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # children measure only the headline — the secondary query suite
+        # is irrelevant to the scaling numbers and would double wall time
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout

@@ -129,7 +129,35 @@ class EngineResult:
                           "emits": pa.array([], pa.int64()),
                           "part": pa.array([], pa.string())})
         if self.count_refs is None:
-            return empty
+            # stateless ruleset: no exchange ran, so aggregate one
+            # partial pass over the match stream (consumes it once;
+            # partition granularity is not available without refs)
+            from ray.data.aggregate import Sum
+
+            def partial(tbl: pa.Table) -> pa.Table:
+                if len(tbl) == 0:
+                    return pa.table({"sid": pa.array([], pa.int64()),
+                                     "hits": pa.array([], pa.int64()),
+                                     "emits": pa.array([], pa.int64())})
+                t = pa.table({"sid": tbl.column("sid").combine_chunks(),
+                              "emit": pc.cast(tbl.column("emit").combine_chunks(),
+                                              pa.int64())})
+                g = pa.TableGroupBy(t, "sid").aggregate(
+                    [([], "count_all"), ("emit", "sum")])
+                return g.rename_columns(["sid", "hits", "emits"])
+
+            df = (self.matches.map_batches(partial, batch_format="pyarrow")
+                  .groupby("sid").aggregate(Sum("hits", alias_name="hits"),
+                                            Sum("emits", alias_name="emits"))
+                  .to_pandas())
+            if df.empty:
+                return empty
+            return pa.table({
+                "sid": pa.array(df["sid"].astype("int64")),
+                "hits": pa.array(df["hits"].astype("int64")),
+                "emits": pa.array(df["emits"].astype("int64")),
+                "part": pa.array(["all"] * len(df), pa.string()),
+            })
         parts = [empty]
         for i, t in enumerate(ray.get(list(self.count_refs))):
             parts.append(t.append_column(

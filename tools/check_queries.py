@@ -25,9 +25,15 @@ def normalize(df):
         except AttributeError:
             df = pd.DataFrame(df)
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonical row order for comparison
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    # canonical row order for comparison; float columns sort on rounded
+    # values so sub-tolerance noise cannot mis-pair rows between the ray
+    # and sql sides
+    keys = {}
+    for c in df.columns:
+        keys[c] = (df[c].round(6) if pd.api.types.is_float_dtype(df[c])
+                   else df[c])
+    order = pd.DataFrame(keys).sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name, ray_df, sql_df) -> list[str]:
@@ -45,7 +51,10 @@ def compare(name, ray_df, sql_df) -> list[str]:
         a, b = ray_df[c], sql_df[c]
         try:
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                ok = ((a.isna() & b.isna()) | ((a - b).abs() < 1e-9)).all()
+                # absolute OR relative tolerance: large aggregates differ
+                # by summation order at ~1e-16 relative
+                tol = 1e-9 + 1e-9 * b.abs()
+                ok = ((a.isna() & b.isna()) | ((a - b).abs() <= tol)).all()
             else:
                 ok = (a.astype(str) == b.astype(str)).all()
         except Exception as e:
@@ -76,6 +85,11 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}; "
+              f"valid: {sorted(qs)}")
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
@@ -111,7 +125,14 @@ def main():
         else:
             print(f"ok   {name} ({time.time()-t0:.1f}s) rows={len(ray_df)} [rows-only]")
 
-    print("entry():", len(normalize(entry_mod.entry())), "rows")
+    if not only:        # skip the flagship run when filtering to names
+        try:
+            print("entry():", len(normalize(entry_mod.entry())), "rows")
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            print(f"FAIL entry(): {e}")
+            failures += 1
     ray.shutdown()
     sys.exit(1 if failures else 0)
 

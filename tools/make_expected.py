@@ -37,19 +37,19 @@ def main():
         d = os.path.join(out_dir, fam)
         os.makedirs(d, exist_ok=True)
         pq.write_table(pa.table({
-            "conv_id": [h[0] for h in res.hits],
+            "conv_id": pa.array([h[0] for h in res.hits], pa.string()),
             "turn_idx": pa.array([h[1] for h in res.hits], pa.int32()),
             "sid": pa.array([h[2] for h in res.hits], pa.int64()),
         }), os.path.join(d, "expected_hits.parquet"))
         pq.write_table(pa.table({
-            "sink": [r[0] for r in res.routed],
+            "sink": pa.array([r[0] for r in res.routed], pa.string()),
             "sid": pa.array([r[1] for r in res.routed], pa.int64()),
-            "conv_id": [r[2] for r in res.routed],
+            "conv_id": pa.array([r[2] for r in res.routed], pa.string()),
             "turn_idx": pa.array([r[3] for r in res.routed], pa.int32()),
         }), os.path.join(d, "expected_routed.parquet"))
         counts = res.routed_counts()
         pq.write_table(pa.table({
-            "sink": [k[0] for k in counts],
+            "sink": pa.array([k[0] for k in counts], pa.string()),
             "sid": pa.array([k[1] for k in counts], pa.int64()),
             "n": pa.array(list(counts.values()), pa.int64()),
         }), os.path.join(d, "expected_counts.parquet"))
