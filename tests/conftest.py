@@ -2,7 +2,11 @@ import warnings
 
 import pytest
 
-warnings.filterwarnings("ignore")
+# suppress only the third-party noise, not warnings from the code under
+# test (a deprecation in sagan_ray must stay visible)
+for mod in ("ray", "pyarrow", "pandas", "numpy"):
+    warnings.filterwarnings("ignore", module=mod)
+warnings.filterwarnings("ignore", category=ResourceWarning)
 
 
 @pytest.fixture(scope="session", autouse=True)

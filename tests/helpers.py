@@ -41,9 +41,9 @@ def run_both(ruleset, tbl: pa.Table, config: EngineConfig | None = None,
     matches = engine.matches.to_pandas()
     routed = engine.routed_exploded().to_pandas()
     # empty Ray results lose their schema — reindex to the expected columns
-    matches = matches.reindex(columns=[f.name for f in
-                                       __import__("sagan_ray.stages.classify",
-                                                  fromlist=["MATCH_SCHEMA"]).MATCH_SCHEMA])
+    from sagan_ray.stages.classify import MATCH_SCHEMA
+
+    matches = matches.reindex(columns=[f.name for f in MATCH_SCHEMA])
     routed = routed.reindex(columns=list(matches.columns) + ["sink"])
 
     # (a) rule-hit counts per sid

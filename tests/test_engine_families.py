@@ -67,7 +67,9 @@ def test_bench_ruleset_parity():
     import os
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:        # repo root (for the documented
+        sys.path.insert(0, root)    # `python -m pytest tests/` it already is)
     from bench import BENCH_RULES
 
     tbl = gen_transcripts(6000, seed=1234)

@@ -258,9 +258,6 @@ alert tcp any any -> any any (msg:"ppp"; content:"alpha"; parse_proto_program; s
 
     from sagan_ray.synth import SCHEMA
 
-    def row(conv, idx, text, role, tool, off):
-        return (conv, idx, text, role, tool, off)
-
     rows = [
         # "alpha beta gamma": beta starts at 6 → meta_offset 6 hits sid1;
         # depth 8 keeps first 9 chars "alpha bet" → no "beta"? "alpha bet"

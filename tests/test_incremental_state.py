@@ -143,7 +143,13 @@ def test_lagging_conv_state_survives_fast_conv(tmp_path):
     """Regression (round-2 ADVICE medium): event times are unrelated across
     conversations — a conv whose stream lags the bucket's fastest conv must
     NOT have its still-live bit pruned by the faster conv's watermark.
-    ('lag' and 'fast' hash into the same 4-bucket slot.)"""
+    ('lag' and 'fast' hash into the same 4-bucket slot — asserted below
+    so hash/bucket changes can't silently devacuate this regression.)"""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_array(np.array(["lag", "fast"], dtype=object)) % 4
+    assert h[0] == h[1], "conv hash changed: pick colliding conv ids"
     state_dir = str(tmp_path / "st")
     # run 1: lag sets an xbit at t=0 (expire 600 → live until 600)
     got = _run(mk([("lag", 0, "login failed", 0)]), state_dir)

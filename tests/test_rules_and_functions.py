@@ -122,7 +122,6 @@ def test_cidr_table():
 
 
 def test_net_group_negation():
-    nets = [(0, 0, False)]  # placeholder replaced below
     from sagan_ray.rules.parser import _parse_net_group
     g = _parse_net_group("[10.0.0.0/8,!10.13.0.0/16]", {})
     assert net_group_contains(g, "10.5.0.1")
