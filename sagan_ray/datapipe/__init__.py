@@ -7,6 +7,7 @@ groupbys."""
 
 from .dedup import (  # noqa: F401
     embedding_near_dup,
+    embedding_near_dup_exact,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_lsh_dedup,

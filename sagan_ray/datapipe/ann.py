@@ -2,8 +2,9 @@
 
 - brute_force_topk: the exact baseline — the query matrix is broadcast
   once (``ray.put``), every batch computes a (batch × queries) cosine
-  matmul and emits its local top-k per query; a final tiny groupby merges
-  per-batch candidates. The shuffle carries only k·queries rows per batch.
+  matmul and emits its local top-k per query; a final tiny hash-exchange
+  merge combines per-batch candidates. The shuffle carries only
+  k·queries rows per batch.
 - ivf_topk: the scale path — k-means centroids trained on a block-spread
   sample, batches assign vectors to cells, search visits the nprobe
   nearest cells only.
@@ -22,14 +23,16 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def _mat(tbl: pa.Table, vec_col: str) -> np.ndarray:
-    """(n, d) float32 matrix from a list/fixed-size-list column without
-    boxing every float through to_pylist (zero-copy flatten + reshape;
-    requires uniform vector length, which an embedding column has)."""
+def _mat(tbl: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
+    """(n, d) matrix from a list/fixed-size-list column without boxing
+    every float through to_pylist (zero-copy flatten + reshape; requires
+    uniform vector length, which an embedding column has). ``dtype``
+    float64 when downstream must match a float64 oracle bit-for-bit at
+    threshold boundaries."""
     col = tbl.column(vec_col).combine_chunks()
     n = len(col)
     if n == 0:
-        return np.empty((0, 0), np.float32)
+        return np.empty((0, 0), dtype)
     if pa.types.is_fixed_size_list(col.type):
         flat = col.values
         d = col.type.list_size
@@ -38,9 +41,9 @@ def _mat(tbl: pa.Table, vec_col: str) -> np.ndarray:
         d = len(flat) // n
         if d * n != len(flat):
             # ragged lists — fall back to the boxed path
-            return np.asarray(col.to_pylist(), dtype=np.float32)
+            return np.asarray(col.to_pylist(), dtype=dtype)
     return (flat.to_numpy(zero_copy_only=False)
-            .astype(np.float32, copy=False).reshape(n, d))
+            .astype(dtype, copy=False).reshape(n, d))
 
 
 def _ids(tbl: pa.Table, id_col: str) -> np.ndarray:
@@ -59,19 +62,28 @@ def _emit_topk(qi, out_rows, id_col: str) -> pa.Table:
                      "cosine": pa.array(out_s, pa.float64())})
 
 
-def _make_merge(k: int, id_col: str):
+def _merge_topk(cands, k: int, id_col: str):
     """Shared per-query candidate merge: exact and approximate paths MUST
     rank identically (cosine desc, id asc) for recall comparisons to be
-    meaningful."""
+    meaningful. Runs through the bucketed hash exchange
+    (``hash_group_apply``) — Ray Data's sort-based groupby costs a fixed
+    ~10 s of shuffle overhead on this tiny k·queries-row stream (CLAUDE.md
+    perf notes; the one bench regression of round 2)."""
+    from .exchange import hash_group_apply
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    schema = pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
+                        ("cosine", pa.float64()), ("rank", pa.int64())])
 
-    return merge
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby("query_id", sort=False)
+        df = g.head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1
+                      ).astype(np.int64)
+        return df
+
+    return hash_group_apply(cands, ["query_id"], bucket, out_schema=schema)
 
 
 def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
@@ -97,9 +109,8 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
                 for c in range(sims.shape[1])]
         return _emit_topk(qi, rows, id_col)
 
-    return (ds.map_batches(local_topk, batch_format="pyarrow")
-              .groupby("query_id").map_groups(_make_merge(k, id_col),
-                                              batch_format="pandas"))
+    return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
+                       k, id_col)
 
 
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 5):
@@ -171,6 +182,5 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
             rows.append((qi[c], sub_ids[top], sims[top]))
         return _emit_topk(qi, rows, id_col)
 
-    return (ds.map_batches(local_topk, batch_format="pyarrow")
-              .groupby("query_id").map_groups(_make_merge(k, id_col),
-                                              batch_format="pandas"))
+    return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
+                       k, id_col)

@@ -516,6 +516,105 @@ def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
 _PLANE_CACHE: dict = {}
 
 
+def embedding_near_dup_exact(ds, *, threshold: float, vec_col: str = "embedding",
+                             id_col: str = "vec_id", n_blocks: int = 8,
+                             chunk_rows: int = 2048):
+    """EXACT cosine-similar pairs (≥ threshold) via block-nested-loop
+    exchange — all-pairs semantics with NO driver-side materialization.
+
+    Shape: ids hash into ``n_blocks`` blocks; every unordered block pair
+    (i ≤ j) is one exchange key, and each vector ships its unit vector to
+    the n_blocks buckets it participates in (replication factor
+    n_blocks — the unavoidable cost of exact all-pairs; the LSH variant
+    ``embedding_near_dup`` is the sub-quadratic scale path). Each bucket
+    task holds ~2·N/n_blocks unit vectors and runs a chunked matmul, so
+    task memory is bounded by n_blocks regardless of input size. Every
+    pair lands in exactly one bucket (a's block × b's block), so the
+    output needs no dedup pass."""
+    from .exchange import hash_group_apply
+
+    nb = int(n_blocks)
+    mix = np.uint64(0x9E3779B97F4A7C15)          # ids may be clustered
+
+    def fan_out(tbl: pa.Table) -> pa.Table:
+        from .ann import _ids, _mat, _unit
+
+        ids = _ids(tbl, id_col)
+        # float64 end-to-end: the SQL oracle's cosine is float64, and a
+        # float32 matmul can flip pairs sitting ~1e-7 from the threshold
+        unit = _unit(_mat(tbl, vec_col, dtype=np.float64))
+        n = len(ids)
+        if n == 0:
+            return pa.table({"bkt": pa.array([], pa.int32()),
+                             "did": pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int32()),
+                             "unit": pa.array([], pa.binary())})
+        blk = ((ids.astype(np.uint64) * mix) >> np.uint64(32)) % np.uint64(nb)
+        blk = blk.astype(np.int64)
+        packed = np.empty(n, dtype=object)
+        for r in range(n):                        # tobytes per row (cheap)
+            packed[r] = unit[r].tobytes()
+        # vector in block p participates in buckets (min(p,q), max(p,q))
+        # for every q — emit n_blocks rows per vector
+        q = np.arange(nb, dtype=np.int64)
+        p_rep = np.repeat(blk, nb)
+        q_rep = np.tile(q, n)
+        lo = np.minimum(p_rep, q_rep)
+        hi = np.maximum(p_rep, q_rep)
+        bkt = (lo * nb + hi).astype(np.int32)
+        return pa.table({"bkt": pa.array(bkt, pa.int32()),
+                         "did": pa.array(np.repeat(ids, nb), pa.int64()),
+                         "blk": pa.array(p_rep.astype(np.int32), pa.int32()),
+                         "unit": pa.array(np.repeat(packed, nb), pa.binary())})
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        oa, ob, oc = [], [], []
+        for bkt_val in df["bkt"].unique():
+            sub = df[df["bkt"] == bkt_val]
+            i, j = int(bkt_val) // nb, int(bkt_val) % nb
+            units = sub["unit"].to_numpy()
+            flat = np.frombuffer(b"".join(units.tolist()), dtype=np.float64)
+            dim = len(flat) // len(sub)
+            mat = flat.reshape(len(sub), dim)
+            ids = sub["did"].to_numpy()
+            blk = sub["blk"].to_numpy()
+            if i == j:
+                # dedup the n_blocks-fold self-emission (q loop hits the
+                # own block once per q == p only when lo == hi == p, i.e.
+                # exactly once) — rows here are unique per id already
+                order = np.argsort(ids, kind="stable")
+                m = mat[order]
+                gid = ids[order]
+                for s in range(0, len(gid), chunk_rows):
+                    sims = m[s:s + chunk_rows] @ m.T
+                    ii, jj = np.where(sims >= threshold)
+                    keep = (gid[ii + s] < gid[jj])
+                    oa.extend(gid[ii + s][keep].tolist())
+                    ob.extend(gid[jj][keep].tolist())
+                    oc.extend(sims[ii, jj][keep].astype(np.float64).tolist())
+            else:
+                ma, ia = mat[blk == i], ids[blk == i]
+                mb, ib = mat[blk == j], ids[blk == j]
+                for s in range(0, len(ia), chunk_rows):
+                    sims = ma[s:s + chunk_rows] @ mb.T
+                    ii, jj = np.where(sims >= threshold)
+                    a_ids = ia[ii + s]
+                    b_ids = ib[jj]
+                    lo_ = np.minimum(a_ids, b_ids)
+                    hi_ = np.maximum(a_ids, b_ids)
+                    oa.extend(lo_.tolist())
+                    ob.extend(hi_.tolist())
+                    oc.extend(sims[ii, jj].astype(np.float64).tolist())
+        return pd.DataFrame({"a": pd.Series(oa, dtype="int64"),
+                             "b": pd.Series(ob, dtype="int64"),
+                             "cosine": pd.Series(oc, dtype="float64")})
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cosine", pa.float64())])
+    return hash_group_apply(ds.map_batches(fan_out, batch_format="pyarrow"),
+                            ["bkt"], pairs_bucket, out_schema=pair_schema)
+
+
 def embedding_near_dup(ds, *, threshold: float = 0.95, vec_col: str = "embedding",
                        id_col: str = "vec_id", n_planes: int = 8,
                        n_tables: int = 16, seed: int = 7,

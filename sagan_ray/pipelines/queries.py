@@ -1066,32 +1066,17 @@ FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
 
 
 def q_embed_near_dup(sf_dir: str):
-    """Exact cosine-similar pairs (≥0.45) via broadcast matrix + blocked
-    matmul per batch — the exact baseline; the LSH-bucketed variant is
+    """Exact cosine-similar pairs (≥0.45) via the block-nested-loop
+    exchange (datapipe.dedup.embedding_near_dup_exact) — all-pairs
+    semantics with NO driver-side materialization and bounded per-task
+    memory; the LSH-bucketed sub-quadratic variant is
     q_embed_near_dup_lsh. Threshold 0.45 yields 7/14/144 pairs at
     sf0.001/0.01/0.1 (the fixture embeddings are random vectors), so the
     oracle comparison is non-vacuous at every scale."""
-    import ray
-    import pyarrow.parquet as pq
+    from ..datapipe.dedup import embedding_near_dup_exact
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids_all = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(full["embedding"].to_pylist(), dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids_all, unit))
-
-    def pairs(tbl: pa.Table) -> pa.Table:
-        aid, aunit = ray.get(ref)
-        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ aunit.T
-        ii, jj = np.where(sims >= 0.45)
-        keep = ids[ii] < aid[jj]          # each unordered pair exactly once
-        return pa.table({"a": pa.array(ids[ii][keep], pa.int64()),
-                         "b": pa.array(aid[jj][keep], pa.int64())})
-
-    out = _typed(_embeds(sf_dir).map_batches(pairs, batch_format="pyarrow").to_pandas(),
+    out = _typed(embedding_near_dup_exact(_embeds(sf_dir), threshold=0.45
+                                          ).to_pandas()[["a", "b"]],
                  {"a": "int64", "b": "int64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
