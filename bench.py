@@ -211,6 +211,21 @@ def run_bench() -> dict:
     queries["wire_parse"] = round(dt, 3)
     wire_rate = round(wn / dt, 1)
 
+    # JSON-lines ingest (batched pyarrow.json fast path, same line count)
+    from sagan_ray.sources.wire import parse_json_batch
+
+    json_tbl = pa.table({"text": pa.array(
+        [f'{{"conv_id":"conv-{i % 9999:06d}","turn_idx":{i % 50},'
+         f'"role":"assistant","tool":"bash",'
+         f'"ts":"2024-03-01T12:{i % 60:02d}:{(i * 7) % 60:02d}",'
+         f'"text":"payload {i} body"}}'
+         for i in range(wn)], pa.large_string())})
+    t0 = time.time()
+    parse_json_batch(json_tbl)
+    dt_j = time.time() - t0
+    queries["wire_json"] = round(dt_j, 3)
+    wire_json_rate = round(wn / dt_j, 1)
+
     result = {
         "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",
         "value": round(headline, 3),
@@ -222,6 +237,7 @@ def run_bench() -> dict:
         "n_routed": n_routed,
         "turns_per_sec": round(n_turns / headline, 1),
         "wire_lines_per_sec_per_core": wire_rate,
+        "wire_json_lines_per_sec_per_core": wire_json_rate,
     }
     ray.shutdown()
     return result

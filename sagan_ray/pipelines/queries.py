@@ -809,23 +809,30 @@ def q_orders_by_nation(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"]).to_pandas()
-    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cmap = {int(c): nmap[int(n)] for c, n in
-            zip(cust["c_custkey"], cust["c_nationkey"])}
-    ref = ray.put(cmap)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # broadcast the small sides as ARRAYS (two vectorized index_in +
+    # take gathers per batch: custkey→nationkey→name); a python dict
+    # would grow with the customer table and force a per-row loop
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ref = ray.put((cust.column("c_custkey").combine_chunks(),
+                   cust.column("c_nationkey").combine_chunks(),
+                   nation.column("n_nationkey").combine_chunks(),
+                   nation.column("n_name").combine_chunks()))
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 
     def attach(tbl: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        nations = [lookup.get(int(k), "UNKNOWN")
-                   for k in tbl.column("o_custkey").to_pylist()]
-        t = tbl.append_column("nation", pa.array(nations, pa.string()))
+        ckey, cnat, nkey, nname = ray.get(ref)
+        nat = cnat.take(pc.index_in(tbl.column("o_custkey"), value_set=ckey))
+        names = nname.take(pc.index_in(nat, value_set=nkey))
+        t = tbl.append_column(
+            "nation", pc.cast(pc.fill_null(names, "UNKNOWN"), pa.string()))
         g = pa.TableGroupBy(t.select(["nation", "o_totalprice"]),
                             "nation").aggregate(
             [("o_totalprice", "sum"), ([], "count_all")])

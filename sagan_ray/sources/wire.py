@@ -193,13 +193,113 @@ def load_json_map(path: str, software: str) -> dict[str, str]:
     return fmap
 
 
+_FAST_JSON_TYPES = {"conv_id": pa.string(), "turn_idx": pa.int64(),
+                    "role": pa.string(), "tool": pa.string(),
+                    "ts": pa.string(), "text": pa.string()}
+
+
+def _fast_map_ok(fmap: dict[str, str]) -> bool:
+    """The batched pyarrow.json path handles maps whose every value is a
+    single TOP-LEVEL key — no ``|`` alternatives, no ``%JSON%``, no
+    nested dotted paths — and whose fields are all transcript columns."""
+    if set(fmap) - set(_FAST_JSON_TYPES):
+        return False
+    seen = set()
+    for path in fmap.values():
+        p = path.strip()
+        if "|" in p or p == "%JSON%":
+            return False
+        p = p.lstrip(".")
+        if not p or "." in p or p in seen:
+            return False
+        seen.add(p)
+    return True
+
+
+def _parse_json_fast(col: pa.Array, fmap: dict[str, str]) -> pa.Table | None:
+    """Batched JSON-lines parse: ONE C++ ``pyarrow.json.read_json`` pass
+    with an explicit schema over the joined batch (valid JSON never
+    contains a raw newline, so join-by-\\n is lossless). Returns None —
+    fall back to the per-row loop — whenever the batch doesn't fit the
+    canonical shape: any malformed line, a type mismatch against the
+    explicit schema (e.g. turn_idx as a string), or a row-count mismatch.
+    The fallback reproduces per-row semantics exactly, so the fast path
+    only ever changes throughput, never results."""
+    import io as _io
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from pyarrow import json as pj
+
+    n = len(col)
+    keys = {f: p.strip().lstrip(".") for f, p in fmap.items()}
+    schema = pa.schema([pa.field(keys[f], _FAST_JSON_TYPES[f])
+                        for f in fmap])
+    lines = col.to_pylist()
+    data = "\n".join(lines).encode("utf-8", "surrogatepass")
+    try:
+        t = pj.read_json(
+            _io.BytesIO(data),
+            read_options=pj.ReadOptions(block_size=len(data) + 16),
+            parse_options=pj.ParseOptions(
+                explicit_schema=schema, unexpected_field_behavior="ignore"))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None
+    if len(t) != n:                     # blank lines get skipped, not parsed
+        return None
+
+    def gc(field: str) -> pa.Array:
+        k = keys.get(field)
+        if k is None:
+            return pa.nulls(n, _FAST_JSON_TYPES[field])
+        return t.column(k).combine_chunks()
+
+    def nullmask(arr: pa.Array) -> np.ndarray:
+        return pc.is_null(arr).to_numpy(zero_copy_only=False)
+
+    conv, text = gc("conv_id"), gc("text")
+    bad = np.zeros(n, dtype=bool)
+    # only fields PRESENT in the map participate in malformed-marking
+    # (per-row loop iterates fmap.items() only)
+    if "conv_id" in fmap:
+        bad |= nullmask(conv)
+    if "text" in fmap:
+        bad |= nullmask(text)
+    try:
+        turn = pc.cast(pc.fill_null(gc("turn_idx"), 0), pa.int32())
+    except pa.ArrowInvalid:             # out-of-int32 turn — per-row path
+        return None
+    ts_series = gc("ts").to_pandas()
+    ts_parsed = _parse_ts_vec(ts_series)
+    if "ts" in fmap:
+        bad |= (ts_series.notna() & ts_parsed.isna()).to_numpy()
+    ts = ts_parsed.fillna(_SENTINEL_TS)
+    return pa.Table.from_arrays([
+        pc.fill_null(conv, ""),
+        turn,
+        pc.fill_null(gc("role"), ""),
+        pc.cast(pc.fill_null(text, ""), pa.large_string()),
+        pc.fill_null(gc("tool"), ""),
+        pa.Array.from_pandas(ts).cast(pa.timestamp("us")),
+        pa.array(bad, pa.bool_()),
+    ], schema=PARSED_SCHEMA)
+
+
 def parse_json_batch(tbl: pa.Table, text_col: str = "text",
                      field_map: dict[str, str] | None = None) -> pa.Table:
     """JSON-lines parse with alias map (json-input.map analog). A map
     value of ``%JSON%`` keeps the whole raw line (input-json.c '%JSON%'
-    handling)."""
+    handling). Canonical-shaped batches (single top-level keys, no
+    alternatives) take the batched ``pyarrow.json`` fast path; anything
+    else — including any batch with one malformed line — falls back to
+    the per-row loop below, which is the semantics spec."""
     fmap = field_map or DEFAULT_JSON_MAP
-    lines = tbl.column(text_col).to_pylist()
+    col = tbl.column(text_col).combine_chunks()
+    if len(col) and col.null_count == 0 and _fast_map_ok(fmap):
+        out = _parse_json_fast(col, fmap)
+        if out is not None:
+            return out
+    lines = col.to_pylist()
     n = len(lines)
     cols = {"conv_id": [""] * n, "role": [""] * n, "tool": [""] * n,
             "text": [""] * n}

@@ -46,6 +46,64 @@ def test_parse_json_batch_with_map():
     assert out[2]["tool"] == "v"
 
 
+def test_parse_json_fast_path_parity():
+    """The batched pyarrow.json fast path must produce byte-identical
+    tables to the per-row loop (its semantics spec) on every batch it
+    accepts, and decline (return None → fallback) on batches that don't
+    fit the canonical shape."""
+    import sagan_ray.sources.wire as w
+    from sagan_ray.sources.wire import DEFAULT_JSON_MAP, parse_json_batch
+
+    good = [json.dumps({"conv_id": f"c{i}", "turn_idx": i % 7,
+                        "role": "user" if i % 2 else "assistant",
+                        "tool": "" if i % 3 else "bash",
+                        "ts": f"2024-03-01T12:00:{i % 60:02d}",
+                        "text": f'payload "{i}" with \\ and \n escape'})
+            for i in range(50)]
+    # rows the canonical shape still covers: missing optional keys,
+    # missing conv_id/text (malformed), null values, extra keys
+    good += [json.dumps({"conv_id": "x", "text": "no ts or turn"}),
+             json.dumps({"turn_idx": 5, "text": "missing conv -> bad"}),
+             json.dumps({"conv_id": "y", "text": "t", "ts": "not a date"}),
+             json.dumps({"conv_id": "z", "text": "t", "ts": None,
+                         "extra": {"nested": [1, 2]}})]
+    tbl = pa.table({"text": pa.array(good, pa.large_string())})
+    fast = w._parse_json_fast(tbl.column("text").combine_chunks(),
+                              DEFAULT_JSON_MAP)
+    assert fast is not None, "canonical batch must take the fast path"
+    orig = w._fast_map_ok
+    w._fast_map_ok = lambda f: False
+    try:
+        slow = parse_json_batch(tbl)
+    finally:
+        w._fast_map_ok = orig
+    assert fast.equals(slow)
+    assert parse_json_batch(tbl).equals(slow)
+
+    # shapes the fast path must DECLINE (fallback handles them):
+    # malformed line, string turn_idx, numeric epoch ts, non-dict line
+    for bad_line in ["not json", '{"conv_id":"a","turn_idx":"3","text":"s"}',
+                     '{"conv_id":"a","ts":1609459200,"text":"s"}', "[1,2]"]:
+        t = pa.table({"text": pa.array(good[:3] + [bad_line], pa.large_string())})
+        assert w._parse_json_fast(t.column("text").combine_chunks(),
+                                  DEFAULT_JSON_MAP) is None
+        # ...and the public entry point still parses it identically to
+        # the per-row loop
+        w._fast_map_ok = lambda f: False
+        try:
+            slow = parse_json_batch(t)
+        finally:
+            w._fast_map_ok = orig
+        assert parse_json_batch(t).equals(slow)
+
+    # maps with alternatives / %JSON% / nested paths never take the
+    # fast path
+    assert not w._fast_map_ok({"conv_id": ".a|.b", "text": ".t"})
+    assert not w._fast_map_ok({"conv_id": ".c", "text": "%JSON%"})
+    assert not w._fast_map_ok({"conv_id": ".c", "tool": ".extra.deep"})
+    assert w._fast_map_ok(DEFAULT_JSON_MAP)
+
+
 def test_json_map_percent_json_keeps_raw():
     from sagan_ray.sources.wire import parse_json_batch
 
