@@ -440,6 +440,9 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
 # ----------------------------------------------------------------------
 
 def _simhash64(text: str) -> int:
+    """Per-row SimHash SPEC (word → blake2b-64 hash, ±1 per bit, sign
+    accumulate). The batched kernel ``_simhash64_batch`` and the golden
+    oracle (oracle/golden.py) both anchor to this definition."""
     words = _WORD_RE.findall(text.lower())
     if not words:
         return 0
@@ -455,6 +458,46 @@ def _simhash64(text: str) -> int:
     return v
 
 
+def _simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Batched ``_simhash64``: ONE Arrow lower+split pass over the whole
+    batch, blake2b only per DISTINCT word (factorize + memoized vocab),
+    and sign accumulation as a cumulative-sum difference over the flat
+    per-word contribution matrix — no per-row python. Parity with the
+    per-row spec is pinned by tests/test_datapipe.py."""
+    import pyarrow.compute as pc_
+
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    col = pc_.utf8_lower(pa.array(texts, pa.large_string()))
+    la = pc_.split_pattern_regex(col, r"\s+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.values
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    wlen = pc_.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = wlen > 0                     # split can yield empty edge tokens
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    keep_cum = np.concatenate([[0], np.cumsum(keep)])
+    starts = keep_cum[offs[:-1]]
+    ends = keep_cum[offs[1:]]
+    codes, uniq = pd.factorize(words)
+    vocab = np.fromiter((_word_hash(w) for w in uniq), dtype=np.uint64,
+                        count=len(uniq))
+    wh = vocab[codes] if len(codes) else np.empty(0, np.uint64)
+    # (m, 64) ±1 contributions; per-doc sums via cumsum difference so
+    # zero-word docs fall out as all-zero accumulators (sig 0, per spec)
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32)
+    contrib = 2 * bits - 1
+    csum = np.zeros((len(wh) + 1, 64), dtype=np.int64)
+    np.cumsum(contrib, axis=0, out=csum[1:])
+    acc = csum[ends] - csum[starts]     # (n, 64)
+    return ((acc > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
+                                                            dtype=np.uint64)
+
+
 def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id"):
     """Pairs within Hamming distance ≤ max_hamming of 64-bit SimHash.
@@ -462,20 +505,18 @@ def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
     (pigeonhole: 3 differing bits can touch at most 3 of 4 bands)."""
 
     def sig(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_pylist()
+        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
         texts = tbl.column(text_col).to_pylist()
-        oid, oband, okey, osig = [], [], [], []
-        for i, t in zip(ids, texts):
-            s = _simhash64(t)
-            for band in range(4):
-                oid.append(i)
-                oband.append(band)
-                okey.append((s >> (band * 16)) & 0xFFFF)
-                osig.append(s)
-        return pa.table({id_col: pa.array(oid, pa.int64()),
-                         "band": pa.array(oband, pa.int32()),
-                         "key": pa.array(okey, pa.int64()),
-                         "sig": pa.array(osig, pa.uint64())})
+        s = _simhash64_batch(texts)
+        bands = np.arange(4, dtype=np.uint64)
+        s_rep = np.repeat(s, 4)
+        keys = ((s_rep >> np.tile(bands, len(s)) * np.uint64(16))
+                & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+                         "band": pa.array(np.tile(bands.astype(np.int32),
+                                                  len(s)), pa.int32()),
+                         "key": pa.array(keys, pa.int64()),
+                         "sig": pa.array(s_rep, pa.uint64())})
 
     def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["band", "key", id_col], kind="mergesort")

@@ -1,0 +1,118 @@
+"""Golden-parquet oracles for operators whose semantics DuckDB SQL can't
+express (hash sketches, pixel kernels). Each generator is an INDEPENDENT
+naive implementation — per-row spec functions plus brute-force scans, no
+banding/exchange/batched kernels — written to a fixed path that the
+registered oracle SQL reads with ``read_parquet``. The driver gate runs
+the Ray query first and the SQL second for each name, so the query
+callable (re)writes its golden before the SQL reads it; the comparison
+then checks the whole distributed pipeline (vectorized kernel + LSH
+banding + exchange) against the sequential spec, the same shape as
+oracle/evaluator.py for the engine.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+GOLDEN_DIR = "/tmp/sagan_ray_golden"
+
+
+def _write(tbl: pa.Table, name: str) -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount for uint64 arrays (numpy<2 lacks bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def write_golden_simhash(sf_dir: str, max_hamming: int) -> str:
+    """Expected output of ``dedup_simhash``: per-row ``_simhash64`` (the
+    transcription spec) + a chunked brute-force O(n²) Hamming scan — no
+    banding, no batched kernel, no exchange."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.dedup import _simhash64
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    sigs = np.array([_simhash64(x) for x in t.column("text").to_pylist()],
+                    dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids, sigs = ids[order], sigs[order]
+    oa, ob, oh = [], [], []
+    chunk = 1024
+    for s in range(0, len(ids), chunk):
+        ham = _popcount64(sigs[s:s + chunk, None] ^ sigs[None, :])
+        ii, jj = np.where(ham <= max_hamming)
+        m = ids[ii + s] < ids[jj]       # each unordered pair once, no self
+        oa.extend(ids[ii + s][m].tolist())
+        ob.extend(ids[jj][m].tolist())
+        oh.extend(ham[ii, jj][m].astype(np.int64).tolist())
+    tbl = pa.table({"a": pa.array(oa, pa.int64()),
+                    "b": pa.array(ob, pa.int64()),
+                    "hamming": pa.array(oh, pa.int64())})
+    return _write(tbl, "dedup_simhash")
+
+
+def _bmp_first_pixel_gray(b: bytes) -> float:
+    """Independent minimal BMP walk: gray value of the DECODED image's
+    (0, 0) pixel — which for a bottom-up BMP lives on the LAST stored
+    row. Deliberately does not share code with datapipe.multimodal's
+    decoder; 24-bit uncompressed only (the synthetic corpus)."""
+    assert b[:2] == b"BM"
+    off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    assert bpp == 24 and comp == 0
+    stride = (w * 3 + 3) & ~3
+    row = abs(h) - 1 if h > 0 else 0    # bottom-up storage ↔ top row
+    p = off + row * stride
+    blue, green, red = b[p], b[p + 1], b[p + 2]
+    # float32 at every step, in ((R+G)+B)/3 then /255 order — the same
+    # rounding sequence the pipeline's float32 mean-pool performs, so
+    # the 6-decimal rounding downstream can never straddle differently
+    s = np.float32(np.float32(np.float32(red) + np.float32(green))
+                   + np.float32(blue))
+    gray = np.float32(s / np.float32(3.0))
+    return float(np.float32(gray / np.float32(255.0)))
+
+
+def write_golden_multimodal(n: int, seed: int) -> str:
+    """Expected output of ``multimodal_features``: the 8×8 mean-pool
+    feature head of each image is the gray of the top-left source pixel
+    (grid cell (0,0) of a nearest-neighbor downsample maps to pixel
+    (0,0)), computed here by a from-scratch header walk over the same
+    deterministic corpus."""
+    from ..datapipe.multimodal import synth_media
+
+    media = synth_media(n, seed=seed)
+    oid, oval = [], []
+    for mid, kind, payload in zip(media.column("media_id").to_pylist(),
+                                  media.column("kind").to_pylist(),
+                                  media.column("payload").to_pylist()):
+        if kind != "image":
+            continue
+        oid.append(mid)
+        oval.append(round(_bmp_first_pixel_gray(payload), 6))
+    tbl = pa.table({"media_id": pa.array(oid, pa.int64()),
+                    "feat_head": pa.array(oval, pa.float64())})
+    return _write(tbl, "multimodal_features")

@@ -922,11 +922,26 @@ ORDER BY a, b
 
 
 def q_dedup_simhash(sf_dir: str):
+    """Banded SimHash pairs, gated against a GOLDEN-PARQUET oracle: the
+    query (re)writes the expected pairs from the per-row spec + a
+    brute-force Hamming scan (oracle/golden.py — no banding, no batched
+    kernel, no exchange) before running the distributed pipeline; the
+    registered SQL reads that parquet. The driver runs query-then-SQL
+    per name, so the golden is always fresh for the sf under test."""
     from ..datapipe import simhash_dedup
+    from ..oracle.golden import write_golden_simhash
 
+    write_golden_simhash(sf_dir, max_hamming=2)
     out = _typed(simhash_dedup(_docs(sf_dir), max_hamming=2).to_pandas(),
                  {"a": "int64", "b": "int64", "hamming": "int64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_SIMHASH_GOLDEN = """
+SELECT a, b, hamming
+FROM read_parquet('/tmp/sagan_ray_golden/dedup_simhash.parquet')
+ORDER BY a, b
+"""
 
 
 def q_dedup_ngram(sf_dir: str):
@@ -1148,17 +1163,28 @@ FROM embeddings GROUP BY label ORDER BY label
 
 def q_multimodal_features(sf_dir: str):
     """Multimodal: deterministic BMP media table → real image decode +
-    8×8 mean-pool feature in an actor pool (datapipe.multimodal)."""
+    8×8 mean-pool feature in an actor pool (datapipe.multimodal), gated
+    against a golden parquet built by an independent from-scratch BMP
+    header walk (oracle/golden.py) over the same corpus."""
     import ray.data as rd
 
     from ..datapipe.multimodal import media_pipeline, synth_media
+    from ..oracle.golden import write_golden_multimodal
 
+    write_golden_multimodal(200, seed=42)
     tbl = synth_media(200, seed=42)
     out = media_pipeline(rd.from_arrow(tbl)).to_pandas()
     out["media_id"] = out["media_id"].astype("int64")
     out["feat_head"] = out["feature"].map(lambda v: round(float(v[0]), 6))
     return (out.sort_values("media_id").reset_index(drop=True)
             [["media_id", "feat_head"]])
+
+
+SQL_MULTIMODAL_GOLDEN = """
+SELECT media_id, feat_head
+FROM read_parquet('/tmp/sagan_ray_golden/multimodal_features.parquet')
+ORDER BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1243,8 +1269,11 @@ ORACLES = {
     "embed_topk": SQL_EMBED_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,
-    # rows-only (non-SQL-expressible): engine_stateful (sequential anchored
-    # windows), dedup_simhash (hash-based sketch), embed_ivf /
-    # embed_near_dup_lsh (approximate), multimodal_features (real BMP
-    # decode — SQL can't express the pixel-feature kernel)
+    # golden-parquet oracles (semantics not SQL-expressible; the query
+    # writes the expected parquet from an independent sequential spec
+    # implementation, the SQL reads it — see oracle/golden.py)
+    "dedup_simhash": SQL_SIMHASH_GOLDEN,
+    "multimodal_features": SQL_MULTIMODAL_GOLDEN,
+    # rows-only (approximate by design): embed_ivf, embed_near_dup_lsh —
+    # recall vs the exact paths is measured in tests/test_datapipe.py
 }

@@ -73,6 +73,18 @@ def test_simhash_identical_docs_pair(docs, docs_tbl):
     assert dup_pairs <= got    # hamming 0 pairs always found
 
 
+def test_simhash_batch_kernel_matches_per_row_spec(docs_tbl):
+    from sagan_ray.datapipe.dedup import _simhash64, _simhash64_batch
+
+    texts = docs_tbl["text"].to_pylist()[:100] + [
+        "", " ", "one", "two  spaced   words", "UPPER lower MiXeD",
+        "repeat repeat repeat repeat", "tab\tand\nnewline separated",
+        "punct! (x) [y] {z} #tag", "a " * 500]
+    got = _simhash64_batch(texts)
+    want = np.array([_simhash64(t) for t in texts], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
 def test_ngram_jaccard_exact(docs, docs_tbl):
     from sagan_ray.datapipe import ngram_jaccard_pairs
     from sagan_ray.datapipe.dedup import _jaccard
