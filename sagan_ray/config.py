@@ -59,6 +59,10 @@ class Lookups:
 class EngineConfig:
     sinks: tuple[str, ...] = DEFAULT_SINKS
     ignore_list: tuple[str, ...] = ()       # droplist substrings (pre-filter)
+    # EVE 'alerts-base64' analog (etc/sagan.yaml:440, applied in
+    # src/json-handler.c:102,155): emit the alert payload base64-encoded
+    eve_payload_base64: bool = False
 
     def with_ignore(self, *items: str) -> "EngineConfig":
-        return EngineConfig(sinks=self.sinks, ignore_list=tuple(items))
+        return EngineConfig(sinks=self.sinks, ignore_list=tuple(items),
+                            eve_payload_base64=self.eve_payload_base64)

@@ -16,17 +16,71 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import SINK_EMAIL, SINK_EXTERNAL
 
 
-def eve_format_batch(tbl: pa.Table) -> pa.Table:
+_B64_ALPHABET = np.frombuffer(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+    dtype=np.uint8)
+
+
+def b64_column(col) -> "pa.Array":
+    """Vectorized base64 of an Arrow binary/string column (no nulls):
+    one numpy pass over the flattened value buffer — rows scatter into a
+    3-byte-aligned padded buffer, the 4×6-bit expansion runs over the
+    whole batch at once, and '=' padding is patched per row by index
+    arithmetic. Byte-equal to per-row ``base64.b64encode`` (pytest)."""
+    import pyarrow.compute as pc
+
+    col = pc.cast(col, pa.large_binary())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.array([], pa.large_string())
+    off = np.frombuffer(col.buffers()[1], np.int64)[
+        col.offset: col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    lens = off[1:] - off[:-1]
+    padded_lens = ((lens + 2) // 3) * 3
+    dst_starts = np.concatenate([[0], np.cumsum(padded_lens)])
+    padded = np.zeros(int(dst_starts[-1]), np.uint8)
+    positions = np.arange(off[0], off[-1], dtype=np.int64)
+    shift = np.repeat(dst_starts[:-1] - off[:-1], lens)
+    padded[positions + shift] = data[positions]
+    g = padded.reshape(-1, 3).astype(np.uint16)
+    idx = np.empty((len(g), 4), np.uint8)
+    idx[:, 0] = g[:, 0] >> 2
+    idx[:, 1] = ((g[:, 0] & 0x03) << 4) | (g[:, 1] >> 4)
+    idx[:, 2] = ((g[:, 1] & 0x0F) << 2) | (g[:, 2] >> 6)
+    idx[:, 3] = g[:, 2] & 0x3F
+    out = _B64_ALPHABET[idx].reshape(-1)
+    out_lens = (padded_lens // 3) * 4
+    out_off = np.concatenate([[0], np.cumsum(out_lens)])
+    rem = lens % 3
+    ends = out_off[1:]
+    pad1 = ends[rem > 0] - 1          # L%3 in (1,2): last char '='
+    pad2 = ends[rem == 1] - 2         # L%3 == 1: second-to-last too
+    out[pad1] = ord("=")
+    out[pad2] = ord("=")
+    return pa.Array.from_buffers(
+        pa.large_string(), n, [None, pa.py_buffer(out_off.tobytes()),
+                               pa.py_buffer(out.tobytes())])
+
+
+def eve_format_batch(tbl: pa.Table, *, payload_base64: bool = False) -> pa.Table:
     """Shape routed rows as Suricata-EVE-style JSON strings (the
     Format_JSON_Alert_EVE analog, src/json-handler.c:54-232: timestamp,
     flow/correlation id, signature block, payload). Assembled with one
     Arrow ``binary_join_element_wise`` pass over escaped columns — this
-    formats EVERY routed alert, so no per-row json.dumps."""
+    formats EVERY routed alert, so no per-row json.dumps.
+    ``payload_base64`` is the 'alerts-base64' config analog
+    (etc/sagan.yaml:440; src/json-handler.c:102,155): the payload field
+    carries the base64 of the raw text (batched numpy encode, needs no
+    JSON escaping)."""
     import pyarrow.compute as pc
 
     big = pa.large_string()
@@ -41,6 +95,8 @@ def eve_format_batch(tbl: pa.Table) -> pa.Table:
     def esc(name):
         return _json_escape(pc.cast(pc.fill_null(tbl.column(name), ""), big))
 
+    payload = (b64_column(pc.fill_null(tbl.column("text"), ""))
+               if payload_base64 else esc("text"))
     out = pc.binary_join_element_wise(
         pa.scalar('{"timestamp":', big), s("ts_epoch"),
         pa.scalar(',"event_type":"alert","conv_id":"', big), esc("conv_id"),
@@ -52,7 +108,7 @@ def eve_format_batch(tbl: pa.Table) -> pa.Table:
         pa.scalar(',"alert":{"signature_id":', big), s("sid"),
         pa.scalar(',"rev":1},"role":"', big), esc("role"),
         pa.scalar('","tool":"', big), esc("tool"),
-        pa.scalar('","payload":"', big), esc("text"),
+        pa.scalar('","payload":"', big), payload,
         pa.scalar('"}', big),
         pa.scalar("", big))
     return tbl.append_column("eve", out)

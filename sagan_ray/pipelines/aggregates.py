@@ -20,8 +20,14 @@ import pyarrow.compute as pc
 
 
 def client_stats(ds, key: str = "conv_id", text_col: str = "text",
-                 ts_col: str = "ts", n_buckets: int | None = None):
-    """Per-key: n_events, bytes, first_seen, last_seen.
+                 ts_col: str = "ts", turn_col: str = "turn_idx",
+                 n_buckets: int | None = None):
+    """Per-key: n_events, bytes, first_seen, last_seen, plus the sample
+    role/message the reference stores per client — its example
+    ``program``/``message`` (src/processors/client-stats.c:183-190, set
+    in Add_Update_IP client-stats.c:226,312-313). The sample is the row
+    with the smallest ``turn_col`` per key (deterministic, unlike the
+    reference's arrival-order wall-clock sample).
 
     Pre-aggregates per batch, then combines partials through the SHARED
     bucketed hash exchange (datapipe.exchange.hash_group_apply — the same
@@ -31,26 +37,49 @@ def client_stats(ds, key: str = "conv_id", text_col: str = "text",
     bucket; empty buckets keep their schema, so nothing materializes on
     the driver.
     """
+    import numpy as np
+
     from ..datapipe.exchange import hash_group_apply
 
     def partial(tbl: pa.Table) -> pa.Table:
-        b = pc.binary_length(pc.cast(tbl.column(text_col), pa.large_binary()))
-        t = pa.table({key: tbl.column(key), "bytes": b,
-                      ts_col: tbl.column(ts_col)})
-        g = pa.TableGroupBy(t, key).aggregate([
+        t = tbl.select([key, turn_col, "role", text_col, ts_col])
+        order = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                              (turn_col, "ascending")])
+        t = t.take(order)
+        b = pc.binary_length(pc.cast(t.column(text_col), pa.large_binary()))
+        g = pa.TableGroupBy(pa.table({key: t.column(key), "bytes": b,
+                                      ts_col: t.column(ts_col)}),
+                            key).aggregate([
             ("bytes", "sum"), (ts_col, "min"), (ts_col, "max"), ([], "count_all")])
-        return g.rename_columns([key, "bytes", "first_seen", "last_seen", "n_events"])
+        g = g.rename_columns([key, "bytes", "first_seen", "last_seen",
+                              "n_events"]).sort_by(key)
+        # min-turn sample row per key: first row of each key run in the
+        # (key, turn) sorted table — same ascending-key order as g
+        ks = t.column(key).to_numpy(zero_copy_only=False)
+        first = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            first[1:] = ks[1:] != ks[:-1]
+        s = t.filter(pa.array(first))
+        return (g.append_column("sample_turn", s.column(turn_col))
+                 .append_column("sample_role", s.column("role"))
+                 .append_column("sample_text", s.column(text_col)))
 
     schema = pa.schema([(key, pa.string()), ("bytes", pa.int64()),
                         ("first_seen", pa.timestamp("us")),
                         ("last_seen", pa.timestamp("us")),
-                        ("n_events", pa.int64())])
+                        ("n_events", pa.int64()),
+                        ("sample_role", pa.string()),
+                        ("sample_text", pa.large_string())])
 
     def combine(df):
+        df = df.sort_values([key, "sample_turn"], kind="mergesort")
+        firsts = df.drop_duplicates(subset=[key], keep="first")
         g = df.groupby(key, sort=False).agg(
             bytes=("bytes", "sum"), first_seen=("first_seen", "min"),
             last_seen=("last_seen", "max"), n_events=("n_events", "sum"))
-        return g.reset_index()
+        out = g.reset_index()
+        return out.merge(firsts[[key, "sample_role", "sample_text"]],
+                         on=key, how="left")
 
     return hash_group_apply(ds.map_batches(partial, batch_format="pyarrow"),
                             [key], combine, n_buckets=n_buckets,
@@ -121,18 +150,45 @@ def rule_tracking(engine_result):
     return pa.Table.from_pylist(rows)
 
 
-def stats_snapshot(input_counts: dict, engine_result) -> dict:
+# gauge fields stay absolute in delta mode (they describe the current
+# ruleset, not an accumulating counter)
+_STATS_GAUGES = frozenset({"rules_fired", "rules_total"})
+
+
+def stats_snapshot(input_counts: dict, engine_result,
+                   prev: dict | None = None) -> dict:
     """stats.json analog (reference src/processors/stats-json.c:87-583):
-    one merged counter snapshot."""
+    one merged counter snapshot. With ``prev`` (a snapshot returned by an
+    earlier call) the counters come back as DELTAS since that snapshot —
+    the ``subtract_old_values: true`` mode of stats-json.c — while gauge
+    fields (rules_fired/rules_total) stay absolute. Compose with the
+    follow loop (sources.stream.poll_once) by snapshotting after each
+    poll and passing the previous absolute snapshot."""
     hit_counts = engine_result.hit_counts()
     routed = engine_result.routed_counts()
     per_sink: dict[str, int] = {}
     for (sink, _sid), n in routed.items():
         per_sink[sink] = per_sink.get(sink, 0) + n
-    return {
+    snap = {
         **input_counts,
         "saganfound": int(sum(hit_counts.values())),
         "alerts_per_sink": per_sink,
         "rules_fired": len(hit_counts),
         "rules_total": len(engine_result.ruleset),
     }
+    if prev is None:
+        return snap
+    out: dict = {}
+    for k, v in snap.items():
+        if k in _STATS_GAUGES:
+            out[k] = v
+        elif isinstance(v, dict):
+            pv = prev.get(k, {}) or {}
+            keys = set(v) | set(pv)
+            out[k] = {kk: int(v.get(kk, 0)) - int(pv.get(kk, 0))
+                      for kk in sorted(keys)}
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            out[k] = v - prev.get(k, 0)
+        else:
+            out[k] = v
+    return out

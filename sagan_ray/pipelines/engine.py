@@ -111,6 +111,8 @@ class EngineResult:
 
         df = (self.matches.map_batches(partial, batch_format="pyarrow")
               .groupby("sid").aggregate(Sum("n", alias_name="n")).to_pandas())
+        if df.empty:        # zero matches: the empty frame has no columns
+            return {}
         return dict(zip(df["sid"].astype(int), df["n"].astype(int)))
 
     def hit_counts(self) -> dict[int, int]:

@@ -594,13 +594,16 @@ def q_client_stats(sf_dir: str):
     out["n_events"] = out["n_events"].astype("int64")
     out["bytes"] = out["bytes"].astype("int64")
     return (out.sort_values("conv_id").reset_index(drop=True)
-            [["conv_id", "n_events", "bytes", "first_seen", "last_seen"]])
+            [["conv_id", "n_events", "bytes", "first_seen", "last_seen",
+              "sample_role", "sample_text"]])
 
 
 SQL_CLIENT_STATS = _T + """
 SELECT conv_id, count(*) AS n_events,
        sum(octet_length(encode(text)))::BIGINT AS bytes,
-       min(ts) AS first_seen, max(ts) AS last_seen
+       min(ts) AS first_seen, max(ts) AS last_seen,
+       arg_min(role, turn_idx) AS sample_role,
+       arg_min(text, turn_idx) AS sample_text
 FROM t GROUP BY conv_id ORDER BY conv_id
 """
 

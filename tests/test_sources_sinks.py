@@ -113,6 +113,93 @@ def test_json_map_percent_json_keeps_raw():
     assert out[0]["text"] == line
 
 
+def test_b64_column_matches_stdlib_and_eve_base64_option():
+    """Vectorized base64 (io.sinks.b64_column) must be byte-equal to
+    per-row base64.b64encode across every padding class, and the EVE
+    'alerts-base64' analog (json-handler.c:102,155) must emit a payload
+    that decodes back to the raw text."""
+    import base64
+
+    import numpy as np
+
+    from sagan_ray.io.sinks import b64_column, eve_format_batch
+
+    rng = np.random.default_rng(3)
+    vals = [b"", b"a", b"ab", b"abc", b"abcd", bytes(range(256))]
+    vals += [rng.integers(0, 256, size=int(k)).astype(np.uint8).tobytes()
+             for k in rng.integers(0, 300, size=200)]
+    col = pa.array(vals, pa.large_binary())
+    assert b64_column(col).to_pylist() == \
+        [base64.b64encode(v).decode() for v in vals]
+    # sliced (non-zero array offset) input
+    assert b64_column(col.slice(3, 50)).to_pylist() == \
+        [base64.b64encode(v).decode() for v in vals[3:53]]
+
+    text = 'payload "quoted" \n multi\tline \\ backslash'
+    tbl = pa.table({"ts_epoch": pa.array([1700000000], pa.int64()),
+                    "conv_id": ["c1"], "turn_idx": pa.array([2], pa.int32()),
+                    "src_ip": ["1.2.3.4"], "src_port": pa.array([10], pa.int32()),
+                    "dst_ip": ["5.6.7.8"], "dst_port": pa.array([20], pa.int32()),
+                    "sid": pa.array([9], pa.int64()), "role": ["user"],
+                    "tool": [""], "text": [text]})
+    rec = json.loads(eve_format_batch(tbl, payload_base64=True)
+                     .column("eve")[0].as_py())
+    assert base64.b64decode(rec["payload"]).decode() == text
+    # default stays escaped-raw
+    rec_raw = json.loads(eve_format_batch(tbl).column("eve")[0].as_py())
+    assert rec_raw["payload"] == text
+
+
+def test_stats_json_delta_mode_two_polls(ray_session, tmp_path):
+    """stats-json delta mode (stats-json.c subtract_old_values): two
+    sequential follow-loop polls; the delta snapshot after poll 2 must
+    equal a fresh snapshot over poll 2's increment alone (stateless
+    counters are additive), while gauge fields stay absolute."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.pipelines.aggregates import stats_snapshot
+    from sagan_ray.pipelines.engine import input_counters, run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import build_lookups, gen_transcripts
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"a"; content:"authentication failure"; sid:31;)\n'
+        'alert any any any -> any any (msg:"e"; content:"ERROR"; sid:32;)')
+    cfg = EngineConfig()
+    lk = build_lookups()
+    tbl = gen_transcripts(2000, seed=21)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(tbl.slice(0, 1200), str(in_dir / "part-000.parquet"))
+
+    def cumulative_snapshot(prev=None):
+        files = sorted(str(p) for p in in_dir.iterdir())
+        ds = rd.read_parquet(files)
+        eng = run_engine(ds, rules, lk, cfg)
+        return stats_snapshot(input_counters(ds, cfg), eng, prev=prev)
+
+    snap1 = cumulative_snapshot()                   # poll 1: absolute
+    pq.write_table(tbl.slice(1200), str(in_dir / "part-001.parquet"))
+    delta = cumulative_snapshot(prev=snap1)         # poll 2: delta mode
+
+    # expected delta = a standalone run over the increment only
+    inc = rd.read_parquet(str(in_dir / "part-001.parquet"))
+    eng_inc = run_engine(inc, rules, lk, cfg)
+    want = stats_snapshot(input_counters(inc, cfg), eng_inc)
+
+    for k in ("events_received", "events_processed", "null_message",
+              "ignored", "saganfound"):
+        assert delta[k] == want[k], k
+    assert delta["alerts_per_sink"] == {
+        s: want["alerts_per_sink"].get(s, 0)
+        for s in delta["alerts_per_sink"]}
+    # gauges stay absolute, never subtracted
+    assert delta["rules_total"] == 2
+    assert delta["rules_fired"] >= want["rules_fired"]
+
+
 def test_events_adapter_deterministic_and_sql_consistent(tmp_path):
     """The adapter's rendering must equal its documented SQL."""
     import duckdb
