@@ -23,7 +23,13 @@ total exceeds ``max_bucket_bytes`` by a FINER key hash into k sub-tasks
 Reduce-task memory is therefore bounded by max_bucket_bytes regardless of
 input size or key skew; only a single key whose rows alone exceed the
 bound still lands in one sub-task (inherent to key locality — SURVEY §4
-hard part #4)."""
+hard part #4).
+
+Driver memory: per-bucket part lists COALESCE once they exceed
+``COALESCE_PARTS`` refs (a remote concat collapses them to one), so the
+driver holds O(n_buckets × COALESCE_PARTS) object refs rather than
+O(blocks × n_buckets) — flat RSS on many-thousand-block inputs
+(tools/stress_exchange.py; numbers in BASELINE.md)."""
 
 from __future__ import annotations
 
@@ -32,6 +38,33 @@ import pandas as pd
 import pyarrow as pa
 
 DEFAULT_MAX_BUCKET_BYTES = 256 << 20
+COALESCE_PARTS = 32
+
+
+class Coalescer:
+    """Two-level ref coalescer: every COALESCE_PARTS fresh refs collapse
+    into one chunk (remote concat), every COALESCE_PARTS chunks into one
+    super-chunk — so a bucket's driver-held refs stay ≤ ~2·COALESCE_PARTS
+    + blocks/COALESCE_PARTS² instead of O(blocks), and no table is ever
+    re-concatenated more than twice."""
+
+    def __init__(self, combine_remote):
+        self._combine = combine_remote
+        self.fresh: list = []
+        self.chunks: list = []
+        self.supers: list = []
+
+    def add(self, ref) -> None:
+        self.fresh.append(ref)
+        if len(self.fresh) >= COALESCE_PARTS:
+            self.chunks.append(self._combine.remote(*self.fresh))
+            self.fresh = []
+            if len(self.chunks) >= COALESCE_PARTS:
+                self.supers.append(self._combine.remote(*self.chunks))
+                self.chunks = []
+
+    def parts(self) -> list:
+        return self.supers + self.chunks + self.fresh
 
 
 def hash_group_apply(ds, key_cols: list[str], bucket_fn,
@@ -77,6 +110,14 @@ def hash_group_apply(ds, key_cols: list[str], bucket_fn,
         return tuple(_partition(tbl, b, k))
 
     @ray.remote
+    def coalesce(*tables):
+        """Concat many small per-block bucket slices into one table so the
+        driver's ref count per bucket stays bounded (empty slices keep the
+        schema alive)."""
+        parts = [t for t in tables if len(t)] or [tables[0]]
+        return pa.concat_tables(parts)
+
+    @ray.remote
     def reduce_bucket(*tables):
         parts = [t for t in tables if len(t)]
         if not parts:
@@ -90,14 +131,14 @@ def hash_group_apply(ds, key_cols: list[str], bucket_fn,
             tbl = tbl.select(out_schema.names).cast(out_schema)
         return tbl
 
-    buckets: list[list] = [[] for _ in range(n_buckets)]
+    buckets = [Coalescer(coalesce) for _ in range(n_buckets)]
     size_refs: list = []
     for bundle in ds.iter_internal_ref_bundles():
         for ref in bundle.block_refs:
             outs = split.options(num_returns=n_buckets + 1).remote(ref, n_buckets)
             size_refs.append(outs[0])
             for i in range(n_buckets):
-                buckets[i].append(outs[i + 1])
+                buckets[i].add(outs[i + 1])
 
     bucket_bytes = np.zeros(n_buckets, dtype=np.int64)
     for s in ray.get(size_refs):
@@ -108,14 +149,14 @@ def hash_group_apply(ds, key_cols: list[str], bucket_fn,
         k = int(min(64, -(-int(bucket_bytes[i]) // max(1, max_bucket_bytes))))
         if k >= 2:
             subs: list[list] = [[] for _ in range(k)]
-            for part in buckets[i]:
+            for part in buckets[i].parts():
                 sub_outs = refine.options(num_returns=k).remote(
                     part, n_buckets, k)
                 for j in range(k):
                     subs[j].append(sub_outs[j])
             refs.extend(reduce_bucket.remote(*subs[j]) for j in range(k))
         else:
-            refs.append(reduce_bucket.remote(*buckets[i]))
+            refs.append(reduce_bucket.remote(*buckets[i].parts()))
     if out_schema is None:
         vals = ray.get(refs)
         refs = [r for r, v in zip(refs, vals) if v is not None]

@@ -160,10 +160,11 @@ class EngineResult:
                 "emits": pa.array(df["emits"].astype("int64")),
                 "part": pa.array(["all"] * len(df), pa.string()),
             })
+        # combined partial tables already carry their partition labels
+        # (map-side blocks as p<block>, reduce buckets as b<bucket>[.sub])
         parts = [empty]
-        for i, t in enumerate(ray.get(list(self.count_refs))):
-            parts.append(t.append_column(
-                "part", pa.array([f"p{i:05d}"] * len(t), pa.string())))
+        for t in ray.get(list(self.count_refs)):
+            parts.append(t.select(["sid", "hits", "emits", "part"]))
         return pa.concat_tables(parts)
 
     def routed_counts(self) -> dict[tuple[str, int], int]:
@@ -332,6 +333,8 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
     import ray
     import ray.data as rd
 
+    from ..datapipe.exchange import COALESCE_PARTS, Coalescer
+
     correlate_tbl = make_arrow_correlator(ruleset)
 
     def _count_partial(tbl: pa.Table) -> pa.Table:
@@ -414,21 +417,53 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
                               watermarks=watermarks)
         return out, _count_partial(out)
 
+    @ray.remote
+    def coalesce(*tables):
+        """Concat small per-block bucket slices (empty slices keep the
+        schema alive) — bounds driver-held refs per bucket."""
+        parts = [t for t in tables if len(t)] or [tables[0]]
+        return pa.concat_tables(parts)
+
+    @ray.remote
+    def combine_counts(labels, *tables):
+        """Tree-combine of (sid, hits, emits) partials: label each with
+        its partition id and concat, so the driver holds one ref per
+        ~COALESCE_PARTS partials instead of one per classify block."""
+        parts = []
+        for lbl, t in zip(labels, tables):
+            parts.append(t.append_column(
+                "part", pa.array([lbl] * len(t), pa.string())))
+        return pa.concat_tables(parts)
+
     # stream classify output blocks into split tasks as they finish, so
     # the map side of the exchange overlaps the classify stage
     stateless_refs: list = []
     count_refs: list = []
     size_refs: list = []
-    bucket_parts: list[list] = [[] for _ in range(n_buckets)]
+    pending_counts: list = []
+    pending_labels: list = []
+
+    def push_count(ref, label: str, flush: bool = False) -> None:
+        pending_counts.append(ref)
+        pending_labels.append(label)
+        if flush or len(pending_counts) >= COALESCE_PARTS:
+            count_refs.append(combine_counts.remote(
+                list(pending_labels), *pending_counts))
+            pending_counts.clear()
+            pending_labels.clear()
+
+    bucket_parts = [Coalescer(coalesce) for _ in range(n_buckets)]
+    n_blocks = 0
     for bundle in matches_ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
             outs = split_block.options(num_returns=n_buckets + 3).remote(
                 block_ref, n_buckets)
             stateless_refs.append(outs[0])
-            count_refs.append(outs[1])
+            push_count(outs[1], f"p{n_blocks:05d}")
             size_refs.append(outs[2])
             for k in range(n_buckets):
-                bucket_parts[k].append(outs[k + 3])
+                bucket_parts[k].add(outs[k + 3])
+            n_blocks += 1
 
     bucket_bytes = _np.zeros(n_buckets, dtype=_np.int64)
     for s in ray.get(size_refs):
@@ -441,7 +476,7 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
             # reduce memory stays bounded at scale (state_dir runs keep
             # the 1:1 bucket↔snapshot-file layout and skip refinement)
             subs: list[list] = [[] for _ in range(sub)]
-            for part in bucket_parts[k]:
+            for part in bucket_parts[k].parts():
                 sub_outs = refine_block.options(num_returns=sub).remote(
                     part, n_buckets, sub)
                 for j in range(sub):
@@ -449,11 +484,13 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
             for j in range(sub):
                 tbl_ref, cnt_ref = corr_bucket.remote(k, *subs[j])
                 stateless_refs.append(tbl_ref)
-                count_refs.append(cnt_ref)
+                push_count(cnt_ref, f"b{k:04d}.{j}")
         else:
-            tbl_ref, cnt_ref = corr_bucket.remote(k, *bucket_parts[k])
+            tbl_ref, cnt_ref = corr_bucket.remote(k, *bucket_parts[k].parts())
             stateless_refs.append(tbl_ref)
-            count_refs.append(cnt_ref)
+            push_count(cnt_ref, f"b{k:04d}")
+    if pending_counts:
+        push_count(pending_counts.pop(), pending_labels.pop(), flush=True)
     return rd.from_arrow_refs(stateless_refs), count_refs
 
 
