@@ -1,8 +1,9 @@
 """Deduplication operators over a documents table (doc_id, text, ...).
 
 Shapes (ray_guide 'Aggregation at scale' / MinHash-LSH pattern):
-- exact: content-hash per batch (vectorized) → groupby(hash) → keep first.
-  Only the 16-byte hash + id cross the shuffle, never the text.
+- exact: content-hash per batch (one vectorized hash_array pass) →
+  groupby(hash) → keep first. Only the 8-byte hash partitions the
+  shuffle; in-bucket exact compare keeps it collision-safe.
 - MinHash-LSH: shingle→minhash signature per batch → explode to
   (band, band_hash, doc_id) rows → groupby bands → candidate pairs →
   verify true Jaccard. Signature math is vectorized numpy universal
@@ -28,23 +29,22 @@ _WORD_RE = re.compile(r"\S+")
 _MERSENNE = (1 << 61) - 1
 
 
-def _hash_texts_md5(texts) -> list[str]:
-    return [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest() for t in texts]
-
-
 # ----------------------------------------------------------------------
 # exact dedup
 # ----------------------------------------------------------------------
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the smallest id per distinct text. Returns the surviving rows
-    (all original columns). Only the 16-byte content hash partitions the
-    exchange; within a bucket texts are exact-compared (collision-safe)."""
+    (all original columns). An 8-byte content hash (ONE vectorized
+    hash_array pass, no per-row hashlib) only PARTITIONS the exchange —
+    within a bucket texts are exact-compared, so a hash collision merely
+    co-locates two distinct texts, never merges them."""
     from .exchange import hash_group_apply
 
     def add_hash(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pylist()
-        return tbl.append_column("__h", pa.array(_hash_texts_md5(texts)))
+        texts = tbl.column(text_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(texts.astype(object, copy=False))
+        return tbl.append_column("__h", pa.array(h, pa.uint64()))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
@@ -178,21 +178,30 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
     a_p, b_p = _minhash_params(n_perm, seed)
 
     def sig_batch(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_pylist()
+        """(doc, band, band_key) rows. Band keys are a vectorized
+        Horner-combine + fmix64 avalanche over each band's signature
+        chunk — one numpy pass over the whole batch (the previous
+        per-(doc, band) blake2b loop was the stage's hot spot). Keys only
+        BUCKET candidates; verification is exact, so the key function
+        needs mixing quality, not cryptographic strength."""
+        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
         texts = tbl.column(text_col).to_pylist()
         all_sh = _shingle_hashes_batch(texts, k)
-        out_id, out_band, out_key = [], [], []
-        for i, sh in zip(ids, all_sh):
-            sig = _signature(sh, a_p, b_p)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_id.append(i)
-                out_band.append(band)
-                out_key.append(key)
-        return pa.table({id_col: pa.array(out_id, pa.int64()),
-                         "band": pa.array(out_band, pa.int32()),
-                         "key": pa.array(out_key, pa.string())})
+        n = len(ids)
+        sigm = np.empty((n, n_perm), np.uint64)
+        for i, sh in enumerate(all_sh):
+            sigm[i] = _signature(sh, a_p, b_p)
+        view = sigm.reshape(n, bands, rows_per_band)
+        acc = view[..., 0].copy()
+        for j in range(1, rows_per_band):
+            acc = acc * _HORNER + view[..., j]      # uint64 wrap
+        acc ^= acc >> np.uint64(33)
+        acc *= np.uint64(0xFF51AFD7ED558CCD)
+        acc ^= acc >> np.uint64(33)
+        return pa.table({id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                         "band": pa.array(np.tile(
+                             np.arange(bands, dtype=np.int32), n), pa.int32()),
+                         "key": pa.array(acc.reshape(-1), pa.uint64())})
 
     def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # all rows of each (band, key) group are in this bucket: sort,

@@ -8,7 +8,21 @@ Layout: ``state_dir/bucket=K/state.parquet`` — one row per state entry,
 tagged by kind, written atomically (tmp + rename). The bucket partitioning
 must match the engine's conv-hash buckets, so ``n_buckets`` is recorded in
 ``state_dir/_STATE.json`` and validated on load.
-"""
+
+Cross-instance shared state (the xbit-redis analog,
+/root/reference/src/xbit-redis.c + redis.c) — documented stance: the
+reference's Redis mode exists so MULTIPLE concurrently-running sagan
+processes can observe each other's bits in real time. In this engine the
+equivalent sharing is the exchange itself: every conversation's stateful
+rows from EVERY input partition meet in exactly one bucket task per run,
+so within a run there is nothing to share between workers. ACROSS runs,
+these snapshots are the durable shared store (any number of sequential
+runs, on any node of the cluster, continue the same state_dir). What is
+intentionally NOT supported is two engine runs writing the same state_dir
+CONCURRENTLY — the batch model has no analog of interleaved live readers;
+partition the input streams into distinct state_dirs instead (one per
+follow loop), exactly as the reference requires distinct Redis keyspaces
+per logical sensor."""
 
 from __future__ import annotations
 
