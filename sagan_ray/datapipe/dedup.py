@@ -683,7 +683,9 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, vec_col: str = "embedding
     import logging
 
     def bucketize(tbl: pa.Table) -> pa.Table:
-        vecs = np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float32)
+        from .ann import _ids, _mat
+
+        vecs = _mat(tbl, vec_col)          # zero-copy flatten, no boxing
         dim = vecs.shape[1]
         key = (seed, dim, n_planes, n_tables)
         planes = _PLANE_CACHE.get(key)
@@ -694,7 +696,7 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, vec_col: str = "embedding
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
+        ids = _ids(tbl, id_col)
         packed = [u.tobytes() for u in unit]
         out_id, out_t, out_bkt, out_u = [], [], [], []
         pw = (1 << np.arange(n_planes))

@@ -1141,7 +1141,11 @@ def q_embed_label_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def partial(tbl: pa.Table) -> pa.Table:
-        mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        from ..datapipe.ann import _mat
+
+        # float64 accumulate over the zero-copy flattened column — same
+        # values as the boxed to_pylist path (f32→f64 widening is exact)
+        mat = _mat(tbl, "embedding", dtype=np.float64)
         sq = np.einsum("ij,ij->i", mat, mat)
         t = pa.table({"label": tbl.column("label"),
                       "sq": pa.array(sq, pa.float64())})

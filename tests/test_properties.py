@@ -118,3 +118,42 @@ def test_poly_hash_equals_per_byte_fold(data):
     for b in data:
         h = (h * int(_POLY_P) + b) & 0xFFFFFFFFFFFFFFFF
     assert _poly_hash(data) == h
+
+
+_json_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-2**40, 2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=30))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.fixed_dictionaries(
+    {},
+    optional={
+        "conv_id": st.text(max_size=12),
+        "turn_idx": _json_scalar,
+        "role": st.text(max_size=8),
+        "tool": _json_scalar,
+        "ts": st.one_of(st.text(max_size=25), st.integers(0, 2**33)),
+        "text": st.text(max_size=40),
+        "extra": st.dictionaries(st.text(max_size=5), _json_scalar,
+                                 max_size=2),
+    }), min_size=1, max_size=20))
+def test_json_wire_fast_path_never_diverges(objs):
+    """Whatever shape a JSON-lines batch takes, the public parse —
+    which may or may not engage the pyarrow.json fast path — must equal
+    the per-row spec loop byte for byte."""
+    import json as _json
+
+    import sagan_ray.sources.wire as w
+
+    lines = [_json.dumps(o) for o in objs]
+    tbl = pa.table({"text": pa.array(lines, pa.large_string())})
+    got = w.parse_json_batch(tbl)
+    orig = w._fast_map_ok
+    w._fast_map_ok = lambda f: False
+    try:
+        want = w.parse_json_batch(tbl)
+    finally:
+        w._fast_map_ok = orig
+    assert got.equals(want)
