@@ -6,6 +6,8 @@ plumbing. All Ray-Data-first: vectorized map_batches + pre-aggregated
 groupbys."""
 
 from .dedup import (  # noqa: F401
+    connected_components,
+    dedup_cluster_reps,
     embedding_near_dup,
     embedding_near_dup_exact,
     exact_dedup,

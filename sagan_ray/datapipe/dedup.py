@@ -560,6 +560,132 @@ def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
 
 
 # ----------------------------------------------------------------------
+# dedup clusters (connected components over verified near-dup pairs)
+# ----------------------------------------------------------------------
+
+def connected_components(pairs, *, max_iters: int = 50):
+    """(node, label) for every node appearing in ``pairs`` (a, b) —
+    label = min id of the node's connected component. Distributed
+    min-label propagation: each round, every edge (u, v) forwards u's
+    current label to v through the hash exchange and nodes keep the
+    minimum; a round is two streaming exchanges and labels only ever
+    decrease, so the monotone label sum gives a cheap fixpoint test.
+    Near-dup clusters are near-cliques, so 1-3 rounds converge; the
+    worst case is the pair-graph diameter (``max_iters`` bounds it)."""
+    import pyarrow.compute as pc_
+
+    from .exchange import hash_group_apply
+
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    join_schema = pa.schema([("key", pa.int64()), ("v", pa.int64()),
+                             ("label", pa.int64())])
+
+    def to_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").combine_chunks().cast(pa.int64())
+        b = tbl.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"u": pa.chunked_array([a, b]).combine_chunks(),
+                         "v": pa.chunked_array([b, a]).combine_chunks()})
+
+    # edges are re-read every round — materialize once (pairs-sized)
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("node", sort=False)["label"].min()
+                  .reset_index())
+
+    init = edges.map_batches(
+        lambda t: pa.table({
+            "node": t.column("u"),
+            "label": pc_.min_element_wise(t.column("u"), t.column("v"))}),
+        batch_format="pyarrow")
+    labels = hash_group_apply(init, ["node"], min_per_node,
+                              out_schema=label_schema).materialize()
+    prev = labels.sum("label")
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("u"), "v": t.column("v"),
+                         "label": pa.array(np.full(n, -1, np.int64))},
+                        schema=join_schema)
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("node"),
+                         "v": pa.array(np.full(n, -1, np.int64)),
+                         "label": t.column("label")}, schema=join_schema)
+
+    def forward(df: pd.DataFrame) -> pd.DataFrame:
+        """Per key (= node u): forward u's label along each outgoing edge
+        and keep u's own label row."""
+        is_lab = df["label"].to_numpy() >= 0
+        lut = dict(zip(df.loc[is_lab, "key"], df.loc[is_lab, "label"]))
+        e = df.loc[~is_lab]
+        fwd = e["key"].map(lut)
+        return pd.DataFrame({
+            "node": pd.concat([e["v"], df.loc[is_lab, "key"]],
+                              ignore_index=True).astype("int64"),
+            "label": pd.concat([fwd, df.loc[is_lab, "label"]],
+                               ignore_index=True).astype("int64"),
+        })
+
+    for _ in range(max_iters):
+        sides = edges.map_batches(edge_rows, batch_format="pyarrow").union(
+            labels.map_batches(label_rows, batch_format="pyarrow"))
+        sent = hash_group_apply(sides, ["key"], forward,
+                                out_schema=label_schema)
+        labels = hash_group_apply(sent, ["node"], min_per_node,
+                                  out_schema=label_schema).materialize()
+        cur = labels.sum("label")
+        if cur == prev:         # labels only decrease → sum is a fixpoint
+            break
+        prev = cur
+    return labels
+
+
+def dedup_cluster_reps(ds, *, threshold: float = 0.9, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3, n_perm: int = 64,
+                       bands: int = 16):
+    """(doc_id, rep) for EVERY document: rep = the smallest doc id in the
+    document's transitive near-duplicate cluster (verified MinHash-LSH
+    pairs at ``threshold``), or the doc itself when it has no near-dup —
+    the keep-one-per-cluster step of a training-data dedup pipeline.
+    The rep attach is an exchange join of the corpus ids against the
+    component labels (ids only — text never moves), so nothing
+    materializes on the driver at any corpus size."""
+    from .exchange import hash_group_apply
+
+    pairs = minhash_lsh_dedup(ds, threshold=threshold, text_col=text_col,
+                              id_col=id_col, k=k, n_perm=n_perm, bands=bands)
+    comp = connected_components(pairs)
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("rep", pa.int64())])
+    join_schema = pa.schema([("key", pa.int64()), ("label", pa.int64())])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table({"key": ids,
+                         "label": pa.array(np.full(len(t), -1, np.int64))},
+                        schema=join_schema)
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("node"), "label": t.column("label")},
+                        schema=join_schema)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_lab = df["label"].to_numpy() >= 0
+        lut = dict(zip(df.loc[is_lab, "key"], df.loc[is_lab, "label"]))
+        docs = df.loc[~is_lab, "key"]
+        return pd.DataFrame({
+            id_col: docs.astype("int64"),
+            "rep": docs.map(lambda x: lut.get(x, x)).astype("int64"),
+        })
+
+    slim = ds.map_batches(doc_rows, batch_format="pyarrow")
+    sides = slim.union(comp.map_batches(comp_rows, batch_format="pyarrow"))
+    return hash_group_apply(sides, ["key"], attach, out_schema=out_schema)
+
+
+# ----------------------------------------------------------------------
 # embedding near-dup
 # ----------------------------------------------------------------------
 

@@ -955,6 +955,59 @@ def q_dedup_ngram(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup cluster representatives: every doc mapped to
+    the smallest doc id in its connected component of verified J≥0.9
+    pairs (the keep-one-per-cluster dedup step). Distributed min-label
+    propagation through the exchange (datapipe.dedup.connected_components);
+    oracle = recursive-CTE transitive closure over the exact-Jaccard
+    pair set."""
+    from ..datapipe import dedup_cluster_reps
+
+    out = _typed(dedup_cluster_reps(_docs(sf_dir), threshold=0.9).to_pandas(),
+                 {"doc_id": "int64", "rep": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.9
+),
+e AS (SELECT a AS u, b AS v FROM jac UNION ALL SELECT b, a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+mn AS (SELECT u, min(v) AS m FROM reach GROUP BY u)
+SELECT d.doc_id, least(d.doc_id, coalesce(mn.m, d.doc_id)) AS rep
+FROM documents d LEFT JOIN mn ON mn.u = d.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_text_tokens(sf_dir: str):
     from ..datapipe import token_counts
 
@@ -1228,6 +1281,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_clusters": q_dedup_clusters,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -1269,6 +1323,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_JACCARD,
     "dedup_ngram": SQL_DEDUP_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,

@@ -5,6 +5,7 @@ on the sf0.001 driver tables."""
 import itertools
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -71,6 +72,40 @@ def test_simhash_identical_docs_pair(docs, docs_tbl):
     got_df = simhash_dedup(docs).to_pandas()
     got = {(int(a), int(b)) for a, b in zip(got_df["a"], got_df["b"])}
     assert dup_pairs <= got    # hamming 0 pairs always found
+
+
+def test_connected_components_chain_and_clusters():
+    """Min-label propagation must converge on the worst case for it — a
+    long CHAIN (label travels one hop per round) — and on disjoint
+    clusters, matching a brute-force union-find."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import connected_components
+
+    # chain 100-101-...-140, triangle {7,8,9}, isolated pair {500,501}
+    chain = [(i, i + 1) for i in range(100, 140)]
+    pairs = chain + [(7, 8), (8, 9), (7, 9), (500, 501)]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())}))
+    got_df = connected_components(ds).to_pandas()
+    got = dict(zip(got_df["node"].astype(int), got_df["label"].astype(int)))
+    assert got == want
 
 
 def test_simhash_batch_kernel_matches_per_row_spec(docs_tbl):
