@@ -226,6 +226,21 @@ def run_bench() -> dict:
     queries["wire_json"] = round(dt_j, 3)
     wire_json_rate = round(wn / dt_j, 1)
 
+    # per-row spec loop on a 50k-line subset, timed in the SAME noise
+    # window, so the reported speedup ratio is contention-immune
+    import sagan_ray.sources.wire as _w
+
+    sub = json_tbl.slice(0, 50_000)
+    orig_ok = _w._fast_map_ok
+    _w._fast_map_ok = lambda f: False
+    try:
+        t0 = time.time()
+        parse_json_batch(sub)
+        slow_rate = len(sub) / (time.time() - t0)
+    finally:
+        _w._fast_map_ok = orig_ok
+    wire_json_speedup = round(wire_json_rate / slow_rate, 2)
+
     result = {
         "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",
         "value": round(headline, 3),
@@ -238,6 +253,7 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_turns / headline, 1),
         "wire_lines_per_sec_per_core": wire_rate,
         "wire_json_lines_per_sec_per_core": wire_json_rate,
+        "wire_json_speedup_vs_per_row": wire_json_speedup,
     }
     ray.shutdown()
     return result
