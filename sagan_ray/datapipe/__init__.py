@@ -18,6 +18,12 @@ from .dedup import (  # noqa: F401
     verify_pairs_jaccard,
 )
 from .ann import brute_force_topk, ivf_topk  # noqa: F401
+from .curate import (  # noqa: F401
+    decontaminate,
+    group_topk,
+    pii_redact,
+    sample_stratified,
+)
 from .exchange import hash_group_apply  # noqa: F401
 from .textstats import (  # noqa: F401
     fingerprint,

@@ -1,0 +1,199 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup: benchmark decontamination, PII redaction, deterministic
+stratified sampling, and per-group top-k selection.
+
+All four follow the repo's scale rules: the only cross-node movement is
+either a broadcast of a genuinely small side (the eval-set shingle hashes,
+the per-stratum rate table) or the shared ``hash_group_apply`` exchange
+(group top-k); everything per-row is a vectorized Arrow/numpy kernel.
+
+- ``decontaminate``: flag documents sharing any word-k-gram with an
+  evaluation/benchmark set (the GPT-3 §C / PaLM-style n-gram overlap
+  filter). The eval side is hashed once on the driver with the SAME
+  shingle identity as every dedup operator (``dedup._shingle_hashes_batch``)
+  and broadcast via ``ray.put``; each batch then does one searchsorted
+  membership pass. At 100 TB the corpus streams; only the (small) eval
+  hash array is resident per worker.
+- ``pii_redact``: RE2 substitution passes over a text column
+  (pyarrow ``replace_substring_regex``) with per-category counts.
+  DuckDB's regexp engine is also RE2, so the oracle replays the exact
+  same patterns.
+- ``sample_stratified``: deterministic multiplicative-hash Bernoulli
+  sampling (Knuth 2654435761 mod 2^32) with a per-stratum rate. No RNG
+  state → resumable/re-runnable with identical output, and trivially
+  SQL-replicable.
+- ``group_topk``: top-k rows per key by an ordering column, partial
+  top-k inside each batch first (so at most k rows per key per block
+  cross the exchange), final top-k per key in ``hash_group_apply``
+  buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _shingle_hashes_batch
+from .exchange import hash_group_apply
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1) << np.uint64(32)
+
+
+# ----------------------------------------------------------------------
+# decontamination
+# ----------------------------------------------------------------------
+
+def decontaminate(ds, eval_texts, *, k: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """(id, contaminated, n_hits) for every input row: n_hits = number of
+    DISTINCT word-k-shingles of the document that also occur anywhere in
+    ``eval_texts``. Shingle identity is shared with the dedup family
+    (<k words → one whole-sequence shingle, lowercased, whitespace
+    split), so the SQL oracle mirrors the dedup oracles' shingle CTE."""
+    import ray
+
+    ev = _shingle_hashes_batch([t or "" for t in eval_texts], k)
+    ev_hashes = (np.unique(np.concatenate(ev)) if ev
+                 else np.empty(0, np.uint64))
+    ev_ref = ray.put(ev_hashes)
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        evh = ray.get(ev_ref)           # zero-copy view from object store
+        texts = tbl.column(text_col).to_pylist()
+        sh = _shingle_hashes_batch(texts, k)
+        n_hits = np.zeros(len(texts), np.int64)
+        for i, s in enumerate(sh):      # per-doc numpy set ops, no py loop
+            u = np.unique(s)
+            idx = np.searchsorted(evh, u)
+            idx[idx == len(evh)] = 0
+            n_hits[i] = int(np.count_nonzero(
+                evh[idx] == u)) if len(evh) else 0
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "contaminated": pa.array(n_hits > 0, pa.bool_()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# PII redaction
+# ----------------------------------------------------------------------
+
+# category → (RE2 pattern, replacement token). RE2 is the engine on BOTH
+# sides (pyarrow and DuckDB), so oracle parity is byte-exact. Order
+# matters: earlier categories must not create text later ones match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(:\d{1,5})?", "<IP>"),
+    ("user", r"\bu\d{6}\b", "<USER>"),
+    ("hash32", r"\b[0-9a-f]{32}\b", "<HASH>"),
+]
+
+
+def pii_redact(ds, *, text_col: str = "text", id_cols: list[str] | None = None,
+               patterns: list[tuple[str, str, str]] | None = None):
+    """Redact PII-like tokens from ``text_col``; emits the id columns,
+    ``text_redacted`` and one ``n_<category>`` count per pattern. One
+    count+replace Arrow kernel pass per category per batch."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    ids = id_cols or ["doc_id"]
+
+    def f(tbl: pa.Table) -> pa.Table:
+        text = pc.cast(tbl.column(text_col), pa.string())
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            c: tbl.column(c) for c in ids}
+        counts = {}
+        for name, pat, repl in pats:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+            text = pc.replace_substring_regex(text, pat, repl)
+        cols["text_redacted"] = text
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# deterministic stratified sampling
+# ----------------------------------------------------------------------
+
+def sample_threshold(rate: float) -> int:
+    """rate ∈ [0,1] → the exact uint32 acceptance threshold. ONE
+    definition shared by the operator and the SQL oracle so both sides
+    compare against identical integers."""
+    return int(np.uint64(min(max(rate, 0.0), 1.0) * float(_MOD32)))
+
+
+def sample_stratified(ds, rates: dict[str, float], *,
+                      default_rate: float = 0.0,
+                      id_col: str = "doc_id", strat_col: str = "source"):
+    """Keep each row iff (id · 2654435761) mod 2^32 < rate(stratum) · 2^32.
+    Deterministic in the row id alone: re-runs, resumes and the SQL
+    oracle all select the identical sample — the property a resumable
+    100-TB pipeline needs from its sampler (no RNG state to checkpoint).
+    The rate table is tiny and ships inside the task closure."""
+    thresholds = {s: np.uint64(sample_threshold(r)) for s, r in rates.items()}
+    default_thr = np.uint64(sample_threshold(default_rate))
+
+    def f(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * _KNUTH) % _MOD32
+        strata = tbl.column(strat_col).to_numpy(zero_copy_only=False)
+        thr = np.fromiter((thresholds.get(s, default_thr) for s in strata),
+                          np.uint64, len(strata))
+        return tbl.filter(pa.array(h < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# per-group top-k
+# ----------------------------------------------------------------------
+
+def group_topk(ds, *, key_col: str, order_col: str, k: int,
+               id_col: str = "doc_id", ascending: bool = False):
+    """Top-k rows per key ordered by (order_col desc|asc, id asc) with a
+    deterministic id tiebreak. Two stages: a per-batch partial top-k
+    (at most k rows per key per block survive — the combiner that keeps
+    the exchange small under hot keys), then the exact per-key top-k in
+    ``hash_group_apply`` buckets. Emits (key, id, order_col, rk)."""
+    sign = 1 if ascending else -1
+
+    def _topk_frame(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df[[key_col, id_col, order_col]].copy()
+            if with_rank:
+                out["rk"] = pd.Series([], dtype="int64")
+            return out
+        codes, _ = pd.factorize(df[key_col], sort=False)
+        order = np.lexsort((df[id_col].to_numpy(),
+                            sign * df[order_col].to_numpy(),
+                            codes))
+        d = df.iloc[order]
+        keys = codes[order]
+        starts = np.concatenate([[True], keys[1:] != keys[:-1]])
+        grp_start = np.maximum.accumulate(
+            np.where(starts, np.arange(len(keys)), 0))
+        rk = np.arange(len(keys)) - grp_start + 1
+        d = d.assign(rk=rk.astype(np.int64))
+        d = d[d["rk"] <= k]
+        cols = [key_col, id_col, order_col] + (["rk"] if with_rank else [])
+        return d[cols].reset_index(drop=True)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: the exchange's split tasks consume Arrow blocks
+        return pa.Table.from_pandas(_topk_frame(df, with_rank=False),
+                                    preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _topk_frame(df, with_rank=True)
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    return hash_group_apply(pre, [key_col], final)

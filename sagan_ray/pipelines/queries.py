@@ -1105,6 +1105,159 @@ SQL_LANGID = _build_sql_langid()
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: decontamination, PII redaction, sampling, group top-k
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5            # word-5-gram overlap (GPT-3-style n-gram filter)
+_EVAL_MOD = 17          # doc_id % 17 == 0 → the "benchmark" eval split
+
+
+def q_text_decontam(sf_dir: str):
+    """Flag corpus docs sharing any word-5-gram with the eval split
+    (doc_id % 17 == 0). Eval shingle hashes are built once on the driver
+    from the SMALL filtered side and broadcast; the corpus streams."""
+    from ..datapipe import decontaminate
+
+    ev_rows = (_docs(sf_dir)
+               .map_batches(lambda t: t.filter(pa.array(
+                   (t.column("doc_id").to_numpy(zero_copy_only=False)
+                    % _EVAL_MOD) == 0)),
+                   batch_format="pyarrow")
+               .take_all())
+    eval_texts = [r["text"] for r in ev_rows]
+    corpus = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pa.array(
+            (t.column("doc_id").to_numpy(zero_copy_only=False)
+             % _EVAL_MOD) != 0)),
+        batch_format="pyarrow")
+    out = decontaminate(corpus, eval_texts, k=_DECON_K).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "contaminated": "bool",
+                       "n_hits": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# shingle CTE mirrors datapipe.dedup._shingle_hashes_batch for k=5:
+# lowercase, split on \s+, drop empty tokens; ≥5 words → all 5-grams,
+# 1-4 words → one whole-sequence shingle, 0 words → the '' shingle.
+SQL_TEXT_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), chr(1)) AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+  WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 5
+),
+evs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 17 <> 0),
+hits AS (
+  SELECT d.doc_id, count(*) AS n
+  FROM dsh d JOIN evs e ON d.s = e.s GROUP BY d.doc_id
+)
+SELECT t.doc_id, coalesce(h.n, 0) > 0 AS contaminated,
+       coalesce(h.n, 0)::BIGINT AS n_hits
+FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
+WHERE t.doc_id % 17 <> 0
+ORDER BY t.doc_id
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over the rendered transcripts (they carry IPv4:port
+    and u###### handles). RE2 on both sides ⇒ byte-exact oracle."""
+    from ..datapipe import pii_redact
+
+    out = pii_redact(_transcripts(sf_dir),
+                     id_cols=["conv_id", "turn_idx"]).to_pandas()
+    out = _typed(out, {"conv_id": "object", "turn_idx": "int64",
+                       "text_redacted": "object", "n_email": "int64",
+                       "n_ipv4": "int64", "n_user": "int64",
+                       "n_hash32": "int64"})
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _build_sql_pii() -> str:
+    from ..datapipe.curate import PII_PATTERNS
+
+    steps, prev = [], "text"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        cur = f"t{i}"
+        steps.append(
+            f"len(regexp_extract_all({prev}, '{pat}'))::BIGINT AS n_{name},\n"
+            f"       regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}")
+        prev = cur
+    inner = "SELECT conv_id, turn_idx,\n       " + ",\n       ".join(steps) \
+            + " FROM t"
+    names = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (_T + f", p AS ({inner})\n"
+            f"SELECT conv_id, turn_idx, {prev} AS text_redacted, {names}\n"
+            f"FROM p ORDER BY conv_id, turn_idx")
+
+
+SQL_PII_REDACT = _build_sql_pii()
+
+
+_SAMPLE_RATES = {"src0": 0.5, "src3": 0.25, "src7": 0.75}
+_SAMPLE_DEFAULT = 0.1
+
+
+def q_sample_stratified(sf_dir: str):
+    from ..datapipe import sample_stratified
+
+    out = sample_stratified(_docs(sf_dir), _SAMPLE_RATES,
+                            default_rate=_SAMPLE_DEFAULT).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "source": "object"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _build_sql_sample() -> str:
+    from ..datapipe.curate import sample_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {sample_threshold(r)}"
+        for s, r in _SAMPLE_RATES.items())
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CASE source {cases} ELSE {sample_threshold(_SAMPLE_DEFAULT)} END
+ORDER BY doc_id
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _build_sql_sample()
+
+
+_TOPK_PER_SOURCE = 3
+
+
+def q_group_topk(sf_dir: str):
+    """Top-3 longest docs per source (n_chars desc, doc_id tiebreak) —
+    partial top-k per batch, exact top-k per key in the exchange."""
+    from ..datapipe import group_topk
+
+    out = group_topk(_docs(sf_dir), key_col="source", order_col="n_chars",
+                     k=_TOPK_PER_SOURCE).to_pandas()
+    out = _typed(out, {"source": "object", "doc_id": "int64",
+                       "n_chars": "int64", "rk": "int64"})
+    return out.sort_values(["source", "rk"]).reset_index(drop=True)
+
+
+SQL_GROUP_TOPK = f"""
+SELECT source, doc_id, n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_TOPK_PER_SOURCE} ORDER BY source, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
 
@@ -1286,6 +1439,10 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
+    "text_decontam": q_text_decontam,
+    "pii_redact": q_pii_redact,
+    "sample_stratified": q_sample_stratified,
+    "group_topk": q_group_topk,
     "embed_topk": q_embed_topk,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -1328,6 +1485,10 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_langid": SQL_LANGID,
+    "text_decontam": SQL_TEXT_DECONTAM,
+    "pii_redact": SQL_PII_REDACT,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "group_topk": SQL_GROUP_TOPK,
     "embed_topk": SQL_EMBED_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,

@@ -1,0 +1,180 @@
+"""Tests for the curation operators (datapipe.curate): decontamination,
+PII redaction, deterministic stratified sampling, per-group top-k —
+verified against brute-force Python / DuckDB ground truth."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+    return rd.from_arrow(tbl)
+
+
+# ----------------------------------------------------------------------
+# decontaminate
+# ----------------------------------------------------------------------
+
+def _brute_contam(texts, eval_texts, k):
+    """Set-of-word-k-gram overlap, the spec the hashed kernel must match
+    (modulo 61-bit hash collisions, negligible at this size)."""
+    def shingles(t):
+        ws = [w for w in t.lower().split() if w]
+        if len(ws) >= k:
+            return {tuple(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+        return {tuple(ws)}
+    ev = set()
+    for t in eval_texts:
+        ev |= shingles(t)
+    return [len(shingles(t) & ev) for t in texts]
+
+
+def test_decontaminate_matches_brute_force():
+    from sagan_ray.datapipe import decontaminate
+
+    eval_texts = ["the quick brown fox jumps over the lazy dog",
+                  "short eval", ""]
+    texts = [
+        "the quick brown fox jumps over a fence",      # 5-gram overlap
+        "quick brown fox jumps over the lazy dog now", # multiple overlaps
+        "completely unrelated text about ray data pipelines",
+        "short eval",                                  # <k whole-seq match
+        "short",                                       # <k, no match
+        "",                                            # empty vs empty eval
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = (decontaminate(_ds(tbl), eval_texts, k=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    expect = _brute_contam(texts, eval_texts, 5)
+    assert out["n_hits"].tolist() == expect
+    assert out["contaminated"].tolist() == [n > 0 for n in expect]
+    # the planted cases themselves
+    assert out["contaminated"].tolist() == [True, True, False, True, False, True]
+
+
+def test_decontaminate_counts_distinct_shingles_once():
+    from sagan_ray.datapipe import decontaminate
+
+    # repeated overlapping 5-gram in one doc must count once (DISTINCT)
+    t = "a b c d e " * 4
+    out = decontaminate(_ds(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                      "text": pa.array([t])})),
+                        ["a b c d e"], k=5).to_pandas()
+    assert out["n_hits"].tolist() == [1]
+
+
+# ----------------------------------------------------------------------
+# pii_redact
+# ----------------------------------------------------------------------
+
+def test_pii_redact_patterns_and_counts():
+    from sagan_ray.datapipe import pii_redact
+
+    texts = [
+        "contact bob.smith+x@ex-ample.co.uk or 10.1.2.3:8080 now",
+        "hash d41d8cd98f00b204e9800998ecf8427e from u001234",
+        "no pii here",
+        "1.2.3.4 and 255.255.255.255:65535 twice",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    out = (pii_redact(_ds(tbl), id_cols=["doc_id"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_email"].tolist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [1, 0, 0, 2]
+    assert out["n_user"].tolist() == [0, 1, 0, 0]
+    assert out["n_hash32"].tolist() == [0, 1, 0, 0]
+    red = out["text_redacted"].tolist()
+    assert red[0] == "contact <EMAIL> or <IP> now"
+    assert red[1] == "hash <HASH> from <USER>"
+    assert red[2] == "no pii here"
+    assert red[3] == "<IP> and <IP> twice"
+    for r in red:
+        assert not re.search(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", r)
+
+
+# ----------------------------------------------------------------------
+# sample_stratified
+# ----------------------------------------------------------------------
+
+def test_sample_deterministic_and_rate_accurate():
+    from sagan_ray.datapipe import sample_stratified
+    from sagan_ray.datapipe.curate import sample_threshold
+
+    n = 4000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["a" if i % 2 == 0 else "b" for i in range(n)]),
+    })
+    rates = {"a": 0.5, "b": 0.1}
+    out1 = sample_stratified(_ds(tbl), rates).to_pandas()
+    out2 = sample_stratified(_ds(tbl), rates).to_pandas()
+    s1 = sorted(out1["doc_id"])
+    assert s1 == sorted(out2["doc_id"])          # identical on re-run
+    frac_a = (out1["source"] == "a").sum() / (n / 2)
+    frac_b = (out1["source"] == "b").sum() / (n / 2)
+    assert abs(frac_a - 0.5) < 0.05 and abs(frac_b - 0.1) < 0.03
+    # exact per-row spec: (id * knuth) mod 2^32 < threshold(rate)
+    expect = [i for i in range(n)
+              if (i * 2654435761) % (1 << 32)
+              < sample_threshold(rates["a" if i % 2 == 0 else "b"])]
+    assert s1 == expect
+
+
+def test_sample_rate_edges():
+    from sagan_ray.datapipe import sample_stratified
+
+    tbl = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                    "source": pa.array(["x"] * 100)})
+    assert sample_stratified(_ds(tbl), {"x": 1.0}).count() == 100
+    assert sample_stratified(_ds(tbl), {"x": 0.0}).count() == 0
+    # unknown stratum falls to default_rate
+    assert sample_stratified(_ds(tbl), {}, default_rate=1.0).count() == 100
+
+
+# ----------------------------------------------------------------------
+# group_topk
+# ----------------------------------------------------------------------
+
+def test_group_topk_matches_pandas_spec():
+    from sagan_ray.datapipe import group_topk
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice([f"s{i}" for i in range(11)], n),
+        "n_chars": rng.integers(0, 50, n).astype(np.int64),  # many ties
+    })
+    out = (group_topk(_ds(pa.Table.from_pandas(df)), key_col="source",
+                      order_col="n_chars", k=4)
+           .to_pandas().sort_values(["source", "rk"]).reset_index(drop=True))
+    expect = (df.sort_values(["source", "n_chars", "doc_id"],
+                             ascending=[True, False, True])
+              .groupby("source").head(4))
+    expect = expect.assign(
+        rk=expect.groupby("source").cumcount().astype(np.int64) + 1)
+    expect = (expect[["source", "doc_id", "n_chars", "rk"]]
+              .sort_values(["source", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["source", "doc_id", "n_chars", "rk"]].astype(expect.dtypes),
+        expect)
+
+
+def test_group_topk_ascending_and_small_groups():
+    from sagan_ray.datapipe import group_topk
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "source": ["g", "g", "h"],
+                       "n_chars": [9, 2, 5]})
+    out = (group_topk(_ds(pa.Table.from_pandas(df)), key_col="source",
+                      order_col="n_chars", k=5, ascending=True)
+           .to_pandas().sort_values(["source", "rk"]).reset_index(drop=True))
+    assert out["doc_id"].tolist() == [2, 1, 3]   # g asc: 2(2),9(1); h: 5
+    assert out["rk"].tolist() == [1, 2, 1]
