@@ -113,10 +113,23 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
                        k, id_col)
 
 
-def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 5):
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
-                             replace=False)]
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array — the deterministic
+    per-id ordering hash behind blocking-independent sampling (the same
+    spec the golden oracle replays sequentially)."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8):
+    """Spherical Lloyd's over a pre-ordered sample. Init is the FIRST
+    n_cells sample rows (the caller orders the sample by the id-hash, so
+    init is a deterministic pseudo-random subset independent of block
+    layout); empty cells keep their previous centroid."""
+    cent = sample[:min(n_cells, len(sample))].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)
         for c in range(len(cent)):
@@ -134,32 +147,49 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
              sample_size: int = 4096, seed: int = 5,
              query_ids: np.ndarray | None = None):
     """IVF: restrict each query to its nprobe nearest centroid cells.
-    Centroids come from a BLOCK-SPREAD sample (a seeded per-block
-    subsample, so clustered/sorted inputs still contribute rows from many
-    blocks — a plain ``limit(sample_size)`` would train on the dataset
-    prefix only), then everything streams. Approximate — recall measured
-    against brute_force_topk in tests."""
+    Centroids train on the ``sample_size`` rows with the SMALLEST
+    SplitMix64(id ^ seed) — a deterministic pseudo-random subset that is
+    identical under any block layout / parallelism (a per-block RNG
+    sample or ``limit(sample_size)`` both change with blocking), so the
+    whole operator is a pure function of (input, parameters) and the
+    golden sequential oracle (oracle/golden.py) can hash-verify it.
+    Per-batch partial smallest-k + a bounded driver merge keep driver
+    memory at O(sample_size) rows regardless of corpus size. float64
+    end-to-end (like embedding_near_dup_exact): f32 matmul bit-noise
+    could flip argmax/rank boundaries vs the sequential oracle.
+    Approximate by design — recall measured against brute_force_topk in
+    tests."""
     import ray
 
-    q = _unit(np.asarray(queries, dtype=np.float32))
+    q = _unit(np.asarray(queries, dtype=np.float64))
     qids = (np.arange(len(q)) if query_ids is None
             else np.asarray(query_ids)).astype(np.int64)
 
-    def block_sample(tbl: pa.Table) -> pa.Table:
-        if len(tbl) == 0:
-            return tbl
-        ids0 = _ids(tbl, id_col)
-        rng = np.random.default_rng(seed ^ (int(ids0[0]) & 0xFFFFFFFF))
-        take = min(len(tbl), 64)
-        idx = np.sort(rng.choice(len(tbl), size=take, replace=False))
-        return tbl.take(pa.array(idx, pa.int64()))
+    def local_smallest(tbl: pa.Table) -> pa.Table:
+        ids = _ids(tbl, id_col)
+        h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        if len(ids) > sample_size:
+            keep = np.argpartition(h, sample_size - 1)[:sample_size]
+            tbl, h = tbl.take(pa.array(np.sort(keep), pa.int64())), None
+            ids = _ids(tbl, id_col)
+            h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        return pa.table({"__h": pa.array(h, pa.uint64()),
+                         id_col: pa.array(ids, pa.int64()),
+                         vec_col: tbl.column(vec_col)})
 
-    sample_batches = list(
-        ds.map_batches(block_sample, batch_format="pyarrow")
-          .limit(sample_size).iter_batches(batch_format="pyarrow"))
-    sample_tbl = pa.concat_tables(sample_batches)
-    sample = _unit(_mat(sample_tbl, vec_col))
-    cent = _kmeans(sample, n_cells, seed=seed)
+    best: pa.Table | None = None
+    for part in (ds.map_batches(local_smallest, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow")):
+        best = part if best is None else pa.concat_tables(
+            [best, part]).combine_chunks()
+        if best.num_rows > sample_size:
+            order = np.lexsort((_ids(best, id_col),
+                                best.column("__h").to_numpy()))
+            best = best.take(pa.array(order[:sample_size], pa.int64()))
+    order = np.lexsort((_ids(best, id_col), best.column("__h").to_numpy()))
+    best = best.take(pa.array(order, pa.int64()))
+    sample = _unit(_mat(best, vec_col, dtype=np.float64))
+    cent = _kmeans(sample, n_cells)
 
     # query → nprobe candidate cells
     q_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
@@ -168,7 +198,7 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
     def local_topk(tbl: pa.Table) -> pa.Table:
         qm, qi, cm, qc = ray.get(ref)
         ids = _ids(tbl, id_col)
-        mat = _unit(_mat(tbl, vec_col))
+        mat = _unit(_mat(tbl, vec_col, dtype=np.float64))
         cell = np.argmax(mat @ cm.T, axis=1)
         rows = []
         for c in range(len(qm)):

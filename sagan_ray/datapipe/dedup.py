@@ -811,13 +811,16 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, vec_col: str = "embedding
     def bucketize(tbl: pa.Table) -> pa.Table:
         from .ann import _ids, _mat
 
-        vecs = _mat(tbl, vec_col)          # zero-copy flatten, no boxing
+        # float64 end-to-end: f32 matmul bit-noise could flip a sign bit
+        # (projection near 0) or a threshold-boundary cosine vs the
+        # sequential golden oracle (oracle/golden.py)
+        vecs = _mat(tbl, vec_col, dtype=np.float64)
         dim = vecs.shape[1]
         key = (seed, dim, n_planes, n_tables)
         planes = _PLANE_CACHE.get(key)
         if planes is None:
             planes = np.random.default_rng(seed).standard_normal(
-                (n_tables, dim, n_planes)).astype(np.float32)
+                (n_tables, dim, n_planes))
             _PLANE_CACHE[key] = planes
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -855,7 +858,7 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, vec_col: str = "embedding
                         truncated += 1
                         stop = start + max_bucket  # ids sorted: keep smallest
                     gids = ids[start:stop]
-                    mat = np.stack([np.frombuffer(u, dtype=np.float32)
+                    mat = np.stack([np.frombuffer(u, dtype=np.float64)
                                     for u in units[start:stop]])
                     sims = mat @ mat.T
                     ii, jj = np.where(np.triu(sims, 1) >= threshold)

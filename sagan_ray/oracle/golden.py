@@ -71,6 +71,129 @@ def write_golden_simhash(sf_dir: str, max_hamming: int) -> str:
     return _write(tbl, "dedup_simhash")
 
 
+def write_golden_embed_lsh(sf_dir: str, *, threshold: float, n_planes: int,
+                           n_tables: int, seed: int,
+                           max_bucket: int) -> str:
+    """Expected output of ``embed_near_dup_lsh``: per-row sequential
+    hyperplane hashing (python dict buckets, per-row dgemv projections,
+    per-pair np.dot cosine) — no exchange, no batch matmuls. The plane
+    matrix and the truncation rule are spec constants shared with the
+    pipeline; everything else is independent arithmetic (float64, so the
+    ~1e-16 summation-order noise between dgemm and per-row dots cannot
+    flip a sign bit or a threshold boundary)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    unit = np.empty_like(vecs)
+    for i in range(len(vecs)):
+        n = float(np.sqrt((vecs[i] * vecs[i]).sum()))
+        unit[i] = vecs[i] / (n if n else 1.0)
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, vecs.shape[1], n_planes))
+    pairs: set[tuple[int, int]] = set()
+    for tt in range(n_tables):
+        buckets: dict[int, list[int]] = {}
+        for i in range(len(ids)):
+            proj = unit[i] @ planes[tt]
+            bkt = 0
+            for p in range(n_planes):
+                if proj[p] > 0:
+                    bkt |= 1 << p
+            buckets.setdefault(bkt, []).append(i)
+        for members in buckets.values():
+            members = sorted(members, key=lambda i: ids[i])[:max_bucket]
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    if float(np.dot(unit[i], unit[j])) >= threshold:
+                        pairs.add((int(ids[i]), int(ids[j])))
+    rows = sorted(pairs)
+    tbl = pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
+                    "b": pa.array([r[1] for r in rows], pa.int64())})
+    return _write(tbl, "embed_near_dup_lsh")
+
+
+def write_golden_embed_ivf(sf_dir: str, *, n_queries: int, k: int,
+                           n_cells: int, nprobe: int, sample_size: int,
+                           seed: int) -> str:
+    """Expected output of ``embed_ivf``: sequential IVF — SplitMix64
+    id-hash sample (same spec function), an independent per-row Lloyd's
+    loop (per-point cell scans, per-cell sum/count — not the pipeline's
+    dgemm + mean), per-row cell assignment and per-query candidate scans.
+    Deterministic because round 3 made the pipeline's sampling a pure
+    function of (id, seed) rather than of Ray's block layout."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _splitmix64
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    unit = np.empty_like(vecs)
+    for i in range(len(vecs)):
+        n = float(np.sqrt((vecs[i] * vecs[i]).sum()))
+        unit[i] = vecs[i] / (n if n else 1.0)
+
+    q = unit[:n_queries]                   # queries = smallest vec_ids
+    qids = np.arange(n_queries)            # query_id = position, as in ivf_topk
+
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    samp_order = sorted(range(len(ids)), key=lambda i: (int(h[i]), int(ids[i])))
+    samp = [unit[i] for i in samp_order[:sample_size]]
+
+    cent = [samp[c].copy() for c in range(min(n_cells, len(samp)))]
+    for _ in range(8):
+        sums = [np.zeros(vecs.shape[1]) for _ in cent]
+        cnts = [0] * len(cent)
+        for v in samp:
+            best, best_s = 0, -np.inf
+            for c in range(len(cent)):
+                s = float(np.dot(v, cent[c]))
+                if s > best_s:
+                    best, best_s = c, s
+            sums[best] += v
+            cnts[best] += 1
+        for c in range(len(cent)):
+            if cnts[c]:
+                v = sums[c] / cnts[c]
+                n = float(np.sqrt((v * v).sum()))
+                if n > 0:
+                    cent[c] = v / n
+
+    assign = np.empty(len(ids), dtype=np.int64)
+    for i in range(len(ids)):
+        best, best_s = 0, -np.inf
+        for c in range(len(cent)):
+            s = float(np.dot(unit[i], cent[c]))
+            if s > best_s:
+                best, best_s = c, s
+        assign[i] = best
+
+    oq, ov, orr = [], [], []
+    for qi in range(n_queries):
+        sims = [(float(np.dot(q[qi], cent[c])), c) for c in range(len(cent))]
+        cells = [c for _, c in sorted(sims, key=lambda sc: (-sc[0], sc[1]))][:nprobe]
+        cand = [(float(np.dot(unit[i], q[qi])), int(ids[i]))
+                for i in range(len(ids)) if assign[i] in cells]
+        cand.sort(key=lambda sv: (-sv[0], sv[1]))
+        for rank, (_, vid) in enumerate(cand[:k], 1):
+            oq.append(int(qids[qi]))
+            ov.append(vid)
+            orr.append(rank)
+    tbl = pa.table({"query_id": pa.array(oq, pa.int64()),
+                    "vec_id": pa.array(ov, pa.int64()),
+                    "rank": pa.array(orr, pa.int64())})
+    return _write(tbl, "embed_ivf")
+
+
 def _bmp_first_pixel_gray(b: bytes) -> float:
     """Independent minimal BMP walk: gray value of the DECODED image's
     (0, 0) pixel — which for a bottom-up BMP lives on the LAST stored

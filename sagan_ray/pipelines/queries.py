@@ -1322,24 +1322,50 @@ ORDER BY a, b
 
 def q_embed_near_dup_lsh(sf_dir: str):
     """Approximate (multi-table hyperplane LSH) variant of
-    q_embed_near_dup — rows-only check; recall vs the exact path is
-    measured in tests/test_datapipe.py with planted near-duplicates."""
+    q_embed_near_dup, hash-verified against a golden parquet written by
+    an independent sequential spec implementation (per-row projections,
+    dict buckets, per-pair dots — oracle/golden.py); recall vs the exact
+    path is additionally measured in tests/test_datapipe.py with planted
+    near-duplicates."""
     from ..datapipe import embedding_near_dup
+    from ..oracle.golden import write_golden_embed_lsh
 
+    write_golden_embed_lsh(sf_dir, threshold=0.45, n_planes=8, n_tables=32,
+                           seed=7, max_bucket=8192)
     out = _typed(embedding_near_dup(_embeds(sf_dir), threshold=0.45,
-                                    n_tables=32).to_pandas(),
+                                    n_tables=32).to_pandas()[["a", "b"]],
                  {"a": "int64", "b": "int64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def q_embed_ivf(sf_dir: str):
-    from ..datapipe import ivf_topk
+SQL_EMBED_LSH_GOLDEN = """
+SELECT a, b FROM read_parquet('/tmp/sagan_ray_golden/embed_near_dup_lsh.parquet')
+ORDER BY a, b
+"""
 
+
+def q_embed_ivf(sf_dir: str):
+    """IVF top-k, hash-verified against a golden parquet from a
+    sequential per-row IVF implementation (oracle/golden.py) — possible
+    because the pipeline's centroid sample is a pure function of
+    (vec_id, seed) (SplitMix64 smallest-k), not of Ray's block layout."""
+    from ..datapipe import ivf_topk
+    from ..oracle.golden import write_golden_embed_ivf
+
+    write_golden_embed_ivf(sf_dir, n_queries=3, k=5, n_cells=8, nprobe=4,
+                           sample_size=4096, seed=5)
     q = _query_vectors(sf_dir, 3)
     out = ivf_topk(_embeds(sf_dir), q, k=5, n_cells=8, nprobe=4).to_pandas()
     out = out.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
     return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
             [["query_id", "vec_id", "rank"]])
+
+
+SQL_EMBED_IVF_GOLDEN = """
+SELECT query_id, vec_id, rank
+FROM read_parquet('/tmp/sagan_ray_golden/embed_ivf.parquet')
+ORDER BY query_id, rank
+"""
 
 
 def q_embed_label_stats(sf_dir: str):
@@ -1497,6 +1523,6 @@ ORACLES = {
     # implementation, the SQL reads it — see oracle/golden.py)
     "dedup_simhash": SQL_SIMHASH_GOLDEN,
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
-    # rows-only (approximate by design): embed_ivf, embed_near_dup_lsh —
-    # recall vs the exact paths is measured in tests/test_datapipe.py
+    "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
+    "embed_ivf": SQL_EMBED_IVF_GOLDEN,
 }
