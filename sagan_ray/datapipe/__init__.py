@@ -26,8 +26,10 @@ from .curate import (  # noqa: F401
 )
 from .exchange import hash_group_apply  # noqa: F401
 from .textstats import (  # noqa: F401
+    cross_doc_dup,
     fingerprint,
     langid,
     quality,
+    repetition,
     token_counts,
 )

@@ -123,6 +123,181 @@ def langid(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
 
 
+_REP_HORNER = np.uint64(1099511628211)
+
+
+def _split_flat(tbl: pa.Table, text_col: str):
+    """Literal single-space split of a batch into a flat word array with
+    per-doc bookkeeping — the spec is DuckDB's string_split(text, ' ')
+    (empty tokens kept), so the SQL oracles and the vectorized kernels
+    tokenize identically. Returns (n_docs, doc_of, wlen, wh, offs)."""
+    col = tbl.column(text_col).cast(pa.large_string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    la = pc.split_pattern(col, " ")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.values
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    wh = pd.util.hash_array(
+        flat.to_numpy(zero_copy_only=False).astype(object)).astype(np.uint64)
+    n_docs = len(col)
+    doc_of = np.repeat(np.arange(n_docs), np.diff(offs))
+    return n_docs, doc_of, wlen, wh, offs
+
+
+def _gram_runs(doc: np.ndarray, h: np.ndarray):
+    """Sort (doc, hash) occurrence rows and return (order, run_id,
+    run_counts, first_mask): contiguous runs are the occurrences of one
+    distinct gram within one doc."""
+    o = np.lexsort((h, doc))
+    ds_, hs_ = doc[o], h[o]
+    new = np.empty(len(o), dtype=bool)
+    if len(o):
+        new[0] = True
+        new[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    run_id = np.cumsum(new) - 1
+    return o, run_id, np.bincount(run_id), new
+
+
+def repetition(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc repetition signals (the Gopher/MassiveText repetition
+    filters, word-level): for each document,
+
+    - ``total_chars`` — Σ len(word) over the single-space split;
+    - ``top2_chars``  — max over distinct word-2-grams of
+      occurrence_count × (len(w1)+len(w2)): the character mass of the
+      most-repeated 2-gram (callers divide by total_chars for the
+      "fraction of characters in the most common 2-gram" filter);
+    - ``dup3_chars``  — Σ len(word) over word positions covered by any
+      word-3-gram that occurs ≥2 times in the doc ("fraction of
+      characters inside duplicated 3-grams" after dividing).
+
+    Integer outputs so the DuckDB oracle compares exactly (no float
+    rounding at 6-decimal midpoints). One Arrow split + ONE hash_array
+    pass per batch; grouping is lexsort + run-length over (doc, gram
+    hash) — a 64-bit in-doc gram-hash collision (P < 1e-15 per doc)
+    could miscount vs the SQL's exact strings; accepted and documented,
+    the same stance as the dedup family's shingle hashes."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, offs = _split_flat(tbl, text_col)
+        m = len(wh)
+        total = np.bincount(doc_of, weights=wlen, minlength=n_docs
+                            ).astype(np.int64)
+        top2 = np.zeros(n_docs, dtype=np.int64)
+        dup3 = np.zeros(n_docs, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            # ---- 2-grams: start positions whose successor is in-doc
+            valid = np.ones(m, dtype=bool)
+            valid[offs[1:] - 1] = False          # last word of each doc
+            i2 = np.nonzero(valid)[0]
+            if len(i2):
+                h2 = wh[i2] * _REP_HORNER + wh[i2 + 1]
+                chars2 = wlen[i2] + wlen[i2 + 1]
+                o, run_id, counts, first = _gram_runs(doc_of[i2], h2)
+                val = counts[run_id[first]] * chars2[o][first]
+                np.maximum.at(top2, doc_of[i2][o][first], val)
+            # ---- 3-grams: positions covered by a duplicated 3-gram
+            valid3 = valid.copy()
+            valid3[np.maximum(offs[1:] - 2, 0)] = False
+            i3 = np.nonzero(valid3)[0]
+            if len(i3):
+                h3 = (wh[i3] * _REP_HORNER + wh[i3 + 1]) * _REP_HORNER + wh[i3 + 2]
+                o, run_id, counts, _ = _gram_runs(doc_of[i3], h3)
+                dup_occ = i3[o][counts[run_id] >= 2]     # flat start idx
+                covered = np.zeros(m, dtype=bool)
+                covered[dup_occ] = True
+                covered[dup_occ + 1] = True
+                covered[dup_occ + 2] = True
+                dup3 = np.bincount(doc_of, weights=wlen * covered,
+                                   minlength=n_docs).astype(np.int64)
+        return pa.table({id_col: tbl.column(id_col),
+                         "total_chars": pa.array(total, pa.int64()),
+                         "top2_chars": pa.array(top2, pa.int64()),
+                         "dup3_chars": pa.array(dup3, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cross_doc_dup(ds, *, k: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Corpus-level duplicated-span analysis (the corpus-internal cousin
+    of benchmark decontamination, after Lee et al.'s dedup of repeated
+    training spans): for each doc, how many of its word-k-gram start
+    positions carry a gram that also appears in ≥2 DISTINCT documents.
+    Returns (doc_id, n_grams, n_dup) — integer outputs for exact SQL
+    parity; divide for the fraction.
+
+    Distributed shape: per-batch gram hashing (one split + one
+    hash_array pass) emits one row per DISTINCT (gram, doc) with its
+    in-doc occurrence count; the hash exchange groups by gram, keeps
+    grams seen in ≥2 docs, and re-keys the surviving (doc, count) rows
+    by doc for the per-doc sum — only 16-byte gram/doc/count rows ever
+    cross the wire, never text. Totals ride a second cheap pass over
+    the id/text columns (a column-pruned re-scan, not a cached
+    materialization)."""
+    from .exchange import hash_group_apply
+
+    occ_schema = pa.schema([("g", pa.uint64()), (id_col, pa.int64()),
+                            ("npos", pa.int64())])
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, offs = _split_flat(tbl, text_col)
+        m = len(wh)
+        valid = np.ones(m, dtype=bool)
+        for j in range(1, k):
+            valid[np.maximum(offs[1:] - j, 0)] = False
+        i0 = np.nonzero(valid)[0]
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(i0):
+            return occ_schema.empty_table()
+        with np.errstate(over="ignore"):
+            h = wh[i0].copy()
+            for j in range(1, k):
+                h = h * _REP_HORNER + wh[i0 + j]
+        o, run_id, counts, first = _gram_runs(doc_of[i0], h)
+        return pa.table({"g": pa.array(h[o][first], pa.uint64()),
+                         id_col: pa.array(ids[doc_of[i0][o][first]],
+                                          pa.int64()),
+                         "npos": pa.array(counts, pa.int64())})
+
+    def keep_crossdup(df: pd.DataFrame) -> pd.DataFrame:
+        # rows of one gram-hash bucket: survive iff the gram occurs in
+        # ≥2 distinct docs (rows are already distinct per (g, doc))
+        nd = df.groupby("g", sort=False)[id_col].transform("size")
+        return df.loc[nd >= 2, [id_col, "npos"]]
+
+    dup_schema = pa.schema([(id_col, pa.int64()), ("npos", pa.int64())])
+    dup = hash_group_apply(ds.map_batches(grams, batch_format="pyarrow"),
+                           ["g"], keep_crossdup, out_schema=dup_schema)
+
+    def totals(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, offs = _split_flat(tbl, text_col)
+        nw = np.diff(offs)
+        return pa.table({id_col: tbl.column(id_col),
+                         "n_grams": pa.array(np.maximum(nw - (k - 1), 0),
+                                             pa.int64()),
+                         "npos": pa.array(np.zeros(len(nw), np.int64))})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False).agg(
+            n_grams=("n_grams", "sum"), n_dup=("npos", "sum"))
+        return g.reset_index()
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    dup2 = dup.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "n_grams": pa.array(np.zeros(len(t), np.int64)),
+                            "npos": t.column("npos")}),
+        batch_format="pyarrow")
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64()),
+                            ("n_dup", pa.int64())])
+    return hash_group_apply(tot.union(dup2), [id_col], combine,
+                            out_schema=out_schema)
+
+
 def _norm_text(t: str) -> str:
     return _WS.sub(" ", _PUNCT.sub("", t.lower())).strip()
 

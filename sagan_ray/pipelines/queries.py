@@ -1104,6 +1104,79 @@ FROM m ORDER BY doc_id
 SQL_LANGID = _build_sql_langid()
 
 
+def q_text_repetition(sf_dir: str):
+    from ..datapipe import repetition
+
+    out = repetition(_docs(sf_dir)).to_pandas()
+    out = out.astype({"doc_id": "int64", "total_chars": "int64",
+                      "top2_chars": "int64", "dup3_chars": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Gopher/MassiveText word-level repetition filters, integer char masses
+# (the fraction filters divide by total_chars). Single-space split with
+# empty tokens kept, both sides.
+SQL_TEXT_REPETITION = r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w,
+             unnest(range(1, len(ws) + 1)) AS i FROM t),
+tot AS (SELECT doc_id, sum(length(w)) AS total_chars FROM w GROUP BY doc_id),
+g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram,
+              length(ws[i]) + length(ws[i+1]) AS chars
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+top2 AS (SELECT doc_id, max(cnt * chars) AS top2_chars
+         FROM (SELECT doc_id, gram, chars, count(*) AS cnt
+               FROM g2 GROUP BY doc_id, gram, chars)
+         GROUP BY doc_id),
+g3 AS (SELECT doc_id, i, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM t)),
+dupg AS (SELECT doc_id, gram FROM g3
+         GROUP BY doc_id, gram HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT g3.doc_id, g3.i + dd.d AS pos
+        FROM g3 JOIN dupg USING (doc_id, gram)
+        CROSS JOIN (VALUES (0), (1), (2)) dd(d)),
+dup3 AS (SELECT w.doc_id, sum(length(w.w)) AS dup3_chars
+         FROM w JOIN cov ON cov.doc_id = w.doc_id AND cov.pos = w.i
+         GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(tot.total_chars, 0)::BIGINT AS total_chars,
+       coalesce(top2.top2_chars, 0)::BIGINT AS top2_chars,
+       coalesce(dup3.dup3_chars, 0)::BIGINT AS dup3_chars
+FROM documents d
+LEFT JOIN tot USING (doc_id) LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_cross_doc_dup(sf_dir: str):
+    from ..datapipe import cross_doc_dup
+
+    out = cross_doc_dup(_docs(sf_dir), k=5).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_grams": "int64",
+                      "n_dup": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Corpus-level duplicated-span counts (Lee et al. cross-doc repeated
+# spans, word-5-grams): n_dup = start positions whose 5-gram appears in
+# >= 2 distinct documents. Space-joined grams are unambiguous because
+# the single-space split leaves no token containing a space.
+SQL_CROSS_DOC_DUP = r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t)),
+docgram AS (SELECT doc_id, gram, count(*) AS npos
+            FROM g GROUP BY doc_id, gram),
+crossg AS (SELECT gram FROM docgram GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, sum(npos) AS n_dup
+        FROM docgram JOIN crossg USING (gram) GROUP BY doc_id)
+SELECT t.doc_id, greatest(len(t.ws) - 4, 0)::BIGINT AS n_grams,
+       coalesce(dup.n_dup, 0)::BIGINT AS n_dup
+FROM t LEFT JOIN dup USING (doc_id) ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: decontamination, PII redaction, sampling, group top-k
 # ---------------------------------------------------------------------------
@@ -1465,6 +1538,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
+    "text_repetition": q_text_repetition,
+    "cross_doc_dup": q_cross_doc_dup,
     "text_decontam": q_text_decontam,
     "pii_redact": q_pii_redact,
     "sample_stratified": q_sample_stratified,
@@ -1511,6 +1586,8 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_langid": SQL_LANGID,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "cross_doc_dup": SQL_CROSS_DOC_DUP,
     "text_decontam": SQL_TEXT_DECONTAM,
     "pii_redact": SQL_PII_REDACT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -418,3 +418,90 @@ def test_ngram_prefix_boundary_threshold():
         "text": pa.array([a, b], pa.large_string())}))
     got = ngram_jaccard_pairs(ds, threshold=j).to_pandas()
     assert len(got) == 1 and abs(got["jaccard"].iloc[0] - j) < 1e-12
+
+
+def _brute_repetition(texts):
+    """Sequential spec for the Gopher repetition signals (independent of
+    the vectorized kernel): single-space split, empty tokens kept."""
+    out = []
+    for t in texts:
+        ws = t.split(" ")
+        total = sum(len(w) for w in ws)
+        from collections import Counter
+        c2 = Counter(zip(ws, ws[1:]))
+        top2 = max((n * (len(a) + len(b)) for (a, b), n in c2.items()),
+                   default=0)
+        c3 = Counter(zip(ws, ws[1:], ws[2:]))
+        covered = set()
+        for i in range(len(ws) - 2):
+            if c3[(ws[i], ws[i + 1], ws[i + 2])] >= 2:
+                covered.update((i, i + 1, i + 2))
+        dup3 = sum(len(ws[i]) for i in covered)
+        out.append((total, top2, dup3))
+    return out
+
+
+def test_repetition_edge_cases():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import repetition
+
+    texts = [
+        "",                                   # split -> ['']
+        "a  b a  b",                          # consecutive spaces keep ''
+        "the cat sat on the cat sat on the mat",
+        "x " * 50 + "x",                      # one gram repeated massively
+        "unique words only here now",
+        "a b c a b c a b c",                  # dup 3-grams tile the doc
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.large_string())}))
+    got = (repetition(ds).to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    want = _brute_repetition(texts)
+    for i, (total, top2, dup3) in enumerate(want):
+        assert got["total_chars"][i] == total, i
+        assert got["top2_chars"][i] == top2, i
+        assert got["dup3_chars"][i] == dup3, i
+
+
+def test_repetition_matches_spec_on_corpus(docs, docs_tbl):
+    from sagan_ray.datapipe import repetition
+
+    got = (repetition(docs).to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    texts = docs_tbl.sort_by("doc_id").column("text").to_pylist()
+    want = _brute_repetition(texts)
+    assert list(got["total_chars"]) == [w[0] for w in want]
+    assert list(got["top2_chars"]) == [w[1] for w in want]
+    assert list(got["dup3_chars"]) == [w[2] for w in want]
+
+
+def test_cross_doc_dup_planted():
+    """Docs sharing an exact 5-word span count it; shorter overlap or
+    in-doc-only repeats don't. The shared span must survive the exchange
+    even when the two docs land in different batches (override_num_blocks
+    forces that)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import cross_doc_dup
+
+    shared = "alpha beta gamma delta epsilon"
+    texts = [
+        f"intro {shared} outro one",        # doc 0: 8 words, 4 grams
+        f"other {shared} tail two three",   # doc 1: shares the 5-gram
+        "alpha beta gamma delta zeta pad",  # doc 2: only 4-word overlap
+        "tiny doc",                          # doc 3: < 5 words, 0 grams
+        "rep rep rep rep rep rep",           # doc 4: in-doc repeats only
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.large_string()),
+    })).repartition(5)
+    got = (cross_doc_dup(ds, k=5).to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    assert list(got["n_grams"]) == [4, 5, 2, 0, 2]
+    # docs 0/1 each have exactly one start position carrying the shared
+    # 5-gram; nothing else crosses docs
+    assert list(got["n_dup"]) == [1, 1, 0, 0, 0]
