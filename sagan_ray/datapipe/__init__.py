@@ -25,6 +25,11 @@ from .curate import (  # noqa: F401
     sample_stratified,
 )
 from .exchange import hash_group_apply  # noqa: F401
+from .joins import (  # noqa: F401
+    asof_join,
+    range_join_count,
+    range_join_pairs,
+)
 from .textstats import (  # noqa: F401
     cross_doc_dup,
     fingerprint,

@@ -758,6 +758,91 @@ FROM events GROUP BY user_id, hour ORDER BY user_id, hour
 """
 
 
+def q_events_asof(sf_dir: str):
+    """For each purchase, the most recent prior-or-equal click by the
+    same user (backward as-of join via the hash exchange; unmatched
+    purchases kept with sentinel -1 so the id column stays BIGINT)."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe.joins import asof_join
+
+    def side(et):
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+            filter=pac.field("event_type") == et)
+
+    out = asof_join(side("purchase"), side("click"), on="ts",
+                    by="user_id", left_cols=["event_id"],
+                    right_cols=["event_id", "value"],
+                    right_prefix="click_").to_pandas()
+    out["click_id"] = out["click_event_id"].fillna(-1).astype("int64")
+    out = out.rename(columns={"click_value": "click_val"})
+    out = out.astype({"event_id": "int64", "user_id": "int64"})
+    return (out.sort_values("event_id").reset_index(drop=True)
+            [["event_id", "user_id", "ts", "click_id", "click_val"]])
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT l.event_id, r.event_id AS rid, r.value AS rvalue,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+SELECT l.event_id, l.user_id, l.ts,
+       coalesce(j.rid, -1) AS click_id, j.rvalue AS click_val
+FROM l LEFT JOIN (SELECT event_id, rid, rvalue FROM j WHERE rn = 1) j
+  USING (event_id)
+ORDER BY event_id
+"""
+
+
+def q_events_range_count(sf_dir: str):
+    """Events inside each signup's 30-minute window, any user — a
+    genuinely non-equi interval join (banded range join; per-band
+    partial counts, the pair expansion never materializes)."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe.joins import range_join_count
+
+    points = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts"])
+
+    def iv(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.timestamp("us"))
+        hi = pac.add(ts, pa.scalar(1_800_000_000, pa.duration("us")))
+        return pa.table({"event_id": tbl.column("event_id"),
+                         "lo": ts, "hi": hi})
+
+    intervals = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"],
+        filter=pac.field("event_type") == "signup",
+    ).map_batches(iv, batch_format="pyarrow")
+
+    out = range_join_count(
+        points, intervals, point_col="ts", point_id="event_id",
+        lo_col="lo", hi_col="hi", interval_id="event_id",
+        band_width=1_800_000_000).to_pandas()
+    out = out.rename(columns={"event_id": "signup_id",
+                              "n_points": "n_in_window"})
+    out = out.astype({"signup_id": "int64", "n_in_window": "int64"})
+    return out.sort_values("signup_id").reset_index(drop=True)
+
+
+SQL_EVENTS_RANGE_COUNT = """
+WITH s AS (SELECT event_id, ts FROM events WHERE event_type = 'signup')
+SELECT s.event_id AS signup_id, count(e.event_id)::BIGINT AS n_in_window
+FROM s LEFT JOIN events e
+  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 30 MINUTE
+GROUP BY s.event_id ORDER BY signup_id
+"""
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H-q1-style grouped aggregate over lineitem (pre-aggregated
     partials; monetary sums rounded to 2dp for float-order stability)."""
@@ -1529,6 +1614,8 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
     "events_tumbling": q_events_tumbling,
+    "events_asof": q_events_asof,
+    "events_range_count": q_events_range_count,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1578,6 +1665,8 @@ ORACLES = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "events_tumbling": SQL_TUMBLING,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_JACCARD,
     "dedup_ngram": SQL_DEDUP_JACCARD,

@@ -505,3 +505,70 @@ def test_cross_doc_dup_planted():
     # docs 0/1 each have exactly one start position carrying the shared
     # 5-gram; nothing else crosses docs
     assert list(got["n_dup"]) == [1, 1, 0, 0, 0]
+
+
+def test_asof_join_ties_and_unmatched():
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 5, 1, 7, 4], pa.int64()),
+        "lid": pa.array([100, 101, 102, 103, 104], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "t": pa.array([5, 5, 2, 9, 8], pa.int64()),
+        "rid": pa.array([7, 9, 3, 6, 5], pa.int64()),
+    })).repartition(3)
+    out = (asof_join(left, right, on="t", by="k", left_cols=["lid"],
+                     right_cols=["rid"]).to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    # lid 100 (k1,t10): latest r t<=10 is t=9 -> rid 6
+    # lid 101 (k1,t5): tie at t=5 -> greatest rid wins (9, not 7)
+    # lid 102 (k1,t1): no r t<=1 -> null
+    # lid 103 (k2,t7): r t=8 > 7 -> null ; lid 104 (k3): no k3 rows
+    got = out["r_rid"].tolist()
+    assert got[0] == 6 and got[1] == 9
+    assert all(pd.isna(x) for x in (got[2], got[3], got[4]))
+
+
+def test_range_join_multi_band_and_zero():
+    """band_width=10 forces interval replication across bands; counts
+    must not double-count, empty intervals keep a zero row, and the
+    pairs variant matches a brute-force O(N*M) reference."""
+    import itertools
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe import range_join_count, range_join_pairs
+
+    rng = np.random.RandomState(7)
+    pv = rng.randint(0, 200, size=300).astype(np.int64)
+    points = rd.from_arrow(pa.table({
+        "v": pa.array(pv), "pid": pa.array(np.arange(300), pa.int64()),
+    })).repartition(4)
+    lo = rng.randint(-20, 200, size=40).astype(np.int64)
+    length = rng.randint(0, 60, size=40).astype(np.int64)  # some empty
+    hi = lo + length
+    intervals = rd.from_arrow(pa.table({
+        "lo": pa.array(lo), "hi": pa.array(hi),
+        "iid": pa.array(np.arange(40), pa.int64())})).repartition(3)
+
+    want_pairs = {(i, p) for i in range(40) for p in range(300)
+                  if lo[i] <= pv[p] < hi[i]}
+    got_pairs = range_join_pairs(
+        points, intervals, point_col="v", point_id="pid", lo_col="lo",
+        hi_col="hi", interval_id="iid", band_width=10).to_pandas()
+    assert set(zip(got_pairs["iid"], got_pairs["pid"])) == want_pairs
+    assert len(got_pairs) == len(want_pairs)      # no dup rows at all
+
+    got_counts = (range_join_count(
+        points, intervals, point_col="v", point_id="pid", lo_col="lo",
+        hi_col="hi", interval_id="iid", band_width=10).to_pandas()
+        .sort_values("iid").reset_index(drop=True))
+    assert len(got_counts) == 40                  # zero windows present
+    want_counts = [sum(1 for (i, _) in want_pairs if i == j)
+                   for j in range(40)]
+    assert got_counts["n_points"].tolist() == want_counts
