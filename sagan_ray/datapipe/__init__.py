@@ -18,6 +18,7 @@ from .dedup import (  # noqa: F401
     verify_pairs_jaccard,
 )
 from .ann import brute_force_topk, ivf_topk  # noqa: F401
+from .cluster import kmeans_assign  # noqa: F401
 from .curate import (  # noqa: F401
     decontaminate,
     group_topk,

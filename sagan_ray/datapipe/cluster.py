@@ -1,0 +1,122 @@
+"""Distributed k-means over an embedding column — the semantic-
+clustering / semantic-dedup primitive (cluster-then-filter curation,
+SemDeDup-style) — as Lloyd iterations of map_batches partial sums.
+
+Determinism by construction (this is what lets a golden-parquet oracle
+hash-match the distributed run exactly):
+
+- Vectors are quantized ONCE to a fixed-point grid
+  (``round(v * 2^20)``, held in float64). Every distance term —
+  ``|x|^2 - 2 x.c + |c|^2`` with centroids also on the grid — is an
+  integer below 2^53, so float64 arithmetic is EXACT and the argmin is
+  identical under any BLAS blocking or batch split.
+- Per-batch partial sums are exact in float64 (batch_size * 2^21 * |v|
+  stays under 2^53), cast to int64 before leaving the task; the
+  driver-side combine is integer addition — order-independent at any
+  block count. (int64 bounds the total at ~4e12 rows per cluster at
+  this grid; log-scale headroom over the 100-TB target.)
+- Seeds are the k rows with the smallest SplitMix64(id) — the same
+  blocking-independent ordering hash the IVF sampler uses — so init
+  does not depend on block layout.
+- Centroid update ``rint(S / n)`` re-lands on the grid; empty clusters
+  keep their previous centroid.
+
+Per iteration the data passes ONCE (streaming; nothing driver-side but
+the k×d centroid table and k·d-row partials). n_iters full scans is the
+standard Lloyd cost; cap it or sample for the init at larger k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .ann import _ids, _mat, _splitmix64
+
+FIX = float(1 << 20)
+
+
+def _qmat(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    """Fixed-point quantized matrix: integer-valued float64."""
+    return np.rint(_mat(tbl, vec_col, np.float64) * FIX)
+
+
+def _assign(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Exact-integer-in-float64 squared distances; ties -> lowest
+    cluster index (np.argmin)."""
+    d2 = ((x * x).sum(axis=1, keepdims=True)
+          - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1))
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_assign(ds, *, k: int = 8, n_iters: int = 8,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Lloyd k-means; returns a Dataset of (id_col, cluster). The input
+    Dataset is consumed n_iters + 2 times (seed scan, n_iters partial
+    scans, final assignment scan) — each pass streams."""
+    import ray
+    import ray.data as rd
+
+    # ---- seeds: k smallest SplitMix64(id), candidates pre-pruned per
+    # batch so only k rows per block reach the driver
+    def cand(tbl: pa.Table) -> pa.Table:
+        ids = _ids(tbl, id_col)
+        if not len(ids):
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        h = _splitmix64(ids.astype(np.uint64))
+        kk = min(k, len(ids))
+        top = np.argpartition(h, kk - 1)[:kk]
+        q = _qmat(tbl, vec_col)[top]
+        return pa.table({"h": pa.array(h[top], pa.uint64()),
+                         "vec": pa.array(list(q), pa.list_(pa.float64()))})
+
+    cdf = (ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+           .sort_values("h").head(k))
+    cent = np.stack(cdf["vec"].to_numpy())           # (k, d) grid points
+    k_eff = len(cent)
+
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def partial(tbl: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            x = _qmat(tbl, vec_col)
+            if not len(x):
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            a = _assign(x, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            kk, d = c.shape
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(kk), d)),
+                "dim": pa.array(np.tile(np.arange(d), kk)),
+                "s": pa.array(sums.astype(np.int64).ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            })
+
+        p = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["cluster", "dim"], sort=True)
+             .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
+        d = cent.shape[1]
+        S = p["s"].to_numpy().reshape(k_eff, d).astype(np.float64)
+        n = p["n"].to_numpy().reshape(k_eff, d)[:, 0].astype(np.float64)
+        nz = n > 0
+        cent[nz] = np.rint(S[nz] / n[nz, None])
+
+    ref = ray.put(cent)
+
+    def final(tbl: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        x = _qmat(tbl, vec_col)
+        a = (_assign(x, c) if len(x)
+             else np.array([], np.int64))
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(final, batch_format="pyarrow")

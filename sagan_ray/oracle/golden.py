@@ -239,3 +239,59 @@ def write_golden_multimodal(n: int, seed: int) -> str:
     tbl = pa.table({"media_id": pa.array(oid, pa.int64()),
                     "feat_head": pa.array(oval, pa.float64())})
     return _write(tbl, "multimodal_features")
+
+
+def _splitmix64_int(x: int) -> int:
+    """Per-id SplitMix64 in plain Python ints (independent of the
+    numpy-vectorized sampler it checks)."""
+    m = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & m
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    return x ^ (x >> 31)
+
+
+def write_golden_kmeans(sf_dir: str, *, k: int, n_iters: int) -> str:
+    """Expected output of ``embed_kmeans``: sequential per-row Lloyd over
+    the fixed-point grid (the spec datapipe/cluster.py documents) — a
+    Python loop computing |x-c|^2 directly per row, integer sums, no
+    matmul, no batching, no exchange. Exact integer arithmetic is what
+    makes the two implementations land on identical assignments."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    q = np.rint(np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64) * float(1 << 20))
+    order = np.argsort(ids, kind="stable")
+    ids, q = ids[order], q[order]
+    hashes = np.array([_splitmix64_int(int(np.uint64(i))) for i in ids],
+                      dtype=np.uint64)
+    seed_rows = np.argsort(hashes, kind="stable")[:k]
+    cent = q[seed_rows].copy()
+
+    def assign_row(x):
+        best, best_d = 0, None
+        for j in range(len(cent)):
+            diff = x - cent[j]
+            d2 = float(diff @ diff)
+            if best_d is None or d2 < best_d:
+                best, best_d = j, d2
+        return best
+
+    for _ in range(n_iters):
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for i in range(len(q)):
+            a = assign_row(q[i])
+            sums[a] += q[i]
+            counts[a] += 1
+        for j in range(len(cent)):
+            if counts[j]:
+                cent[j] = np.rint(sums[j] / counts[j])
+    clusters = np.array([assign_row(q[i]) for i in range(len(q))],
+                        dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "cluster": pa.array(clusters, pa.int64())})
+    return _write(tbl, "embed_kmeans")

@@ -1032,6 +1032,31 @@ ORDER BY a, b
 """
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means assignments over the embeddings table,
+    hash-matched against a sequential per-row golden spec — exact
+    fixed-point arithmetic makes the distributed run bit-identical to
+    the naive loop (datapipe/cluster.py docstring)."""
+    import ray.data as rd
+
+    from ..datapipe.cluster import kmeans_assign
+    from ..oracle.golden import write_golden_kmeans
+
+    write_golden_kmeans(sf_dir, k=8, n_iters=8)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = kmeans_assign(ds, k=8, n_iters=8).to_pandas()
+    out = out.astype({"vec_id": "int64", "cluster": "int64"})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_KMEANS_GOLDEN = """
+SELECT vec_id, cluster
+FROM read_parquet('/tmp/sagan_ray_golden/embed_kmeans.parquet')
+ORDER BY vec_id
+"""
+
+
 def q_dedup_ngram(sf_dir: str):
     from ..datapipe import ngram_jaccard_pairs
 
@@ -1635,6 +1660,7 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "embed_ivf": q_embed_ivf,
+    "embed_kmeans": q_embed_kmeans,
     "embed_label_stats": q_embed_label_stats,
     "multimodal_features": q_multimodal_features,
 }
@@ -1691,4 +1717,5 @@ ORACLES = {
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
+    "embed_kmeans": SQL_KMEANS_GOLDEN,
 }

@@ -572,3 +572,18 @@ def test_range_join_multi_band_and_zero():
     want_counts = [sum(1 for (i, _) in want_pairs if i == j)
                    for j in range(40)]
     assert got_counts["n_points"].tolist() == want_counts
+
+
+def test_kmeans_block_layout_independent(embeds):
+    """The fixed-point design promises bit-identical assignments under
+    any block split; 1-block vs 7-block runs must agree exactly, and
+    every cluster id must be in range."""
+    from sagan_ray.datapipe import kmeans_assign
+
+    a = (kmeans_assign(embeds, k=5, n_iters=3).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (kmeans_assign(embeds.repartition(7), k=5, n_iters=3).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+    assert a["cluster"].between(0, 4).all()
+    assert a["cluster"].nunique() > 1          # not degenerate
