@@ -18,7 +18,11 @@ from .dedup import (  # noqa: F401
     verify_pairs_jaccard,
 )
 from .ann import brute_force_topk, ivf_topk  # noqa: F401
-from .cluster import kmeans_assign  # noqa: F401
+from .cluster import (  # noqa: F401
+    fit_centroids,
+    kmeans_assign,
+    semantic_near_dup,
+)
 from .curate import (  # noqa: F401
     decontaminate,
     group_topk,
@@ -26,6 +30,7 @@ from .curate import (  # noqa: F401
     sample_stratified,
 )
 from .exchange import hash_group_apply  # noqa: F401
+from .stats import percentiles  # noqa: F401
 from .joins import (  # noqa: F401
     asof_join,
     range_join_count,

@@ -33,6 +33,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .ann import _ids, _mat, _splitmix64
+from .exchange import hash_group_apply
 
 FIX = float(1 << 20)
 
@@ -50,13 +51,13 @@ def _assign(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def kmeans_assign(ds, *, k: int = 8, n_iters: int = 8,
-                  vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Lloyd k-means; returns a Dataset of (id_col, cluster). The input
-    Dataset is consumed n_iters + 2 times (seed scan, n_iters partial
-    scans, final assignment scan) — each pass streams."""
+def fit_centroids(ds, *, k: int = 8, n_iters: int = 8,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> np.ndarray:
+    """Lloyd training only; returns the (k, d) grid-point centroid
+    matrix. The input Dataset is consumed n_iters + 1 times (seed scan
+    + one partial scan per iteration) — each pass streams."""
     import ray
-    import ray.data as rd
 
     # ---- seeds: k smallest SplitMix64(id), candidates pre-pruned per
     # batch so only k rows per block reach the driver
@@ -109,6 +110,16 @@ def kmeans_assign(ds, *, k: int = 8, n_iters: int = 8,
         nz = n > 0
         cent[nz] = np.rint(S[nz] / n[nz, None])
 
+    return cent
+
+
+def kmeans_assign(ds, *, k: int = 8, n_iters: int = 8,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Lloyd k-means; returns a Dataset of (id_col, cluster)."""
+    import ray
+
+    cent = fit_centroids(ds, k=k, n_iters=n_iters, vec_col=vec_col,
+                         id_col=id_col)
     ref = ray.put(cent)
 
     def final(tbl: pa.Table, _ref=ref) -> pa.Table:
@@ -120,3 +131,73 @@ def kmeans_assign(ds, *, k: int = 8, n_iters: int = 8,
                          "cluster": pa.array(a.astype(np.int64))})
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def semantic_near_dup(ds, *, threshold: float = 0.45, k: int = 8,
+                      n_iters: int = 8, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      max_cluster_rows: int = 65536):
+    """SemDeDup-style near-duplicate pairs: k-means first, then exact
+    float64 cosine all-pairs WITHIN each cluster only — the clustering
+    bounds the quadratic term to the largest cluster instead of the
+    corpus (pairs that straddle a cluster boundary are missed by
+    design; that recall/cost trade IS the operator). Returns
+    (a, b, cluster) with a < b.
+
+    Partitioning assumption: one cluster's rows fit one reduce task; a
+    cluster larger than ``max_cluster_rows`` is truncated to its
+    lowest-id rows with a logged warning (the LSH max_bucket stance).
+    """
+    import logging
+
+    import ray
+
+    from .ann import _mat, _unit
+
+    cent = fit_centroids(ds, k=k, n_iters=n_iters, vec_col=vec_col,
+                         id_col=id_col)
+    ref = ray.put(cent)
+
+    def tag(tbl: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        x = _qmat(tbl, vec_col)
+        a = (_assign(x, c) if len(x) else np.array([], np.int64))
+        # float64 unit vectors (the SQL cosine is float64; f32 flips
+        # threshold-boundary pairs), packed as binary per row
+        unit = _unit(_mat(tbl, vec_col, dtype=np.float64))
+        packed = np.empty(len(x), dtype=object)
+        for r in range(len(x)):
+            packed[r] = unit[r].tobytes()
+        return pa.table({
+            "cluster": pa.array(a.astype(np.int64)),
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "unit": pa.array(packed, pa.binary()),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for cl, g in df.groupby("cluster", sort=False):
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            if len(ids) > max_cluster_rows:
+                logging.getLogger(__name__).warning(
+                    "semantic_near_dup: cluster %d has %d rows; "
+                    "truncated to %d lowest ids", int(cl), len(ids),
+                    max_cluster_rows)
+                ids = ids[:max_cluster_rows]
+                order = order[:max_cluster_rows]
+            unit = np.stack([np.frombuffer(b, np.float64)
+                             for b in g["unit"].to_numpy()[order]])
+            sims = unit @ unit.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+            out_a.extend(ids[ii].tolist())
+            out_b.extend(ids[jj].tolist())
+            out_c.extend([int(cl)] * len(ii))
+        return pd.DataFrame({"a": out_a, "b": out_b, "cluster": out_c})
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("cluster", pa.int64())])
+    return hash_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"), ["cluster"], bucket,
+        out_schema=out_schema)

@@ -1057,6 +1057,34 @@ ORDER BY vec_id
 """
 
 
+def q_embed_semantic_dup(sf_dir: str):
+    """SemDeDup composition: within-kmeans-cluster exact cosine pairs.
+    The oracle joins the golden kmeans assignments (independent
+    sequential Lloyd) with DuckDB's own float64 cosine — so BOTH the
+    clustering and the in-cluster pair scan are checked end-to-end."""
+    from ..datapipe import semantic_near_dup
+    from ..oracle.golden import write_golden_kmeans
+
+    write_golden_kmeans(sf_dir, k=8, n_iters=8)
+    out = _typed(semantic_near_dup(_embeds(sf_dir), threshold=0.45,
+                                   k=8, n_iters=8).to_pandas(),
+                 {"a": "int64", "b": "int64", "cluster": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_SEMANTIC_DUP = """
+WITH m AS (
+  SELECT e.vec_id, e.embedding, g.cluster
+  FROM embeddings e
+  JOIN read_parquet('/tmp/sagan_ray_golden/embed_kmeans.parquet') g
+    USING (vec_id))
+SELECT x.vec_id AS a, y.vec_id AS b, x.cluster
+FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.45
+ORDER BY a, b
+"""
+
+
 def q_dedup_ngram(sf_dir: str):
     from ..datapipe import ngram_jaccard_pairs
 
@@ -1212,6 +1240,34 @@ FROM m ORDER BY doc_id
 # on ties; all-zero scores → 'und'). Valid while document text is ASCII
 # (python \\w == RE2 [a-z0-9_] there); the fixture corpora are.
 SQL_LANGID = _build_sql_langid()
+
+
+def q_text_quantiles(sf_dir: str):
+    """Exact nearest-rank quantiles of the whitespace token count over
+    documents — token_counts composed with the histogram-exchange
+    percentile operator (only (value, count) rows shuffle)."""
+    from ..datapipe import percentiles, token_counts
+
+    toks = token_counts(_docs(sf_dir)).select_columns(["n_tokens"])
+    out = percentiles(toks, "n_tokens", [0.25, 0.5, 0.75, 0.9, 0.99])
+    out = out.astype({"q": "float64", "value": "int64"})
+    return out.sort_values("q").reset_index(drop=True)
+
+
+# nearest-rank spec spelled out (rank = ceil(q*N)) rather than relying
+# on an engine quantile flavor; token expr matches SQL_TEXT_TOKENS
+SQL_TEXT_QUANTILES = r"""
+WITH v AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS x
+  FROM documents),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                  count(*) OVER () AS n FROM v)
+SELECT q, min(x)::BIGINT AS value
+FROM ranked CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) qs(q)
+WHERE rn >= ceil(q * n)
+GROUP BY q ORDER BY q
+"""
 
 
 def q_text_repetition(sf_dir: str):
@@ -1650,6 +1706,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
+    "text_quantiles": q_text_quantiles,
     "text_repetition": q_text_repetition,
     "cross_doc_dup": q_cross_doc_dup,
     "text_decontam": q_text_decontam,
@@ -1661,6 +1718,7 @@ QUERIES = {
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "embed_ivf": q_embed_ivf,
     "embed_kmeans": q_embed_kmeans,
+    "embed_semantic_dup": q_embed_semantic_dup,
     "embed_label_stats": q_embed_label_stats,
     "multimodal_features": q_multimodal_features,
 }
@@ -1701,6 +1759,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_langid": SQL_LANGID,
+    "text_quantiles": SQL_TEXT_QUANTILES,
     "text_repetition": SQL_TEXT_REPETITION,
     "cross_doc_dup": SQL_CROSS_DOC_DUP,
     "text_decontam": SQL_TEXT_DECONTAM,
@@ -1718,4 +1777,5 @@ ORACLES = {
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
     "embed_kmeans": SQL_KMEANS_GOLDEN,
+    "embed_semantic_dup": SQL_SEMANTIC_DUP,
 }

@@ -587,3 +587,33 @@ def test_kmeans_block_layout_independent(embeds):
     assert a["cluster"].tolist() == b["cluster"].tolist()
     assert a["cluster"].between(0, 4).all()
     assert a["cluster"].nunique() > 1          # not degenerate
+
+
+def test_percentiles_nearest_rank():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import percentiles
+
+    vals = [5, 1, 9, 1, 7, 3, 3, 3, 100, 2]          # n=10
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = percentiles(ds.repartition(3), "x", [0.0, 0.1, 0.5, 0.9, 1.0])
+    srt = sorted(vals)
+    import math
+    want = [srt[max(1, math.ceil(q * 10)) - 1]
+            for q in [0.0, 0.1, 0.5, 0.9, 1.0]]
+    assert got["value"].tolist() == want
+
+
+def test_semantic_dup_subset_of_exact(embeds):
+    """In-cluster pairs are a subset of the global exact pairs (the
+    clustering only ever REMOVES cross-cluster pairs), every reported
+    pair really clears the threshold, and the planted duplicates that
+    land in one cluster are found."""
+    from sagan_ray.datapipe import embedding_near_dup_exact, semantic_near_dup
+
+    exact = embedding_near_dup_exact(embeds, threshold=0.45).to_pandas()
+    exact_pairs = {(int(a), int(b)) for a, b in zip(exact["a"], exact["b"])}
+    got = semantic_near_dup(embeds, threshold=0.45, k=8, n_iters=4).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+    assert got_pairs <= exact_pairs
+    assert got_pairs, "no in-cluster pairs found — vacuous"
