@@ -33,6 +33,7 @@ from .exchange import hash_group_apply  # noqa: F401
 from .stats import percentiles  # noqa: F401
 from .joins import (  # noqa: F401
     asof_join,
+    hash_join,
     range_join_count,
     range_join_pairs,
 )

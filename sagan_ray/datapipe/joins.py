@@ -119,6 +119,45 @@ def asof_join(left, right, *, on: str, by: str,
     return hash_group_apply(both, [by], bucket, out_schema=out_schema)
 
 
+def hash_join(left, right, *, on: str, left_cols: list[str],
+              right_cols: list[str], how: str = "inner",
+              right_prefix: str = "r_"):
+    """Distributed equi-join (inner or left) of two Datasets on a shared
+    key column: side-tagged union, ONE hash exchange on the key,
+    per-bucket ``pd.merge`` — the symmetric large-×-large shape (neither
+    side is broadcast; for a small right side prefer the broadcast
+    lookup pattern instead, see orders_by_nation). Key groups stay
+    whole under skew refinement; one pathological hot key is bounded by
+    its own group's join size."""
+    assert how in ("inner", "left")
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    ex_schema = pa.schema(
+        [(on, l_schema.field(on).type), ("side", pa.int8())]
+        + [(c, l_schema.field(c).type) for c in left_cols]
+        + [(right_prefix + c, r_schema.field(c).type)
+           for c in right_cols])
+
+    def l_map(tbl):
+        return {on: tbl.column(on),
+                **{c: tbl.column(c) for c in left_cols}}
+
+    def r_map(tbl):
+        return {on: tbl.column(on),
+                **{right_prefix + c: tbl.column(c) for c in right_cols}}
+
+    both = _tag_union(left, right, l_map, r_map, ex_schema)
+    rcols = [right_prefix + c for c in right_cols]
+    out_schema = pa.schema([f for f in ex_schema if f.name != "side"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["side"] == _SIDE_L, [on] + left_cols]
+        r = df.loc[df["side"] == _SIDE_R, [on] + rcols]
+        return pd.merge(l, r, on=on, how=how)
+
+    return hash_group_apply(both, [on], bucket, out_schema=out_schema)
+
+
 def _to_i64(arr: pa.ChunkedArray) -> np.ndarray:
     """Numeric view of a point/bound column (timestamps -> int64 us)."""
     t = arr.type

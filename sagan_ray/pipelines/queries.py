@@ -758,6 +758,60 @@ FROM events GROUP BY user_id, hour ORDER BY user_id, hour
 """
 
 
+def q_orders_revenue(sf_dir: str):
+    """Revenue per order priority through the generic distributed hash
+    equi-join (orders × lineitem — symmetric large-×-large, no
+    broadcast side), then a partial-aggregate groupby."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..datapipe.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+
+    joined = hash_join(orders, line, on="o_orderkey",
+                       left_cols=["o_orderpriority"],
+                       right_cols=["l_extendedprice", "l_discount"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        rev = pac.multiply(
+            tbl.column("r_l_extendedprice"),
+            pac.subtract(pa.scalar(1.0), tbl.column("r_l_discount")))
+        t = pa.table({"o_orderpriority": tbl.column("o_orderpriority"),
+                      "rev": rev})
+        g = pa.TableGroupBy(t, "o_orderpriority").aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "rev", "n"])
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values("o_orderpriority").reset_index(drop=True)
+            [["o_orderpriority", "revenue", "n"]])
+
+
+SQL_ORDERS_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_events_asof(sf_dir: str):
     """For each purchase, the most recent prior-or-equal click by the
     same user (backward as-of join via the hash exchange; unmatched
@@ -1694,6 +1748,7 @@ QUERIES = {
     "events_topk": q_events_topk,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
+    "orders_revenue": q_orders_revenue,
     "events_tumbling": q_events_tumbling,
     "events_asof": q_events_asof,
     "events_range_count": q_events_range_count,
@@ -1748,6 +1803,7 @@ ORACLES = {
     "events_topk": SQL_EVENTS_TOPK,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
+    "orders_revenue": SQL_ORDERS_REVENUE,
     "events_tumbling": SQL_TUMBLING,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,

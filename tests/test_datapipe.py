@@ -617,3 +617,30 @@ def test_semantic_dup_subset_of_exact(embeds):
     got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
     assert got_pairs <= exact_pairs
     assert got_pairs, "no in-cluster pairs found — vacuous"
+
+
+def test_hash_join_duplicates_and_left():
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "lv": pa.array([10, 11, 20, 30], pa.int64())})).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 4], pa.int64()),
+        "rv": pa.array([100, 101, 200, 400], pa.int64())})).repartition(3)
+
+    inner = hash_join(left, right, on="k", left_cols=["lv"],
+                      right_cols=["rv"]).to_pandas()
+    got = sorted(zip(inner["k"], inner["lv"], inner["r_rv"]))
+    want = sorted([(1, 10, 100), (1, 10, 101), (1, 11, 100),
+                   (1, 11, 101), (2, 20, 200)])
+    assert got == want
+
+    lj = hash_join(left, right, on="k", left_cols=["lv"],
+                   right_cols=["rv"], how="left").to_pandas()
+    assert len(lj) == 6          # 5 matches + unmatched k=3
+    row3 = lj[lj["k"] == 3]
+    assert len(row3) == 1 and pd.isna(row3["r_rv"].iloc[0])
