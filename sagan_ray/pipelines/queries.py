@@ -758,6 +758,55 @@ FROM events GROUP BY user_id, hour ORDER BY user_id, hour
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) 1h windows every 15 min, global: each event
+    replicates to exactly size/hop = 4 windows inside the batch partial
+    (the overlap factor is the only data growth, and it pre-aggregates
+    before the small window-keyed groupby — same shape as tumbling)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    HOP = 900_000_000               # 15 min in us
+    NW = 4                          # 1h window / 15min hop
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = (tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        b = (ts // HOP) * HOP
+        ws = np.repeat(b, NW) - np.tile(np.arange(NW, dtype=np.int64)
+                                        * HOP, len(b))
+        t = pa.table({"ws": pa.array(ws, pa.int64()),
+                      "value": pa.array(np.repeat(val, NW))})
+        g = pa.TableGroupBy(t, "ws").aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return g.rename_columns(["ws", "sum_value", "n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("ws").aggregate(Sum("sum_value",
+                                        alias_name="sum_value"),
+                                    Sum("n", alias_name="n"))
+           .to_pandas())
+    out["window_start"] = pd.to_datetime(out["ws"], unit="us")
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values("window_start").reset_index(drop=True)
+            [["window_start", "n", "sum_value"]])
+
+
+SQL_EVENTS_HOPPING = """
+WITH e AS (SELECT value,
+                  time_bucket(INTERVAL 15 MINUTE, ts) AS b FROM events),
+w AS (SELECT value,
+             b - unnest([0, 1, 2, 3]) * INTERVAL 15 MINUTE AS window_start
+      FROM e)
+SELECT window_start, count(*) AS n, sum(value) AS sum_value
+FROM w GROUP BY window_start ORDER BY window_start
+"""
+
+
 def q_orders_revenue(sf_dir: str):
     """Revenue per order priority through the generic distributed hash
     equi-join (orders × lineitem — symmetric large-×-large, no
@@ -1750,6 +1799,7 @@ QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "orders_revenue": q_orders_revenue,
     "events_tumbling": q_events_tumbling,
+    "events_hopping": q_events_hopping,
     "events_asof": q_events_asof,
     "events_range_count": q_events_range_count,
     "dedup_exact": q_dedup_exact,
@@ -1805,6 +1855,7 @@ ORACLES = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "orders_revenue": SQL_ORDERS_REVENUE,
     "events_tumbling": SQL_TUMBLING,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "dedup_exact": SQL_DEDUP_EXACT,
