@@ -7,6 +7,7 @@ groupbys."""
 
 from .dedup import (  # noqa: F401
     connected_components,
+    dedup_against_prior,
     dedup_cluster_reps,
     embedding_near_dup,
     embedding_near_dup_exact,

@@ -55,6 +55,42 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
                             ["__h"], keep_first)
 
 
+def dedup_against_prior(new, prior, *, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Incremental exact dedup: drop rows of ``new`` whose text already
+    appears in the ``prior`` corpus (content anti-join) — the
+    arriving-shard shape for a continuously ingested corpus, composing
+    with the resumable-output manifest. Same exchange/collision stance
+    as exact_dedup: the 8-byte hash only partitions; the in-bucket
+    check compares exact texts, so collisions never drop a survivor.
+    Returns the surviving ``new`` rows as (id_col, text_col)."""
+    from .exchange import hash_group_apply
+
+    def tag(side):
+        def f(tbl: pa.Table) -> pa.Table:
+            texts = tbl.column(text_col).to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(texts.astype(object, copy=False))
+            return pa.table({
+                "__h": pa.array(h, pa.uint64()),
+                "side": pa.array(np.full(len(h), side, np.int8)),
+                id_col: tbl.column(id_col),
+                text_col: tbl.column(text_col),
+            })
+        return f
+
+    both = (new.map_batches(tag(0), batch_format="pyarrow")
+            .union(prior.map_batches(tag(1), batch_format="pyarrow")))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        prior_texts = set(df.loc[df["side"] == 1, text_col])
+        keep = df[(df["side"] == 0) & ~df[text_col].isin(prior_texts)]
+        return keep[[id_col, text_col]]
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            (text_col, pa.large_string())])
+    return hash_group_apply(both, ["__h"], bucket, out_schema=out_schema)
+
+
 # ----------------------------------------------------------------------
 # shingling + minhash
 # ----------------------------------------------------------------------

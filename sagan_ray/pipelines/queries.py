@@ -1112,6 +1112,36 @@ ORDER BY a, b
 """
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Arriving-shard dedup: docs with id >= 250 are the 'new' shard,
+    ids < 300 the prior corpus — the 50-doc overlap carries identical
+    text on both sides, so the anti-join must drop it (non-vacuous by
+    construction; the corpus has no other exact duplicates)."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe import dedup_against_prior
+
+    def part(flt):
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"], filter=flt)
+
+    out = dedup_against_prior(
+        part(pac.field("doc_id") >= 250),
+        part(pac.field("doc_id") < 300)).to_pandas()[["doc_id"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id >= 250
+  AND NOT EXISTS (SELECT 1 FROM documents p
+                  WHERE p.doc_id < 300 AND p.text = d.text)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     """Banded SimHash pairs, gated against a GOLDEN-PARQUET oracle: the
     query (re)writes the expected pairs from the per-row spec + a
@@ -1803,6 +1833,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_range_count": q_events_range_count,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
@@ -1859,6 +1890,7 @@ ORACLES = {
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_minhash": SQL_DEDUP_JACCARD,
     "dedup_ngram": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -644,3 +644,21 @@ def test_hash_join_duplicates_and_left():
     assert len(lj) == 6          # 5 matches + unmatched k=3
     row3 = lj[lj["k"] == 3]
     assert len(row3) == 1 and pd.isna(row3["r_rv"].iloc[0])
+
+
+def test_dedup_against_prior_planted():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import dedup_against_prior
+
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha", "beta", "gamma"])})).repartition(2)
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(["beta", "delta", "ALPHA", "gamma"]),
+    })).repartition(3)
+    got = sorted(dedup_against_prior(new, prior).to_pandas()["doc_id"])
+    # exact-content semantics: 'beta'/'gamma' dropped, 'ALPHA' (case
+    # differs) and 'delta' survive
+    assert got == [11, 12]
