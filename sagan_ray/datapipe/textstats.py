@@ -52,75 +52,109 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _words_flat(col: pa.ChunkedArray | pa.Array):
+    """Flat lowercase word array of a text column (words = ``[a-z0-9_]+``
+    runs — the python ``\\w+``-on-ASCII spec the SQL oracles spell out):
+    split on non-word runs, drop the empty boundary tokens. Returns
+    (n_docs, doc_of, wlen, wh) over the kept words — one Arrow split +
+    one hash_array pass, no per-row findall."""
+    col = pc.utf8_lower(col.cast(pa.large_string()))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    la = pc.split_pattern_regex(col, "[^a-z0-9_]+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.values
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(col)), np.diff(offs))
+    keep = wlen > 0
+    words = flat.to_numpy(zero_copy_only=False)[keep].astype(object)
+    wh = pd.util.hash_array(words).astype(np.uint64)
+    return len(col), doc_of[keep], wlen[keep], wh
+
+
+def _stop_hashes(words) -> np.ndarray:
+    return np.sort(pd.util.hash_array(
+        np.array(sorted(words), dtype=object)).astype(np.uint64))
+
+
 def quality(ds, text_col: str = "text", id_col: str = "doc_id",
             lang: str = "en"):
-    """Quality signals + composite score in [0,1]."""
-    stop = STOPWORDS.get(lang, STOPWORDS["en"])
+    """Quality signals + composite score in [0,1] — fully vectorized:
+    flat word array + bincount per signal. uniq_ratio counts distinct
+    64-bit word hashes per doc (an in-doc collision — P < 1e-15 —
+    could undercount by one; the dedup family's documented stance)."""
+    stop_h = _stop_hashes(STOPWORDS.get(lang, STOPWORDS["en"]))
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df[text_col]
-        n_chars = texts.str.len().astype("int64")
-        words = texts.str.lower().str.findall(r"\w+")
-        n_words = words.map(len).astype("int64")
-        avg_word_len = (words.map(lambda ws: float(np.mean([len(w) for w in ws]))
-                                  if ws else 0.0))
-        n_punct = texts.str.count(r"[^\w\s]").astype("int64")
-        punct_ratio = (n_punct / n_chars.clip(lower=1)).astype("float64")
-        stop_ratio = words.map(
-            lambda ws: sum(w in stop for w in ws) / max(1, len(ws)))
-        uniq_ratio = words.map(lambda ws: len(set(ws)) / max(1, len(ws)))
-        score = (
-            0.25 * (n_words.clip(upper=200) / 200)
-            + 0.25 * (1 - (punct_ratio.clip(upper=0.5) / 0.5))
-            + 0.25 * uniq_ratio
-            + 0.25 * (avg_word_len.clip(upper=10) / 10)
-        )
-        return pd.DataFrame({
-            id_col: df[id_col],
-            "n_chars": n_chars,
-            "n_words": n_words,
-            "avg_word_len": avg_word_len.astype("float64"),
-            "punct_ratio": punct_ratio,
-            "stop_ratio": stop_ratio.astype("float64"),
-            "uniq_ratio": uniq_ratio.astype("float64"),
-            "quality": score.astype("float64"),
+    def f(tbl: pa.Table) -> pa.Table:
+        text = tbl.column(text_col)
+        n_docs, doc_of, wlen, wh = _words_flat(text)
+        n_chars = (pc.utf8_length(text).to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+        n_words = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        nw1 = np.maximum(n_words, 1)
+        sum_len = np.bincount(doc_of, weights=wlen, minlength=n_docs)
+        avg_word_len = np.where(n_words > 0, sum_len / nw1, 0.0)
+        n_punct = (pc.count_substring_regex(text, r"[^a-zA-Z0-9_\s]")
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
+        is_stop = np.isin(wh, stop_h)
+        stop_ratio = (np.bincount(doc_of, weights=is_stop,
+                                  minlength=n_docs) / nw1)
+        o, _, _, first = _gram_runs(doc_of, wh)
+        n_uniq = np.bincount(doc_of[o][first], minlength=n_docs)
+        uniq_ratio = n_uniq / nw1
+        score = (0.25 * (np.minimum(n_words, 200) / 200)
+                 + 0.25 * (1 - np.minimum(punct_ratio, 0.5) / 0.5)
+                 + 0.25 * uniq_ratio
+                 + 0.25 * (np.minimum(avg_word_len, 10) / 10))
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "n_chars": pa.array(n_chars),
+            "n_words": pa.array(n_words),
+            "avg_word_len": pa.array(avg_word_len, pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "uniq_ratio": pa.array(uniq_ratio, pa.float64()),
+            "quality": pa.array(score, pa.float64()),
         })
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def langid(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Stopword-profile language guess with confidence (heuristic — the
-    LangId actor-pool pattern from ray_guide; profiles compiled once per
-    actor in __init__)."""
+    """Stopword-profile language guess with confidence — the actor-pool
+    pattern (profile hash sets built once per actor in __init__), with
+    the per-doc scoring fully vectorized: one flat word-hash pass, one
+    sorted-set membership + bincount per language, argmax row-wise
+    (first max wins, 'und' when every score is 0 — the exact semantics
+    SQL_LANGID spells out)."""
 
     class LangId:
         def __init__(self):
-            self.word = re.compile(r"\w+", re.UNICODE)
-            self.profiles = {k: frozenset(v) for k, v in STOPWORDS.items()}
+            self.langs = list(STOPWORDS)
+            self.prof = [_stop_hashes(STOPWORDS[lg]) for lg in self.langs]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            words = df[text_col].str.lower().str.findall(self.word)
-
-            def guess(ws):
-                if not ws:
-                    return "und", 0.0
-                best, score = "und", 0.0
-                for lang, prof in self.profiles.items():
-                    s = sum(w in prof for w in ws) / len(ws)
-                    if s > score:
-                        best, score = lang, s
-                # CJK heuristic: any han/kana chars dominate
-                return best, float(score)
-
-            out = words.map(guess)
-            return pd.DataFrame({
-                id_col: df[id_col],
-                "lang_pred": out.map(lambda x: x[0]),
-                "lang_conf": out.map(lambda x: x[1]),
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            n_docs, doc_of, wlen, wh = _words_flat(tbl.column(text_col))
+            nw1 = np.maximum(np.bincount(doc_of, minlength=n_docs), 1)
+            scores = np.stack([
+                np.bincount(doc_of, weights=np.isin(wh, ph),
+                            minlength=n_docs) / nw1
+                for ph in self.prof])                    # (n_lang, n_docs)
+            best = np.argmax(scores, axis=0)             # first max wins
+            conf = scores[best, np.arange(n_docs)]
+            pred = np.array(self.langs, dtype=object)[best]
+            pred[conf <= 0] = "und"
+            return pa.table({
+                id_col: tbl.column(id_col),
+                "lang_pred": pa.array(pred, pa.string()),
+                "lang_conf": pa.array(np.where(conf > 0, conf, 0.0),
+                                      pa.float64()),
             })
 
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
 
 
 _REP_HORNER = np.uint64(1099511628211)
