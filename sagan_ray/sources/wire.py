@@ -323,8 +323,10 @@ def parse_json_batch(tbl: pa.Table, text_col: str = "text",
                 continue
             if field == "turn_idx":
                 try:
+                    # OverflowError: int() fine but the value exceeds
+                    # int32 — malformed for the wire schema, flag it
                     turn[i] = int(v)
-                except (TypeError, ValueError):
+                except (TypeError, ValueError, OverflowError):
                     bad[i] = True
             elif field == "ts":
                 t = _parse_ts(str(v))
