@@ -241,6 +241,31 @@ def run_bench() -> dict:
         _w._fast_map_ok = orig_ok
     wire_json_speedup = round(wire_json_rate / slow_rate, 2)
 
+    # ---- large-corpus text-op probe: 100k synthetic docs (~40 words
+    # each, Zipf-ish shared vocab so grams genuinely repeat within and
+    # across docs), cached — sized so kernel cost dominates Ray
+    # overhead, unlike the 5k-row sf documents table
+    big_docs_path = "/tmp/sagan_ray_bench/bench_docs_100k.parquet"
+    if not os.path.exists(big_docs_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(big_docs_path), exist_ok=True)
+        rng = np.random.RandomState(11)
+        vocab = np.array([f"w{i}" for i in range(5000)], dtype=object)
+        zipf = np.minimum(rng.zipf(1.3, size=100_000 * 40) - 1, 4999)
+        words = vocab[zipf].reshape(100_000, 40)
+        texts = [" ".join(row) for row in words]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(100_000), pa.int64()),
+            "text": pa.array(texts, pa.large_string())}), big_docs_path)
+    big_docs = rd.read_parquet(big_docs_path)
+    from sagan_ray.datapipe import cross_doc_dup, quality, repetition
+    timed("text_repetition_100k", lambda: repetition(big_docs).count())
+    timed("cross_doc_dup_100k", lambda: cross_doc_dup(big_docs).count())
+    timed("text_quality_100k", lambda: quality(big_docs).count())
+
     result = {
         "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",
         "value": round(headline, 3),
