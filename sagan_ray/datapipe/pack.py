@@ -1,0 +1,82 @@
+"""Sequence packing: lay documents end-to-end (in dataset order) into
+fixed-capacity training sequences, GPT-style — each doc gets the
+(seq_id, seq_offset) where its tokens start; docs may straddle sequence
+boundaries (the concatenate-then-chunk regime, not bin packing).
+
+This is the distributed PREFIX-SUM shape, the one ordered global
+computation the Dataset API can't express as a batch transform — so it
+drops to raw Ray tasks by design (the documented last-resort tier):
+pass 1 computes each block's token total (one tiny int per block),
+the driver prefix-sums that list (O(blocks), scalar work), pass 2
+re-maps every block with its start offset. Data passes twice, nothing
+but per-block integers ever reach the driver.
+
+Ordering contract: packing order is ascending ``id_col``. Ray's
+streaming executor materializes blocks in COMPLETION order, so the
+driver re-orders the block list by each block's min id and ASSERTS the
+blocks form non-overlapping id ranges — true whenever the input is
+id-sorted storage (the documents table is written sorted by doc_id),
+and a loud error rather than a silent mis-pack when an upstream
+shuffle destroyed that (re-sort or re-read before packing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pack_sequences(ds, *, capacity: int, count_col: str,
+                   id_col: str = "doc_id"):
+    """Returns a Dataset of (id_col, seq_id, seq_offset): the sequence
+    index and in-sequence token offset where each doc begins, under
+    cumulative layout ``before = Σ counts of prior docs``;
+    ``seq_id = before // capacity``, ``seq_offset = before % capacity``.
+    Zero-count docs sit at the current cursor."""
+    import ray
+    import ray.data as rd
+
+    assert capacity > 0
+    ds = ds.materialize()
+
+    @ray.remote
+    def block_stats(tbl: pa.Table):
+        if len(tbl) == 0:
+            return None
+        s = pc.sum(tbl.column(count_col)).as_py()
+        mm = pc.min_max(tbl.column(id_col))
+        return (int(mm["min"].as_py()), int(mm["max"].as_py()),
+                int(s or 0))
+
+    @ray.remote
+    def emit(tbl: pa.Table, start: int) -> pa.Table:
+        ids = (tbl.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        n = (tbl.column(count_col).combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.argsort(ids, kind="stable")   # in-block id order
+        ids, n = ids[order], n[order]
+        before = start + np.cumsum(n) - n
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "seq_id": pa.array(before // capacity, pa.int64()),
+            "seq_offset": pa.array(before % capacity, pa.int64()),
+        })
+
+    refs = [b for bundle in ds.iter_internal_ref_bundles()
+            for b in bundle.block_refs]
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    keep = [(st, r) for st, r in zip(stats, refs) if st is not None]
+    keep.sort(key=lambda x: x[0][0])              # by block min id
+    for (_, hi, _), (lo2, _, _) in zip([k[0] for k in keep],
+                                       [k[0] for k in keep][1:]):
+        if lo2 <= hi:
+            raise ValueError(
+                "pack_sequences: blocks are not disjoint id ranges — "
+                "input is not id-sorted storage; sort by the id column "
+                "before packing")
+    sums = [st[2] for st, _ in keep]
+    starts = np.concatenate(([0], np.cumsum(sums)[:-1])) if keep else []
+    return rd.from_arrow_refs(
+        [emit.remote(r, int(s)) for (_, r), s in zip(keep, starts)])

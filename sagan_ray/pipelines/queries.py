@@ -1403,6 +1403,35 @@ GROUP BY q ORDER BY q
 """
 
 
+def q_doc_pack(sf_dir: str):
+    """GPT-style sequence packing of the documents table (doc_id order,
+    capacity 4096 whitespace tokens): token_counts composed with the
+    distributed prefix-sum packer."""
+    from ..datapipe import pack_sequences, token_counts
+
+    toks = token_counts(_docs(sf_dir))
+    out = pack_sequences(toks, capacity=4096,
+                         count_col="n_tokens").to_pandas()
+    out = out.astype({"doc_id": "int64", "seq_id": "int64",
+                      "seq_offset": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PACK = r"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n
+  FROM documents),
+c AS (SELECT doc_id,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS cb FROM v)
+SELECT doc_id, (cb // 4096)::BIGINT AS seq_id,
+       (cb % 4096)::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def q_text_repetition(sf_dir: str):
     from ..datapipe import repetition
 
@@ -1842,6 +1871,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
+    "doc_pack": q_doc_pack,
     "text_quantiles": q_text_quantiles,
     "text_repetition": q_text_repetition,
     "cross_doc_dup": q_cross_doc_dup,
@@ -1898,6 +1928,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_langid": SQL_LANGID,
+    "doc_pack": SQL_DOC_PACK,
     "text_quantiles": SQL_TEXT_QUANTILES,
     "text_repetition": SQL_TEXT_REPETITION,
     "cross_doc_dup": SQL_CROSS_DOC_DUP,

@@ -662,3 +662,28 @@ def test_dedup_against_prior_planted():
     # exact-content semantics: 'beta'/'gamma' dropped, 'ALPHA' (case
     # differs) and 'delta' survive
     assert got == [11, 12]
+
+
+def test_pack_sequences_boundaries_and_contract():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from sagan_ray.datapipe import pack_sequences
+
+    # capacity 10: doc sizes 4,0,8,10,5 -> before = 0,4,4,12,22
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "n": pa.array([4, 0, 8, 10, 5], pa.int64())})
+    got = (pack_sequences(rd.from_arrow(t).repartition(3), capacity=10,
+                          count_col="n").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["seq_id"].tolist() == [0, 0, 0, 1, 2]
+    assert got["seq_offset"].tolist() == [0, 4, 4, 2, 2]
+
+    # overlapping id ranges across blocks must raise, not mis-pack
+    a = pa.table({"doc_id": pa.array([0, 2], pa.int64()),
+                  "n": pa.array([1, 1], pa.int64())})
+    b = pa.table({"doc_id": pa.array([1, 3], pa.int64()),
+                  "n": pa.array([1, 1], pa.int64())})
+    bad = rd.from_arrow(a).union(rd.from_arrow(b))
+    with _pytest.raises(ValueError, match="not disjoint"):
+        pack_sequences(bad, capacity=10, count_col="n")
