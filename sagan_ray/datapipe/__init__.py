@@ -29,6 +29,7 @@ from .curate import (  # noqa: F401
     group_topk,
     pii_redact,
     sample_stratified,
+    shuffle_shards,
 )
 from .exchange import hash_group_apply  # noqa: F401
 from .pack import pack_sequences  # noqa: F401

@@ -197,3 +197,45 @@ def group_topk(ds, *, key_col: str, order_col: str, k: int,
 
     pre = ds.map_batches(partial, batch_format="pandas")
     return hash_group_apply(pre, [key_col], final)
+
+
+def shuffle_shards(ds, *, n_shards: int, id_col: str = "doc_id"):
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    ``shard = SplitMix64(id) % n_shards`` and ``pos`` = the row's rank
+    within its shard under (hash, id) order — a fully reproducible
+    shuffled sharding (no RNG state; re-running or resuming yields the
+    identical layout, the sample_stratified stance applied to ordering).
+    Returns (id_col, shard, pos). One exchange on shard; the in-bucket
+    rank is a lexsort over that shard's (hash, id) pairs only."""
+    from .ann import _splitmix64
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ids = (tbl.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        h = _splitmix64(ids.astype(np.uint64))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            "h": pa.array(h, pa.uint64()),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = df["h"].to_numpy()
+        shard = df["shard"].to_numpy()
+        o = np.lexsort((ids, h, shard))
+        s_sorted = shard[o]
+        new = np.empty(len(o), dtype=bool)
+        if len(o):
+            new[0] = True
+            new[1:] = s_sorted[1:] != s_sorted[:-1]
+        start = np.maximum.accumulate(np.where(new, np.arange(len(o)), 0))
+        pos = np.arange(len(o)) - start
+        out = pd.DataFrame({id_col: ids[o], "shard": s_sorted,
+                            "pos": pos})
+        return out
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("shard", pa.int64()),
+                            ("pos", pa.int64())])
+    return hash_group_apply(ds.map_batches(tag, batch_format="pyarrow"),
+                            ["shard"], bucket, out_schema=out_schema)

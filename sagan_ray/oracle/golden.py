@@ -295,3 +295,28 @@ def write_golden_kmeans(sf_dir: str, *, k: int, n_iters: int) -> str:
     tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
                     "cluster": pa.array(clusters, pa.int64())})
     return _write(tbl, "embed_kmeans")
+
+
+def write_golden_shuffle(sf_dir: str, *, n_shards: int) -> str:
+    """Expected output of ``docs_shuffle``: per-row SplitMix64 in plain
+    Python ints, a sequential sort per shard — no exchange, no numpy
+    hashing."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()]
+    rows = [(_splitmix64_int(i % (1 << 64)), i) for i in ids]
+    by_shard: dict[int, list] = {}
+    for h, i in rows:
+        by_shard.setdefault(h % n_shards, []).append((h, i))
+    oid, osh, opos = [], [], []
+    for sh, members in by_shard.items():
+        for pos, (h, i) in enumerate(sorted(members)):
+            oid.append(i)
+            osh.append(sh)
+            opos.append(pos)
+    tbl = pa.table({"doc_id": pa.array(oid, pa.int64()),
+                    "shard": pa.array(osh, pa.int64()),
+                    "pos": pa.array(opos, pa.int64())})
+    return _write(tbl, "docs_shuffle")

@@ -1112,6 +1112,27 @@ ORDER BY a, b
 """
 
 
+def q_docs_shuffle(sf_dir: str):
+    """Deterministic global shuffle into 8 training shards (hash-ranked
+    positions — reproducible shuffled sharding for dataloaders),
+    hash-matched against a sequential per-row golden spec."""
+    from ..datapipe.curate import shuffle_shards
+    from ..oracle.golden import write_golden_shuffle
+
+    write_golden_shuffle(sf_dir, n_shards=8)
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    out = shuffle_shards(ds, n_shards=8).to_pandas()
+    out = out.astype({"doc_id": "int64", "shard": "int64", "pos": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SHUFFLE_GOLDEN = """
+SELECT doc_id, shard, pos
+FROM read_parquet('/tmp/sagan_ray_golden/docs_shuffle.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_dedup_incremental(sf_dir: str):
     """Arriving-shard dedup: docs with id >= 250 are the 'new' shard,
     ids < 300 the prior corpus — the 50-doc overlap carries identical
@@ -1863,6 +1884,7 @@ QUERIES = {
     "events_range_count": q_events_range_count,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "docs_shuffle": q_docs_shuffle,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
@@ -1921,6 +1943,7 @@ ORACLES = {
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "docs_shuffle": SQL_SHUFFLE_GOLDEN,
     "dedup_minhash": SQL_DEDUP_JACCARD,
     "dedup_ngram": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

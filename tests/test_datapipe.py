@@ -687,3 +687,19 @@ def test_pack_sequences_boundaries_and_contract():
     bad = rd.from_arrow(a).union(rd.from_arrow(b))
     with _pytest.raises(ValueError, match="not disjoint"):
         pack_sequences(bad, capacity=10, count_col="n")
+
+
+def test_shuffle_shards_deterministic_and_complete(docs):
+    from sagan_ray.datapipe import shuffle_shards
+
+    ds = docs.select_columns(["doc_id"])
+    a = (shuffle_shards(ds, n_shards=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (shuffle_shards(ds.repartition(7), n_shards=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    # block-layout independent, every doc present exactly once
+    assert a.equals(b)
+    assert len(a) == ds.count() and a["doc_id"].is_unique
+    # positions within each shard are 0..len-1 (a real permutation)
+    for sh, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
