@@ -24,6 +24,7 @@ from .cluster import (  # noqa: F401
     kmeans_assign,
     semantic_near_dup,
 )
+from .decomp import fit_pca, pca_project  # noqa: F401
 from .curate import (  # noqa: F401
     decontaminate,
     group_topk,

@@ -320,3 +320,40 @@ def write_golden_shuffle(sf_dir: str, *, n_shards: int) -> str:
                     "shard": pa.array(osh, pa.int64()),
                     "pos": pa.array(opos, pa.int64())})
     return _write(tbl, "docs_shuffle")
+
+
+def write_golden_pca(sf_dir: str, *, n_components: int) -> str:
+    """Expected output of ``embed_pca``: per-row Python-int moment
+    accumulation (no chunked matmul), the same mean/cov/eigh/sign spec,
+    per-row np.dot projections. The exact-integer moments guarantee the
+    eigensolver sees identical bits; projections agree to ~1e-15."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    FIX = float(1 << 20)
+    q = np.rint(np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64) * FIX).astype(np.int64)
+    n, d = q.shape
+    s1 = [0] * d
+    s2 = [[0] * d for _ in range(d)]
+    for row in q:                      # plain Python ints — exact
+        r = [int(x) for x in row]
+        for i in range(d):
+            s1[i] += r[i]
+            for j in range(d):
+                s2[i][j] += r[i] * r[j]
+    m = np.array(s1, dtype=np.float64) / n
+    cov = np.array(s2, dtype=np.float64) / n - np.outer(m, m)
+    w, v = np.linalg.eigh(cov)
+    comp = np.ascontiguousarray(v[:, ::-1][:, :n_components].T)
+    flip = comp[np.arange(len(comp)),
+                np.argmax(np.abs(comp), axis=1)] < 0
+    comp[flip] *= -1.0
+    mean = m / FIX
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    proj = np.stack([(row / FIX - mean) @ comp.T for row in q])
+    for j in range(n_components):
+        cols[f"pc{j}"] = pa.array(proj[:, j], pa.float64())
+    return _write(pa.table(cols), "embed_pca")

@@ -1211,6 +1211,27 @@ ORDER BY vec_id
 """
 
 
+def q_embed_pca(sf_dir: str):
+    """Top-4 principal-component projections of the embeddings table;
+    moment matrices accumulate as exact int64 partials so the driver's
+    eigensolver sees bit-identical input at any block layout (golden =
+    sequential python-int moments + the same eigh/sign spec)."""
+    from ..datapipe.decomp import pca_project
+    from ..oracle.golden import write_golden_pca
+
+    write_golden_pca(sf_dir, n_components=4)
+    out = pca_project(_embeds(sf_dir), n_components=4).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_PCA_GOLDEN = """
+SELECT vec_id, pc0, pc1, pc2, pc3
+FROM read_parquet('/tmp/sagan_ray_golden/embed_pca.parquet')
+ORDER BY vec_id
+"""
+
+
 def q_embed_semantic_dup(sf_dir: str):
     """SemDeDup composition: within-kmeans-cluster exact cosine pairs.
     The oracle joins the golden kmeans assignments (independent
@@ -1907,6 +1928,7 @@ QUERIES = {
     "embed_ivf": q_embed_ivf,
     "embed_kmeans": q_embed_kmeans,
     "embed_semantic_dup": q_embed_semantic_dup,
+    "embed_pca": q_embed_pca,
     "embed_label_stats": q_embed_label_stats,
     "multimodal_features": q_multimodal_features,
 }
@@ -1971,4 +1993,5 @@ ORACLES = {
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
     "embed_kmeans": SQL_KMEANS_GOLDEN,
     "embed_semantic_dup": SQL_SEMANTIC_DUP,
+    "embed_pca": SQL_PCA_GOLDEN,
 }

@@ -703,3 +703,20 @@ def test_shuffle_shards_deterministic_and_complete(docs):
     # positions within each shard are 0..len-1 (a real permutation)
     for sh, g in a.groupby("shard"):
         assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_pca_block_layout_and_variance(embeds):
+    """Moment partials are exact ints, so the fitted axes are
+    bit-identical at any block layout; projections onto the top axis
+    carry the most variance (descending order)."""
+    from sagan_ray.datapipe import fit_pca, pca_project
+
+    m1, c1 = fit_pca(embeds, n_components=3)
+    m2, c2 = fit_pca(embeds.repartition(9), n_components=3)
+    assert np.array_equal(m1, m2) and np.array_equal(c1, c2)
+    p = pca_project(embeds, n_components=3).to_pandas()
+    var = [p[f"pc{j}"].var() for j in range(3)]
+    assert var[0] >= var[1] >= var[2] > 0
+    # axes are orthonormal
+    g = c1 @ c1.T
+    assert np.allclose(g, np.eye(3), atol=1e-10)
