@@ -720,3 +720,42 @@ def test_pca_block_layout_and_variance(embeds):
     # axes are orthonormal
     g = c1 @ c1.T
     assert np.allclose(g, np.eye(3), atol=1e-10)
+
+
+def test_asof_join_random_vs_brute():
+    """5 random seeds of (key, time, id) frames through asof_join vs a
+    per-row brute force (max (t, rid) among right rows with t <= lt)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import asof_join
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        nl, nr = rng.randint(1, 40), rng.randint(0, 40)
+        lt = pa.table({
+            "k": pa.array(rng.randint(0, 5, nl), pa.int64()),
+            "t": pa.array(rng.randint(0, 30, nl), pa.int64()),
+            "lid": pa.array(np.arange(nl), pa.int64())})
+        rt = pa.table({
+            "k": pa.array(rng.randint(0, 5, max(nr, 1))[:nr], pa.int64()),
+            "t": pa.array(rng.randint(0, 30, max(nr, 1))[:nr], pa.int64()),
+            "rid": pa.array(np.arange(nr), pa.int64())})
+        got = (asof_join(rd.from_arrow(lt).repartition(3),
+                         rd.from_arrow(rt).repartition(2) if nr else
+                         rd.from_arrow(rt),
+                         on="t", by="k", left_cols=["lid"],
+                         right_cols=["rid"]).to_pandas()
+               .sort_values("lid").reset_index(drop=True))
+        assert len(got) == nl
+        lk, ltm = lt["k"].to_numpy(), lt["t"].to_numpy()
+        rk, rtm = rt["k"].to_numpy(), rt["t"].to_numpy()
+        for i in range(nl):
+            cand = [(rtm[j], j) for j in range(nr)
+                    if rk[j] == lk[i] and rtm[j] <= ltm[i]]
+            want = max(cand)[1] if cand else None
+            g = got["r_rid"].iloc[i]
+            if want is None:
+                assert pd.isna(g), (seed, i)
+            else:
+                assert int(g) == want, (seed, i)
