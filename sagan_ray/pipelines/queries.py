@@ -1163,6 +1163,83 @@ ORDER BY doc_id
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Capstone composition — the shape of a real corpus-prep run:
+    token counts ⋈ decontamination flags (distributed hash join),
+    filter (≥10 tokens, uncontaminated), global sort, sequence packing
+    (capacity 1024). Five operators chained as one lazy pipeline; the
+    oracle replays the identical chain in SQL."""
+    from ..datapipe import decontaminate, pack_sequences, token_counts
+    from ..datapipe.joins import hash_join
+
+    ev_rows = (_docs(sf_dir)
+               .map_batches(lambda t: t.filter(pa.array(
+                   (t.column("doc_id").to_numpy(zero_copy_only=False)
+                    % _EVAL_MOD) == 0)),
+                   batch_format="pyarrow")
+               .take_all())
+    eval_texts = [r["text"] for r in ev_rows]
+    corpus = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pa.array(
+            (t.column("doc_id").to_numpy(zero_copy_only=False)
+             % _EVAL_MOD) != 0)),
+        batch_format="pyarrow")
+
+    toks = token_counts(corpus)
+    flags = decontaminate(corpus, eval_texts, k=_DECON_K)
+    j = hash_join(toks, flags, on="doc_id", left_cols=["n_tokens"],
+                  right_cols=["contaminated"])
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+        m = pac.and_(pac.greater_equal(tbl.column("n_tokens"), 10),
+                     pac.invert(tbl.column("r_contaminated")))
+        return tbl.filter(m).select(["doc_id", "n_tokens"])
+
+    kept = j.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    out = pack_sequences(kept, capacity=1024,
+                         count_col="n_tokens").to_pandas()
+    out = out.astype({"doc_id": "int64", "seq_id": "int64",
+                      "seq_offset": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CURATION_PIPELINE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w,
+         CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), chr(1)) AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+  WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 5
+),
+evs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 17 <> 0) d
+  JOIN evs e ON d.s = e.s
+),
+keep AS (
+  SELECT t.doc_id, t.n FROM toks t
+  WHERE t.doc_id % 17 <> 0 AND t.n >= 10
+    AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+c AS (SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS cb FROM keep)
+SELECT doc_id, (cb // 1024)::BIGINT AS seq_id,
+       (cb % 1024)::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     """Banded SimHash pairs, gated against a GOLDEN-PARQUET oracle: the
     query (re)writes the expected pairs from the per-row spec + a
@@ -1906,6 +1983,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "docs_shuffle": q_docs_shuffle,
+    "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
@@ -1966,6 +2044,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "docs_shuffle": SQL_SHUFFLE_GOLDEN,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "dedup_minhash": SQL_DEDUP_JACCARD,
     "dedup_ngram": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
