@@ -43,6 +43,7 @@ from .joins import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     cross_doc_dup,
+    distinctive_terms,
     fingerprint,
     langid,
     quality,

@@ -56,8 +56,8 @@ def _words_flat(col: pa.ChunkedArray | pa.Array):
     """Flat lowercase word array of a text column (words = ``[a-z0-9_]+``
     runs — the python ``\\w+``-on-ASCII spec the SQL oracles spell out):
     split on non-word runs, drop the empty boundary tokens. Returns
-    (n_docs, doc_of, wlen, wh) over the kept words — one Arrow split +
-    one hash_array pass, no per-row findall."""
+    (n_docs, doc_of, wlen, wh, words) over the kept words — one Arrow
+    split + one hash_array pass, no per-row findall."""
     col = pc.utf8_lower(col.cast(pa.large_string()))
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -71,7 +71,7 @@ def _words_flat(col: pa.ChunkedArray | pa.Array):
     keep = wlen > 0
     words = flat.to_numpy(zero_copy_only=False)[keep].astype(object)
     wh = pd.util.hash_array(words).astype(np.uint64)
-    return len(col), doc_of[keep], wlen[keep], wh
+    return len(col), doc_of[keep], wlen[keep], wh, words
 
 
 def _stop_hashes(words) -> np.ndarray:
@@ -89,7 +89,7 @@ def quality(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def f(tbl: pa.Table) -> pa.Table:
         text = tbl.column(text_col)
-        n_docs, doc_of, wlen, wh = _words_flat(text)
+        n_docs, doc_of, wlen, wh, _ = _words_flat(text)
         n_chars = (pc.utf8_length(text).to_numpy(zero_copy_only=False)
                    .astype(np.int64))
         n_words = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
@@ -137,7 +137,8 @@ def langid(ds, text_col: str = "text", id_col: str = "doc_id"):
             self.prof = [_stop_hashes(STOPWORDS[lg]) for lg in self.langs]
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            n_docs, doc_of, wlen, wh = _words_flat(tbl.column(text_col))
+            n_docs, doc_of, wlen, wh, _ = _words_flat(
+                tbl.column(text_col))
             nw1 = np.maximum(np.bincount(doc_of, minlength=n_docs), 1)
             scores = np.stack([
                 np.bincount(doc_of, weights=np.isin(wh, ph),
@@ -395,3 +396,52 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
                          "fp_rolling": pa.array(rolls, pa.uint64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def distinctive_terms(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Most-distinctive term per document: the term minimizing
+    (document frequency, -term frequency, term) — rarest first, then
+    most repeated in-doc, then lexicographic, an integer-only ranking
+    (deliberately no float idf: the SQL oracle compares exactly).
+
+    Two exchanges: distinct (term, doc, tf) rows meet term-keyed
+    buckets where df = the term's row count (rows are distinct per
+    (term, doc), and the exact STRING groups, so hash collisions only
+    co-locate); the (doc, term, tf, df) candidates then re-key by doc
+    for the per-doc argmin. Docs with zero words yield no row."""
+    from .exchange import hash_group_apply
+
+    def tfrows(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, words = _words_flat(tbl.column(text_col))
+        ids = (tbl.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        o, run_id, counts, first = _gram_runs(doc_of, wh)
+        return pa.table({
+            "h": pa.array(wh[o][first], pa.uint64()),
+            "w": pa.array(words[o][first], pa.large_string()),
+            id_col: pa.array(ids[doc_of[o][first]], pa.int64()),
+            "tf": pa.array(counts, pa.int64()),
+        })
+
+    def with_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = df.groupby("w", sort=False)["w"].transform("size")
+        return df[[id_col, "w", "tf", "df"]]
+
+    mid_schema = pa.schema([(id_col, pa.int64()), ("w", pa.large_string()),
+                            ("tf", pa.int64()), ("df", pa.int64())])
+    cand = hash_group_apply(
+        ds.map_batches(tfrows, batch_format="pyarrow"), ["h"], with_df,
+        out_schema=mid_schema)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["df", "tf", "w"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = df.drop_duplicates(subset=[id_col], keep="first")
+        return out.rename(columns={"w": "term"})
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("term", pa.large_string()),
+                            ("tf", pa.int64()), ("df", pa.int64())])
+    return hash_group_apply(cand, [id_col], best, out_schema=out_schema)

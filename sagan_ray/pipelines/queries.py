@@ -1596,6 +1596,36 @@ ORDER BY doc_id
 """
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Most-distinctive term per doc by (min df, max tf, lexicographic)
+    — TF-IDF's ranking with an integer-only key so the SQL oracle
+    compares exactly (no float idf at rank boundaries)."""
+    from ..datapipe import distinctive_terms
+
+    out = distinctive_terms(_docs(sf_dir)).to_pandas()
+    out = out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "term", "tf", "df"]])
+
+
+SQL_DISTINCTIVE_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+r AS (SELECT doc_id, w, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY df, tf DESC, w) AS rn
+      FROM tf JOIN df USING (w))
+SELECT doc_id, w AS term, tf::BIGINT AS tf, df::BIGINT AS df
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_cross_doc_dup(sf_dir: str):
     from ..datapipe import cross_doc_dup
 
@@ -1996,6 +2026,7 @@ QUERIES = {
     "text_quantiles": q_text_quantiles,
     "text_repetition": q_text_repetition,
     "cross_doc_dup": q_cross_doc_dup,
+    "distinctive_terms": q_distinctive_terms,
     "text_decontam": q_text_decontam,
     "pii_redact": q_pii_redact,
     "sample_stratified": q_sample_stratified,
@@ -2056,6 +2087,7 @@ ORACLES = {
     "text_quantiles": SQL_TEXT_QUANTILES,
     "text_repetition": SQL_TEXT_REPETITION,
     "cross_doc_dup": SQL_CROSS_DOC_DUP,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "text_decontam": SQL_TEXT_DECONTAM,
     "pii_redact": SQL_PII_REDACT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
