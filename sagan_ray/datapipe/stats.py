@@ -42,10 +42,15 @@ def percentiles(ds, col: str, qs: list[float]):
         return g.reset_index()
 
     hist_schema = pa.schema([(col, pa.int64()), ("cnt", pa.int64())])
-    hist = (hash_group_apply(
+    hist = hash_group_apply(
         ds.map_batches(counts, batch_format="pyarrow"), [col], combine,
-        out_schema=hist_schema).to_pandas().sort_values(col)
-        .reset_index(drop=True))
+        out_schema=hist_schema).to_pandas()
+    # an all-empty Dataset loses its columns through to_pandas — the
+    # zero-row answer is the same either way
+    if len(hist) == 0:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="int64")})
+    hist = hist.sort_values(col).reset_index(drop=True)
     n = int(hist["cnt"].sum())
     cum = hist["cnt"].cumsum().to_numpy()
     vals = hist[col].to_numpy()

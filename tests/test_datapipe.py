@@ -759,3 +759,22 @@ def test_asof_join_random_vs_brute():
                 assert pd.isna(g), (seed, i)
             else:
                 assert int(g) == want, (seed, i)
+
+
+def test_empty_input_edge_cases():
+    """Operators must return empty (typed) results, not crash, on an
+    empty input Dataset."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import (
+        hash_join, percentiles, repetition, token_counts)
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.large_string())}))
+    assert len(percentiles(token_counts(empty), "n_tokens", [0.5])) == 0
+    assert repetition(empty).count() == 0
+    ek = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())}))
+    assert hash_join(ek, ek, on="k", left_cols=["v"],
+                     right_cols=["v"]).count() == 0
