@@ -42,6 +42,7 @@ from .joins import (  # noqa: F401
     range_join_pairs,
 )
 from .textstats import (  # noqa: F401
+    corpus_stats,
     cross_doc_dup,
     distinctive_terms,
     fingerprint,

@@ -445,3 +445,58 @@ def distinctive_terms(ds, text_col: str = "text", id_col: str = "doc_id"):
                             ("term", pa.large_string()),
                             ("tf", pa.int64()), ("df", pa.int64())])
     return hash_group_apply(cand, [id_col], best, out_schema=out_schema)
+
+
+def corpus_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One-row corpus profile: (n_docs, n_words, n_vocab) with n_vocab
+    the EXACT distinct-word count — per-batch distinct (hash, word)
+    rows meet word-keyed buckets that count distinct strings (the
+    scalable exact-distinct shape: only one row per distinct word per
+    batch crosses the wire; totals ride a tiny per-batch partial).
+    Returns a pandas DataFrame with one row."""
+    import pandas as pd
+
+    from .exchange import hash_group_apply
+
+    def parts(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, ws = _words_flat(tbl.column(text_col))
+        if len(wh):
+            o, run_id, counts, first = _gram_runs(
+                np.zeros(len(wh), np.int64), wh)
+            hs, wss = wh[o][first], ws[o][first]
+        else:
+            hs = np.array([], np.uint64)
+            wss = np.array([], object)
+        pad = np.zeros(len(hs), np.int64)
+        nd = pad.copy()
+        nw = pad.copy()
+        if len(hs):
+            nd[0] = n_docs
+            nw[0] = len(wh)
+            return pa.table({"h": pa.array(hs, pa.uint64()),
+                             "w": pa.array(wss, pa.large_string()),
+                             "n_docs": pa.array(nd),
+                             "n_words": pa.array(nw)})
+        return pa.table({"h": pa.array([0], pa.uint64()),
+                         "w": pa.array([None], pa.large_string()),
+                         "n_docs": pa.array([n_docs], pa.int64()),
+                         "n_words": pa.array([0], pa.int64())})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_vocab": [int(df["w"].dropna().nunique())],
+            "n_docs": [int(df["n_docs"].sum())],
+            "n_words": [int(df["n_words"].sum())],
+        })
+
+    out_schema = pa.schema([("n_vocab", pa.int64()),
+                            ("n_docs", pa.int64()),
+                            ("n_words", pa.int64())])
+    parts_df = hash_group_apply(
+        ds.map_batches(parts, batch_format="pyarrow"), ["h"], bucket,
+        out_schema=out_schema).to_pandas()
+    return pd.DataFrame({
+        "n_docs": [int(parts_df["n_docs"].sum())],
+        "n_words": [int(parts_df["n_words"].sum())],
+        "n_vocab": [int(parts_df["n_vocab"].sum())],
+    })

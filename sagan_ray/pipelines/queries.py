@@ -1596,6 +1596,29 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_stats(sf_dir: str):
+    """One-row corpus profile with EXACT distinct-word count (word-keyed
+    exchange; one row per distinct word per batch on the wire)."""
+    from ..datapipe import corpus_stats
+
+    out = corpus_stats(_docs(sf_dir))
+    return out.astype({"n_docs": "int64", "n_words": "int64",
+                       "n_vocab": "int64"})
+
+
+SQL_CORPUS_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM toks)::BIGINT AS n_words,
+       (SELECT count(DISTINCT w) FROM toks)::BIGINT AS n_vocab
+"""
+
+
 def q_distinctive_terms(sf_dir: str):
     """Most-distinctive term per doc by (min df, max tf, lexicographic)
     — TF-IDF's ranking with an integer-only key so the SQL oracle
@@ -2027,6 +2050,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "cross_doc_dup": q_cross_doc_dup,
     "distinctive_terms": q_distinctive_terms,
+    "corpus_stats": q_corpus_stats,
     "text_decontam": q_text_decontam,
     "pii_redact": q_pii_redact,
     "sample_stratified": q_sample_stratified,
@@ -2088,6 +2112,7 @@ ORACLES = {
     "text_repetition": SQL_TEXT_REPETITION,
     "cross_doc_dup": SQL_CROSS_DOC_DUP,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "corpus_stats": SQL_CORPUS_STATS,
     "text_decontam": SQL_TEXT_DECONTAM,
     "pii_redact": SQL_PII_REDACT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
