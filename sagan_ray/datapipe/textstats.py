@@ -495,6 +495,9 @@ def corpus_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     parts_df = hash_group_apply(
         ds.map_batches(parts, batch_format="pyarrow"), ["h"], bucket,
         out_schema=out_schema).to_pandas()
+    if len(parts_df) == 0:   # zero-row input: Ray skips the map entirely
+        return pd.DataFrame({"n_docs": [0], "n_words": [0],
+                             "n_vocab": [0]})
     return pd.DataFrame({
         "n_docs": [int(parts_df["n_docs"].sum())],
         "n_words": [int(parts_df["n_words"].sum())],

@@ -778,3 +778,6 @@ def test_empty_input_edge_cases():
                                  "v": pa.array([], pa.int64())}))
     assert hash_join(ek, ek, on="k", left_cols=["v"],
                      right_cols=["v"]).count() == 0
+    from sagan_ray.datapipe import corpus_stats
+    cs = corpus_stats(empty)
+    assert cs["n_docs"].iloc[0] == 0 and cs["n_vocab"].iloc[0] == 0
