@@ -1052,9 +1052,13 @@ GROUP BY n.n_name ORDER BY nation
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: list[str] | None = None):
+    """Documents table, pruned to (doc_id, text) by default — the only
+    columns the text/dedup family touches; pass ``columns`` for the
+    queries that need source/lang/n_chars."""
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=columns or ["doc_id", "text"])
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1782,7 +1786,7 @@ _SAMPLE_DEFAULT = 0.1
 def q_sample_stratified(sf_dir: str):
     from ..datapipe import sample_stratified
 
-    out = sample_stratified(_docs(sf_dir), _SAMPLE_RATES,
+    out = sample_stratified(_docs(sf_dir, ["doc_id", "source"]), _SAMPLE_RATES,
                             default_rate=_SAMPLE_DEFAULT).to_pandas()
     out = _typed(out, {"doc_id": "int64", "source": "object"})
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1813,7 +1817,8 @@ def q_group_topk(sf_dir: str):
     partial top-k per batch, exact top-k per key in the exchange."""
     from ..datapipe import group_topk
 
-    out = group_topk(_docs(sf_dir), key_col="source", order_col="n_chars",
+    out = group_topk(_docs(sf_dir, ["doc_id", "source", "n_chars"]),
+                     key_col="source", order_col="n_chars",
                      k=_TOPK_PER_SOURCE).to_pandas()
     out = _typed(out, {"source": "object", "doc_id": "int64",
                        "n_chars": "int64", "rk": "int64"})
