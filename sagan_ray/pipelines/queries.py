@@ -1839,9 +1839,12 @@ WHERE rk <= {_TOPK_PER_SOURCE} ORDER BY source, rk
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
 
-def _embeds(sf_dir: str):
+def _embeds(sf_dir: str, columns: list[str] | None = None):
+    """Embeddings table, pruned to (vec_id, embedding) by default;
+    ``columns`` for the label-stats query."""
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=columns or ["vec_id", "embedding"])
 
 
 def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
@@ -1962,7 +1965,8 @@ def q_embed_label_stats(sf_dir: str):
         g = pa.TableGroupBy(t, "label").aggregate([("sq", "sum"), ([], "count_all")])
         return g.rename_columns(["label", "sq", "n"])
 
-    out = (_embeds(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = (_embeds(sf_dir, ["embedding", "label"])
+           .map_batches(partial, batch_format="pyarrow")
            .groupby("label").aggregate(Sum("sq", alias_name="sq"),
                                        Sum("n", alias_name="n")).to_pandas())
     out["mean_sq_norm"] = (out["sq"] / out["n"]).round(6)
