@@ -163,15 +163,17 @@ def semantic_near_dup(ds, *, threshold: float = 0.45, k: int = 8,
         x = _qmat(tbl, vec_col)
         a = (_assign(x, c) if len(x) else np.array([], np.int64))
         # float64 unit vectors (the SQL cosine is float64; f32 flips
-        # threshold-boundary pairs), packed as binary per row
+        # threshold-boundary pairs), packed as ONE fixed-size binary
+        # buffer — no per-row tobytes loop
         unit = _unit(_mat(tbl, vec_col, dtype=np.float64))
-        packed = np.empty(len(x), dtype=object)
-        for r in range(len(x)):
-            packed[r] = unit[r].tobytes()
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(8 * c.shape[1]), len(x),      # d from centroids:
+            [None, pa.py_buffer(                    # stable across batches
+                np.ascontiguousarray(unit).tobytes())])
         return pa.table({
             "cluster": pa.array(a.astype(np.int64)),
             id_col: tbl.column(id_col).cast(pa.int64()),
-            "unit": pa.array(packed, pa.binary()),
+            "unit": packed,
         })
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
