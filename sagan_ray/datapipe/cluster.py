@@ -73,7 +73,12 @@ def fit_centroids(ds, *, k: int = 8, n_iters: int = 8,
         return pa.table({"h": pa.array(h[top], pa.uint64()),
                          "vec": pa.array(list(q), pa.list_(pa.float64()))})
 
-    cdf = (ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+    # large batches: the per-batch candidate prune (k rows) and moment
+    # partial (k*d rows) are emitted PER BATCH — the 1024-row default
+    # would ship one partial row per two data rows (the IVF sample-pass
+    # lesson); exactness is batch-size-independent by construction
+    cdf = (ds.map_batches(cand, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
            .sort_values("h").head(k))
     cent = np.stack(cdf["vec"].to_numpy())           # (k, d) grid points
     k_eff = len(cent)
@@ -101,7 +106,8 @@ def fit_centroids(ds, *, k: int = 8, n_iters: int = 8,
                 "n": pa.array(np.repeat(counts, d)),
             })
 
-        p = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        p = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
              .groupby(["cluster", "dim"], sort=True)
              .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
         d = cent.shape[1]

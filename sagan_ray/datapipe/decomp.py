@@ -61,7 +61,8 @@ def fit_pca(ds, *, n_components: int, vec_col: str = "embedding"):
                          "s2": pa.array([s2.ravel()],
                                         pa.list_(pa.int64()))})
 
-    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
     n = int(parts["n"].sum())
     s1 = np.sum(np.stack(parts["s1"].to_numpy()), axis=0,
                 dtype=np.int64).astype(np.float64)
