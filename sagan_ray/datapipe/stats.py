@@ -43,7 +43,9 @@ def percentiles(ds, col: str, qs: list[float]):
 
     hist_schema = pa.schema([(col, pa.int64()), ("cnt", pa.int64())])
     hist = hash_group_apply(
-        ds.map_batches(counts, batch_format="pyarrow"), [col], combine,
+        ds.map_batches(counts, batch_format="pyarrow",
+                       batch_size=65536),   # one row per distinct value
+        [col], combine,                      # PER BATCH — keep batches big
         out_schema=hist_schema).to_pandas()
     # an all-empty Dataset loses its columns through to_pandas — the
     # zero-row answer is the same either way

@@ -493,7 +493,9 @@ def corpus_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
                             ("n_docs", pa.int64()),
                             ("n_words", pa.int64())])
     parts_df = hash_group_apply(
-        ds.map_batches(parts, batch_format="pyarrow"), ["h"], bucket,
+        ds.map_batches(parts, batch_format="pyarrow",
+                       batch_size=65536),   # distinct-per-batch rows
+        ["h"], bucket,                       # scale with batch COUNT
         out_schema=out_schema).to_pandas()
     if len(parts_df) == 0:   # zero-row input: Ray skips the map entirely
         return pd.DataFrame({"n_docs": [0], "n_words": [0],
