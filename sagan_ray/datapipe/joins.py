@@ -63,17 +63,20 @@ def _tag_union(left, right, l_map, r_map, schema: pa.Schema):
 
 def asof_join(left, right, *, on: str, by: str,
               left_cols: list[str], right_cols: list[str],
-              right_prefix: str = "r_"):
-    """Backward as-of left join: for each left row, attach the right row
-    with the same ``by`` key and the greatest ``on`` <= left ``on``;
-    ties on ``on`` are broken by the greatest first right column
-    (deterministic, unlike a bare SQL ASOF JOIN). Unmatched left rows
-    keep nulls in the right columns.
+              right_prefix: str = "r_", direction: str = "backward"):
+    """As-of left join: for each left row, attach the right row with the
+    same ``by`` key and — ``direction="backward"`` — the greatest ``on``
+    <= left ``on`` (ties broken by the GREATEST first right column), or
+    — ``direction="forward"`` — the smallest ``on`` >= left ``on``
+    (ties broken by the SMALLEST first right column). Deterministic,
+    unlike a bare SQL ASOF JOIN. Unmatched left rows keep nulls in the
+    right columns.
 
     One hash exchange on ``by``; per-bucket ``pd.merge_asof`` (a C
     merge over ts-sorted frames — the bucket cost is sort + linear
     merge, never quadratic).
     """
+    assert direction in ("backward", "forward")
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
 
@@ -109,12 +112,12 @@ def asof_join(left, right, *, on: str, by: str,
             for c in rcols:
                 out[c] = None
             return out
-        # merge_asof takes the LAST right row with on <= left on; the
-        # secondary sort key makes that "greatest first right column"
-        # on ties
+        # backward merge_asof takes the LAST right row with on <= left
+        # on, forward the FIRST with on >= — so an ascending secondary
+        # sort yields greatest-tiebreak backward / smallest forward
         l = l.sort_values(on, kind="mergesort")
         r = r.sort_values([on, rcols[0]], kind="mergesort")
-        return pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return pd.merge_asof(l, r, on=on, by=by, direction=direction)
 
     return hash_group_apply(both, [by], bucket, out_schema=out_schema)
 

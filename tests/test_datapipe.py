@@ -781,3 +781,26 @@ def test_empty_input_edge_cases():
     from sagan_ray.datapipe import corpus_stats
     cs = corpus_stats(empty)
     assert cs["n_docs"].iloc[0] == 0 and cs["n_vocab"].iloc[0] == 0
+
+
+def test_asof_join_forward_direction():
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "t": pa.array([4, 5, 10], pa.int64()),
+        "lid": pa.array([0, 1, 2], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "t": pa.array([5, 5, 9], pa.int64()),
+        "rid": pa.array([8, 3, 6], pa.int64())})).repartition(2)
+    out = (asof_join(left, right, on="t", by="k", left_cols=["lid"],
+                     right_cols=["rid"], direction="forward").to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    got = out["r_rid"].tolist()
+    # lid0 (t4): first t>=4 is t=5, tie -> SMALLEST rid (3)
+    # lid1 (t5): exact match, tie -> 3 ; lid2 (t10): none -> null
+    assert got[0] == 3 and got[1] == 3 and pd.isna(got[2])
