@@ -34,7 +34,7 @@ from .curate import (  # noqa: F401
 )
 from .exchange import hash_group_apply  # noqa: F401
 from .pack import pack_sequences  # noqa: F401
-from .stats import percentiles  # noqa: F401
+from .stats import percentiles, rolling_window_count  # noqa: F401
 from .joins import (  # noqa: F401
     asof_join,
     hash_join,

@@ -62,3 +62,55 @@ def percentiles(ds, col: str, qs: list[float]):
         out_q.append(float(q))
         out_v.append(int(vals[np.searchsorted(cum, rank, side="left")]))
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def rolling_window_count(ds, *, key_col: str, ts_col: str,
+                         window_us: int, id_col: str):
+    """Per-row rolling count: for each row, how many rows of the SAME
+    key fall in ``[ts - window, ts]`` — SQL's
+    ``count(*) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN window
+    PRECEDING AND CURRENT ROW)`` incl. the peer-group rule (rows that
+    SHARE the current timestamp all count, regardless of position).
+
+    One exchange on the key; inside a bucket every key is handled by a
+    single composite-key searchsorted — ``key_idx * 2^48 + (ts - t0)``
+    keeps keys ≥ 2^48 us (~8.9 years) apart, far beyond any window, so
+    per-key windows never cross key boundaries and there is NO per-key
+    loop. Requires window_us < 2^48 and a ts span < 2^48 us per run."""
+    import pyarrow.compute as pac
+
+    assert 0 < window_us < (1 << 48)
+    _SHIFT = np.int64(1 << 48)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ts = (tbl.column(ts_col).cast(pa.timestamp("us"))
+              .cast(pa.int64()))
+        return pa.table({
+            key_col: tbl.column(key_col).cast(pa.int64()),
+            "ts_us": ts,
+            id_col: tbl.column(id_col).cast(pa.int64()),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        ids = df[id_col].to_numpy()
+        # dense key index so the composite fits int64 at any key value
+        uk, kidx = np.unique(keys, return_inverse=True)
+        span = int(ts.max() - ts.min()) if len(ts) else 0
+        if span + window_us >= int(_SHIFT):
+            raise ValueError(
+                "rolling_window_count: ts span + window exceeds the "
+                "2^48-us key separation; shard the input by time first")
+        comp = kidx.astype(np.int64) * _SHIFT + (ts - ts.min())
+        order = np.argsort(comp, kind="stable")
+        cs = comp[order]
+        hi = np.searchsorted(cs, cs, side="right")       # peers included
+        lo = np.searchsorted(cs, cs - np.int64(window_us), side="left")
+        out = pd.DataFrame({id_col: ids[order], "n_window": hi - lo})
+        return out
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_window", pa.int64())])
+    return hash_group_apply(ds.map_batches(tag, batch_format="pyarrow"),
+                            [key_col], bucket, out_schema=out_schema)

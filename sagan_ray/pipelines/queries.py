@@ -807,6 +807,32 @@ FROM w GROUP BY window_start ORDER BY window_start
 """
 
 
+def q_events_rolling(sf_dir: str):
+    """Per-event rolling 1h same-user event count (RANGE window incl.
+    the peer-group rule) — composite-key searchsorted per bucket, no
+    per-key loop."""
+    import ray.data as rd
+
+    from ..datapipe import rolling_window_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    out = rolling_window_count(ds, key_col="user_id", ts_col="ts",
+                               window_us=3_600_000_000,
+                               id_col="event_id").to_pandas()
+    out = out.astype({"event_id": "int64", "n_window": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW)::BIGINT AS n_window
+FROM events ORDER BY event_id
+"""
+
+
 def q_orders_revenue(sf_dir: str):
     """Revenue per order priority through the generic distributed hash
     equi-join (orders × lineitem — symmetric large-×-large, no
@@ -2040,6 +2066,7 @@ QUERIES = {
     "orders_revenue": q_orders_revenue,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
+    "events_rolling": q_events_rolling,
     "events_asof": q_events_asof,
     "events_range_count": q_events_range_count,
     "dedup_exact": q_dedup_exact,
@@ -2103,6 +2130,7 @@ ORACLES = {
     "orders_revenue": SQL_ORDERS_REVENUE,
     "events_tumbling": SQL_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
+    "events_rolling": SQL_EVENTS_ROLLING,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -804,3 +804,28 @@ def test_asof_join_forward_direction():
     # lid0 (t4): first t>=4 is t=5, tie -> SMALLEST rid (3)
     # lid1 (t5): exact match, tie -> 3 ; lid2 (t10): none -> null
     assert got[0] == 3 and got[1] == 3 and pd.isna(got[2])
+
+
+def test_rolling_window_count_peers_and_bounds():
+    """Duplicate timestamps count as one peer group (SQL RANGE rule),
+    the window lower bound is inclusive, and keys never bleed into each
+    other."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import rolling_window_count
+
+    #   key 1: ts 0, 100, 100, 150, 201   (window 100)
+    #   key 2: ts 100                      (must not see key 1)
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 100, 100, 150, 201, 100],
+                       pa.timestamp("us")),
+        "rid": pa.array([0, 1, 2, 3, 4, 5], pa.int64())})
+    got = (rolling_window_count(rd.from_arrow(t).repartition(3),
+                                key_col="k", ts_col="ts", window_us=100,
+                                id_col="rid").to_pandas()
+           .sort_values("rid").reset_index(drop=True))
+    # rid0: just itself. rid1/rid2: ts in [0,100] -> 0,100,100 = 3 each
+    # (peer group counts for both). rid3: [50,150] -> 100,100,150 = 3.
+    # rid4: [101,201] -> 150,201 = 2. rid5 (key 2): 1.
+    assert got["n_window"].tolist() == [1, 3, 3, 3, 2, 1]
