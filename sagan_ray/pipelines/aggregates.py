@@ -109,9 +109,14 @@ def client_stats(ds, key: str = "conv_id", text_col: str = "text",
         return out.merge(firsts[[key, "sample_role", "sample_text"]],
                          on=key, how="left")
 
-    return hash_group_apply(ds.map_batches(partial, batch_format="pyarrow"),
-                            [key], combine, n_buckets=n_buckets,
-                            out_schema=schema)
+    # 64k-row batches: the partial emits one row per key per batch, so
+    # its output scales with batch COUNT — default 1024-row batches both
+    # multiply partial rows ~60× (shipping ~60× the sample_text bytes
+    # through the exchange) and pay per-batch Python overhead 64×
+    # (CLAUDE.md round-3 lesson; measured 3.7 s → 1.2 s warm at 4 M rows).
+    return hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        [key], combine, n_buckets=n_buckets, out_schema=schema)
 
 
 def track_clients(ds, horizon_ts, *, timeout_seconds: int = 3600,
