@@ -33,6 +33,8 @@ from .curate import (  # noqa: F401
     shuffle_shards,
 )
 from .exchange import hash_group_apply  # noqa: F401
+from .search import bm25_topk  # noqa: F401
+from .sketch import hll_vocab  # noqa: F401
 from .pack import pack_sequences  # noqa: F401
 from .stats import percentiles, rolling_window_count  # noqa: F401
 from .joins import (  # noqa: F401
@@ -50,4 +52,5 @@ from .textstats import (  # noqa: F401
     quality,
     repetition,
     token_counts,
+    unigram_nll,
 )

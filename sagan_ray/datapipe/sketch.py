@@ -1,0 +1,97 @@
+"""Mergeable cardinality sketch: HyperLogLog distinct-count over a text
+column's words (Flajolet et al. 2007, with the standard small-range
+correction).
+
+`corpus_stats` computes the EXACT distinct vocabulary through a
+word-keyed exchange — one row per distinct word per batch crosses the
+wire. This module is its 100-TB companion: each 64k-row batch emits ONE
+fixed 2^p-byte register blob (a partial sketch), blobs combine by
+elementwise max in any order/grouping (the sketch is a semilattice —
+tree-combine, multi-level, restart-safe), and the final estimate reads
+4 KB regardless of input size. Standard error ≈ 1.04/sqrt(2^p)
+(~1.6 % at the default p=12).
+
+Determinism: registers are exact integers (max of leading-zero ranks of
+the same 64-bit word hashes the rest of the text family uses), so the
+combined register array — and therefore the estimate — is bit-identical
+under any block layout. The golden oracle (`oracle/golden.py::
+write_golden_hll`) recomputes the registers with a sequential per-word
+Python loop (int.bit_length, no numpy) and must keep matching exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .textstats import _words_flat
+
+DEFAULT_P = 12
+
+
+def _rho(rest: np.ndarray, p: int) -> np.ndarray:
+    """Leading-zero rank of the remainder, which `h << p` left-aligned
+    into the 64-bit word: clz+1 = 64 - bit_length + 1 when nonzero,
+    (64-p)+1 when the whole remainder is zero — exact integer
+    bit_length via a 6-step binary reduction (no float log2, which
+    loses precision past 2^53)."""
+    bl = np.zeros(len(rest), np.int64)
+    v = rest.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    bl += (v > 0)
+    return np.where(rest == 0, (64 - p) + 1, 64 - bl + 1)
+
+
+def _estimate(reg: np.ndarray, p: int) -> float:
+    """Bias-corrected harmonic-mean estimate. The register sum runs
+    left-to-right over the fixed index order (a plain loop, 2^p terms,
+    driver-side) so it is bit-identical to the golden spec's loop —
+    numpy's pairwise summation would differ in the last ulp."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    acc = 0.0
+    for r in reg.tolist():
+        acc += 2.0 ** (-r)
+    raw = alpha * m * m / acc
+    zeros = int(np.count_nonzero(reg == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)   # math.log: same libm call as golden
+    return raw
+
+
+def hll_vocab(ds, *, p: int = DEFAULT_P, text_col: str = "text"):
+    """Approximate distinct-word count of a documents Dataset. Returns a
+    one-row pandas DataFrame (m, n_vocab_est). The distributed part is
+    partial-register blobs only; the driver folds O(batches) 2^p-byte
+    rows (at real scale this fold would itself tree-combine — the blob
+    max is associative/commutative/idempotent, so any topology gives
+    the same registers)."""
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    pshift = np.uint64(p)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        _, _, _, wh, _ = _words_flat(tbl.column(text_col))
+        reg = np.zeros(m, np.uint8)
+        if len(wh):
+            idx = (wh >> shift).astype(np.int64)
+            rest = wh << pshift
+            np.maximum.at(reg, idx, _rho(rest, p).astype(np.uint8))
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary(m))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    reg = np.zeros(m, np.uint8)
+    if parts.empty:        # empty input → no batches → column-less frame
+        parts = pd.DataFrame({"reg": []})
+    for blob in parts["reg"]:
+        reg = np.maximum(reg, np.frombuffer(blob, np.uint8))
+    return pd.DataFrame({"m": pd.Series([m], dtype="int64"),
+                         "n_vocab_est": pd.Series([_estimate(reg, p)],
+                                                  dtype="float64")})

@@ -333,6 +333,92 @@ def cross_doc_dup(ds, *, k: int = 5, text_col: str = "text",
                             out_schema=out_schema)
 
 
+def unigram_nll(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-unigram-LM surprisal per document (the CCNet-style
+    "how typical is this doc of the corpus" quality signal): with
+    ``cnt(w)`` the corpus count of word ``w`` and ``T`` the corpus word
+    total, each doc's mean negative log-likelihood is
+
+        nll = -(1/n) Σ_w ln(cnt(w)/T)  =  ln(T) - (1/n) Σ_w tf·ln(cnt(w))
+
+    No smoothing needed — every scored word has cnt ≥ 1 by construction.
+    Returns (doc_id, n_words, nll) for docs with ≥1 word.
+
+    Distributed shape (the large×large join: a doc's words meet the
+    corpus vocabulary counts in a word-keyed exchange — broadcasting
+    the vocabulary would not scale):
+
+    - a cheap column-pruned pass sums per-batch word counts → ln(T)
+      rides the final closure as a scalar;
+    - per batch, one row per DISTINCT (word-hash, doc): (wh, doc, tf);
+    - exchange on wh: each bucket owns its words entirely, so
+      cnt(w) is an in-bucket transform-sum; the bucket emits per-doc
+      partials (doc, Σtf, Σ tf·ln(cnt)) — output shrinks to
+      O(docs × buckets) before any per-doc work;
+    - exchange on doc: sums partials, emits the final nll row.
+
+    The rewrite to ln(T) - S/n means no global scalar is needed inside
+    the word buckets. Keys are the shared 64-bit word hashes (the dedup
+    family's documented collision stance vs the SQL oracle's exact
+    strings). Float S is summed in bucket/arrival order, so nll matches
+    the SQL oracle to ~1e-15 relative, not bit-exactly (the driver gate
+    compares floats with tolerance)."""
+    from .exchange import hash_group_apply
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, _, _ = _words_flat(tbl.column(text_col))
+        return pa.table({"n": pa.array([len(doc_of)], pa.int64())})
+
+    _cnt = ds.map_batches(count_partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    total = 0 if _cnt.empty else int(_cnt["n"].sum())
+    if total == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "n_words": pd.Series([], dtype="int64"),
+                             "nll": pd.Series([], dtype="float64")})
+    ln_total = float(np.log(total))
+
+    tf_schema = pa.schema([("wh", pa.uint64()), (id_col, pa.int64()),
+                           ("tf", pa.int64())])
+
+    def tf_rows(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, _, wh, _ = _words_flat(tbl.column(text_col))
+        if not len(wh):
+            return tf_schema.empty_table()
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        o, run_id, counts, first = _gram_runs(doc_of, wh)
+        return pa.table({"wh": pa.array(wh[o][first], pa.uint64()),
+                         id_col: pa.array(ids[doc_of[o][first]], pa.int64()),
+                         "tf": pa.array(counts, pa.int64())})
+
+    part_schema = pa.schema([(id_col, pa.int64()), ("n", pa.int64()),
+                             ("s", pa.float64())])
+
+    def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("wh", sort=False)["tf"].transform("sum")
+        contrib = df["tf"].to_numpy(np.float64) * np.log(
+            cnt.to_numpy(np.float64))
+        g = pd.DataFrame({id_col: df[id_col], "n": df["tf"],
+                          "s": contrib}).groupby(id_col, sort=False)
+        return g.agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+
+    mid = hash_group_apply(
+        ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=65536),
+        ["wh"], word_bucket, out_schema=part_schema)
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_words", pa.int64()),
+                            ("nll", pa.float64())])
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        return pd.DataFrame({
+            id_col: g[id_col], "n_words": g["n"],
+            "nll": ln_total - g["s"].to_numpy() / g["n"].to_numpy()})
+
+    return hash_group_apply(mid, [id_col], doc_bucket, out_schema=out_schema)
+
+
 def _norm_text(t: str) -> str:
     return _WS.sub(" ", _PUNCT.sub("", t.lower())).strip()
 

@@ -357,3 +357,48 @@ def write_golden_pca(sf_dir: str, *, n_components: int) -> str:
     for j in range(n_components):
         cols[f"pc{j}"] = pa.array(proj[:, j], pa.float64())
     return _write(pa.table(cols), "embed_pca")
+
+
+def write_golden_hll(sf_dir: str, *, p: int) -> str:
+    """Expected output of ``corpus_vocab_sketch``: a sequential per-word
+    HyperLogLog — Python-int register updates (int.bit_length, no numpy
+    vector kernels) and a left-to-right register-sum loop. Shares only
+    the word hash primitive (pd.util.hash_array — the whole text family's
+    tokenizer/hash spec) with the batched kernel; the register/estimate
+    logic is independent (datapipe/sketch.py must match bit-exactly)."""
+    import math
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    m = 1 << p
+    reg = [0] * m
+    mask64 = (1 << 64) - 1
+    word_re = re.compile(r"[a-z0-9_]+")
+    for txt in t.column("text").to_pylist():
+        words = word_re.findall(txt.lower())
+        if not words:
+            continue
+        hs = pd.util.hash_array(np.array(words, dtype=object))
+        for h in hs.tolist():
+            idx = h >> (64 - p)
+            rest = (h << p) & mask64
+            rho = (64 - rest.bit_length() + 1) if rest else (64 - p) + 1
+            if rho > reg[idx]:
+                reg[idx] = rho
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    acc = 0.0
+    for r in reg:
+        acc += 2.0 ** (-r)
+    raw = alpha * m * m / acc
+    zeros = sum(1 for r in reg if r == 0)
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    else:
+        est = raw
+    tbl = pa.table({"m": pa.array([m], pa.int64()),
+                    "n_vocab_est": pa.array([est], pa.float64())})
+    return _write(tbl, "corpus_vocab_sketch")

@@ -1679,6 +1679,100 @@ FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+_BM25_TERMS = ["spark", "merge", "window"]
+_BM25_K = 50
+
+
+def q_search_bm25(sf_dir: str):
+    """Distributed BM25 top-k keyword search (datapipe/search.py): one
+    tiny stats pass (per-batch partials → idf/avgdl constants), one
+    score + local-top-k pass — no shuffle anywhere; ranking key rounded
+    to 6 decimals on both sides so SQL SUM ulp noise can't flip the
+    LIMIT boundary (docstring)."""
+    from ..datapipe import bm25_topk
+
+    out = bm25_topk(_docs(sf_dir), _BM25_TERMS, k=_BM25_K)
+    out = out.astype({"doc_id": "int64", "score": "float64"})
+    return out.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+SQL_SEARCH_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM toks
+       WHERE w IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+       GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT count(*) FROM toks)::DOUBLE
+              / (SELECT count(*) FROM documents) AS avgdl)
+SELECT tf.doc_id,
+       round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))),
+             6) AS score
+FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT {_BM25_K}
+"""
+
+
+def q_text_nll(sf_dir: str):
+    """Corpus-unigram-LM surprisal per doc — the large×large join shape:
+    doc words meet vocabulary counts in a word-keyed exchange, per-doc
+    partials combine in a doc-keyed exchange (textstats.unigram_nll)."""
+    from ..datapipe import unigram_nll
+
+    out = unigram_nll(_docs(sf_dir)).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_words": "int64",
+                      "nll": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_NLL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+cnt AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY w),
+tot AS (SELECT sum(cnt)::DOUBLE AS t FROM cnt)
+SELECT tf.doc_id, sum(tf)::BIGINT AS n_words,
+       ln((SELECT t FROM tot))
+       - sum(tf * ln(cnt)) / sum(tf) AS nll
+FROM tf JOIN cnt USING (w)
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+"""
+
+
+def q_corpus_vocab_sketch(sf_dir: str):
+    """HyperLogLog distinct-vocabulary estimate, gated against a golden
+    parquet from a sequential per-word spec loop (oracle/golden.py::
+    write_golden_hll) — register arrays are exact integers, so the
+    distributed partial-blob fold matches the naive loop bit-exactly
+    under any block layout (datapipe/sketch.py docstring)."""
+    from ..datapipe import hll_vocab
+    from ..oracle.golden import write_golden_hll
+
+    write_golden_hll(sf_dir, p=12)
+    return hll_vocab(_docs(sf_dir), p=12)
+
+
+SQL_VOCAB_SKETCH = """
+SELECT m, n_vocab_est
+FROM read_parquet('/tmp/sagan_ray_golden/corpus_vocab_sketch.parquet')
+"""
+
+
 def q_cross_doc_dup(sf_dir: str):
     from ..datapipe import cross_doc_dup
 
@@ -2087,6 +2181,9 @@ QUERIES = {
     "cross_doc_dup": q_cross_doc_dup,
     "distinctive_terms": q_distinctive_terms,
     "corpus_stats": q_corpus_stats,
+    "search_bm25": q_search_bm25,
+    "text_nll": q_text_nll,
+    "corpus_vocab_sketch": q_corpus_vocab_sketch,
     "text_decontam": q_text_decontam,
     "pii_redact": q_pii_redact,
     "sample_stratified": q_sample_stratified,
@@ -2150,6 +2247,8 @@ ORACLES = {
     "cross_doc_dup": SQL_CROSS_DOC_DUP,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "corpus_stats": SQL_CORPUS_STATS,
+    "search_bm25": SQL_SEARCH_BM25,
+    "text_nll": SQL_TEXT_NLL,
     "text_decontam": SQL_TEXT_DECONTAM,
     "pii_redact": SQL_PII_REDACT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
@@ -2167,4 +2266,5 @@ ORACLES = {
     "embed_kmeans": SQL_KMEANS_GOLDEN,
     "embed_semantic_dup": SQL_SEMANTIC_DUP,
     "embed_pca": SQL_PCA_GOLDEN,
+    "corpus_vocab_sketch": SQL_VOCAB_SKETCH,
 }

@@ -829,3 +829,104 @@ def test_rolling_window_count_peers_and_bounds():
     # (peer group counts for both). rid3: [50,150] -> 100,100,150 = 3.
     # rid4: [101,201] -> 150,201 = 2. rid5 (key 2): 1.
     assert got["n_window"].tolist() == [1, 3, 3, 3, 2, 1]
+
+
+def test_bm25_topk_matches_brute_force(docs, docs_tbl):
+    """Distributed two-pass BM25 vs a single-process recomputation of
+    the same formula over the whole corpus (numpy, no Ray)."""
+    import re
+
+    from sagan_ray.datapipe import bm25_topk
+    from sagan_ray.datapipe.search import B, K1
+
+    terms = ["spark", "merge", "window"]
+    texts = docs_tbl["text"].to_pylist()
+    ids = np.asarray(docs_tbl["doc_id"].to_pylist(), dtype=np.int64)
+    word_re = re.compile(r"[a-z0-9_]+")
+    toks = [word_re.findall(t.lower()) for t in texts]
+    n = len(toks)
+    dl = np.array([len(t) for t in toks], dtype=np.float64)
+    avgdl = dl.sum() / n
+    score = np.zeros(n)
+    for t in terms:
+        tf = np.array([doc.count(t) for doc in toks], dtype=np.float64)
+        df = float((tf > 0).sum())
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        score = score + idf * tf * (K1 + 1.0) / (tf + K1 * (1 - B + B * dl / avgdl))
+    score = np.round(score, 6)
+    order = np.lexsort((ids, -score))
+    want = [(int(ids[i]), score[i]) for i in order if score[i] > 0][:50]
+
+    out = bm25_topk(docs, terms, k=50)
+    got = list(zip(out["doc_id"].astype(int), out["score"]))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                       rtol=1e-9, atol=1e-9)
+
+
+def test_bm25_empty_and_absent_terms():
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import bm25_topk
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    out = bm25_topk(empty, ["spark"], k=5)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "score"]
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                 "text": ["alpha beta", "beta gamma"]}))
+    out = bm25_topk(ds, ["zzz_not_there"], k=5)
+    assert len(out) == 0
+    out = bm25_topk(ds, ["beta"], k=5)
+    # 'beta' is in every doc — equal tf/dl, scores tie, doc_id order
+    assert list(out["doc_id"]) == [1, 2]
+    assert out["score"].iloc[0] == out["score"].iloc[1] > 0
+
+
+def test_hll_vocab_accuracy_and_layout_invariance(docs, docs_tbl):
+    import duckdb
+    import ray.data as rd
+
+    from sagan_ray.datapipe import hll_vocab
+
+    exact = duckdb.sql(f"""
+        SELECT count(DISTINCT w) FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                          '[^a-z0-9_]+'),
+                        x -> x <> '')) AS w
+          FROM read_parquet('{SF}/documents.parquet'))""").fetchone()[0]
+    est = hll_vocab(docs, p=12)["n_vocab_est"].iloc[0]
+    assert abs(est - exact) / exact < 0.05          # ~1.6% expected at p=12
+
+    # register fold is a semilattice: any block layout → same estimate
+    est2 = hll_vocab(docs.repartition(7), p=12)["n_vocab_est"].iloc[0]
+    assert est2 == est
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    out = hll_vocab(empty, p=12)
+    assert out["n_vocab_est"].iloc[0] == 0.0
+
+
+def test_unigram_nll_tiny_hand_check():
+    import math
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe import unigram_nll
+
+    # corpus: a a a b | b c  → T=6, cnt a=3 b=2 c=1
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": ["a a a b", "b c", ""]}))
+    out = (unigram_nll(ds).to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    # doc 3 has no words → excluded
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_words"]) == [4, 2]
+    t = math.log(6)
+    nll1 = t - (3 * math.log(3) + 1 * math.log(2)) / 4
+    nll2 = t - (math.log(2) + math.log(1)) / 2
+    assert abs(out["nll"][0] - nll1) < 1e-12
+    assert abs(out["nll"][1] - nll2) < 1e-12
