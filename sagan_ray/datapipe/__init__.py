@@ -44,6 +44,7 @@ from .joins import (  # noqa: F401
     range_join_pairs,
 )
 from .textstats import (  # noqa: F401
+    collocations,
     corpus_stats,
     cross_doc_dup,
     distinctive_terms,

@@ -419,6 +419,126 @@ def unigram_nll(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hash_group_apply(mid, [id_col], doc_bucket, out_schema=out_schema)
 
 
+def collocations(ds, *, min_count: int = 20, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Corpus-wide collocation extraction: adjacent word pairs scored by
+    pointwise mutual information,
+
+        pmi = ln( p(x,y) / (p(x)·p(y)) )
+            = ln( n_xy · T² / (T_bi · c_x · c_y) )
+
+    with T the unigram total, T_bi the bigram total, over pairs with
+    global count ≥ ``min_count``. Returns (w1, w2, n_xy, pmi) — rows
+    keyed by the word pair, no ordering/top-k, so the only float is the
+    tolerance-compared pmi value itself.
+
+    Distributed composition (nothing new, three existing shapes):
+    per-batch DISTINCT-bigram/word partial counts (one hash pass +
+    run-length, strings only once per distinct gram per batch) →
+    pair-keyed and word-keyed exchanges for the global counts → the
+    marginals attach via TWO symmetric hash equi-joins
+    (datapipe.joins.hash_join) on w1 then w2 — the unigram table is a
+    distilled aggregate, so it is materialized once and fed to both
+    joins rather than re-running its exchange. Batch-local hash-run
+    grouping shares the dedup family's 64-bit collision stance."""
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+    from .joins import hash_join
+
+    out_schema = pa.schema([("w1", pa.large_string()),
+                            ("w2", pa.large_string()),
+                            ("n_xy", pa.int64()), ("pmi", pa.float64())])
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, _, _ = _words_flat(tbl.column(text_col))
+        return pa.table({"n": pa.array([len(doc_of)], pa.int64()),
+                         "d": pa.array([len(np.unique(doc_of))], pa.int64())})
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    t_uni = 0 if parts.empty else int(parts["n"].sum())
+    t_bi = 0 if parts.empty else t_uni - int(parts["d"].sum())
+    if t_bi <= 0:
+        return rd.from_arrow(out_schema.empty_table())
+    tf_, tbf_ = float(t_uni), float(t_bi)
+
+    bi_schema = pa.schema([("w1", pa.large_string()),
+                           ("w2", pa.large_string()), ("cnt", pa.int64())])
+
+    def bi_rows(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, wh, words = _words_flat(tbl.column(text_col))
+        if len(wh) < 2:
+            return bi_schema.empty_table()
+        i0 = np.nonzero(doc_of[1:] == doc_of[:-1])[0]
+        if not len(i0):
+            return bi_schema.empty_table()
+        with np.errstate(over="ignore"):
+            h = wh[i0] * _REP_HORNER + wh[i0 + 1]
+        o, _, counts, first = _gram_runs(np.zeros(len(i0), np.int64), h)
+        fi = i0[o][first]
+        return pa.table({"w1": pa.array(words[fi], pa.large_string()),
+                         "w2": pa.array(words[fi + 1], pa.large_string()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    uni_schema = pa.schema([("w", pa.large_string()), ("cnt", pa.int64())])
+
+    def uni_rows(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, wh, words = _words_flat(tbl.column(text_col))
+        if not len(wh):
+            return uni_schema.empty_table()
+        o, _, counts, first = _gram_runs(np.zeros(len(wh), np.int64), wh)
+        return pa.table({"w": pa.array(words[o][first], pa.large_string()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["w1", "w2"], sort=False)["cnt"].sum()
+             .reset_index().rename(columns={"cnt": "n_xy"}))
+        return g[g["n_xy"] >= min_count]
+
+    bi = hash_group_apply(
+        ds.map_batches(bi_rows, batch_format="pyarrow", batch_size=65536),
+        ["w1", "w2"], sum_pairs,
+        out_schema=pa.schema([("w1", pa.large_string()),
+                              ("w2", pa.large_string()),
+                              ("n_xy", pa.int64())]))
+
+    def sum_words(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("w", sort=False)["cnt"].sum()
+                .reset_index().rename(columns={"cnt": "c"}))
+
+    uni = hash_group_apply(
+        ds.map_batches(uni_rows, batch_format="pyarrow", batch_size=65536),
+        ["w"], sum_words,
+        out_schema=pa.schema([("w", pa.large_string()),
+                              ("c", pa.int64())])).materialize()
+
+    def as_w1(tbl: pa.Table) -> pa.Table:
+        return pa.table({"w1": tbl.column("w"), "c": tbl.column("c")})
+
+    def as_w2(tbl: pa.Table) -> pa.Table:
+        return pa.table({"w2": tbl.column("w"), "c": tbl.column("c")})
+
+    j1 = hash_join(bi, uni.map_batches(as_w1, batch_format="pyarrow"),
+                   on="w1", left_cols=["w2", "n_xy"], right_cols=["c"],
+                   right_prefix="x_")
+    j2 = hash_join(j1, uni.map_batches(as_w2, batch_format="pyarrow"),
+                   on="w2", left_cols=["w1", "n_xy", "x_c"],
+                   right_cols=["c"], right_prefix="y_")
+
+    def score(tbl: pa.Table) -> pa.Table:
+        n_xy = tbl.column("n_xy").to_numpy(zero_copy_only=False)
+        cx = tbl.column("x_c").to_numpy(zero_copy_only=False)
+        cy = tbl.column("y_c").to_numpy(zero_copy_only=False)
+        pmi = np.log(n_xy * tf_ * tf_ / (tbf_ * cx * cy))
+        return pa.table({"w1": tbl.column("w1").cast(pa.large_string()),
+                         "w2": tbl.column("w2").cast(pa.large_string()),
+                         "n_xy": pa.array(n_xy, pa.int64()),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
 def _norm_text(t: str) -> str:
     return _WS.sub(" ", _PUNCT.sub("", t.lower())).strip()
 

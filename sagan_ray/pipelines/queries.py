@@ -1754,6 +1754,45 @@ GROUP BY tf.doc_id ORDER BY tf.doc_id
 """
 
 
+_COLLOC_MIN = 20
+
+
+def q_collocations(sf_dir: str):
+    """PMI collocations (textstats.collocations): pair/word-keyed
+    exchanges for global counts, marginals attached via two distributed
+    hash joins — rows keyed by word pair, no ordering."""
+    from ..datapipe import collocations
+
+    out = collocations(_docs(sf_dir), min_count=_COLLOC_MIN).to_pandas()
+    if out.empty:
+        import pandas as pd
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "n_xy": pd.Series([], dtype="int64"),
+                             "pmi": pd.Series([], dtype="float64")})
+    out = out.astype({"n_xy": "int64", "pmi": "float64"})
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+SQL_COLLOCATIONS = f"""
+WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9_]+'),
+                              x -> x <> '') AS ws FROM documents),
+bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM t)),
+uni AS (SELECT unnest(ws) AS w FROM t),
+c AS (SELECT w1, w2, count(*) AS n_xy FROM bi GROUP BY w1, w2
+      HAVING count(*) >= {_COLLOC_MIN}),
+cu AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT (SELECT count(*) FROM uni)::DOUBLE AS t,
+               (SELECT count(*) FROM bi)::DOUBLE AS tb)
+SELECT c.w1, c.w2, c.n_xy::BIGINT AS n_xy,
+       ln(c.n_xy * tot.t * tot.t / (tot.tb * x.c * y.c)) AS pmi
+FROM c JOIN cu x ON c.w1 = x.w JOIN cu y ON c.w2 = y.w CROSS JOIN tot
+ORDER BY c.w1, c.w2
+"""
+
+
 def q_corpus_vocab_sketch(sf_dir: str):
     """HyperLogLog distinct-vocabulary estimate, gated against a golden
     parquet from a sequential per-word spec loop (oracle/golden.py::
@@ -2183,6 +2222,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "search_bm25": q_search_bm25,
     "text_nll": q_text_nll,
+    "collocations": q_collocations,
     "corpus_vocab_sketch": q_corpus_vocab_sketch,
     "text_decontam": q_text_decontam,
     "pii_redact": q_pii_redact,
@@ -2249,6 +2289,7 @@ ORACLES = {
     "corpus_stats": SQL_CORPUS_STATS,
     "search_bm25": SQL_SEARCH_BM25,
     "text_nll": SQL_TEXT_NLL,
+    "collocations": SQL_COLLOCATIONS,
     "text_decontam": SQL_TEXT_DECONTAM,
     "pii_redact": SQL_PII_REDACT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -930,3 +930,27 @@ def test_unigram_nll_tiny_hand_check():
     nll2 = t - (math.log(2) + math.log(1)) / 2
     assert abs(out["nll"][0] - nll1) < 1e-12
     assert abs(out["nll"][1] - nll2) < 1e-12
+
+
+def test_collocations_tiny_hand_check():
+    import math
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe import collocations
+
+    # 4 docs of "x y" + one "y z" → bigrams: (x,y)*4, (y,z)*1; T=10, Tb=5
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x y", "x y", "x y", "x y", "y z"]}))
+    out = collocations(ds, min_count=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["w1"], r["w2"], r["n_xy"]) == ("x", "y", 4)
+    # c_x=4, c_y=5 → pmi = ln(4*100/(5*4*5))
+    assert abs(r["pmi"] - math.log(4 * 10.0 * 10.0 / (5.0 * 4 * 5))) < 1e-12
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    out = collocations(empty, min_count=2).to_pandas()
+    assert len(out) == 0
