@@ -261,10 +261,21 @@ def run_bench() -> dict:
             "doc_id": pa.array(np.arange(100_000), pa.int64()),
             "text": pa.array(texts, pa.large_string())}), big_docs_path)
     big_docs = rd.read_parquet(big_docs_path)
-    from sagan_ray.datapipe import cross_doc_dup, quality, repetition
+    from sagan_ray.datapipe import (
+        bm25_topk,
+        cross_doc_dup,
+        hll_vocab,
+        quality,
+        repetition,
+        unigram_nll,
+    )
     timed("text_repetition_100k", lambda: repetition(big_docs).count())
     timed("cross_doc_dup_100k", lambda: cross_doc_dup(big_docs).count())
     timed("text_quality_100k", lambda: quality(big_docs).count())
+    timed("search_bm25_100k",
+          lambda: bm25_topk(big_docs, ["w1", "w7", "w42"], k=50))
+    timed("hll_vocab_100k", lambda: hll_vocab(big_docs))
+    timed("text_nll_100k", lambda: unigram_nll(big_docs).count())
 
     result = {
         "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",

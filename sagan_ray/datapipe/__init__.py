@@ -18,7 +18,12 @@ from .dedup import (  # noqa: F401
     simhash_dedup,
     verify_pairs_jaccard,
 )
-from .ann import brute_force_topk, ivf_topk  # noqa: F401
+from .ann import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    quantize_embeddings,
+    quantized_topk,
+)
 from .cluster import (  # noqa: F401
     fit_centroids,
     kmeans_assign,

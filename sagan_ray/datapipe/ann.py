@@ -219,3 +219,80 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
 
     return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
                        k, id_col)
+
+
+def _quantize_rows(mat: np.ndarray):
+    """Per-vector symmetric int8 quantization of unit-normalized rows:
+    scale = max|x|/127, code = rint(x/scale) ∈ [-127, 127] (zero vector
+    → all-zero codes, scale 0). rint is half-even in both numpy and the
+    sequential golden spec, so codes are bit-identical."""
+    mat = _unit(mat.astype(np.float64, copy=False))
+    scale = np.abs(mat).max(axis=1) / 127.0
+    safe = np.where(scale == 0, 1.0, scale)
+    codes = np.clip(np.rint(mat / safe[:, None]), -127, 127).astype(np.int8)
+    return codes, scale
+
+
+def quantize_embeddings(ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """4×-smaller embedding table for the 100-TB memory path: returns a
+    Dataset (vec_id, code: binary(d), scale: float64) — codes are the
+    int8 quantization of the UNIT vector, so `idot·scale_a·scale_b`
+    reconstructs approximate cosine exactly (integer dot = exact)."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        ids = _ids(tbl, id_col)
+        mat = _mat(tbl, vec_col, dtype=np.float64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code": pa.array([], pa.binary()),
+                             "scale": pa.array([], pa.float64())})
+        codes, scale = _quantize_rows(mat)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "code": pa.array([c.tobytes() for c in codes], pa.binary()),
+            "scale": pa.array(scale, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_ids: np.ndarray | None = None):
+    """Brute-force top-k over int8-quantized vectors — the
+    memory-bandwidth scale path (4× less data touched per batch than
+    f32, 8× than f64). Both sides quantize: the per-pair score is
+
+        score = int32_dot(code_v, code_q) · scale_v · scale_q
+
+    The dot is EXACT integer arithmetic (d·127² ≪ 2^31), so the only
+    float work is two multiplies per pair — bit-identical under any
+    block layout / BLAS, which is what lets the sequential golden
+    oracle (oracle/golden.py::write_golden_quantized) hash-verify a
+    distributed approximate-ANN operator. Approximation error vs true
+    cosine is the quantization error only; recall measured vs
+    brute_force_topk in tests."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    qcodes, qscale = _quantize_rows(q)
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    ref = ray.put((qcodes.astype(np.int32), qscale, qids))
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        qc, qs, qi = ray.get(ref)
+        ids = _ids(tbl, id_col)
+        if len(ids) == 0:
+            return _emit_topk(qi, [], id_col)
+        codes, scale = _quantize_rows(_mat(tbl, vec_col, dtype=np.float64))
+        idot = codes.astype(np.int32) @ qc.T           # exact (batch, nq)
+        sims = idot.astype(np.float64) * scale[:, None] * qs[None, :]
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        rows = [(qi[c], ids[top[:, c]], sims[top[:, c], c])
+                for c in range(sims.shape[1])]
+        return _emit_topk(qi, rows, id_col)
+
+    return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
+                       k, id_col)

@@ -402,3 +402,42 @@ def write_golden_hll(sf_dir: str, *, p: int) -> str:
     tbl = pa.table({"m": pa.array([m], pa.int64()),
                     "n_vocab_est": pa.array([est], pa.float64())})
     return _write(tbl, "corpus_vocab_sketch")
+
+
+def write_golden_quantized(sf_dir: str, *, n_queries: int, k: int) -> str:
+    """Expected output of ``embed_quantized_topk``: sequential full-scan
+    search over int8-quantized vectors — per-query Python loop, explicit
+    integer dots, no batching/exchange. Shares only the per-row quantize
+    primitive (`ann._quantize_rows` — row-wise ops, identical results at
+    any call shape) with the distributed path; scoring/ranking here is
+    independent. Scores are exact-int dots × two scales, so they are
+    bit-identical to the distributed run and ranks hash-match."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _quantize_rows
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    codes, scale = _quantize_rows(mat)
+    codes32 = codes.astype(np.int32)
+    qids = np.arange(n_queries)        # query_id = position, as in topk
+    qcodes, qscale = codes32[:n_queries], scale[:n_queries]
+
+    out_q, out_v, out_r = [], [], []
+    for c in range(len(qids)):
+        scores = np.empty(len(ids), np.float64)
+        for i in range(len(ids)):
+            idot = int(np.dot(codes32[i], qcodes[c]))
+            scores[i] = (idot * scale[i]) * qscale[c]
+        top = np.lexsort((ids, -scores))[:k]
+        out_q.extend([int(qids[c])] * len(top))
+        out_v.extend(ids[top].tolist())
+        out_r.extend(range(1, len(top) + 1))
+    tbl = pa.table({"query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "rank": pa.array(out_r, pa.int64())})
+    return _write(tbl, "embed_quantized_topk")

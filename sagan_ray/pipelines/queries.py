@@ -2108,6 +2108,30 @@ ORDER BY query_id, rank
 """
 
 
+def q_embed_quantized_topk(sf_dir: str):
+    """Brute-force top-k over int8-quantized embeddings (the 4×-memory
+    scale path), hash-verified against a sequential full-scan golden —
+    possible because scores are exact integer dots × two scales
+    (datapipe/ann.py::quantized_topk docstring)."""
+    from ..datapipe.ann import quantized_topk
+    from ..oracle.golden import write_golden_quantized
+
+    write_golden_quantized(sf_dir, n_queries=3, k=5)
+    q = _query_vectors(sf_dir, 3)
+    out = quantized_topk(_embeds(sf_dir), q, k=5).to_pandas()
+    out = out.astype({"query_id": "int64", "vec_id": "int64",
+                      "rank": "int64"})
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            [["query_id", "vec_id", "rank"]])
+
+
+SQL_EMBED_QUANTIZED_GOLDEN = """
+SELECT query_id, vec_id, rank
+FROM read_parquet('/tmp/sagan_ray_golden/embed_quantized_topk.parquet')
+ORDER BY query_id, rank
+"""
+
+
 def q_embed_label_stats(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
@@ -2232,6 +2256,7 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "embed_ivf": q_embed_ivf,
+    "embed_quantized_topk": q_embed_quantized_topk,
     "embed_kmeans": q_embed_kmeans,
     "embed_semantic_dup": q_embed_semantic_dup,
     "embed_pca": q_embed_pca,
@@ -2304,6 +2329,7 @@ ORACLES = {
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
+    "embed_quantized_topk": SQL_EMBED_QUANTIZED_GOLDEN,
     "embed_kmeans": SQL_KMEANS_GOLDEN,
     "embed_semantic_dup": SQL_SEMANTIC_DUP,
     "embed_pca": SQL_PCA_GOLDEN,

@@ -954,3 +954,43 @@ def test_collocations_tiny_hand_check():
                                     "text": pa.array([], pa.string())}))
     out = collocations(empty, min_count=2).to_pandas()
     assert len(out) == 0
+
+
+def test_quantized_topk_recall_vs_exact(embeds):
+    """int8 quantization must keep high recall against the f64 exact
+    ranking, and the quantized table op must round-trip the codes."""
+    import pyarrow.parquet as pq
+
+    from sagan_ray.datapipe import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+    from sagan_ray.datapipe.ann import _quantize_rows
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(t.to_pandas().sort_values("vec_id").head(5)["embedding"]
+                   .tolist(), dtype=np.float32)
+    exact = brute_force_topk(embeds, q, k=10).to_pandas()
+    quant = quantized_topk(embeds, q, k=10).to_pandas()
+    rec = []
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(quant[quant.query_id == qid]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.8        # 64-dim int8: tiny quantization error
+
+    # quantized table: codes decode back to ~unit vectors
+    qt = quantize_embeddings(embeds).to_pandas()
+    assert len(qt) == t.num_rows
+    row = qt.iloc[0]
+    codes = np.frombuffer(row["code"], dtype=np.int8).astype(np.float64)
+    approx = codes * row["scale"]
+    assert abs(np.linalg.norm(approx) - 1.0) < 0.05
+
+    # determinism: same result under a different block layout
+    quant2 = quantized_topk(embeds.repartition(5), q, k=10).to_pandas()
+    a = quant.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = quant2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a[["query_id", "vec_id", "rank"]] ==
+            b[["query_id", "vec_id", "rank"]]).all().all()
