@@ -49,12 +49,18 @@ def bm25_topk(ds, terms: list[str], *, k: int = 50,
     text family uses, so tf/df match the SQL oracles' tokenization."""
     terms = [t.lower() for t in terms]
     nt = len(terms)
+    # match terms by the family's 64-bit word hash, not object-array
+    # string compares (3 terms × 4 M words × 2 passes of PyUnicode eq
+    # dominated the 100k-doc bench line; uint64 vector compares are
+    # ~free). Shares the dedup family's documented collision stance.
+    term_h = pd.util.hash_array(
+        np.array(terms, dtype=object)).astype(np.uint64)
 
     def stats_partial(tbl: pa.Table) -> pa.Table:
-        n_docs, doc_of, _, _, words = _words_flat(tbl.column(text_col))
+        n_docs, doc_of, _, wh, _ = _words_flat(tbl.column(text_col))
         df = np.zeros(nt, np.int64)
-        for i, t in enumerate(terms):
-            hit = doc_of[words == t]
+        for i in range(nt):
+            hit = doc_of[wh == term_h[i]]
             df[i] = len(np.unique(hit))
         return pa.table({
             "n_docs": pa.array([n_docs], pa.int64()),
@@ -77,12 +83,12 @@ def bm25_topk(ds, terms: list[str], *, k: int = 50,
     idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))     # Lucene form, > 0
 
     def score_local(tbl: pa.Table) -> pa.Table:
-        n_docs, doc_of, _, _, words = _words_flat(tbl.column(text_col))
+        n_docs, doc_of, _, wh, _ = _words_flat(tbl.column(text_col))
         dl = np.bincount(doc_of, minlength=n_docs).astype(np.float64)
         norm = K1 * (1.0 - B + B * dl / avgdl)
         score = np.zeros(n_docs, np.float64)
-        for i, t in enumerate(terms):                    # fixed term order
-            tf = np.bincount(doc_of[words == t],
+        for i in range(nt):                              # fixed term order
+            tf = np.bincount(doc_of[wh == term_h[i]],
                              minlength=n_docs).astype(np.float64)
             score = score + idf[i] * (tf * (K1 + 1.0)) / (tf + norm)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
