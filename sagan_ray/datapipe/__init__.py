@@ -56,6 +56,7 @@ from .textstats import (  # noqa: F401
     fingerprint,
     langid,
     quality,
+    remove_dup_spans,
     repetition,
     token_counts,
     unigram_nll,

@@ -419,6 +419,102 @@ def unigram_nll(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hash_group_apply(mid, [id_col], doc_bucket, out_schema=out_schema)
 
 
+def remove_dup_spans(ds, *, k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """The transform `cross_doc_dup` only measures: REMOVE every word
+    position covered by a word-``k``-gram that appears in ≥2 distinct
+    documents (Lee et al.'s dedup of repeated training spans, word
+    level). Returns (doc_id, text_clean, n_removed) for every doc —
+    ``text_clean`` is the surviving words re-joined with single spaces.
+
+    Distributed shape: per-batch gram-occurrence rows (gram hash, doc,
+    start position — 24 bytes each, never text) meet in a gram-keyed
+    exchange that keeps occurrences of cross-doc grams; the surviving
+    (doc, start) rows then union with the (doc, text) rows in a
+    doc-keyed exchange where each doc rebuilds its text — text crosses
+    the wire exactly once, which is inherent to a text-rewriting
+    operator. Tokenization is the literal single-space split
+    (`_split_flat`), so the SQL oracle replays it with string_split +
+    list positions. Gram identity is the 64-bit Horner hash (the
+    family's documented collision stance)."""
+    from .exchange import hash_group_apply
+
+    occ_schema = pa.schema([("g", pa.uint64()), (id_col, pa.int64()),
+                            ("pos", pa.int64())])
+
+    def gram_occ(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, offs = _split_flat(tbl, text_col)
+        m = len(wh)
+        valid = np.ones(m, dtype=bool)
+        for j in range(1, k):
+            valid[np.maximum(offs[1:] - j, 0)] = False
+        i0 = np.nonzero(valid)[0]
+        if not len(i0):
+            return occ_schema.empty_table()
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = wh[i0].copy()
+            for j in range(1, k):
+                h = h * _REP_HORNER + wh[i0 + j]
+        d = doc_of[i0]
+        return pa.table({"g": pa.array(h, pa.uint64()),
+                         id_col: pa.array(ids[d], pa.int64()),
+                         "pos": pa.array(i0 - offs[d], pa.int64())})
+
+    def keep_crossdup(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("g", sort=False)[id_col].transform("nunique")
+        return df.loc[nd >= 2, [id_col, "pos"]]
+
+    spans = hash_group_apply(
+        ds.map_batches(gram_occ, batch_format="pyarrow", batch_size=65536),
+        ["g"], keep_crossdup,
+        out_schema=pa.schema([(id_col, pa.int64()), ("pos", pa.int64())]))
+
+    tag_schema = pa.schema([(id_col, pa.int64()), ("pos", pa.int64()),
+                            ("text", pa.large_string())])
+
+    def tag_spans(tbl: pa.Table) -> pa.Table:
+        return pa.table({id_col: tbl.column(id_col),
+                         "pos": tbl.column("pos"),
+                         "text": pa.nulls(len(tbl), pa.large_string())})
+
+    def tag_docs(tbl: pa.Table) -> pa.Table:
+        return pa.table({id_col: tbl.column(id_col),
+                         "pos": pa.array(np.full(len(tbl), -1, np.int64)),
+                         "text": tbl.column(text_col).cast(pa.large_string())})
+
+    both = (spans.map_batches(tag_spans, batch_format="pyarrow")
+            .union(ds.map_batches(tag_docs, batch_format="pyarrow")))
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("text_clean", pa.large_string()),
+                            ("n_removed", pa.int64())])
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[df["pos"] < 0]
+        starts = df[df["pos"] >= 0]
+        start_map = {d: g["pos"].to_numpy()
+                     for d, g in starts.groupby(id_col, sort=False)}
+        out_id, out_t, out_n = [], [], []
+        for did, txt in zip(texts[id_col], texts["text"]):
+            words = txt.split(" ")
+            s = start_map.get(did)
+            if s is None:
+                out_id.append(did); out_t.append(txt); out_n.append(0)
+                continue
+            cov = np.zeros(len(words), dtype=bool)
+            for j in range(k):            # k vectorized scatter passes
+                cov[np.minimum(s + j, len(words) - 1)] = True
+            kept = [w for w, c in zip(words, cov) if not c]
+            out_id.append(did)
+            out_t.append(" ".join(kept))
+            out_n.append(int(cov.sum()))
+        return pd.DataFrame({id_col: out_id, "text_clean": out_t,
+                             "n_removed": out_n})
+
+    return hash_group_apply(both, [id_col], rebuild, out_schema=out_schema)
+
+
 def collocations(ds, *, min_count: int = 20, text_col: str = "text",
                  id_col: str = "doc_id"):
     """Corpus-wide collocation extraction: adjacent word pairs scored by

@@ -1679,6 +1679,43 @@ FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """Duplicate-span REMOVAL (the Lee et al. transform cross_doc_dup
+    only measures): word positions covered by cross-doc k-grams are cut
+    and the text re-joined — gram-keyed exchange for the spans, doc-keyed
+    exchange for the rebuild (textstats.remove_dup_spans)."""
+    from ..datapipe import remove_dup_spans
+
+    out = remove_dup_spans(_docs(sf_dir), k=5).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_removed": "int64"})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "text_clean", "n_removed"]])
+
+
+SQL_DEDUP_SPANS = r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t)),
+nd AS (SELECT gram FROM g GROUP BY gram
+       HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT g.doc_id, g.i + r.o AS j
+        FROM g JOIN nd USING (gram) CROSS JOIN range(0, 5) r(o)),
+w AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS j FROM t),
+kept AS (SELECT w.doc_id, w.j, w.ws[w.j] AS word
+         FROM w WHERE NOT EXISTS (SELECT 1 FROM cov
+                                  WHERE cov.doc_id = w.doc_id
+                                    AND cov.j = w.j)),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(agg.text_clean, '') AS text_clean,
+       (len(t.ws) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
+FROM t LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 _BM25_TERMS = ["spark", "merge", "window"]
 _BM25_K = 50
 
@@ -2247,6 +2284,7 @@ QUERIES = {
     "search_bm25": q_search_bm25,
     "text_nll": q_text_nll,
     "collocations": q_collocations,
+    "dedup_spans": q_dedup_spans,
     "corpus_vocab_sketch": q_corpus_vocab_sketch,
     "text_decontam": q_text_decontam,
     "pii_redact": q_pii_redact,
@@ -2315,6 +2353,7 @@ ORACLES = {
     "search_bm25": SQL_SEARCH_BM25,
     "text_nll": SQL_TEXT_NLL,
     "collocations": SQL_COLLOCATIONS,
+    "dedup_spans": SQL_DEDUP_SPANS,
     "text_decontam": SQL_TEXT_DECONTAM,
     "pii_redact": SQL_PII_REDACT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -994,3 +994,32 @@ def test_quantized_topk_recall_vs_exact(embeds):
     b = quant2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (a[["query_id", "vec_id", "rank"]] ==
             b[["query_id", "vec_id", "rank"]]).all().all()
+
+
+def test_remove_dup_spans_tiny_hand_check():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import remove_dup_spans
+
+    shared = "q w e r t"                      # 5-gram shared by docs 1,2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [f"a b {shared} c", f"{shared} x y z k", "a b c d"]}))
+    out = (remove_dup_spans(ds, k=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 3]
+    # doc 1: positions 2-6 covered → "a b c" survives
+    assert out["text_clean"][0] == "a b c"
+    assert out["n_removed"][0] == 5
+    # doc 2: positions 0-4 covered → "x y z k"
+    assert out["text_clean"][1] == "x y z k"
+    assert out["n_removed"][1] == 5
+    # doc 3: too short for any shared 5-gram → untouched
+    assert out["text_clean"][2] == "a b c d"
+    assert out["n_removed"][2] == 0
+
+    # consistency with the measuring op: n_removed ≥ docs' n_dup > 0 docs
+    from sagan_ray.datapipe import cross_doc_dup
+    sig = (cross_doc_dup(ds, k=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (sig["n_dup"] > 0).tolist() == (out["n_removed"] > 0).tolist()
