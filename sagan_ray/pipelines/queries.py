@@ -758,6 +758,54 @@ FROM events GROUP BY user_id, hour ORDER BY user_id, hour
 """
 
 
+def q_events_window_distinct(sf_dir: str):
+    """EXACT distinct users per tumbling 1h window × event_type — the
+    dedupe-before-shuffle shape: each batch pre-collapses to its
+    DISTINCT (hour, type, user) triples (plus a count), so the exchange
+    moves one row per distinct triple per batch, not one per event;
+    the (hour, type)-keyed buckets then count distinct users exactly.
+    The sketch alternative for unbounded user cardinality is
+    datapipe/sketch.py (hll_vocab's register-blob shape per group)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(tbl.column("ts"), unit="hour")
+        t = pa.table({"hour": hour, "event_type": tbl.column("event_type"),
+                      "user_id": tbl.column("user_id")})
+        g = pa.TableGroupBy(t, ["hour", "event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["hour", "event_type", "user_id", "n"])
+
+    def bucket(df):
+        g = df.groupby(["hour", "event_type"], sort=False).agg(
+            n_events=("n", "sum"), n_users=("user_id", "nunique"))
+        return g.reset_index()
+
+    schema = pa.schema([("hour", pa.timestamp("us")),
+                        ("event_type", pa.string()),
+                        ("n_events", pa.int64()), ("n_users", pa.int64())])
+    out = hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["hour", "event_type"], bucket, out_schema=schema).to_pandas()
+    out = out.astype({"n_events": "int64", "n_users": "int64"})
+    return (out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+            [["hour", "event_type", "n_events", "n_users"]])
+
+
+SQL_EVENTS_WINDOW_DISTINCT = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+"""
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (sliding) 1h windows every 15 min, global: each event
     replicates to exactly size/hop = 4 windows inside the batch partial
@@ -2260,6 +2308,7 @@ QUERIES = {
     "orders_revenue": q_orders_revenue,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
+    "events_window_distinct": q_events_window_distinct,
     "events_rolling": q_events_rolling,
     "events_asof": q_events_asof,
     "events_range_count": q_events_range_count,
@@ -2330,6 +2379,7 @@ ORACLES = {
     "orders_revenue": SQL_ORDERS_REVENUE,
     "events_tumbling": SQL_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
+    "events_window_distinct": SQL_EVENTS_WINDOW_DISTINCT,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
