@@ -41,7 +41,11 @@ from .exchange import hash_group_apply  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .sketch import hll_vocab  # noqa: F401
 from .pack import pack_sequences  # noqa: F401
-from .stats import percentiles, rolling_window_count  # noqa: F401
+from .stats import (  # noqa: F401
+    group_percentiles,
+    percentiles,
+    rolling_window_count,
+)
 from .joins import (  # noqa: F401
     asof_join,
     hash_join,

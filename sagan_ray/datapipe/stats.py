@@ -114,3 +114,40 @@ def rolling_window_count(ds, *, key_col: str, ts_col: str,
                             ("n_window", pa.int64())])
     return hash_group_apply(ds.map_batches(tag, batch_format="pyarrow"),
                             [key_col], bucket, out_schema=out_schema)
+
+
+def group_percentiles(ds, *, group_col: str, col: str, qs: list[float]):
+    """Per-group exact nearest-rank quantiles — the grouped variant of
+    ``percentiles``: per-batch (group, value) count partials (one Arrow
+    group-by per 64k-row batch) cross ONE group-keyed exchange, so each
+    bucket holds every (value, count) row of its groups and scans each
+    group's sorted histogram independently. Returns a Dataset
+    (group, q, value). Same scale stance as ``percentiles``: a group's
+    DISTINCT-value histogram must fit a bucket (discrete signals — ≪ N)."""
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select([group_col, col]),
+                            [group_col, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, col, "cnt"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_q, out_v = [], [], []
+        for gval, sub in df.groupby(group_col, sort=False):
+            h = (sub.groupby(col, sort=False)["cnt"].sum().reset_index()
+                 .sort_values(col))
+            n = int(h["cnt"].sum())
+            cum = h["cnt"].cumsum().to_numpy()
+            vals = h[col].to_numpy()
+            for q in qs:
+                rank = max(1, math.ceil(q * n))
+                out_g.append(gval)
+                out_q.append(float(q))
+                out_v.append(int(vals[np.searchsorted(cum, rank,
+                                                      side="left")]))
+        return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})
+
+    schema = pa.schema([(group_col, pa.string()), ("q", pa.float64()),
+                        ("value", pa.int64())])
+    return hash_group_apply(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536),
+        [group_col], bucket, out_schema=schema)

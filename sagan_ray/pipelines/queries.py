@@ -1600,6 +1600,32 @@ GROUP BY q ORDER BY q
 """
 
 
+def q_source_quantiles(sf_dir: str):
+    """Per-source exact nearest-rank quantiles of doc length
+    (datapipe/stats.py::group_percentiles — one group-keyed exchange
+    over pre-collapsed (source, value, count) rows)."""
+    from ..datapipe import group_percentiles
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+    out = group_percentiles(ds, group_col="source", col="n_chars",
+                            qs=[0.5, 0.9, 0.99]).to_pandas()
+    out = out.astype({"q": "float64", "value": "int64"})
+    return out.sort_values(["source", "q"]).reset_index(drop=True)
+
+
+SQL_SOURCE_QUANTILES = r"""
+WITH ranked AS (
+  SELECT source, n_chars AS x,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT source, q, min(x)::BIGINT AS value
+FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) qs(q)
+WHERE rn >= ceil(q * n)
+GROUP BY source, q ORDER BY source, q
+"""
+
+
 def q_doc_pack(sf_dir: str):
     """GPT-style sequence packing of the documents table (doc_id order,
     capacity 4096 whitespace tokens): token_counts composed with the
@@ -2326,6 +2352,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "doc_pack": q_doc_pack,
     "text_quantiles": q_text_quantiles,
+    "source_quantiles": q_source_quantiles,
     "text_repetition": q_text_repetition,
     "cross_doc_dup": q_cross_doc_dup,
     "distinctive_terms": q_distinctive_terms,
@@ -2396,6 +2423,7 @@ ORACLES = {
     "text_langid": SQL_LANGID,
     "doc_pack": SQL_DOC_PACK,
     "text_quantiles": SQL_TEXT_QUANTILES,
+    "source_quantiles": SQL_SOURCE_QUANTILES,
     "text_repetition": SQL_TEXT_REPETITION,
     "cross_doc_dup": SQL_CROSS_DOC_DUP,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,

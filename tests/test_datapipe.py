@@ -1023,3 +1023,25 @@ def test_remove_dup_spans_tiny_hand_check():
     sig = (cross_doc_dup(ds, k=5).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert (sig["n_dup"] > 0).tolist() == (out["n_removed"] > 0).tolist()
+
+
+def test_group_percentiles_hand_check_and_empty():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import group_percentiles
+
+    ds = rd.from_arrow(pa.table({
+        "source": ["a"] * 4 + ["b"] * 2,
+        "n_chars": [10, 20, 30, 40, 5, 7]}))
+    out = (group_percentiles(ds, group_col="source", col="n_chars",
+                             qs=[0.5, 1.0]).to_pandas()
+           .sort_values(["source", "q"]).reset_index(drop=True))
+    # a: ranks ceil(0.5*4)=2 → 20, ceil(1*4)=4 → 40; b: rank 1 → 5, 2 → 7
+    assert out.values.tolist() == [["a", 0.5, 20], ["a", 1.0, 40],
+                                   ["b", 0.5, 5], ["b", 1.0, 7]]
+
+    empty = rd.from_arrow(pa.table({"source": pa.array([], pa.string()),
+                                    "n_chars": pa.array([], pa.int64())}))
+    out = group_percentiles(empty, group_col="source", col="n_chars",
+                            qs=[0.5]).to_pandas()
+    assert len(out) == 0
