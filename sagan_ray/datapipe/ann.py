@@ -51,6 +51,22 @@ def _ids(tbl: pa.Table, id_col: str) -> np.ndarray:
             .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
 
 
+def _local_topk_idx(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Deterministic local top-kk selection by (score desc, id asc).
+    A bare ``argpartition`` keeps an ARBITRARY subset of rows whose score
+    exactly ties the kk-th boundary (duplicate vectors, zero integer
+    dots), which breaks golden/SQL hash parity because the oracles break
+    ties by id. argpartition still does the heavy cut; only the
+    boundary-tied slice pays a lexsort (the bm25_topk pattern,
+    search.py)."""
+    if kk >= len(s):
+        return np.lexsort((ids, -s))[:kk]
+    part = np.argpartition(-s, kk - 1)[:kk]
+    thresh = s[part].min()
+    cand = np.flatnonzero(s >= thresh)
+    return cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+
+
 def _emit_topk(qi, out_rows, id_col: str) -> pa.Table:
     out_q, out_v, out_s = [], [], []
     for qid, ids_c, sims_c in out_rows:
@@ -104,9 +120,10 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
         mat = _unit(_mat(tbl, vec_col))
         sims = mat @ qm.T                       # (batch, nq)
         kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, nq)
-        rows = [(qi[c], ids[top[:, c]], sims[top[:, c], c])
-                for c in range(sims.shape[1])]
+        rows = []
+        for c in range(sims.shape[1]):
+            sel = _local_topk_idx(sims[:, c], ids, kk)
+            rows.append((qi[c], ids[sel], sims[sel, c]))
         return _emit_topk(qi, rows, id_col)
 
     return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
@@ -124,21 +141,50 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+IVF_FIX = float(1 << 14)
+
+
+def _unit_grid(mat: np.ndarray) -> np.ndarray:
+    """Fixed-point UNIT-vector grid — the cluster.py determinism trick
+    adapted to spherical/cosine ops. Per row: ``g = rint(x * 2^14)``
+    (exact integer in float64), ``ss = Σ g²`` accumulated exactly in
+    int64, ``u = rint(g / sqrt(ss) * 2^14)``. Every op is elementwise
+    IEEE (bit-identical between a sequential per-row loop and this
+    vectorized broadcast), and every downstream dot of two grid rows is
+    an exact integer ≤ d·2^28 ≪ 2^53 — identical under any BLAS
+    blocking, batch split or summation order. This is what makes the
+    golden-parquet gate for IVF deterministic BY CONSTRUCTION (the
+    round-3 kmeans/PCA/quantized pattern) instead of by float luck."""
+    g = np.rint(mat.astype(np.float64, copy=False) * IVF_FIX)
+    gi = g.astype(np.int64)
+    ss = (gi * gi).sum(axis=1)                  # exact int64
+    norm = np.sqrt(ss.astype(np.float64))
+    norm[norm == 0] = 1.0
+    return np.rint(g / norm[:, None] * IVF_FIX)
+
+
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8):
-    """Spherical Lloyd's over a pre-ordered sample. Init is the FIRST
-    n_cells sample rows (the caller orders the sample by the id-hash, so
-    init is a deterministic pseudo-random subset independent of block
-    layout); empty cells keep their previous centroid."""
+    """Spherical Lloyd's over a pre-ordered UNIT-GRID sample (integer-
+    valued float64 rows from ``_unit_grid``). Init is the FIRST n_cells
+    sample rows (the caller orders the sample by the id-hash, so init is
+    a deterministic pseudo-random subset independent of block layout);
+    empty cells keep their previous centroid. All dots are exact
+    integers; centroid updates re-land on the grid via
+    ``rint(S / ||S|| · 2^14)`` with ``||S||²`` summed exactly in int64 —
+    so the sequential golden's per-row loops produce bit-identical
+    centroids (ties in argmax → lowest cell, same as the golden's ``>``
+    scan)."""
     cent = sample[:min(n_cells, len(sample))].copy()
     for _ in range(iters):
-        assign = np.argmax(sample @ cent.T, axis=1)
+        assign = np.argmax(sample @ cent.T, axis=1)   # exact int dots
         for c in range(len(cent)):
-            pts = sample[assign == c]
-            if len(pts):
-                v = pts.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
+            m = assign == c
+            if m.any():
+                S = sample[m].sum(axis=0)             # exact ints ≤ n·2^14
+                Si = S.astype(np.int64)
+                ss = int((Si * Si).sum())             # exact in int64
+                if ss > 0:
+                    cent[c] = np.rint(S / np.sqrt(float(ss)) * IVF_FIX)
     return cent
 
 
@@ -154,14 +200,17 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
     whole operator is a pure function of (input, parameters) and the
     golden sequential oracle (oracle/golden.py) can hash-verify it.
     Per-batch partial smallest-k + a bounded driver merge keep driver
-    memory at O(sample_size) rows regardless of corpus size. float64
-    end-to-end (like embedding_near_dup_exact): f32 matmul bit-noise
-    could flip argmax/rank boundaries vs the sequential oracle.
-    Approximate by design — recall measured against brute_force_topk in
-    tests."""
+    memory at O(sample_size) rows regardless of corpus size. All
+    similarity arithmetic runs on the ``_unit_grid`` fixed-point unit
+    vectors: every dot (training, assignment, probing, scoring) is an
+    EXACT integer in float64, so the distributed run and the sequential
+    golden are bit-identical by construction under any blocking/BLAS —
+    not merely "usually agree". Scores the merge ranks on are those
+    integer dots (monotone in quantized cosine). Approximate by design —
+    recall measured against brute_force_topk in tests."""
     import ray
 
-    q = _unit(np.asarray(queries, dtype=np.float64))
+    q = _unit_grid(np.asarray(queries, dtype=np.float64))
     qids = (np.arange(len(q)) if query_ids is None
             else np.asarray(query_ids)).astype(np.int64)
 
@@ -193,28 +242,29 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
             best = best.take(pa.array(order[:sample_size], pa.int64()))
     order = np.lexsort((_ids(best, id_col), best.column("__h").to_numpy()))
     best = best.take(pa.array(order, pa.int64()))
-    sample = _unit(_mat(best, vec_col, dtype=np.float64))
+    sample = _unit_grid(_mat(best, vec_col, dtype=np.float64))
     cent = _kmeans(sample, n_cells)
 
-    # query → nprobe candidate cells
-    q_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    # query → nprobe candidate cells: exact integer dots + STABLE argsort,
+    # so equal-dot ties keep the lowest cell index — the golden's
+    # (-sim, cell) sort by construction
+    q_cells = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe]
     ref = ray.put((q, qids, cent, q_cells))
 
     def local_topk(tbl: pa.Table) -> pa.Table:
         qm, qi, cm, qc = ray.get(ref)
         ids = _ids(tbl, id_col)
-        mat = _unit(_mat(tbl, vec_col, dtype=np.float64))
+        mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
         cell = np.argmax(mat @ cm.T, axis=1)
         rows = []
         for c in range(len(qm)):
             m = np.isin(cell, qc[c])
             if not m.any():
                 continue
-            sims = mat[m] @ qm[c]
+            sims = mat[m] @ qm[c]               # exact integer dots
             sub_ids = ids[m]
-            kk = min(k, len(sub_ids))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            rows.append((qi[c], sub_ids[top], sims[top]))
+            sel = _local_topk_idx(sims, sub_ids, min(k, len(sub_ids)))
+            rows.append((qi[c], sub_ids[sel], sims[sel]))
         return _emit_topk(qi, rows, id_col)
 
     return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
@@ -298,9 +348,10 @@ def quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
             idot = codes.astype(np.int32) @ qc.T       # exact (batch, nq)
         sims = idot.astype(np.float64) * scale[:, None] * qs[None, :]
         kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        rows = [(qi[c], ids[top[:, c]], sims[top[:, c], c])
-                for c in range(sims.shape[1])]
+        rows = []
+        for c in range(sims.shape[1]):
+            sel = _local_topk_idx(sims[:, c], ids, kk)
+            rows.append((qi[c], ids[sel], sims[sel, c]))
         return _emit_topk(qi, rows, id_col)
 
     return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),

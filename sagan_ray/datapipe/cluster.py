@@ -77,9 +77,12 @@ def fit_centroids(ds, *, k: int = 8, n_iters: int = 8,
     # partial (k*d rows) are emitted PER BATCH — the 1024-row default
     # would ship one partial row per two data rows (the IVF sample-pass
     # lesson); exactness is batch-size-independent by construction
-    cdf = (ds.map_batches(cand, batch_format="pyarrow",
-                          batch_size=65536).to_pandas()
-           .sort_values("h").head(k))
+    cdf = ds.map_batches(cand, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+    if cdf.empty or "h" not in cdf.columns:
+        # all-empty Dataset loses columns through to_pandas — fail typed
+        raise ValueError("fit_centroids: empty input Dataset (no vectors)")
+    cdf = cdf.sort_values("h").head(k)
     cent = np.stack(cdf["vec"].to_numpy())           # (k, d) grid points
     k_eff = len(cent)
 

@@ -187,15 +187,20 @@ def group_topk(ds, *, key_col: str, order_col: str, k: int,
         cols = [key_col, id_col, order_col] + (["rk"] if with_rank else [])
         return d[cols].reset_index(drop=True)
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        # Arrow out: the exchange's split tasks consume Arrow blocks
-        return pa.Table.from_pandas(_topk_frame(df, with_rank=False),
-                                    preserve_index=False)
+    def partial(tbl: pa.Table) -> pa.Table:
+        # Arrow in/out; the pandas hop is only for the shared lexsort
+        # kernel. batch_size pinned per the round-3 rule: this stage
+        # emits up to k rows per key per BATCH, so its output scales
+        # with batch count — the 1024-row default would inflate the
+        # exchange 64x for no work saved.
+        return pa.Table.from_pandas(
+            _topk_frame(tbl.to_pandas(), with_rank=False),
+            preserve_index=False)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return _topk_frame(df, with_rank=True)
 
-    pre = ds.map_batches(partial, batch_format="pandas")
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return hash_group_apply(pre, [key_col], final)
 
 

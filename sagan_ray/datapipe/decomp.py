@@ -63,6 +63,10 @@ def fit_pca(ds, *, n_components: int, vec_col: str = "embedding"):
 
     parts = ds.map_batches(part, batch_format="pyarrow",
                            batch_size=65536).to_pandas()
+    if parts.empty or "n" not in parts.columns:
+        # all-empty Dataset: to_pandas() loses the columns (round-3
+        # empty-input hardening pattern) — fail typed, not KeyError
+        raise ValueError("fit_pca: empty input Dataset (no vectors)")
     n = int(parts["n"].sum())
     s1 = np.sum(np.stack(parts["s1"].to_numpy()), axis=0,
                 dtype=np.int64).astype(np.float64)

@@ -97,6 +97,14 @@ def rolling_window_count(ds, *, key_col: str, ts_col: str,
         ids = df[id_col].to_numpy()
         # dense key index so the composite fits int64 at any key value
         uk, kidx = np.unique(keys, return_inverse=True)
+        if len(uk) >= (1 << 15):
+            # kidx * 2^48 overflows int64 at kidx >= 2^15: wrapped
+            # composites would silently break key separation — fail loud
+            # (mirror of the ts-span guard below).
+            raise ValueError(
+                "rolling_window_count: >= 2^15 distinct keys in one "
+                "exchange bucket overflows the int64 composite key; "
+                "raise n_buckets / lower max_bucket_bytes")
         span = int(ts.max() - ts.min()) if len(ts) else 0
         if span + window_us >= int(_SHIFT):
             raise ValueError(

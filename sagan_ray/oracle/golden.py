@@ -123,13 +123,17 @@ def write_golden_embed_ivf(sf_dir: str, *, n_queries: int, k: int,
                            seed: int) -> str:
     """Expected output of ``embed_ivf``: sequential IVF — SplitMix64
     id-hash sample (same spec function), an independent per-row Lloyd's
-    loop (per-point cell scans, per-cell sum/count — not the pipeline's
-    dgemm + mean), per-row cell assignment and per-query candidate scans.
-    Deterministic because round 3 made the pipeline's sampling a pure
-    function of (id, seed) rather than of Ray's block layout."""
+    loop (per-point cell scans, per-cell integer sums — not the
+    pipeline's dgemm), per-row cell assignment and per-query candidate
+    scans. Bit-identical to the distributed run BY CONSTRUCTION: both
+    sides operate on the ``_unit_grid`` fixed-point unit vectors
+    (g = rint(v·2^14), u = rint(g/‖g‖·2^14)), so every dot here — this
+    loop's np.dot, the pipeline's blocked dgemm — is the same EXACT
+    integer; centroid updates renormalize integer sums with an exact
+    int64 ‖S‖² on both sides (datapipe/ann.py::_unit_grid docstring)."""
     import pyarrow.parquet as pq
 
-    from ..datapipe.ann import _splitmix64
+    from ..datapipe.ann import IVF_FIX, _splitmix64
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
@@ -138,9 +142,11 @@ def write_golden_embed_ivf(sf_dir: str, *, n_queries: int, k: int,
     order = np.argsort(ids, kind="stable")
     ids, vecs = ids[order], vecs[order]
     unit = np.empty_like(vecs)
-    for i in range(len(vecs)):
-        n = float(np.sqrt((vecs[i] * vecs[i]).sum()))
-        unit[i] = vecs[i] / (n if n else 1.0)
+    for i in range(len(vecs)):           # sequential per-row grid spec
+        g = np.rint(vecs[i] * IVF_FIX)
+        ss = sum(int(c) * int(c) for c in g)       # exact Python ints
+        n = float(np.sqrt(float(ss))) if ss else 1.0
+        unit[i] = np.rint(g / n * IVF_FIX)
 
     q = unit[:n_queries]                   # queries = smallest vec_ids
     qids = np.arange(n_queries)            # query_id = position, as in ivf_topk
@@ -156,17 +162,17 @@ def write_golden_embed_ivf(sf_dir: str, *, n_queries: int, k: int,
         for v in samp:
             best, best_s = 0, -np.inf
             for c in range(len(cent)):
-                s = float(np.dot(v, cent[c]))
+                s = float(np.dot(v, cent[c]))      # exact integer dot
                 if s > best_s:
                     best, best_s = c, s
-            sums[best] += v
+            sums[best] += v                        # exact integer sums
             cnts[best] += 1
         for c in range(len(cent)):
             if cnts[c]:
-                v = sums[c] / cnts[c]
-                n = float(np.sqrt((v * v).sum()))
-                if n > 0:
-                    cent[c] = v / n
+                S = sums[c]
+                ss = sum(int(x) * int(x) for x in S)
+                if ss > 0:
+                    cent[c] = np.rint(S / np.sqrt(float(ss)) * IVF_FIX)
 
     assign = np.empty(len(ids), dtype=np.int64)
     for i in range(len(ids)):

@@ -2118,9 +2118,16 @@ def _embeds(sf_dir: str, columns: list[str] | None = None):
 
 
 def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
+    """The n smallest-vec_id embeddings as the query matrix. Filtered
+    row-group read — never the whole table (at a real embeddings table a
+    full read for a 3-vector lookup is a driver OOM); relies on vec_id
+    being a monotone row id so `vec_id < 64` prunes to the first row
+    group(s)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 64)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 64)])
     df = t.to_pandas().sort_values("vec_id").head(n)
     return np.asarray(df["embedding"].tolist(), dtype=np.float32)
 
