@@ -46,18 +46,53 @@ _MOD32 = np.uint64(1) << np.uint64(32)
 # decontamination
 # ----------------------------------------------------------------------
 
-def decontaminate(ds, eval_texts, *, k: int = 5,
-                  text_col: str = "text", id_col: str = "doc_id"):
+def eval_shingle_hashes(ds, *, k: int = 5,
+                        text_col: str = "text") -> np.ndarray:
+    """Distributed build of the decontamination reference array: each
+    batch emits its DISTINCT uint64 shingle hashes (8 B each — the texts
+    themselves never leave the workers), the driver unions hash arrays.
+    This is how the eval side must be acquired at scale: the round-3
+    wiring pulled the eval split's ROWS to the driver with take_all(),
+    which at 100 TB is ~6 TB of text held driver-side for what is really
+    a hash-set build. batch_size pinned: per-batch-distinct output
+    scales with batch COUNT (the round-3 partial rule)."""
+
+    def part(tbl: pa.Table) -> pa.Table:
+        sh = _shingle_hashes_batch(
+            [t or "" for t in tbl.column(text_col).to_pylist()], k)
+        u = (np.unique(np.concatenate(sh)) if sh
+             else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
+    parts = [b.column("h").to_numpy(zero_copy_only=False)
+             for b in ds.map_batches(part, batch_format="pyarrow",
+                                     batch_size=65536)
+                        .iter_batches(batch_format="pyarrow")]
+    return (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.uint64))
+
+
+def decontaminate(ds, eval_texts=None, *, k: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_hashes: np.ndarray | None = None):
     """(id, contaminated, n_hits) for every input row: n_hits = number of
     DISTINCT word-k-shingles of the document that also occur anywhere in
-    ``eval_texts``. Shingle identity is shared with the dedup family
+    the eval set. Shingle identity is shared with the dedup family
     (<k words → one whole-sequence shingle, lowercased, whitespace
-    split), so the SQL oracle mirrors the dedup oracles' shingle CTE."""
+    split), so the SQL oracle mirrors the dedup oracles' shingle CTE.
+
+    Pass EITHER ``eval_texts`` (a small in-memory benchmark list, hashed
+    here on the driver) or ``eval_hashes`` (a pre-sorted-uniqued uint64
+    array from ``eval_shingle_hashes`` — the scale path when the eval
+    side is itself a Dataset)."""
     import ray
 
-    ev = _shingle_hashes_batch([t or "" for t in eval_texts], k)
-    ev_hashes = (np.unique(np.concatenate(ev)) if ev
-                 else np.empty(0, np.uint64))
+    if eval_hashes is not None:
+        ev_hashes = np.asarray(eval_hashes, np.uint64)
+    else:
+        ev = _shingle_hashes_batch([t or "" for t in eval_texts or []], k)
+        ev_hashes = (np.unique(np.concatenate(ev)) if ev
+                     else np.empty(0, np.uint64))
     ev_ref = ray.put(ev_hashes)
 
     def flag(tbl: pa.Table) -> pa.Table:

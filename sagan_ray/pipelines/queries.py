@@ -664,22 +664,43 @@ LEFT JOIN (
 
 def q_events_sessionize(sf_dir: str):
     """Session windows per user: a new session starts after a >30 min gap.
-    groupby(user).map_groups over ts-sorted events — the per-key ordered
-    window machinery the correlation stage also relies on."""
+    One ``hash_group_apply`` exchange on user_id (NOT Ray Data's
+    sort-based groupby().map_groups — measured at 10-70 s of shuffle
+    overhead for <1 s of work, CLAUDE.md perf notes); inside a bucket the
+    per-user gap count is one vectorized lexsort + boundary scan over ALL
+    of the bucket's users (the ``number_bucket`` shape,
+    sources/events.py:109), no per-user loop."""
     import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds()
-        new_s = (gaps.isna() | (gaps > 1800)).astype(int)
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "n_sessions": [int(new_s.sum())],
-                             "n_events": [len(g)]})
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy()
+        o = np.lexsort((eid, ts, uid))
+        uid, ts = uid[o], ts[o]
+        new_user = np.empty(len(uid), dtype=bool)
+        if len(uid):
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.diff(ts, prepend=ts[0] if len(ts) else 0)
+        new_s = new_user | (gap > 1_800_000_000)   # strict > 1800 s, in us
+        starts = np.flatnonzero(new_user)
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "n_sessions": (np.add.reduceat(new_s.astype(np.int64), starts)
+                           if len(starts) else np.array([], np.int64)),
+            "n_events": np.diff(np.append(starts, len(uid))),
+        })
 
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    schema = pa.schema([("user_id", pa.int64()), ("n_sessions", pa.int64()),
+                        ("n_events", pa.int64())])
+    out = hash_group_apply(ds, ["user_id"], bucket,
+                           out_schema=schema).to_pandas()
     out = out.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -1248,15 +1269,18 @@ def q_curation_pipeline(sf_dir: str):
     (capacity 1024). Five operators chained as one lazy pipeline; the
     oracle replays the identical chain in SQL."""
     from ..datapipe import decontaminate, pack_sequences, token_counts
+    from ..datapipe.curate import eval_shingle_hashes
     from ..datapipe.joins import hash_join
 
-    ev_rows = (_docs(sf_dir)
-               .map_batches(lambda t: t.filter(pa.array(
-                   (t.column("doc_id").to_numpy(zero_copy_only=False)
-                    % _EVAL_MOD) == 0)),
-                   batch_format="pyarrow")
-               .take_all())
-    eval_texts = [r["text"] for r in ev_rows]
+    # eval side: distributed shingle-hash build — only 8-byte hashes
+    # reach the driver, never the eval split's text (the split is 1/17
+    # of the corpus, so a row materialization would be a driver OOM at
+    # scale)
+    ev_hashes = eval_shingle_hashes(
+        _docs(sf_dir).map_batches(lambda t: t.filter(pa.array(
+            (t.column("doc_id").to_numpy(zero_copy_only=False)
+             % _EVAL_MOD) == 0)), batch_format="pyarrow"),
+        k=_DECON_K)
     corpus = _docs(sf_dir).map_batches(
         lambda t: t.filter(pa.array(
             (t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1264,7 +1288,7 @@ def q_curation_pipeline(sf_dir: str):
         batch_format="pyarrow")
 
     toks = token_counts(corpus)
-    flags = decontaminate(corpus, eval_texts, k=_DECON_K)
+    flags = decontaminate(corpus, k=_DECON_K, eval_hashes=ev_hashes)
     j = hash_join(toks, flags, on="doc_id", left_cols=["n_tokens"],
                   right_cols=["contaminated"])
 
@@ -1961,23 +1985,24 @@ _EVAL_MOD = 17          # doc_id % 17 == 0 → the "benchmark" eval split
 
 def q_text_decontam(sf_dir: str):
     """Flag corpus docs sharing any word-5-gram with the eval split
-    (doc_id % 17 == 0). Eval shingle hashes are built once on the driver
-    from the SMALL filtered side and broadcast; the corpus streams."""
+    (doc_id % 17 == 0). Eval shingle hashes are built DISTRIBUTED
+    (per-batch distinct uint64 partials; only hashes reach the driver —
+    never eval text) and broadcast; the corpus streams."""
     from ..datapipe import decontaminate
+    from ..datapipe.curate import eval_shingle_hashes
 
-    ev_rows = (_docs(sf_dir)
-               .map_batches(lambda t: t.filter(pa.array(
-                   (t.column("doc_id").to_numpy(zero_copy_only=False)
-                    % _EVAL_MOD) == 0)),
-                   batch_format="pyarrow")
-               .take_all())
-    eval_texts = [r["text"] for r in ev_rows]
+    ev_hashes = eval_shingle_hashes(
+        _docs(sf_dir).map_batches(lambda t: t.filter(pa.array(
+            (t.column("doc_id").to_numpy(zero_copy_only=False)
+             % _EVAL_MOD) == 0)), batch_format="pyarrow"),
+        k=_DECON_K)
     corpus = _docs(sf_dir).map_batches(
         lambda t: t.filter(pa.array(
             (t.column("doc_id").to_numpy(zero_copy_only=False)
              % _EVAL_MOD) != 0)),
         batch_format="pyarrow")
-    out = decontaminate(corpus, eval_texts, k=_DECON_K).to_pandas()
+    out = decontaminate(corpus, k=_DECON_K,
+                        eval_hashes=ev_hashes).to_pandas()
     out = _typed(out, {"doc_id": "int64", "contaminated": "bool",
                        "n_hits": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
