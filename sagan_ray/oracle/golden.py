@@ -447,3 +447,90 @@ def write_golden_quantized(sf_dir: str, *, n_queries: int, k: int) -> str:
                     "vec_id": pa.array(out_v, pa.int64()),
                     "rank": pa.array(out_r, pa.int64())})
     return _write(tbl, "embed_quantized_topk")
+
+
+def write_golden_bpe(sf_dir: str, *, n_sample: int, n_merges: int,
+                     seed: int) -> str:
+    """Expected output of ``text_tokens_bpe``: an independent sequential
+    BPE — per-doc regex word lists, Counter-based pair counting, per-word
+    encode loops (a word→len memo only; no flat arrays, no unique/scatter,
+    no broadcast) — over the same spec as datapipe/bpe.py's module
+    docstring. Sample = n_sample docs with smallest SplitMix64(id^seed)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _splitmix64
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    texts = t.column("text").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    texts = [texts[i] for i in order]
+    word_re = re.compile(r"[a-z0-9_]+")
+    doc_words = [word_re.findall((x or "").lower()) for x in texts]
+
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    samp = sorted(range(len(ids)), key=lambda i: int(h[i]))[:n_sample]
+    freq = Counter()
+    for i in samp:
+        freq.update(doc_words[i])
+
+    # -- train: naive spec loops
+    vocab = {w: list(w) for w in freq if w}
+
+    def merge_once(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges = []
+    for _ in range(n_merges):
+        pc_ = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += freq[w]
+        if not pc_:
+            break
+        pair, cnt = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(pair)
+        for w in list(vocab):
+            vocab[w] = merge_once(vocab[w], pair[0], pair[1])
+    rank = {p: r for r, p in enumerate(merges)}
+
+    memo: dict[str, int] = {}
+
+    def enc_len(w: str) -> int:
+        v = memo.get(w)
+        if v is not None:
+            return v
+        syms = list(w)
+        while len(syms) > 1:
+            cand = [(rank[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in rank]
+            if not cand:
+                break
+            r = min(cand)[0]
+            pair = merges[r]
+            syms = merge_once(syms, pair[0], pair[1])
+        memo[w] = len(syms)
+        return len(syms)
+
+    n_words = [len(ws) for ws in doc_words]
+    n_bpe = [sum(enc_len(w) for w in ws) for ws in doc_words]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_words": pa.array(n_words, pa.int64()),
+                    "n_tokens_bpe": pa.array(n_bpe, pa.int64())})
+    return _write(tbl, "text_tokens_bpe")

@@ -1679,6 +1679,77 @@ FROM c ORDER BY doc_id
 """
 
 
+_BPE_SAMPLE = 256       # training-sample docs (SplitMix64 smallest)
+_BPE_MERGES = 200
+_BPE_SEED = 11
+
+
+def _bpe_counts(sf_dir: str):
+    """Shared BPE count pipeline: deterministic-sample train on one
+    Dataset consumer, distributed apply on a fresh one."""
+    from ..datapipe.bpe import bpe_token_counts, sample_word_freq, train_bpe
+
+    freq = sample_word_freq(_docs(sf_dir), n_sample=_BPE_SAMPLE,
+                            seed=_BPE_SEED)
+    merges = train_bpe(freq, _BPE_MERGES)
+    return bpe_token_counts(_docs(sf_dir), merges)
+
+
+def q_text_tokens_bpe(sf_dir: str):
+    """Real subword tokenization: BPE merges trained on a deterministic
+    SplitMix64 document sample, applied distributed (per-batch unique-word
+    encode + scatter, merges broadcast once per worker). Hash-verified
+    against a sequential golden BPE (per-doc loops, Counter pair counts —
+    oracle/golden.py::write_golden_bpe); deterministic because sampling,
+    training tiebreaks and encode order are all pure functions of the
+    input (datapipe/bpe.py module docstring)."""
+    from ..oracle.golden import write_golden_bpe
+
+    write_golden_bpe(sf_dir, n_sample=_BPE_SAMPLE, n_merges=_BPE_MERGES,
+                     seed=_BPE_SEED)
+    out = _typed(_bpe_counts(sf_dir).to_pandas(),
+                 {"doc_id": "int64", "n_words": "int64",
+                  "n_tokens_bpe": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_TOKENS_BPE = """
+SELECT doc_id, n_words, n_tokens_bpe
+FROM read_parquet('/tmp/sagan_ray_golden/text_tokens_bpe.parquet')
+ORDER BY doc_id
+"""
+
+
+def q_doc_pack_bpe(sf_dir: str):
+    """Sequence packing on REAL tokenizer counts (capacity 1024 BPE
+    tokens) — the production shape of doc_pack: BPE counts feed the
+    distributed prefix-sum packer. Oracle = the golden BPE counts parquet
+    with the packing replayed as a SQL window sum (packing itself is
+    SQL-expressible given counts; only the tokenizer needs the golden)."""
+    from ..datapipe import pack_sequences
+    from ..oracle.golden import write_golden_bpe
+
+    write_golden_bpe(sf_dir, n_sample=_BPE_SAMPLE, n_merges=_BPE_MERGES,
+                     seed=_BPE_SEED)
+    out = pack_sequences(_bpe_counts(sf_dir), capacity=1024,
+                         count_col="n_tokens_bpe").to_pandas()
+    out = out.astype({"doc_id": "int64", "seq_id": "int64",
+                      "seq_offset": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PACK_BPE = """
+WITH c AS (
+  SELECT doc_id, n_tokens_bpe,
+         sum(n_tokens_bpe) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens_bpe AS cb
+  FROM read_parquet('/tmp/sagan_ray_golden/text_tokens_bpe.parquet'))
+SELECT doc_id, (cb // 1024)::BIGINT AS seq_id,
+       (cb % 1024)::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def q_text_repetition(sf_dir: str):
     from ..datapipe import repetition
 
@@ -2383,6 +2454,8 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
     "doc_pack": q_doc_pack,
+    "text_tokens_bpe": q_text_tokens_bpe,
+    "doc_pack_bpe": q_doc_pack_bpe,
     "text_quantiles": q_text_quantiles,
     "source_quantiles": q_source_quantiles,
     "text_repetition": q_text_repetition,
@@ -2475,6 +2548,8 @@ ORACLES = {
     # writes the expected parquet from an independent sequential spec
     # implementation, the SQL reads it — see oracle/golden.py)
     "dedup_simhash": SQL_SIMHASH_GOLDEN,
+    "text_tokens_bpe": SQL_TEXT_TOKENS_BPE,
+    "doc_pack_bpe": SQL_DOC_PACK_BPE,
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,

@@ -1,0 +1,77 @@
+"""Tests for the deterministic BPE tokenizer (datapipe.bpe): training
+tiebreaks, encode semantics, distributed == sequential parity, and
+block-layout invariance."""
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+    return rd.from_arrow(tbl)
+
+
+def test_train_bpe_merges_most_frequent_pair_first():
+    from sagan_ray.datapipe.bpe import train_bpe
+
+    # 'ab' appears 5x via 'abab' (2 per word, freq 2 => 4) + 'abc' (1)
+    merges = train_bpe({"abab": 2, "abc": 1}, n_merges=2)
+    assert merges[0] == ("a", "b")
+    # after merging a+b: 'abab' -> [ab, ab] pairs ('ab','ab')x2;
+    # 'abc' -> [ab, c] pair ('ab','c')x1 -> second merge is (ab, ab)
+    assert merges[1] == ("ab", "ab")
+
+
+def test_train_bpe_tiebreak_lexicographic():
+    from sagan_ray.datapipe.bpe import train_bpe
+
+    # pairs ('x','y') and ('a','b') both occur twice -> lexicographic
+    merges = train_bpe({"xy": 2, "ab": 2}, n_merges=1)
+    assert merges[0] == ("a", "b")
+
+
+def test_encode_len_leftmost_nonoverlapping():
+    from sagan_ray.datapipe.bpe import encode_len
+
+    # single merge (a, a): 'aaa' merges leftmost-first -> [aa, a] = 2
+    assert encode_len("aaa", {("a", "a"): 0}) == 2
+    assert encode_len("aaaa", {("a", "a"): 0}) == 2      # two passes? no:
+    # pass 1: [aa, aa]; pair (aa,aa) not in ranks -> stop at 2
+    assert encode_len("zzz", {("a", "a"): 0}) == 3
+    assert encode_len("", {}) == 0
+
+
+def test_bpe_counts_match_sequential_and_blocking_invariant():
+    from sagan_ray.datapipe.bpe import (bpe_token_counts, encode_len,
+                                        sample_word_freq, train_bpe)
+
+    texts = ["the cat sat on the mat", "the catcatcat concatenation",
+             "", "zzz qqq the the the", "mat cat bat rat the"] * 10
+    ids = np.arange(len(texts), dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    freq = sample_word_freq(_ds(tbl), n_sample=20, seed=3)
+    merges = train_bpe(freq, 50)
+    assert merges, "training produced no merges on repetitive input"
+    out = (bpe_token_counts(_ds(tbl), merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # sequential expectation (independent of the unique/scatter path)
+    import re
+    ranks = {p: r for r, p in enumerate(merges)}
+    for i, t in enumerate(texts):
+        ws = re.findall(r"[a-z0-9_]+", t.lower())
+        assert out["n_words"][i] == len(ws)
+        assert out["n_tokens_bpe"][i] == sum(encode_len(w, ranks) for w in ws)
+    # BPE can only shorten vs characters and never below 1 token per word
+    assert (out["n_tokens_bpe"] >= out["n_words"]).all()
+
+    # same result at a different block layout (sampling + apply both
+    # claim blocking independence)
+    freq2 = sample_word_freq(_ds(tbl).repartition(7), n_sample=20, seed=3)
+    assert freq2 == freq
+    out2 = (bpe_token_counts(_ds(tbl).repartition(7), merges).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert out2.equals(out)
