@@ -534,3 +534,57 @@ def write_golden_bpe(sf_dir: str, *, n_sample: int, n_merges: int,
                     "n_words": pa.array(n_words, pa.int64()),
                     "n_tokens_bpe": pa.array(n_bpe, pa.int64())})
     return _write(tbl, "text_tokens_bpe")
+
+
+def write_golden_quality_model(sf_dir: str, *, seed: int) -> str:
+    """Expected output of ``text_quality_model``: a sequential per-doc
+    scorer — regex word lists, per-word hash→bucket lookups, Python-int
+    logit accumulation — sharing only the SPEC constants (weight formula,
+    W_DIM/W_RANGE, the rounded sigmoid) with the actor-pool pipeline.
+    Exact because weights and counts are integers; the sigmoid rounds to
+    1e-12 on both sides (datapipe/quality_model.py docstring)."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _splitmix64
+    from ..datapipe.quality_model import W_DIM, W_RANGE
+
+    b = np.arange(W_DIM, dtype=np.uint64)
+    w = (_splitmix64(b ^ np.uint64(seed))
+         % np.uint64(2 * W_RANGE + 1)).astype(np.int64) - W_RANGE
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    texts = t.column("text").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    texts = [texts[i] for i in order]
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    n_words_out, logit_out, score_out = [], [], []
+    for x in texts:
+        ws = word_re.findall((x or "").lower())
+        logit = 0
+        if ws:
+            # one hash_array per doc (element-wise stable); the logit
+            # accumulation stays a Python-int loop
+            hs = pd.util.hash_array(
+                np.array(ws, dtype=object)).astype(np.uint64)
+            bs = _splitmix64(hs) % np.uint64(W_DIM)
+            for bb in bs:
+                logit += int(w[int(bb)])
+        n = max(len(ws), 1)
+        score = float(np.round(
+            1.0 / (1.0 + np.exp(-np.float64(logit) / (n * float(W_RANGE)))),
+            12))
+        n_words_out.append(len(ws))
+        logit_out.append(logit)
+        score_out.append(score)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_words": pa.array(n_words_out, pa.int64()),
+                    "logit_q": pa.array(logit_out, pa.int64()),
+                    "model_quality": pa.array(score_out, pa.float64())})
+    return _write(tbl, "text_quality_model")

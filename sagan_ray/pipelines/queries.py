@@ -1750,6 +1750,31 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_text_quality_model(sf_dir: str):
+    """Model-based quality scoring: hashed-feature linear scorer with the
+    weights artifact loaded ONCE per actor in __init__ (the §2.5
+    loaded-once pattern — the one the datapipe tier otherwise never
+    exercises; swap the npz for fasttext weights and nothing changes).
+    Hash-verified against a sequential per-doc golden — exact because
+    weights/counts are integers and the sigmoid rounds at 1e-12 on both
+    sides (datapipe/quality_model.py)."""
+    from ..datapipe.quality_model import model_quality
+    from ..oracle.golden import write_golden_quality_model
+
+    write_golden_quality_model(sf_dir, seed=23)
+    out = _typed(model_quality(_docs(sf_dir), seed=23).to_pandas(),
+                 {"doc_id": "int64", "n_words": "int64",
+                  "logit_q": "int64", "model_quality": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_QUALITY_MODEL = """
+SELECT doc_id, n_words, logit_q, model_quality
+FROM read_parquet('/tmp/sagan_ray_golden/text_quality_model.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_text_repetition(sf_dir: str):
     from ..datapipe import repetition
 
@@ -2456,6 +2481,7 @@ QUERIES = {
     "doc_pack": q_doc_pack,
     "text_tokens_bpe": q_text_tokens_bpe,
     "doc_pack_bpe": q_doc_pack_bpe,
+    "text_quality_model": q_text_quality_model,
     "text_quantiles": q_text_quantiles,
     "source_quantiles": q_source_quantiles,
     "text_repetition": q_text_repetition,
@@ -2550,6 +2576,7 @@ ORACLES = {
     "dedup_simhash": SQL_SIMHASH_GOLDEN,
     "text_tokens_bpe": SQL_TEXT_TOKENS_BPE,
     "doc_pack_bpe": SQL_DOC_PACK_BPE,
+    "text_quality_model": SQL_TEXT_QUALITY_MODEL,
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
