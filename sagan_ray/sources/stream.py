@@ -78,17 +78,44 @@ def poll_once(input_dir: str, out_dir: str, ruleset: RuleSet,
     return {"files": [os.path.basename(f) for f in new], "routed": int(n)}
 
 
-def follow(input_dir: str, out_dir: str, ruleset: RuleSet,
+def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
            lookups: Lookups | None = None,
            config: EngineConfig | None = None, *,
            poll_seconds: float = 1.0, max_polls: int | None = None,
-           idle_polls_to_stop: int | None = None):
+           idle_polls_to_stop: int | None = None,
+           rules_path: str | None = None,
+           rule_variables: dict[str, str] | None = None,
+           classifications: dict[str, int] | None = None):
     """Follow loop: yields each non-empty poll result. ``max_polls`` /
     ``idle_polls_to_stop`` bound the loop for tests and batch drains
-    (None = run forever, the FIFO blocking-read analog)."""
+    (None = run forever, the FIFO blocking-read analog).
+
+    ``rules_path`` is the SIGHUP ruleset-reload analog (the reference
+    re-reads its rule files on SIGHUP between events —
+    reference/src/sagan.c:729-740, signal-handler.c): when set, the file
+    is re-parsed before any poll whose mtime changed, and the new
+    ruleset applies from that poll on, with correlation state carried
+    (snapshots are keyed by conv bucket, not by ruleset). A parse error
+    is FATAL, as in the reference (rules.c aborts on bad rules) — the
+    manifest makes the crashed poll replayable."""
+    from ..rules.parser import parse_rules_file
+
+    mtime: int | None = None
+    if rules_path is not None:
+        ruleset = parse_rules_file(rules_path, rule_variables,
+                                   classifications)
+        mtime = os.stat(rules_path).st_mtime_ns
+    elif ruleset is None:
+        raise ValueError("follow: need a ruleset or a rules_path")
     polls = 0
     idle = 0
     while True:
+        if rules_path is not None:
+            m = os.stat(rules_path).st_mtime_ns
+            if m != mtime:
+                ruleset = parse_rules_file(rules_path, rule_variables,
+                                           classifications)
+                mtime = m
         res = poll_once(input_dir, out_dir, ruleset, lookups, config)
         polls += 1
         if res["files"]:

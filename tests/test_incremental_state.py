@@ -205,3 +205,52 @@ def test_follow_loop_incremental(tmp_path):
         (c, t, s) for sink, s, c, t in oracle.routed if sink == "alert")
     assert got == want
     assert ("a", 4, 2) in got      # xbit isset only via carried state
+
+
+def test_follow_loop_ruleset_reload(tmp_path):
+    """SIGHUP analog: a rule added to the rules FILE between polls fires
+    on the next poll, with correlation state carried across the reload
+    (the xbit set under the old ruleset satisfies an isset under the
+    new one)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from sagan_ray.sources.stream import follow
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    rules_path = str(tmp_path / "live.rules")
+    base = ('alert any any any -> any any (msg:"set"; content:"login failed"; '
+            "xbits: set,brute,track ip_src,expire 600; sid:1;)\n")
+    with open(rules_path, "w") as f:
+        f.write(base)
+
+    pq.write_table(mk([("a", 0, "login failed", 0)]),
+                   str(in_dir / "p0.parquet"))
+    res = list(follow(str(in_dir), str(out_dir), None, build_lookups(),
+                      EngineConfig(), poll_seconds=0.01,
+                      idle_polls_to_stop=1, rules_path=rules_path))
+    assert [r["files"] for r in res] == [["p0.parquet"]]
+
+    # add an isset rule (the reload) + a new file probing the carried bit
+    with open(rules_path, "a") as f:
+        f.write('alert any any any -> any any (msg:"isset"; '
+                'content:"login success"; xbits: isset,brute,track ip_src; '
+                "sid:2;)\n")
+    os.utime(rules_path, ns=(time.time_ns(), time.time_ns()))
+    pq.write_table(mk([("a", 1, "login success", 100)]),
+                   str(in_dir / "p1.parquet"))
+    res2 = list(follow(str(in_dir), str(out_dir), None, build_lookups(),
+                       EngineConfig(), poll_seconds=0.01,
+                       idle_polls_to_stop=1, rules_path=rules_path))
+    assert res2 and res2[0]["routed"] >= 1
+
+    alert_dir = out_dir / "alerts"
+    sids = set()
+    for f in os.listdir(alert_dir):
+        for r in pq.read_table(os.path.join(alert_dir, f)).to_pylist():
+            sids.add(int(r["sid"]))
+    assert 2 in sids, "reloaded rule did not fire on state set pre-reload"
