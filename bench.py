@@ -166,10 +166,13 @@ def run_bench() -> dict:
         }
 
     # ---- secondary queries over the sf tables ------------------------
-    def timed(name, fn):
-        t = time.time()
-        fn()
-        queries[name] = round(time.time() - t, 3)
+    def timed(name, fn, trials: int = 1):
+        best = float("inf")
+        for _ in range(trials):
+            t = time.time()
+            fn()
+            best = min(best, time.time() - t)
+        queries[name] = round(best, 3)
 
     from sagan_ray.datapipe import (
         brute_force_topk,
@@ -182,17 +185,23 @@ def run_bench() -> dict:
     docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
     embeds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
 
-    timed("dedup_exact", lambda: exact_dedup(docs).count())
-    timed("dedup_minhash_cand", lambda: minhash_lsh_candidates(docs).count())
-    timed("text_tokens", lambda: token_counts(docs).count())
+    # best-of-2 on the cheap, noise-dominated lines: a single run in a
+    # contended minute reads 30-80% high (the r3 driver window), and a
+    # second trial costs ~1 s each
+    timed("dedup_exact", lambda: exact_dedup(docs).count(), trials=2)
+    timed("dedup_minhash_cand", lambda: minhash_lsh_candidates(docs).count(),
+          trials=2)
+    timed("text_tokens", lambda: token_counts(docs).count(), trials=2)
 
     import numpy as np
     import pyarrow.parquet as pq
 
     qv = np.asarray(pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
                     .slice(0, 8).to_pandas()["embedding"].tolist(), dtype=np.float32)
-    timed("ann_topk", lambda: brute_force_topk(embeds, qv, k=10).count())
-    timed("client_stats", lambda: client_stats(read_transcripts(tdir)).count())
+    timed("ann_topk", lambda: brute_force_topk(embeds, qv, k=10).count(),
+          trials=2)
+    timed("client_stats",
+          lambda: client_stats(read_transcripts(tdir)).count(), trials=2)
 
     # wire-format ingest throughput (vectorized pipe parser over 500k
     # synthetic lines; single process so the number is a per-core rate)
@@ -345,6 +354,14 @@ def run_control(k: int) -> float:
 
 
 def run_scaling() -> dict:
+    """Noise-robust N vs 4N measurement (round-3 verdict ask): the lo and
+    hi legs INTERLEAVE across GRAFT_SCALE_ROUNDS rounds (lo,hi,lo,hi,…)
+    with the no-Ray hardware control run ADJACENT to each leg, so a
+    minute-scale CPU-steal burst cannot land entirely on one width. Per
+    width the reported time is the min across rounds (the repo's
+    best-of-N stance: the fastest run estimates uncontended capability)
+    and the control is the max across rounds — same estimator, same
+    direction. Per-round raw numbers ship in the JSON for auditability."""
     def run(ncpu: int) -> dict:
         # children measure only the headline — the secondary query suite
         # is irrelevant to the scaling numbers and would double wall time
@@ -362,17 +379,29 @@ def run_scaling() -> dict:
     # which real N→4N *node* scaling does not share.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
+    t_lo_runs, t_hi_runs, c_lo_runs, c_hi_runs = [], [], [], []
+    r_hi = None
+    for _ in range(rounds):
+        c_lo_runs.append(run_control(lo))
+        r = run(lo)
+        t_lo_runs.append(r["value"])
+        tp_lo = r["turns_per_sec"]
+        c_hi_runs.append(run_control(hi))
+        r_hi = run(hi)
+        t_hi_runs.append(r_hi["value"])
+    t_lo, t_hi = min(t_lo_runs), min(t_hi_runs)
+    c_lo, c_hi = max(c_lo_runs), max(c_hi_runs)
     eff = (t_lo / t_hi) / (hi / lo)
-    c_lo, c_hi = run_control(lo), run_control(hi)
     c_eff = (c_hi / c_lo) / (hi / lo)
+    n_turns = r_hi["n_turns"]
     return {
-        "metric": f"scaling efficiency (num_cpus {lo} → {hi}, same input)",
+        "metric": f"scaling efficiency (num_cpus {lo} → {hi}, same input, "
+                  f"{rounds} interleaved rounds, best-per-width)",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
-        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        f"turns_per_sec_{lo}": round(n_turns / t_lo, 1),
+        f"turns_per_sec_{hi}": round(n_turns / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
         # no-Ray control: same classifier, plain processes — what the
         # virtualized machine itself yields at each width
@@ -381,7 +410,10 @@ def run_scaling() -> dict:
         "control_efficiency": round(c_eff, 3),
         # pipeline efficiency normalized by the hardware ceiling
         "normalized_efficiency": round(min(1.0, eff / c_eff), 3) if c_eff > 0 else None,
-        "n_turns": r_hi["n_turns"],
+        "runs": {f"sec_{lo}": t_lo_runs, f"sec_{hi}": t_hi_runs,
+                 f"control_{lo}": [round(c) for c in c_lo_runs],
+                 f"control_{hi}": [round(c) for c in c_hi_runs]},
+        "n_turns": n_turns,
         "sf": r_hi["sf"],
     }
 
