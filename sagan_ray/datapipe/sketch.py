@@ -95,3 +95,68 @@ def hll_vocab(ds, *, p: int = DEFAULT_P, text_col: str = "text"):
     return pd.DataFrame({"m": pd.Series([m], dtype="int64"),
                          "n_vocab_est": pd.Series([_estimate(reg, p)],
                                                   dtype="float64")})
+
+
+# ----------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimates
+# ----------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 14
+
+
+def _cms_index(wh: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row-j bucket of a word hash: SplitMix64(wh ^ (row+1)) % width —
+    the same per-row seeded finalizer the samplers use. A SPEC function
+    (the golden replays it per word)."""
+    from .ann import _splitmix64
+
+    return (_splitmix64(wh ^ np.uint64(row + 1))
+            % np.uint64(width)).astype(np.int64)
+
+
+def cms_word_counts(ds, probe_words: list[str], *, depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH, text_col: str = "text"):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of word
+    OCCURRENCE counts, probed for ``probe_words``. The frequency
+    companion to ``hll_vocab``: each pinned 64k-row batch emits ONE
+    depth×width int64 blob; blobs combine by elementwise ADDITION —
+    exact integers, so any combine topology (tree, multi-level,
+    restart-resume) yields the identical sketch and the golden
+    sequential spec matches bit-for-bit. Estimate(word) = min over rows
+    of counter[row][index(row, word)]; guaranteed ≥ the true count,
+    with overestimate probability (1/2^…) bounded by depth/width.
+    Returns a pandas DataFrame (word, est) ordered by probe position.
+
+    At 100 TB: the data crosses the wire only as 512 KB partial blobs
+    per 64k-row batch (vs one row per distinct word per batch for the
+    exact exchange) — the bounded-memory path when the vocabulary
+    itself is too large to shuffle."""
+    m = depth * width
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        _, _, _, wh, _ = _words_flat(tbl.column(text_col))
+        cms = np.zeros((depth, width), np.int64)
+        if len(wh):
+            for j in range(depth):
+                np.add.at(cms[j], _cms_index(wh, j, width), 1)
+        return pa.table({"cms": pa.array([cms.tobytes()],
+                                         pa.binary(m * 8))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    cms = np.zeros(depth * width, np.int64)
+    if not parts.empty:
+        for blob in parts["cms"]:
+            cms += np.frombuffer(blob, np.int64)   # exact int sums
+    cms = cms.reshape(depth, width)
+
+    ests = []
+    for w in probe_words:
+        wh = pd.util.hash_array(
+            np.array([w], dtype=object)).astype(np.uint64)
+        est = min(int(cms[j][int(_cms_index(wh, j, width)[0])])
+                  for j in range(depth))
+        ests.append(est)
+    return pd.DataFrame({"word": pd.Series(probe_words, dtype="object"),
+                         "est": pd.Series(ests, dtype="int64")})

@@ -588,3 +588,53 @@ def write_golden_quality_model(sf_dir: str, *, seed: int) -> str:
                     "logit_q": pa.array(logit_out, pa.int64()),
                     "model_quality": pa.array(score_out, pa.float64())})
     return _write(tbl, "text_quality_model")
+
+
+def write_golden_cms(sf_dir: str, probe_words: list[str], *, depth: int,
+                     width: int) -> str:
+    """Expected output of ``corpus_word_cms``: a sequential Count-Min —
+    per-doc regex word lists, one counter increment per word occurrence
+    per row in a plain Python loop (no flat arrays, no np.add.at, no
+    batch blobs). Bit-identical to the distributed sketch BY CONSTRUCTION
+    because counters are exact integer sums (any combine topology gives
+    the same array) and the row-index function is the shared spec
+    (datapipe/sketch.py::_cms_index)."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..datapipe.sketch import _cms_index
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    texts = t.column("text").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    texts = [texts[i] for i in order]
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    cms = [[0] * width for _ in range(depth)]
+    for x in texts:
+        ws = word_re.findall((x or "").lower())
+        if not ws:
+            continue
+        hs = pd.util.hash_array(
+            np.array(ws, dtype=object)).astype(np.uint64)
+        for j in range(depth):
+            # one spec-function call per (doc, row); the counter
+            # increments stay a plain Python loop
+            for ix in _cms_index(hs, j, width):
+                cms[j][int(ix)] += 1
+
+    out_w, out_e = [], []
+    for w in probe_words:
+        h = pd.util.hash_array(
+            np.array([w], dtype=object)).astype(np.uint64)
+        est = min(cms[j][int(_cms_index(h, j, width)[0])]
+                  for j in range(depth))
+        out_w.append(w)
+        out_e.append(est)
+    tbl = pa.table({"word": pa.array(out_w, pa.string()),
+                    "est": pa.array(out_e, pa.int64())})
+    return _write(tbl, "corpus_word_cms")

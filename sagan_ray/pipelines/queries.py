@@ -1775,6 +1775,33 @@ ORDER BY doc_id
 """
 
 
+_CMS_PROBES = ["table", "query", "spark", "vector", "nosuchword"]
+
+
+def q_corpus_word_cms(sf_dir: str):
+    """Count-Min sketch word-frequency estimates — the mergeable
+    FREQUENCY sketch companion to corpus_vocab_sketch's HLL: 512 KB
+    integer blobs per pinned batch, elementwise-add combine (exact ints →
+    any fold topology gives the identical sketch), probed for a fixed
+    word list. Hash-verified against a sequential per-word golden
+    (oracle/golden.py::write_golden_cms); the CMS ≥-true-count guarantee
+    is additionally asserted against exact SQL counts in pytest."""
+    from ..datapipe.sketch import CMS_DEPTH, CMS_WIDTH, cms_word_counts
+    from ..oracle.golden import write_golden_cms
+
+    write_golden_cms(sf_dir, _CMS_PROBES, depth=CMS_DEPTH, width=CMS_WIDTH)
+    out = cms_word_counts(_docs(sf_dir), _CMS_PROBES)
+    return _typed(out, {"word": "object", "est": "int64"}
+                  ).sort_values("word").reset_index(drop=True)
+
+
+SQL_CORPUS_WORD_CMS = """
+SELECT word, est
+FROM read_parquet('/tmp/sagan_ray_golden/corpus_word_cms.parquet')
+ORDER BY word
+"""
+
+
 def q_text_repetition(sf_dir: str):
     from ..datapipe import repetition
 
@@ -2469,6 +2496,7 @@ QUERIES = {
     # <= ~0.5 s measured at sf0.01
     "corpus_stats": q_corpus_stats,
     "corpus_vocab_sketch": q_corpus_vocab_sketch,
+    "corpus_word_cms": q_corpus_word_cms,
     "events_rolling": q_events_rolling,
     "events_window_distinct": q_events_window_distinct,
     "sample_stratified": q_sample_stratified,
@@ -2592,6 +2620,7 @@ ORACLES = {
     "text_tokens_bpe": SQL_TEXT_TOKENS_BPE,
     "doc_pack_bpe": SQL_DOC_PACK_BPE,
     "text_quality_model": SQL_TEXT_QUALITY_MODEL,
+    "corpus_word_cms": SQL_CORPUS_WORD_CMS,
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,

@@ -1045,3 +1045,34 @@ def test_group_percentiles_hand_check_and_empty():
     out = group_percentiles(empty, group_col="source", col="n_chars",
                             qs=[0.5]).to_pandas()
     assert len(out) == 0
+
+
+def test_cms_overestimates_bounded_and_blocking_invariant():
+    """Count-Min estimates are >= exact counts, equal for clearly-hot
+    words at this width, and identical under any block layout (exact
+    integer sums — the semilattice stance)."""
+    import collections
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.sketch import cms_word_counts
+
+    texts = ["the cat sat on the mat " * 3, "dog dog dog cat", "", "mat the"] * 12
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    exact = collections.Counter(
+        w for t in texts for w in re.findall(r"[a-z0-9_]+", t.lower()))
+    probes = ["the", "cat", "dog", "mat", "zebra"]
+    est = cms_word_counts(rd.from_arrow(tbl), probes).set_index("word")["est"]
+    for w in probes:
+        assert est[w] >= exact[w], (w, est[w], exact[w])
+    # width 2^14 >> 5 distinct words: collisions are possible but the
+    # min-over-4-rows makes an overestimate here astronomically unlikely
+    assert est["the"] == exact["the"]
+    assert est["zebra"] == 0
+
+    est2 = cms_word_counts(rd.from_arrow(tbl).repartition(7),
+                           probes).set_index("word")["est"]
+    assert (est2 == est).all()
