@@ -286,6 +286,27 @@ def run_bench() -> dict:
     timed("hll_vocab_100k", lambda: hll_vocab(big_docs))
     timed("text_nll_100k", lambda: unigram_nll(big_docs).count())
 
+    # round-4 operators at the same 100k-doc scale
+    from sagan_ray.datapipe.bpe import (
+        bpe_token_counts,
+        sample_word_freq,
+        train_bpe,
+    )
+    from sagan_ray.datapipe.quality_model import model_quality
+    from sagan_ray.datapipe.sketch import cms_word_counts
+
+    def _bpe_100k():
+        merges = train_bpe(sample_word_freq(big_docs, n_sample=256,
+                                            seed=11), 200)
+        return bpe_token_counts(big_docs, merges).count()
+
+    timed("text_tokens_bpe_100k", _bpe_100k)
+    timed("quality_model_100k",
+          lambda: model_quality(big_docs, concurrency=8,
+                                batch_size=8192).count())
+    timed("word_cms_100k",
+          lambda: cms_word_counts(big_docs, ["w1", "w7", "w42"]))
+
     result = {
         "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",
         "value": round(headline, 3),
