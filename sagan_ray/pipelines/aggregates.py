@@ -225,3 +225,56 @@ def stats_snapshot(input_counts: dict, engine_result,
         else:
             out[k] = v
     return out
+
+
+def role_transitions(ds, key: str = "conv_id", role_col: str = "role",
+                     turn_col: str = "turn_idx"):
+    """Per-conversation dialog-structure profile: counts of adjacent
+    (from_role → to_role) transitions in turn order — the
+    conversation-shape feature a transcript corpus pipeline derives
+    before filtering/stratifying (e.g. assistant→tool density). Returns
+    a long table (key, from_role, to_role, n).
+
+    Ordered per-key work → the shared hash exchange; inside a bucket ONE
+    lexsort over (key, turn) + a shifted-pair factorize + bincount covers
+    every conversation in the bucket (no per-key loop). Only
+    (key, role, turn) columns move — text never ships."""
+    import numpy as np
+    import pandas as pd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df[key].to_numpy()
+        roles = df[role_col].to_numpy()
+        turns = df[turn_col].to_numpy()
+        o = np.lexsort((turns, ks))
+        ks, roles = ks[o], roles[o]
+        same = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            same[0] = False
+            same[1:] = ks[1:] == ks[:-1]     # row i continues row i-1's conv
+        idx = np.flatnonzero(same)
+        if not len(idx):
+            return pd.DataFrame({key: np.array([], ks.dtype),
+                                 "from_role": [], "to_role": [],
+                                 "n": np.array([], np.int64)})
+        trip = pd.DataFrame({key: ks[idx], "from_role": roles[idx - 1],
+                             "to_role": roles[idx]})
+        codes, uniq = pd.factorize(
+            trip[key].astype(str) + "\x00" + trip["from_role"].astype(str)
+            + "\x00" + trip["to_role"].astype(str))
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        first = np.zeros(len(uniq), np.int64)
+        first[codes[::-1]] = np.arange(len(codes))[::-1]
+        return pd.DataFrame({key: trip[key].to_numpy()[first],
+                             "from_role": trip["from_role"].to_numpy()[first],
+                             "to_role": trip["to_role"].to_numpy()[first],
+                             "n": n})
+
+    schema = pa.schema([(key, pa.string()), ("from_role", pa.string()),
+                        ("to_role", pa.string()), ("n", pa.int64())])
+    return hash_group_apply(
+        ds.map_batches(lambda t: t.select([key, role_col, turn_col]),
+                       batch_format="pyarrow"),
+        [key], bucket, out_schema=schema)

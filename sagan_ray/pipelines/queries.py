@@ -608,6 +608,33 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_role_transitions(sf_dir: str):
+    """Per-conversation dialog-structure profile: adjacent role→role
+    transition counts in turn order (one exchange; one lexsort +
+    shifted-pair factorize per bucket — no per-conv loop; text never
+    ships)."""
+    from .aggregates import role_transitions
+
+    out = role_transitions(_transcripts(sf_dir)).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["conv_id", "from_role", "to_role"])
+            .reset_index(drop=True)
+            [["conv_id", "from_role", "to_role", "n"]])
+
+
+SQL_ROLE_TRANSITIONS = _T + """
+, p AS (
+  SELECT conv_id,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_role,
+         role AS to_role
+  FROM t)
+SELECT conv_id, from_role, to_role, count(*)::BIGINT AS n
+FROM p WHERE from_role IS NOT NULL
+GROUP BY conv_id, from_role, to_role
+ORDER BY conv_id, from_role, to_role
+"""
+
+
 def q_track_clients(sf_dir: str):
     from .aggregates import track_clients
 
@@ -2493,6 +2520,7 @@ QUERIES = {
     "client_stats": q_client_stats,
     "track_clients": q_track_clients,
     "rule_tracking": q_rule_tracking,
+    "role_transitions": q_role_transitions,
     # <= ~0.5 s measured at sf0.01
     "corpus_stats": q_corpus_stats,
     "corpus_vocab_sketch": q_corpus_vocab_sketch,
@@ -2621,6 +2649,7 @@ ORACLES = {
     "doc_pack_bpe": SQL_DOC_PACK_BPE,
     "text_quality_model": SQL_TEXT_QUALITY_MODEL,
     "corpus_word_cms": SQL_CORPUS_WORD_CMS,
+    "role_transitions": SQL_ROLE_TRANSITIONS,
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
