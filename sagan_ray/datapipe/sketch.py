@@ -65,13 +65,41 @@ def _estimate(reg: np.ndarray, p: int) -> float:
     return raw
 
 
+def _blob_combine_stage(parts, nbytes: int, fold):
+    """Streaming second combine level for sketch blobs: a map_batches
+    over the blob stream folds every ≤64 blobs into one IN TASKS, so the
+    driver receives O(batches/64) blobs instead of O(batches) — at 100-TB
+    batch counts the driver fold would otherwise be the bottleneck (and
+    for CMS, terabytes of blobs). Folds are semilattice/abelian, so this
+    extra level cannot change the result. Returns the driver-side folded
+    array (None for empty input)."""
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(tbl.column_names[0])
+        acc = None
+        for blob in col.to_pylist():
+            v = np.frombuffer(blob, np.uint8)
+            acc = v.copy() if acc is None else fold(acc, v)
+        return pa.table({tbl.column_names[0]:
+                         pa.array([acc.tobytes()], pa.binary(nbytes))})
+
+    reduced = parts.map_batches(combine, batch_format="pyarrow",
+                                batch_size=64).to_pandas()
+    if reduced.empty:
+        return None
+    acc = None
+    for blob in reduced.iloc[:, 0]:
+        v = np.frombuffer(blob, np.uint8)
+        acc = v.copy() if acc is None else fold(acc, v)
+    return acc
+
+
 def hll_vocab(ds, *, p: int = DEFAULT_P, text_col: str = "text"):
     """Approximate distinct-word count of a documents Dataset. Returns a
     one-row pandas DataFrame (m, n_vocab_est). The distributed part is
-    partial-register blobs only; the driver folds O(batches) 2^p-byte
-    rows (at real scale this fold would itself tree-combine — the blob
-    max is associative/commutative/idempotent, so any topology gives
-    the same registers)."""
+    partial-register blobs only, tree-combined in tasks (64 blobs → 1
+    per level) before a small driver fold — the blob max is associative/
+    commutative/idempotent, so any topology gives the same registers."""
     m = 1 << p
     shift = np.uint64(64 - p)
     pshift = np.uint64(p)
@@ -86,12 +114,10 @@ def hll_vocab(ds, *, p: int = DEFAULT_P, text_col: str = "text"):
         return pa.table({"reg": pa.array([reg.tobytes()], pa.binary(m))})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=65536).to_pandas()
-    reg = np.zeros(m, np.uint8)
-    if parts.empty:        # empty input → no batches → column-less frame
-        parts = pd.DataFrame({"reg": []})
-    for blob in parts["reg"]:
-        reg = np.maximum(reg, np.frombuffer(blob, np.uint8))
+                           batch_size=65536)
+    reg = _blob_combine_stage(parts, m, np.maximum)
+    if reg is None:
+        reg = np.zeros(m, np.uint8)
     return pd.DataFrame({"m": pd.Series([m], dtype="int64"),
                          "n_vocab_est": pd.Series([_estimate(reg, p)],
                                                   dtype="float64")})
@@ -130,8 +156,9 @@ def cms_word_counts(ds, probe_words: list[str], *, depth: int = CMS_DEPTH,
 
     At 100 TB: the data crosses the wire only as 512 KB partial blobs
     per 64k-row batch (vs one row per distinct word per batch for the
-    exact exchange) — the bounded-memory path when the vocabulary
-    itself is too large to shuffle."""
+    exact exchange), tree-combined 64→1 in tasks before a small driver
+    fold — the bounded-memory path when the vocabulary itself is too
+    large to shuffle."""
     m = depth * width
 
     def partial(tbl: pa.Table) -> pa.Table:
@@ -139,16 +166,21 @@ def cms_word_counts(ds, probe_words: list[str], *, depth: int = CMS_DEPTH,
         cms = np.zeros((depth, width), np.int64)
         if len(wh):
             for j in range(depth):
-                np.add.at(cms[j], _cms_index(wh, j, width), 1)
+                # bincount, not np.add.at: same exact integer counts,
+                # ~8× faster scatter (measured at 2.6 M words/batch)
+                cms[j] = np.bincount(_cms_index(wh, j, width),
+                                     minlength=width)
         return pa.table({"cms": pa.array([cms.tobytes()],
                                          pa.binary(m * 8))})
 
+    def fold_add64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (a.view(np.int64) + b.view(np.int64)).view(np.uint8)
+
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=65536).to_pandas()
-    cms = np.zeros(depth * width, np.int64)
-    if not parts.empty:
-        for blob in parts["cms"]:
-            cms += np.frombuffer(blob, np.int64)   # exact int sums
+                           batch_size=65536)
+    acc = _blob_combine_stage(parts, m * 8, fold_add64)
+    cms = (np.zeros(depth * width, np.int64) if acc is None
+           else acc.view(np.int64).copy())
     cms = cms.reshape(depth, width)
 
     ests = []
