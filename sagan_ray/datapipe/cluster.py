@@ -77,8 +77,20 @@ def fit_centroids(ds, *, k: int = 8, n_iters: int = 8,
     # partial (k*d rows) are emitted PER BATCH — the 1024-row default
     # would ship one partial row per two data rows (the IVF sample-pass
     # lesson); exactness is batch-size-independent by construction
-    cdf = ds.map_batches(cand, batch_format="pyarrow",
-                         batch_size=65536).to_pandas()
+    def cand_combine(tbl: pa.Table) -> pa.Table:
+        """Task-side fold: k smallest-hash rows of ≤64 candidate
+        partials (k-smallest merge is associative/commutative, so the
+        extra level is exact); driver rows drop O(batches) → O(b/64)."""
+        if len(tbl) <= k:
+            return tbl
+        hs = tbl.column("h").to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argpartition(hs, k - 1)[:k])
+        return tbl.take(pa.array(keep, pa.int64()))
+
+    cdf = (ds.map_batches(cand, batch_format="pyarrow", batch_size=65536)
+             .map_batches(cand_combine, batch_format="pyarrow",
+                          batch_size=64 * k)
+             .to_pandas())
     if cdf.empty or "h" not in cdf.columns:
         # all-empty Dataset loses columns through to_pandas — fail typed
         raise ValueError("fit_centroids: empty input Dataset (no vectors)")
@@ -109,8 +121,20 @@ def fit_centroids(ds, *, k: int = 8, n_iters: int = 8,
                 "n": pa.array(np.repeat(counts, d)),
             })
 
+        kk_d = cent.shape[0] * cent.shape[1]
+
+        def moment_combine(tbl: pa.Table) -> pa.Table:
+            """Task-side fold of ≤64 k·d-row moment partials (exact int64
+            group-sums — topology-free); driver receives O(batches/64)."""
+            g = (pa.TableGroupBy(tbl, ["cluster", "dim"])
+                 .aggregate([("s", "sum"), ("n", "sum")]))
+            return g.rename_columns(["cluster", "dim", "s", "n"])
+
         p = (ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=65536).to_pandas()
+                            batch_size=65536)
+               .map_batches(moment_combine, batch_format="pyarrow",
+                            batch_size=64 * kk_d)
+               .to_pandas()
              .groupby(["cluster", "dim"], sort=True)
              .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
         d = cent.shape[1]

@@ -61,8 +61,27 @@ def fit_pca(ds, *, n_components: int, vec_col: str = "embedding"):
                          "s2": pa.array([s2.ravel()],
                                         pa.list_(pa.int64()))})
 
-    parts = ds.map_batches(part, batch_format="pyarrow",
-                           batch_size=65536).to_pandas()
+    def combine(tbl: pa.Table) -> pa.Table:
+        """Task-side fold of ≤64 moment partials into one — exact int64
+        sums are topology-free, and the driver then receives
+        O(batches/64) rows instead of O(batches) (at 100-TB batch counts
+        the d² int64 rows would otherwise pile up driver-side)."""
+        if len(tbl) == 0:
+            return tbl
+        n = int(np.asarray(tbl.column("n")).sum())
+        s1 = np.stack(tbl.column("s1").to_pylist()).sum(
+            axis=0, dtype=np.int64)
+        s2 = np.stack(tbl.column("s2").to_pylist()).sum(
+            axis=0, dtype=np.int64)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s1": pa.array([s1], pa.list_(pa.int64())),
+                         "s2": pa.array([s2], pa.list_(pa.int64()))})
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536)
+               .map_batches(combine, batch_format="pyarrow",
+                            batch_size=64)
+               .to_pandas())
     if parts.empty or "n" not in parts.columns:
         # all-empty Dataset: to_pandas() loses the columns (round-3
         # empty-input hardening pattern) — fail typed, not KeyError
