@@ -64,9 +64,18 @@ def eval_shingle_hashes(ds, *, k: int = 5,
              else np.empty(0, np.uint64))
         return pa.table({"h": pa.array(u, pa.uint64())})
 
+    def re_unique(tbl: pa.Table) -> pa.Table:
+        # task-side union of many partials' hash streams (idempotent →
+        # topology-free): the driver then ingests near-deduplicated
+        # hashes instead of every batch's overlapping distinct set
+        u = np.unique(tbl.column("h").to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
     parts = [b.column("h").to_numpy(zero_copy_only=False)
              for b in ds.map_batches(part, batch_format="pyarrow",
                                      batch_size=65536)
+                        .map_batches(re_unique, batch_format="pyarrow",
+                                     batch_size=1 << 20)
                         .iter_batches(batch_format="pyarrow")]
     return (np.unique(np.concatenate(parts)) if parts
             else np.empty(0, np.uint64))
