@@ -1076,3 +1076,66 @@ def test_cms_overestimates_bounded_and_blocking_invariant():
     est2 = cms_word_counts(rd.from_arrow(tbl).repartition(7),
                            probes).set_index("word")["est"]
     assert (est2 == est).all()
+
+
+def test_sketch_combine_level_topology_invariant():
+    """With >64 partial blobs the task-side combine level engages; the
+    folded sketch (and k-means seeds/moments) must be bit-identical to a
+    low-block-count run — exact-integer folds are topology-free."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.sketch import cms_word_counts, hll_vocab
+
+    texts = [f"alpha beta w{i % 97} gamma" for i in range(2600)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    few = rd.from_arrow(tbl)
+    # 130 single-batch blocks of 20 rows: >64 partials → combine stage
+    many = rd.from_arrow(tbl).repartition(130)
+
+    probes = ["alpha", "w3", "w96", "nosuch"]
+    a = cms_word_counts(few, probes).set_index("word")["est"]
+    b = cms_word_counts(many, probes).set_index("word")["est"]
+    assert (a == b).all()
+    assert a["alpha"] == 2600 and a["nosuch"] == 0
+
+    ha = hll_vocab(few)["n_vocab_est"][0]
+    hb = hll_vocab(many)["n_vocab_est"][0]
+    assert ha == hb
+
+
+def test_blob_combine_stage_many_partials():
+    """Drive _blob_combine_stage directly with 200 one-row blob blocks
+    (forcing the >64-per-task fold path) for both the max (HLL) and
+    int64-add (CMS) folds; result must equal the direct driver fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.sketch import _blob_combine_stage
+
+    rng = np.random.RandomState(3)
+    blobs_u8 = [rng.randint(0, 250, size=64).astype(np.uint8)
+                for _ in range(200)]
+    ds = rd.from_arrow(pa.table(
+        {"reg": pa.array([b.tobytes() for b in blobs_u8], pa.binary(64))}))
+    got = _blob_combine_stage(ds, 64, np.maximum)
+    assert np.array_equal(got, np.maximum.reduce(blobs_u8))
+
+    blobs_i64 = [rng.randint(0, 1000, size=8).astype(np.int64)
+                 for _ in range(200)]
+    ds2 = rd.from_arrow(pa.table(
+        {"cms": pa.array([b.tobytes() for b in blobs_i64], pa.binary(64))}))
+
+    def fold_add64(a, b):
+        return (a.view(np.int64) + b.view(np.int64)).view(np.uint8)
+
+    got2 = _blob_combine_stage(ds2, 64, fold_add64)
+    assert np.array_equal(got2.view(np.int64),
+                          np.sum(blobs_i64, axis=0, dtype=np.int64))
+
+    # empty input → None
+    empty = rd.from_arrow(pa.table({"reg": pa.array([], pa.binary(64))}))
+    assert _blob_combine_stage(empty, 64, np.maximum) is None
