@@ -278,3 +278,50 @@ def role_transitions(ds, key: str = "conv_id", role_col: str = "role",
         ds.map_batches(lambda t: t.select([key, role_col, turn_col]),
                        batch_format="pyarrow"),
         [key], bucket, out_schema=schema)
+
+
+def conv_documents(ds, key: str = "conv_id", text_col: str = "text",
+                   role_col: str = "role", turn_col: str = "turn_idx",
+                   sep: str = "\n"):
+    """Render each conversation into ONE training document: turns joined
+    in turn order as ``role: text`` lines — the transcripts→documents
+    bridge that feeds the dedup/text-analysis/packing family when the
+    corpus is conversational. Returns (key, n_turns, doc_text).
+
+    Per-key ordered concatenation → the shared hash exchange; inside a
+    bucket one lexsort orders every conversation, one vectorized
+    elementwise concat builds the per-turn lines, and the only per-key
+    work is the final join over each conversation's slice (O(total
+    bytes), no quadratic string appends)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df[key].to_numpy()
+        turns = df[turn_col].to_numpy()
+        o = np.lexsort((turns, ks))
+        ks = ks[o]
+        lines = (df[role_col].astype(str).to_numpy()[o]
+                 + np.array(": ", dtype=object)
+                 + df[text_col].astype(str).to_numpy()[o])
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(ks))
+        docs = [sep.join(lines[bounds[i]:bounds[i + 1]])
+                for i in range(len(starts))]
+        return pd.DataFrame({key: ks[starts],
+                             "n_turns": np.diff(bounds).astype(np.int64),
+                             "doc_text": docs})
+
+    schema = pa.schema([(key, pa.string()), ("n_turns", pa.int64()),
+                        ("doc_text", pa.large_string())])
+    return hash_group_apply(
+        ds.map_batches(lambda t: t.select([key, role_col, text_col,
+                                           turn_col]),
+                       batch_format="pyarrow"),
+        [key], bucket, out_schema=schema)

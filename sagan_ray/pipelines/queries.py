@@ -635,6 +635,27 @@ ORDER BY conv_id, from_role, to_role
 """
 
 
+def q_conv_documents(sf_dir: str):
+    """Transcripts → one ordered training document per conversation
+    (role-prefixed turns joined in turn order) — the bridge that feeds
+    the dedup/text/packing family from conversational data. Byte-exact
+    vs the SQL string_agg oracle."""
+    from .aggregates import conv_documents
+
+    out = conv_documents(_transcripts(sf_dir)).to_pandas()
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return (out.sort_values("conv_id").reset_index(drop=True)
+            [["conv_id", "n_turns", "doc_text"]])
+
+
+SQL_CONV_DOCUMENTS = _T + """
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+         AS doc_text
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def q_track_clients(sf_dir: str):
     from .aggregates import track_clients
 
@@ -2521,6 +2542,7 @@ QUERIES = {
     "track_clients": q_track_clients,
     "rule_tracking": q_rule_tracking,
     "role_transitions": q_role_transitions,
+    "conv_documents": q_conv_documents,
     # <= ~0.5 s measured at sf0.01
     "corpus_stats": q_corpus_stats,
     "corpus_vocab_sketch": q_corpus_vocab_sketch,
@@ -2650,6 +2672,7 @@ ORACLES = {
     "text_quality_model": SQL_TEXT_QUALITY_MODEL,
     "corpus_word_cms": SQL_CORPUS_WORD_CMS,
     "role_transitions": SQL_ROLE_TRANSITIONS,
+    "conv_documents": SQL_CONV_DOCUMENTS,
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
