@@ -194,3 +194,47 @@ def test_range_bucket_kernel_matches_brute(pv, ivls, bw):
     want = [(i, p) for i, (lo, ln) in enumerate(ivls) if ln > 0
             for p, v in enumerate(pv) if lo <= v < lo + ln]
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="abcx", min_size=1, max_size=6),
+    st.integers(1, 5), max_size=8),
+    st.integers(0, 12))
+def test_bpe_train_encode_against_naive(freq, n_merges):
+    """train_bpe/encode_len vs an independent naive re-derivation:
+    after training, re-applying the merges in rank order to each vocab
+    word must reproduce the trained vocab states, and encode_len must
+    equal that replay's length (the greedy-lowest-rank loop equals
+    in-order replay when merges came from training on this vocab)."""
+    from sagan_ray.datapipe.bpe import _merge_pass, encode_len, train_bpe
+
+    merges = train_bpe(freq, n_merges)
+    ranks = {p: r for r, p in enumerate(merges)}
+    for w in freq:
+        if not w:
+            continue
+        syms = list(w)
+        for pair in merges:          # in-order replay of training merges
+            syms = _merge_pass(syms, pair)
+        assert encode_len(w, ranks) == len(syms), (w, merges)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=8),
+                min_size=1, max_size=6),
+       st.lists(st.tuples(st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+                          st.sampled_from(["a", "b", "ab", "ba", "aa"])),
+                max_size=4))
+def test_bpe_encode_merge_invariants(words, merges):
+    """encode under an ARBITRARY merges table: token count is within
+    [1, len(word)] and deterministic across calls."""
+    from sagan_ray.datapipe.bpe import encode_len
+
+    ranks = {}
+    for p in merges:
+        ranks.setdefault(p, len(ranks))
+    for w in words:
+        n1 = encode_len(w, ranks)
+        assert 1 <= n1 <= len(w)
+        assert n1 == encode_len(w, ranks)
