@@ -1548,6 +1548,52 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_filter(sf_dir: str):
+    """The dedup ACTION: the corpus with only each near-dup cluster's
+    representative kept (doc = rep), i.e. dedup_cluster_reps composed
+    with a distributed equi-join back to the documents — the filtered
+    corpus a training run would actually read. Returns
+    (doc_id, n_chars) of kept docs; ids only cross the exchange."""
+    import pyarrow.compute as pac
+
+    from ..datapipe import dedup_cluster_reps
+    from ..datapipe.joins import hash_join
+
+    kept = dedup_cluster_reps(_docs(sf_dir), threshold=0.9).map_batches(
+        lambda t: t.filter(pac.equal(t.column("doc_id"), t.column("rep")))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pac.cast(pac.utf8_length(t.column("text")),
+                                pa.int64())}),
+        batch_format="pyarrow")
+    j = hash_join(docs, kept.map_batches(
+        lambda t: t.append_column("keep", pa.array([True] * len(t))),
+        batch_format="pyarrow"), on="doc_id", left_cols=["n_chars"],
+        right_cols=["keep"])
+    out = _typed(j.to_pandas()[["doc_id", "n_chars"]],
+                 {"doc_id": "int64", "n_chars": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# same pair/closure CTEs as SQL_DEDUP_CLUSTERS; keep = docs that ARE
+# their cluster's minimum (or have no verified near-dup at all)
+SQL_DEDUP_FILTER = SQL_DEDUP_CLUSTERS.replace(
+    """mn AS (SELECT u, min(v) AS m FROM reach GROUP BY u)
+SELECT d.doc_id, least(d.doc_id, coalesce(mn.m, d.doc_id)) AS rep
+FROM documents d LEFT JOIN mn ON mn.u = d.doc_id
+ORDER BY doc_id
+""",
+    """mn AS (SELECT u, min(v) AS m FROM reach GROUP BY u)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+FROM documents d LEFT JOIN mn ON mn.u = d.doc_id
+WHERE least(d.doc_id, coalesce(mn.m, d.doc_id)) = d.doc_id
+ORDER BY doc_id
+""")
+
+
 def q_text_tokens(sf_dir: str):
     from ..datapipe import token_counts
 
@@ -2598,6 +2644,7 @@ QUERIES = {
     "embed_kmeans": q_embed_kmeans,
     # > 2 s (heaviest fixtures last)
     "dedup_clusters": q_dedup_clusters,
+    "dedup_filter": q_dedup_filter,
     "collocations": q_collocations,
     "embed_semantic_dup": q_embed_semantic_dup,
 }
@@ -2641,6 +2688,7 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_JACCARD,
     "dedup_ngram": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_filter": SQL_DEDUP_FILTER,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
