@@ -136,12 +136,12 @@ def run_bench() -> dict:
                       batch_size=4096)
     _ = warm.routed_counts()
 
-    # best-of-3: the VM's minute-scale CPU-steal noise is ±20-50%; the
-    # fastest of three back-to-back runs is the better estimate of engine
-    # capability (measured spread on identical code: 6.1s-9.5s)
+    # best-of-4: the VM's minute-scale CPU-steal noise is ±20-50% (r4
+    # measured 6.2-13.4 s on identical code); the fastest of four
+    # back-to-back runs is the better estimate of engine capability
     headline = float("inf")
     counts = {}
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         eng = run_engine(read_transcripts(tdir, override_num_blocks=4 * NUM_CPUS),
                          ruleset, lookups, cfg, batch_size=32768)
