@@ -656,6 +656,60 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_transcript_curation(sf_dir: str):
+    """The north-star composition end-to-end: raw transcripts →
+    conversation documents (ordered concat through the exchange) →
+    whitespace token counts → length filter (≥20 tokens) → global sort
+    by user id → GPT-style sequence packing at capacity 2048. The sort
+    is the one legitimate all-to-all here (packing is a globally-ordered
+    prefix sum and the exchange output is hash-ordered); it runs on the
+    per-CONVERSATION table, ~1/40 the turn count. Oracle replays the
+    identical chain in SQL (string_agg → window sum)."""
+    import pyarrow.compute as pac
+
+    from ..datapipe import pack_sequences, token_counts
+    from .aggregates import conv_documents
+
+    docs = conv_documents(_transcripts(sf_dir))
+
+    def to_uid(t: pa.Table) -> pa.Table:
+        uid = pac.cast(pac.utf8_slice_codeunits(
+            t.column("conv_id").combine_chunks(), 1, 32), pa.int64())
+        return pa.table({"uid": uid, "doc_text": t.column("doc_text")})
+
+    toks = token_counts(docs.map_batches(to_uid, batch_format="pyarrow"),
+                        text_col="doc_text", id_col="uid")
+    kept = toks.map_batches(
+        lambda t: t.filter(pac.greater_equal(t.column("n_tokens"), 20))
+                   .select(["uid", "n_tokens"]),
+        batch_format="pyarrow")
+    out = pack_sequences(kept.sort("uid"), capacity=2048,
+                         count_col="n_tokens", id_col="uid").to_pandas()
+    out = out.astype({"uid": "int64", "seq_id": "int64",
+                      "seq_offset": "int64"})
+    return out.sort_values("uid").reset_index(drop=True)
+
+
+SQL_TRANSCRIPT_CURATION = _T + r"""
+, docs AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS d
+  FROM t GROUP BY conv_id),
+v AS (
+  SELECT CAST(substr(conv_id, 2) AS BIGINT) AS uid,
+         CASE WHEN trim(d) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(d), '\s+'))
+         END::BIGINT AS n
+  FROM docs),
+k AS (SELECT uid, n FROM v WHERE n >= 20),
+c AS (SELECT uid, n,
+             sum(n) OVER (ORDER BY uid ROWS UNBOUNDED PRECEDING) - n AS cb
+      FROM k)
+SELECT uid, (cb // 2048)::BIGINT AS seq_id, (cb % 2048)::BIGINT AS seq_offset
+FROM c ORDER BY uid
+"""
+
+
 def q_track_clients(sf_dir: str):
     from .aggregates import track_clients
 
@@ -2589,6 +2643,7 @@ QUERIES = {
     "rule_tracking": q_rule_tracking,
     "role_transitions": q_role_transitions,
     "conv_documents": q_conv_documents,
+    "transcript_curation": q_transcript_curation,
     # <= ~0.5 s measured at sf0.01
     "corpus_stats": q_corpus_stats,
     "corpus_vocab_sketch": q_corpus_vocab_sketch,
@@ -2721,6 +2776,7 @@ ORACLES = {
     "corpus_word_cms": SQL_CORPUS_WORD_CMS,
     "role_transitions": SQL_ROLE_TRANSITIONS,
     "conv_documents": SQL_CONV_DOCUMENTS,
+    "transcript_curation": SQL_TRANSCRIPT_CURATION,
     "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     "embed_near_dup_lsh": SQL_EMBED_LSH_GOLDEN,
     "embed_ivf": SQL_EMBED_IVF_GOLDEN,
