@@ -259,17 +259,20 @@ def role_transitions(ds, key: str = "conv_id", role_col: str = "role",
             return pd.DataFrame({key: np.array([], ks.dtype),
                                  "from_role": [], "to_role": [],
                                  "n": np.array([], np.int64)})
-        trip = pd.DataFrame({key: ks[idx], "from_role": roles[idx - 1],
-                             "to_role": roles[idx]})
-        codes, uniq = pd.factorize(
-            trip[key].astype(str) + "\x00" + trip["from_role"].astype(str)
-            + "\x00" + trip["to_role"].astype(str))
-        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        t_key, t_from, t_to = ks[idx], roles[idx - 1], roles[idx]
+        # numeric composite of three factorized code columns — no
+        # per-row string concatenation
+        kc, _ = pd.factorize(t_key, sort=False)
+        fc, fu = pd.factorize(t_from, sort=False)
+        tc, tu = pd.factorize(t_to, sort=False)
+        comp = (kc.astype(np.int64) * len(fu) + fc) * len(tu) + tc
+        uniq, inv = np.unique(comp, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         first = np.zeros(len(uniq), np.int64)
-        first[codes[::-1]] = np.arange(len(codes))[::-1]
-        return pd.DataFrame({key: trip[key].to_numpy()[first],
-                             "from_role": trip["from_role"].to_numpy()[first],
-                             "to_role": trip["to_role"].to_numpy()[first],
+        first[inv[::-1]] = np.arange(len(inv))[::-1]
+        return pd.DataFrame({key: t_key[first],
+                             "from_role": t_from[first],
+                             "to_role": t_to[first],
                              "n": n})
 
     schema = pa.schema([(key, pa.string()), ("from_role", pa.string()),
