@@ -1139,3 +1139,42 @@ def test_blob_combine_stage_many_partials():
     # empty input → None
     empty = rd.from_arrow(pa.table({"reg": pa.array([], pa.binary(64))}))
     assert _blob_combine_stage(empty, 64, np.maximum) is None
+
+
+def test_conv_documents_and_role_transitions_edges():
+    """Single-turn conversations (no transitions), interleaved turn
+    arrival order, and empty text — against a pandas reference."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.pipelines.aggregates import conv_documents, role_transitions
+
+    rows = [
+        ("a", 1, "assistant", "world"),
+        ("a", 0, "user", "hello"),
+        ("b", 0, "user", ""),                 # single turn, empty text
+        ("a", 2, "tool", "x"),
+        ("c", 1, "assistant", "two"),
+        ("c", 0, "user", "one"),
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows], pa.large_string()),
+    })
+    docs = (conv_documents(rd.from_arrow(tbl)).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    assert list(docs["conv_id"]) == ["a", "b", "c"]
+    assert docs.loc[0, "doc_text"] == "user: hello\nassistant: world\ntool: x"
+    assert docs.loc[1, "doc_text"] == "user: "
+    assert list(docs["n_turns"]) == [3, 1, 2]
+
+    tr = (role_transitions(rd.from_arrow(tbl)).to_pandas()
+          .sort_values(["conv_id", "from_role", "to_role"])
+          .reset_index(drop=True))
+    got = set(map(tuple, tr[["conv_id", "from_role", "to_role", "n"]]
+                  .itertuples(index=False)))
+    assert got == {("a", "user", "assistant", 1),
+                   ("a", "assistant", "tool", 1),
+                   ("c", "user", "assistant", 1)}   # b: no transitions
