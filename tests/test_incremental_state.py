@@ -254,3 +254,50 @@ def test_follow_loop_ruleset_reload(tmp_path):
         for r in pq.read_table(os.path.join(alert_dir, f)).to_pylist():
             sids.add(int(r["sid"]))
     assert 2 in sids, "reloaded rule did not fire on state set pre-reload"
+
+
+def test_follow_loop_reload_parse_error_is_fatal(tmp_path):
+    """A broken edit to the live rules file kills the loop loudly (the
+    reference aborts on bad rules at reload), and the manifest makes the
+    crashed poll replayable afterwards."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sagan_ray.rules.parser import RuleParseError
+    from sagan_ray.sources.stream import follow
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    rules_path = str(tmp_path / "live.rules")
+    good = ('alert any any any -> any any (msg:"m"; content:"login failed"; '
+            "sid:1;)\n")
+    with open(rules_path, "w") as f:
+        f.write(good)
+    pq.write_table(mk([("a", 0, "login failed", 0)]),
+                   str(in_dir / "p0.parquet"))
+    list(follow(str(in_dir), str(out_dir), None, build_lookups(),
+                EngineConfig(), poll_seconds=0.01, idle_polls_to_stop=1,
+                rules_path=rules_path))
+
+    with open(rules_path, "a") as f:
+        f.write("alert any any any -> any any (msg:\"broken\"; content:)\n")
+    os.utime(rules_path, ns=(time.time_ns(), time.time_ns()))
+    pq.write_table(mk([("a", 1, "login failed", 10)]),
+                   str(in_dir / "p1.parquet"))
+    with pytest.raises(RuleParseError):
+        list(follow(str(in_dir), str(out_dir), None, build_lookups(),
+                    EngineConfig(), poll_seconds=0.01,
+                    idle_polls_to_stop=1, rules_path=rules_path))
+
+    # fix the file: the crashed poll replays (p1 was never marked done)
+    with open(rules_path, "w") as f:
+        f.write(good)
+    os.utime(rules_path, ns=(time.time_ns(), time.time_ns()))
+    res = list(follow(str(in_dir), str(out_dir), None, build_lookups(),
+                      EngineConfig(), poll_seconds=0.01,
+                      idle_polls_to_stop=1, rules_path=rules_path))
+    assert [r["files"] for r in res] == [["p1.parquet"]]
