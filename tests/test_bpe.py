@@ -75,3 +75,16 @@ def test_bpe_counts_match_sequential_and_blocking_invariant():
     out2 = (bpe_token_counts(_ds(tbl).repartition(7), merges).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     assert out2.equals(out)
+
+
+def test_sample_word_freq_small_corpus_takes_everything():
+    from sagan_ray.datapipe.bpe import sample_word_freq
+
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a b b", "c"])})
+    freq = sample_word_freq(_ds(tbl), n_sample=100, seed=1)
+    assert freq == {"a": 1, "b": 2, "c": 1}
+    # empty corpus
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert sample_word_freq(_ds(empty), n_sample=10, seed=1) == {}

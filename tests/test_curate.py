@@ -178,3 +178,23 @@ def test_group_topk_ascending_and_small_groups():
            .to_pandas().sort_values(["source", "rk"]).reset_index(drop=True))
     assert out["doc_id"].tolist() == [2, 1, 3]   # g asc: 2(2),9(1); h: 5
     assert out["rk"].tolist() == [1, 2, 1]
+
+
+def test_eval_shingle_hashes_equals_driver_side_hashing():
+    """The distributed eval-hash build must produce exactly the array
+    decontaminate would have built from the texts on the driver."""
+    import numpy as np
+
+    from sagan_ray.datapipe.curate import eval_shingle_hashes
+    from sagan_ray.datapipe.dedup import _shingle_hashes_batch
+
+    texts = ["the quick brown fox jumps over it", "short one", "",
+             "the quick brown fox jumps over it again and again"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    got = eval_shingle_hashes(_ds(tbl), k=5)
+    want = np.unique(np.concatenate(_shingle_hashes_batch(texts, 5)))
+    assert np.array_equal(got, want)
+    # blocking invariance
+    got2 = eval_shingle_hashes(_ds(tbl).repartition(3), k=5)
+    assert np.array_equal(got2, want)
