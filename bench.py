@@ -414,7 +414,6 @@ def run_scaling() -> dict:
         c_lo_runs.append(run_control(lo))
         r = run(lo)
         t_lo_runs.append(r["value"])
-        tp_lo = r["turns_per_sec"]
         c_hi_runs.append(run_control(hi))
         r_hi = run(hi)
         t_hi_runs.append(r_hi["value"])

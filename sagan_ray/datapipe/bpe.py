@@ -144,16 +144,19 @@ def bpe_token_counts(ds, merges: list[tuple[str, str]], *,
     by the number of DISTINCT NEW words, not rows."""
     import ray
 
-    merges_key = tuple(merges)
-    m_ref = ray.put(list(merges_key))
+    m_ref = ray.put([tuple(p) for p in merges])
+    # key the per-worker cache by the broadcast ref id, NOT the merges
+    # tuple — closing over the tuple would ship the whole table in every
+    # task's closure, defeating the ray.put broadcast
+    cache_key = m_ref.binary()
 
     def f(tbl: pa.Table) -> pa.Table:
-        state = _WORKER_BPE.get(merges_key)
+        state = _WORKER_BPE.get(cache_key)
         if state is None:
             ms = ray.get(m_ref)
             state = ({tuple(p): r for r, p in enumerate(ms)}, {})
             _WORKER_BPE.clear()         # one live table per worker
-            _WORKER_BPE[merges_key] = state
+            _WORKER_BPE[cache_key] = state
         ranks, memo = state
         n_docs, doc_of, _, _, words = _words_flat(tbl.column(text_col))
         n_words = np.bincount(doc_of, minlength=n_docs).astype(np.int64)

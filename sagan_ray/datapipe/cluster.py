@@ -128,7 +128,10 @@ def fit_centroids(ds, *, k: int = 8, n_iters: int = 8,
             group-sums — topology-free); driver receives O(batches/64)."""
             g = (pa.TableGroupBy(tbl, ["cluster", "dim"])
                  .aggregate([("s", "sum"), ("n", "sum")]))
-            return g.rename_columns(["cluster", "dim", "s", "n"])
+            # select by NAME before the positional rename — robust to a
+            # pyarrow upgrade changing aggregate output column order
+            return (g.select(["cluster", "dim", "s_sum", "n_sum"])
+                     .rename_columns(["cluster", "dim", "s", "n"]))
 
         p = (ds.map_batches(partial, batch_format="pyarrow",
                             batch_size=65536)

@@ -97,7 +97,9 @@ def decontaminate(ds, eval_texts=None, *, k: int = 5,
     import ray
 
     if eval_hashes is not None:
-        ev_hashes = np.asarray(eval_hashes, np.uint64)
+        # the flag kernel binary-searches this array — enforce (not just
+        # document) sorted+unique; np.unique is a no-op on conforming input
+        ev_hashes = np.unique(np.asarray(eval_hashes, np.uint64))
     else:
         ev = _shingle_hashes_batch([t or "" for t in eval_texts or []], k)
         ev_hashes = (np.unique(np.concatenate(ev)) if ev

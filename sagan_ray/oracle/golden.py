@@ -564,7 +564,7 @@ def write_golden_quality_model(sf_dir: str, *, seed: int) -> str:
     texts = [texts[i] for i in order]
     word_re = re.compile(r"[a-z0-9_]+")
 
-    n_words_out, logit_out, score_out = [], [], []
+    n_words_out, logit_out = [], []
     for x in texts:
         ws = word_re.findall((x or "").lower())
         logit = 0
@@ -576,13 +576,16 @@ def write_golden_quality_model(sf_dir: str, *, seed: int) -> str:
             bs = _splitmix64(hs) % np.uint64(W_DIM)
             for bb in bs:
                 logit += int(w[int(bb)])
-        n = max(len(ws), 1)
-        score = float(np.round(
-            1.0 / (1.0 + np.exp(-np.float64(logit) / (n * float(W_RANGE)))),
-            12))
         n_words_out.append(len(ws))
         logit_out.append(logit)
-        score_out.append(score)
+    # ONE vectorized np.exp over the collected logit array — the same SIMD
+    # array kernel the pipeline uses, so the published rounded score can
+    # never flake on a per-scalar-vs-array 1-ulp exp difference (the
+    # logits themselves are exact integers derived independently above)
+    logit_arr = np.array(logit_out, dtype=np.float64)
+    n_arr = np.maximum(np.array(n_words_out, dtype=np.int64), 1)
+    score_out = np.round(
+        1.0 / (1.0 + np.exp(-logit_arr / (n_arr * float(W_RANGE)))), 12)
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
                     "n_words": pa.array(n_words_out, pa.int64()),
                     "logit_q": pa.array(logit_out, pa.int64()),
