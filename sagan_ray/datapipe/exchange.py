@@ -80,10 +80,14 @@ def hash_group_apply(ds, key_cols: list[str], bucket_fn,
         n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
 
     def _partition(tbl: pa.Table, assign: np.ndarray, k: int):
+        # one COMPACT table per bucket via per-bucket take — never slice
+        # of a sorted take: a sliced Arrow table pickles its FULL backing
+        # buffers, shipping ×k redundant bytes per split task (see
+        # pipelines/engine.py::_bucket_takes; measured 16× on the
+        # correlation exchange map side)
         order = np.argsort(assign, kind="stable")
-        tbl = tbl.take(pa.array(order))
         bounds = np.searchsorted(assign[order], np.arange(k + 1))
-        return [tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        return [tbl.take(pa.array(order[bounds[i]:bounds[i + 1]]))
                 for i in range(k)]
 
     def _key_hash(tbl: pa.Table) -> np.ndarray:

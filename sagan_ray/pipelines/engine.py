@@ -28,10 +28,13 @@ import pyarrow.compute as pc
 
 from ..config import SINK_EMAIL, SINK_EXTERNAL, EngineConfig, Lookups
 from ..rules.model import RuleSet
-from ..stages.classify import MATCH_SCHEMA, RuleClassifier
-from ..stages.correlate import make_arrow_correlator
+from ..stages.classify import (
+    LIST_MATCH_SCHEMA,
+    RuleClassifier,
+    explode_match_lists,
+)
+from ..stages.correlate import make_list_correlator
 
-_MATCH_COLS = [f.name for f in MATCH_SCHEMA]
 
 # per-worker compiled-classifier cache (see run_engine.classify_batch)
 _WORKER_CLASSIFIERS: dict = {}
@@ -215,12 +218,20 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
     # pays seconds of spin-up per execution; plain tasks reuse Ray's warm
     # worker processes and schedule elastically. The cache keys on the
     # broadcast ref so a new ruleset invalidates it.
-    rs_key = ruleset_ref.binary()
+    #
+    # The exchange path classifies in LIST form (one row per matched
+    # turn × class, LIST_MATCH_SCHEMA) so the wide legs — classify output
+    # blocks, bucket slices, correlated output — never duplicate a turn's
+    # text per matching rule; stateless rulesets skip the exchange and
+    # emit the exploded MATCH_SCHEMA directly.
+    list_form = ruleset.has_stateful
+    rs_key = (ruleset_ref.binary(), list_form)
 
     def classify_batch(tbl: pa.Table) -> pa.Table:
         cls = _WORKER_CLASSIFIERS.get(rs_key)
         if cls is None:
-            cls = RuleClassifier(ray.get(ruleset_ref), ray.get(lookups_ref), config)
+            cls = RuleClassifier(ray.get(ruleset_ref), ray.get(lookups_ref),
+                                 config, list_form=list_form)
             if len(_WORKER_CLASSIFIERS) > 4:
                 _WORKER_CLASSIFIERS.clear()
             _WORKER_CLASSIFIERS[rs_key] = cls
@@ -250,10 +261,15 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
                 n_buckets = stored
             else:
                 write_state_meta(state_dir, n_buckets)
-        matches, count_refs = _correlate_exchange(
+        list_matches, count_refs = _correlate_exchange(
             matches, ruleset, n_buckets, state_dir=state_dir,
             max_bucket_bytes=max_bucket_bytes)
-        return EngineResult(matches=matches, ruleset=ruleset, config=config,
+        # public match stream stays the exploded MATCH_SCHEMA — a lazy
+        # vectorized explode over the list-form refs (batch_size=None:
+        # whole blocks, zero re-slicing)
+        exploded = list_matches.map_batches(
+            explode_match_lists, batch_format="pyarrow", batch_size=None)
+        return EngineResult(matches=exploded, ruleset=ruleset, config=config,
                             count_refs=count_refs)
 
     return EngineResult(matches=matches, ruleset=ruleset, config=config)
@@ -313,12 +329,19 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
     one operator the Dataset API can't express efficiently (SURVEY.md
     §4.2), so per the custom-operator guidance it drops to Ray tasks:
 
-      stage 1 (map): each classify output block splits into a
+      stage 1 (map): each classify output block (LIST form — one row per
+        matched turn × class, per-match list columns) splits into a
         stateless slice (verdicts already final) + one slice per
         hash(conv_id) bucket;
-      stage 2 (reduce): one task per bucket concatenates its slices,
-        sorts by (conv_id, turn_idx, rule_idx) and replays the state
-        machine.
+      stage 2 (reduce): one task per bucket concatenates its slices and
+        replays the state machine over the flattened SMALL columns
+        (make_list_correlator — text never explodes), regrouping
+        survivors into list rows.
+
+    The whole exchange moves LIST-form rows: a matched turn's text
+    crosses every wire exactly once per class (≤2×) instead of once per
+    matching rule — the round-4 measured 1.6-2× byte amplification of
+    the widest stream in the system.
 
     Every conversation lands wholly in one bucket task (the partitioning
     assumption correlation needs); n_buckets bounds reduce-task memory at
@@ -335,23 +358,41 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
 
     from ..datapipe.exchange import COALESCE_PARTS, Coalescer
 
-    correlate_tbl = make_arrow_correlator(ruleset)
+    correlate_lists = make_list_correlator(ruleset)
 
     def _count_partial(tbl: pa.Table) -> pa.Table:
-        """(sid, hits, emits) partial for one match table."""
+        """(sid, hits, emits) partial for one match table — accepts both
+        the list-form stream (flattens the tiny sid/emit lists; text never
+        touched) and exploded tables."""
         if len(tbl) == 0:
             return pa.table({"sid": pa.array([], pa.int64()),
                              "hits": pa.array([], pa.int64()),
                              "emits": pa.array([], pa.int64())})
-        t = pa.table({"sid": tbl.column("sid").combine_chunks(),
-                      "emit": pc.cast(tbl.column("emit").combine_chunks(),
-                                      pa.int64())})
+        sid_col = tbl.column("sid").combine_chunks()
+        emit_col = tbl.column("emit").combine_chunks()
+        if pa.types.is_list(sid_col.type):
+            sid_col = pc.list_flatten(sid_col)
+            emit_col = pc.list_flatten(emit_col)
+        t = pa.table({"sid": sid_col,
+                      "emit": pc.cast(emit_col, pa.int64())})
         g = pa.TableGroupBy(t, "sid").aggregate([([], "count_all"), ("emit", "sum")])
         return g.rename_columns(["sid", "hits", "emits"])
 
+    def _bucket_takes(tbl: pa.Table, assign: "_np.ndarray", k: int) -> list:
+        """One COMPACT table per bucket via per-bucket ``take`` — never
+        ``slice`` of a sorted take: a sliced Arrow table pickles its FULL
+        backing buffers (measured: a 200-row bucket slice of a 515 KB
+        stateful table serialized 519 KB — ×n_buckets redundant bytes per
+        block, the same buffer-sharing trap that sank the r4 dictionary
+        variant). Total copy work equals the single big take."""
+        order = _np.argsort(assign, kind="stable")
+        bounds = _np.searchsorted(assign[order], _np.arange(k + 1))
+        return [tbl.take(pa.array(order[bounds[i]:bounds[i + 1]]))
+                for i in range(k)]
+
     @ray.remote
     def split_block(tbl: pa.Table, nb: int):
-        """Map side: stateless slice + per-bucket stateful slices (with a
+        """Map side: stateless slice + per-bucket stateful tables (with a
         tiny per-bucket byte-size array for the driver's skew check) +
         the stateless count partial."""
         sf = tbl.column("stateful").combine_chunks()
@@ -359,13 +400,9 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         state = tbl.filter(sf)
         conv = state.column("conv_id").to_numpy(zero_copy_only=False)
         b = (_pd.util.hash_array(conv.astype(object)) % nb).astype(_np.int64)
-        order = _np.argsort(b, kind="stable")
-        state = state.take(pa.array(order))
-        bounds = _np.searchsorted(b[order], _np.arange(nb + 1))
-        slices = [state.slice(bounds[k], bounds[k + 1] - bounds[k])
-                  for k in range(nb)]
-        sizes = _np.array([s.nbytes for s in slices], dtype=_np.int64)
-        return (stateless, _count_partial(stateless), sizes, *slices)
+        parts = _bucket_takes(state, b, nb)
+        sizes = _np.array([s.nbytes for s in parts], dtype=_np.int64)
+        return (stateless, _count_partial(stateless), sizes, *parts)
 
     @ray.remote
     def refine_block(tbl: pa.Table, nb: int, k: int):
@@ -378,11 +415,7 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
         h = _pd.util.hash_array(conv.astype(object))
         b = ((h // nb) % k).astype(_np.int64)
-        order = _np.argsort(b, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        bounds = _np.searchsorted(b[order], _np.arange(k + 1))
-        return tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-                     for i in range(k))
+        return tuple(_bucket_takes(tbl, b, k))
 
     @ray.remote(num_returns=2)
     def corr_bucket(bucket_id, *tables):
@@ -398,11 +431,11 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         if not parts:
             if state_dir is not None:
                 save_bucket_state(state_dir, bucket_id, out_states)
-            e = MATCH_SCHEMA.empty_table()
+            e = LIST_MATCH_SCHEMA.empty_table()
             return e, _count_partial(e)
         tbl = pa.concat_tables(parts)
-        out = correlate_tbl(tbl, init_states=init_states,
-                            out_states=out_states).select(_MATCH_COLS)
+        out = correlate_lists(tbl, init_states=init_states,
+                              out_states=out_states)
         if state_dir is not None:
             # per-conversation watermarks (max ts seen per conv in this
             # run) — a bucket-global max could prune live bits of convs

@@ -55,6 +55,63 @@ MATCH_SCHEMA = pa.schema([
     ("tool", pa.string()),
 ])
 
+# List-form match stream: ONE row per (matched turn × statefulness class)
+# with per-match list columns, instead of one row per (turn × rule). The
+# turn's text/role/tool cross the wire once per class (≤2×, almost always
+# 1×) rather than once per matching rule (1.6-2× extra bytes measured on
+# the bench ruleset — the r4 bandwidth ceiling). ``stateful`` and
+# ``pass_conditional`` are turn×class-level scalars: a turn that hit a
+# stateful pass rule routes ALL its matches through the correlator, so
+# every match in a row shares the class flag by construction.
+# ``explode_match_lists`` recovers MATCH_SCHEMA rows exactly.
+LIST_MATCH_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("stateful", pa.bool_()),
+    ("pass_conditional", pa.bool_()),
+    ("ts_epoch", pa.int64()),
+    ("rule_idx", pa.list_(pa.int32())),
+    ("sid", pa.list_(pa.int64())),
+    ("emit", pa.list_(pa.bool_())),
+    ("src_ip", pa.list_(pa.string())),
+    ("dst_ip", pa.list_(pa.string())),
+    ("src_port", pa.list_(pa.int32())),
+    ("dst_port", pa.list_(pa.int32())),
+    ("username", pa.list_(pa.string())),
+    ("text", pa.large_string()),
+    ("role", pa.string()),
+    ("tool", pa.string()),
+])
+
+_LIST_COLS = [f.name for f in LIST_MATCH_SCHEMA]
+
+
+def explode_match_lists(tbl: pa.Table) -> pa.Table:
+    """LIST_MATCH_SCHEMA → MATCH_SCHEMA: flatten the per-match list
+    columns, repeat the per-turn scalars (vectorized: one list_flatten per
+    list column + one take per scalar column). Within a row the matches
+    keep their stored order (rule_idx ascending — the classify emit
+    order), so exploding reproduces the pre-list stream exactly."""
+    if len(tbl) == 0:
+        return MATCH_SCHEMA.empty_table()
+    cols = {n: tbl.column(n).combine_chunks() for n in tbl.column_names}
+    lens = pc.list_value_length(cols["rule_idx"]).to_numpy().astype(np.int64)
+    take = pa.array(np.repeat(np.arange(len(tbl), dtype=np.int64), lens))
+
+    def flat(name):
+        return pc.list_flatten(cols[name])
+
+    def rep(name):
+        return cols[name].take(take)
+
+    return pa.Table.from_arrays([
+        rep("conv_id"), rep("turn_idx"), flat("rule_idx"), flat("sid"),
+        rep("stateful"), flat("emit"), rep("pass_conditional"),
+        rep("ts_epoch"), flat("src_ip"), flat("dst_ip"), flat("src_port"),
+        flat("dst_port"), flat("username"), rep("text"), rep("role"),
+        rep("tool"),
+    ], schema=MATCH_SCHEMA)
+
 
 def _re2_ok(pattern: str) -> bool:
     """Can Arrow's RE2 handle this pattern? (pcre fallback decision)"""
@@ -199,13 +256,18 @@ class RuleClassifier:
     """Actor-pool batch classifier. ``__init__`` once per actor (compiles
     the ruleset, loads broadcast lookups); ``__call__`` per Arrow batch."""
 
-    def __init__(self, ruleset, lookups=None, config: EngineConfig | None = None):
+    def __init__(self, ruleset, lookups=None, config: EngineConfig | None = None,
+                 list_form: bool = False):
         import ray
 
         if isinstance(ruleset, ray.ObjectRef):
             ruleset = ray.get(ruleset)
         if lookups is not None and isinstance(lookups, ray.ObjectRef):
             lookups = ray.get(lookups)
+        # list_form=True emits LIST_MATCH_SCHEMA (one row per matched
+        # turn × class) — the engine's exchange path; False emits the
+        # exploded MATCH_SCHEMA directly
+        self.list_form = bool(list_form)
         self.ruleset: RuleSet = ruleset
         self.lookups: Lookups = lookups or Lookups()
         self.config = config or EngineConfig()
@@ -262,10 +324,11 @@ class RuleClassifier:
 
     # ------------------------------------------------------------------
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        empty = (LIST_MATCH_SCHEMA if self.list_form else MATCH_SCHEMA)
         tbl = _drop_invalid(tbl, self.config)
         n = len(tbl)
         if n == 0:
-            return MATCH_SCHEMA.empty_table()
+            return empty.empty_table()
 
         text_col = pc.cast(tbl.column("text").combine_chunks(), pa.large_string())
         role_np = pc.fill_null(tbl.column("role"), "").to_numpy(zero_copy_only=False)
@@ -284,7 +347,7 @@ class RuleClassifier:
                 hit_rows.append(idx)
                 hit_rules.append(plan.rule.idx)
         if not hit_rows:
-            return MATCH_SCHEMA.empty_table()
+            return empty.empty_table()
 
         return self._explode(tbl, ctx, hit_rows, hit_rules)
 
@@ -515,25 +578,75 @@ class RuleClassifier:
                 if self.needs_username:
                     usernames[k] = ctx.username_row(i)
 
-        take = pa.array(row_idx, pa.int64())
-        return pa.Table.from_arrays([
-            tbl.column("conv_id").take(take).combine_chunks(),
-            tbl.column("turn_idx").take(take).combine_chunks(),
-            pa.array(rule_idx, pa.int32()),
-            pa.array(sids, pa.int64()),
-            pa.array(stateful, pa.bool_()),
-            pa.array(emits, pa.bool_()),
-            pa.array(pc_flag, pa.bool_()),
-            pa.array(ctx.ts_epoch[row_idx], pa.int64()),
-            pa.array(src_ips, pa.string()),
-            pa.array(dst_ips, pa.string()),
-            pa.array(src_ports, pa.int32()),
-            pa.array(dst_ports, pa.int32()),
-            pa.array(usernames, pa.string()),
-            pc.cast(tbl.column("text").take(take).combine_chunks(), pa.large_string()),
-            tbl.column("role").take(take).combine_chunks(),
-            tbl.column("tool").take(take).combine_chunks(),
-        ], schema=MATCH_SCHEMA)
+        if not self.list_form:
+            take = pa.array(row_idx, pa.int64())
+            return pa.Table.from_arrays([
+                tbl.column("conv_id").take(take).combine_chunks(),
+                tbl.column("turn_idx").take(take).combine_chunks(),
+                pa.array(rule_idx, pa.int32()),
+                pa.array(sids, pa.int64()),
+                pa.array(stateful, pa.bool_()),
+                pa.array(emits, pa.bool_()),
+                pa.array(pc_flag, pa.bool_()),
+                pa.array(ctx.ts_epoch[row_idx], pa.int64()),
+                pa.array(src_ips, pa.string()),
+                pa.array(dst_ips, pa.string()),
+                pa.array(src_ports, pa.int32()),
+                pa.array(dst_ports, pa.int32()),
+                pa.array(usernames, pa.string()),
+                pc.cast(tbl.column("text").take(take).combine_chunks(), pa.large_string()),
+                tbl.column("role").take(take).combine_chunks(),
+                tbl.column("tool").take(take).combine_chunks(),
+            ], schema=MATCH_SCHEMA)
+
+        # ---- list-form emit: one row per (matched turn × class) --------
+        # per-match value arrays built once, then sliced per class with a
+        # take — the turn's text is gathered once per class row, never
+        # once per rule
+        rule_full = pa.array(rule_idx, pa.int32())
+        sid_full = pa.array(sids, pa.int64())
+        emit_full = pa.array(emits, pa.bool_())
+        src_full = pa.array(src_ips, pa.string())
+        dst_full = pa.array(dst_ips, pa.string())
+        sp_full = pa.array(src_ports, pa.int32())
+        dp_full = pa.array(dst_ports, pa.int32())
+        un_full = pa.array(usernames, pa.string())
+
+        parts = []
+        for cls_val in (False, True):
+            sub = np.flatnonzero(stateful == cls_val)
+            if len(sub) == 0:
+                continue
+            rows = row_idx[sub]              # non-decreasing (stable subset
+            #                                  of the (row, rule) sort)
+            starts = np.flatnonzero(
+                np.concatenate(([True], rows[1:] != rows[:-1])))
+            offsets = pa.array(
+                np.concatenate((starts, [len(rows)])).astype(np.int32))
+            parents = rows[starts]
+            take_rows = pa.array(parents, pa.int64())
+            take_sub = pa.array(sub, pa.int64())
+
+            def lst(full):
+                return pa.ListArray.from_arrays(offsets, full.take(take_sub))
+
+            parts.append(pa.Table.from_arrays([
+                tbl.column("conv_id").take(take_rows).combine_chunks(),
+                tbl.column("turn_idx").take(take_rows).combine_chunks(),
+                pa.array(np.full(len(parents), cls_val, dtype=bool)),
+                pa.array(pass_cond[parents]),
+                pa.array(ctx.ts_epoch[parents], pa.int64()),
+                lst(rule_full), lst(sid_full), lst(emit_full),
+                lst(src_full), lst(dst_full), lst(sp_full), lst(dp_full),
+                lst(un_full),
+                pc.cast(tbl.column("text").take(take_rows).combine_chunks(),
+                        pa.large_string()),
+                tbl.column("role").take(take_rows).combine_chunks(),
+                tbl.column("tool").take(take_rows).combine_chunks(),
+            ], schema=LIST_MATCH_SCHEMA))
+        if not parts:
+            return LIST_MATCH_SCHEMA.empty_table()
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     @property
     def stateless_pass_set(self):

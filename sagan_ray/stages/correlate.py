@@ -212,3 +212,91 @@ def make_arrow_correlator(ruleset: RuleSet):
                                pa.array(emit_sorted.astype(bool)))
 
     return correlate_tbl
+
+
+def make_list_correlator(ruleset: RuleSet):
+    """List-form variant for the exchange reduce side (input/output
+    ``stages.classify.LIST_MATCH_SCHEMA`` — one row per matched turn ×
+    class, per-match list columns). Only the SMALL columns flatten into
+    the replay frame; the (large) ``text`` column is never exploded —
+    survivors regroup into list rows keyed by their input row, so each
+    surviving turn's text crosses the object store once regardless of how
+    many of its rules survive. Semantics delegate to the same
+    ``make_correlator`` state machine as the exploded variant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .classify import LIST_MATCH_SCHEMA
+
+    pandas_correlate = make_correlator(ruleset)
+
+    def correlate_lists(tbl: pa.Table, init_states=None, out_states=None) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        cols = {n: tbl.column(n).combine_chunks() for n in tbl.column_names}
+        lens = pc.list_value_length(cols["rule_idx"]).to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(len(tbl), dtype=np.int64), lens)
+
+        def rep_np(name):
+            return cols[name].to_numpy(zero_copy_only=False)[parent]
+
+        def flat_np(name):
+            return pc.list_flatten(cols[name]).to_numpy(zero_copy_only=False)
+
+        # exploded SMALL frame in parent-major order (matches within a
+        # row already rule_idx-ascending from the classify emit; the
+        # correlator sorts by (conv, turn, rule) itself and reports
+        # survivors by THIS frame's positions)
+        df = pd.DataFrame({
+            "conv_id": rep_np("conv_id"),
+            "turn_idx": rep_np("turn_idx"),
+            "rule_idx": flat_np("rule_idx"),
+            "ts_epoch": rep_np("ts_epoch"),
+            "src_ip": flat_np("src_ip"),
+            "dst_ip": flat_np("dst_ip"),
+            "src_port": flat_np("src_port"),
+            "dst_port": flat_np("dst_port"),
+            "username": flat_np("username"),
+            "stateful": rep_np("stateful"),
+            "emit": flat_np("emit"),
+        })
+        out = pandas_correlate(df, init_states=init_states,
+                               out_states=out_states)
+        keep = np.sort(np.asarray(out.index, dtype=np.int64))
+        if len(keep) == 0:
+            return LIST_MATCH_SCHEMA.empty_table()
+        emit_by_pos = pd.Series(out["emit"].to_numpy(), index=out.index)
+        emit_sorted = emit_by_pos.loc[keep].to_numpy().astype(bool)
+
+        # regroup survivors by parent row (parent is globally
+        # non-decreasing, so sorted ``keep`` keeps runs contiguous and
+        # preserves within-turn rule order)
+        p = parent[keep]
+        starts = np.flatnonzero(np.concatenate(([True], p[1:] != p[:-1])))
+        offsets = pa.array(
+            np.concatenate((starts, [len(p)])).astype(np.int32))
+        take_rows = pa.array(p[starts], pa.int64())
+        keep_arr = pa.array(keep, pa.int64())
+
+        def lst(name):
+            return pa.ListArray.from_arrays(
+                offsets, pc.list_flatten(cols[name]).take(keep_arr))
+
+        return pa.Table.from_arrays([
+            cols["conv_id"].take(take_rows),
+            cols["turn_idx"].take(take_rows),
+            cols["stateful"].take(take_rows),
+            cols["pass_conditional"].take(take_rows),
+            cols["ts_epoch"].take(take_rows),
+            lst("rule_idx"), lst("sid"),
+            pa.ListArray.from_arrays(offsets, pa.array(emit_sorted, pa.bool_())),
+            lst("src_ip"), lst("dst_ip"), lst("src_port"), lst("dst_port"),
+            lst("username"),
+            cols["text"].take(take_rows),
+            cols["role"].take(take_rows),
+            cols["tool"].take(take_rows),
+        ], schema=LIST_MATCH_SCHEMA)
+
+    return correlate_lists
