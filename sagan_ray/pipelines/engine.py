@@ -195,14 +195,25 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
                config: EngineConfig | None = None, *,
                concurrency=None, batch_size: int = 16384,
                state_dir: str | None = None,
-               max_bucket_bytes: int = 256 << 20) -> EngineResult:
+               max_bucket_bytes: int = 256 << 20,
+               task_retries: int = 3) -> EngineResult:
     """Build the lazy match pipeline over a transcript Dataset.
 
     ``state_dir``: when given, correlation state (xbits/flexbits/after/
     threshold) is loaded per bucket before the replay and snapshotted back
     after it — incremental runs over later input continue each
     conversation's state (requires later runs to carry strictly later
-    turn_idx per conv; see sagan_ray.state.snapshot)."""
+    turn_idx per conv; see sagan_ray.state.snapshot).
+
+    ``task_retries``: max_retries for the exchange's raw Ray tasks.
+    The default (Ray's 3) keeps worker-crash retries and lineage
+    reconstruction, at a measured ~30 KB of driver memory per classify
+    block of retained lineage (task specs pinned while the coalesced
+    outputs live). For 1 M+-block inputs (100 TB tier), run
+    ``task_retries=0`` with a ``state_dir``: driver memory goes flat
+    (~8 KB/block incl. all fixed costs, stress_exchange --engine) and a
+    mid-run loss degrades to a bucket-granular incremental re-run via the
+    snapshots instead of a task retry."""
     import ray
 
     config = config or EngineConfig()
@@ -263,7 +274,7 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
                 write_state_meta(state_dir, n_buckets)
         list_matches, count_refs = _correlate_exchange(
             matches, ruleset, n_buckets, state_dir=state_dir,
-            max_bucket_bytes=max_bucket_bytes)
+            max_bucket_bytes=max_bucket_bytes, task_retries=task_retries)
         # public match stream stays the exploded MATCH_SCHEMA — a lazy
         # vectorized explode over the list-form refs (batch_size=None:
         # whole blocks, zero re-slicing)
@@ -318,7 +329,8 @@ def run_engine_dynamic(ds, ruleset: RuleSet, lookups: Lookups | None = None,
 
 def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
                         state_dir: str | None = None,
-                        max_bucket_bytes: int = 256 << 20):
+                        max_bucket_bytes: int = 256 << 20,
+                        task_retries: int = 3):
     """Two-stage hash exchange + per-bucket ordered replay for the
     stateful tail — raw Ray core, not ``groupby().map_groups``.
 
@@ -346,10 +358,22 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
     Every conversation lands wholly in one bucket task (the partitioning
     assumption correlation needs); n_buckets bounds reduce-task memory at
     scale — raise it for bigger inputs, salt only if one conversation's
-    *matches* outgrow a worker (SURVEY.md §4 hard part #4). Trade-off:
-    ``to_arrow_refs`` pins the (reduced) match stream in the object store
-    and the exchange isn't lineage-reconstructable — acceptable for the
-    smallest, already-filtered leg of the pipeline.
+    *matches* outgrow a worker (SURVEY.md §4 hard part #4).
+
+    Failure story (documented stance): split/refine/corr tasks are
+    deterministic ``@ray.remote`` tasks, so a worker crash retries
+    transparently (Ray default max_retries) and a lost task OUTPUT is
+    lineage-reconstructed while its inputs remain addressable; what is
+    NOT recoverable is a lost CLASSIFY block (streaming-executor output —
+    no lineage once its bundle is consumed). On that loss the run fails
+    and re-runs — and with ``state_dir`` set the re-run is incremental at
+    BUCKET granularity (each reduce snapshots its correlation state +
+    per-conv watermarks), the same recovery unit the reference gets from
+    mmap files surviving a crash (src/ipc.c:458-733). Driver footprint
+    is O(COALESCE_PARTS + n_buckets) held refs: every per-block ref
+    family (stateless slice, count partial, size array) funnels through
+    a Coalescer (`tools/stress_exchange.py --engine` measures RSS flat
+    in block count).
     """
     import numpy as _np
     import pandas as _pd
@@ -468,11 +492,28 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
                 "part", pa.array([lbl] * len(t), pa.string())))
         return pa.concat_tables(parts)
 
+    @ray.remote
+    def sum_sizes(*arrays):
+        out = arrays[0].copy()
+        for a in arrays[1:]:
+            out += a
+        return out
+
     # stream classify output blocks into split tasks as they finish, so
-    # the map side of the exchange overlaps the classify stage
-    stateless_refs: list = []
-    count_refs: list = []
-    size_refs: list = []
+    # the map side of the exchange overlaps the classify stage. EVERY
+    # per-block ref family funnels through a Coalescer, so driver-held
+    # refs stay O(COALESCE_PARTS + n_buckets) regardless of block count
+    # (a 100 TB input is ~1.6 M blocks — per-block refs at ~9 KB RSS each
+    # would be ~14 GB of driver memory):
+    #   stateless slices → remote concat (also merges many tiny blocks
+    #     into fewer, larger downstream blocks),
+    #   count partials  → labeled concat (labels survive; metrics() reads
+    #     the `part` column, not ref identity),
+    #   size arrays     → remote elementwise sum.
+    _co = coalesce.options(max_retries=task_retries)
+    stateless_parts = Coalescer(_co)
+    count_parts = Coalescer(_co)
+    size_parts = Coalescer(sum_sizes.options(max_retries=task_retries))
     pending_counts: list = []
     pending_labels: list = []
 
@@ -480,28 +521,31 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         pending_counts.append(ref)
         pending_labels.append(label)
         if flush or len(pending_counts) >= COALESCE_PARTS:
-            count_refs.append(combine_counts.remote(
+            count_parts.add(combine_counts.options(
+                max_retries=task_retries).remote(
                 list(pending_labels), *pending_counts))
             pending_counts.clear()
             pending_labels.clear()
 
-    bucket_parts = [Coalescer(coalesce) for _ in range(n_buckets)]
+    bucket_parts = [Coalescer(_co) for _ in range(n_buckets)]
     n_blocks = 0
     for bundle in matches_ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            outs = split_block.options(num_returns=n_buckets + 3).remote(
+            outs = split_block.options(num_returns=n_buckets + 3,
+                                       max_retries=task_retries).remote(
                 block_ref, n_buckets)
-            stateless_refs.append(outs[0])
+            stateless_parts.add(outs[0])
             push_count(outs[1], f"p{n_blocks:05d}")
-            size_refs.append(outs[2])
+            size_parts.add(outs[2])
             for k in range(n_buckets):
                 bucket_parts[k].add(outs[k + 3])
             n_blocks += 1
 
     bucket_bytes = _np.zeros(n_buckets, dtype=_np.int64)
-    for s in ray.get(size_refs):
+    for s in ray.get(size_parts.parts()):
         bucket_bytes += s
 
+    reduced_refs: list = []
     for k in range(n_buckets):
         sub = int(min(64, -(-int(bucket_bytes[k]) // max(1, max_bucket_bytes))))
         if sub >= 2 and state_dir is None:
@@ -510,21 +554,25 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
             # the 1:1 bucket↔snapshot-file layout and skip refinement)
             subs: list[list] = [[] for _ in range(sub)]
             for part in bucket_parts[k].parts():
-                sub_outs = refine_block.options(num_returns=sub).remote(
+                sub_outs = refine_block.options(num_returns=sub,
+                                                max_retries=task_retries).remote(
                     part, n_buckets, sub)
                 for j in range(sub):
                     subs[j].append(sub_outs[j])
             for j in range(sub):
-                tbl_ref, cnt_ref = corr_bucket.remote(k, *subs[j])
-                stateless_refs.append(tbl_ref)
+                tbl_ref, cnt_ref = corr_bucket.options(
+                    max_retries=task_retries).remote(k, *subs[j])
+                reduced_refs.append(tbl_ref)
                 push_count(cnt_ref, f"b{k:04d}.{j}")
         else:
-            tbl_ref, cnt_ref = corr_bucket.remote(k, *bucket_parts[k].parts())
-            stateless_refs.append(tbl_ref)
+            tbl_ref, cnt_ref = corr_bucket.options(
+                max_retries=task_retries).remote(k, *bucket_parts[k].parts())
+            reduced_refs.append(tbl_ref)
             push_count(cnt_ref, f"b{k:04d}")
     if pending_counts:
         push_count(pending_counts.pop(), pending_labels.pop(), flush=True)
-    return rd.from_arrow_refs(stateless_refs), count_refs
+    return (rd.from_arrow_refs(stateless_parts.parts() + reduced_refs),
+            count_parts.parts())
 
 
 def input_counters(ds, config: EngineConfig | None = None) -> dict[str, int]:

@@ -277,3 +277,32 @@ def test_metrics_schema_consistent_with_empty_partials():
     assert m.schema.names == ["sid", "hits", "emits", "part"]
     assert str(m.schema.field("part").type) == "string"
     assert m.num_rows >= 1
+
+
+def test_task_retries_zero_same_results():
+    """task_retries=0 (the flat-driver-memory 100 TB recipe) must change
+    only the retry policy, never the verdicts."""
+    import ray.data as rd
+
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules.parser import parse_rules
+
+    tbl = mk([
+        ("a", 0, "login failed", 0),
+        ("a", 1, "login success", 10),
+        ("b", 0, "login success", 5),
+        ("b", 1, "login failed", 8),
+        ("b", 2, "logout", 20),
+    ])
+    rs = parse_rules(XBIT)
+    base = run_engine(rd.from_arrow(tbl), rs, batch_size=2)
+    nolineage = run_engine(rd.from_arrow(tbl), rs, batch_size=2,
+                           task_retries=0)
+    assert base.hit_counts() == nolineage.hit_counts()
+    a = base.matches.to_pandas().sort_values(
+        ["conv_id", "turn_idx", "rule_idx"]).reset_index(drop=True)
+    b = nolineage.matches.to_pandas().sort_values(
+        ["conv_id", "turn_idx", "rule_idx"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
