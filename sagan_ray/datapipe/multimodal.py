@@ -2,13 +2,15 @@
 columns with typed metadata, processed by actor-pool map_batches stages.
 
 The decode kernels are REAL for the formats the standard library can
-handle — 24-bit uncompressed BMP images (struct + numpy), PCM16 WAV audio
+handle — 24-bit uncompressed BMP and 8-bit RGB/RGBA PNG images (zlib
+inflate + numpy unfilter, all five PNG filter types), PCM16 WAV audio
 (stdlib ``wave``), and a simple length-prefixed BMP-frame container for
 video (``SGV1``, documented below; real mp4/h264 needs codecs this
-environment lacks). Compressed formats (PNG/JPEG/MP4) raise
-NotImplementedError at the decode boundary with a clear message — the
-stage signatures, schemas and batch handling are identical either way, so
-swapping in PIL/ffmpeg later only replaces the codec functions.
+environment lacks). Formats beyond that (JPEG, 16-bit/palette/interlaced
+PNG, MP4) raise NotImplementedError at the decode boundary with a clear
+message — the stage signatures, schemas and batch handling are identical
+either way, so swapping in PIL/ffmpeg later only replaces the codec
+functions.
 
 Scale notes (ray_guide memory section): binary payload stages use small
 ``batch_size`` so batch × concurrency fits worker heaps, and
@@ -79,6 +81,156 @@ def decode_bmp(b: bytes) -> np.ndarray:
     if flip:
         arr = arr[::-1]
     return arr[:, :, ::-1].copy()
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filters: int | list[int] = 0) -> bytes:
+    """HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes (8-bit color type
+    2/6, one IDAT, no interlace). ``filters`` picks the per-row filter
+    (int for all rows or one per row) — encode-side filtering is fully
+    vectorized because the reconstructed row is already known."""
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, ch = img.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png wants HxWx3 or HxWx4 uint8")
+    ctype = 2 if ch == 3 else 6
+    flat = img.reshape(h, w * ch).astype(np.int64)
+    zeros = np.zeros(ch, np.int64)
+    prev = np.zeros(w * ch, np.int64)
+    parts = []
+    for y in range(h):
+        f = int(filters[y]) if not isinstance(filters, int) else int(filters)
+        cur = flat[y]
+        left = np.concatenate((zeros, cur[:-ch]))
+        up = prev
+        upleft = np.concatenate((zeros, prev[:-ch]))
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - up
+        elif f == 3:
+            out = cur - ((left + up) >> 1)
+        elif f == 4:
+            p = left + up - upleft
+            pa_, pb, pcc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pcc), left,
+                            np.where(pb <= pcc, up, upleft))
+            out = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        parts.append(bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(parts), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data +
+                struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes → HxWx{3,4} uint8. Pure stdlib zlib inflate + numpy
+    unfilter. Supports the corpus-realistic core: 8-bit depth, color
+    types 2 (RGB) / 6 (RGBA), no interlace, all five filter types
+    (none/sub/up/average/paeth). Sub is a per-channel cumulative sum mod
+    256 (vectorized); average/paeth carry a per-pixel left-dependency, so
+    those rows run a per-pixel loop over ch-wide numpy vectors."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG decodes here (got "
+            f"depth={depth}, color_type={ctype}, interlace={interlace}); "
+            f"palette/gray/16-bit/interlaced need an image library")
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    row_filters = raw[:, 0]
+    data64 = raw[:, 1:].astype(np.int64)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(row_filters[y])
+        row = data64[y]
+        if f == 0:
+            rec = row
+        elif f == 1:
+            rec = (np.cumsum(row.reshape(-1, ch), axis=0,
+                             dtype=np.int64) & 0xFF).reshape(-1)
+        elif f == 2:
+            rec = (row + prev) & 0xFF
+        elif f == 3:
+            cur = row.reshape(-1, ch)
+            up = prev.reshape(-1, ch)
+            recs = np.empty_like(cur)
+            left = np.zeros(ch, np.int64)
+            for i in range(cur.shape[0]):
+                left = (cur[i] + ((left + up[i]) >> 1)) & 0xFF
+                recs[i] = left
+            rec = recs.reshape(-1)
+        elif f == 4:
+            cur = row.reshape(-1, ch)
+            up = prev.reshape(-1, ch)
+            upleft = np.vstack((np.zeros((1, ch), np.int64), up[:-1]))
+            recs = np.empty_like(cur)
+            left = np.zeros(ch, np.int64)
+            for i in range(cur.shape[0]):
+                a, bb, cc = left, up[i], upleft[i]
+                p = a + bb - cc
+                pa_, pb, pcc = np.abs(p - a), np.abs(p - bb), np.abs(p - cc)
+                pred = np.where((pa_ <= pb) & (pa_ <= pcc), a,
+                                np.where(pb <= pcc, bb, cc))
+                left = (cur[i] + pred) & 0xFF
+                recs[i] = left
+            rec = recs.reshape(-1)
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.int64)
+    return out.reshape(h, w, ch)
+
+
+def decode_image(b: bytes) -> np.ndarray:
+    """Magic-dispatched image decode → HxWx3 uint8 RGB (PNG alpha is
+    dropped). The single decode boundary the stages call."""
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:8] == _PNG_MAGIC:
+        img = decode_png(b)
+        return np.ascontiguousarray(img[:, :, :3])
+    raise NotImplementedError(
+        "only BMP and 8-bit RGB/RGBA PNG decode here; JPEG needs an "
+        "image library")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -168,7 +320,13 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
                             (yy * 255 // max(1, h - 1)),
                             rng.integers(0, 256, (h, w))], axis=-1
                            ).astype(np.uint8)
-            payload, mime, dur = encode_bmp(img), "image/bmp", 0
+            if int(rng.integers(0, 2)):
+                # PNG half of the corpus, cycling the filter type so the
+                # decode exercises none/sub/up/average/paeth
+                payload = encode_png(img, filters=i % 5)
+                mime, dur = "image/png", 0
+            else:
+                payload, mime, dur = encode_bmp(img), "image/bmp", 0
         elif kind == "audio":
             rate = 8000
             dur = int(rng.integers(50, 250))
@@ -212,7 +370,7 @@ class DecodeImages:
         return (small / 255.0).reshape(-1)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        feats = [self._feature(decode_bmp(p)).tolist()
+        feats = [self._feature(decode_image(p)).tolist()
                  for p in tbl.column("payload").to_pylist()]
         return pa.table({
             "media_id": tbl.column("media_id"),
@@ -254,13 +412,14 @@ class ResizeImages:
     def __call__(self, tbl: pa.Table) -> pa.Table:
         payloads, ws, hs = [], [], []
         for p in tbl.column("payload").to_pylist():
-            img = decode_bmp(p)
+            is_png = p[:8] == _PNG_MAGIC
+            img = decode_image(p)
             h, w = img.shape[:2]
             scale = min(1.0, self.max_side / max(1, max(h, w)))
             nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
             if (nh, nw) != (h, w):
                 img = _resize_nn(img, nh, nw)
-                p = encode_bmp(img)
+                p = encode_png(img) if is_png else encode_bmp(img)
             payloads.append(p)
             ws.append(nw)
             hs.append(nh)

@@ -225,12 +225,40 @@ def _bmp_first_pixel_gray(b: bytes) -> float:
     return float(np.float32(gray / np.float32(255.0)))
 
 
+def _png_first_pixel_gray(b: bytes) -> float:
+    """Independent minimal PNG walk: gray of pixel (0, 0). Every PNG
+    filter type predicts the FIRST pixel of the FIRST row from zeros
+    (left/up/upper-left all absent ⇒ 0), so recon(0,0) == the raw bytes
+    right after row 0's filter byte — no unfiltering needed. Shares only
+    stdlib zlib with the pipeline decoder, none of its code."""
+    import zlib
+
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat = 8, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            idat.append(b[pos + 8:pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    d = zlib.decompressobj()
+    head = d.decompress(b"".join(idat), 8)   # filter byte + first pixel
+    red, green, blue = head[1], head[2], head[3]
+    s = np.float32(np.float32(np.float32(red) + np.float32(green))
+                   + np.float32(blue))
+    gray = np.float32(s / np.float32(3.0))
+    return float(np.float32(gray / np.float32(255.0)))
+
+
 def write_golden_multimodal(n: int, seed: int) -> str:
     """Expected output of ``multimodal_features``: the 8×8 mean-pool
     feature head of each image is the gray of the top-left source pixel
     (grid cell (0,0) of a nearest-neighbor downsample maps to pixel
     (0,0)), computed here by a from-scratch header walk over the same
-    deterministic corpus."""
+    deterministic corpus (BMP bottom-up row walk / PNG first-scanline
+    inflate — see the two helpers)."""
     from ..datapipe.multimodal import synth_media
 
     media = synth_media(n, seed=seed)
@@ -241,7 +269,10 @@ def write_golden_multimodal(n: int, seed: int) -> str:
         if kind != "image":
             continue
         oid.append(mid)
-        oval.append(round(_bmp_first_pixel_gray(payload), 6))
+        gray = (_png_first_pixel_gray(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n"
+                else _bmp_first_pixel_gray(payload))
+        oval.append(round(gray, 6))
     tbl = pa.table({"media_id": pa.array(oid, pa.int64()),
                     "feat_head": pa.array(oval, pa.float64())})
     return _write(tbl, "multimodal_features")

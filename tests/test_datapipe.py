@@ -385,8 +385,12 @@ def test_multimodal_codecs_roundtrip():
         ResizeImages, fn_constructor_kwargs={"max_side": 16},
         batch_format="pyarrow", batch_size=8, concurrency=2).to_pandas()
     assert (resized["width"] <= 16).all() and (resized["height"] <= 16).all()
-    shp = decode_bmp(resized["payload"].iloc[0]).shape
-    assert shp[0] == resized["height"].iloc[0] and shp[1] == resized["width"].iloc[0]
+    from sagan_ray.datapipe.multimodal import decode_image
+
+    for i in range(len(resized)):   # corpus mixes BMP and PNG payloads
+        shp = decode_image(resized["payload"].iloc[i]).shape
+        assert (shp[0] == resized["height"].iloc[i]
+                and shp[1] == resized["width"].iloc[i])
 
     auds = media.filter(
         __import__("pyarrow").compute.equal(media.column("kind"), "audio"))
@@ -1178,3 +1182,68 @@ def test_conv_documents_and_role_transitions_edges():
     assert got == {("a", "user", "assistant", 1),
                    ("a", "assistant", "tool", 1),
                    ("c", "user", "assistant", 1)}   # b: no transitions
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode(encode(img, f)) == img for every PNG filter type, RGB and
+    RGBA, plus honest NotImplementedError boundaries."""
+    import pytest as _pytest
+
+    from sagan_ray.datapipe.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (23, 17, 3)).astype(np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_png(img, filters=f)), img), f
+    # per-row mixed filters
+    mixed = [int(v) for v in rng.integers(0, 5, 23)]
+    assert np.array_equal(decode_png(encode_png(img, filters=mixed)), img)
+    # RGBA round-trips; decode_image drops alpha
+    rgba = rng.integers(0, 256, (9, 7, 4)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+    assert np.array_equal(decode_image(encode_png(rgba)), rgba[:, :, :3])
+    # 1x1 and single-row edge shapes
+    one = np.array([[[7, 8, 9]]], np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_png(one, filters=f)), one)
+    row = rng.integers(0, 256, (1, 40, 3)).astype(np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_png(row, filters=f)), row)
+    # unsupported flavors fail loudly (16-bit depth header)
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data +
+                _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", _zlib.compress(b"\x00" * 26))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad)
+
+
+def test_png_golden_first_pixel_matches_pipeline():
+    """The golden's inflate-first-scanline walk equals the pipeline's
+    full decode → 8x8 mean-pool head on PNGs of every filter type."""
+    from sagan_ray.datapipe.multimodal import DecodeImages, encode_png
+    from sagan_ray.oracle.golden import _png_first_pixel_gray
+
+    rng = np.random.default_rng(13)
+    dec = DecodeImages()
+    for f in range(5):
+        img = rng.integers(0, 256, (19, 11, 3)).astype(np.uint8)
+        payload = encode_png(img, filters=f)
+        import pyarrow as _pa
+
+        out = dec(_pa.table({
+            "media_id": _pa.array([0], _pa.int64()),
+            "payload": _pa.array([payload], _pa.large_binary())}))
+        head = out.column("feature").to_pylist()[0][0]
+        assert round(float(head), 6) == round(_png_first_pixel_gray(payload), 6)
