@@ -20,6 +20,13 @@ independently on both sides):
 - encode(word): repeatedly merge the present pair with the LOWEST merge
   rank; within a pass, merges apply leftmost-first, non-overlapping.
   Token count = number of symbols left.
+- heavy-tail cap (spec'd on both sides): a word longer than
+  ``BPE_MAX_WORD_CHARS`` encodes as encode(word[:cap]) + one token per
+  excess char — hex blobs / URL fragments / base64 junk degrade to
+  char-level instead of paying the O(len²) merge loop, and the
+  per-worker memo keys on the capped prefix so a heavy-tail vocabulary
+  cannot grow entries beyond cap-sized strings (entry COUNT is bounded
+  by ``BPE_MEMO_MAX`` with whole-memo eviction).
 
 Scale shape: the merges table is tiny (≤ n_merges pairs) and ships via
 ``ray.put`` once; each worker compiles it to a rank dict ONCE (module
@@ -39,6 +46,11 @@ from .textstats import _words_flat
 
 # per-worker compiled state: key → (ranks dict, word→len memo)
 _WORKER_BPE: dict = {}
+
+# heavy-tail guards (shared SPEC constants — oracle/golden.py imports
+# BPE_MAX_WORD_CHARS so the golden applies the identical cap)
+BPE_MAX_WORD_CHARS = 64
+BPE_MEMO_MAX = 1 << 20
 
 
 def _merge_pass(syms: list[str], pair: tuple[str, str]) -> list[str]:
@@ -79,7 +91,12 @@ def train_bpe(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]
 
 
 def encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
-    """Number of BPE tokens for one word under the merges-rank table."""
+    """Number of BPE tokens for one word under the merges-rank table.
+    Words beyond BPE_MAX_WORD_CHARS: capped prefix encodes normally,
+    every excess char counts as one token (heavy-tail spec above)."""
+    if len(word) > BPE_MAX_WORD_CHARS:
+        return (encode_len(word[:BPE_MAX_WORD_CHARS], ranks)
+                + len(word) - BPE_MAX_WORD_CHARS)
     syms = list(word)
     while len(syms) > 1:
         best_rank = None
@@ -164,11 +181,19 @@ def bpe_token_counts(ds, merges: list[tuple[str, str]], *,
             uniq, inv = np.unique(words, return_inverse=True)
             lens = np.empty(len(uniq), np.int64)
             for i, w in enumerate(uniq):
+                tail = 0
+                if len(w) > BPE_MAX_WORD_CHARS:
+                    # memo on the capped PREFIX: heavy-tail vocabularies
+                    # (hex blobs, URLs) collapse onto shared short keys
+                    tail = len(w) - BPE_MAX_WORD_CHARS
+                    w = w[:BPE_MAX_WORD_CHARS]
                 v = memo.get(w)
                 if v is None:
                     v = encode_len(w, ranks)
+                    if len(memo) >= BPE_MEMO_MAX:
+                        memo.clear()
                     memo[w] = v
-                lens[i] = v
+                lens[i] = v + tail
             n_bpe = np.bincount(doc_of, weights=lens[inv],
                                 minlength=n_docs).astype(np.int64)
         else:

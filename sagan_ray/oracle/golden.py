@@ -543,9 +543,18 @@ def write_golden_bpe(sf_dir: str, *, n_sample: int, n_merges: int,
     memo: dict[str, int] = {}
 
     def enc_len(w: str) -> int:
+        # heavy-tail cap: identical SPEC constant as the pipeline
+        # (datapipe/bpe.py BPE_MAX_WORD_CHARS) — capped prefix encodes,
+        # each excess char is one token
+        from ..datapipe.bpe import BPE_MAX_WORD_CHARS
+
+        tail = 0
+        if len(w) > BPE_MAX_WORD_CHARS:
+            tail = len(w) - BPE_MAX_WORD_CHARS
+            w = w[:BPE_MAX_WORD_CHARS]
         v = memo.get(w)
         if v is not None:
-            return v
+            return v + tail
         syms = list(w)
         while len(syms) > 1:
             cand = [(rank[(syms[i], syms[i + 1])], i)
@@ -557,7 +566,7 @@ def write_golden_bpe(sf_dir: str, *, n_sample: int, n_merges: int,
             pair = merges[r]
             syms = merge_once(syms, pair[0], pair[1])
         memo[w] = len(syms)
-        return len(syms)
+        return len(syms) + tail
 
     n_words = [len(ws) for ws in doc_words]
     n_bpe = [sum(enc_len(w) for w in ws) for ws in doc_words]

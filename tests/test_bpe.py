@@ -88,3 +88,53 @@ def test_sample_word_freq_small_corpus_takes_everything():
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "text": pa.array([], pa.string())})
     assert sample_word_freq(_ds(empty), n_sample=10, seed=1) == {}
+
+
+def test_bpe_heavy_tail_cap_spec_and_parity():
+    """Heavy-tail vocabulary (hex blobs / URL-ish runs): the capped spec
+    (encode(word[:cap]) + one token per excess char) holds exactly, the
+    distributed counts match a naive per-word application of the same
+    spec, and the memo keys stay cap-sized."""
+    from sagan_ray.datapipe.bpe import (
+        BPE_MAX_WORD_CHARS,
+        _WORKER_BPE,
+        bpe_token_counts,
+        encode_len,
+        train_bpe,
+    )
+
+    rng = np.random.default_rng(17)
+    hexchars = np.array(list("0123456789abcdef"))
+    blobs = ["".join(rng.choice(hexchars, size=int(n)))
+             for n in rng.integers(80, 400, 30)]
+    urlish = ["httpx_" + "segment_" * int(k) + "end" for k in range(5, 15)]
+    normal = ["the", "cat", "concatenation", "a" * BPE_MAX_WORD_CHARS]
+    texts = [" ".join(blobs[i::7] + urlish[i % len(urlish):i % len(urlish) + 2]
+                      + normal) for i in range(7)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.large_string())})
+
+    merges = train_bpe({"the": 5, "cat": 4, "ca": 3, "at": 3}, 10)
+    ranks = {p: r for r, p in enumerate(merges)}
+
+    # cap spec: prefix-encode + excess chars
+    long_word = blobs[0]
+    assert len(long_word) > BPE_MAX_WORD_CHARS
+    assert encode_len(long_word, ranks) == (
+        encode_len(long_word[:BPE_MAX_WORD_CHARS], ranks)
+        + len(long_word) - BPE_MAX_WORD_CHARS)
+
+    out = (bpe_token_counts(_ds(tbl), merges)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import re
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    for i, t in enumerate(texts):
+        ws = word_re.findall(t.lower())
+        assert out["n_words"][i] == len(ws)
+        assert out["n_tokens_bpe"][i] == sum(encode_len(w, ranks) for w in ws)
+
+    # memo keys bounded to the cap (driver-side worker cache may or may
+    # not be populated depending on where the tasks ran; check if present)
+    for _key, (_ranks, memo) in _WORKER_BPE.items():
+        assert all(len(k) <= BPE_MAX_WORD_CHARS for k in memo)
