@@ -175,13 +175,29 @@ def eve_log_all(ds):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def write_sinks(engine_result, out_dir: str, *, overwrite: bool = False) -> dict:
+# fast.c-shaped alert fields (reference src/output-plugins/fast.c:62-123:
+# timestamp [**] gid:sid:rev msg [**] proto src:port -> dst:port) — all
+# the per-alert metadata, none of the payload text
+THIN_ALERT_COLS = ["conv_id", "turn_idx", "rule_idx", "sid", "ts_epoch",
+                   "src_ip", "dst_ip", "src_port", "dst_port", "username"]
+
+
+def write_sinks(engine_result, out_dir: str, *, overwrite: bool = False,
+                thin: bool = False) -> dict:
     """Fan routed alerts out to one Parquet directory per sink and return
     {sink: rows} — every CONFIGURED sink appears (0 when it routed
     nothing). Delegates to ``state.checkpoint.partitioned_write``, so the
     resume genuinely is per sink: finished sinks are filtered out of the
     explode pass, staged dirs swap in atomically, and a crashed run
-    rewrites only what its manifest doesn't mark done."""
+    rewrites only what its manifest doesn't mark done.
+
+    ``thin=True`` is the at-scale layout: each ``sink=<name>/`` dir gets
+    only the fast.c-shaped THIN_ALERT_COLS rows, and the payload
+    (text/role/tool, one row per routed alert) is written ONCE into a
+    shared ``part=payload/`` dir — n_sinks × metadata + 1 × text instead
+    of n_sinks × full rows (text dominates alert bytes; readers re-join
+    on (conv_id, turn_idx, rule_idx)). Both legs resume through the same
+    manifest."""
     import shutil
 
     from ..state.checkpoint import RunManifest, partitioned_write
@@ -190,16 +206,31 @@ def write_sinks(engine_result, out_dir: str, *, overwrite: bool = False) -> dict
     if overwrite:
         for entry in os.listdir(out_dir):
             p = os.path.join(out_dir, entry)
-            if entry.startswith("sink=") or entry == "_manifest.json":
+            if (entry.startswith("sink=") or entry.startswith("part=")
+                    or entry == "_manifest.json"):
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
-    exploded = engine_result.routed_exploded()
-    partitioned_write(exploded, out_dir, "sink")
+    if thin:
+        def tag_payload(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "part", pa.array(["payload"] * len(tbl), pa.string()))
+
+        def thin_rows(tbl: pa.Table) -> pa.Table:
+            return tbl.select(THIN_ALERT_COLS + ["sink"])
+
+        partitioned_write(engine_result.routed().map_batches(
+            tag_payload, batch_format="pyarrow"), out_dir, "part")
+        exploded = engine_result.routed_exploded().map_batches(
+            thin_rows, batch_format="pyarrow")
+        partitioned_write(exploded, out_dir, "sink")
+    else:
+        exploded = engine_result.routed_exploded()
+        partitioned_write(exploded, out_dir, "sink")
 
     manifest = RunManifest(out_dir)
     per_sink = {p.split("=", 1)[1]: info.get("rows", 0)
                 for p, info in manifest.partitions().items()
-                if info.get("done")}
+                if info.get("done") and p.startswith("sink=")}
     # a sink that routed zero rows writes no partition dir — record 0
     # so consumers can distinguish 'ran, empty' from 'unknown sink'
     sinks = set(engine_result.config.sinks)

@@ -414,3 +414,72 @@ def test_partitioned_write_hive_encoded_resume(tmp_path):
     r2 = partitioned_write(rd.from_arrow(tbl), out, "k")
     assert r2["written"] == {}, f"resume rewrote partitions: {r2}"
     assert not any(e.startswith("_stage_") for e in os.listdir(out))
+
+
+def test_write_sinks_thin_layout(tmp_path):
+    """thin=True: per-sink dirs carry only fast.c-shaped metadata, the
+    payload text lands once in part=payload/, and a re-join reproduces
+    the full fan-out exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from sagan_ray.config import EngineConfig
+    from sagan_ray.io.sinks import THIN_ALERT_COLS, write_sinks
+    from sagan_ray.pipelines.engine import run_engine
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.synth import gen_transcripts
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"m"; content:"login"; email:a@b; sid:1;)\n'
+        'alert any any any -> any any (msg:"t"; content:"user"; '
+        'threshold: type limit, track by_src, count 2, seconds 600; sid:2;)')
+    tbl = gen_transcripts(1500, seed=3)
+
+    def eng():
+        return run_engine(rd.from_arrow(tbl), rules, None, EngineConfig(),
+                          concurrency=2, batch_size=512)
+
+    full_dir = str(tmp_path / "full")
+    thin_dir = str(tmp_path / "thin")
+    counts_full = write_sinks(eng(), full_dir)
+    counts_thin = write_sinks(eng(), thin_dir, thin=True)
+    assert counts_thin == counts_full          # same per-sink row counts
+    assert os.path.exists(os.path.join(thin_dir, "part=payload"))
+
+    # thin sink rows carry no text; payload has it exactly once per alert
+    import pyarrow.parquet as pq
+
+    thin_alert = pq.read_table(os.path.join(thin_dir, "sink=alert"))
+    assert "text" not in thin_alert.column_names
+    assert set(THIN_ALERT_COLS) <= set(thin_alert.column_names)
+    payload = pq.read_table(os.path.join(thin_dir, "part=payload"))
+    n_alerts = counts_full["alert"]
+    assert len(payload) == n_alerts
+
+    # re-joining thin rows to the payload reproduces the full layout
+    joined = duckdb.sql(f"""
+        SELECT t.sink AS sink, t.sid AS sid, conv_id, turn_idx,
+               p.text AS text
+        FROM read_parquet('{thin_dir}/sink=*/*.parquet', hive_partitioning=1) t
+        JOIN read_parquet('{thin_dir}/part=payload/*.parquet') p
+        USING (conv_id, turn_idx, rule_idx)
+        ORDER BY sink, t.sid, conv_id, turn_idx""").df()
+    fulldf = duckdb.sql(f"""
+        SELECT sink, sid, conv_id, turn_idx, text
+        FROM read_parquet('{full_dir}/sink=*/*.parquet', hive_partitioning=1)
+        ORDER BY sink, sid, conv_id, turn_idx""").df()
+    assert joined.equals(fulldf)
+
+    # resume: second thin call is a manifest no-op
+    assert write_sinks(eng(), thin_dir, thin=True) == counts_thin
+
+    # thin bytes: per-sink dirs shrink vs the full layout
+    def dir_bytes(d, prefix):
+        tot = 0
+        for e in os.listdir(d):
+            if e.startswith(prefix):
+                p = os.path.join(d, e)
+                tot += sum(os.path.getsize(os.path.join(p, f))
+                           for f in os.listdir(p))
+        return tot
+    assert dir_bytes(thin_dir, "sink=") < dir_bytes(full_dir, "sink=")
