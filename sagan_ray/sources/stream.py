@@ -99,6 +99,7 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
     is FATAL, as in the reference (rules.c aborts on bad rules) — the
     manifest makes the crashed poll replayable."""
     from ..rules.parser import parse_rules_file
+    from ..state.snapshot import acquire_state_lock
 
     mtime: int | None = None
     if rules_path is not None:
@@ -107,24 +108,31 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
         mtime = os.stat(rules_path).st_mtime_ns
     elif ruleset is None:
         raise ValueError("follow: need a ruleset or a rules_path")
-    polls = 0
-    idle = 0
-    while True:
-        if rules_path is not None:
-            m = os.stat(rules_path).st_mtime_ns
-            if m != mtime:
-                ruleset = parse_rules_file(rules_path, rule_variables,
-                                           classifications)
-                mtime = m
-        res = poll_once(input_dir, out_dir, ruleset, lookups, config)
-        polls += 1
-        if res["files"]:
-            idle = 0
-            yield res
-        else:
-            idle += 1
-        if max_polls is not None and polls >= max_polls:
-            return
-        if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
-            return
-        time.sleep(poll_seconds)
+    # a second live follow loop on the same out_dir would interleave
+    # bucket snapshots — fail loudly up front (xbit-redis analog stance,
+    # state/snapshot.py)
+    lock = acquire_state_lock(os.path.join(out_dir, "state"))
+    try:
+        polls = 0
+        idle = 0
+        while True:
+            if rules_path is not None:
+                m = os.stat(rules_path).st_mtime_ns
+                if m != mtime:
+                    ruleset = parse_rules_file(rules_path, rule_variables,
+                                               classifications)
+                    mtime = m
+            res = poll_once(input_dir, out_dir, ruleset, lookups, config)
+            polls += 1
+            if res["files"]:
+                idle = 0
+                yield res
+            else:
+                idle += 1
+            if max_polls is not None and polls >= max_polls:
+                return
+            if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+                return
+            time.sleep(poll_seconds)
+    finally:
+        lock.close()

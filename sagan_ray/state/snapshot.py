@@ -137,6 +137,41 @@ def load_bucket_state(state_dir: str, bucket: int) -> dict[str, _ConvState]:
     return table_to_states(pq.read_table(p))
 
 
+class StateDirLockedError(RuntimeError):
+    """Another live engine run holds this state_dir (see acquire_state_lock)."""
+
+
+def acquire_state_lock(state_dir: str):
+    """Advisory writer lock for a state_dir — the enforcement half of the
+    module docstring's stance: two CONCURRENT engine runs (e.g. two
+    ``follow()`` loops) writing one state_dir would interleave per-bucket
+    snapshots from different replays and corrupt the carried state (the
+    reference serializes concurrent instances through Redis,
+    src/xbit-redis.c; sequential runs are the supported batch analog).
+
+    Returns an open file handle holding a non-blocking ``flock`` on
+    ``state_dir/_LOCK``; keep it referenced for the writer's lifetime
+    (the OS drops the lock when the process exits, so a crashed run
+    never wedges the dir). Raises ``StateDirLockedError`` if another
+    LIVE process holds it. flock is per-(open file, process) on local
+    and NFSv4 filesystems — the cluster deployments this engine targets
+    put state_dir on a shared POSIX filesystem where that holds."""
+    import fcntl
+
+    os.makedirs(state_dir, exist_ok=True)
+    fh = open(os.path.join(state_dir, "_LOCK"), "a+")
+    try:
+        fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        fh.close()
+        raise StateDirLockedError(
+            f"state_dir {state_dir!r} is locked by another live engine "
+            f"run; concurrent writers to one state_dir are not supported "
+            f"— give each follow loop its own state_dir (see "
+            f"state/snapshot.py docstring)") from None
+    return fh
+
+
 def write_state_meta(state_dir: str, n_buckets: int) -> None:
     os.makedirs(state_dir, exist_ok=True)
     with open(os.path.join(state_dir, "_STATE.json"), "w") as f:

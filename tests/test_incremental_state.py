@@ -301,3 +301,41 @@ def test_follow_loop_reload_parse_error_is_fatal(tmp_path):
                       EngineConfig(), poll_seconds=0.01,
                       idle_polls_to_stop=1, rules_path=rules_path))
     assert [r["files"] for r in res] == [["p1.parquet"]]
+
+
+def test_state_dir_lock_blocks_concurrent_writer(tmp_path):
+    """Two live writers on one state_dir: the second fails loudly (the
+    xbit-redis-analog stance — concurrent instances must use distinct
+    state dirs); a finished writer releases the lock."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pytest
+
+    from sagan_ray.state.snapshot import (
+        StateDirLockedError,
+        acquire_state_lock,
+    )
+
+    sd = str(tmp_path / "state")
+    lock = acquire_state_lock(sd)
+    # same-process re-acquire via a CHILD process (flock is per-process)
+    probe = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repr("/root/repo")})
+        from sagan_ray.state.snapshot import (StateDirLockedError,
+                                              acquire_state_lock)
+        try:
+            acquire_state_lock({sd!r})
+            print("ACQUIRED")
+        except StateDirLockedError:
+            print("LOCKED")
+    """)
+    out = subprocess.run([sys.executable, "-c", probe],
+                         capture_output=True, text=True, timeout=60)
+    assert out.stdout.strip() == "LOCKED", out.stderr
+    lock.close()
+    out = subprocess.run([sys.executable, "-c", probe],
+                         capture_output=True, text=True, timeout=60)
+    assert out.stdout.strip() == "ACQUIRED", out.stderr
