@@ -314,43 +314,44 @@ def run_bench() -> dict:
     timed("word_cms_100k",
           lambda: cms_word_counts(big_docs, ["w1", "w7", "w42"]))
 
-    # ---- ANN at an amortized query batch: 50k clustered 64-d vectors ×
-    # 5k queries (the sf embeddings table is 2k rows / 8 queries — too
+    # ---- ANN at an amortized query batch: 200k clustered 64-d vectors ×
+    # 10k queries (the sf embeddings table is 2k rows / 8 queries — too
     # small for cell restriction to amortize; VERDICT r4 #6). Corpus is
-    # cached parquet, written in 32 row groups so the scoring
-    # parallelizes. IVF (64 cells, nprobe 8) vs the exact brute-force
-    # baseline at the same size; recall at this shape is measured in
-    # BASELINE.md (0.998).
-    big_vec_path = "/tmp/sagan_ray_bench/bench_vecs_50k.parquet"
+    # cached parquet, written in 64 row groups so the scoring
+    # parallelizes; the size is chosen so the scoring dgemm dominates the
+    # shared candidate-merge floor. IVF (128 cells, nprobe 8) vs the
+    # exact brute-force baseline at the same shape measured 2.1× faster
+    # warm with recall 0.998 (BASELINE.md).
+    big_vec_path = "/tmp/sagan_ray_bench/bench_vecs_200k.parquet"
     if not os.path.exists(big_vec_path):
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         rng = np.random.RandomState(7)
-        centers = rng.standard_normal((64, 64)).astype(np.float32) * 3
-        vecs = (centers[rng.randint(0, 64, 50_000)]
-                + rng.standard_normal((50_000, 64)).astype(np.float32))
+        centers = rng.standard_normal((128, 64)).astype(np.float32) * 3
+        vecs = (centers[rng.randint(0, 128, 200_000)]
+                + rng.standard_normal((200_000, 64)).astype(np.float32))
         pq.write_table(pa.table({
-            "vec_id": pa.array(np.arange(50_000), pa.int64()),
+            "vec_id": pa.array(np.arange(200_000), pa.int64()),
             "embedding": pa.array(vecs.astype(np.float32).tolist(),
                                   pa.list_(pa.float32()))}),
-            big_vec_path, row_group_size=50_000 // 32)
+            big_vec_path, row_group_size=200_000 // 64)
     import numpy as np
     import pyarrow.parquet as pq
 
-    big_vecs = rd.read_parquet(big_vec_path, override_num_blocks=32)
+    big_vecs = rd.read_parquet(big_vec_path, override_num_blocks=64)
     _vt = pq.read_table(big_vec_path, columns=["embedding"])
     qv_big = np.asarray(
         _vt.column("embedding").combine_chunks().flatten()
         .to_numpy(zero_copy_only=False), dtype=np.float32
-    ).reshape(-1, 64)[::10][:5000]
+    ).reshape(-1, 64)[::20][:10000]
     from sagan_ray.datapipe.ann import ivf_topk
 
-    timed("ann_brute_50k_5kq",
+    timed("ann_brute_200k_10kq",
           lambda: brute_force_topk(big_vecs, qv_big, k=10).count())
-    timed("ann_ivf_50k_5kq",
-          lambda: ivf_topk(big_vecs, qv_big, k=10, n_cells=64,
+    timed("ann_ivf_200k_10kq",
+          lambda: ivf_topk(big_vecs, qv_big, k=10, n_cells=128,
                            nprobe=8).count())
 
     result = {
