@@ -91,7 +91,7 @@ def test_list_form_classify_explodes_to_exploded_form():
 
     rules = parse_rules("""
 alert any any any -> any any (msg:"a"; content:"login"; sid:1;)
-alert any any any -> any any (msg:"b"; content:"user"; parse_src_ip; parse_port; sid:2;)
+alert any any any -> any any (msg:"b"; content:"user"; parse_src_ip: 1; parse_port; sid:2;)
 pass  any any any -> any any (msg:"p"; content:"DEBUG"; sid:3;)
 alert any any any -> any any (msg:"x"; content:"login"; xbits: set,seen,track ip_src,expire 600; sid:4;)
 alert any any any -> any any (msg:"t"; content:"user"; threshold: type limit, track by_src, count 2, seconds 300; sid:5;)
