@@ -257,6 +257,46 @@ def test_hash_group_apply_refinement():
     assert len(a) == 37        # every key aggregated exactly once
 
 
+def test_hash_group_apply_survives_reduce_worker_death(tmp_path):
+    """Kill the worker process executing one reduce task (os._exit, a
+    hard crash — not an exception) and the exchange still completes with
+    exact results: Ray task lineage re-executes the dead reduce task from
+    the surviving map outputs. This is the cluster-failure story the
+    engine's ``task_retries`` knob controls (pipelines/engine.py) —
+    here proven live on the generic exchange."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import hash_group_apply
+
+    marker = str(tmp_path / "killed_once")
+    n = 5_000
+    tbl = pa.table({"k": pa.array([f"key-{i % 23}" for i in range(n)]),
+                    "v": pa.array(range(n), pa.int64())})
+    schema = pa.schema([("k", pa.string()), ("s", pa.int64())])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        # first reduce task to get here dies mid-flight; its retry (and
+        # every later task) sees the marker and proceeds
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os._exit(1)
+        return df.groupby("k", as_index=False)["v"].sum().rename(
+            columns={"v": "s"})
+
+    got = hash_group_apply(rd.from_arrow(tbl), ["k"], agg,
+                           out_schema=schema).to_pandas()
+    assert os.path.exists(marker)      # the kill really happened
+    want = (tbl.to_pandas().groupby("k", as_index=False)["v"].sum()
+            .rename(columns={"v": "s"}))
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True),
+        want.sort_values("k").reset_index(drop=True))
+
+
 def test_metrics_schema_consistent_with_empty_partials():
     """Regression: empty count partials once appended a null-typed 'part'
     column, breaking the metrics concat (and the job entry script)."""
