@@ -2,15 +2,16 @@
 columns with typed metadata, processed by actor-pool map_batches stages.
 
 The decode kernels are REAL for the formats the standard library can
-handle — 24-bit uncompressed BMP and 8-bit RGB/RGBA PNG images (zlib
-inflate + numpy unfilter, all five PNG filter types), PCM16 WAV audio
-(stdlib ``wave``), and a simple length-prefixed BMP-frame container for
-video (``SGV1``, documented below; real mp4/h264 needs codecs this
-environment lacks). Formats beyond that (JPEG, 16-bit/palette/interlaced
-PNG, MP4) raise NotImplementedError at the decode boundary with a clear
-message — the stage signatures, schemas and batch handling are identical
-either way, so swapping in PIL/ffmpeg later only replaces the codec
-functions.
+handle — 24-bit uncompressed BMP, 8-bit RGB/RGBA PNG (zlib inflate +
+numpy unfilter, all five PNG filter types), baseline 4:4:4 JPEG
+(datapipe.jpeg — own Huffman/DCT, integer-exact decode spec), PCM16 WAV
+audio (stdlib ``wave``), and a simple length-prefixed BMP-frame
+container for video (``SGV1``, documented below; real mp4/h264 needs
+codecs this environment lacks). Formats beyond that (subsampled or
+progressive JPEG, 16-bit/palette/interlaced PNG, MP4) raise
+NotImplementedError at the decode boundary with a clear message — the
+stage signatures, schemas and batch handling are identical either way,
+so swapping in PIL/ffmpeg later only replaces the codec functions.
 
 Scale notes (ray_guide memory section): binary payload stages use small
 ``batch_size`` so batch × concurrency fits worker heaps, and
@@ -222,15 +223,23 @@ def decode_png(b: bytes) -> np.ndarray:
 
 def decode_image(b: bytes) -> np.ndarray:
     """Magic-dispatched image decode → HxWx3 uint8 RGB (PNG alpha is
-    dropped). The single decode boundary the stages call."""
+    dropped, grayscale JPEG replicated). The single decode boundary the
+    stages call."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:8] == _PNG_MAGIC:
         img = decode_png(b)
         return np.ascontiguousarray(img[:, :, :3])
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(b)
+        if img.ndim == 2:
+            img = np.stack([img, img, img], axis=-1)
+        return img
     raise NotImplementedError(
-        "only BMP and 8-bit RGB/RGBA PNG decode here; JPEG needs an "
-        "image library")
+        "only BMP, 8-bit RGB/RGBA PNG and baseline 4:4:4 JPEG decode "
+        "here; other formats need an image library")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -320,11 +329,18 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
                             (yy * 255 // max(1, h - 1)),
                             rng.integers(0, 256, (h, w))], axis=-1
                            ).astype(np.uint8)
-            if int(rng.integers(0, 2)):
-                # PNG half of the corpus, cycling the filter type so the
+            sel = int(rng.integers(0, 3))
+            if sel == 0:
+                # PNG third of the corpus, cycling the filter type so the
                 # decode exercises none/sub/up/average/paeth
                 payload = encode_png(img, filters=i % 5)
                 mime, dur = "image/png", 0
+            elif sel == 1:
+                from .jpeg import encode_jpeg
+
+                # JPEG third, cycling quality so quant tables vary
+                payload = encode_jpeg(img, quality=(60, 75, 90)[i % 3])
+                mime, dur = "image/jpeg", 0
             else:
                 payload, mime, dur = encode_bmp(img), "image/bmp", 0
         elif kind == "audio":
@@ -413,13 +429,21 @@ class ResizeImages:
         payloads, ws, hs = [], [], []
         for p in tbl.column("payload").to_pylist():
             is_png = p[:8] == _PNG_MAGIC
+            is_jpg = p[:2] == b"\xff\xd8"
             img = decode_image(p)
             h, w = img.shape[:2]
             scale = min(1.0, self.max_side / max(1, max(h, w)))
             nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
             if (nh, nw) != (h, w):
                 img = _resize_nn(img, nh, nw)
-                p = encode_png(img) if is_png else encode_bmp(img)
+                if is_png:
+                    p = encode_png(img)
+                elif is_jpg:
+                    from .jpeg import encode_jpeg
+
+                    p = encode_jpeg(img)
+                else:
+                    p = encode_bmp(img)
             payloads.append(p)
             ws.append(nw)
             hs.append(nh)

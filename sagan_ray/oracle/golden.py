@@ -252,13 +252,161 @@ def _png_first_pixel_gray(b: bytes) -> float:
     return float(np.float32(gray / np.float32(255.0)))
 
 
+_JPEG_ZIG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _jpeg_first_pixel_gray(b: bytes) -> float:
+    """Independent minimal baseline-JPEG walk: gray of pixel (0, 0).
+
+    Follows the integer decode SPEC in datapipe/jpeg.py's docstring
+    (12-bit cosine matrix, one rounded 24-bit shift, 16-bit color
+    constants, floor shifts) but shares none of its code: dict-walk
+    Huffman instead of mincode/maxcode tables, per-scalar math.cos
+    basis, pure-Python-int IDCT of the single needed output pixel.
+    Every step is exact integer arithmetic, so this matches the
+    vectorized decoder bit-for-bit by construction."""
+    import math
+
+    assert b[:2] == b"\xff\xd8"
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    codes: dict[tuple[int, int], dict] = {}
+    comp_tq: list[int] = []
+    sos: list[tuple[int, int]] = []
+    scan = b""
+    while pos < len(b):
+        assert b[pos] == 0xFF
+        m = b[pos + 1]
+        pos += 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD8:
+            continue
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(b[pos:pos + 2], "big")
+        body = b[pos + 2:pos + ln]
+        pos += ln
+        if m == 0xDB:
+            p = 0
+            while p < len(body):
+                qts[body[p] & 0xF] = list(body[p + 1:p + 65])
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                counts = list(body[p + 1:p + 17])
+                nv = sum(counts)
+                vals = list(body[p + 17:p + 17 + nv])
+                d: dict = {}
+                code = k = 0
+                for lng in range(1, 17):
+                    for _ in range(counts[lng - 1]):
+                        d[(lng, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                codes[(cls, tid)] = d
+                p += 17 + nv
+        elif m == 0xC0:
+            ncomp = body[5]
+            comp_tq = [body[6 + 3 * c + 2] for c in range(ncomp)]
+        elif m == 0xDA:
+            ns = body[0]
+            sos = [(body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
+                   for c in range(ns)]
+            scan = b[pos:b.find(b"\xff\xd9", pos)].replace(
+                b"\xff\x00", b"\xff")
+            break
+
+    bp = 0
+
+    def bit() -> int:
+        nonlocal bp
+        v = (scan[bp >> 3] >> (7 - (bp & 7))) & 1
+        bp += 1
+        return v
+
+    def read_code(d: dict) -> int:
+        lng = c = 0
+        while True:
+            c = (c << 1) | bit()
+            lng += 1
+            if (lng, c) in d:
+                return d[(lng, c)]
+
+    def recv_extend(s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | bit()
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    # the SAME IEEE op sequence the pipeline's matrix build performs
+    # (0.5·cos, then ×1/√2 on row 0, then rint(·4096)) — elementwise
+    # stability makes scalar and vectorized construction identical
+    aq = [[int(np.rint(((0.5 * math.cos((2 * n + 1) * k * math.pi / 16.0))
+                        * ((1.0 / math.sqrt(2.0)) if k == 0 else 1.0))
+                       * 4096.0))
+           for n in range(8)] for k in range(8)]
+
+    out: list[int] = []
+    for ci, (td, ta) in enumerate(sos):
+        s = read_code(codes[(0, td)])
+        coef = [0] * 64
+        coef[0] = recv_extend(s)
+        k = 1
+        while k < 64:
+            sym = read_code(codes[(1, ta)])
+            if sym == 0x00:
+                break
+            run, sz = sym >> 4, sym & 0xF
+            if sz == 0:
+                k += 16
+                continue
+            k += run
+            coef[k] = recv_extend(sz)
+            k += 1
+        q = qts[comp_tq[ci]]
+        f = [[0] * 8 for _ in range(8)]
+        for kk in range(64):
+            rm = _JPEG_ZIG[kk]
+            f[rm // 8][rm % 8] = coef[kk] * q[kk]
+        p00 = 0
+        for u in range(8):
+            for v in range(8):
+                p00 += aq[u][0] * f[u][v] * aq[v][0]
+        val = ((p00 + (1 << 23)) >> 24) + 128
+        out.append(min(255, max(0, val)))
+
+    if len(out) == 1:
+        red = green = blue = out[0]
+    else:
+        y, cb, cr = out
+        cb -= 128
+        cr -= 128
+        red = min(255, max(0, y + ((91881 * cr + 32768) >> 16)))
+        green = min(255, max(0, y - ((22554 * cb + 46802 * cr + 32768) >> 16)))
+        blue = min(255, max(0, y + ((116130 * cb + 32768) >> 16)))
+    s32 = np.float32(np.float32(np.float32(red) + np.float32(green))
+                     + np.float32(blue))
+    gray = np.float32(s32 / np.float32(3.0))
+    return float(np.float32(gray / np.float32(255.0)))
+
+
 def write_golden_multimodal(n: int, seed: int) -> str:
     """Expected output of ``multimodal_features``: the 8×8 mean-pool
-    feature head of each image is the gray of the top-left source pixel
+    feature head of each image is the gray of the top-left DECODED pixel
     (grid cell (0,0) of a nearest-neighbor downsample maps to pixel
-    (0,0)), computed here by a from-scratch header walk over the same
+    (0,0)), computed here by a from-scratch walk over the same
     deterministic corpus (BMP bottom-up row walk / PNG first-scanline
-    inflate — see the two helpers)."""
+    inflate / sequential integer baseline-JPEG decode of pixel (0,0) —
+    see the three helpers). JPEG is lossy, so both sides compare the
+    decoded pixel; the integer decode spec makes them bit-equal."""
     from ..datapipe.multimodal import synth_media
 
     media = synth_media(n, seed=seed)
@@ -269,9 +417,12 @@ def write_golden_multimodal(n: int, seed: int) -> str:
         if kind != "image":
             continue
         oid.append(mid)
-        gray = (_png_first_pixel_gray(payload)
-                if payload[:8] == b"\x89PNG\r\n\x1a\n"
-                else _bmp_first_pixel_gray(payload))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            gray = _png_first_pixel_gray(payload)
+        elif payload[:2] == b"\xff\xd8":
+            gray = _jpeg_first_pixel_gray(payload)
+        else:
+            gray = _bmp_first_pixel_gray(payload)
         oval.append(round(gray, 6))
     tbl = pa.table({"media_id": pa.array(oid, pa.int64()),
                     "feat_head": pa.array(oval, pa.float64())})

@@ -2580,10 +2580,12 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal: deterministic BMP media table → real image decode +
-    8×8 mean-pool feature in an actor pool (datapipe.multimodal), gated
-    against a golden parquet built by an independent from-scratch BMP
-    header walk (oracle/golden.py) over the same corpus."""
+    """Multimodal: deterministic BMP/PNG/JPEG media table → real image
+    decode + 8×8 mean-pool feature in an actor pool
+    (datapipe.multimodal), gated against a golden parquet built by
+    independent from-scratch format walks (oracle/golden.py: BMP header
+    walk, PNG first-scanline inflate, sequential per-scalar baseline
+    JPEG decode) over the same corpus."""
     import ray.data as rd
 
     from ..datapipe.multimodal import media_pipeline, synth_media

@@ -1,0 +1,120 @@
+"""Baseline JPEG codec (datapipe/jpeg.py): roundtrip fidelity, the
+bit-exact integer-decode contract vs the independent golden first-pixel
+walk, honest NotImplementedError boundaries, and stage dispatch."""
+
+import numpy as np
+import pytest
+
+from sagan_ray.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w, rng):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 255 // max(1, w - 1)),
+                     (yy * 255 // max(1, h - 1)),
+                     rng.integers(0, 256, (h, w))], -1).astype(np.uint8)
+
+
+def test_roundtrip_fidelity_smooth():
+    """Fidelity bounds hold only for SMOOTH content — a noise channel
+    rides the 99-heavy chroma quant table and legitimately loses ~±180
+    at q50 (verified equal to a float-reference roundtrip, so it is
+    quantization physics, not codec error)."""
+    h, w = 37, 29
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 // (w - 1)), (yy * 255 // (h - 1)),
+                    ((xx + yy) * 255 // (h + w - 2))], -1).astype(np.uint8)
+    for q, bound in ((50, 16), (75, 9), (95, 5)):
+        dec = decode_jpeg(encode_jpeg(img, quality=q))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= bound, (q, err)
+
+
+def test_roundtrip_gray_and_tiny_shapes():
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, (21, 13)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dg.shape == g.shape and dg.ndim == 2
+    for shp in ((1, 1, 3), (3, 5, 3), (8, 8, 3), (1, 1), (9, 1, 3)):
+        im = rng.integers(0, 256, shp).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(im, quality=95))
+        assert dec.shape == im.shape
+
+
+def test_decode_matches_independent_golden_walk():
+    """The vectorized decoder and oracle/golden.py's per-scalar
+    sequential walk implement the same exact-integer spec — pixel (0,0)
+    gray must agree BIT-FOR-BIT (this is what gates the multimodal
+    query's JPEG rows)."""
+    from sagan_ray.oracle.golden import _jpeg_first_pixel_gray
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        if trial % 3 == 2:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        else:
+            img = _gradient(h, w, rng) if trial % 3 else \
+                rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        b = encode_jpeg(img, quality=int(rng.integers(10, 100)))
+        dec = decode_jpeg(b)
+        px = ([int(dec[0, 0])] * 3 if dec.ndim == 2
+              else [int(v) for v in dec[0, 0]])
+        s = np.float32(np.float32(np.float32(px[0]) + np.float32(px[1]))
+                       + np.float32(px[2]))
+        want = float(np.float32(np.float32(s / np.float32(3.0))
+                                / np.float32(255.0)))
+        assert _jpeg_first_pixel_gray(b) == want, trial
+
+
+def test_unsupported_variants_raise_clearly():
+    rng = np.random.default_rng(5)
+    b = bytearray(encode_jpeg(_gradient(16, 16, rng)))
+    # progressive: SOF0 → SOF2
+    prog = bytearray(b)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(prog))
+    # 4:2:0 subsampling: first component's sampling factors → 2x2
+    sub = bytearray(b)
+    sof = sub.find(b"\xff\xc0")
+    sub[sof + 11] = 0x22        # marker+len(2)+prec+h(2)+w(2)+nc+cid → hv
+    with pytest.raises(NotImplementedError, match="subsampl"):
+        decode_jpeg(bytes(sub))
+    # restart interval: splice a DRI segment before SOS
+    sos = bytes(b).find(b"\xff\xda")
+    dri = bytes(b[:sos]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(b[sos:])
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(dri)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_dispatch_and_resize_reencode():
+    from sagan_ray.datapipe.multimodal import (
+        ResizeImages,
+        decode_image,
+        synth_media,
+    )
+
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, (10, 12)).astype(np.uint8)
+    out = decode_image(encode_jpeg(g, quality=95))
+    assert out.shape == (10, 12, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])   # gray replicated
+
+    # the synthetic corpus now carries all three image formats, and the
+    # resize stage re-encodes each in its own format
+    media = synth_media(120, seed=9)
+    mimes = set(media.column("mime").to_pylist())
+    assert {"image/jpeg", "image/png", "image/bmp"} <= mimes
+    import pyarrow.compute as pc
+    imgs = media.filter(pc.equal(media.column("kind"), "image"))
+    resized = ResizeImages(max_side=8)(imgs)
+    for i in range(len(resized)):
+        p = resized.column("payload")[i].as_py()
+        mime = resized.column("mime")[i].as_py()
+        assert decode_image(p).shape[0] <= 8
+        if mime == "image/jpeg":
+            assert p[:2] == b"\xff\xd8"
