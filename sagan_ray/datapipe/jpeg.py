@@ -2,14 +2,15 @@
 
 Scope (honest boundaries, like the PNG decoder's in multimodal.py):
 baseline sequential DCT (SOF0), 8-bit precision, 1-component grayscale
-or 3-component YCbCr with NO chroma subsampling (4:4:4, all sampling
-factors 1×1), no restart markers, no progressive (SOF2) or arithmetic
-coding. Anything outside that raises NotImplementedError with a clear
-message at the decode boundary — real-world 4:2:0 camera JPEGs need an
-image library; the synthetic corpus and the resize re-encode path are
-4:4:4. Huffman tables are always read from the stream's DHT segments
-(never assumed), so any conforming 4:4:4 baseline stream decodes, not
-just this encoder's output.
+or 3-component YCbCr with sampling factors 1-2 per axis — 4:4:4, the
+ubiquitous camera 4:2:0, 4:2:2, 4:4:0 (subsampled chroma upsampled by
+sample replication). No restart markers, no progressive (SOF2) or
+arithmetic coding, no factor-3/4 sampling; those raise
+NotImplementedError with a clear message at the decode boundary.
+Huffman tables are always read from the stream's DHT segments (never
+assumed), so any conforming baseline stream in this envelope decodes,
+not just this encoder's output. The encoder emits 4:4:4 (default) or
+4:2:0 (2×2 integer-average chroma).
 
 Determinism contract (the golden-oracle pattern from CLAUDE.md / the
 round-4 unit-grid notes): the DECODE side is specified in exact integer
@@ -213,16 +214,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """uint8 plane → (nblocks, 8, 8) float64 level-shifted, + block grid."""
-    h, w = plane.shape
-    by, bx = -(-h // 8), -(-w // 8)
-    padded = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
-    blocks = (padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-              .reshape(by * bx, 8, 8).astype(np.float64) - 128.0)
-    return blocks, by, bx
-
-
 def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
                   dc_codes: dict, ac_codes: dict) -> int:
     dc = int(zz[0])
@@ -255,12 +246,38 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB) uint8 → baseline 4:4:4 JFIF bytes."""
+def _downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy×fx integer-average box downsample (``(Σ + n/2) // n``),
+    edge-padded to a multiple of the factor first — the chroma
+    downsample for 4:2:0 / 4:2:2 / 4:4:0 encoding."""
+    if fy == fx == 1:
+        return plane
+    h, w = plane.shape
+    p = np.pad(plane, ((0, (-h) % fy), (0, (-w) % fx)),
+               mode="edge").astype(np.int64)
+    s = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).sum((1, 3))
+    n = fy * fx
+    return ((s + n // 2) // n).astype(np.uint8)
+
+
+# luma sampling factors (h, v) per mode; chroma is always (1, 1)
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:0": (2, 2),
+                "4:2:2": (2, 1), "4:4:0": (1, 2)}
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                subsampling: str = "4:4:4") -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 → baseline JFIF bytes.
+
+    ``subsampling``: "4:4:4" (default; every component full-resolution),
+    "4:2:0" (chroma averaged 2×2 — the ubiquitous camera layout),
+    "4:2:2" (2×1) or "4:4:0" (1×2)."""
     img = np.asarray(img, dtype=np.uint8)
     color = img.ndim == 3
     if color and img.shape[2] != 3:
         raise ValueError("encode_jpeg wants HxW or HxWx3 uint8")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {set(_SUBSAMPLING)}")
     h, w = img.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("bad JPEG dimensions")
@@ -268,23 +285,46 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     planes = [img] if not color else list(np.moveaxis(rgb_to_ycbcr(img), -1, 0))
     if color:
         qt.append(quality_scale(QUANT_CHROMA, quality))
+    lh, lv = _SUBSAMPLING[subsampling] if color else (1, 1)
+    hv = [(lh, lv), (1, 1), (1, 1)][:len(planes)]
+    if color and (lh, lv) != (1, 1):
+        planes = [planes[0], _downsample(planes[1], lv, lh),
+                  _downsample(planes[2], lv, lh)]
+    hmax = max(f[0] for f in hv[:len(planes)])
+    vmax = max(f[1] for f in hv[:len(planes)])
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
 
-    comp_zz = []
+    comp_zz, grids = [], []
     for ci, plane in enumerate(planes):
-        blocks, _by, _bx = _plane_blocks(plane)
+        hi, vi = hv[ci]
+        bx, by = mcx * hi, mcy * vi       # block grid incl. MCU padding
+        ph, pw = plane.shape
+        padded = np.pad(plane, ((0, by * 8 - ph), (0, bx * 8 - pw)),
+                        mode="edge")
+        blocks = (padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+                  .reshape(by * bx, 8, 8).astype(np.float64) - 128.0)
         f = np.einsum("ij,bjk,lk->bil", _A, blocks, _A)   # A @ x @ A.T
         q = qt[min(ci, 1)].reshape(8, 8).astype(np.float64)
         zq = np.rint(f / q).astype(np.int64).reshape(-1, 64)
         comp_zz.append(zq[:, ZIGZAG])
+        grids.append((bx, by))
 
     dc_codes = _codes_from_dht(*_DC_DHT)
     ac_codes = _codes_from_dht(*_AC_DHT)
     bw = _BitWriter()
     preds = [0] * len(planes)
-    for b in range(comp_zz[0].shape[0]):
-        for ci in range(len(planes)):
-            preds[ci] = _encode_block(bw, comp_zz[ci][b], preds[ci],
-                                      dc_codes, ac_codes)
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci in range(len(planes)):
+                hi, vi = hv[ci]
+                bx = grids[ci][0]
+                for v in range(vi):
+                    for u in range(hi):
+                        blk = (my * vi + v) * bx + (mx * hi + u)
+                        preds[ci] = _encode_block(
+                            bw, comp_zz[ci][blk], preds[ci],
+                            dc_codes, ac_codes)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -303,7 +343,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     sos = bytes([nc])
     for ci in range(nc):
         tq = min(ci, 1)
-        sof += bytes([ci + 1, 0x11, tq])
+        sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], tq])
         sos += bytes([ci + 1, (tq << 4) | tq])   # td = ta = 0 luma / 1 chroma
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, dht(0, 0)) + seg(0xFFC4, dht(1, 0))
@@ -381,17 +421,19 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline 4:4:4 JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
+    """Baseline JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
 
-    Raises NotImplementedError for progressive (SOF2 etc.), subsampled
-    (non-1×1 factors), >2 quant-table or restart-marker streams."""
+    Handles sampling factors 1-2 per axis — 4:4:4, 4:2:0, 4:2:2, 4:4:0
+    (subsampled chroma upsampled by sample replication, integer-exact).
+    Raises NotImplementedError for progressive (SOF2 etc.), factor-3/4,
+    16-bit-quant or restart-marker streams."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []          # (component id, tq)
+    comps: list[tuple[int, int, int, int]] = []   # (cid, tq, hi, vi)
     scan_tables: list[tuple[int, int]] = []    # (td, ta) in SOS order
     scan_start = None
     while pos + 4 <= len(b):
@@ -437,11 +479,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{nc}-component JPEG")
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (non-4:4:4) needs an image "
-                        f"library (sampling factors 0x{hv:02x})")
-                comps.append((cid, tq))
+                        "only sampling factors 1-2 decode here (got "
+                        f"0x{hv:02x}); factor-3/4 JPEG needs an image "
+                        "library")
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -468,48 +512,63 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     br = _BitReader(data)
 
     nc = len(comps)
-    by, bx = -(-h // 8), -(-w // 8)
-    nb = by * bx
-    zz = [np.zeros((nb, 64), np.int64) for _ in range(nc)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    grids = [(mcx * c[2], mcy * c[3]) for c in comps]   # (bx, by) per comp
+    zz = [np.zeros((gx * gy, 64), np.int64) for gx, gy in grids]
     dcs = [huff[(0, scan_tables[ci][0])] for ci in range(nc)]
     acs = [huff[(1, scan_tables[ci][1])] for ci in range(nc)]
     preds = [0] * nc
-    for blk in range(nb):
-        for ci in range(nc):
-            row = zz[ci][blk]
-            s = _huff_decode(br, dcs[ci])
-            diff = _extend(br.bits(s), s) if s else 0
-            preds[ci] += diff
-            row[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, acs[ci])
-                if sym == 0x00:          # EOB
-                    break
-                run, s = sym >> 4, sym & 0xF
-                if s == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16              # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                row[k] = _extend(br.bits(s), s)
-                k += 1
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci in range(nc):
+                _cid, _tq, hi, vi = comps[ci]
+                gx = grids[ci][0]
+                for v in range(vi):
+                    for u in range(hi):
+                        row = zz[ci][(my * vi + v) * gx + (mx * hi + u)]
+                        s = _huff_decode(br, dcs[ci])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        row[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, acs[ci])
+                            if sym == 0x00:          # EOB
+                                break
+                            run, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16              # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            row[k] = _extend(br.bits(s), s)
+                            k += 1
 
     planes = []
     for ci in range(nc):
-        q = qt[comps[ci][1]]
+        _cid, tq, hi, vi = comps[ci]
+        gx, gy = grids[ci]
+        nb = gx * gy
+        q = qt[tq]
         f = np.zeros((nb, 64), np.int64)
         f[:, ZIGZAG] = zz[ci] * q[ZIGZAG][None, :]
         f = f.reshape(nb, 8, 8)
         p = np.einsum("ij,bjk,kl->bil", _AQ.T, f, _AQ)
         p = ((p + (1 << 23)) >> 24) + 128
         p = p.clip(0, 255).astype(np.uint8)
-        plane = (p.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
-                 .reshape(by * 8, bx * 8)[:h, :w])
-        planes.append(plane)
+        plane = (p.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(gy * 8, gx * 8))
+        if hi < hmax or vi < vmax:
+            # nearest upsample by sample replication — integer exact
+            plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi,
+                                                            axis=1)
+        planes.append(plane[:h, :w])
     if nc == 1:
         return planes[0]
     return ycbcr_to_rgb(*planes)

@@ -3,12 +3,13 @@ columns with typed metadata, processed by actor-pool map_batches stages.
 
 The decode kernels are REAL for the formats the standard library can
 handle — 24-bit uncompressed BMP, 8-bit RGB/RGBA PNG (zlib inflate +
-numpy unfilter, all five PNG filter types), baseline 4:4:4 JPEG
+numpy unfilter, all five PNG filter types), baseline JPEG with sampling
+factors up to 2 — 4:4:4 and the ubiquitous camera 4:2:0/4:2:2/4:4:0
 (datapipe.jpeg — own Huffman/DCT, integer-exact decode spec), PCM16 WAV
 audio (stdlib ``wave``), and a simple length-prefixed BMP-frame
 container for video (``SGV1``, documented below; real mp4/h264 needs
-codecs this environment lacks). Formats beyond that (subsampled or
-progressive JPEG, 16-bit/palette/interlaced PNG, MP4) raise
+codecs this environment lacks). Formats beyond that (progressive or
+restart-marker JPEG, 16-bit/palette/interlaced PNG, MP4) raise
 NotImplementedError at the decode boundary with a clear message — the
 stage signatures, schemas and batch handling are identical either way,
 so swapping in PIL/ffmpeg later only replaces the codec functions.
@@ -238,7 +239,7 @@ def decode_image(b: bytes) -> np.ndarray:
             img = np.stack([img, img, img], axis=-1)
         return img
     raise NotImplementedError(
-        "only BMP, 8-bit RGB/RGBA PNG and baseline 4:4:4 JPEG decode "
+        "only BMP, 8-bit RGB/RGBA PNG and baseline JPEG decode "
         "here; other formats need an image library")
 
 
@@ -338,8 +339,10 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
             elif sel == 1:
                 from .jpeg import encode_jpeg
 
-                # JPEG third, cycling quality so quant tables vary
-                payload = encode_jpeg(img, quality=(60, 75, 90)[i % 3])
+                # JPEG third, cycling quality so quant tables vary and
+                # subsampling so the 4:2:0 MCU decode path is exercised
+                payload = encode_jpeg(img, quality=(60, 75, 90)[i % 3],
+                                      subsampling=("4:4:4", "4:2:0")[i % 2])
                 mime, dur = "image/jpeg", 0
             else:
                 payload, mime, dur = encode_bmp(img), "image/bmp", 0

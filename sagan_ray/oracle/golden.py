@@ -276,6 +276,7 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
     qts: dict[int, list[int]] = {}
     codes: dict[tuple[int, int], dict] = {}
     comp_tq: list[int] = []
+    comp_hv: list[tuple[int, int]] = []
     sos: list[tuple[int, int]] = []
     scan = b""
     while pos < len(b):
@@ -314,6 +315,8 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
         elif m == 0xC0:
             ncomp = body[5]
             comp_tq = [body[6 + 3 * c + 2] for c in range(ncomp)]
+            comp_hv = [(body[6 + 3 * c + 1] >> 4, body[6 + 3 * c + 1] & 0xF)
+                       for c in range(ncomp)]
         elif m == 0xDA:
             ns = body[0]
             sos = [(body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
@@ -356,21 +359,31 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
 
     out: list[int] = []
     for ci, (td, ta) in enumerate(sos):
-        s = read_code(codes[(0, td)])
+        # the first MCU interleaves hi*vi data units per component; the
+        # FIRST one is the 8x8 block covering pixel (0,0) (chroma
+        # upsampling is sample replication, so chroma (0,0) maps too).
+        # The rest must still be entropy-decoded to advance the bits.
+        hi, vi = comp_hv[ci] if comp_hv else (1, 1)
         coef = [0] * 64
-        coef[0] = recv_extend(s)
-        k = 1
-        while k < 64:
-            sym = read_code(codes[(1, ta)])
-            if sym == 0x00:
-                break
-            run, sz = sym >> 4, sym & 0xF
-            if sz == 0:
-                k += 16
-                continue
-            k += run
-            coef[k] = recv_extend(sz)
-            k += 1
+        for unit in range(hi * vi):
+            s = read_code(codes[(0, td)])
+            dc = recv_extend(s)
+            if unit == 0:
+                coef[0] = dc
+            k = 1
+            while k < 64:
+                sym = read_code(codes[(1, ta)])
+                if sym == 0x00:
+                    break
+                run, sz = sym >> 4, sym & 0xF
+                if sz == 0:
+                    k += 16
+                    continue
+                k += run
+                v = recv_extend(sz)
+                if unit == 0:
+                    coef[k] = v
+                k += 1
         q = qts[comp_tq[ci]]
         f = [[0] * 8 for _ in range(8)]
         for kk in range(64):

@@ -68,6 +68,50 @@ def test_decode_matches_independent_golden_walk():
         assert _jpeg_first_pixel_gray(b) == want, trial
 
 
+def test_subsampled_roundtrip_all_modes():
+    """4:2:0 / 4:2:2 / 4:4:0 encode→decode: luma stays near-exact on
+    smooth content while chroma rides the box downsample + replication
+    upsample (bounded, not exact — that is the physics of subsampling)."""
+    h, w = 37, 29
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 // (w - 1)), (yy * 255 // (h - 1)),
+                    ((xx + yy) * 255 // (h + w - 2))], -1).astype(np.uint8)
+    for sub in ("4:2:0", "4:2:2", "4:4:0"):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= 24, (sub, err)
+    # odd/tiny shapes survive the MCU padding in every mode
+    rng = np.random.default_rng(7)
+    for shp in ((1, 1, 3), (9, 17, 3), (16, 16, 3), (15, 8, 3)):
+        im = rng.integers(0, 256, shp).astype(np.uint8)
+        for sub in ("4:2:0", "4:2:2", "4:4:0"):
+            assert decode_jpeg(encode_jpeg(im, subsampling=sub)).shape == shp
+
+
+def test_subsampled_decode_matches_golden_walk():
+    """The golden first-pixel walk must step the full interleaved MCU
+    (hi*vi luma units before the chroma units) — bit-equality across all
+    subsampling modes proves the MCU ordering on both sides."""
+    from sagan_ray.oracle.golden import _jpeg_first_pixel_gray
+
+    rng = np.random.default_rng(23)
+    for trial in range(48):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = _gradient(h, w, rng) if trial % 2 else \
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        sub = ("4:2:0", "4:2:2", "4:4:0")[trial % 3]
+        b = encode_jpeg(img, quality=int(rng.integers(10, 100)),
+                        subsampling=sub)
+        dec = decode_jpeg(b)
+        px = [int(v) for v in dec[0, 0]]
+        s = np.float32(np.float32(np.float32(px[0]) + np.float32(px[1]))
+                       + np.float32(px[2]))
+        want = float(np.float32(np.float32(s / np.float32(3.0))
+                                / np.float32(255.0)))
+        assert _jpeg_first_pixel_gray(b) == want, (trial, sub)
+
+
 def test_unsupported_variants_raise_clearly():
     rng = np.random.default_rng(5)
     b = bytearray(encode_jpeg(_gradient(16, 16, rng)))
@@ -76,11 +120,11 @@ def test_unsupported_variants_raise_clearly():
     prog[prog.find(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(prog))
-    # 4:2:0 subsampling: first component's sampling factors → 2x2
+    # sampling factors beyond 2 (e.g. 4:1:1's 4x1 luma) stay out of scope
     sub = bytearray(b)
     sof = sub.find(b"\xff\xc0")
-    sub[sof + 11] = 0x22        # marker+len(2)+prec+h(2)+w(2)+nc+cid → hv
-    with pytest.raises(NotImplementedError, match="subsampl"):
+    sub[sof + 11] = 0x41        # marker+len(2)+prec+h(2)+w(2)+nc+cid → hv
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(sub))
     # restart interval: splice a DRI segment before SOS
     sos = bytes(b).find(b"\xff\xda")
