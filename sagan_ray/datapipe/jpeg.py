@@ -4,13 +4,14 @@ Scope (honest boundaries, like the PNG decoder's in multimodal.py):
 baseline sequential DCT (SOF0), 8-bit precision, 1-component grayscale
 or 3-component YCbCr with sampling factors 1-2 per axis — 4:4:4, the
 ubiquitous camera 4:2:0, 4:2:2, 4:4:0 (subsampled chroma upsampled by
-sample replication). No restart markers, no progressive (SOF2) or
-arithmetic coding, no factor-3/4 sampling; those raise
+sample replication), restart markers (DRI/RSTn). No progressive (SOF2)
+or arithmetic coding, no factor-3/4 sampling; those raise
 NotImplementedError with a clear message at the decode boundary.
 Huffman tables are always read from the stream's DHT segments (never
 assumed), so any conforming baseline stream in this envelope decodes,
 not just this encoder's output. The encoder emits 4:4:4 (default) or
-4:2:0 (2×2 integer-average chroma).
+subsampled chroma (integer-average box downsample) and optional
+restart intervals.
 
 Determinism contract (the golden-oracle pattern from CLAUDE.md / the
 round-4 unit-grid notes): the DECODE side is specified in exact integer
@@ -213,6 +214,13 @@ class _BitWriter:
             self.put(0x7F, 8 - self.nbits)   # pad with 1s per spec
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded) and emit RSTn — markers are written
+        raw, never byte-stuffed."""
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)
+        self.out += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
                   dc_codes: dict, ac_codes: dict) -> int:
@@ -266,12 +274,16 @@ _SUBSAMPLING = {"4:4:4": (1, 1), "4:2:0": (2, 2),
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 75,
-                subsampling: str = "4:4:4") -> bytes:
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 → baseline JFIF bytes.
 
     ``subsampling``: "4:4:4" (default; every component full-resolution),
     "4:2:0" (chroma averaged 2×2 — the ubiquitous camera layout),
-    "4:2:2" (2×1) or "4:4:0" (1×2)."""
+    "4:2:2" (2×1) or "4:4:0" (1×2). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (DC predictors reset, modulo-8 marker
+    cycle) every that many MCUs — what camera firmware writes for
+    error resilience."""
     img = np.asarray(img, dtype=np.uint8)
     color = img.ndim == 3
     if color and img.shape[2] != 3:
@@ -314,8 +326,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     ac_codes = _codes_from_dht(*_AC_DHT)
     bw = _BitWriter()
     preds = [0] * len(planes)
+    mcu = rst = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            mcu += 1
             for ci in range(len(planes)):
                 hi, vi = hv[ci]
                 bx = grids[ci][0]
@@ -349,6 +367,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     out += seg(0xFFC4, dht(0, 0)) + seg(0xFFC4, dht(1, 0))
     if nc == 3:
         out += seg(0xFFC4, dht(0, 1)) + seg(0xFFC4, dht(1, 1))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, sos + b"\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"
@@ -424,9 +444,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     """Baseline JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
 
     Handles sampling factors 1-2 per axis — 4:4:4, 4:2:0, 4:2:2, 4:4:0
-    (subsampled chroma upsampled by sample replication, integer-exact).
-    Raises NotImplementedError for progressive (SOF2 etc.), factor-3/4,
-    16-bit-quant or restart-marker streams."""
+    (subsampled chroma upsampled by sample replication, integer-exact)
+    — and restart markers (DRI/RSTn: segment split, DC predictor
+    reset). Raises NotImplementedError for progressive (SOF2 etc.),
+    factor-3/4 or 16-bit-quant streams."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -436,6 +457,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []   # (cid, tq, hi, vi)
     scan_tables: list[tuple[int, int]] = []    # (td, ta) in SOS order
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -493,8 +515,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 f"(got SOF marker 0xFF{marker:02X}; progressive/"
                 f"extended/arithmetic need an image library)")
         elif marker == 0xDD:
-            if struct.unpack_from(">H", payload, 0)[0] != 0:
-                raise NotImplementedError("restart markers")
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:
             ns = payload[0]
             for ci in range(ns):
@@ -508,8 +529,17 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     end = b.find(b"\xff\xd9", scan_start)
     if end < 0:
         end = len(b)
-    data = b[scan_start:end].replace(b"\xff\x00", b"\xff")
-    br = _BitReader(data)
+    raw = b[scan_start:end]
+    if restart_interval:
+        import re as _re
+
+        # each entropy segment between RSTn markers unstuffs on its own;
+        # the markers themselves are never byte-stuffed
+        segs = [s.replace(b"\xff\x00", b"\xff")
+                for s in _re.split(b"\xff[\xd0-\xd7]", raw)]
+    else:
+        segs = [raw.replace(b"\xff\x00", b"\xff")]
+    br = _BitReader(segs[0])
 
     nc = len(comps)
     hmax = max(c[2] for c in comps)
@@ -521,8 +551,17 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     dcs = [huff[(0, scan_tables[ci][0])] for ci in range(nc)]
     acs = [huff[(1, scan_tables[ci][1])] for ci in range(nc)]
     preds = [0] * nc
+    mcu = seg_i = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if (restart_interval and mcu and mcu % restart_interval == 0
+                    and seg_i + 1 < len(segs)):
+                # RSTn: byte-align to the next segment, reset predictors
+                # (a declared-but-markerless stream just keeps reading)
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                preds = [0] * nc
+            mcu += 1
             for ci in range(nc):
                 _cid, _tq, hi, vi = comps[ci]
                 gx = grids[ci][0]

@@ -339,10 +339,12 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
             elif sel == 1:
                 from .jpeg import encode_jpeg
 
-                # JPEG third, cycling quality so quant tables vary and
-                # subsampling so the 4:2:0 MCU decode path is exercised
+                # JPEG third, cycling quality so quant tables vary,
+                # subsampling so the 4:2:0 MCU decode path is exercised,
+                # and restart intervals so RSTn segmentation is too
                 payload = encode_jpeg(img, quality=(60, 75, 90)[i % 3],
-                                      subsampling=("4:4:4", "4:2:0")[i % 2])
+                                      subsampling=("4:4:4", "4:2:0")[i % 2],
+                                      restart_interval=(0, 0, 2)[i % 3])
                 mime, dur = "image/jpeg", 0
             else:
                 payload, mime, dur = encode_bmp(img), "image/bmp", 0

@@ -126,13 +126,46 @@ def test_unsupported_variants_raise_clearly():
     sub[sof + 11] = 0x41        # marker+len(2)+prec+h(2)+w(2)+nc+cid → hv
     with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(sub))
-    # restart interval: splice a DRI segment before SOS
-    sos = bytes(b).find(b"\xff\xda")
-    dri = bytes(b[:sos]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(b[sos:])
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(dri)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_restart_markers_roundtrip_and_tolerance():
+    """DRI/RSTn: a restart-encoded stream decodes to the SAME pixels as
+    the restart-free encode of the same image (restarts only re-segment
+    the entropy stream), across subsampling modes and intervals; a
+    stream that DECLARES an interval but carries no RSTn markers still
+    decodes (predictors just never reset)."""
+    rng = np.random.default_rng(31)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        img = _gradient(h, w, rng)
+        sub = ("4:4:4", "4:2:0", "4:2:2", "4:4:0")[trial % 4]
+        interval = (1, 2, 3, 5, 7, 16)[trial % 6]
+        plain = encode_jpeg(img, quality=80, subsampling=sub)
+        rst = encode_jpeg(img, quality=80, subsampling=sub,
+                          restart_interval=interval)
+        assert b"\xff\xdd" in rst
+        assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain)), \
+            (trial, sub, interval)
+    # declared interval, no markers: splice DRI into a plain stream
+    b = encode_jpeg(_gradient(20, 20, rng))
+    sos = b.find(b"\xff\xda")
+    dri = b[:sos] + b"\xff\xdd\x00\x04\x00\x02" + b[sos:]
+    assert np.array_equal(decode_jpeg(dri), decode_jpeg(b))
+    # golden first-pixel walk ignores restarts past the first MCU
+    from sagan_ray.oracle.golden import _jpeg_first_pixel_gray
+
+    img = _gradient(33, 17, rng)
+    rb = encode_jpeg(img, quality=70, subsampling="4:2:0",
+                     restart_interval=1)
+    dec = decode_jpeg(rb)
+    px = [int(v) for v in dec[0, 0]]
+    s = np.float32(np.float32(np.float32(px[0]) + np.float32(px[1]))
+                   + np.float32(px[2]))
+    want = float(np.float32(np.float32(s / np.float32(3.0))
+                            / np.float32(255.0)))
+    assert _jpeg_first_pixel_gray(rb) == want
 
 
 def test_decode_image_dispatch_and_resize_reencode():
