@@ -2,14 +2,15 @@
 columns with typed metadata, processed by actor-pool map_batches stages.
 
 The decode kernels are REAL for the formats the standard library can
-handle — 24-bit uncompressed BMP, 8-bit RGB/RGBA PNG (zlib inflate +
-numpy unfilter, all five PNG filter types), baseline JPEG with sampling
-factors up to 2 — 4:4:4 and the ubiquitous camera 4:2:0/4:2:2/4:4:0
-(datapipe.jpeg — own Huffman/DCT, integer-exact decode spec), PCM16 WAV
-audio (stdlib ``wave``), and a simple length-prefixed BMP-frame
-container for video (``SGV1``, documented below; real mp4/h264 needs
-codecs this environment lacks). Formats beyond that (progressive or
-restart-marker JPEG, 16-bit/palette/interlaced PNG, MP4) raise
+handle — 24-bit uncompressed BMP, PNG (zlib inflate + numpy unfilter,
+all five filter types, gray/RGB/palette/alpha color types, 8/16-bit
+depth, Adam7 interlace), baseline JPEG with sampling factors up to 2 —
+4:4:4 and the ubiquitous camera 4:2:0/4:2:2/4:4:0 — plus restart
+markers (datapipe.jpeg — own Huffman/DCT, integer-exact decode spec),
+PCM16 WAV audio (stdlib ``wave``), and a simple length-prefixed
+BMP-frame container for video (``SGV1``, documented below; real
+mp4/h264 needs codecs this environment lacks). Formats beyond that
+(progressive JPEG, sub-byte-depth PNG, MP4) raise
 NotImplementedError at the decode boundary with a clear message — the
 stage signatures, schemas and batch handling are identical either way,
 so swapping in PIL/ffmpeg later only replaces the codec functions.
@@ -88,28 +89,28 @@ def decode_bmp(b: bytes) -> np.ndarray:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(img: np.ndarray, filters: int | list[int] = 0) -> bytes:
-    """HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes (8-bit color type
-    2/6, one IDAT, no interlace). ``filters`` picks the per-row filter
-    (int for all rows or one per row) — encode-side filtering is fully
-    vectorized because the reconstructed row is already known."""
-    import zlib
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    img = np.ascontiguousarray(img, np.uint8)
-    h, w, ch = img.shape
-    if ch not in (3, 4):
-        raise ValueError("encode_png wants HxWx3 or HxWx4 uint8")
-    ctype = 2 if ch == 3 else 6
-    flat = img.reshape(h, w * ch).astype(np.int64)
-    zeros = np.zeros(ch, np.int64)
-    prev = np.zeros(w * ch, np.int64)
+
+def _png_filter_rows(flat: np.ndarray, bpp: int,
+                     filters, row_base: int) -> list[bytes]:
+    """(nrows, stride) int64 byte matrix → filtered scanlines.
+    ``filters`` is an int (all rows) or a per-row list indexed by
+    ``row_base + y``. Encode-side filtering is fully vectorized because
+    the reconstructed row is already known."""
+    nrows, stride = flat.shape
+    zeros = np.zeros(bpp, np.int64)
+    prev = np.zeros(stride, np.int64)
     parts = []
-    for y in range(h):
-        f = int(filters[y]) if not isinstance(filters, int) else int(filters)
+    for y in range(nrows):
+        f = (int(filters) if isinstance(filters, int)
+             else int(filters[row_base + y]))
         cur = flat[y]
-        left = np.concatenate((zeros, cur[:-ch]))
+        left = np.concatenate((zeros, cur[:-bpp]))
         up = prev
-        upleft = np.concatenate((zeros, prev[:-ch]))
+        upleft = np.concatenate((zeros, prev[:-bpp]))
         if f == 0:
             out = cur
         elif f == 1:
@@ -128,84 +129,114 @@ def encode_png(img: np.ndarray, filters: int | list[int] = 0) -> bytes:
             raise ValueError(f"unknown PNG filter {f}")
         parts.append(bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    idat = zlib.compress(b"".join(parts), 6)
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + typ + data +
-                struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    return parts
 
 
-def decode_png(b: bytes) -> np.ndarray:
-    """PNG bytes → HxWx{3,4} uint8. Pure stdlib zlib inflate + numpy
-    unfilter. Supports the corpus-realistic core: 8-bit depth, color
-    types 2 (RGB) / 6 (RGBA), no interlace, all five filter types
-    (none/sub/up/average/paeth). Sub is a per-channel cumulative sum mod
-    256 (vectorized); average/paeth carry a per-pixel left-dependency, so
-    those rows run a per-pixel loop over ch-wide numpy vectors."""
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import zlib
 
-    if b[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos = 8
-    w = h = depth = ctype = interlace = None
-    idat: list[bytes] = []
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos:pos + 4], "big")
-        typ = b[pos + 4:pos + 8]
-        data = b[pos + 8:pos + 8 + ln]
-        pos += 12 + ln
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG without IHDR")
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit RGB/RGBA non-interlaced PNG decodes here (got "
-            f"depth={depth}, color_type={ctype}, interlace={interlace}); "
-            f"palette/gray/16-bit/interlaced need an image library")
-    ch = 3 if ctype == 2 else 4
-    stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG scanline payload size mismatch")
-    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    return (struct.pack(">I", len(data)) + typ + data +
+            struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, filters: int | list[int] = 0,
+               depth: int = 8, interlace: bool = False,
+               palette: np.ndarray | None = None) -> bytes:
+    """uint8 image → PNG bytes. Shapes: HxW (grayscale, color type 0 —
+    or type 3 when ``palette`` [n≤256, 3] is given and img holds
+    indexes), HxWx3 (RGB), HxWx4 (RGBA). ``depth`` 8 or 16 (16-bit
+    widens each sample to ``v*257`` so the high byte round-trips
+    exactly; palette is always 8-bit). ``interlace`` emits Adam7.
+    ``filters`` picks the per-row filter (int for all rows or one per
+    scanline in stream order — pass-major when interlaced)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    if palette is not None:
+        if img.ndim != 2:
+            raise ValueError("palette PNG wants HxW uint8 indexes")
+        palette = np.ascontiguousarray(palette, np.uint8)
+        if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+            raise ValueError("palette must be (n<=256, 3) uint8")
+        if depth != 8:
+            raise ValueError("palette PNG is 8-bit here")
+        ctype, ch = 3, 1
+    elif img.ndim == 2:
+        ctype, ch = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ctype, ch = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        ctype, ch = 6, 4
+    else:
+        raise ValueError("encode_png wants HxW, HxWx3 or HxWx4 uint8")
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
+    h, w = img.shape[:2]
+    samples = img.reshape(h, w * ch).astype(np.int64)
+    if depth == 16:
+        wide = samples * 257                     # (v<<8)|v
+        rows = np.empty((h, w * ch * 2), np.int64)
+        rows[:, 0::2] = wide >> 8
+        rows[:, 1::2] = wide & 0xFF
+    else:
+        rows = samples
+    bpp = max(1, ch * depth // 8)
+    parts: list[bytes] = []
+    if interlace:
+        base = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = rows.reshape(h, w, bpp)[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += _png_filter_rows(
+                sub.reshape(sub.shape[0], -1), bpp, filters, base)
+            base += sub.shape[0]
+    else:
+        parts = _png_filter_rows(rows, bpp, filters, 0)
+    idat = zlib.compress(b"".join(parts), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.tobytes())
+    return out + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """(nrows, 1 + stride) uint8 filtered scanlines → (nrows, stride)
+    reconstructed bytes. Sub is a per-pixel-group cumulative sum mod 256
+    (vectorized); average/paeth carry a per-pixel left-dependency, so
+    those rows run a per-pixel loop over bpp-wide numpy vectors."""
+    nrows, stride = raw.shape[0], raw.shape[1] - 1
     row_filters = raw[:, 0]
     data64 = raw[:, 1:].astype(np.int64)
-    out = np.empty((h, stride), np.uint8)
+    out = np.empty((nrows, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
-    for y in range(h):
+    for y in range(nrows):
         f = int(row_filters[y])
         row = data64[y]
         if f == 0:
             rec = row
         elif f == 1:
-            rec = (np.cumsum(row.reshape(-1, ch), axis=0,
+            rec = (np.cumsum(row.reshape(-1, bpp), axis=0,
                              dtype=np.int64) & 0xFF).reshape(-1)
         elif f == 2:
             rec = (row + prev) & 0xFF
         elif f == 3:
-            cur = row.reshape(-1, ch)
-            up = prev.reshape(-1, ch)
+            cur = row.reshape(-1, bpp)
+            up = prev.reshape(-1, bpp)
             recs = np.empty_like(cur)
-            left = np.zeros(ch, np.int64)
+            left = np.zeros(bpp, np.int64)
             for i in range(cur.shape[0]):
                 left = (cur[i] + ((left + up[i]) >> 1)) & 0xFF
                 recs[i] = left
             rec = recs.reshape(-1)
         elif f == 4:
-            cur = row.reshape(-1, ch)
-            up = prev.reshape(-1, ch)
-            upleft = np.vstack((np.zeros((1, ch), np.int64), up[:-1]))
+            cur = row.reshape(-1, bpp)
+            up = prev.reshape(-1, bpp)
+            upleft = np.vstack((np.zeros((1, bpp), np.int64), up[:-1]))
             recs = np.empty_like(cur)
-            left = np.zeros(ch, np.int64)
+            left = np.zeros(bpp, np.int64)
             for i in range(cur.shape[0]):
                 a, bb, cc = left, up[i], upleft[i]
                 p = a + bb - cc
@@ -219,7 +250,78 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f} on row {y}")
         out[y] = rec.astype(np.uint8)
         prev = out[y].astype(np.int64)
-    return out.reshape(h, w, ch)
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes → HxWx{3,4} uint8. Pure stdlib zlib inflate + numpy
+    unfilter. Envelope: depth 8 or 16 (16-bit takes the high byte —
+    exact for this encoder's ``v*257`` widening), color types 0 (gray,
+    replicated to RGB), 2 (RGB), 3 (palette → RGB), 4 (gray+alpha →
+    RGBA), 6 (RGBA), Adam7 interlace, all five filter types. 1/2/4-bit
+    depths raise — they need an image library."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    plte: bytes | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if (depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6)
+            or (ctype == 3 and (depth != 8 or plte is None))):
+        raise NotImplementedError(
+            f"PNG depth={depth}, color_type={ctype} is outside the "
+            "decode envelope here (8/16-bit gray/RGB/palette/alpha); "
+            "sub-byte depths need an image library")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = ch * depth // 8
+    raw = zlib.decompress(b"".join(idat))
+    samples = np.empty((h, w, bpp), np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue
+        need = (pw * bpp + 1) * ph
+        rows = np.frombuffer(raw, np.uint8, need, off).reshape(
+            ph, pw * bpp + 1)
+        off += need
+        rec = _png_unfilter(rows, bpp).reshape(ph, pw, bpp)
+        samples[y0::dy, x0::dx] = rec
+    if off != len(raw):
+        raise ValueError("PNG scanline payload size mismatch")
+    if depth == 16:
+        samples = samples.reshape(h, w, ch, 2)[:, :, :, 0]   # high byte
+    else:
+        samples = samples.reshape(h, w, ch)
+    if ctype == 2 or ctype == 6:
+        return np.ascontiguousarray(samples)
+    if ctype == 0:
+        return np.repeat(samples, 3, axis=2)
+    if ctype == 4:
+        g, a = samples[:, :, :1], samples[:, :, 1:]
+        return np.concatenate((np.repeat(g, 3, axis=2), a), axis=2)
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    return pal[samples[:, :, 0]]
 
 
 def decode_image(b: bytes) -> np.ndarray:
@@ -332,9 +434,26 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
                            ).astype(np.uint8)
             sel = int(rng.integers(0, 3))
             if sel == 0:
-                # PNG third of the corpus, cycling the filter type so the
-                # decode exercises none/sub/up/average/paeth
-                payload = encode_png(img, filters=i % 5)
+                # PNG third of the corpus, cycling filter type AND
+                # variant: plain/interlaced RGB, grayscale, palette,
+                # 16-bit — every decode-envelope corner flows through
+                # the gated feature query
+                var = (i // 5) % 5
+                if var == 1:
+                    payload = encode_png(img, filters=i % 5, interlace=True)
+                elif var == 2:
+                    payload = encode_png(img[:, :, 0], filters=i % 5)
+                elif var == 3:
+                    pal = ((np.arange(64)[:, None]
+                            * np.array([5, 11, 23]) + 7) % 256
+                           ).astype(np.uint8)
+                    payload = encode_png((img[:, :, 2] % 64).astype(np.uint8),
+                                         filters=i % 5, palette=pal)
+                elif var == 4:
+                    payload = encode_png(img, filters=i % 5, depth=16,
+                                         interlace=bool(i & 1))
+                else:
+                    payload = encode_png(img, filters=i % 5)
                 mime, dur = "image/png", 0
             elif sel == 1:
                 from .jpeg import encode_jpeg

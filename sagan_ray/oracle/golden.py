@@ -229,23 +229,39 @@ def _png_first_pixel_gray(b: bytes) -> float:
     """Independent minimal PNG walk: gray of pixel (0, 0). Every PNG
     filter type predicts the FIRST pixel of the FIRST row from zeros
     (left/up/upper-left all absent ⇒ 0), so recon(0,0) == the raw bytes
-    right after row 0's filter byte — no unfiltering needed. Shares only
-    stdlib zlib with the pipeline decoder, none of its code."""
+    right after row 0's filter byte — no unfiltering needed. This holds
+    for Adam7 streams too: interlace pass 1 starts at (0, 0), so the
+    stream's first scanline's first pixel IS pixel (0, 0). Handles
+    gray/RGB/palette/gray+alpha/RGBA at depth 8 or 16 (high byte).
+    Shares only stdlib zlib with the pipeline decoder, none of its
+    code."""
     import zlib
 
     assert b[:8] == b"\x89PNG\r\n\x1a\n"
     pos, idat = 8, []
+    depth = ctype = None
+    plte = b""
     while pos + 8 <= len(b):
         ln = int.from_bytes(b[pos:pos + 4], "big")
         typ = b[pos + 4:pos + 8]
-        if typ == b"IDAT":
+        if typ == b"IHDR":
+            depth, ctype = b[pos + 16], b[pos + 17]
+        elif typ == b"PLTE":
+            plte = b[pos + 8:pos + 8 + ln]
+        elif typ == b"IDAT":
             idat.append(b[pos + 8:pos + 8 + ln])
         elif typ == b"IEND":
             break
         pos += 12 + ln
     d = zlib.decompressobj()
-    head = d.decompress(b"".join(idat), 8)   # filter byte + first pixel
-    red, green, blue = head[1], head[2], head[3]
+    head = d.decompress(b"".join(idat), 17)  # filter byte + first pixel
+    step = 2 if depth == 16 else 1           # 16-bit: high byte
+    if ctype == 3:
+        red, green, blue = plte[3 * head[1]:3 * head[1] + 3]
+    elif ctype in (0, 4):
+        red = green = blue = head[1]
+    else:
+        red, green, blue = head[1], head[1 + step], head[1 + 2 * step]
     s = np.float32(np.float32(np.float32(red) + np.float32(green))
                    + np.float32(blue))
     gray = np.float32(s / np.float32(3.0))

@@ -1213,7 +1213,7 @@ def test_png_codec_roundtrip_all_filters():
     row = rng.integers(0, 256, (1, 40, 3)).astype(np.uint8)
     for f in range(5):
         assert np.array_equal(decode_png(encode_png(row, filters=f)), row)
-    # unsupported flavors fail loudly (16-bit depth header)
+    # unsupported flavors fail loudly (sub-byte depth header)
     import struct as _struct
     import zlib as _zlib
 
@@ -1222,11 +1222,52 @@ def test_png_codec_roundtrip_all_filters():
                 _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
 
     bad = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-           + chunk(b"IDAT", _zlib.compress(b"\x00" * 26))
+           + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+           + chunk(b"IDAT", _zlib.compress(b"\x00" * 4))
            + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         decode_png(bad)
+
+
+def test_png_extended_envelope_roundtrip():
+    """Gray / palette / gray+alpha handling, 16-bit depth (high-byte
+    exact under the encoder's v*257 widening) and Adam7 interlace all
+    round-trip bit-exactly, including shapes that leave Adam7 passes
+    empty; golden first-pixel parity holds across every variant."""
+    from sagan_ray.datapipe.multimodal import decode_png, encode_png
+    from sagan_ray.oracle.golden import _png_first_pixel_gray
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (19, 11, 3)).astype(np.uint8)
+    gray = rng.integers(0, 256, (13, 9)).astype(np.uint8)
+    pal = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.integers(0, 64, (12, 7)).astype(np.uint8)
+    variants = []
+    for f in range(5):
+        variants += [
+            (encode_png(img, filters=f, interlace=True), img),
+            (encode_png(img, filters=f, depth=16), img),
+            (encode_png(img, filters=f, depth=16, interlace=True), img),
+            (encode_png(gray, filters=f), np.repeat(gray[..., None], 3, 2)),
+            (encode_png(gray, filters=f, interlace=True),
+             np.repeat(gray[..., None], 3, 2)),
+            (encode_png(idx, filters=f, palette=pal), pal[idx]),
+            (encode_png(idx, filters=f, palette=pal, interlace=True),
+             pal[idx]),
+        ]
+    for shp in ((1, 1, 3), (3, 1, 3), (2, 9, 3), (8, 8, 3)):
+        tiny = rng.integers(0, 256, shp).astype(np.uint8)
+        variants.append((encode_png(tiny, interlace=True), tiny))
+    for b, want in variants:
+        got = decode_png(b)
+        assert np.array_equal(got[:, :, :3], want[:, :, :3])
+        px = want[0, 0] if want.ndim == 3 else [want[0, 0]] * 3
+        s = np.float32(np.float32(np.float32(int(px[0]))
+                                  + np.float32(int(px[1])))
+                       + np.float32(int(px[2])))
+        expect = float(np.float32(np.float32(s / np.float32(3.0))
+                                  / np.float32(255.0)))
+        assert _png_first_pixel_gray(b) == expect
 
 
 def test_png_golden_first_pixel_matches_pipeline():
