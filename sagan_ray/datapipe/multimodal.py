@@ -345,33 +345,68 @@ def decode_image(b: bytes) -> np.ndarray:
         "here; other formats need an image library")
 
 
-def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
-    """1-D float array in [-1, 1] → mono PCM16 WAV bytes."""
+def encode_wav(samples: np.ndarray, rate: int = 8000,
+               sampwidth: int = 2, channels: int = 1) -> bytes:
+    """Float array in [-1, 1] → PCM WAV bytes. 1-D input is replicated
+    across ``channels``; (n, channels) input is interleaved as-is.
+    ``sampwidth`` 1 (unsigned 8-bit), 2 (PCM16), 3 (PCM24) or 4
+    (PCM32)."""
     import wave
 
-    pcm = np.clip(samples, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    if sampwidth not in (1, 2, 3, 4):
+        raise ValueError("sampwidth must be 1..4 bytes")
+    pcm = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    if pcm.ndim == 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1)
+    elif pcm.shape[1] != channels:
+        raise ValueError("samples shape does not match channels")
+    full = float((1 << (8 * sampwidth - 1)) - 1)
+    ints = np.rint(pcm * full).astype(np.int64)
+    if sampwidth == 1:
+        frames = (ints + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 3:
+        u = (ints & 0xFFFFFF).astype(np.uint32)
+        b3 = np.empty(ints.shape + (3,), np.uint8)
+        b3[..., 0] = u & 0xFF
+        b3[..., 1] = (u >> 8) & 0xFF
+        b3[..., 2] = (u >> 16) & 0xFF
+        frames = b3.tobytes()
+    else:
+        frames = ints.astype(f"<i{sampwidth}").tobytes()
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
         w.setframerate(rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(frames)
     return buf.getvalue()
 
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes → (float32 samples in [-1, 1] of channel 0, rate)."""
+    """WAV bytes → (float32 samples in [-1, 1] of channel 0, rate).
+    PCM sample widths 1 (unsigned 8-bit), 2, 3 (24-bit) and 4 bytes;
+    multi-channel streams take channel 0."""
     import wave
 
     with wave.open(io.BytesIO(b), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError("only PCM16 WAV decodes here")
+        sw = w.getsampwidth()
+        if sw not in (1, 2, 3, 4):
+            raise NotImplementedError(f"{8 * sw}-bit WAV needs an "
+                                      "audio library")
         n = w.getnframes()
         raw = w.readframes(n)
         rate = w.getframerate()
         ch = w.getnchannels()
-    arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+    full = np.float32((1 << (8 * sw - 1)) - 1)
+    if sw == 1:
+        ints = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
+    elif sw == 3:
+        b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+        u = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        ints = u - ((u >> 23) << 24)        # sign-extend 24-bit
+    else:
+        ints = np.frombuffer(raw, f"<i{sw}").astype(np.int64)
+    arr = ints.astype(np.float32) / full
     if ch > 1:
         arr = arr[::ch]
     return arr, rate
@@ -472,7 +507,10 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
             dur = int(rng.integers(50, 250))
             t = np.arange(int(rate * dur / 1000)) / rate
             freq = float(rng.uniform(100, 1000))
-            payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+            # cycle sample width and channel count through the decode
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate,
+                                 sampwidth=(2, 1, 3, 4)[i % 4],
+                                 channels=1 + (i % 2))
             mime, h, w = "audio/wav", 0, 0
         else:
             h = w = 16

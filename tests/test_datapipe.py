@@ -372,6 +372,13 @@ def test_multimodal_codecs_roundtrip():
     y, rate = decode_wav(encode_wav(x, 8000))
     assert rate == 8000 and len(y) == len(x)
     assert np.abs(y - x).max() < 1e-3           # PCM16 quantization only
+    # widened envelope: 8/24/32-bit widths and stereo, channel 0 taken
+    for sw, tol in ((1, 1e-2), (2, 1e-3), (3, 1e-6), (4, 1e-7)):
+        for chn in (1, 2):
+            y2, r2 = decode_wav(encode_wav(x, 8000, sampwidth=sw,
+                                           channels=chn))
+            assert r2 == 8000 and len(y2) == len(x), (sw, chn)
+            assert np.abs(y2 - x).max() < tol, (sw, chn)
 
     frames = [encode_bmp(rng.integers(0, 256, (4, 4, 3)).astype(np.uint8))
               for _ in range(3)]
