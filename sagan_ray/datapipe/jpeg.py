@@ -1,17 +1,21 @@
 """Baseline JPEG codec — pure stdlib + numpy, no image libraries.
 
 Scope (honest boundaries, like the PNG decoder's in multimodal.py):
-baseline sequential DCT (SOF0), 8-bit precision, 1-component grayscale
-or 3-component YCbCr with sampling factors 1-2 per axis — 4:4:4, the
-ubiquitous camera 4:2:0, 4:2:2, 4:4:0 (subsampled chroma upsampled by
-sample replication), restart markers (DRI/RSTn). No progressive (SOF2)
-or arithmetic coding, no factor-3/4 sampling; those raise
-NotImplementedError with a clear message at the decode boundary.
-Huffman tables are always read from the stream's DHT segments (never
-assumed), so any conforming baseline stream in this envelope decodes,
-not just this encoder's output. The encoder emits 4:4:4 (default) or
-subsampled chroma (integer-average box downsample) and optional
-restart intervals.
+baseline sequential (SOF0) and progressive (SOF2: spectral selection,
+successive approximation, EOB runs — T.81 Annex G) DCT, 8-bit
+precision, 1-component grayscale or 3-component YCbCr with sampling
+factors 1-2 per axis — 4:4:4, the ubiquitous camera 4:2:0, 4:2:2,
+4:4:0 (subsampled chroma upsampled by sample replication), restart
+markers (DRI/RSTn). No arithmetic coding, lossless or hierarchical
+SOFs, no factor-3/4 sampling; those raise NotImplementedError with a
+clear message at the decode boundary. Huffman tables are always read
+from the stream's DHT segments (never assumed), so any conforming
+stream in this envelope decodes, not just this encoder's output. The
+encoder emits 4:4:4 (default) or subsampled chroma (integer-average
+box downsample), optional restart intervals, and optionally a
+progressive scan script — the entropy layer is lossless either way,
+so progressive and baseline encodes decode pixel-identically (the
+equivalence the tests enforce).
 
 Determinism contract (the golden-oracle pattern from CLAUDE.md / the
 round-4 unit-grid notes): the DECODE side is specified in exact integer
@@ -273,17 +277,182 @@ _SUBSAMPLING = {"4:4:4": (1, 1), "4:2:0": (2, 2),
                 "4:2:2": (2, 1), "4:4:0": (1, 2)}
 
 
+# progressive AC table: the 162 baseline symbols plus EOBn (0x10..0xE0),
+# all at 9 bits — a valid canonical table (176 codes < 511, so the
+# all-ones code is never assigned); compression is traded for having
+# every progressive symbol addressable without per-image table building
+_AC_PROG_SYMS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for s in range(1, 11) for r in range(16)])
+_AC_PROG_DHT = ([0] * 8 + [len(_AC_PROG_SYMS)] + [0] * 7, _AC_PROG_SYMS)
+
+
+def _prog_scan_script(nc: int) -> list[tuple[str, list[int], int, int, int, int]]:
+    """(kind, components, Ss, Se, Ah, Al) per scan — DC first with one
+    successive-approximation step, luma AC split spectrally at Al=1 then
+    refined, chroma AC in one full-band pass."""
+    scans = [("dc", list(range(nc)), 0, 0, 0, 1),
+             ("dc", list(range(nc)), 0, 0, 1, 0),
+             ("ac", [0], 1, 5, 0, 1),
+             ("ac", [0], 6, 63, 0, 1),
+             ("ac", [0], 1, 63, 1, 0)]
+    for ci in range(1, nc):
+        scans.append(("ac", [ci], 1, 63, 0, 0))
+    return scans
+
+
+def _enc_dc_scan(bw, comp_zz, sel, hv, grids, mcx, mcy, ah, al,
+                 dc_codes, ri) -> None:
+    """Progressive DC scan, MCU-interleaved: first pass (Ah=0) codes
+    arithmetic-shifted diffs; refinement emits one raw bit per unit."""
+    preds = dict.fromkeys(sel, 0)
+    nu = rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if ri and nu and nu % ri == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = dict.fromkeys(sel, 0)
+            nu += 1
+            for ci in sel:
+                hi, vi = hv[ci]
+                gx = grids[ci][0]
+                for v in range(vi):
+                    for u in range(hi):
+                        dc = int(comp_zz[ci][(my * vi + v) * gx
+                                             + (mx * hi + u)][0])
+                        if ah == 0:
+                            d = (dc >> al) - preds[ci]
+                            preds[ci] = dc >> al
+                            s = abs(d).bit_length()
+                            ln, code = dc_codes[s]
+                            bw.put(code, ln)
+                            if s:
+                                bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+                        else:
+                            bw.put((dc >> al) & 1, 1)
+
+
+def _enc_ac_scan(bw, zzc, gx, bxs, bys, ss, se, ah, al,
+                 ac_codes, ri) -> None:
+    """Progressive AC scan over one component's sub-grid: first pass
+    (Ah=0) codes the sign-magnitude point transform with EOB runs;
+    refinement interleaves buffered correction bits per T.81 G.1.2.3."""
+    eobrun = 0
+    ebits: list[int] = []
+    nu = rst = 0
+
+    def flush() -> None:
+        nonlocal eobrun, ebits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, code = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            for bit in ebits:
+                bw.put(bit, 1)
+            eobrun, ebits = 0, []
+
+    for by in range(bys):
+        for bx in range(bxs):
+            if ri and nu and nu % ri == 0:
+                flush()
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+            nu += 1
+            row = zzc[by * gx + bx]
+            if ah == 0:
+                vals = []
+                for k in range(ss, se + 1):
+                    c = int(row[k])
+                    vals.append(c >> al if c >= 0 else -((-c) >> al))
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush()
+                    continue
+                flush()
+                r = 0
+                for v in vals:
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                    s = abs(v).bit_length()
+                    ln, code = ac_codes[(r << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush()
+            else:
+                hi_sh = al + 1       # bits already sent down to Ah=Al+1
+                band = [int(row[k]) for k in range(ss, se + 1)]
+                has_new = any(abs(c) >> hi_sh == 0 and abs(c) >> al == 1
+                              for c in band)
+                if not has_new:
+                    eobrun += 1
+                    ebits.extend((abs(c) >> al) & 1 for c in band
+                                 if abs(c) >> hi_sh)
+                    if eobrun == 32767:
+                        flush()
+                    continue
+                flush()
+                r = 0
+                pend: list[int] = []
+                for c in band:
+                    if abs(c) >> al == 0:
+                        r += 1
+                        continue
+                    # ZRL check at EVERY nonzero position (old or new) —
+                    # T.81 fig. G.7: buffered correction bits must stay
+                    # within the 16-zero span a ZRL covers, so the run
+                    # is drained before buffering this position's bit
+                    while r > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        for bit in pend:
+                            bw.put(bit, 1)
+                        pend = []
+                        r -= 16
+                    if abs(c) >> hi_sh:                  # already nonzero
+                        pend.append((abs(c) >> al) & 1)
+                        continue
+                    ln, code = ac_codes[(r << 4) | 1]    # newly ±1<<Al
+                    bw.put(code, ln)
+                    bw.put(1 if c >= 0 else 0, 1)
+                    for bit in pend:
+                        bw.put(bit, 1)
+                    pend = []
+                    r = 0
+                if r or pend:
+                    eobrun += 1
+                    ebits.extend(pend)
+                    if eobrun == 32767:
+                        flush()
+    flush()
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 75,
                 subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB) uint8 → baseline JFIF bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 → JFIF bytes.
 
     ``subsampling``: "4:4:4" (default; every component full-resolution),
     "4:2:0" (chroma averaged 2×2 — the ubiquitous camera layout),
     "4:2:2" (2×1) or "4:4:0" (1×2). ``restart_interval`` > 0 emits a DRI
     segment and an RSTn marker (DC predictors reset, modulo-8 marker
     cycle) every that many MCUs — what camera firmware writes for
-    error resilience."""
+    error resilience. ``progressive`` emits SOF2 with the scan script
+    of ``_prog_scan_script`` (spectral selection + one successive-
+    approximation step); the entropy layer is lossless either way, so
+    progressive and baseline encodes of one image decode pixel-equal."""
     img = np.asarray(img, dtype=np.uint8)
     color = img.ndim == 3
     if color and img.shape[2] != 3:
@@ -322,19 +491,63 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
         comp_zz.append(zq[:, ZIGZAG])
         grids.append((bx, by))
 
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int) -> bytes:
+        counts, syms = _DC_DHT if cls == 0 else _AC_DHT
+        return bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms)
+
+    nc = len(planes)
     dc_codes = _codes_from_dht(*_DC_DHT)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qt):
+        out += seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in q[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], min(ci, 1)])
+
+    if progressive:
+        ac_codes = _codes_from_dht(*_AC_PROG_DHT)
+        out += seg(0xFFC2, sof)
+        out += seg(0xFFC4, dht(0, 0))
+        out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_PROG_DHT[0])
+                   + bytes(_AC_PROG_DHT[1]))
+        if restart_interval:
+            out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        for kind, sel, ss, se, ah, al in _prog_scan_script(nc):
+            bw = _BitWriter()
+            if kind == "dc":
+                _enc_dc_scan(bw, comp_zz, sel, hv, grids, mcx, mcy,
+                             ah, al, dc_codes, restart_interval)
+            else:
+                ci = sel[0]
+                hi, vi = hv[ci]
+                cw, chh = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+                _enc_ac_scan(bw, comp_zz[ci], grids[ci][0],
+                             -(-cw // 8), -(-chh // 8), ss, se, ah, al,
+                             ac_codes, restart_interval)
+            sos = bytes([len(sel)])
+            for ci in sel:
+                sos += bytes([ci + 1, 0x00])      # td = ta = 0
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xFFDA, sos) + bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
     ac_codes = _codes_from_dht(*_AC_DHT)
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * nc
     mcu = rst = 0
     for my in range(mcy):
         for mx in range(mcx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.restart(rst)
                 rst = (rst + 1) & 7
-                preds = [0] * len(planes)
+                preds = [0] * nc
             mcu += 1
-            for ci in range(len(planes)):
+            for ci in range(nc):
                 hi, vi = hv[ci]
                 bx = grids[ci][0]
                 for v in range(vi):
@@ -345,23 +558,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
                             dc_codes, ac_codes)
     scan = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dht(cls: int, tid: int) -> bytes:
-        counts, syms = _DC_DHT if cls == 0 else _AC_DHT
-        return bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms)
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, q in enumerate(qt):
-        out += seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in q[ZIGZAG]))
-    nc = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
     sos = bytes([nc])
     for ci in range(nc):
         tq = min(ci, 1)
-        sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], tq])
         sos += bytes([ci + 1, (tq << 4) | tq])   # td = ta = 0 luma / 1 chroma
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, dht(0, 0)) + seg(0xFFC4, dht(1, 0))
@@ -440,13 +639,256 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
+def _scan_end(b: bytes, pos: int) -> int:
+    """Offset of the marker terminating entropy data starting at ``pos``
+    (skips stuffed FF00, RSTn markers and FF fill bytes)."""
+    while True:
+        i = b.find(b"\xff", pos)
+        if i < 0 or i + 1 >= len(b):
+            return len(b)
+        m = b[i + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = i + 2
+        elif m == 0xFF:
+            pos = i + 1
+        else:
+            return i
 
-    Handles sampling factors 1-2 per axis — 4:4:4, 4:2:0, 4:2:2, 4:4:0
-    (subsampled chroma upsampled by sample replication, integer-exact)
-    — and restart markers (DRI/RSTn: segment split, DC predictor
-    reset). Raises NotImplementedError for progressive (SOF2 etc.),
+
+def _entropy_segments(raw: bytes, restart_interval: int) -> list[bytes]:
+    """Entropy data → unstuffed segments (split at RSTn when a restart
+    interval is declared; the markers themselves are never stuffed)."""
+    import re
+
+    if restart_interval:
+        return [s.replace(b"\xff\x00", b"\xff")
+                for s in re.split(b"\xff[\xd0-\xd7]", raw)]
+    return [raw.replace(b"\xff\x00", b"\xff")]
+
+
+def _decode_baseline_scan(sc: dict, comps, grids, zz, mcx, mcy) -> None:
+    """Baseline sequential scan: DC+AC per data unit, MCU-interleaved."""
+    nc = len(comps)
+    segs, ri = sc["segs"], sc["ri"]
+    dcs = [sc["dc"][sc["sel"].index(ci)] for ci in range(nc)]
+    acs = [sc["ac"][sc["sel"].index(ci)] for ci in range(nc)]
+    br = _BitReader(segs[0])
+    preds = [0] * nc
+    mcu = seg_i = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if (ri and mcu and mcu % ri == 0 and seg_i + 1 < len(segs)):
+                # RSTn: byte-align to the next segment, reset predictors
+                # (a declared-but-markerless stream just keeps reading)
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                preds = [0] * nc
+            mcu += 1
+            for ci in range(nc):
+                _cid, _tq, hi, vi = comps[ci]
+                gx = grids[ci][0]
+                for v in range(vi):
+                    for u in range(hi):
+                        row = zz[ci][(my * vi + v) * gx + (mx * hi + u)]
+                        s = _huff_decode(br, dcs[ci])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        row[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, acs[ci])
+                            if sym == 0x00:          # EOB
+                                break
+                            run, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16              # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            row[k] = _extend(br.bits(s), s)
+                            k += 1
+
+
+def _comp_subgrid(comps, ci, w, h, hmax, vmax) -> tuple[int, int]:
+    """Block grid a NON-interleaved scan covers for component ci —
+    ceil(comp_size/8) from the component's true sample dimensions, NOT
+    the MCU-padded grid (T.81 A.2.2: padding blocks are only coded in
+    interleaved scans)."""
+    _cid, _tq, hi, vi = comps[ci]
+    cw = -(-(w * hi) // hmax)
+    chh = -(-(h * vi) // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _ac_first_block(br, row, ss, se, al, ac_tbl, eobrun) -> int:
+    """Progressive AC first scan (Ah=0) for one block; returns the
+    remaining EOB run (T.81 G.1.2.2: EOBn covers this block too)."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(br, ac_tbl)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16              # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow in progressive scan")
+        row[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, row, ss, se, al, ac_tbl, eobrun) -> int:
+    """Progressive AC refinement (Ah=Al+1) for one block: correction
+    bits for already-nonzero coefficients (sign-magnitude increment),
+    ±1<<Al insertions for newly-significant ones; returns the remaining
+    EOB run. Blocks inside an EOB run still consume correction bits."""
+    p1 = 1 << al
+
+    def correct(kk: int) -> None:
+        c = int(row[kk])
+        if c and br.bits(1) and (c & p1) == 0:
+            row[kk] = c + (p1 if c >= 0 else -p1)
+
+    if eobrun:
+        for kk in range(ss, se + 1):
+            correct(kk)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(br, ac_tbl)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            val = 0                  # ZRL: skip 16 insignificant coefs
+        elif s == 1:
+            val = p1 if br.bits(1) else -p1
+        else:
+            raise ValueError("bad refinement symbol")
+        while k <= se:
+            if row[k]:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            row[k] = val
+        k += 1
+    else:
+        return 0
+    for kk in range(k, se + 1):      # rest of this EOB-run block
+        correct(kk)
+    return eobrun
+
+
+def _decode_progressive(scans, comps, grids, zz, mcx, mcy,
+                        w, h, hmax, vmax) -> None:
+    """Accumulate coefficients across all progressive scans (T.81
+    Annex G): DC first/refine (MCU-interleaved or single-component),
+    AC first/refine (always single-component, sub-grid raster order)."""
+    for sc in scans:
+        segs, ri = sc["segs"], sc["ri"]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        sel = sc["sel"]
+        state = {"br": _BitReader(segs[0]), "seg": 0, "eob": 0,
+                 "preds": dict.fromkeys(sel, 0)}
+
+        def boundary(unit_no: int) -> None:
+            if (ri and unit_no and unit_no % ri == 0
+                    and state["seg"] + 1 < len(segs)):
+                state["seg"] += 1
+                state["br"] = _BitReader(segs[state["seg"]])
+                state["eob"] = 0
+                state["preds"] = dict.fromkeys(sel, 0)
+
+        if ss == 0:                              # DC scan
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if len(sel) > 1:                     # interleaved MCU order
+                nu = 0
+                for my in range(mcy):
+                    for mx in range(mcx):
+                        boundary(nu)
+                        nu += 1
+                        for si, ci in enumerate(sel):
+                            _cid, _tq, hi, vi = comps[ci]
+                            gx = grids[ci][0]
+                            for v in range(vi):
+                                for u in range(hi):
+                                    blk = (my * vi + v) * gx + (mx * hi + u)
+                                    _dc_unit(state, sc["dc"][si], ci,
+                                             zz[ci], blk, ah, al)
+            else:
+                ci = sel[0]
+                bxs, bys = _comp_subgrid(comps, ci, w, h, hmax, vmax)
+                gx = grids[ci][0]
+                nu = 0
+                for by in range(bys):
+                    for bx in range(bxs):
+                        boundary(nu)
+                        nu += 1
+                        _dc_unit(state, sc["dc"][0], ci, zz[ci],
+                                 by * gx + bx, ah, al)
+        else:                                    # AC scan: one component
+            if len(sel) != 1:
+                raise ValueError("interleaved progressive AC scan")
+            ci = sel[0]
+            ac_tbl = sc["ac"][0]
+            bxs, bys = _comp_subgrid(comps, ci, w, h, hmax, vmax)
+            gx = grids[ci][0]
+            nu = 0
+            for by in range(bys):
+                for bx in range(bxs):
+                    boundary(nu)
+                    nu += 1
+                    row = zz[ci][by * gx + bx]
+                    if ah == 0:
+                        state["eob"] = _ac_first_block(
+                            state["br"], row, ss, se, al, ac_tbl,
+                            state["eob"])
+                    else:
+                        state["eob"] = _ac_refine_block(
+                            state["br"], row, ss, se, al, ac_tbl,
+                            state["eob"])
+
+
+def _dc_unit(state, dc_tbl, ci, zzc, blk, ah, al) -> None:
+    br = state["br"]
+    if ah == 0:                      # first DC scan: diff-coded, << Al
+        s = _huff_decode(br, dc_tbl)
+        diff = _extend(br.bits(s), s) if s else 0
+        state["preds"][ci] += diff
+        zzc[blk, 0] = state["preds"][ci] << al
+    else:                            # refinement: append one raw bit
+        if br.bits(1):
+            zzc[blk, 0] = int(zzc[blk, 0]) | (1 << al)
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
+
+    Handles baseline (SOF0) and progressive (SOF2: spectral selection,
+    successive approximation, EOB runs), sampling factors 1-2 per axis —
+    4:4:4, 4:2:0, 4:2:2, 4:4:0 (subsampled chroma upsampled by sample
+    replication, integer-exact) — and restart markers (DRI/RSTn:
+    segment split, DC predictor + EOB-run reset). Raises
+    NotImplementedError for arithmetic/lossless/hierarchical SOFs,
     factor-3/4 or 16-bit-quant streams."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -455,8 +897,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}
     h = w = None
     comps: list[tuple[int, int, int, int]] = []   # (cid, tq, hi, vi)
-    scan_tables: list[tuple[int, int]] = []    # (td, ta) in SOS order
-    scan_start = None
+    scans: list[dict] = []
+    progressive = False
     restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -493,10 +935,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + nv])
                 huff[(cls, tid)] = _HuffTable(counts, vals)
                 p += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             for ci in range(nc):
@@ -508,38 +951,35 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                         f"0x{hv:02x}); factor-3/4 JPEG needs an image "
                         "library")
                 comps.append((cid, tq, hi, vi))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) decodes here "
-                f"(got SOF marker 0xFF{marker:02X}; progressive/"
-                f"extended/arithmetic need an image library)")
+                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"decode here (got SOF marker 0xFF{marker:02X}; "
+                f"arithmetic/lossless/hierarchical need an image "
+                f"library)")
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:
             ns = payload[0]
-            for ci in range(ns):
-                _cid, tt = payload[1 + 2 * ci:3 + 2 * ci]
-                scan_tables.append((tt >> 4, tt & 0xF))
-            scan_start = pos
-            break
-    if h is None or scan_start is None:
-        raise ValueError("JPEG without SOF0/SOS")
-
-    end = b.find(b"\xff\xd9", scan_start)
-    if end < 0:
-        end = len(b)
-    raw = b[scan_start:end]
-    if restart_interval:
-        import re as _re
-
-        # each entropy segment between RSTn markers unstuffs on its own;
-        # the markers themselves are never byte-stuffed
-        segs = [s.replace(b"\xff\x00", b"\xff")
-                for s in _re.split(b"\xff[\xd0-\xd7]", raw)]
-    else:
-        segs = [raw.replace(b"\xff\x00", b"\xff")]
-    br = _BitReader(segs[0])
+            sel, dc_t, ac_t = [], [], []
+            for si in range(ns):
+                cid, tt = payload[1 + 2 * si:3 + 2 * si]
+                sel.append(next(i for i, c in enumerate(comps)
+                                if c[0] == cid))
+                dc_t.append(huff.get((0, tt >> 4)))
+                ac_t.append(huff.get((1, tt & 0xF)))
+            ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+            end = _scan_end(b, pos)
+            scans.append({
+                "sel": sel, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0xF,
+                "dc": dc_t, "ac": ac_t, "ri": restart_interval,
+                "segs": _entropy_segments(b[pos:end], restart_interval),
+            })
+            pos = end
+    if h is None or not scans:
+        raise ValueError("JPEG without SOF/SOS")
 
     nc = len(comps)
     hmax = max(c[2] for c in comps)
@@ -548,46 +988,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     mcy = -(-h // (8 * vmax))
     grids = [(mcx * c[2], mcy * c[3]) for c in comps]   # (bx, by) per comp
     zz = [np.zeros((gx * gy, 64), np.int64) for gx, gy in grids]
-    dcs = [huff[(0, scan_tables[ci][0])] for ci in range(nc)]
-    acs = [huff[(1, scan_tables[ci][1])] for ci in range(nc)]
-    preds = [0] * nc
-    mcu = seg_i = 0
-    for my in range(mcy):
-        for mx in range(mcx):
-            if (restart_interval and mcu and mcu % restart_interval == 0
-                    and seg_i + 1 < len(segs)):
-                # RSTn: byte-align to the next segment, reset predictors
-                # (a declared-but-markerless stream just keeps reading)
-                seg_i += 1
-                br = _BitReader(segs[seg_i])
-                preds = [0] * nc
-            mcu += 1
-            for ci in range(nc):
-                _cid, _tq, hi, vi = comps[ci]
-                gx = grids[ci][0]
-                for v in range(vi):
-                    for u in range(hi):
-                        row = zz[ci][(my * vi + v) * gx + (mx * hi + u)]
-                        s = _huff_decode(br, dcs[ci])
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        row[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(br, acs[ci])
-                            if sym == 0x00:          # EOB
-                                break
-                            run, s = sym >> 4, sym & 0xF
-                            if s == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16              # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            row[k] = _extend(br.bits(s), s)
-                            k += 1
+    if progressive:
+        _decode_progressive(scans, comps, grids, zz, mcx, mcy,
+                            w, h, hmax, vmax)
+    else:
+        _decode_baseline_scan(scans[0], comps, grids, zz, mcx, mcy)
 
     planes = []
     for ci in range(nc):

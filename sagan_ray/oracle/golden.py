@@ -291,10 +291,11 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
     pos = 2
     qts: dict[int, list[int]] = {}
     codes: dict[tuple[int, int], dict] = {}
+    comp_ids: list[int] = []
     comp_tq: list[int] = []
     comp_hv: list[tuple[int, int]] = []
-    sos: list[tuple[int, int]] = []
-    scan = b""
+    scans: list[dict] = []
+    prog = False
     while pos < len(b):
         assert b[pos] == 0xFF
         m = b[pos + 1]
@@ -328,25 +329,66 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
                     code <<= 1
                 codes[(cls, tid)] = d
                 p += 17 + nv
-        elif m == 0xC0:
+        elif m in (0xC0, 0xC2):
+            prog = m == 0xC2
             ncomp = body[5]
+            comp_ids = [body[6 + 3 * c] for c in range(ncomp)]
             comp_tq = [body[6 + 3 * c + 2] for c in range(ncomp)]
             comp_hv = [(body[6 + 3 * c + 1] >> 4, body[6 + 3 * c + 1] & 0xF)
                        for c in range(ncomp)]
         elif m == 0xDA:
             ns = body[0]
-            sos = [(body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
+            sel = [comp_ids.index(body[1 + 2 * c]) for c in range(ns)]
+            tts = [(body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
                    for c in range(ns)]
-            scan = b[pos:b.find(b"\xff\xd9", pos)].replace(
-                b"\xff\x00", b"\xff")
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            # entropy data runs to the next real marker (FF00 stuffing
+            # and RSTn markers are not scan terminators); block (0,0)
+            # always precedes the first restart, so only the first
+            # entropy segment is kept and unstuffed
+            e = pos
+            while True:
+                i = b.find(b"\xff", e)
+                if i < 0 or i + 1 >= len(b):
+                    i = len(b)
+                    break
+                nx = b[i + 1]
+                if nx == 0x00:
+                    e = i + 2
+                elif nx == 0xFF:
+                    e = i + 1
+                else:
+                    break
+            scans.append({"sel": sel, "tts": tts, "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 0xF,
+                          "codes": dict(codes),
+                          "bits": b[pos:i].replace(b"\xff\x00", b"\xff")})
+            while i + 1 < len(b) and 0xD0 <= b[i + 1] <= 0xD7:
+                # skip past RSTn and its following entropy segment
+                e = i + 2
+                while True:
+                    j = b.find(b"\xff", e)
+                    if j < 0 or j + 1 >= len(b):
+                        j = len(b)
+                        break
+                    nx = b[j + 1]
+                    if nx == 0x00:
+                        e = j + 2
+                    elif nx == 0xFF:
+                        e = j + 1
+                    else:
+                        break
+                i = j
+            pos = i
+            if not prog:
+                break
 
-    bp = 0
+    cur = {"buf": b"", "bp": 0}
 
     def bit() -> int:
-        nonlocal bp
-        v = (scan[bp >> 3] >> (7 - (bp & 7))) & 1
-        bp += 1
+        v = (cur["buf"][cur["bp"] >> 3] >> (7 - (cur["bp"] & 7))) & 1
+        cur["bp"] += 1
         return v
 
     def read_code(d: dict) -> int:
@@ -373,33 +415,118 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
                        * 4096.0))
            for n in range(8)] for k in range(8)]
 
-    out: list[int] = []
-    for ci, (td, ta) in enumerate(sos):
-        # the first MCU interleaves hi*vi data units per component; the
-        # FIRST one is the 8x8 block covering pixel (0,0) (chroma
-        # upsampling is sample replication, so chroma (0,0) maps too).
-        # The rest must still be entropy-decoded to advance the bits.
-        hi, vi = comp_hv[ci] if comp_hv else (1, 1)
-        coef = [0] * 64
-        for unit in range(hi * vi):
-            s = read_code(codes[(0, td)])
-            dc = recv_extend(s)
-            if unit == 0:
-                coef[0] = dc
-            k = 1
-            while k < 64:
-                sym = read_code(codes[(1, ta)])
-                if sym == 0x00:
-                    break
-                run, sz = sym >> 4, sym & 0xF
-                if sz == 0:
-                    k += 16
-                    continue
-                k += run
-                v = recv_extend(sz)
+    coefs = [[0] * 64 for _ in comp_tq]
+    if not prog:
+        # baseline: the first MCU interleaves hi*vi data units per
+        # component; the FIRST one is the 8x8 block covering pixel
+        # (0,0) (chroma upsampling is sample replication, so chroma
+        # (0,0) maps too). The rest must still be entropy-decoded to
+        # advance the bits.
+        sc = scans[0]
+        cur["buf"], cur["bp"] = sc["bits"], 0
+        cds = sc["codes"]
+        for si, ci in enumerate(sc["sel"]):
+            td, ta = sc["tts"][si]
+            hi, vi = comp_hv[ci] if comp_hv else (1, 1)
+            coef = coefs[ci]
+            for unit in range(hi * vi):
+                s = read_code(cds[(0, td)])
+                dc = recv_extend(s)
                 if unit == 0:
-                    coef[k] = v
-                k += 1
+                    coef[0] = dc
+                k = 1
+                while k < 64:
+                    sym = read_code(cds[(1, ta)])
+                    if sym == 0x00:
+                        break
+                    run, sz = sym >> 4, sym & 0xF
+                    if sz == 0:
+                        k += 16
+                        continue
+                    k += run
+                    v = recv_extend(sz)
+                    if unit == 0:
+                        coef[k] = v
+                    k += 1
+    else:
+        # progressive: block (0,0) of every component is (part of) the
+        # FIRST MCU / data unit of each scan, so each scan contributes
+        # its spectral band / approximation bits from the scan's very
+        # first entropy bits (T.81 Annex G, replayed per-scalar)
+        for sc in scans:
+            cur["buf"], cur["bp"] = sc["bits"], 0
+            cds = sc["codes"]
+            ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+            if ss == 0:                      # DC scan (interleaved ok)
+                for si, ci in enumerate(sc["sel"]):
+                    hi, vi = comp_hv[ci] if comp_hv else (1, 1)
+                    dcd = cds.get((0, sc["tts"][si][0]))
+                    pred = 0
+                    for unit in range(hi * vi if len(sc["sel"]) > 1
+                                      else 1):
+                        if ah == 0:
+                            s = read_code(dcd)
+                            pred += recv_extend(s)
+                            if unit == 0:
+                                coefs[ci][0] = pred << al
+                        else:
+                            bb = bit()
+                            if unit == 0 and bb:
+                                coefs[ci][0] |= 1 << al
+            else:                            # AC scan: one component
+                ci = sc["sel"][0]
+                acd = cds.get((1, sc["tts"][0][1]))
+                coef = coefs[ci]
+                if ah == 0:
+                    k = ss
+                    while k <= se:
+                        sym = read_code(acd)
+                        run, sz = sym >> 4, sym & 0xF
+                        if sz == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            break                    # EOBn ends block 0
+                        k += run
+                        coef[k] = recv_extend(sz) << al
+                        k += 1
+                else:
+                    p1 = 1 << al
+                    k = ss
+                    hit_eob = False
+                    while k <= se:
+                        sym = read_code(acd)
+                        run, sz = sym >> 4, sym & 0xF
+                        if sz == 0:
+                            if run != 15:
+                                hit_eob = True
+                                break
+                            val = 0                  # ZRL
+                        else:
+                            val = p1 if bit() else -p1
+                        while k <= se:
+                            c = coef[k]
+                            if c:
+                                if bit() and (c & p1) == 0:
+                                    coef[k] = c + (p1 if c >= 0 else -p1)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if val and k <= se:
+                            coef[k] = val
+                        k += 1
+                    if hit_eob:
+                        for _ in range(run):        # drain EOBn ext bits
+                            bit()
+                        for kk in range(k, se + 1):
+                            c = coef[kk]
+                            if c and bit() and (c & p1) == 0:
+                                coefs[ci][kk] = c + (p1 if c >= 0 else -p1)
+
+    out: list[int] = []
+    for ci, coef in enumerate(coefs):
         q = qts[comp_tq[ci]]
         f = [[0] * 8 for _ in range(8)]
         for kk in range(64):

@@ -112,12 +112,72 @@ def test_subsampled_decode_matches_golden_walk():
         assert _jpeg_first_pixel_gray(b) == want, (trial, sub)
 
 
+def test_progressive_decodes_pixel_equal_to_baseline():
+    """The progressive entropy layer (spectral selection + successive
+    approximation + EOB runs) is lossless over the same quantized
+    coefficients, so progressive and baseline encodes of one image MUST
+    decode pixel-identically — across subsampling modes, restart
+    intervals, grayscale and color."""
+    rng = np.random.default_rng(17)
+    for trial in range(16):
+        h, w = int(rng.integers(1, 48)), int(rng.integers(1, 48))
+        if trial % 4 == 0:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            kw = {}
+        else:
+            img = (_gradient(h, w, rng) if trial % 2
+                   else rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+            kw = {"subsampling":
+                  ("4:4:4", "4:2:0", "4:2:2", "4:4:0")[trial % 4]}
+        q = int(rng.integers(10, 100))
+        ri = (0, 3, 0, 8)[trial % 4]
+        base = decode_jpeg(encode_jpeg(img, quality=q,
+                                       restart_interval=ri, **kw))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, restart_interval=ri,
+                                       progressive=True, **kw))
+        assert np.array_equal(base, prog), (trial, img.shape, kw, q, ri)
+    # flat image: every AC band empty -> maximal EOB runs on both the
+    # spectral and the refinement scans
+    flat = np.full((64, 48, 3), 130, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, progressive=True)),
+                          decode_jpeg(encode_jpeg(flat)))
+
+
+def test_progressive_golden_walk_parity():
+    """oracle/golden.py replays every progressive scan's first data
+    unit per-scalar; pixel (0,0) gray must agree bit-for-bit with the
+    full vectorized decode (this gates progressive corpus rows)."""
+    from sagan_ray.oracle.golden import _jpeg_first_pixel_gray
+
+    rng = np.random.default_rng(29)
+    for trial in range(30):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        if trial % 5 == 0:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            kw = {}
+        else:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            kw = {"subsampling": ("4:2:0", "4:4:4", "4:2:2", "4:4:0",
+                                  "4:2:0")[trial % 5]}
+        b = encode_jpeg(img, quality=int(rng.integers(10, 100)),
+                        restart_interval=(0, 2)[trial % 2],
+                        progressive=True, **kw)
+        dec = decode_jpeg(b)
+        px = ([int(dec[0, 0])] * 3 if dec.ndim == 2
+              else [int(v) for v in dec[0, 0]])
+        s = np.float32(np.float32(np.float32(px[0]) + np.float32(px[1]))
+                       + np.float32(px[2]))
+        want = float(np.float32(np.float32(s / np.float32(3.0))
+                                / np.float32(255.0)))
+        assert _jpeg_first_pixel_gray(b) == want, trial
+
+
 def test_unsupported_variants_raise_clearly():
     rng = np.random.default_rng(5)
     b = bytearray(encode_jpeg(_gradient(16, 16, rng)))
-    # progressive: SOF0 → SOF2
+    # arithmetic-coded: SOF0 → SOF9
     prog = bytearray(b)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(prog))
     # sampling factors beyond 2 (e.g. 4:1:1's 4x1 luma) stay out of scope
