@@ -140,6 +140,18 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
+def _png_pack_subbyte(arr: np.ndarray, depth: int) -> np.ndarray:
+    """(n, w) sample values < 2^depth → (n, ceil(w*depth/8)) packed
+    scanline bytes, MSB-first within each byte (PNG bit order)."""
+    bits = np.unpackbits(arr.astype(np.uint8)[:, :, None],
+                         axis=2)[:, :, 8 - depth:]
+    flat = bits.reshape(arr.shape[0], -1)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.pad(flat, ((0, 0), (0, pad)))
+    return np.packbits(flat, axis=1)
+
+
 def encode_png(img: np.ndarray, filters: int | list[int] = 0,
                depth: int = 8, interlace: bool = False,
                palette: np.ndarray | None = None) -> bytes:
@@ -147,9 +159,10 @@ def encode_png(img: np.ndarray, filters: int | list[int] = 0,
     or type 3 when ``palette`` [n≤256, 3] is given and img holds
     indexes), HxWx3 (RGB), HxWx4 (RGBA). ``depth`` 8 or 16 (16-bit
     widens each sample to ``v*257`` so the high byte round-trips
-    exactly; palette is always 8-bit). ``interlace`` emits Adam7.
-    ``filters`` picks the per-row filter (int for all rows or one per
-    scanline in stream order — pass-major when interlaced)."""
+    exactly), or 1/2/4 for grayscale/palette (sample values must be
+    < 2^depth). ``interlace`` emits Adam7. ``filters`` picks the
+    per-row filter (int for all rows or one per scanline in stream
+    order — pass-major when interlaced)."""
     import zlib
 
     img = np.ascontiguousarray(img, np.uint8)
@@ -159,8 +172,8 @@ def encode_png(img: np.ndarray, filters: int | list[int] = 0,
         palette = np.ascontiguousarray(palette, np.uint8)
         if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
             raise ValueError("palette must be (n<=256, 3) uint8")
-        if depth != 8:
-            raise ValueError("palette PNG is 8-bit here")
+        if depth == 16:
+            raise ValueError("palette PNG is at most 8-bit")
         ctype, ch = 3, 1
     elif img.ndim == 2:
         ctype, ch = 0, 1
@@ -170,30 +183,46 @@ def encode_png(img: np.ndarray, filters: int | list[int] = 0,
         ctype, ch = 6, 4
     else:
         raise ValueError("encode_png wants HxW, HxWx3 or HxWx4 uint8")
-    if depth not in (8, 16):
-        raise ValueError("depth must be 8 or 16")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError("depth must be 1, 2, 4, 8 or 16")
+    if depth < 8:
+        if ctype not in (0, 3):
+            raise ValueError("sub-byte depth needs grayscale or palette")
+        if img.size and int(img.max()) >= (1 << depth):
+            raise ValueError(f"samples exceed {depth}-bit range")
     h, w = img.shape[:2]
-    samples = img.reshape(h, w * ch).astype(np.int64)
-    if depth == 16:
-        wide = samples * 257                     # (v<<8)|v
-        rows = np.empty((h, w * ch * 2), np.int64)
-        rows[:, 0::2] = wide >> 8
-        rows[:, 1::2] = wide & 0xFF
-    else:
-        rows = samples
-    bpp = max(1, ch * depth // 8)
     parts: list[bytes] = []
-    if interlace:
+    if depth < 8:
+        passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
         base = 0
-        for x0, y0, dx, dy in _ADAM7:
-            sub = rows.reshape(h, w, bpp)[y0::dy, x0::dx]
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            parts += _png_filter_rows(
-                sub.reshape(sub.shape[0], -1), bpp, filters, base)
+            packed = _png_pack_subbyte(sub, depth).astype(np.int64)
+            parts += _png_filter_rows(packed, 1, filters, base)
             base += sub.shape[0]
     else:
-        parts = _png_filter_rows(rows, bpp, filters, 0)
+        samples = img.reshape(h, w * ch).astype(np.int64)
+        if depth == 16:
+            wide = samples * 257                 # (v<<8)|v
+            rows = np.empty((h, w * ch * 2), np.int64)
+            rows[:, 0::2] = wide >> 8
+            rows[:, 1::2] = wide & 0xFF
+        else:
+            rows = samples
+        bpp = ch * depth // 8
+        if interlace:
+            base = 0
+            for x0, y0, dx, dy in _ADAM7:
+                sub = rows.reshape(h, w, bpp)[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                parts += _png_filter_rows(
+                    sub.reshape(sub.shape[0], -1), bpp, filters, base)
+                base += sub.shape[0]
+        else:
+            parts = _png_filter_rows(rows, bpp, filters, 0)
     idat = zlib.compress(b"".join(parts), 6)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
                        1 if interlace else 0)
@@ -256,11 +285,11 @@ def _png_unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
 
 def decode_png(b: bytes) -> np.ndarray:
     """PNG bytes → HxWx{3,4} uint8. Pure stdlib zlib inflate + numpy
-    unfilter. Envelope: depth 8 or 16 (16-bit takes the high byte —
-    exact for this encoder's ``v*257`` widening), color types 0 (gray,
-    replicated to RGB), 2 (RGB), 3 (palette → RGB), 4 (gray+alpha →
-    RGBA), 6 (RGBA), Adam7 interlace, all five filter types. 1/2/4-bit
-    depths raise — they need an image library."""
+    unfilter. Envelope: color types 0 (gray, replicated to RGB), 2
+    (RGB), 3 (palette → RGB), 4 (gray+alpha → RGBA), 6 (RGBA); depth 8
+    everywhere, 16 for gray/RGB/alpha (high-byte take — exact for this
+    encoder's ``v*257`` widening), 1/2/4 for gray (exact 255/(2^d-1)
+    upscale) and palette; Adam7 interlace; all five filter types."""
     import zlib
 
     if b[:8] != _PNG_MAGIC:
@@ -285,14 +314,15 @@ def decode_png(b: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG without IHDR")
-    if (depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6)
-            or (ctype == 3 and (depth != 8 or plte is None))):
+    ok = (depth in (8, 16) and ctype in (0, 2, 4, 6)) \
+        or (depth in (1, 2, 4, 8) and ctype in (0, 3))
+    if not ok or (ctype == 3 and plte is None):
         raise NotImplementedError(
             f"PNG depth={depth}, color_type={ctype} is outside the "
-            "decode envelope here (8/16-bit gray/RGB/palette/alpha); "
-            "sub-byte depths need an image library")
+            "decode envelope here (1-16-bit gray, 8-bit palette, "
+            "8/16-bit RGB/alpha)")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    bpp = ch * depth // 8
+    bpp = max(1, ch * depth // 8)
     raw = zlib.decompress(b"".join(idat))
     samples = np.empty((h, w, bpp), np.uint8)
     passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
@@ -302,11 +332,21 @@ def decode_png(b: bytes) -> np.ndarray:
         ph = max(0, -(-(h - y0) // dy))
         if pw == 0 or ph == 0:
             continue
-        need = (pw * bpp + 1) * ph
+        stride = -(-(pw * ch * depth) // 8)
+        need = (stride + 1) * ph
         rows = np.frombuffer(raw, np.uint8, need, off).reshape(
-            ph, pw * bpp + 1)
+            ph, stride + 1)
         off += need
-        rec = _png_unfilter(rows, bpp).reshape(ph, pw, bpp)
+        rec = _png_unfilter(rows, bpp)
+        if depth < 8:
+            bits = np.unpackbits(rec, axis=1)[:, :pw * depth]
+            vals = bits.reshape(ph, pw, depth)
+            rec = np.zeros((ph, pw), np.uint8)
+            for bi in range(depth):              # MSB-first within byte
+                rec = (rec << 1) | vals[:, :, bi]
+            rec = rec[:, :, None]
+        else:
+            rec = rec.reshape(ph, pw, bpp)
         samples[y0::dy, x0::dx] = rec
     if off != len(raw):
         raise ValueError("PNG scanline payload size mismatch")
@@ -317,6 +357,10 @@ def decode_png(b: bytes) -> np.ndarray:
     if ctype == 2 or ctype == 6:
         return np.ascontiguousarray(samples)
     if ctype == 0:
+        if depth < 8:
+            # exact integer upscale: v * 255 / (2^d - 1)
+            samples = (samples.astype(np.int64) * 255
+                       // ((1 << depth) - 1)).astype(np.uint8)
         return np.repeat(samples, 3, axis=2)
     if ctype == 4:
         g, a = samples[:, :, :1], samples[:, :, 1:]
@@ -474,8 +518,12 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
                 # variant: plain/interlaced RGB, grayscale, palette,
                 # 16-bit — every decode-envelope corner flows through
                 # the gated feature query
-                var = (i // 5) % 5
-                if var == 1:
+                var = (i // 5) % 6
+                if var == 5:
+                    payload = encode_png((img[:, :, 1] >> 4).astype(np.uint8),
+                                         filters=i % 5, depth=4,
+                                         interlace=bool(i & 1))
+                elif var == 1:
                     payload = encode_png(img, filters=i % 5, interlace=True)
                 elif var == 2:
                     payload = encode_png(img[:, :, 0], filters=i % 5)

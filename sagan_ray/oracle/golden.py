@@ -256,7 +256,13 @@ def _png_first_pixel_gray(b: bytes) -> float:
     d = zlib.decompressobj()
     head = d.decompress(b"".join(idat), 17)  # filter byte + first pixel
     step = 2 if depth == 16 else 1           # 16-bit: high byte
-    if ctype == 3:
+    if depth < 8:
+        v = head[1] >> (8 - depth)           # MSB-first sub-byte sample
+        if ctype == 3:
+            red, green, blue = plte[3 * v:3 * v + 3]
+        else:
+            red = green = blue = v * 255 // ((1 << depth) - 1)
+    elif ctype == 3:
         red, green, blue = plte[3 * head[1]:3 * head[1] + 3]
     elif ctype in (0, 4):
         red = green = blue = head[1]

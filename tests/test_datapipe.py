@@ -1220,7 +1220,8 @@ def test_png_codec_roundtrip_all_filters():
     row = rng.integers(0, 256, (1, 40, 3)).astype(np.uint8)
     for f in range(5):
         assert np.array_equal(decode_png(encode_png(row, filters=f)), row)
-    # unsupported flavors fail loudly (sub-byte depth header)
+    # unsupported flavors fail loudly (sub-byte depth on an RGB header
+    # is not a legal PNG combination and stays outside the envelope)
     import struct as _struct
     import zlib as _zlib
 
@@ -1229,8 +1230,8 @@ def test_png_codec_roundtrip_all_filters():
                 _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
 
     bad = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-           + chunk(b"IDAT", _zlib.compress(b"\x00" * 4))
+           + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0))
+           + chunk(b"IDAT", _zlib.compress(b"\x00" * 6))
            + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         decode_png(bad)
@@ -1265,6 +1266,25 @@ def test_png_extended_envelope_roundtrip():
     for shp in ((1, 1, 3), (3, 1, 3), (2, 9, 3), (8, 8, 3)):
         tiny = rng.integers(0, 256, shp).astype(np.uint8)
         variants.append((encode_png(tiny, interlace=True), tiny))
+    # sub-byte depths: 1/2/4-bit gray (exact 255/(2^d-1) upscale) and
+    # palette, plain and interlaced, across all filter types
+    for d in (1, 2, 4):
+        gi = rng.integers(0, 1 << d, (11, 13)).astype(np.uint8)
+        scaled = ((gi.astype(np.int64) * 255) // ((1 << d) - 1)
+                  ).astype(np.uint8)
+        want_g = np.repeat(scaled[..., None], 3, 2)
+        pi = rng.integers(0, min(16, 1 << d), (9, 6)).astype(np.uint8)
+        pal16 = pal[:16]
+        for f in range(5):
+            variants += [
+                (encode_png(gi, filters=f, depth=d), want_g),
+                (encode_png(gi, filters=f, depth=d, interlace=True),
+                 want_g),
+                (encode_png(pi, filters=f, depth=d, palette=pal16),
+                 pal16[pi]),
+                (encode_png(pi, filters=f, depth=d, palette=pal16,
+                            interlace=True), pal16[pi]),
+            ]
     for b, want in variants:
         got = decode_png(b)
         assert np.array_equal(got[:, :, :3], want[:, :, :3])
