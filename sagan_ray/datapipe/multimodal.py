@@ -631,6 +631,38 @@ class DecodeAudio:
         })
 
 
+class AVProbe:
+    """Actor-pool stage: audio/video payload → deterministic probe row.
+    Audio: ``feat`` = channel-0 first sample as decoded float32 (round
+    6), ``n`` = per-channel frame count. Video: ``feat`` = first frame's
+    pixel (0,0) gray (same float32 op chain as the image feature head),
+    ``n`` = frame count. Every value is reproducible by an independent
+    sequential walk of the container bytes, which is what gates it
+    (oracle/golden.py::write_golden_multimodal_av)."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        feats, ns = [], []
+        for kind, p in zip(tbl.column("kind").to_pylist(),
+                           tbl.column("payload").to_pylist()):
+            if kind == "audio":
+                x, _rate = decode_wav(p)
+                feats.append(round(float(x[0]), 6) if len(x) else 0.0)
+                ns.append(len(x))
+            else:
+                frames, _interval = decode_sgv(p)
+                img = decode_image(frames[0])
+                g = img.astype(np.float32).mean(axis=-1)[0, 0]
+                feats.append(round(float(np.float32(g / np.float32(255.0))),
+                                   6))
+                ns.append(len(frames))
+        return pa.table({
+            "media_id": tbl.column("media_id"),
+            "kind": tbl.column("kind"),
+            "feat": pa.array(feats, pa.float64()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+
 class ResizeImages:
     """Actor-pool stage: BMP payload → re-encoded BMP capped at
     ``max_side`` (nearest-neighbor), metadata rewritten to match."""

@@ -601,6 +601,74 @@ def _splitmix64_int(x: int) -> int:
     return x ^ (x >> 31)
 
 
+def _wav_first_sample(b: bytes) -> tuple[float, int]:
+    """Independent minimal RIFF/WAVE walk (no stdlib ``wave``): channel-0
+    first sample as decoded float32 + per-channel frame count, matching
+    decode_wav's elementwise op chain (int → float32, ÷ float32 full
+    scale) bit-for-bit."""
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    pos = 12
+    ch = bits = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        ln = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            ch = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            sw = bits // 8
+            nframes = len(body) // (sw * ch)
+            raw = body[:sw]
+            if sw == 1:
+                v = raw[0] - 128
+            elif sw == 3:
+                u = raw[0] | (raw[1] << 8) | (raw[2] << 16)
+                v = u - ((u >> 23) << 24)
+            else:
+                v = int.from_bytes(raw, "little", signed=True)
+            full = np.float32((1 << (8 * sw - 1)) - 1)
+            return float(np.float32(np.float32(v) / full)), nframes
+    raise ValueError("WAV without data chunk")
+
+
+def write_golden_multimodal_av(n: int, seed: int) -> str:
+    """Expected output of ``multimodal_av``: audio rows probed by an
+    independent RIFF walk, video rows by a from-scratch SGV1 container
+    walk + the BMP first-pixel helper — none of the pipeline's codec
+    code is reused, so agreement IS the check."""
+    from ..datapipe.multimodal import synth_media
+
+    media = synth_media(n, seed=seed)
+    oid, okind, ofeat, on = [], [], [], []
+    for mid, kind, payload in zip(media.column("media_id").to_pylist(),
+                                  media.column("kind").to_pylist(),
+                                  media.column("payload").to_pylist()):
+        if kind == "audio":
+            feat, cnt = _wav_first_sample(payload)
+            feat = round(feat, 6)
+        elif kind == "video":
+            assert payload[:4] == b"SGV1"
+            nf = int.from_bytes(payload[4:8], "little")
+            first_len = int.from_bytes(payload[12:16], "little")
+            off = 12 + 4 * nf
+            feat = round(_bmp_first_pixel_gray(payload[off:off + first_len]),
+                         6)
+            cnt = nf
+        else:
+            continue
+        oid.append(mid)
+        okind.append(kind)
+        ofeat.append(feat)
+        on.append(cnt)
+    tbl = pa.table({"media_id": pa.array(oid, pa.int64()),
+                    "kind": pa.array(okind, pa.string()),
+                    "feat": pa.array(ofeat, pa.float64()),
+                    "n": pa.array(on, pa.int64())})
+    return _write(tbl, "multimodal_av")
+
+
 def write_golden_kmeans(sf_dir: str, *, k: int, n_iters: int) -> str:
     """Expected output of ``embed_kmeans``: sequential per-row Lloyd over
     the fixed-point grid (the spec datapipe/cluster.py documents) — a

@@ -2607,6 +2607,38 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_av(sf_dir: str):
+    """Multimodal audio/video: WAV (8/16/24/32-bit, mono/stereo) and
+    SGV1 container rows probed in an actor pool (first-sample value /
+    first-frame gray + frame counts), gated against a golden parquet
+    built by an independent RIFF walk + container walk
+    (oracle/golden.py::write_golden_multimodal_av) — the audio/video
+    analog of ``multimodal_features``'s image gate."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..datapipe.multimodal import AVProbe, synth_media
+    from ..oracle.golden import write_golden_multimodal_av
+
+    write_golden_multimodal_av(200, seed=42)
+    tbl = synth_media(200, seed=42)
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("kind"), "image"))),
+        batch_format="pyarrow").map_batches(
+        AVProbe, batch_format="pyarrow", batch_size=64, concurrency=2)
+    out = ds.to_pandas()
+    out["media_id"] = out["media_id"].astype("int64")
+    return (out.sort_values("media_id").reset_index(drop=True)
+            [["media_id", "kind", "feat", "n"]])
+
+
+SQL_MULTIMODAL_AV_GOLDEN = """
+SELECT media_id, kind, feat, n
+FROM read_parquet('/tmp/sagan_ray_golden/multimodal_av.parquet')
+ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2711,6 +2743,8 @@ QUERIES = {
     "cross_doc_dup": q_cross_doc_dup,
     "text_langid": q_text_langid,
     "dedup_clusters": q_dedup_clusters,
+    # new heavy/auxiliary entries go near the end (gate-order policy)
+    "multimodal_av": q_multimodal_av,
 }
 
 ORACLES = {
@@ -2794,4 +2828,5 @@ ORACLES = {
     "embed_semantic_dup": SQL_SEMANTIC_DUP,
     "embed_pca": SQL_PCA_GOLDEN,
     "corpus_vocab_sketch": SQL_VOCAB_SKETCH,
+    "multimodal_av": SQL_MULTIMODAL_AV_GOLDEN,
 }

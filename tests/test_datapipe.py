@@ -1297,6 +1297,27 @@ def test_png_extended_envelope_roundtrip():
         assert _png_first_pixel_gray(b) == expect
 
 
+def test_av_probe_matches_independent_golden():
+    """AVProbe (decode_wav / decode_sgv pipeline codecs) agrees row-for-
+    row with the independent RIFF + SGV1 walks in oracle/golden.py over
+    the full variant-cycling corpus — the audio/video analog of the
+    image feature gate."""
+    import pyarrow.parquet as pq
+
+    from sagan_ray.datapipe.multimodal import AVProbe, synth_media
+    from sagan_ray.oracle.golden import write_golden_multimodal_av
+
+    path = write_golden_multimodal_av(150, seed=5)
+    media = synth_media(150, seed=5)
+    av = media.filter(
+        pa.compute.invert(pa.compute.equal(media.column("kind"), "image")))
+    got = AVProbe()(av).to_pandas().sort_values("media_id")
+    want = pq.read_table(path).to_pandas().sort_values("media_id")
+    assert len(got) == len(want) > 0
+    for col in ("media_id", "kind", "feat", "n"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
 def test_png_golden_first_pixel_matches_pipeline():
     """The golden's inflate-first-scanline walk equals the pipeline's
     full decode → 8x8 mean-pool head on PNGs of every filter type."""
