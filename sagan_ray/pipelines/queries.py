@@ -2697,6 +2697,10 @@ QUERIES = {
     "text_quality_model": q_text_quality_model,
     "doc_pack_bpe": q_doc_pack_bpe,
     "multimodal_features": q_multimodal_features,
+    # new in r5, cheap (0.9 s): ride inside the window on first shipping
+    # round so CORRECTNESS_r05 verifies it (pushes the long-driver-green
+    # search_bm25 just past the cut — proven entries drop first)
+    "multimodal_av": q_multimodal_av,
     "embed_kmeans": q_embed_kmeans,
     # > 2 s
     "dedup_filter": q_dedup_filter,
@@ -2743,8 +2747,6 @@ QUERIES = {
     "cross_doc_dup": q_cross_doc_dup,
     "text_langid": q_text_langid,
     "dedup_clusters": q_dedup_clusters,
-    # new heavy/auxiliary entries go near the end (gate-order policy)
-    "multimodal_av": q_multimodal_av,
 }
 
 ORACLES = {
