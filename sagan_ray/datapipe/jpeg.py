@@ -1,14 +1,17 @@
 """Baseline JPEG codec — pure stdlib + numpy, no image libraries.
 
 Scope (honest boundaries, like the PNG decoder's in multimodal.py):
-baseline sequential (SOF0) and progressive (SOF2: spectral selection,
-successive approximation, EOB runs — T.81 Annex G) DCT, 8-bit
-precision, 1-component grayscale or 3-component YCbCr with sampling
-factors 1-2 per axis — 4:4:4, the ubiquitous camera 4:2:0, 4:2:2,
-4:4:0 (subsampled chroma upsampled by sample replication), restart
-markers (DRI/RSTn). No arithmetic coding, lossless or hierarchical
-SOFs, no factor-3/4 sampling; those raise NotImplementedError with a
-clear message at the decode boundary. Huffman tables are always read
+baseline sequential (SOF0), progressive (SOF2: spectral selection,
+successive approximation, EOB runs — T.81 Annex G) and lossless
+(SOF3: predictors 1-7, point transform — T.81 Annex H, bit-exact
+roundtrip) modes, 8-bit precision, 1-component grayscale or
+3-component color (YCbCr for the DCT modes, raw RGB for lossless)
+with sampling factors 1-2 per axis — 4:4:4, the ubiquitous camera
+4:2:0, 4:2:2, 4:4:0 (subsampled chroma upsampled by sample
+replication), restart markers (DRI/RSTn). No arithmetic coding (its
+Qe probability-estimation table is spec data, not derivable) and no
+hierarchical SOFs; those raise NotImplementedError with a clear
+message at the decode boundary. Huffman tables are always read
 from the stream's DHT segments (never assumed), so any conforming
 stream in this envelope decodes, not just this encoder's output. The
 encoder emits 4:4:4 (default) or subsampled chroma (integer-average
@@ -275,6 +278,162 @@ def _downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
 # luma sampling factors (h, v) per mode; chroma is always (1, 1)
 _SUBSAMPLING = {"4:4:4": (1, 1), "4:2:0": (2, 2),
                 "4:2:2": (2, 1), "4:4:0": (1, 2)}
+
+
+# lossless (SOF3) difference-category table: categories 0..16 all at
+# 5 bits — canonical (17 codes < 31, all-ones never assigned)
+_DC_LL_DHT = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def _lossless_preds(v: np.ndarray, predictor: int, default: int) -> np.ndarray:
+    """Predictions for every sample of one component plane (T.81 H.1:
+    sample (0,0) = 2^(P-Pt-1), rest of row 0 = Ra, column 0 = Rb,
+    interior = the selected predictor) — computable vectorized on the
+    ENCODE side because lossless reconstruction equals the input."""
+    h, w = v.shape
+    pred = np.empty((h, w), np.int64)
+    pred[0, 0] = default
+    if w > 1:
+        pred[0, 1:] = v[0, :-1]
+    if h > 1:
+        pred[1:, 0] = v[:-1, 0]
+    if h > 1 and w > 1:
+        ra = v[1:, :-1]
+        rb = v[:-1, 1:]
+        rc = v[:-1, :-1]
+        if predictor == 1:
+            p = ra
+        elif predictor == 2:
+            p = rb
+        elif predictor == 3:
+            p = rc
+        elif predictor == 4:
+            p = ra + rb - rc
+        elif predictor == 5:
+            p = ra + ((rb - rc) >> 1)
+        elif predictor == 6:
+            p = rb + ((ra - rc) >> 1)
+        elif predictor == 7:
+            p = (ra + rb) >> 1
+        else:
+            raise ValueError("lossless predictor must be 1..7")
+        pred[1:, 1:] = p
+    return pred
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
+                         point_transform: int = 0) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB — coded as three independent
+    components, NO color transform) uint8 → lossless JPEG (SOF3).
+    ``predictor`` 1-7 (T.81 H.1), ``point_transform`` Pt shifts inputs
+    right by Pt before coding (Pt=0 → bit-exact roundtrip)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if not (1 <= predictor <= 7):
+        raise ValueError("lossless predictor must be 1..7")
+    if not (0 <= point_transform <= 7):
+        raise ValueError("point transform must be 0..7")
+    color = img.ndim == 3
+    if color and img.shape[2] != 3:
+        raise ValueError("encode_jpeg_lossless wants HxW or HxWx3 uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("bad JPEG dimensions")
+    pt = point_transform
+    default = 1 << (8 - pt - 1)
+    planes = ([img >> pt] if not color
+              else [img[:, :, c] >> pt for c in range(3)])
+    cats, extras = [], []
+    for v in planes:
+        v = v.astype(np.int64)
+        d = (v - _lossless_preds(v, predictor, default)) & 0xFFFF
+        signed = np.where(d > 32768, d - 65536, d)      # 32768 stays
+        mag = np.abs(np.where(d == 32768, 0, signed))
+        cat = np.zeros_like(d)
+        nz = mag > 0
+        cat[nz] = np.int64(np.floor(np.log2(mag[nz]))) + 1
+        cat[d == 32768] = 16                            # no extra bits
+        extra = np.where(signed >= 0, signed,
+                         signed + (1 << cat) - 1)
+        cats.append(cat)
+        extras.append(extra)
+    codes = _codes_from_dht(*_DC_LL_DHT)
+    bw = _BitWriter()
+    nc = len(planes)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                c = int(cats[ci][y, x])
+                ln, code = codes[c]
+                bw.put(code, ln)
+                if 0 < c < 16:
+                    bw.put(int(extras[ci][y, x]), c)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])     # 1x1 factors, no quant table
+        sos += bytes([ci + 1, 0x00])
+    out += seg(0xFFC3, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_LL_DHT[0])
+               + bytes(_DC_LL_DHT[1]))
+    out += seg(0xFFDA, sos + bytes([predictor, 0, pt]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless(sc: dict, comps, h: int, w: int) -> list[np.ndarray]:
+    """SOF3 scan → reconstructed 8-bit planes (T.81 Annex H): per-sample
+    Huffman difference categories over the interleaved raster, modulo-
+    2^16 reconstruction, << Pt output shift."""
+    if len(sc["segs"]) > 1:
+        raise NotImplementedError("restart markers in lossless JPEG")
+    predictor, pt = sc["ss"], sc["al"]
+    if not (1 <= predictor <= 7):
+        raise ValueError("bad lossless predictor")
+    default = 1 << (8 - pt - 1)
+    br = _BitReader(sc["segs"][0])
+    sel = sc["sel"]
+    dcs = sc["dc"]
+    planes = [np.zeros((h, w), np.int64) for _ in sel]
+    for y in range(h):
+        for x in range(w):
+            for si in range(len(sel)):
+                v = planes[si]
+                s = _huff_decode(br, dcs[si])
+                if s == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.bits(s), s) if s else 0
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = v[0, x - 1]
+                elif x == 0:
+                    pred = v[y - 1, 0]
+                elif predictor == 1:
+                    pred = v[y, x - 1]
+                elif predictor == 2:
+                    pred = v[y - 1, x]
+                elif predictor == 3:
+                    pred = v[y - 1, x - 1]
+                elif predictor == 4:
+                    pred = v[y, x - 1] + v[y - 1, x] - v[y - 1, x - 1]
+                elif predictor == 5:
+                    pred = v[y, x - 1] + ((v[y - 1, x]
+                                           - v[y - 1, x - 1]) >> 1)
+                elif predictor == 6:
+                    pred = v[y - 1, x] + ((v[y, x - 1]
+                                           - v[y - 1, x - 1]) >> 1)
+                else:
+                    pred = (v[y, x - 1] + v[y - 1, x]) >> 1
+                v[y, x] = (pred + diff) & 0xFFFF
+    return [(p << pt).clip(0, 255).astype(np.uint8) for p in planes]
 
 
 # progressive AC table: the 162 baseline symbols plus EOBn (0x10..0xE0),
@@ -883,13 +1042,14 @@ def _dc_unit(state, dc_tbl, ci, zzc, blk, ah, al) -> None:
 def decode_jpeg(b: bytes) -> np.ndarray:
     """JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
 
-    Handles baseline (SOF0) and progressive (SOF2: spectral selection,
-    successive approximation, EOB runs), sampling factors 1-2 per axis —
-    4:4:4, 4:2:0, 4:2:2, 4:4:0 (subsampled chroma upsampled by sample
-    replication, integer-exact) — and restart markers (DRI/RSTn:
+    Handles baseline (SOF0), progressive (SOF2: spectral selection,
+    successive approximation, EOB runs) and lossless (SOF3: predictors
+    1-7, point transform, raw-RGB components), sampling factors 1-2 per
+    axis — 4:4:4, 4:2:0, 4:2:2, 4:4:0 (subsampled chroma upsampled by
+    sample replication, integer-exact) — and restart markers (DRI/RSTn:
     segment split, DC predictor + EOB-run reset). Raises
-    NotImplementedError for arithmetic/lossless/hierarchical SOFs,
-    factor-3/4 or 16-bit-quant streams."""
+    NotImplementedError for arithmetic/hierarchical SOFs, factor-3/4 or
+    16-bit-quant streams."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -898,7 +1058,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     h = w = None
     comps: list[tuple[int, int, int, int]] = []   # (cid, tq, hi, vi)
     scans: list[dict] = []
-    progressive = False
+    progressive = lossless = False
     restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -935,8 +1095,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + nv])
                 huff[(cls, tid)] = _HuffTable(counts, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC2):
+        elif marker in (0xC0, 0xC2, 0xC3):
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG")
@@ -945,19 +1106,22 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]
                 hi, vi = hv >> 4, hv & 0xF
+                if lossless and hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG is out of scope")
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
                         "only sampling factors 1-2 decode here (got "
                         f"0x{hv:02x}); factor-3/4 JPEG needs an image "
                         "library")
                 comps.append((cid, tq, hi, vi))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG "
-                f"decode here (got SOF marker 0xFF{marker:02X}; "
-                f"arithmetic/lossless/hierarchical need an image "
-                f"library)")
+                f"only baseline (SOF0), progressive (SOF2) and "
+                f"lossless (SOF3) JPEG decode here (got SOF marker "
+                f"0xFF{marker:02X}; arithmetic/hierarchical need an "
+                f"image library)")
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:
@@ -980,6 +1144,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             pos = end
     if h is None or not scans:
         raise ValueError("JPEG without SOF/SOS")
+
+    if lossless:
+        planes = _decode_lossless(scans[0], comps, h, w)
+        return planes[0] if len(planes) == 1 else np.stack(planes, axis=-1)
 
     nc = len(comps)
     hmax = max(c[2] for c in comps)

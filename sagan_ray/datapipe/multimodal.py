@@ -4,14 +4,15 @@ columns with typed metadata, processed by actor-pool map_batches stages.
 The decode kernels are REAL for the formats the standard library can
 handle — 24-bit uncompressed BMP, PNG (zlib inflate + numpy unfilter,
 all five filter types, gray/RGB/palette/alpha color types, 8/16-bit
-depth, Adam7 interlace), baseline AND progressive JPEG with sampling
-factors up to 2 — 4:4:4 and the ubiquitous camera 4:2:0/4:2:2/4:4:0 —
-plus restart markers (datapipe.jpeg — own Huffman/DCT, integer-exact
-decode spec), PCM WAV audio at 8/16/24/32-bit widths (stdlib
+depth, Adam7 interlace), baseline / progressive / lossless JPEG with
+sampling factors up to 2 — 4:4:4 and the ubiquitous camera
+4:2:0/4:2:2/4:4:0 — plus restart markers (datapipe.jpeg — own
+Huffman/DCT, integer-exact decode spec, bit-exact SOF3 roundtrip),
+PCM WAV audio at 8/16/24/32-bit widths (stdlib
 ``wave``), and a simple length-prefixed BMP-frame container for video
 (``SGV1``, documented below; real mp4/h264 needs codecs this
-environment lacks). Formats beyond that (arithmetic-coded JPEG,
-sub-byte-depth PNG, MP4) raise
+environment lacks). Formats beyond that (arithmetic-coded or
+hierarchical JPEG, MP4) raise
 NotImplementedError at the decode boundary with a clear message — the
 stage signatures, schemas and batch handling are identical either way,
 so swapping in PIL/ffmpeg later only replaces the codec functions.
@@ -544,12 +545,21 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
 
                 # JPEG third, cycling quality so quant tables vary,
                 # subsampling so the 4:2:0 MCU decode path is exercised,
-                # restart intervals so RSTn segmentation is too, and
-                # baseline-vs-progressive so both entropy layers run
-                payload = encode_jpeg(img, quality=(60, 75, 90)[i % 3],
-                                      subsampling=("4:4:4", "4:2:0")[i % 2],
-                                      restart_interval=(0, 0, 2)[i % 3],
-                                      progressive=bool((i // 2) & 1))
+                # restart intervals so RSTn segmentation is too,
+                # baseline-vs-progressive so both entropy layers run,
+                # and every fourth one lossless (SOF3, cycling the
+                # seven predictors)
+                if (i // 3) % 4 == 3:
+                    from .jpeg import encode_jpeg_lossless
+
+                    payload = encode_jpeg_lossless(img,
+                                                   predictor=(i % 7) + 1)
+                else:
+                    payload = encode_jpeg(
+                        img, quality=(60, 75, 90)[i % 3],
+                        subsampling=("4:4:4", "4:2:0")[i % 2],
+                        restart_interval=(0, 0, 2)[i % 3],
+                        progressive=bool((i // 2) & 1))
                 mime, dur = "image/jpeg", 0
             else:
                 payload, mime, dur = encode_bmp(img), "image/bmp", 0

@@ -301,7 +301,7 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
     comp_tq: list[int] = []
     comp_hv: list[tuple[int, int]] = []
     scans: list[dict] = []
-    prog = False
+    prog = lossless = False
     while pos < len(b):
         assert b[pos] == 0xFF
         m = b[pos + 1]
@@ -335,8 +335,9 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
                     code <<= 1
                 codes[(cls, tid)] = d
                 p += 17 + nv
-        elif m in (0xC0, 0xC2):
+        elif m in (0xC0, 0xC2, 0xC3):
             prog = m == 0xC2
+            lossless = m == 0xC3
             ncomp = body[5]
             comp_ids = [body[6 + 3 * c] for c in range(ncomp)]
             comp_tq = [body[6 + 3 * c + 2] for c in range(ncomp)]
@@ -420,6 +421,30 @@ def _jpeg_first_pixel_gray(b: bytes) -> float:
                         * ((1.0 / math.sqrt(2.0)) if k == 0 else 1.0))
                        * 4096.0))
            for n in range(8)] for k in range(8)]
+
+    if lossless:
+        # SOF3: pixel (0,0) of each component is the scan's first
+        # sample — default prediction 2^(P-Pt-1) plus the first coded
+        # difference, << Pt; components are raw RGB (NO color transform
+        # in lossless mode)
+        sc = scans[0]
+        cur["buf"], cur["bp"] = sc["bits"], 0
+        pt = sc["al"]
+        dflt = 1 << (8 - pt - 1)
+        out0: list[int] = []
+        for si in range(len(sc["tts"])):
+            td = sc["tts"][si][0]
+            s = read_code(sc["codes"][(0, td)])
+            diff = 32768 if s == 16 else recv_extend(s)
+            out0.append(min(255, max(0, ((dflt + diff) & 0xFFFF) << pt)))
+        if len(out0) == 1:
+            red = green = blue = out0[0]
+        else:
+            red, green, blue = out0
+        s32 = np.float32(np.float32(np.float32(red) + np.float32(green))
+                         + np.float32(blue))
+        gray = np.float32(s32 / np.float32(3.0))
+        return float(np.float32(gray / np.float32(255.0)))
 
     coefs = [[0] * 64 for _ in comp_tq]
     if not prog:

@@ -172,6 +172,35 @@ def test_progressive_golden_walk_parity():
         assert _jpeg_first_pixel_gray(b) == want, trial
 
 
+def test_lossless_roundtrip_bit_exact():
+    """SOF3: decode(encode_lossless(img, p)) == img BIT-EXACTLY for all
+    seven predictors (that is the definition of the mode); a nonzero
+    point transform loses exactly the shifted-out low bits; golden
+    first-pixel parity holds (RGB components, no color transform)."""
+    from sagan_ray.datapipe.jpeg import encode_jpeg_lossless
+    from sagan_ray.oracle.golden import _jpeg_first_pixel_gray
+
+    rng = np.random.default_rng(37)
+    for pred in range(1, 8):
+        for shp in ((1, 1, 3), (17, 23, 3), (9, 31), (40, 3, 3)):
+            img = rng.integers(0, 256, shp).astype(np.uint8)
+            b = encode_jpeg_lossless(img, predictor=pred)
+            dec = decode_jpeg(b)
+            assert np.array_equal(dec, img), (pred, shp)
+            px = ([int(dec[0, 0])] * 3 if dec.ndim == 2
+                  else [int(v) for v in dec[0, 0]])
+            s = np.float32(np.float32(np.float32(px[0]) + np.float32(px[1]))
+                           + np.float32(px[2]))
+            want = float(np.float32(np.float32(s / np.float32(3.0))
+                                    / np.float32(255.0)))
+            assert _jpeg_first_pixel_gray(b) == want, (pred, shp)
+    img = rng.integers(0, 256, (20, 15, 3)).astype(np.uint8)
+    for pt in (1, 3, 5):
+        dec = decode_jpeg(encode_jpeg_lossless(img, predictor=4,
+                                               point_transform=pt))
+        assert np.array_equal(dec, (img >> pt) << pt), pt
+
+
 def test_unsupported_variants_raise_clearly():
     rng = np.random.default_rng(5)
     b = bytearray(encode_jpeg(_gradient(16, 16, rng)))

@@ -19,7 +19,11 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from sagan_ray.datapipe.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from sagan_ray.datapipe.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_lossless,
+)
 from sagan_ray.datapipe.multimodal import (  # noqa: E402
     decode_png,
     decode_wav,
@@ -51,6 +55,16 @@ def fuzz_jpeg(rng: np.random.Generator, trials: int) -> int:
         kw = {} if gray else {"subsampling": subs[int(rng.integers(0, 4))]}
         q = int(rng.integers(5, 100))
         ri = int(rng.integers(0, 9))
+        if t % 6 == 5:               # lossless: bit-exact by definition
+            lb = encode_jpeg_lossless(img, predictor=int(rng.integers(1, 8)))
+            ld = decode_jpeg(lb)
+            px = ([int(ld[0, 0])] * 3 if gray
+                  else [int(v) for v in ld[0, 0]])
+            if not (np.array_equal(ld, img)
+                    and _jpeg_first_pixel_gray(lb) == _gray6(px)):
+                fails += 1
+                print(f"JPEG LOSSLESS FAIL t={t} shape={img.shape}")
+            continue
         base = decode_jpeg(encode_jpeg(img, quality=q,
                                        restart_interval=ri, **kw))
         pb = encode_jpeg(img, quality=q, restart_interval=ri,
