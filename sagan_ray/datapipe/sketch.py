@@ -192,3 +192,70 @@ def cms_word_counts(ds, probe_words: list[str], *, depth: int = CMS_DEPTH,
         ests.append(est)
     return pd.DataFrame({"word": pd.Series(probe_words, dtype="object"),
                          "est": pd.Series(ests, dtype="int64")})
+
+
+# ----------------------------------------------------------------------
+# Bloom filter: mergeable membership sketch
+# ----------------------------------------------------------------------
+
+BF_P = 20        # 2^20 bits -> 128 KB blob
+BF_K = 5
+
+
+def _bf_bit(wh: np.ndarray, j: int, nbits: int) -> np.ndarray:
+    """Bit index j of a word hash: SplitMix64(wh ^ (j+1)·golden) %
+    nbits — a SPEC function (the golden replays it per word); the
+    multiplier decorrelates the seeds from the CMS row seeds."""
+    from .ann import _splitmix64
+
+    seed = np.uint64(((j + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    return (_splitmix64(wh ^ seed) % np.uint64(nbits)).astype(np.int64)
+
+
+def bloom_membership(ds, probe_words: list[str], *, p: int = BF_P,
+                     k: int = BF_K, text_col: str = "text"):
+    """Bloom filter (Bloom 1970) over a text column's words, probed for
+    ``probe_words`` — the MEMBERSHIP companion to hll_vocab (cardinality)
+    and cms_word_counts (frequency). Each pinned 64k-row batch emits ONE
+    2^p-bit packed bitmap blob; blobs combine by bitwise OR (semilattice
+    like the HLL registers: idempotent/associative/commutative, so any
+    fold topology — tree, multi-level, restart-resume — yields the
+    identical bitmap and the sequential golden matches bit-for-bit).
+    No false negatives ever; false-positive probability ≈
+    (1 - e^(-k·n/2^p))^k. Returns a pandas DataFrame
+    (word, present 0/1, fill_bits = exact popcount of the bitmap).
+
+    At 100 TB: only 128 KB blobs cross the wire per 64k-row batch,
+    tree-combined 64→1 in tasks — the bounded-memory membership path
+    when the vocabulary itself is too large to shuffle."""
+    nbits = 1 << p
+    nbytes = nbits >> 3
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        _, _, _, wh, _ = _words_flat(tbl.column(text_col))
+        bm = np.zeros(nbytes, np.uint8)
+        if len(wh):
+            for j in range(k):
+                ix = _bf_bit(wh, j, nbits)
+                np.bitwise_or.at(bm, ix >> 3,
+                                 (1 << (ix & 7)).astype(np.uint8))
+        return pa.table({"bf": pa.array([bm.tobytes()], pa.binary(nbytes))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    bm = _blob_combine_stage(parts, nbytes, np.bitwise_or)
+    if bm is None:
+        bm = np.zeros(nbytes, np.uint8)
+    fill = int(np.unpackbits(bm).sum())          # exact integer popcount
+    present = []
+    for w in probe_words:
+        wh = pd.util.hash_array(
+            np.array([w], dtype=object)).astype(np.uint64)
+        hit = all((int(bm[int(_bf_bit(wh, j, nbits)[0]) >> 3])
+                   >> (int(_bf_bit(wh, j, nbits)[0]) & 7)) & 1
+                  for j in range(k))
+        present.append(int(hit))
+    return pd.DataFrame({"word": pd.Series(probe_words, dtype="object"),
+                         "present": pd.Series(present, dtype="int64"),
+                         "fill_bits": pd.Series([fill] * len(probe_words),
+                                                dtype="int64")})

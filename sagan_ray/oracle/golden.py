@@ -694,6 +694,57 @@ def write_golden_multimodal_av(n: int, seed: int) -> str:
     return _write(tbl, "multimodal_av")
 
 
+def write_golden_bloom(sf_dir: str, probe_words: list[str], *, p: int,
+                       k: int) -> str:
+    """Expected output of ``corpus_word_bloom``: a sequential Bloom
+    filter — per-doc regex word lists, one bit set per (word, hash row)
+    in a plain Python bytearray loop (no flat arrays, no np.bitwise_or
+    scatter, no batch blobs), popcount via bin().count. Bit-identical to
+    the distributed sketch BY CONSTRUCTION: OR is a semilattice (any
+    combine topology gives the same bitmap) and the bit-index function
+    is the shared spec (datapipe/sketch.py::_bf_bit)."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..datapipe.sketch import _bf_bit
+
+    nbits = 1 << p
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    texts = t.column("text").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    texts = [texts[i] for i in order]
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    bits = bytearray(nbits >> 3)
+    for x in texts:
+        ws = word_re.findall((x or "").lower())
+        if not ws:
+            continue
+        hs = pd.util.hash_array(np.array(ws, dtype=object)).astype(np.uint64)
+        for j in range(k):
+            for ix in _bf_bit(hs, j, nbits):
+                bits[int(ix) >> 3] |= 1 << (int(ix) & 7)
+    fill = sum(bin(b).count("1") for b in bits)
+
+    out_w, out_p = [], []
+    for w in probe_words:
+        h = pd.util.hash_array(
+            np.array([w], dtype=object)).astype(np.uint64)
+        hit = all((bits[int(_bf_bit(h, j, nbits)[0]) >> 3]
+                   >> (int(_bf_bit(h, j, nbits)[0]) & 7)) & 1
+                  for j in range(k))
+        out_w.append(w)
+        out_p.append(int(hit))
+    tbl = pa.table({"word": pa.array(out_w, pa.string()),
+                    "present": pa.array(out_p, pa.int64()),
+                    "fill_bits": pa.array([fill] * len(out_w), pa.int64())})
+    return _write(tbl, "corpus_word_bloom")
+
+
 def write_golden_kmeans(sf_dir: str, *, k: int, n_iters: int) -> str:
     """Expected output of ``embed_kmeans``: sequential per-row Lloyd over
     the fixed-point grid (the spec datapipe/cluster.py documents) — a

@@ -1949,6 +1949,35 @@ FROM read_parquet('/tmp/sagan_ray_golden/corpus_word_cms.parquet')
 ORDER BY word
 """
 
+_BLOOM_PROBES = ["table", "query", "spark", "vector", "nosuchword",
+                 "zzqx_absent_token"]
+
+
+def q_corpus_word_bloom(sf_dir: str):
+    """Bloom-filter word membership — the mergeable MEMBERSHIP sketch
+    completing the HLL (cardinality) / CMS (frequency) trio: 128 KB
+    packed bitmaps per pinned batch, bitwise-OR combine (semilattice →
+    any fold topology gives the identical bitmap), probed for a fixed
+    word list and reporting the exact bitmap popcount. Hash-verified
+    against a sequential per-word golden
+    (oracle/golden.py::write_golden_bloom); the no-false-negative
+    guarantee is additionally asserted against exact vocab in pytest."""
+    from ..datapipe.sketch import BF_K, BF_P, bloom_membership
+    from ..oracle.golden import write_golden_bloom
+
+    write_golden_bloom(sf_dir, _BLOOM_PROBES, p=BF_P, k=BF_K)
+    out = bloom_membership(_docs(sf_dir), _BLOOM_PROBES)
+    return _typed(out, {"word": "object", "present": "int64",
+                        "fill_bits": "int64"}
+                  ).sort_values("word").reset_index(drop=True)
+
+
+SQL_CORPUS_WORD_BLOOM = """
+SELECT word, present, fill_bits
+FROM read_parquet('/tmp/sagan_ray_golden/corpus_word_bloom.parquet')
+ORDER BY word
+"""
+
 
 def q_text_repetition(sf_dir: str):
     from ..datapipe import repetition
@@ -2747,6 +2776,8 @@ QUERIES = {
     "cross_doc_dup": q_cross_doc_dup,
     "text_langid": q_text_langid,
     "dedup_clusters": q_dedup_clusters,
+    # new in r5 (behind the window; green in the local full-gate run)
+    "corpus_word_bloom": q_corpus_word_bloom,
 }
 
 ORACLES = {
@@ -2831,4 +2862,5 @@ ORACLES = {
     "embed_pca": SQL_PCA_GOLDEN,
     "corpus_vocab_sketch": SQL_VOCAB_SKETCH,
     "multimodal_av": SQL_MULTIMODAL_AV_GOLDEN,
+    "corpus_word_bloom": SQL_CORPUS_WORD_BLOOM,
 }

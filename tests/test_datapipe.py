@@ -1089,6 +1089,37 @@ def test_cms_overestimates_bounded_and_blocking_invariant():
     assert (est2 == est).all()
 
 
+def test_bloom_no_false_negatives_and_blocking_invariant():
+    """Bloom membership: EVERY word actually in the corpus probes
+    present (no false negatives — the defining guarantee), a clearly
+    absent token probes 0 at this fill ratio, and the bitmap (via
+    fill_bits and all probe answers) is identical under any block
+    layout (bitwise-OR semilattice)."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.sketch import bloom_membership
+
+    texts = ["the cat sat on the mat " * 3, "dog dog dog cat", "",
+             "parquet shuffle actor"] * 9
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    vocab = sorted({w for t in texts
+                    for w in re.findall(r"[a-z0-9_]+", t.lower())})
+    probes = vocab + ["zzqx_absent_token"]
+    out = bloom_membership(rd.from_arrow(tbl), probes).set_index("word")
+    for w in vocab:
+        assert out.loc[w, "present"] == 1, w
+    # ~10 distinct words x 5 bits in 2^20: false positive ~ (5e-5)^5
+    assert out.loc["zzqx_absent_token", "present"] == 0
+    out2 = bloom_membership(rd.from_arrow(tbl).repartition(7),
+                            probes).set_index("word")
+    assert (out2["present"] == out["present"]).all()
+    assert (out2["fill_bits"] == out["fill_bits"]).all()
+
+
 def test_sketch_combine_level_topology_invariant():
     """With >64 partial blobs the task-side combine level engages; the
     folded sketch (and k-means seeds/moments) must be bit-identical to a
