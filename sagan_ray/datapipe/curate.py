@@ -199,6 +199,41 @@ def sample_stratified(ds, rates: dict[str, float], *,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def mix_sources(parts: list[tuple[str, object, str, str]],
+                weights: dict[str, float]):
+    """Deterministic weighted corpus mixing — the training-data staple
+    of combining web/books/code at target proportions. ``parts`` is
+    [(name, Dataset, id_col, text_col), ...]; each source keeps a row
+    iff (id · 2654435761) mod 2^32 < weight(name) · 2^32 (the
+    sample_stratified hash — RNG-free, so re-runs, resumes and the SQL
+    oracle select the identical mixture), projects to the common
+    (src, rec_id, text) schema and the streams union. At 100 TB this is
+    a pure map over each source with NO shuffle — union concatenates
+    block streams under the same backpressure."""
+    outs = []
+    for name, ds, id_col, text_col in parts:
+        thr = np.uint64(sample_threshold(weights.get(name, 0.0)))
+
+        def f(tbl: pa.Table, _n=name, _id=id_col, _tx=text_col,
+              _thr=thr) -> pa.Table:
+            ids = tbl.column(_id).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (ids * _KNUTH) % _MOD32
+            kept = tbl.filter(pa.array(h < _thr))
+            return pa.table({
+                "src": pa.array([_n] * len(kept), pa.string()),
+                "rec_id": kept.column(_id).cast(pa.int64()),
+                "text": kept.column(_tx).cast(pa.large_string()),
+            })
+
+        outs.append(ds.map_batches(f, batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
 # ----------------------------------------------------------------------
 # per-group top-k
 # ----------------------------------------------------------------------

@@ -2403,6 +2403,61 @@ ORDER BY doc_id
 
 SQL_SAMPLE_STRATIFIED = _build_sql_sample()
 
+_MIX_WEIGHTS = {"documents": 0.5, "orders": 0.25, "supplier": 0.75}
+
+
+def q_mix_sources(sf_dir: str):
+    """Deterministic weighted corpus mixing across three tables of
+    different shapes (documents text / order priorities / supplier
+    names) — each source hash-sampled at its target weight and
+    unioned into one (src, rec_id, text) stream; RNG-free, so the SQL
+    oracle selects the identical mixture."""
+    import ray.data as rd
+
+    from ..datapipe.curate import mix_sources
+
+    parts = [
+        ("documents", rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"]), "doc_id", "text"),
+        ("orders", rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"]), "o_orderkey",
+         "o_orderpriority"),
+        ("supplier", rd.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name"]), "s_suppkey", "s_name"),
+    ]
+    out = mix_sources(parts, _MIX_WEIGHTS).to_pandas()
+    out = _typed(out, {"src": "object", "rec_id": "int64",
+                       "text": "object"})
+    return out.sort_values(["src", "rec_id"]).reset_index(drop=True)
+
+
+def _build_sql_mix() -> str:
+    from ..datapipe.curate import sample_threshold
+
+    t = {s: sample_threshold(w) for s, w in _MIX_WEIGHTS.items()}
+    return f"""
+SELECT * FROM (
+  SELECT 'documents' AS src, doc_id::BIGINT AS rec_id, text
+  FROM documents
+  WHERE (doc_id * 2654435761) % 4294967296 < {t["documents"]}
+  UNION ALL
+  SELECT 'orders', o_orderkey::BIGINT, o_orderpriority
+  FROM orders
+  WHERE (o_orderkey * 2654435761) % 4294967296 < {t["orders"]}
+  UNION ALL
+  SELECT 'supplier', s_suppkey::BIGINT, s_name
+  FROM supplier
+  WHERE (s_suppkey * 2654435761) % 4294967296 < {t["supplier"]}
+)
+ORDER BY src, rec_id
+"""
+
+
+SQL_MIX_SOURCES = _build_sql_mix()
+
 
 _TOPK_PER_SOURCE = 3
 
@@ -2778,6 +2833,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     # new in r5 (behind the window; green in the local full-gate run)
     "corpus_word_bloom": q_corpus_word_bloom,
+    "mix_sources": q_mix_sources,
 }
 
 ORACLES = {
@@ -2863,4 +2919,5 @@ ORACLES = {
     "corpus_vocab_sketch": SQL_VOCAB_SKETCH,
     "multimodal_av": SQL_MULTIMODAL_AV_GOLDEN,
     "corpus_word_bloom": SQL_CORPUS_WORD_BLOOM,
+    "mix_sources": SQL_MIX_SOURCES,
 }
