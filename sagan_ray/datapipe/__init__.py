@@ -33,13 +33,18 @@ from .decomp import fit_pca, pca_project  # noqa: F401
 from .curate import (  # noqa: F401
     decontaminate,
     group_topk,
+    mix_sources,
     pii_redact,
     sample_stratified,
     shuffle_shards,
 )
 from .exchange import hash_group_apply  # noqa: F401
 from .search import bm25_topk  # noqa: F401
-from .sketch import hll_vocab  # noqa: F401
+from .sketch import (  # noqa: F401
+    bloom_membership,
+    cms_word_counts,
+    hll_vocab,
+)
 from .pack import pack_sequences  # noqa: F401
 from .stats import (  # noqa: F401
     group_percentiles,
