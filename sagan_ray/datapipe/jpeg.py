@@ -828,6 +828,9 @@ def _entropy_segments(raw: bytes, restart_interval: int) -> list[bytes]:
 def _decode_baseline_scan(sc: dict, comps, grids, zz, mcx, mcy) -> None:
     """Baseline sequential scan: DC+AC per data unit, MCU-interleaved."""
     nc = len(comps)
+    if len(sc["sel"]) != nc:
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) sequential JPEG is out of scope")
     segs, ri = sc["segs"], sc["ri"]
     dcs = [sc["dc"][sc["sel"].index(ci)] for ci in range(nc)]
     acs = [sc["ac"][sc["sel"].index(ci)] for ci in range(nc)]
@@ -1146,6 +1149,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         raise ValueError("JPEG without SOF/SOS")
 
     if lossless:
+        if len(scans) != 1 or len(scans[0]["sel"]) != len(comps):
+            raise NotImplementedError(
+                "multi-scan lossless JPEG is out of scope")
         planes = _decode_lossless(scans[0], comps, h, w)
         return planes[0] if len(planes) == 1 else np.stack(planes, axis=-1)
 
