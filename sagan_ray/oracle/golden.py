@@ -745,6 +745,27 @@ def write_golden_bloom(sf_dir: str, probe_words: list[str], *, p: int,
     return _write(tbl, "corpus_word_bloom")
 
 
+def write_golden_webdataset(samples) -> str:
+    """Expected output of ``webdataset_read``: computed from the
+    SOURCE-OF-TRUTH sample list (before any tar bytes exist), so the
+    gate verifies the whole write-shards → distributed-parse round
+    trip — a reader bug and a writer bug both surface as a mismatch."""
+    import zlib
+
+    ks, es, ns, cs = [], [], [], []
+    for key, members in samples:
+        for ext in sorted(members):
+            ks.append(key)
+            es.append(ext)
+            ns.append(len(members[ext]))
+            cs.append(zlib.crc32(members[ext]))
+    tbl = pa.table({"key": pa.array(ks, pa.string()),
+                    "ext": pa.array(es, pa.string()),
+                    "n_bytes": pa.array(ns, pa.int64()),
+                    "crc": pa.array(cs, pa.int64())})
+    return _write(tbl, "webdataset_read")
+
+
 def write_golden_kmeans(sf_dir: str, *, k: int, n_iters: int) -> str:
     """Expected output of ``embed_kmeans``: sequential per-row Lloyd over
     the fixed-point grid (the spec datapipe/cluster.py documents) — a

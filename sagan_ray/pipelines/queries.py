@@ -2722,6 +2722,87 @@ FROM read_parquet('/tmp/sagan_ray_golden/multimodal_av.parquet')
 ORDER BY media_id
 """
 
+_WDS_EXTS = ["jpg", "png", "bmp", "wav", "sgv", "txt", "json"]
+
+
+def _wds_samples():
+    """Deterministic WebDataset sample list from the synth media corpus:
+    one payload member (extension by mime) + a text caption + a JSON
+    metadata member per key."""
+    import json
+
+    from ..datapipe.multimodal import synth_media
+
+    ext_of = {"image/jpeg": "jpg", "image/png": "png", "image/bmp": "bmp",
+              "audio/wav": "wav", "video/x-sgv": "sgv"}
+    media = synth_media(200, seed=42)
+    samples = []
+    for mid, kind, payload, mime, w, h, dur in zip(
+            media.column("media_id").to_pylist(),
+            media.column("kind").to_pylist(),
+            media.column("payload").to_pylist(),
+            media.column("mime").to_pylist(),
+            media.column("width").to_pylist(),
+            media.column("height").to_pylist(),
+            media.column("duration_ms").to_pylist()):
+        cap = f"media {mid} kind {kind}".encode()
+        meta = json.dumps({"kind": kind, "mime": mime, "w": w, "h": h,
+                           "duration_ms": dur}, sort_keys=True).encode()
+        samples.append((f"{mid:06d}",
+                        {ext_of[mime]: payload, "txt": cap, "json": meta}))
+    return samples
+
+
+def q_webdataset_read(sf_dir: str):
+    """WebDataset-style tar-shard ingestion: the synth media corpus is
+    written as .tar shards (key.ext members, 32 samples/shard) and read
+    back shard-parallel (`sources/shards.py::read_tar_shards` — one
+    shard per task, stdlib tarfile over in-memory bytes); the output
+    per member (key, ext, n_bytes, crc32) is gated against a golden
+    computed from the source-of-truth sample list BEFORE any tar bytes
+    exist, verifying the whole write→distributed-parse round trip."""
+    import shutil
+    import zlib
+
+    from ..oracle.golden import write_golden_webdataset
+    from ..sources.shards import read_tar_shards, write_tar_shards
+
+    samples = _wds_samples()
+    write_golden_webdataset(samples)
+    shard_dir = "/tmp/sagan_ray_wds"
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    write_tar_shards(samples, shard_dir, shard_size=32)
+
+    def flat(tbl):
+        ks, es, ns, cs = [], [], [], []
+        keys = tbl.column("key").to_pylist()
+        for e in _WDS_EXTS:
+            col = tbl.column(e.replace(".", "_")).to_pylist()
+            for k, v in zip(keys, col):
+                if v is not None:
+                    ks.append(k)
+                    es.append(e)
+                    ns.append(len(v))
+                    cs.append(zlib.crc32(v))
+        import pyarrow as _pa
+        return _pa.table({"key": _pa.array(ks, _pa.string()),
+                          "ext": _pa.array(es, _pa.string()),
+                          "n_bytes": _pa.array(ns, _pa.int64()),
+                          "crc": _pa.array(cs, _pa.int64())})
+
+    ds = read_tar_shards(shard_dir, _WDS_EXTS).map_batches(
+        flat, batch_format="pyarrow")
+    out = _typed(ds.to_pandas(), {"key": "object", "ext": "object",
+                                  "n_bytes": "int64", "crc": "int64"})
+    return out.sort_values(["key", "ext"]).reset_index(drop=True)
+
+
+SQL_WEBDATASET = """
+SELECT key, ext, n_bytes, crc
+FROM read_parquet('/tmp/sagan_ray_golden/webdataset_read.parquet')
+ORDER BY key, ext
+"""
+
 
 # ---------------------------------------------------------------------------
 # catalog
@@ -2834,6 +2915,7 @@ QUERIES = {
     # new in r5 (behind the window; green in the local full-gate run)
     "corpus_word_bloom": q_corpus_word_bloom,
     "mix_sources": q_mix_sources,
+    "webdataset_read": q_webdataset_read,
 }
 
 ORACLES = {
@@ -2920,4 +3002,5 @@ ORACLES = {
     "multimodal_av": SQL_MULTIMODAL_AV_GOLDEN,
     "corpus_word_bloom": SQL_CORPUS_WORD_BLOOM,
     "mix_sources": SQL_MIX_SOURCES,
+    "webdataset_read": SQL_WEBDATASET,
 }
