@@ -328,7 +328,7 @@ def run_bench() -> dict:
         synth_media,
     )
 
-    media_path = "/tmp/sagan_ray_bench/bench_media_2k_v1.parquet"
+    media_path = "/tmp/sagan_ray_bench/bench_media_2k_v2.parquet"
     if not os.path.exists(media_path):
         import pyarrow.parquet as pq
 

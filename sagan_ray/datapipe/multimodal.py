@@ -8,7 +8,9 @@ depth, Adam7 interlace), baseline / progressive / lossless JPEG with
 sampling factors up to 2 — 4:4:4 and the ubiquitous camera
 4:2:0/4:2:2/4:4:0 — plus restart markers (datapipe.jpeg — own
 Huffman/DCT, integer-exact decode spec, bit-exact SOF3 roundtrip),
-PCM WAV audio at 8/16/24/32-bit widths (stdlib
+GIF87a/89a incl. animation (datapipe.gif — own LZW, interlace,
+compositing/transparency; animated GIFs flow through the VIDEO
+stages), PCM WAV audio at 8/16/24/32-bit widths (stdlib
 ``wave``), and a simple length-prefixed BMP-frame container for video
 (``SGV1``, documented below; real mp4/h264 needs codecs this
 environment lacks). Formats beyond that (arithmetic-coded or
@@ -386,6 +388,10 @@ def decode_image(b: bytes) -> np.ndarray:
         if img.ndim == 2:
             img = np.stack([img, img, img], axis=-1)
         return img
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(b)[0][0]
     raise NotImplementedError(
         "only BMP, 8-bit RGB/RGBA PNG and baseline JPEG decode "
         "here; other formats need an image library")
@@ -561,6 +567,17 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
                         restart_interval=(0, 0, 2)[i % 3],
                         progressive=bool((i // 2) & 1))
                 mime, dur = "image/jpeg", 0
+            elif (i // 4) % 2:
+                # GIF slice of the BMP third: 32-color quantized, half
+                # interlaced, exercising the LZW decode path
+                from .gif import encode_gif
+
+                pal = np.stack([np.arange(32) * 8, (np.arange(32) * 7) % 256,
+                                (np.arange(32) * 13) % 256],
+                               1).astype(np.uint8)
+                payload = encode_gif([(img[:, :, 0] >> 3).astype(np.uint8)],
+                                     pal, interlace=bool(i & 1))
+                mime, dur = "image/gif", 0
             else:
                 payload, mime, dur = encode_bmp(img), "image/bmp", 0
         elif kind == "audio":
@@ -577,9 +594,24 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
             h = w = 16
             nf = int(rng.integers(2, 6))
             interval = 500
-            frames = [encode_bmp(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
-                      for _ in range(nf)]
-            payload, mime = encode_sgv(frames, interval), "video/x-sgv"
+            if i % 2:
+                # animated GIF half of the video third
+                from .gif import encode_gif
+
+                pal = np.stack([(np.arange(64) * 4) % 256,
+                                (np.arange(64) * 11) % 256,
+                                (np.arange(64) * 29) % 256],
+                               1).astype(np.uint8)
+                gframes = [rng.integers(0, 64, (h, w)).astype(np.uint8)
+                           for _ in range(nf)]
+                payload = encode_gif(gframes, pal,
+                                     delays_ms=[interval] * nf)
+                mime = "image/gif"
+            else:
+                frames = [encode_bmp(rng.integers(0, 256, (h, w, 3))
+                                     .astype(np.uint8))
+                          for _ in range(nf)]
+                payload, mime = encode_sgv(frames, interval), "video/x-sgv"
             dur = nf * interval
         rows["media_id"].append(i)
         rows["kind"].append(kind)
@@ -659,12 +691,18 @@ class AVProbe:
                 feats.append(round(float(x[0]), 6) if len(x) else 0.0)
                 ns.append(len(x))
             else:
-                frames, _interval = decode_sgv(p)
-                img = decode_image(frames[0])
+                if p[:6] in (b"GIF87a", b"GIF89a"):
+                    from .gif import decode_gif
+
+                    rgb_frames, _delays = decode_gif(p)
+                    img, nf = rgb_frames[0], len(rgb_frames)
+                else:
+                    frames, _interval = decode_sgv(p)
+                    img, nf = decode_image(frames[0]), len(frames)
                 g = img.astype(np.float32).mean(axis=-1)[0, 0]
                 feats.append(round(float(np.float32(g / np.float32(255.0))),
                                    6))
-                ns.append(len(frames))
+                ns.append(nf)
         return pa.table({
             "media_id": tbl.column("media_id"),
             "kind": tbl.column("kind"),
@@ -685,6 +723,7 @@ class ResizeImages:
         for p in tbl.column("payload").to_pylist():
             is_png = p[:8] == _PNG_MAGIC
             is_jpg = p[:2] == b"\xff\xd8"
+            is_gif = p[:6] in (b"GIF87a", b"GIF89a")
             img = decode_image(p)
             h, w = img.shape[:2]
             scale = min(1.0, self.max_side / max(1, max(h, w)))
@@ -697,6 +736,20 @@ class ResizeImages:
                     from .jpeg import encode_jpeg
 
                     p = encode_jpeg(img)
+                elif is_gif:
+                    # NN resize of palette RGB keeps <=256 colors, so an
+                    # exact palette rebuild re-encodes losslessly
+                    from .gif import encode_gif
+
+                    packed = (img[:, :, 0].astype(np.int64) << 16
+                              | img[:, :, 1].astype(np.int64) << 8
+                              | img[:, :, 2].astype(np.int64))
+                    pal_packed, idx = np.unique(packed, return_inverse=True)
+                    pal = np.stack([(pal_packed >> 16) & 0xFF,
+                                    (pal_packed >> 8) & 0xFF,
+                                    pal_packed & 0xFF], 1).astype(np.uint8)
+                    p = encode_gif([idx.reshape(nh, nw).astype(np.uint8)],
+                                   pal)
                 else:
                     p = encode_bmp(img)
             payloads.append(p)
@@ -711,8 +764,9 @@ class ResizeImages:
 
 
 class SampleFrames:
-    """Actor-pool stage: SGV1 video payload → one row per sampled frame
-    (nearest stored frame at each ``every_ms`` tick)."""
+    """Actor-pool stage: video payload (SGV1 container or animated GIF)
+    → one row per sampled frame (nearest stored frame at each
+    ``every_ms`` tick); frames are emitted as BMP bytes either way."""
 
     def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms
@@ -722,7 +776,14 @@ class SampleFrames:
         for mid, dur, payload in zip(tbl.column("media_id").to_pylist(),
                                      tbl.column("duration_ms").to_pylist(),
                                      tbl.column("payload").to_pylist()):
-            frames, interval = decode_sgv(payload)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                from .gif import decode_gif
+
+                rgb, delays = decode_gif(payload)
+                frames = [encode_bmp(f) for f in rgb]
+                interval = delays[0] if delays and delays[0] else 1
+            else:
+                frames, interval = decode_sgv(payload)
             if not frames:      # valid zero-frame container → zero rows
                 continue
             for t in range(0, max(1, dur), self.every_ms):

@@ -608,6 +608,8 @@ def write_golden_multimodal(n: int, seed: int) -> str:
             gray = _png_first_pixel_gray(payload)
         elif payload[:2] == b"\xff\xd8":
             gray = _jpeg_first_pixel_gray(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            gray = _gif_first_pixel_gray(payload)
         else:
             gray = _bmp_first_pixel_gray(payload)
         oval.append(round(gray, 6))
@@ -674,13 +676,23 @@ def write_golden_multimodal_av(n: int, seed: int) -> str:
             feat, cnt = _wav_first_sample(payload)
             feat = round(feat, 6)
         elif kind == "video":
-            assert payload[:4] == b"SGV1"
-            nf = int.from_bytes(payload[4:8], "little")
-            first_len = int.from_bytes(payload[12:16], "little")
-            off = 12 + 4 * nf
-            feat = round(_bmp_first_pixel_gray(payload[off:off + first_len]),
-                         6)
-            cnt = nf
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                rgb, nf = _gif_probe(payload)
+                red, green, blue = rgb
+                s32 = np.float32(np.float32(np.float32(red)
+                                            + np.float32(green))
+                                 + np.float32(blue))
+                g = np.float32(s32 / np.float32(3.0))
+                feat = round(float(np.float32(g / np.float32(255.0))), 6)
+                cnt = nf
+            else:
+                assert payload[:4] == b"SGV1"
+                nf = int.from_bytes(payload[4:8], "little")
+                first_len = int.from_bytes(payload[12:16], "little")
+                off = 12 + 4 * nf
+                feat = round(_bmp_first_pixel_gray(
+                    payload[off:off + first_len]), 6)
+                cnt = nf
         else:
             continue
         oid.append(mid)
@@ -743,6 +755,93 @@ def write_golden_bloom(sf_dir: str, probe_words: list[str], *, p: int,
                     "present": pa.array(out_p, pa.int64()),
                     "fill_bits": pa.array([fill] * len(out_w), pa.int64())})
     return _write(tbl, "corpus_word_bloom")
+
+
+def _gif_probe(b: bytes) -> tuple[tuple[int, int, int], int]:
+    """Independent minimal GIF walk: RGB of pixel (0, 0) of the first
+    frame + total frame count. The first LZW code after CLEAR always
+    decodes to a single literal index (the table holds only roots), so
+    pixel (0,0) needs no table building — a per-bit LSB-first read of
+    the first few codes. Shares none of datapipe/gif.py's code."""
+    assert b[:6] in (b"GIF87a", b"GIF89a")
+    flags, bg = b[10], b[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = b[pos:pos + 3 * n]
+        pos += 3 * n
+    first_rgb = None
+    nframes = 0
+    transparent = None
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:
+            break
+        if blk == 0x21:
+            label = b[pos]
+            pos += 1
+            tr = transparent
+            if label == 0xF9:
+                tr = b[pos + 4] if (b[pos + 1] & 1) else None
+            while b[pos]:
+                pos += b[pos] + 1
+            pos += 1
+            transparent = tr
+            continue
+        assert blk == 0x2C
+        x0 = int.from_bytes(b[pos:pos + 2], "little")
+        y0 = int.from_bytes(b[pos + 2:pos + 4], "little")
+        iflags = b[pos + 8]
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = b[pos:pos + 3 * n]
+            pos += 3 * n
+        mc = b[pos]
+        pos += 1
+        chunks = []
+        while b[pos]:
+            ln = b[pos]
+            chunks.append(b[pos + 1:pos + 1 + ln])
+            pos += ln + 1
+        pos += 1
+        if nframes == 0:
+            assert x0 == 0 and y0 == 0, "first frame must be full-canvas"
+            data = b"".join(chunks)
+            clear = 1 << mc
+            width = mc + 1
+            bp = 0
+
+            def bits(n: int) -> int:
+                nonlocal bp
+                v = 0
+                for j in range(n):
+                    v |= ((data[(bp + j) >> 3] >> ((bp + j) & 7)) & 1) << j
+                bp += n
+                return v
+
+            code = bits(width)
+            while code == clear:
+                code = bits(width)
+            idx = code                       # first literal = root entry
+            if transparent is not None and idx == transparent:
+                idx = bg
+            first_rgb = tuple(pal[3 * idx:3 * idx + 3])
+        nframes += 1
+        transparent = None
+    assert first_rgb is not None
+    return first_rgb, nframes
+
+
+def _gif_first_pixel_gray(b: bytes) -> float:
+    red, green, blue = _gif_probe(b)[0]
+    s = np.float32(np.float32(np.float32(red) + np.float32(green))
+                   + np.float32(blue))
+    gray = np.float32(s / np.float32(3.0))
+    return float(np.float32(gray / np.float32(255.0)))
 
 
 def write_golden_webdataset(samples) -> str:

@@ -2722,7 +2722,7 @@ FROM read_parquet('/tmp/sagan_ray_golden/multimodal_av.parquet')
 ORDER BY media_id
 """
 
-_WDS_EXTS = ["jpg", "png", "bmp", "wav", "sgv", "txt", "json"]
+_WDS_EXTS = ["jpg", "png", "bmp", "gif", "wav", "sgv", "txt", "json"]
 
 
 def _wds_samples():
@@ -2734,7 +2734,7 @@ def _wds_samples():
     from ..datapipe.multimodal import synth_media
 
     ext_of = {"image/jpeg": "jpg", "image/png": "png", "image/bmp": "bmp",
-              "audio/wav": "wav", "video/x-sgv": "sgv"}
+              "image/gif": "gif", "audio/wav": "wav", "video/x-sgv": "sgv"}
     media = synth_media(200, seed=42)
     samples = []
     for mid, kind, payload, mime, w, h, dur in zip(

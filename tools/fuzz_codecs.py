@@ -147,6 +147,33 @@ def fuzz_wav(rng: np.random.Generator, trials: int) -> int:
     return fails
 
 
+def fuzz_gif(rng: np.random.Generator, trials: int) -> int:
+    from sagan_ray.datapipe.gif import decode_gif, encode_gif
+    from sagan_ray.oracle.golden import _gif_first_pixel_gray, _gif_probe
+
+    fails = 0
+    for t in range(trials):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        ncol = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        nf = int(rng.integers(1, 5))
+        frames = [rng.integers(0, ncol, (h, w)).astype(np.uint8)
+                  for _ in range(nf)]
+        b = encode_gif(frames, pal, delays_ms=[10 * (i + 1)
+                                               for i in range(nf)],
+                       interlace=bool(t & 1))
+        decs, _delays = decode_gif(b)
+        ok = len(decs) == nf and all(
+            np.array_equal(d, pal[f]) for f, d in zip(frames, decs))
+        ok = ok and _gif_probe(b)[1] == nf
+        ok = ok and _gif_first_pixel_gray(b) == _gray6(
+            [int(v) for v in decs[0][0, 0]])
+        if not ok:
+            fails += 1
+            print(f"GIF FAIL t={t} shape=({h},{w}) ncol={ncol} nf={nf}")
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=200)
@@ -154,7 +181,7 @@ def main() -> int:
     a = ap.parse_args()
     total = 0
     for name, fn in (("jpeg", fuzz_jpeg), ("png", fuzz_png),
-                     ("wav", fuzz_wav)):
+                     ("wav", fuzz_wav), ("gif", fuzz_gif)):
         rng = np.random.default_rng(a.seed)
         fails = fn(rng, a.trials)
         total += fails
