@@ -10,7 +10,8 @@ sampling factors up to 2 — 4:4:4 and the ubiquitous camera
 Huffman/DCT, integer-exact decode spec, bit-exact SOF3 roundtrip),
 GIF87a/89a incl. animation (datapipe.gif — own LZW, interlace,
 compositing/transparency; animated GIFs flow through the VIDEO
-stages), PCM WAV audio at 8/16/24/32-bit widths (stdlib
+stages), binary netpbm (P5/P6), uncompressed 8-bit TIFF (II/MM byte
+orders, multi-strip), PCM WAV audio at 8/16/24/32-bit widths (stdlib
 ``wave``), and a simple length-prefixed BMP-frame container for video
 (``SGV1``, documented below; real mp4/h264 needs codecs this
 environment lacks). Formats beyond that (arithmetic-coded or
@@ -88,6 +89,147 @@ def decode_bmp(b: bytes) -> np.ndarray:
     if flip:
         arr = arr[::-1]
     return arr[:, :, ::-1].copy()
+
+
+def encode_pnm(img: np.ndarray) -> bytes:
+    """HxW (gray → P5) or HxWx3 (RGB → P6) uint8 → binary netpbm."""
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        magic = b"P5"
+        h, w = img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+        h, w = img.shape[:2]
+    else:
+        raise ValueError("encode_pnm wants HxW or HxWx3 uint8")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_pnm(b: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB, maxval ≤ 255, #-comments per
+    the spec) → HxW or HxWx3 uint8."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "only binary netpbm (P5/P6) decodes here; ASCII P1-P3 and "
+            "16-bit maxval need an image library")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        c = b[pos:pos + 1]
+        if c == b"#":                      # comment to end of line
+            pos = b.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while not b[end:end + 1].isspace():
+                end += 1
+            vals.append(int(b[pos:end]))
+            pos = end
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm needs an image library")
+    pos += 1                               # single whitespace after maxval
+    ch = 3 if b[:2] == b"P6" else 1
+    arr = np.frombuffer(b, np.uint8, count=h * w * ch, offset=pos)
+    out = arr.reshape(h, w, ch) if ch == 3 else arr.reshape(h, w)
+    if maxval != 255:                      # exact integer upscale
+        out = (out.astype(np.int64) * 255 // maxval).astype(np.uint8)
+    return out.copy()
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 → uncompressed little-endian
+    baseline TIFF (one strip)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_tiff wants HxW or HxWx3 uint8")
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    data = img.tobytes()
+    # layout: 8-byte header | pixel data | (BitsPerSample array) | IFD
+    data_off = 8
+    bps_off = data_off + len(data)
+    ifd_off = bps_off + (6 if not gray else 0)
+    entries = [
+        (256, 4, 1, w),                    # ImageWidth
+        (257, 4, 1, h),                    # ImageLength
+        (258, 3, spp, 8 if gray else bps_off),   # BitsPerSample
+        (259, 3, 1, 1),                    # Compression: none
+        (262, 3, 1, 1 if gray else 2),     # Photometric: gray / RGB
+        (273, 4, 1, data_off),             # StripOffsets
+        (277, 3, 1, spp),                  # SamplesPerPixel
+        (278, 4, 1, h),                    # RowsPerStrip
+        (279, 4, 1, len(data)),            # StripByteCounts
+    ]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += data
+    if not gray:
+        out += struct.pack("<HHH", 8, 8, 8)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)            # no next IFD
+    return bytes(out)
+
+
+def decode_tiff(b: bytes) -> np.ndarray:
+    """Uncompressed 8-bit baseline TIFF (gray or RGB, II or MM byte
+    order, any strip layout) → HxW or HxWx3 uint8. Compressed /
+    tiled / palette / >8-bit TIFF raises."""
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u16(o):
+        return struct.unpack_from(e + "H", b, o)[0]
+
+    def u32(o):
+        return struct.unpack_from(e + "I", b, o)[0]
+
+    ifd = u32(4)
+    n = u16(ifd)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        tags[u16(o)] = (u16(o + 2), u32(o + 4), o + 8)
+
+    def values(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing tag {tag}")
+            return [default]
+        typ, cnt, vo = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise NotImplementedError(f"TIFF value type {typ}")
+        off = vo if cnt * size <= 4 else u32(vo)
+        rd = u16 if size == 2 else (u32 if size == 4 else
+                                    lambda o: b[o])
+        return [rd(off + size * k) for k in range(cnt)]
+
+    w = values(256)[0]
+    h = values(257)[0]
+    comp = values(259, 1)[0]
+    photo = values(262)[0]
+    spp = values(277, 1)[0]
+    bps = values(258, 8)
+    if comp != 1 or any(v != 8 for v in bps) or photo not in (1, 2) \
+            or spp not in (1, 3):
+        raise NotImplementedError(
+            f"only uncompressed 8-bit gray/RGB TIFF decodes here (got "
+            f"compression={comp}, photometric={photo}, spp={spp}, "
+            f"bits={bps})")
+    offs = values(273)
+    cnts = values(279)
+    data = b"".join(b[o:o + c] for o, c in zip(offs, cnts))
+    arr = np.frombuffer(data, np.uint8, count=h * w * spp)
+    return (arr.reshape(h, w, 3) if spp == 3
+            else arr.reshape(h, w)).copy()
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -392,6 +534,16 @@ def decode_image(b: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(b)[0][0]
+    if b[:2] in (b"P5", b"P6"):
+        img = decode_pnm(b)
+        if img.ndim == 2:
+            img = np.stack([img, img, img], axis=-1)
+        return img
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        img = decode_tiff(b)
+        if img.ndim == 2:
+            img = np.stack([img, img, img], axis=-1)
+        return img
     raise NotImplementedError(
         "only BMP, 8-bit RGB/RGBA PNG and baseline JPEG decode "
         "here; other formats need an image library")
@@ -567,7 +719,7 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
                         restart_interval=(0, 0, 2)[i % 3],
                         progressive=bool((i // 2) & 1))
                 mime, dur = "image/jpeg", 0
-            elif (i // 4) % 2:
+            elif (i // 4) % 4 == 1:
                 # GIF slice of the BMP third: 32-color quantized, half
                 # interlaced, exercising the LZW decode path
                 from .gif import encode_gif
@@ -578,6 +730,12 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
                 payload = encode_gif([(img[:, :, 0] >> 3).astype(np.uint8)],
                                      pal, interlace=bool(i & 1))
                 mime, dur = "image/gif", 0
+            elif (i // 4) % 4 == 2:
+                payload = encode_pnm(img if i & 1 else img[:, :, 0])
+                mime, dur = "image/x-portable-anymap", 0
+            elif (i // 4) % 4 == 3:
+                payload = encode_tiff(img if i & 1 else img[:, :, 0])
+                mime, dur = "image/tiff", 0
             else:
                 payload, mime, dur = encode_bmp(img), "image/bmp", 0
         elif kind == "audio":
@@ -724,6 +882,8 @@ class ResizeImages:
             is_png = p[:8] == _PNG_MAGIC
             is_jpg = p[:2] == b"\xff\xd8"
             is_gif = p[:6] in (b"GIF87a", b"GIF89a")
+            is_pnm = p[:2] in (b"P5", b"P6")
+            is_tif = p[:4] in (b"II*\x00", b"MM\x00*")
             img = decode_image(p)
             h, w = img.shape[:2]
             scale = min(1.0, self.max_side / max(1, max(h, w)))
@@ -750,6 +910,10 @@ class ResizeImages:
                                     pal_packed & 0xFF], 1).astype(np.uint8)
                     p = encode_gif([idx.reshape(nh, nw).astype(np.uint8)],
                                    pal)
+                elif is_pnm:
+                    p = encode_pnm(img)
+                elif is_tif:
+                    p = encode_tiff(img)
                 else:
                     p = encode_bmp(img)
             payloads.append(p)

@@ -610,6 +610,10 @@ def write_golden_multimodal(n: int, seed: int) -> str:
             gray = _jpeg_first_pixel_gray(payload)
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             gray = _gif_first_pixel_gray(payload)
+        elif payload[:2] in (b"P5", b"P6"):
+            gray = _pnm_first_pixel_gray(payload)
+        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+            gray = _tiff_first_pixel_gray(payload)
         else:
             gray = _bmp_first_pixel_gray(payload)
         oval.append(round(gray, 6))
@@ -834,6 +838,74 @@ def _gif_probe(b: bytes) -> tuple[tuple[int, int, int], int]:
         transparent = None
     assert first_rgb is not None
     return first_rgb, nframes
+
+
+def _rgb_gray6(red: int, green: int, blue: int) -> float:
+    s = np.float32(np.float32(np.float32(red) + np.float32(green))
+                   + np.float32(blue))
+    gray = np.float32(s / np.float32(3.0))
+    return float(np.float32(gray / np.float32(255.0)))
+
+
+def _pnm_first_pixel_gray(b: bytes) -> float:
+    """Independent minimal netpbm walk: per-character header scan
+    (magic, #-comments, three decimal fields, one whitespace), then the
+    first 1 or 3 raster bytes."""
+    assert b[:2] in (b"P5", b"P6")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        c = b[pos:pos + 1]
+        if c == b"#":
+            while b[pos:pos + 1] != b"\n":
+                pos += 1
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            num = 0
+            while not b[pos:pos + 1].isspace():
+                num = num * 10 + (b[pos] - 48)
+                pos += 1
+            vals.append(num)
+    pos += 1
+    maxval = vals[2]
+
+    def scale(v: int) -> int:
+        return v * 255 // maxval if maxval != 255 else v
+
+    if b[:2] == b"P5":
+        v = scale(b[pos])
+        return _rgb_gray6(v, v, v)
+    return _rgb_gray6(scale(b[pos]), scale(b[pos + 1]), scale(b[pos + 2]))
+
+
+def _tiff_first_pixel_gray(b: bytes) -> float:
+    """Independent minimal TIFF walk: IFD entry scan for photometric /
+    samples-per-pixel / first strip offset, then the first raster
+    bytes — per-scalar int.from_bytes, no struct reuse."""
+    big = b[:2] == b"MM"
+    order = "big" if big else "little"
+
+    def rd(off: int, n: int) -> int:
+        return int.from_bytes(b[off:off + n], order)
+
+    ifd = rd(4, 4)
+    n = rd(ifd, 2)
+    spp, strip0 = 1, None
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        tag, typ = rd(o, 2), rd(o + 2, 2)
+        cnt = rd(o + 4, 4)
+        size = {1: 1, 3: 2, 4: 4}[typ]
+        voff = o + 8 if cnt * size <= 4 else rd(o + 8, 4)
+        if tag == 277:
+            spp = rd(voff, size)
+        elif tag == 273:
+            strip0 = rd(voff, size)
+    if spp == 1:
+        v = b[strip0]
+        return _rgb_gray6(v, v, v)
+    return _rgb_gray6(b[strip0], b[strip0 + 1], b[strip0 + 2])
 
 
 def _gif_first_pixel_gray(b: bytes) -> float:

@@ -2722,7 +2722,8 @@ FROM read_parquet('/tmp/sagan_ray_golden/multimodal_av.parquet')
 ORDER BY media_id
 """
 
-_WDS_EXTS = ["jpg", "png", "bmp", "gif", "wav", "sgv", "txt", "json"]
+_WDS_EXTS = ["jpg", "png", "bmp", "gif", "pnm", "tiff", "wav", "sgv",
+             "txt", "json"]
 
 
 def _wds_samples():
@@ -2734,7 +2735,9 @@ def _wds_samples():
     from ..datapipe.multimodal import synth_media
 
     ext_of = {"image/jpeg": "jpg", "image/png": "png", "image/bmp": "bmp",
-              "image/gif": "gif", "audio/wav": "wav", "video/x-sgv": "sgv"}
+              "image/gif": "gif", "image/x-portable-anymap": "pnm",
+              "image/tiff": "tiff", "audio/wav": "wav",
+              "video/x-sgv": "sgv"}
     media = synth_media(200, seed=42)
     samples = []
     for mid, kind, payload, mime, w, h, dur in zip(

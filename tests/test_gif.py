@@ -121,3 +121,86 @@ def test_gif_stage_dispatch():
     assert len(sampled) > 0
     probe = AVProbe()(vids)
     assert (np.asarray(probe.column("n")) >= 2).all()
+
+
+def test_pnm_tiff_roundtrip_and_golden():
+    """netpbm (P5/P6) and uncompressed TIFF: exact roundtrip for gray
+    and RGB, comment/whitespace-tolerant PNM headers, big-endian and
+    multi-strip TIFF decode, golden first-pixel parity, decode_image
+    dispatch."""
+    import struct
+
+    from sagan_ray.datapipe.multimodal import (
+        decode_image,
+        decode_pnm,
+        decode_tiff,
+        encode_pnm,
+        encode_tiff,
+    )
+    from sagan_ray.oracle.golden import (
+        _pnm_first_pixel_gray,
+        _tiff_first_pixel_gray,
+    )
+
+    rng = np.random.default_rng(6)
+    for trial in range(8):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        c = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for img in (g, c):
+            for enc, dec, golden in (
+                    (encode_pnm, decode_pnm, _pnm_first_pixel_gray),
+                    (encode_tiff, decode_tiff, _tiff_first_pixel_gray)):
+                b = enc(img)
+                got = dec(b)
+                assert np.array_equal(got, img)
+                rgb = decode_image(b)
+                assert rgb.shape == (h, w, 3)
+                px = [int(v) for v in rgb[0, 0]]
+                s = np.float32(np.float32(np.float32(px[0])
+                                          + np.float32(px[1]))
+                               + np.float32(px[2]))
+                want = float(np.float32(np.float32(s / np.float32(3.0))
+                                        / np.float32(255.0)))
+                assert golden(b) == want
+    # PNM comments + maxval rescale
+    b = b"P6 # c\n#c2\n 5\t4\n127\n" + bytes(range(60))
+    d = decode_pnm(b)
+    assert d.shape == (4, 5, 3) and d[0, 0, 1] == 1 * 255 // 127
+    # big-endian TIFF with left-justified inline SHORTs + two strips
+    img = rng.integers(0, 256, (3, 7, 3)).astype(np.uint8)
+    r1, r2 = img[:2].tobytes(), img[2:].tobytes()
+    bps = 8 + len(r1) + len(r2)
+    so, sc = bps + 6, bps + 14
+    ifd = sc + 8
+
+    def ent(tag, typ, cnt, val):
+        if typ == 3 and cnt == 1:
+            return struct.pack(">HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack(">HHII", tag, typ, cnt, val)
+
+    mm = bytearray(struct.pack(">2sHI", b"MM", 42, ifd))
+    mm += r1 + r2 + struct.pack(">HHH", 8, 8, 8)
+    mm += struct.pack(">II", 8, 8 + len(r1))
+    mm += struct.pack(">II", len(r1), len(r2))
+    ents = [(256, 4, 1, 7), (257, 4, 1, 3), (258, 3, 3, bps),
+            (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 2, so),
+            (277, 3, 1, 3), (278, 4, 1, 2), (279, 4, 2, sc)]
+    mm += struct.pack(">H", len(ents))
+    for e in ents:
+        mm += ent(*e)
+    mm += struct.pack(">I", 0)
+    assert np.array_equal(decode_tiff(bytes(mm)), img)
+    # unsupported flavors raise clearly
+    with pytest.raises(NotImplementedError):
+        decode_pnm(b"P3\n1 1\n255\n0 0 0")
+    lzw = bytearray(encode_tiff(img))
+    # compression tag value lives at IFD entry for tag 259
+    with pytest.raises(NotImplementedError):
+        n_off = struct.unpack_from("<I", lzw, 4)[0]
+        cnt = struct.unpack_from("<H", lzw, n_off)[0]
+        for i in range(cnt):
+            o = n_off + 2 + 12 * i
+            if struct.unpack_from("<H", lzw, o)[0] == 259:
+                struct.pack_into("<H", lzw, o + 8, 5)   # LZW
+        decode_tiff(bytes(lzw))
