@@ -174,6 +174,38 @@ def fuzz_gif(rng: np.random.Generator, trials: int) -> int:
     return fails
 
 
+def fuzz_pnm_tiff(rng: np.random.Generator, trials: int) -> int:
+    from sagan_ray.datapipe.multimodal import (
+        decode_pnm,
+        decode_tiff,
+        encode_pnm,
+        encode_tiff,
+    )
+    from sagan_ray.oracle.golden import (
+        _pnm_first_pixel_gray,
+        _tiff_first_pixel_gray,
+    )
+
+    fails = 0
+    for t in range(trials):
+        h, w = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+        gray = bool(t & 1)
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)
+                           ).astype(np.uint8)
+        px3 = ([int(img[0, 0])] * 3 if gray
+               else [int(v) for v in img[0, 0]])
+        for enc, dec, golden in (
+                (encode_pnm, decode_pnm, _pnm_first_pixel_gray),
+                (encode_tiff, decode_tiff, _tiff_first_pixel_gray)):
+            b = enc(img)
+            if not (np.array_equal(dec(b), img)
+                    and golden(b) == _gray6(px3)):
+                fails += 1
+                print(f"PNM/TIFF FAIL t={t} {enc.__name__} "
+                      f"shape={img.shape}")
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=200)
@@ -181,7 +213,8 @@ def main() -> int:
     a = ap.parse_args()
     total = 0
     for name, fn in (("jpeg", fuzz_jpeg), ("png", fuzz_png),
-                     ("wav", fuzz_wav), ("gif", fuzz_gif)):
+                     ("wav", fuzz_wav), ("gif", fuzz_gif),
+                     ("pnm_tiff", fuzz_pnm_tiff)):
         rng = np.random.default_rng(a.seed)
         fails = fn(rng, a.trials)
         total += fails
