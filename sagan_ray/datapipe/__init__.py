@@ -35,9 +35,11 @@ from .curate import (  # noqa: F401
     group_topk,
     mix_sources,
     pii_redact,
+    sample_bottomk,
     sample_stratified,
     shuffle_shards,
 )
+from .events import cohort_retention, funnel_stages  # noqa: F401
 from .exchange import hash_group_apply  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .sketch import (  # noqa: F401

@@ -325,3 +325,48 @@ def shuffle_shards(ds, *, n_shards: int, id_col: str = "doc_id"):
                             ("pos", pa.int64())])
     return hash_group_apply(ds.map_batches(tag, batch_format="pyarrow"),
                             ["shard"], bucket, out_schema=out_schema)
+
+
+# ----------------------------------------------------------------------
+# exact-size uniform sample (mergeable bottom-k)
+# ----------------------------------------------------------------------
+
+def sample_bottomk(ds, k: int, *, id_col: str = "doc_id",
+                   batch_size: int = 65_536):
+    """Exact-k uniform sample: the k rows with the SMALLEST
+    (knuth_hash(id), id) — the classic mergeable bottom-k sketch (the
+    min-k union of any two samples is the sample of the union, so
+    partials combine associatively under any block layout). Same
+    multiplicative hash as ``sample_stratified``, so the SQL oracle is
+    one ORDER BY hash LIMIT k. Deterministic in ids alone: re-runs and
+    resumes pick the identical sample.
+
+    Scale shape: each batch emits at most k (id, h) rows (batch_size is
+    PINNED — the r3 lesson: a partial-emitting stage must not scale its
+    output with batch COUNT), and the driver folds the slim partial
+    stream with an O(k)-memory running top-k, the same bounded merge
+    floor as the ANN candidate merge. Returns a pandas DataFrame
+    (id_col, h) sorted by id."""
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * _KNUTH) % _MOD32
+        h = h.astype(np.int64)
+        if len(ids) > k:
+            sel = np.lexsort((ids, h))[:k]
+            ids, h = ids[sel], h[sel]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "h": pa.array(h, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+    best_ids = np.array([], dtype=np.int64)
+    best_h = np.array([], dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow",
+                                batch_size=batch_size):
+        ids = np.concatenate([best_ids, b.column(id_col).to_numpy()])
+        h = np.concatenate([best_h, b.column("h").to_numpy()])
+        sel = np.lexsort((ids, h))[:k]
+        best_ids, best_h = ids[sel], h[sel]
+    o = np.argsort(best_ids)
+    return pd.DataFrame({id_col: best_ids[o], "h": best_h[o]})

@@ -1,0 +1,109 @@
+"""Event-stream analytics over per-user ordered histories: sequential
+funnels and cohort retention.
+
+Both operators are per-key stateful scans, the shape Ray Data's
+sort-based ``groupby().map_groups`` handles 10-70× too slowly for this
+workload (CLAUDE.md perf notes) — so, like sessionize, they ride the
+hand-rolled hash exchange (`exchange.hash_group_apply`) on ``user_id``
+and do ALL per-user work vectorized over a whole bucket at once
+(lexsort / np.unique / ufunc.at over segment arrays, never a per-user
+Python loop).
+
+100-TB shape: users partition cleanly by hash, so each bucket is an
+independent problem; the funnel emits one row per user and retention
+emits per-bucket (cohort, offset) count PARTIALS whose final combine is
+bounded by key cardinality (days × days), not data size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_US_PER_DAY = 86_400_000_000
+_I64_MIN = np.iinfo(np.int64).min
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _uid_ts(df: pd.DataFrame, user_col: str, ts_col: str):
+    uid = df[user_col].to_numpy()
+    ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    return uid, ts
+
+
+def funnel_stages(ds, steps: list[str], *, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Per-user sequential funnel: stage i is reached iff an event of
+    type ``steps[i]`` occurs STRICTLY after the user's first completion
+    of stage i-1 (stage 1 is the user's earliest ``steps[0]`` event).
+    Returns one row per user: (user_col, stage) with stage ∈ [0, len(steps)].
+
+    Equivalent SQL is a chain of ``min(ts) ... WHERE ts > prev`` CTEs —
+    see ``SQL_EVENTS_FUNNEL`` in pipelines/queries.py. Inside a bucket
+    each step is one masked ``np.minimum.at`` scatter over the bucket's
+    events (O(events) per step, no per-user loop); the step count is a
+    small constant, so the whole funnel is ``len(steps)`` passes."""
+    from .exchange import hash_group_apply
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        et = df[type_col].to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        stage = np.zeros(len(users), np.int64)
+        prev_t = np.full(len(users), _I64_MIN)
+        reached_prev = np.ones(len(users), bool)
+        for step in steps:
+            m = (et == step) & reached_prev[inv] & (ts > prev_t[inv])
+            t_step = np.full(len(users), _I64_MAX)
+            np.minimum.at(t_step, inv[m], ts[m])
+            reached_prev = t_step < _I64_MAX
+            stage += reached_prev
+            prev_t = t_step
+        return pd.DataFrame({user_col: users, "stage": stage})
+
+    schema = pa.schema([(user_col, pa.int64()), ("stage", pa.int64())])
+    return hash_group_apply(ds, [user_col], bucket, out_schema=schema)
+
+
+def cohort_retention(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cohort retention counts: cohort_day = epoch day of the user's
+    FIRST event; for every distinct (user, active day) pair the user
+    counts once toward (cohort_day, day_offset). Returns
+    (cohort_day, day_offset, n_users) — the classic retention triangle.
+
+    Each user lives in exactly one exchange bucket, so per-bucket
+    (cohort, offset) counts are disjoint user sets and sum exactly; the
+    driver-side combine is over ≤ days² × n_buckets tiny rows."""
+    from .exchange import hash_group_apply
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        day = ts // _US_PER_DAY
+        users, inv = np.unique(uid, return_inverse=True)
+        cohort = np.full(len(users), _I64_MAX)
+        np.minimum.at(cohort, inv, day)
+        # distinct (user, day) via one combined-key unique (day spans
+        # decades before inv*2^24 could collide with real offsets)
+        pair = np.unique(inv.astype(np.int64) * (1 << 24)
+                         + (day - cohort[inv]))
+        key = cohort[pair >> 24] * (1 << 24) + (pair & ((1 << 24) - 1))
+        uk, n = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "cohort_day": uk >> 24,
+            "day_offset": uk & ((1 << 24) - 1),
+            "n_users": n.astype(np.int64),
+        })
+
+    schema = pa.schema([("cohort_day", pa.int64()),
+                        ("day_offset", pa.int64()),
+                        ("n_users", pa.int64())])
+    parts = hash_group_apply(ds, [user_col], bucket,
+                             out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"cohort_day": pd.Series([], dtype="int64"),
+                             "day_offset": pd.Series([], dtype="int64"),
+                             "n_users": pd.Series([], dtype="int64")})
+    out = (parts.groupby(["cohort_day", "day_offset"], as_index=False)
+           ["n_users"].sum())
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)

@@ -2808,6 +2808,94 @@ ORDER BY key, ext
 
 
 # ---------------------------------------------------------------------------
+# event-stream analytics: funnel / retention (datapipe/events.py)
+# ---------------------------------------------------------------------------
+
+def q_events_funnel(sf_dir: str):
+    """Sequential funnel view → click → purchase: stage i requires an
+    event STRICTLY after the user's first completion of stage i-1. One
+    user_id hash exchange; per-bucket work is len(steps) masked
+    ``np.minimum.at`` passes (datapipe/events.py::funnel_stages)."""
+    import ray.data as rd
+
+    from ..datapipe.events import funnel_stages
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = funnel_stages(ds, ["view", "click", "purchase"]).to_pandas()
+    out = out.astype({"user_id": "int64", "stage": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT u.user_id,
+       (CASE WHEN s1.t IS NULL THEN 0 WHEN s2.t IS NULL THEN 1
+             WHEN s3.t IS NULL THEN 2 ELSE 3 END)::BIGINT AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by epoch day of their
+    first event, counted once per distinct active day at each day
+    offset (datapipe/events.py::cohort_retention — per-bucket count
+    partials, driver combine bounded by days²)."""
+    import ray.data as rd
+
+    from ..datapipe.events import cohort_retention
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = cohort_retention(ds)
+    return out.astype({"cohort_day": "int64", "day_offset": "int64",
+                       "n_users": "int64"})
+
+
+SQL_EVENTS_RETENTION = """
+WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id,
+             date_diff('day', DATE '1970-01-01', f.ft::DATE) AS cohort_day,
+             date_diff('day', f.ft::DATE, e.ts::DATE) AS day_offset
+      FROM events e JOIN f USING (user_id))
+SELECT cohort_day::BIGINT AS cohort_day, day_offset::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_BOTTOMK = 120
+
+
+def q_sample_bottomk(sf_dir: str):
+    """Exact-size uniform sample: the 120 docs with the smallest
+    (knuth_hash(doc_id), doc_id) — mergeable bottom-k partials per
+    batch, O(k)-memory driver fold (curate.py::sample_bottomk)."""
+    import ray.data as rd
+
+    from ..datapipe.curate import sample_bottomk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = sample_bottomk(ds, _BOTTOMK)
+    return out.astype({"doc_id": "int64", "h": "int64"})
+
+
+SQL_SAMPLE_BOTTOMK = f"""
+SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+FROM documents
+ORDER BY h, doc_id LIMIT {_BOTTOMK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 #
@@ -2919,6 +3007,9 @@ QUERIES = {
     "corpus_word_bloom": q_corpus_word_bloom,
     "mix_sources": q_mix_sources,
     "webdataset_read": q_webdataset_read,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "sample_bottomk": q_sample_bottomk,
 }
 
 ORACLES = {
@@ -3006,4 +3097,7 @@ ORACLES = {
     "corpus_word_bloom": SQL_CORPUS_WORD_BLOOM,
     "mix_sources": SQL_MIX_SOURCES,
     "webdataset_read": SQL_WEBDATASET,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
+    "sample_bottomk": SQL_SAMPLE_BOTTOMK,
 }

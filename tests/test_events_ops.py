@@ -1,0 +1,110 @@
+"""Tests for event-stream analytics (datapipe.events: sequential funnel,
+cohort retention) and the mergeable bottom-k sampler (curate.sample_bottomk)
+— edge cases vs hand-computed truth; the sf0.01 DuckDB hash gate covers
+the bulk parity (tools/check_queries.py: events_funnel, events_retention,
+sample_bottomk)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+    return rd.from_arrow(tbl)
+
+
+def _events(rows):
+    """rows = [(user_id, ts_us, event_type), ...]"""
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _funnel(rows):
+    from sagan_ray.datapipe import funnel_stages
+    out = funnel_stages(_ds(_events(rows)), STEPS).to_pandas()
+    return dict(zip(out["user_id"].astype(int), out["stage"].astype(int)))
+
+
+def test_funnel_order_matters():
+    # user 1 completes in order; user 2's purchase precedes the click
+    # (stage stops at 2); user 3 never views (stage 0 despite clicks).
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 10, "view"), (2, 40, "click"), (2, 30, "purchase"),
+        (3, 10, "click"), (3, 20, "purchase"),
+    ]
+    assert _funnel(rows) == {1: 3, 2: 2, 3: 0}
+
+
+def test_funnel_strictly_after_ties_do_not_count():
+    # click at the SAME microsecond as the first view: not strictly
+    # after, so it cannot advance the funnel; a later click can.
+    assert _funnel([(1, 10, "view"), (1, 10, "click")]) == {1: 1}
+    assert _funnel([(1, 10, "view"), (1, 10, "click"),
+                    (1, 11, "click")]) == {1: 2}
+
+
+def test_funnel_uses_first_completion_not_best():
+    # first view at t=10; the click must follow t=10 (not the later
+    # re-view at t=50), so the t=20 click counts.
+    rows = [(1, 10, "view"), (1, 50, "view"), (1, 20, "click")]
+    assert _funnel(rows) == {1: 2}
+
+
+def test_funnel_other_event_types_ignored():
+    rows = [(1, 10, "error"), (1, 20, "signup")]
+    assert _funnel(rows) == {1: 0}
+
+
+def test_cohort_retention_hand_case():
+    from sagan_ray.datapipe import cohort_retention
+    day = 86_400_000_000
+    rows = [
+        # user 1: first event day 0, active days 0, 0 (dup), 2
+        (1, 0, "x"), (1, 100, "x"), (1, 2 * day + 5, "x"),
+        # user 2: first event day 0, active day 0 only
+        (2, 50, "x"),
+        # user 3: first event day 1, active days 1 and 2
+        (3, day + 1, "x"), (3, 2 * day + 1, "x"),
+    ]
+    out = cohort_retention(_ds(_events(rows)))
+    got = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_cohort_retention_epoch_days():
+    from sagan_ray.datapipe import cohort_retention
+    day = 86_400_000_000
+    out = cohort_retention(_ds(_events([(1, 5 * day + 7, "x")])))
+    assert out.to_dict("records") == [
+        {"cohort_day": 5, "day_offset": 0, "n_users": 1}]
+
+
+def test_sample_bottomk_matches_sequential_and_is_mergeable():
+    from sagan_ray.datapipe import sample_bottomk
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"doc_id": ids})
+    k = 37
+    out = sample_bottomk(_ds(tbl), k, batch_size=64)  # many partials
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)
+         % (np.uint64(1) << np.uint64(32))).astype(np.int64)
+    sel = np.lexsort((ids, h))[:k]
+    exp = pd.DataFrame({"doc_id": ids[sel], "h": h[sel]}).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype("int64"), exp.astype("int64"))
+
+
+def test_sample_bottomk_k_exceeds_n():
+    from sagan_ray.datapipe import sample_bottomk
+    tbl = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64())})
+    out = sample_bottomk(_ds(tbl), 10)
+    assert sorted(out["doc_id"]) == [1, 2, 3]
