@@ -1,0 +1,173 @@
+"""Persistent inverted index: build term-partitioned postings parquet,
+then answer BM25 top-k queries reading ONLY the buckets that can contain
+the query terms.
+
+``bm25_topk`` (search.py) rescans the corpus per query; this module is
+the amortized path a real engine takes — tokenize once, write postings
+``(term, doc_id, tf, dl)`` hash-partitioned by term into
+``index_dir/bucket=<i>/...parquet`` (Ray Data ``write_parquet``
+partition_cols — one directory per key range, so a failed build can be
+resumed per-partition and a query prunes at the read), plus a tiny
+``_meta`` parquet with the global (n_docs, n_words) BM25 constants.
+
+Scale shape: the build is one vectorized tokenize pass + one
+``write_parquet`` whose shuffle is the partitioned write itself; a query
+reads |query-term buckets| directories with a ``term IN (...)`` row
+filter pushed into the parquet scan, so the bytes touched are the query
+terms' postings — independent of corpus size. Scoring accumulates terms
+in the SAME fixed order over identical (tf, dl) integers as
+``search.bm25_topk``, so scores (and the rounded ranking keys —
+search.py docstring) are bit-identical to the rescan path.
+
+dl is denormalized into the postings (impact-index style): queries never
+join a doclens side table, at the cost of one int64 per posting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .search import B, K1
+from .textstats import _words_flat
+
+_META = "_meta.json"
+
+
+def _term_hash(terms) -> np.ndarray:
+    return pd.util.hash_array(
+        np.array(list(terms), dtype=object)).astype(np.uint64)
+
+
+def build_inverted_index(ds, index_dir: str, *, n_buckets: int = 32,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Tokenize ``ds`` and write the postings index under ``index_dir``.
+    Returns (n_docs, n_words). Idempotent re-runs overwrite."""
+    def postings(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, _, wh, words = _words_flat(tbl.column(text_col))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        dl = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        # tf per (word, doc): lexsort then run-length over the sorted keys
+        o = np.lexsort((doc_of, wh))
+        whs, docs = wh[o], doc_of[o]
+        new = np.empty(len(o), dtype=bool)
+        if len(o):
+            new[0] = True
+            new[1:] = (whs[1:] != whs[:-1]) | (docs[1:] != docs[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(o)))
+        w = words[o[starts]]
+        d = docs[starts]
+        return pa.table({
+            "term": pa.array(w, pa.string()),
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "tf": pa.array(tf, pa.int64()),
+            "dl": pa.array(dl[d], pa.int64()),
+            "bucket": pa.array(
+                (pd.util.hash_array(w) % np.uint64(n_buckets)
+                 ).astype(np.int64), pa.int64()),
+        })
+
+    ds.map_batches(postings, batch_format="pyarrow",
+                   batch_size=65536).write_parquet(
+        index_dir, partition_cols=["bucket"], mode="overwrite")
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, _, _, _ = _words_flat(tbl.column(text_col))
+        return pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                         "n_words": pa.array([len(doc_of)], pa.int64())})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    n_docs = int(parts["n_docs"].sum()) if len(parts) else 0
+    n_words = int(parts["n_words"].sum()) if len(parts) else 0
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump({"n_docs": n_docs, "n_words": n_words,
+                   "n_buckets": n_buckets}, f)
+    return n_docs, n_words
+
+
+def search_index(index_dir: str, terms: list[str], *, k: int = 50,
+                 id_col: str = "doc_id"):
+    """BM25 top-``k`` over a built index. Reads only the buckets the
+    query terms hash to, with the ``term IN terms`` predicate pushed
+    into the scan; per-doc accumulation happens in a doc_id hash
+    exchange whose input is just the query terms' postings. Returns a
+    pandas DataFrame (doc_id, score) like ``bm25_topk``."""
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+
+    terms = [t.lower() for t in terms]
+    nt = len(terms)
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    n, total = meta["n_docs"], meta["n_words"]
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if n == 0 or nt == 0:
+        return empty
+
+    th = _term_hash(terms)
+    dirs = sorted({os.path.join(index_dir, f"bucket={int(h) % meta['n_buckets']}")
+                   for h in th})
+    files = sorted(
+        os.path.join(d, f) for d in dirs if os.path.isdir(d)
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    if not files:
+        return empty
+    post = rd.read_parquet(files, columns=["term", "doc_id", "tf", "dl"],
+                           filter=pc.field("term").isin(terms))
+
+    # global df per term: postings for a term all carry distinct doc_ids,
+    # so df = that term's row count; tiny per-batch partials, driver sum
+    def df_partial(tbl: pa.Table) -> pa.Table:
+        wh = pd.util.hash_array(
+            tbl.column("term").to_numpy(zero_copy_only=False)
+            .astype(object)).astype(np.uint64)
+        cnt = [int(np.count_nonzero(wh == th[i])) for i in range(nt)]
+        return pa.table({"df": pa.array([cnt], pa.list_(pa.int64()))})
+
+    parts = post.map_batches(df_partial, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+    if parts.empty:
+        return empty
+    df = np.sum(np.vstack(parts["df"].to_numpy()), axis=0).astype(np.float64)
+    avgdl = total / n
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        docs, inv = np.unique(ids, return_inverse=True)
+        wh = pd.util.hash_array(
+            b["term"].to_numpy().astype(object)).astype(np.uint64)
+        dl = np.zeros(len(docs), np.float64)
+        dl[inv] = b["dl"].to_numpy().astype(np.float64)
+        norm = K1 * (1.0 - B + B * dl / avgdl)
+        score = np.zeros(len(docs), np.float64)
+        for i in range(nt):                      # fixed term order, as in
+            m = wh == th[i]                      # search.bm25_topk
+            tf = np.zeros(len(docs), np.float64)
+            tf[inv[m]] = b["tf"].to_numpy()[m].astype(np.float64)
+            score = score + idf[i] * (tf * (K1 + 1.0)) / (tf + norm)
+        score = np.round(score, 6)
+        keep = np.nonzero(score > 0)[0]
+        if len(keep) > k:
+            o = np.lexsort((docs[keep], -score[keep]))[:k]
+            keep = keep[o]
+        return pd.DataFrame({id_col: docs[keep], "score": score[keep]})
+
+    schema = pa.schema([(id_col, pa.int64()), ("score", pa.float64())])
+    local = hash_group_apply(post, [id_col], bucket,
+                             out_schema=schema).to_pandas()
+    if local.empty:
+        return empty
+    out = (local.sort_values(["score", id_col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out[[id_col, "score"]].astype({id_col: "int64",
+                                          "score": "float64"})

@@ -2872,6 +2872,27 @@ FROM a GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_search_bm25_index(sf_dir: str):
+    """Index-backed BM25: build the term-partitioned postings parquet
+    (datapipe/index.py::build_inverted_index) then answer the SAME
+    query as search_bm25 reading only the query terms' buckets —
+    scores are bit-identical to the rescan path by construction (fixed
+    term-order accumulation over identical tf/dl integers), so the
+    rescan oracle verifies the whole build→prune→score chain."""
+    import ray.data as rd
+
+    from ..datapipe.index import build_inverted_index, search_index
+
+    idx = "/tmp/sagan_ray_index/bm25"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    build_inverted_index(ds, idx, n_buckets=16)
+    out = search_index(idx, _BM25_TERMS, k=_BM25_K)
+    out = out.astype({"doc_id": "int64", "score": "float64"})
+    return out.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 _BOTTOMK = 120
 
 
@@ -3010,6 +3031,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "sample_bottomk": q_sample_bottomk,
+    "search_bm25_index": q_search_bm25_index,
 }
 
 ORACLES = {
@@ -3100,4 +3122,5 @@ ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
+    "search_bm25_index": SQL_SEARCH_BM25,
 }
