@@ -46,6 +46,7 @@ from .search import bm25_topk  # noqa: F401
 from .sketch import (  # noqa: F401
     bloom_membership,
     cms_word_counts,
+    hll_group_distinct,
     hll_vocab,
 )
 from .pack import pack_sequences  # noqa: F401

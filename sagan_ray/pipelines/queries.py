@@ -2872,6 +2872,31 @@ FROM a GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_user_hll(sf_dir: str):
+    """Approximate distinct users per event_type — the grouped HLL
+    (sketch.py::hll_group_distinct): per-batch (key, 4 KB blob)
+    partials, keyed semilattice folds; golden-parquet oracle replays a
+    sequential per-row spec (golden.py::write_golden_group_hll)."""
+    import ray.data as rd
+
+    from ..datapipe.sketch import hll_group_distinct
+    from ..oracle.golden import write_golden_group_hll
+
+    write_golden_group_hll(sf_dir, key_col="event_type",
+                           val_col="user_id", p=12)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_group_distinct(ds, key_col="event_type", val_col="user_id",
+                              p=12)
+
+
+SQL_EVENTS_USER_HLL = """
+SELECT event_type, m, n_est
+FROM read_parquet('/tmp/sagan_ray_golden/events_user_hll.parquet')
+ORDER BY event_type
+"""
+
+
 def q_search_bm25_index(sf_dir: str):
     """Index-backed BM25: build the term-partitioned postings parquet
     (datapipe/index.py::build_inverted_index) then answer the SAME
@@ -3031,6 +3056,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "sample_bottomk": q_sample_bottomk,
+    "events_user_hll": q_events_user_hll,
     "search_bm25_index": q_search_bm25_index,
 }
 
@@ -3122,5 +3148,6 @@ ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
+    "events_user_hll": SQL_EVENTS_USER_HLL,
     "search_bm25_index": SQL_SEARCH_BM25,
 }

@@ -108,3 +108,30 @@ def test_sample_bottomk_k_exceeds_n():
     tbl = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64())})
     out = sample_bottomk(_ds(tbl), 10)
     assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def test_hll_group_distinct_accuracy_and_layout_invariance():
+    from sagan_ray.datapipe import hll_group_distinct
+    rng = np.random.default_rng(7)
+    n = 20_000
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # distinct value pools of very different sizes per key
+    vals = np.where(keys == "a", rng.integers(0, 50, n),
+                    np.where(keys == "b", rng.integers(0, 1000, n),
+                             rng.integers(0, 8000, n))).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    out = hll_group_distinct(_ds(tbl), key_col="k", val_col="v", p=12)
+    exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+    for r in out.itertuples():
+        assert abs(r.n_est - exact[r.k]) / exact[r.k] < 0.1
+    # semilattice: a different block layout gives BIT-identical estimates
+    out2 = hll_group_distinct(_ds(tbl).repartition(13), key_col="k",
+                              val_col="v", p=12)
+    pd.testing.assert_frame_equal(out, out2, check_exact=True)
+
+
+def test_hll_group_distinct_empty():
+    from sagan_ray.datapipe import hll_group_distinct
+    tbl = pa.table({"k": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64())})
+    assert hll_group_distinct(_ds(tbl), key_col="k", val_col="v").empty
