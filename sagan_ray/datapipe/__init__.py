@@ -41,7 +41,11 @@ from .curate import (  # noqa: F401
 )
 from .events import cohort_retention, funnel_stages  # noqa: F401
 from .exchange import hash_group_apply  # noqa: F401
-from .index import build_inverted_index, search_index  # noqa: F401
+from .index import (  # noqa: F401
+    build_inverted_index,
+    search_index,
+    update_inverted_index,
+)
 from .search import bm25_topk  # noqa: F401
 from .sketch import (  # noqa: F401
     bloom_membership,

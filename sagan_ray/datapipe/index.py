@@ -171,3 +171,47 @@ def search_index(index_dir: str, terms: list[str], *, k: int = 50,
            .head(k).reset_index(drop=True))
     return out[[id_col, "score"]].astype({id_col: "int64",
                                           "score": "float64"})
+
+
+def update_inverted_index(ds, index_dir: str, *, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Append a NEW shard's postings to an existing index (the arriving-
+    data companion to ``dedup_against_prior``): postings parquet files
+    append per bucket (no rewrite of existing partitions), the meta
+    constants sum. Caller contract: ``ds`` holds doc_ids not already in
+    the index (run the incremental dedup first) — appending keeps the
+    per-(term, doc) uniqueness that df-by-row-count relies on. Search
+    results after an update are BIT-identical to a full rebuild over the
+    union: scores depend only on (tf, dl) integers and the (df, n_docs,
+    n_words) constants, all of which are layout-independent. Returns the
+    updated (n_docs, n_words)."""
+    import shutil
+    import tempfile
+
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+
+    # build the new shard's postings into a sibling temp dir with the
+    # SAME bucket hash, then move the files in (append = new files per
+    # bucket dir; a crashed update can be re-run after deleting the temp)
+    tmp = tempfile.mkdtemp(prefix="idx_upd_", dir=os.path.dirname(
+        index_dir.rstrip("/")) or ".")
+    try:
+        dn, dw = build_inverted_index(ds, tmp, n_buckets=meta["n_buckets"],
+                                      text_col=text_col, id_col=id_col)
+        for ent in os.listdir(tmp):
+            if not ent.startswith("bucket="):
+                continue
+            dst = os.path.join(index_dir, ent)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(os.path.join(tmp, ent)):
+                # unique name per update so appends never collide
+                shutil.move(os.path.join(tmp, ent, fn),
+                            os.path.join(dst, f"upd_{os.path.basename(tmp)}_{fn}"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    meta["n_docs"] += dn
+    meta["n_words"] += dw
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return meta["n_docs"], meta["n_words"]

@@ -77,3 +77,21 @@ def test_index_postings_are_partitioned(tmp_path):
             f"SELECT DISTINCT term FROM '{d}/*.parquet'").fetchall()]
         h = _term_hash(terms) % np.uint64(nb)
         assert set(h.astype(int)) <= {b}   # every term in its hash bucket
+
+
+def test_index_incremental_update_equals_full_rebuild(tmp_path):
+    from sagan_ray.datapipe import (build_inverted_index, search_index,
+                                    update_inverted_index)
+    half = len(CORPUS) // 2
+    inc = str(tmp_path / "inc")
+    build_inverted_index(_ds(CORPUS[:half]), inc, n_buckets=4)
+    n_docs, n_words = update_inverted_index(
+        _ds(CORPUS[half:], ids=list(range(half, len(CORPUS)))), inc)
+    assert n_docs == len(CORPUS)
+    full = str(tmp_path / "full")
+    build_inverted_index(_ds(CORPUS), full, n_buckets=4)
+    for terms in (["fox"], ["quick", "dog"]):
+        pd.testing.assert_frame_equal(
+            search_index(inc, terms, k=5).reset_index(drop=True),
+            search_index(full, terms, k=5).reset_index(drop=True),
+            check_exact=True)
