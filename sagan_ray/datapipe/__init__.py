@@ -40,7 +40,11 @@ from .curate import (  # noqa: F401
     sample_stratified,
     shuffle_shards,
 )
-from .events import cohort_retention, funnel_stages  # noqa: F401
+from .events import (  # noqa: F401
+    cohort_retention,
+    funnel_stages,
+    transition_counts,
+)
 from .exchange import hash_group_apply  # noqa: F401
 from .index import (  # noqa: F401
     build_inverted_index,

@@ -1,5 +1,5 @@
 """Event-stream analytics over per-user ordered histories: sequential
-funnels and cohort retention.
+funnels, cohort retention, and event-type transition matrices.
 
 Both operators are per-key stateful scans, the shape Ray Data's
 sort-based ``groupby().map_groups`` handles 10-70× too slowly for this
@@ -107,3 +107,48 @@ def cohort_retention(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
     out = (parts.groupby(["cohort_day", "day_offset"], as_index=False)
            ["n_users"].sum())
     return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+def transition_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """Corpus-wide first-order transition matrix: count consecutive
+    (from_type, to_type) pairs within each user's (ts, id)-ordered
+    stream — the Markov-chain summary of behavioral sequences. Returns
+    (from_type, to_type, n) sorted.
+
+    Same partitioning argument as cohort_retention: each user's stream
+    lives whole in one exchange bucket, so per-bucket pair counts are
+    exact partials and the driver combine is bounded by |types|², not
+    data. Inside a bucket: one lexsort + one shifted-comparison mask +
+    one np.unique over integer pair codes — no per-user loop."""
+    from .exchange import hash_group_apply
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        eid = df[id_col].to_numpy()
+        et = df[type_col].to_numpy()
+        types, code = np.unique(et, return_inverse=True)
+        o = np.lexsort((eid, ts, uid))
+        uid, code = uid[o], code[o]
+        same = uid[1:] == uid[:-1]
+        pair = code[:-1][same].astype(np.int64) * len(types) + code[1:][same]
+        up, n = np.unique(pair, return_counts=True)
+        return pd.DataFrame({
+            "from_type": types[up // len(types)],
+            "to_type": types[up % len(types)],
+            "n": n.astype(np.int64),
+        })
+
+    schema = pa.schema([("from_type", pa.string()), ("to_type", pa.string()),
+                        ("n", pa.int64())])
+    parts = hash_group_apply(ds, [user_col], bucket,
+                             out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"from_type": pd.Series([], dtype="object"),
+                             "to_type": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    out = (parts.groupby(["from_type", "to_type"], as_index=False)["n"]
+           .sum())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)

@@ -2939,6 +2939,31 @@ def q_search_bm25_index(sf_dir: str):
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def q_events_transitions(sf_dir: str):
+    """First-order event-type transition matrix over per-user ordered
+    streams (datapipe/events.py::transition_counts)."""
+    import ray.data as rd
+
+    from ..datapipe.events import transition_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return transition_counts(ds)
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _BOTTOMK = 120
 
 
@@ -3076,6 +3101,7 @@ QUERIES = {
     "webdataset_read": q_webdataset_read,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_transitions": q_events_transitions,
     "sample_bottomk": q_sample_bottomk,
     "events_user_hll": q_events_user_hll,
     "search_bm25_index": q_search_bm25_index,
@@ -3169,6 +3195,7 @@ ORACLES = {
     "webdataset_read": SQL_WEBDATASET,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
     "events_user_hll": SQL_EVENTS_USER_HLL,
     "search_bm25_index": SQL_SEARCH_BM25,

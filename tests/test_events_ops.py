@@ -135,3 +135,31 @@ def test_hll_group_distinct_empty():
     tbl = pa.table({"k": pa.array([], pa.string()),
                     "v": pa.array([], pa.int64())})
     assert hll_group_distinct(_ds(tbl), key_col="k", val_col="v").empty
+
+
+def test_transition_counts_hand_case():
+    from sagan_ray.datapipe import transition_counts
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "a"),   # a->b, b->a
+        (2, 10, "b"), (2, 20, "b"),                 # b->b
+        (3, 10, "a"),                               # no transition
+    ]
+    out = transition_counts(_ds(_events_with_ids(rows)))
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_transition_counts_tie_order_by_event_id():
+    from sagan_ray.datapipe import transition_counts
+    # equal timestamps: order falls back to event_id (SQL lag's
+    # ORDER BY ts, event_id) — ids 0,1,2 give a->b->c
+    rows = [(1, 10, "a"), (1, 10, "b"), (1, 10, "c")]
+    out = transition_counts(_ds(_events_with_ids(rows)))
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def _events_with_ids(rows):
+    t = _events(rows)
+    return t.append_column(
+        "event_id", pa.array(list(range(len(rows))), pa.int64()))
