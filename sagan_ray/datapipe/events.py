@@ -43,8 +43,30 @@ def funnel_stages(ds, steps: list[str], *, user_col: str = "user_id",
     see ``SQL_EVENTS_FUNNEL`` in pipelines/queries.py. Inside a bucket
     each step is one masked ``np.minimum.at`` scatter over the bucket's
     events (O(events) per step, no per-user loop); the step count is a
-    small constant, so the whole funnel is ``len(steps)`` passes."""
+    small constant, so the whole funnel is ``len(steps)`` passes.
+
+    Map-side prune: only step-type events can affect the funnel, BUT a
+    user whose events are all non-step types must still appear (stage
+    0), so the prune keeps each batch's first occurrence per such user
+    — the exchange then moves step events + one stub row per
+    stage-0-candidate user instead of the full stream."""
     from .exchange import hash_group_apply
+
+    step_arr = np.array(steps, dtype=object)
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        et = tbl.column(type_col).to_numpy(zero_copy_only=False)
+        m = np.isin(et, step_arr)
+        uid = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        # first row per user among the non-step rows (stage-0 stubs)
+        rest = np.flatnonzero(~m)
+        if len(rest):
+            first = rest[np.unique(uid[rest], return_index=True)[1]]
+            m = m.copy()
+            m[first] = True
+        return tbl.filter(pa.array(m))
+
+    ds = ds.map_batches(prune, batch_format="pyarrow", batch_size=65536)
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         uid, ts = _uid_ts(df, user_col, ts_col)
@@ -74,12 +96,31 @@ def cohort_retention(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
 
     Each user lives in exactly one exchange bucket, so per-bucket
     (cohort, offset) counts are disjoint user sets and sum exactly; the
-    driver-side combine is over ≤ days² × n_buckets tiny rows."""
+    driver-side combine is over ≤ days² × n_buckets tiny rows.
+
+    Map-side prune: only distinct (user, epoch day) pairs matter (both
+    the per-user min and the distinct-active-days set are preserved
+    under per-batch dedup), so each batch pre-collapses to its distinct
+    pairs before the exchange."""
     from .exchange import hash_group_apply
 
+    def prune(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        ts = (tbl.column(ts_col).cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        pair = np.unique(uid.astype(np.int64) * (1 << 20)
+                         + ts // _US_PER_DAY % (1 << 20))
+        # day < 2^20 epoch days holds until year 4840; uid*2^20 stays
+        # exact while uid < 2^43
+        return pa.table({user_col: pa.array(pair >> 20, pa.int64()),
+                         "__day": pa.array(pair & ((1 << 20) - 1),
+                                           pa.int64())})
+
+    ds = ds.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        uid, ts = _uid_ts(df, user_col, ts_col)
-        day = ts // _US_PER_DAY
+        uid = df[user_col].to_numpy()
+        day = df["__day"].to_numpy()
         users, inv = np.unique(uid, return_inverse=True)
         cohort = np.full(len(users), _I64_MAX)
         np.minimum.at(cohort, inv, day)
