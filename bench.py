@@ -210,6 +210,36 @@ def run_bench() -> dict:
     timed("events_sessionize", lambda: q_events_sessionize(SF_DIR),
           trials=2)
 
+    # event analytics at volume (round-5): sequential funnel over a
+    # cached 10M-event / 200k-user synthetic stream — the per-user
+    # ordered-scan exchange at ~1M events/s on this VM
+    ev10 = "/tmp/sagan_ray_bench/bench_events_10m.parquet"
+    if not os.path.exists(ev10):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(ev10), exist_ok=True)
+        rng = np.random.RandomState(13)
+        n = 10_000_000
+        uid = rng.randint(0, 200_000, n).astype(np.int64)
+        ts = (np.int64(1_700_000_000_000_000)
+              + rng.randint(0, 30 * 86_400_000_000, n)
+              ).astype("datetime64[us]")
+        et = np.array(["view", "click", "purchase", "signup", "error"]
+                      )[rng.randint(0, 5, n)]
+        pq.write_table(pa.table({
+            "event_id": pa.array(np.arange(n)), "ts": pa.array(ts),
+            "user_id": pa.array(uid), "event_type": pa.array(et)}),
+            ev10, row_group_size=65536)
+    from sagan_ray.datapipe import funnel_stages
+
+    timed("events_funnel_10m",
+          lambda: funnel_stages(
+              rd.read_parquet(ev10,
+                              columns=["user_id", "ts", "event_type"]),
+              ["view", "click", "purchase"]).count())
+
     # wire-format ingest throughput (vectorized pipe parser over 500k
     # synthetic lines; single process so the number is a per-core rate)
     import pyarrow as pa
@@ -290,6 +320,19 @@ def run_bench() -> dict:
     timed("text_quality_100k", lambda: quality(big_docs).count())
     timed("search_bm25_100k",
           lambda: bm25_topk(big_docs, ["w1", "w7", "w42"], k=50))
+
+    # persistent inverted index (round-5): one-time partitioned-postings
+    # build, then bucket-pruned queries — the amortized alternative to
+    # the rescan line above (~4-5× per query once built; pays for
+    # itself after ~4 queries, BASELINE.md)
+    from sagan_ray.datapipe.index import build_inverted_index, search_index
+
+    _IDX = "/tmp/sagan_ray_bench/bm25_index_100k"
+    timed("bm25_index_build_100k",
+          lambda: build_inverted_index(big_docs, _IDX, n_buckets=32))
+    timed("bm25_index_query_100k",
+          lambda: search_index(_IDX, ["w1", "w7", "w42"], k=50), trials=2)
+
     timed("hll_vocab_100k", lambda: hll_vocab(big_docs))
     timed("text_nll_100k", lambda: unigram_nll(big_docs).count())
 

@@ -33,10 +33,14 @@ def _uid_ts(df: pd.DataFrame, user_col: str, ts_col: str):
 
 
 def funnel_stages(ds, steps: list[str], *, user_col: str = "user_id",
-                  ts_col: str = "ts", type_col: str = "event_type"):
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  within_us: int | None = None):
     """Per-user sequential funnel: stage i is reached iff an event of
     type ``steps[i]`` occurs STRICTLY after the user's first completion
     of stage i-1 (stage 1 is the user's earliest ``steps[0]`` event).
+    With ``within_us`` set, stages 2+ must ALSO land within that many
+    microseconds of the user's stage-1 time (the "convert within T"
+    form — conversion windows anchor at funnel entry).
     Returns one row per user: (user_col, stage) with stage ∈ [0, len(steps)].
 
     Equivalent SQL is a chain of ``min(ts) ... WHERE ts > prev`` CTEs —
@@ -74,14 +78,21 @@ def funnel_stages(ds, steps: list[str], *, user_col: str = "user_id",
         users, inv = np.unique(uid, return_inverse=True)
         stage = np.zeros(len(users), np.int64)
         prev_t = np.full(len(users), _I64_MIN)
+        deadline = np.full(len(users), _I64_MAX)
         reached_prev = np.ones(len(users), bool)
-        for step in steps:
+        for si, step in enumerate(steps):
             m = (et == step) & reached_prev[inv] & (ts > prev_t[inv])
+            if within_us is not None:
+                m &= ts <= deadline[inv]
             t_step = np.full(len(users), _I64_MAX)
             np.minimum.at(t_step, inv[m], ts[m])
             reached_prev = t_step < _I64_MAX
             stage += reached_prev
             prev_t = t_step
+            if si == 0 and within_us is not None:
+                # conversion window anchors at the stage-1 time
+                deadline = np.where(reached_prev, t_step + within_us,
+                                    _I64_MIN)
         return pd.DataFrame({user_col: users, "stage": stage})
 
     schema = pa.schema([(user_col, pa.int64()), ("stage", pa.int64())])

@@ -77,15 +77,21 @@ def build_inverted_index(ds, index_dir: str, *, n_buckets: int = 32,
                    batch_size=65536).write_parquet(
         index_dir, partition_cols=["bucket"], mode="overwrite")
 
-    def stats(tbl: pa.Table) -> pa.Table:
-        n_docs, doc_of, _, _, _ = _words_flat(tbl.column(text_col))
-        return pa.table({"n_docs": pa.array([n_docs], pa.int64()),
-                         "n_words": pa.array([len(doc_of)], pa.int64())})
+    # meta constants WITHOUT a second tokenize pass: every kept word of a
+    # doc lands in exactly one posting, so n_words = Σ tf (a distributed
+    # columnar read of just the written tf column); n_docs counts empty
+    # docs too (the rescan oracle's `n`), and ds.count() on a parquet
+    # read is metadata-only
+    import ray.data as rd
 
-    parts = ds.map_batches(stats, batch_format="pyarrow",
-                           batch_size=65536).to_pandas()
-    n_docs = int(parts["n_docs"].sum()) if len(parts) else 0
-    n_words = int(parts["n_words"].sum()) if len(parts) else 0
+    n_docs = int(ds.count())
+    files = sorted(
+        os.path.join(index_dir, ent, fn)
+        for ent in os.listdir(index_dir) if ent.startswith("bucket=")
+        for fn in os.listdir(os.path.join(index_dir, ent))
+        if fn.endswith(".parquet"))
+    n_words = int(rd.read_parquet(files, columns=["tf"]).sum("tf") or 0) \
+        if files else 0
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump({"n_docs": n_docs, "n_words": n_words,
                    "n_buckets": n_buckets}, f)

@@ -2844,6 +2844,42 @@ ORDER BY u.user_id
 """
 
 
+def q_events_funnel_windowed(sf_dir: str):
+    """Funnel with a conversion window: stages 2+ must land within one
+    day of the user's stage-1 (first view) time — the anchored
+    "convert within T" form (funnel_stages(within_us=...))."""
+    import ray.data as rd
+
+    from ..datapipe.events import funnel_stages
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = funnel_stages(ds, ["view", "click", "purchase"],
+                        within_us=86_400_000_000).to_pandas()
+    out = out.astype({"user_id": "int64", "stage": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_FUNNEL_WINDOWED = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+         AND e.ts <= s1.t + INTERVAL 1 DAY GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         AND e.ts <= s1.t + INTERVAL 1 DAY GROUP BY e.user_id)
+SELECT u.user_id,
+       (CASE WHEN s1.t IS NULL THEN 0 WHEN s2.t IS NULL THEN 1
+             WHEN s3.t IS NULL THEN 2 ELSE 3 END)::BIGINT AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention triangle: users grouped by epoch day of their
     first event, counted once per distinct active day at each day
@@ -3100,6 +3136,7 @@ QUERIES = {
     "mix_sources": q_mix_sources,
     "webdataset_read": q_webdataset_read,
     "events_funnel": q_events_funnel,
+    "events_funnel_windowed": q_events_funnel_windowed,
     "events_retention": q_events_retention,
     "events_transitions": q_events_transitions,
     "sample_bottomk": q_sample_bottomk,
@@ -3194,6 +3231,7 @@ ORACLES = {
     "mix_sources": SQL_MIX_SOURCES,
     "webdataset_read": SQL_WEBDATASET,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_funnel_windowed": SQL_EVENTS_FUNNEL_WINDOWED,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,

@@ -163,3 +163,24 @@ def _events_with_ids(rows):
     t = _events(rows)
     return t.append_column(
         "event_id", pa.array(list(range(len(rows))), pa.int64()))
+
+
+def test_funnel_conversion_window():
+    from sagan_ray.datapipe import funnel_stages
+    rows = [
+        # user 1: click inside the window, purchase outside it
+        (1, 100, "view"), (1, 150, "click"), (1, 400, "purchase"),
+        # user 2: everything inside
+        (2, 100, "view"), (2, 150, "click"), (2, 200, "purchase"),
+        # user 3: click exactly AT the deadline (inclusive) counts
+        (3, 100, "view"), (3, 300, "click"),
+    ]
+    out = funnel_stages(_ds(_events(rows)), STEPS,
+                        within_us=200).to_pandas()
+    got = dict(zip(out["user_id"].astype(int), out["stage"].astype(int)))
+    assert got == {1: 2, 2: 3, 3: 2}
+    # window anchors at the FIRST view even if a later view is closer
+    rows2 = [(1, 100, "view"), (1, 500, "view"), (1, 600, "click")]
+    out2 = funnel_stages(_ds(_events(rows2)), STEPS,
+                         within_us=200).to_pandas()
+    assert int(out2["stage"].iloc[0]) == 1
