@@ -221,3 +221,114 @@ def update_inverted_index(ds, index_dir: str, *, text_col: str = "text",
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta["n_docs"], meta["n_words"]
+
+
+def search_index_many(index_dir: str, queries: dict[int, list[str]], *,
+                      k: int = 50, id_col: str = "doc_id"):
+    """BM25 top-``k`` for a BATCH of queries in ONE pruned read + ONE
+    doc_id exchange (the production shape: per-query ``search_index``
+    calls pay the read/exchange floor per query; this pays it once for
+    the batch). ``queries`` maps query_id → term list. Per-query scores
+    are bit-identical to ``search_index`` (same per-term fixed-order
+    accumulation over the same tf/dl integers; terms outside a query
+    contribute exactly 0.0). Returns a pandas DataFrame
+    (query_id, doc_id, score) with ≤ k rows per query, ordered by
+    (query_id, score desc, doc_id)."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+
+    qids = sorted(queries)
+    qterms = {qi: [t.lower() for t in queries[qi]] for qi in qids}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                          id_col: pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    n, total = meta["n_docs"], meta["n_words"]
+    if n == 0 or not all_terms:
+        return empty
+
+    th = _term_hash(all_terms)
+    dirs = sorted({os.path.join(index_dir,
+                                f"bucket={int(h) % meta['n_buckets']}")
+                   for h in th})
+    files = sorted(
+        os.path.join(d, f) for d in dirs if os.path.isdir(d)
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    if not files:
+        return empty
+    post = rd.read_parquet(files, columns=["term", "doc_id", "tf", "dl"],
+                           filter=pc.field("term").isin(all_terms))
+
+    nt = len(all_terms)
+
+    def df_partial(tbl: pa.Table) -> pa.Table:
+        wh = pd.util.hash_array(
+            tbl.column("term").to_numpy(zero_copy_only=False)
+            .astype(object)).astype(np.uint64)
+        cnt = [int(np.count_nonzero(wh == th[i])) for i in range(nt)]
+        return pa.table({"df": pa.array([cnt], pa.list_(pa.int64()))})
+
+    parts = post.map_batches(df_partial, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+    if parts.empty:
+        return empty
+    df = np.sum(np.vstack(parts["df"].to_numpy()), axis=0).astype(np.float64)
+    avgdl = total / n
+    idf_all = dict(zip(all_terms,
+                       np.log(1.0 + (n - df + 0.5) / (df + 0.5))))
+
+    # per-query (term, idf, term-hash) triples in the query's own fixed
+    # term order — preserves bit-identity with search_index
+    plan = [(qi,
+             _term_hash(qterms[qi]),
+             np.array([idf_all[t] for t in qterms[qi]], np.float64))
+            for qi in qids if qterms[qi]]
+    pref = ray.put(plan)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        qplan = ray.get(pref)
+        ids = b[id_col].to_numpy()
+        docs, inv = np.unique(ids, return_inverse=True)
+        wh = pd.util.hash_array(
+            b["term"].to_numpy().astype(object)).astype(np.uint64)
+        dl = np.zeros(len(docs), np.float64)
+        dl[inv] = b["dl"].to_numpy().astype(np.float64)
+        norm = K1 * (1.0 - B + B * dl / avgdl)
+        tf_all = b["tf"].to_numpy().astype(np.float64)
+        frames = []
+        for qi, qth, qidf in qplan:
+            score = np.zeros(len(docs), np.float64)
+            for i in range(len(qth)):            # fixed per-query order
+                m = wh == qth[i]
+                tf = np.zeros(len(docs), np.float64)
+                tf[inv[m]] = tf_all[m]
+                score = score + qidf[i] * (tf * (K1 + 1.0)) / (tf + norm)
+            score = np.round(score, 6)
+            keep = np.nonzero(score > 0)[0]
+            if len(keep) > k:
+                o = np.lexsort((docs[keep], -score[keep]))[:k]
+                keep = keep[o]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(len(keep), qi, np.int64),
+                id_col: docs[keep], "score": score[keep]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    schema = pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
+                        ("score", pa.float64())])
+    local = hash_group_apply(post, [id_col], bucket,
+                             out_schema=schema).to_pandas()
+    if local.empty:
+        return empty
+    out = (local.sort_values(["query_id", "score", id_col],
+                             ascending=[True, False, True])
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    return out.astype({"query_id": "int64", id_col: "int64",
+                       "score": "float64"})

@@ -95,3 +95,18 @@ def test_index_incremental_update_equals_full_rebuild(tmp_path):
             search_index(inc, terms, k=5).reset_index(drop=True),
             search_index(full, terms, k=5).reset_index(drop=True),
             check_exact=True)
+
+
+def test_search_index_many_matches_single_queries(tmp_path):
+    from sagan_ray.datapipe import build_inverted_index, search_index
+    from sagan_ray.datapipe.index import search_index_many
+    idx = str(tmp_path / "idx")
+    build_inverted_index(_ds(CORPUS), idx, n_buckets=4)
+    queries = {0: ["fox"], 1: ["quick", "dog"], 2: ["notaword"],
+               3: ["the", "fox", "lorem"]}
+    many = search_index_many(idx, queries, k=5)
+    for qi, terms in queries.items():
+        got = (many[many["query_id"] == qi][["doc_id", "score"]]
+               .reset_index(drop=True))
+        exp = search_index(idx, terms, k=5).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_exact=True)
