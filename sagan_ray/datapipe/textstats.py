@@ -807,3 +807,41 @@ def corpus_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         "n_words": [int(parts_df["n_words"].sum())],
         "n_vocab": [int(parts_df["n_vocab"].sum())],
     })
+
+
+def compression_ratio(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6):
+    """Per-doc zlib compression ratio — the Gopher/Dolma-style
+    boilerplate signal: highly repetitive or templated text compresses
+    far below natural prose, so a low ratio flags machine-generated /
+    boilerplate documents and a very high one flags high-entropy noise
+    (hex dumps, base64). ratio = deflate_bytes / utf8_bytes (1.0 for
+    empty docs — no evidence either way).
+
+    The compressor is stdlib zlib at a FIXED level/strategy, so the
+    byte length is a deterministic pure function of the text — the
+    golden oracle recomputes it per row sequentially
+    (golden.py::write_golden_compress). The per-doc compress call is a
+    C loop over the doc's bytes (no vectorized equivalent exists);
+    everything around it stays Arrow. Ratios round to 6 decimals so the
+    float division can't flake a hash gate."""
+    import zlib
+
+    def f(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pylist()
+        n_raw = np.empty(len(texts), np.int64)
+        n_cmp = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            n_raw[i] = len(b)
+            n_cmp[i] = len(zlib.compress(b, level))
+        ratio = np.round(
+            np.where(n_raw > 0, n_cmp / np.maximum(n_raw, 1), 1.0), 6)
+        return pa.table({
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "n_bytes": pa.array(n_raw, pa.int64()),
+            "n_deflate": pa.array(n_cmp, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1376,3 +1376,37 @@ def write_golden_group_hll(sf_dir: str, *, key_col: str, val_col: str,
                     "m": pa.array([m] * len(ks), pa.int64()),
                     "n_est": pa.array(ests, pa.float64())})
     return _write(tbl, "events_user_hll")
+
+
+def write_golden_compress(sf_dir: str, *, level: int) -> str:
+    """Expected output of ``text_compress_ratio``: a sequential per-row
+    loop over the documents table computing len(zlib.compress(utf8)) —
+    zlib at a fixed level is the shared deterministic primitive (like
+    pd.util.hash_array for the hash family); the batching/rounding
+    around it is what the distributed kernel must reproduce."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids, nraw, ncmp = [], [], []
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        b = txt.encode("utf-8")
+        ids.append(did)
+        nraw.append(len(b))
+        ncmp.append(len(zlib.compress(b, level)))
+    # lengths accumulate sequentially above; the ratio rounding uses the
+    # SAME np.round primitive as the kernel (np.round and Python
+    # round(x, 6) are not the same decimal rounding — the
+    # quality-model/ADVICE lesson: share the elementwise primitive,
+    # derive the inputs independently)
+    nr = np.array(nraw, np.int64)
+    nc = np.array(ncmp, np.int64)
+    ratio = np.round(np.where(nr > 0, nc / np.maximum(nr, 1), 1.0), 6)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_bytes": pa.array(nr, pa.int64()),
+                    "n_deflate": pa.array(nc, pa.int64()),
+                    "ratio": pa.array(ratio, pa.float64())})
+    return _write(tbl, "text_compress_ratio")

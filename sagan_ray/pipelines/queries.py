@@ -2908,6 +2908,27 @@ FROM a GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_text_compress_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio — the boilerplate/noise quality
+    signal (textstats.py::compression_ratio); golden-parquet oracle
+    (zlib is not SQL-expressible) recomputes lengths sequentially."""
+    from ..datapipe.textstats import compression_ratio
+    from ..oracle.golden import write_golden_compress
+
+    write_golden_compress(sf_dir, level=6)
+    out = compression_ratio(_docs(sf_dir), level=6).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_bytes": "int64",
+                      "n_deflate": "int64", "ratio": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_COMPRESS = """
+SELECT doc_id, n_bytes, n_deflate, ratio
+FROM read_parquet('/tmp/sagan_ray_golden/text_compress_ratio.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_events_user_hll(sf_dir: str):
     """Approximate distinct users per event_type — the grouped HLL
     (sketch.py::hll_group_distinct): per-batch (key, 4 KB blob)
@@ -3141,6 +3162,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "sample_bottomk": q_sample_bottomk,
     "events_user_hll": q_events_user_hll,
+    "text_compress_ratio": q_text_compress_ratio,
     "search_bm25_index": q_search_bm25_index,
     "embed_ivf_index": q_embed_ivf_index,
 }
@@ -3236,6 +3258,7 @@ ORACLES = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
     "events_user_hll": SQL_EVENTS_USER_HLL,
+    "text_compress_ratio": SQL_TEXT_COMPRESS,
     "search_bm25_index": SQL_SEARCH_BM25,
     "embed_ivf_index": SQL_EMBED_IVF_GOLDEN,
 }

@@ -184,3 +184,20 @@ def test_funnel_conversion_window():
     out2 = funnel_stages(_ds(_events(rows2)), STEPS,
                          within_us=200).to_pandas()
     assert int(out2["stage"].iloc[0]) == 1
+
+
+def test_compression_ratio_signals():
+    from sagan_ray.datapipe.textstats import compression_ratio
+    boiler = "spam ham " * 500
+    prose = ("the quick brown fox jumps over one lazy dog while seven "
+             "wizards brew unique potions under a crimson sky tonight ")
+    import numpy as np
+    noise = "".join(np.random.RandomState(3).choice(
+        list("0123456789abcdef"), 4000))
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array([boiler, prose * 30, noise, ""],
+                                     pa.string())})
+    out = compression_ratio(_ds(tbl)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "ratio"] < 0.05          # boilerplate crushes
+    assert out.loc[2, "ratio"] > out.loc[1, "ratio"]   # noise resists
+    assert out.loc[3, "ratio"] == 1.0 and out.loc[3, "n_bytes"] == 0
