@@ -76,6 +76,7 @@ from .textstats import (  # noqa: F401
     cross_doc_dup,
     distinctive_terms,
     fingerprint,
+    heavy_hitters,
     langid,
     quality,
     remove_dup_spans,

@@ -845,3 +845,117 @@ def compression_ratio(ds, *, text_col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def heavy_hitters(ds, m: int, *, k: int = 512, text_col: str = "text",
+                  batch_size: int = 65_536):
+    """EXACT top-``m`` corpus words by frequency WITHOUT a
+    full-vocabulary shuffle: Misra-Gries candidate pruning + an exact
+    recount of the survivors (the classic two-pass heavy-hitters
+    recipe; MG per Misra & Gries 1982, merge per Agarwal et al. 2013's
+    mergeable-summaries result).
+
+    Pass 1 (candidates): each batch counts its words exactly
+    (``np.unique``) and prunes to a Misra-Gries summary of at most
+    ``k`` entries — subtract the (k+1)-th largest count from every
+    count, keep the positive remainder, and emit the subtracted amount
+    as that batch's error contribution (a sentinel row with the empty
+    word, which ``_words_flat`` can never produce). The driver folds
+    the ≤(k+1)-row partials with the same decrement rule, so its
+    working set stays O(k) no matter how many batches stream past.
+    MG invariant after any fold topology: a word ABSENT from the
+    summary has true corpus count ≤ e (the accumulated decrements).
+
+    Pass 2 (exact recount): the ≤k candidate word hashes broadcast
+    once (``ray.put``); each batch emits nonzero (candidate_idx, n)
+    pairs — ≤k rows per partial, ``batch_size`` PINNED per the r3
+    partial-emitting-stage lesson — and the driver sums them into one
+    dense length-k vector.
+
+    The top-``m`` of the exact candidate counts is provably the exact
+    corpus top-m iff the m-th count clears the absent-word bound
+    (strictly, so an absent tie can't displace on the word tiebreak);
+    otherwise this RAISES with the k to retry with rather than return
+    a silently-approximate answer. e == 0 (vocab never overflowed k)
+    is exact by construction. Ordering: (n desc, word asc), matching
+    the SQL oracle's ORDER BY n DESC, word LIMIT m.
+
+    Scale shape: text bytes never leave the map side; the driver sees
+    only O(k)-row partials. At 100 TB the candidate pass is the same
+    envelope as corpus_stats' parts stage; k trades a broader exactness
+    guarantee for a k-row broadcast, both tiny."""
+    import ray
+
+    if m < 1 or k < m:
+        raise ValueError("need 1 <= m <= k")
+
+    def candidates(tbl: pa.Table) -> pa.Table:
+        _, _, _, _, words = _words_flat(tbl.column(text_col))
+        uniq, cnt = (np.unique(words, return_counts=True) if len(words)
+                     else (np.array([], object), np.array([], np.int64)))
+        cnt = cnt.astype(np.int64)
+        err = 0
+        if len(uniq) > k:
+            kth = int(np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1])
+            cnt = cnt - kth
+            keep = cnt > 0
+            uniq, cnt = uniq[keep], cnt[keep]
+            err = kth
+        return pa.table({
+            "word": pa.array(np.append(uniq, ""), pa.string()),
+            "cnt": pa.array(np.append(cnt, err), pa.int64()),
+        })
+
+    parts = ds.map_batches(candidates, batch_format="pyarrow",
+                           batch_size=batch_size)
+    summary = pd.Series(dtype=np.int64)
+    e_total = 0
+    for b in parts.iter_batches(batch_format="pyarrow",
+                                batch_size=batch_size):
+        w = b.column("word").to_numpy(zero_copy_only=False)
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        sent = w == ""
+        e_total += int(c[sent].sum())
+        inc = pd.Series(c[~sent], index=w[~sent]).groupby(level=0).sum()
+        summary = summary.add(inc, fill_value=0).astype(np.int64)
+        if len(summary) > k:
+            kth = int(np.partition(summary.to_numpy(),
+                                   len(summary) - k - 1)[len(summary) - k - 1])
+            summary = summary[summary > kth] - kth
+            e_total += kth
+    cand = np.array(sorted(summary.index), dtype=object)
+    if len(cand) == 0:
+        return pd.DataFrame({"word": np.array([], object),
+                             "n": np.array([], np.int64)})
+
+    ch = pd.util.hash_array(cand).astype(np.uint64)
+    order = np.argsort(ch)
+    cand, ch = cand[order], ch[order]
+    ch_ref = ray.put(ch)
+
+    def recount(tbl: pa.Table) -> pa.Table:
+        chv = ray.get(ch_ref)           # zero-copy object-store view
+        _, _, _, wh, _ = _words_flat(tbl.column(text_col))
+        pos = np.searchsorted(chv, wh)
+        pos_c = np.minimum(pos, len(chv) - 1)
+        hit = chv[pos_c] == wh
+        n = np.bincount(pos_c[hit], minlength=len(chv)).astype(np.int64)
+        nz = np.nonzero(n)[0]
+        return pa.table({"i": pa.array(nz, pa.int64()),
+                         "n": pa.array(n[nz], pa.int64())})
+
+    totals = np.zeros(len(cand), np.int64)
+    for b in ds.map_batches(recount, batch_format="pyarrow",
+                            batch_size=batch_size
+                            ).iter_batches(batch_format="pyarrow",
+                                           batch_size=batch_size):
+        np.add.at(totals, b.column("i").to_numpy(), b.column("n").to_numpy())
+
+    sel = np.lexsort((cand, -totals))[:m]
+    n_sel = totals[sel]
+    if e_total > 0 and (len(sel) < m or int(n_sel[-1]) <= e_total):
+        raise ValueError(
+            f"heavy_hitters(m={m}, k={k}) cannot certify exactness: "
+            f"m-th candidate count {int(n_sel[-1]) if len(sel) else 0} "
+            f"<= error bound {e_total}; retry with larger k")
+    return pd.DataFrame({"word": cand[sel], "n": n_sel})

@@ -3044,6 +3044,34 @@ ORDER BY h, doc_id LIMIT {_BOTTOMK}
 """
 
 
+_HH_M, _HH_K = 25, 512
+
+
+def q_corpus_heavy_hitters(sf_dir: str):
+    """Exact top-25 corpus words via Misra-Gries candidate pruning +
+    exact recount (textstats.heavy_hitters) — the frequency-ESTIMATION
+    sketch family's exact-answer companion (CMS estimates any word;
+    this certifies the top-m exactly with O(k) driver memory and no
+    full-vocab shuffle). The operator raises rather than return an
+    uncertified answer, so a green hash row here IS an exactness
+    proof against the brute-force SQL GROUP BY."""
+    from ..datapipe.textstats import heavy_hitters
+
+    out = heavy_hitters(_docs(sf_dir), _HH_M, k=_HH_K)
+    return out.astype({"word": "object", "n": "int64"})
+
+
+SQL_CORPUS_HEAVY_HITTERS = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents)
+SELECT w AS word, count(*)::BIGINT AS n
+FROM toks GROUP BY w ORDER BY n DESC, word LIMIT {_HH_M}
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3165,6 +3193,7 @@ QUERIES = {
     "text_compress_ratio": q_text_compress_ratio,
     "search_bm25_index": q_search_bm25_index,
     "embed_ivf_index": q_embed_ivf_index,
+    "corpus_heavy_hitters": q_corpus_heavy_hitters,
 }
 
 ORACLES = {
@@ -3261,4 +3290,5 @@ ORACLES = {
     "text_compress_ratio": SQL_TEXT_COMPRESS,
     "search_bm25_index": SQL_SEARCH_BM25,
     "embed_ivf_index": SQL_EMBED_IVF_GOLDEN,
+    "corpus_heavy_hitters": SQL_CORPUS_HEAVY_HITTERS,
 }

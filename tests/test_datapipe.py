@@ -1408,3 +1408,55 @@ def test_ivf_index_prunes_to_probed_cells(embeds, tmp_path):
     q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:2]
     out = search_ivf_index(idx, q, k=5, nprobe=1).to_pandas()
     assert len(out) > 0 and out["rank"].max() <= 5
+
+
+def test_heavy_hitters_exact_under_forced_pruning():
+    """Adversarial zipf vocab with k far below the distinct count: every
+    batch AND the driver fold must prune (e > 0), yet the certified
+    result equals brute force; a k too small to certify must raise, not
+    return an approximation."""
+    import collections
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)], dtype=object)
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
+    probs /= probs.sum()
+    texts = [" ".join(vocab[rng.choice(len(vocab), size=60, p=probs)])
+             for _ in range(400)]
+    truth = collections.Counter(w for t in texts for w in t.split())
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(8)
+    got = heavy_hitters(ds, 10, k=400, batch_size=16)
+    assert list(zip(got["word"], got["n"])) == want
+
+    # near-uniform frequencies: the absent-word bound necessarily
+    # swamps the m-th count at tiny k, so the operator must refuse
+    flat = [" ".join(vocab[rng.choice(len(vocab), size=60)])
+            for _ in range(400)]
+    flat_ds = rd.from_arrow(pa.table({"text": flat})).repartition(8)
+    with pytest.raises(ValueError, match="cannot certify"):
+        heavy_hitters(flat_ds, 10, k=12, batch_size=16)
+
+
+def test_heavy_hitters_block_layout_independent(docs, docs_tbl):
+    """Same result under any partitioning, and equal to brute force on
+    the sf0.001 corpus (small vocab -> e == 0, exact by construction)."""
+    import collections
+
+    from sagan_ray.datapipe import heavy_hitters
+
+    texts = docs_tbl.column("text").to_pylist()
+    truth = collections.Counter(
+        w for t in texts
+        for w in __import__("re").findall(r"[a-z0-9_]+", t.lower()))
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+    a = heavy_hitters(docs, 25, k=512)
+    b = heavy_hitters(docs.repartition(13), 25, k=512, batch_size=64)
+    assert list(zip(a["word"], a["n"])) == want
+    assert a.equals(b)
