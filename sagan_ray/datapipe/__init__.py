@@ -38,6 +38,7 @@ from .curate import (  # noqa: F401
     pii_redact,
     sample_bottomk,
     sample_stratified,
+    sample_weighted,
     shuffle_shards,
 )
 from .events import (  # noqa: F401

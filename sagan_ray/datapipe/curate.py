@@ -370,3 +370,53 @@ def sample_bottomk(ds, k: int, *, id_col: str = "doc_id",
         best_ids, best_h = ids[sel], h[sel]
     o = np.argsort(best_ids)
     return pd.DataFrame({id_col: best_ids[o], "h": best_h[o]})
+
+
+def sample_weighted(ds, k: int, *, weight_col: str, id_col: str = "doc_id",
+                    batch_size: int = 65_536):
+    """Exact-k PRIORITY SAMPLE (Duffield, Lund & Thorup, JACM 2007):
+    the k rows with the smallest (knuth_hash(id) / weight, id). Higher
+    weight → proportionally smaller priority → inclusion probability
+    ~ weight; min-k partials merge as a semilattice exactly like
+    ``sample_bottomk``, so any block layout yields the identical
+    sample and re-runs/resumes are deterministic in (id, weight).
+
+    Chosen over Efraimidis-Spirakis exponential keys (-ln(u)/w) on
+    DETERMINISM grounds: the priority needs only int→double conversion
+    (exact here: h < 2^32, w < 2^53) and ONE division — an IEEE basic
+    op, correctly rounded and therefore bit-identical between numpy and
+    the DuckDB oracle — whereas ``ln`` is libm-dependent and can flip a
+    1-ulp boundary at the LIMIT cut (the quality_model lesson).
+
+    Rows with weight <= 0 are excluded (they carry no sampling mass).
+    Returns (id, weight, priority) sorted by id."""
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        w = tbl.column(weight_col).to_numpy(zero_copy_only=False)
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        with np.errstate(over="ignore"):
+            h = ((ids.astype(np.uint64) * _KNUTH) % _MOD32).astype(np.int64)
+        pri = h.astype(np.float64) / w.astype(np.float64)
+        if len(ids) > k:
+            sel = np.lexsort((ids, pri))[:k]
+            ids, w, pri = ids[sel], w[sel], pri[sel]
+        return pa.table({id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                         "weight": pa.array(w.astype(np.int64), pa.int64()),
+                         "priority": pa.array(pri, pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+    b_ids = np.array([], np.int64)
+    b_w = np.array([], np.int64)
+    b_pri = np.array([], np.float64)
+    for b in parts.iter_batches(batch_format="pyarrow",
+                                batch_size=batch_size):
+        ids = np.concatenate([b_ids, b.column(id_col).to_numpy()])
+        w = np.concatenate([b_w, b.column("weight").to_numpy()])
+        pri = np.concatenate([b_pri, b.column("priority").to_numpy()])
+        sel = np.lexsort((ids, pri))[:k]
+        b_ids, b_w, b_pri = ids[sel], w[sel], pri[sel]
+    o = np.argsort(b_ids)
+    return pd.DataFrame({id_col: b_ids[o], "weight": b_w[o],
+                         "priority": b_pri[o]})

@@ -3044,6 +3044,31 @@ ORDER BY h, doc_id LIMIT {_BOTTOMK}
 """
 
 
+def q_sample_weighted(sf_dir: str):
+    """Length-weighted priority sample (Duffield-Lund-Thorup): the 120
+    docs with the smallest knuth_hash(doc_id)/n_chars — longer docs
+    proportionally likelier. The priority is one exact int→double
+    conversion + one IEEE division on both sides, so the float column
+    hash-compares bit-exactly (curate.sample_weighted docstring)."""
+    from ..datapipe.curate import sample_weighted
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    out = sample_weighted(ds, _BOTTOMK, weight_col="n_chars")
+    return out.astype({"doc_id": "int64", "weight": "int64",
+                       "priority": "float64"})
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, weight, priority FROM (
+  SELECT doc_id, n_chars AS weight,
+         (((doc_id * 2654435761) % 4294967296)::DOUBLE)
+           / (n_chars::DOUBLE) AS priority
+  FROM documents WHERE n_chars > 0
+  ORDER BY priority, doc_id LIMIT {_BOTTOMK}
+) ORDER BY doc_id
+"""
+
+
 _HH_M, _HH_K = 25, 512
 
 
@@ -3194,6 +3219,7 @@ QUERIES = {
     "search_bm25_index": q_search_bm25_index,
     "embed_ivf_index": q_embed_ivf_index,
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
+    "sample_weighted": q_sample_weighted,
 }
 
 ORACLES = {
@@ -3291,4 +3317,5 @@ ORACLES = {
     "search_bm25_index": SQL_SEARCH_BM25,
     "embed_ivf_index": SQL_EMBED_IVF_GOLDEN,
     "corpus_heavy_hitters": SQL_CORPUS_HEAVY_HITTERS,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
 }

@@ -198,3 +198,35 @@ def test_eval_shingle_hashes_equals_driver_side_hashing():
     # blocking invariance
     got2 = eval_shingle_hashes(_ds(tbl).repartition(3), k=5)
     assert np.array_equal(got2, want)
+
+
+def test_sample_weighted_priority_semantics():
+    """Mergeable min-k over hash/weight: block-layout independent,
+    equal to the sequential brute-force spec, weight<=0 excluded, and
+    inclusion probability actually tracks weight (the DLT property)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import sample_weighted
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 2 == 0, 100, 1).astype(np.int64)  # heavy evens
+    w[:5] = 0                                            # no mass
+    tbl = pa.table({"doc_id": ids, "n_chars": w})
+
+    # sequential spec
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+         % (np.uint64(1) << np.uint64(32))).astype(np.int64)
+    pos = w > 0
+    pri = h[pos].astype(np.float64) / w[pos].astype(np.float64)
+    sel = np.lexsort((ids[pos], pri))[:200]
+    want = set(ids[pos][sel])
+
+    a = sample_weighted(rd.from_arrow(tbl), 200, weight_col="n_chars")
+    b = sample_weighted(rd.from_arrow(tbl).repartition(17), 200,
+                        weight_col="n_chars", batch_size=64)
+    assert a.equals(b)
+    assert set(a["doc_id"]) == want
+    assert not (set(a["doc_id"]) & set(ids[:5]))
+    evens = (a["doc_id"] % 2 == 0).sum()
+    assert evens > 180  # 100x weight -> overwhelmingly even picks
