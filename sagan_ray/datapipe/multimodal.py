@@ -586,10 +586,12 @@ def encode_wav(samples: np.ndarray, rate: int = 8000,
     return buf.getvalue()
 
 
-def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes → (float32 samples in [-1, 1] of channel 0, rate).
-    PCM sample widths 1 (unsigned 8-bit), 2, 3 (24-bit) and 4 bytes;
-    multi-channel streams take channel 0."""
+def decode_wav_ints(b: bytes) -> tuple[np.ndarray, int, int]:
+    """WAV bytes → (channel-0 PCM ints as int64, rate, sampwidth).
+    PCM sample widths 1 (unsigned 8-bit, re-centred to signed), 2,
+    3 (24-bit sign-extended) and 4 bytes; multi-channel streams take
+    channel 0. The integer layer of ``decode_wav`` — exposed so
+    exact-integer feature stages can stay float-free."""
     import wave
 
     with wave.open(io.BytesIO(b), "rb") as w:
@@ -601,7 +603,6 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         raw = w.readframes(n)
         rate = w.getframerate()
         ch = w.getnchannels()
-    full = np.float32((1 << (8 * sw - 1)) - 1)
     if sw == 1:
         ints = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
     elif sw == 3:
@@ -610,10 +611,16 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         ints = u - ((u >> 23) << 24)        # sign-extend 24-bit
     else:
         ints = np.frombuffer(raw, f"<i{sw}").astype(np.int64)
-    arr = ints.astype(np.float32) / full
     if ch > 1:
-        arr = arr[::ch]
-    return arr, rate
+        ints = ints[::ch]
+    return ints, rate, sw
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float32 samples in [-1, 1] of channel 0, rate)."""
+    ints, rate, sw = decode_wav_ints(b)
+    full = np.float32((1 << (8 * sw - 1)) - 1)
+    return ints.astype(np.float32) / full, rate
 
 
 # "SGV1" frame container: magic + u32 n_frames + u32 interval_ms +
@@ -829,6 +836,43 @@ class DecodeAudio:
             "media_id": tbl.column("media_id"),
             "feature": pa.array(feats, pa.list_(pa.float32())),
         })
+
+
+class AudioIntFeatures:
+    """Actor-pool stage: WAV payload → EXACT-INTEGER clip features, the
+    hash-gateable companion to ``DecodeAudio``'s float embedding (the
+    int8-ANN stance: keep every published number an exact int64 so the
+    distributed result can bit-match a sequential golden under any
+    batch layout / SIMD path).
+
+    Per channel-0 clip: ``n_samples``; ``zero_crossings`` (adjacent
+    pairs whose (x<0) bits differ); ``peak_abs``; ``dc_sum`` (Σx);
+    ``energy16`` = Σ of squares on the COMMON 16-BIT GRID — samples
+    arithmetic-shift to 16-bit significance (8-bit ≪8, 24-bit ≫8,
+    32-bit ≫16, floor semantics shared with the golden's Python
+    ``>>``), so every square ≤ 2^30 and the int64 sum is exact up to
+    ~2^33 samples per clip — energies compare across sample widths."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        out = {k: np.zeros(n, np.int64) for k in
+               ("n_samples", "zero_crossings", "peak_abs", "dc_sum",
+                "energy16")}
+        for i, p in enumerate(tbl.column("payload").to_pylist()):
+            x, _rate, sw = decode_wav_ints(p)
+            out["n_samples"][i] = len(x)
+            if not len(x):
+                continue
+            neg = x < 0
+            out["zero_crossings"][i] = int(np.sum(neg[1:] != neg[:-1]))
+            out["peak_abs"][i] = int(np.max(np.abs(x)))
+            out["dc_sum"][i] = int(np.sum(x))
+            g = (x << 8 if sw == 1 else
+                 x if sw == 2 else
+                 x >> 8 if sw == 3 else x >> 16)
+            out["energy16"][i] = int(np.sum(g * g))
+        return pa.table({"media_id": tbl.column("media_id"),
+                         **{k: pa.array(v) for k, v in out.items()}})
 
 
 class AVProbe:

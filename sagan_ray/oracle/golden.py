@@ -710,6 +710,69 @@ def write_golden_multimodal_av(n: int, seed: int) -> str:
     return _write(tbl, "multimodal_av")
 
 
+def write_golden_audio_features(n: int, seed: int) -> str:
+    """Expected output of ``multimodal_audio``: every audio clip decoded
+    by an independent RIFF walk (no stdlib ``wave``) and accumulated
+    SAMPLE-BY-SAMPLE in arbitrary-precision Python ints — none of the
+    pipeline's numpy vectorization — exact integers, so agreement with
+    the batched ``AudioIntFeatures`` stage is bit-for-bit."""
+    from ..datapipe.multimodal import synth_media
+
+    media = synth_media(n, seed=seed)
+    rows = []
+    for mid, kind, payload in zip(media.column("media_id").to_pylist(),
+                                  media.column("kind").to_pylist(),
+                                  media.column("payload").to_pylist()):
+        if kind != "audio":
+            continue
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        pos, ch, bits, data = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = payload[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+            if cid == b"fmt ":
+                ch = int.from_bytes(body[2:4], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                data = body
+        sw = bits // 8
+        stride = sw * ch
+        nf = len(data) // stride
+        ns = zc = peak = dc = en = 0
+        prev_neg = None
+        for f in range(nf):                 # channel 0 of each frame
+            raw = data[f * stride:f * stride + sw]
+            if sw == 1:
+                v = raw[0] - 128
+            elif sw == 3:
+                u = raw[0] | (raw[1] << 8) | (raw[2] << 16)
+                v = u - ((u >> 23) << 24)
+            else:
+                v = int.from_bytes(raw, "little", signed=True)
+            ns += 1
+            neg = v < 0
+            if prev_neg is not None and neg != prev_neg:
+                zc += 1
+            prev_neg = neg
+            peak = max(peak, abs(v))
+            dc += v
+            g = (v << 8 if sw == 1 else v if sw == 2
+                 else v >> 8 if sw == 3 else v >> 16)
+            en += g * g
+        rows.append((mid, ns, zc, peak, dc, en))
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_samples": pa.array([r[1] for r in rows], pa.int64()),
+        "zero_crossings": pa.array([r[2] for r in rows], pa.int64()),
+        "peak_abs": pa.array([r[3] for r in rows], pa.int64()),
+        "dc_sum": pa.array([r[4] for r in rows], pa.int64()),
+        "energy16": pa.array([r[5] for r in rows], pa.int64()),
+    })
+    return _write(tbl, "multimodal_audio")
+
+
 def write_golden_bloom(sf_dir: str, probe_words: list[str], *, p: int,
                        k: int) -> str:
     """Expected output of ``corpus_word_bloom``: a sequential Bloom

@@ -3044,6 +3044,39 @@ ORDER BY h, doc_id LIMIT {_BOTTOMK}
 """
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Exact-integer audio clip features (n_samples / zero crossings /
+    peak / DC sum / 16-bit-grid energy) over the synth corpus's WAV
+    rows in an actor pool, gated bit-exactly against an independent
+    per-sample Python-int golden walk
+    (oracle/golden.py::write_golden_audio_features)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..datapipe.multimodal import AudioIntFeatures, synth_media
+    from ..oracle.golden import write_golden_audio_features
+
+    write_golden_audio_features(200, seed=42)
+    tbl = synth_media(200, seed=42)
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow").map_batches(
+        AudioIntFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+    out = ds.to_pandas()
+    cols = ["media_id", "n_samples", "zero_crossings", "peak_abs",
+            "dc_sum", "energy16"]
+    out = _typed(out, {c: "int64" for c in cols})
+    return out.sort_values("media_id").reset_index(drop=True)[cols]
+
+
+SQL_MULTIMODAL_AUDIO = """
+SELECT media_id, n_samples, zero_crossings, peak_abs, dc_sum, energy16
+FROM read_parquet('/tmp/sagan_ray_golden/multimodal_audio.parquet')
+ORDER BY media_id
+"""
+
+
 def q_sample_weighted(sf_dir: str):
     """Length-weighted priority sample (Duffield-Lund-Thorup): the 120
     docs with the smallest knuth_hash(doc_id)/n_chars — longer docs
@@ -3220,6 +3253,7 @@ QUERIES = {
     "embed_ivf_index": q_embed_ivf_index,
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
     "sample_weighted": q_sample_weighted,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 ORACLES = {
@@ -3318,4 +3352,5 @@ ORACLES = {
     "embed_ivf_index": SQL_EMBED_IVF_GOLDEN,
     "corpus_heavy_hitters": SQL_CORPUS_HEAVY_HITTERS,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
 }

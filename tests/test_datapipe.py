@@ -1460,3 +1460,30 @@ def test_heavy_hitters_block_layout_independent(docs, docs_tbl):
     b = heavy_hitters(docs.repartition(13), 25, k=512, batch_size=64)
     assert list(zip(a["word"], a["n"])) == want
     assert a.equals(b)
+
+
+def test_audio_int_features_match_python_int_spec():
+    """AudioIntFeatures' vectorized int64 path vs a per-sample Python-int
+    fold, across all sample widths, multi-channel, and an empty clip."""
+    from sagan_ray.datapipe.multimodal import (AudioIntFeatures,
+                                               decode_wav_ints, encode_wav)
+
+    rng = np.random.RandomState(3)
+    payloads = [encode_wav(rng.uniform(-1, 1, 500), sampwidth=sw, channels=ch)
+                for sw in (1, 2, 3, 4) for ch in (1, 2)]
+    payloads.append(encode_wav(np.zeros(0), sampwidth=2))
+    tbl = pa.table({"media_id": pa.array(range(len(payloads)), pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    got = AudioIntFeatures()(tbl).to_pandas()
+
+    for i, p in enumerate(payloads):
+        x, _r, sw = decode_wav_ints(p)
+        xs = [int(v) for v in x]
+        g = [(v << 8 if sw == 1 else v if sw == 2
+              else v >> 8 if sw == 3 else v >> 16) for v in xs]
+        assert got.loc[i, "n_samples"] == len(xs)
+        assert got.loc[i, "zero_crossings"] == sum(
+            (a < 0) != (b < 0) for a, b in zip(xs, xs[1:]))
+        assert got.loc[i, "peak_abs"] == (max(map(abs, xs)) if xs else 0)
+        assert got.loc[i, "dc_sum"] == sum(xs)
+        assert got.loc[i, "energy16"] == sum(v * v for v in g)
