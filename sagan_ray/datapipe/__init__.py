@@ -59,7 +59,7 @@ from .sketch import (  # noqa: F401
     hll_group_distinct,
     hll_vocab,
 )
-from .pack import pack_sequences  # noqa: F401
+from .pack import chunk_documents, pack_sequences  # noqa: F401
 from .stats import (  # noqa: F401
     group_percentiles,
     percentiles,

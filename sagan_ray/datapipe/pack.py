@@ -80,3 +80,75 @@ def pack_sequences(ds, *, capacity: int, count_col: str,
     starts = np.concatenate(([0], np.cumsum(sums)[:-1])) if keep else []
     return rd.from_arrow_refs(
         [emit.remote(r, int(s)) for (_, r), s in zip(keep, starts)])
+
+
+def chunk_documents(ds, *, size: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into overlapping fixed-token windows — the
+    long-document training-window op (the HF ``return_overflowing_tokens``
+    convention): tokens are the ``\\s+`` splits of the trimmed text,
+    chunk ``i`` covers tokens ``[i*stride, i*stride+size)`` with
+    ``stride = size - overlap``, and the LAST chunk is the first one
+    whose window reaches the end (``k = 1 + ceil((n-size)/stride)`` for
+    ``n > size``, else 1) — no tail chunk fully contained in its
+    predecessor. Zero-token documents emit zero chunks. Chunk text is
+    the space-join of its tokens (whitespace normalizes; byte-exact
+    reconstruction is not the contract, window identity is).
+
+    Fully vectorized and embarrassingly parallel (one map_batches, no
+    shuffle): Arrow regex split → numpy window index arithmetic → one
+    flat ``take`` of the token values → ``ListArray`` rebuild →
+    ``pc.binary_join``. Per-batch output is O(input tokens × dup
+    factor); overlap duplicates only the overlapped token bytes.
+    32-bit list offsets (``binary_join`` has no large-list kernel in
+    pyarrow 16), so ``batch_size`` stays pinned well under the 2 GB
+    per-batch text bound."""
+    if not (0 <= overlap < size):
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+
+    def f(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(text_col).cast(pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values
+        offs = np.asarray(la.offsets, dtype=np.int64)
+        n = np.diff(offs)
+        # trim('') splits to [''] — a zero-token doc, not a one-token one
+        one = n == 1
+        if one.any():
+            first_tok = pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False)[offs[:-1][one]]
+            n = n.copy()
+            n[np.flatnonzero(one)[first_tok == 0]] = 0
+        k = np.where(n == 0, 0,
+                     1 + np.maximum(n - size + stride - 1, 0) // stride)
+        doc_of = np.repeat(np.arange(len(n)), k)
+        chunk_idx = np.arange(len(doc_of)) - np.repeat(
+            np.concatenate(([0], np.cumsum(k)[:-1])), k)
+        start = chunk_idx * stride
+        end = np.minimum(start + size, n[doc_of])
+        lens = end - start
+        # flat gather indices: for each chunk, start..end within its doc
+        tot = int(lens.sum())
+        idx = np.ones(tot, np.int64)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        idx[bounds[:-1]] = offs[:-1][doc_of] + start
+        if len(bounds) > 2:
+            idx[bounds[1:-1]] -= offs[:-1][doc_of[:-1]] + end[:-1] - 1
+        idx = np.cumsum(idx)
+        toks = flat.take(pa.array(idx, pa.int64()))
+        chunks = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), toks)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)[doc_of]
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": pc.binary_join(chunks, " "),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=16_384)

@@ -3044,6 +3044,48 @@ ORDER BY h, doc_id LIMIT {_BOTTOMK}
 """
 
 
+_CHUNK_SIZE, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def q_doc_chunks(sf_dir: str):
+    """Overlapping fixed-token training windows per document
+    (pack.chunk_documents, HF return_overflowing_tokens convention) —
+    one shuffle-free vectorized map_batches; the SQL oracle replays the
+    window arithmetic with generate_series + list_slice."""
+    from ..datapipe.pack import chunk_documents
+
+    out = chunk_documents(_docs(sf_dir), size=_CHUNK_SIZE,
+                          overlap=_CHUNK_OVERLAP).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "chunk_idx": "int64",
+                       "n_tokens": "int64", "chunk_text": "object"})
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
+SQL_DOC_CHUNKS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents),
+d AS (SELECT doc_id, ws, len(ws)::BIGINT AS n FROM t WHERE len(ws) > 0),
+c AS (SELECT doc_id, ws, n,
+             unnest(generate_series(0,
+                CASE WHEN n <= {_CHUNK_SIZE} THEN 0
+                     ELSE (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                          // {_CHUNK_STRIDE} END)) AS chunk_idx
+      FROM d)
+SELECT doc_id, chunk_idx,
+       (least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)
+        - chunk_idx * {_CHUNK_STRIDE})::BIGINT AS n_tokens,
+       array_to_string(list_slice(ws, chunk_idx * {_CHUNK_STRIDE} + 1,
+           least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)),
+           ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_multimodal_audio(sf_dir: str):
     """Exact-integer audio clip features (n_samples / zero crossings /
     peak / DC sum / 16-bit-grid energy) over the synth corpus's WAV
@@ -3254,6 +3296,7 @@ QUERIES = {
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
     "sample_weighted": q_sample_weighted,
     "multimodal_audio": q_multimodal_audio,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLES = {
@@ -3353,4 +3396,5 @@ ORACLES = {
     "corpus_heavy_hitters": SQL_CORPUS_HEAVY_HITTERS,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }

@@ -1487,3 +1487,37 @@ def test_audio_int_features_match_python_int_spec():
         assert got.loc[i, "peak_abs"] == (max(map(abs, xs)) if xs else 0)
         assert got.loc[i, "dc_sum"] == sum(xs)
         assert got.loc[i, "energy16"] == sum(v * v for v in g)
+
+
+def test_chunk_documents_window_arithmetic():
+    """Boundary semantics vs a sequential spec: n == size, n == size+1
+    (one extra chunk reaching the end), n < size, overlap=0, and the
+    whitespace/empty-doc edge."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import chunk_documents
+
+    def spec(tokens, size, overlap):
+        n, stride = len(tokens), size - overlap
+        if n == 0:
+            return []
+        k = 1 if n <= size else 1 + -((n - size) // -stride)
+        return [(i, " ".join(tokens[i * stride:i * stride + size]))
+                for i in range(k)]
+
+    docs = {1: "t " * 32, 2: "t " * 33, 3: "t short", 4: "", 5: " \t "}
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": [v.strip() and v for v in docs.values()]})
+    for size, overlap in [(32, 8), (32, 0), (4, 3)]:
+        got = (chunk_documents(rd.from_arrow(tbl), size=size,
+                               overlap=overlap)
+               .to_pandas().sort_values(["doc_id", "chunk_idx"]))
+        want = [(d, i, txt) for d, raw in docs.items()
+                for i, txt in spec(raw.split(), size, overlap)]
+        assert (list(zip(got["doc_id"], got["chunk_idx"],
+                         got["chunk_text"])) == want)
+        assert (got["n_tokens"] == got["chunk_text"].str.split().str.len()
+                ).all()
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(tbl), size=4, overlap=4)
