@@ -24,7 +24,11 @@ from .ann import (  # noqa: F401
     quantize_embeddings,
     quantized_topk,
 )
-from .ann import build_ivf_index, search_ivf_index  # noqa: F401
+from .ann import (  # noqa: F401
+    build_ivf_index,
+    search_ivf_index,
+    update_ivf_index,
+)
 from .cluster import (  # noqa: F401
     fit_centroids,
     kmeans_assign,

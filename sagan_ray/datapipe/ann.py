@@ -30,6 +30,9 @@ def _mat(tbl: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
     float64 when downstream must match a float64 oracle bit-for-bit at
     threshold boundaries."""
     col = tbl.column(vec_col).combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        col = col.storage        # e.g. Ray's ArrowTensorArray → its
+        #                          fixed-size-list storage, zero-copy
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype)
@@ -376,7 +379,8 @@ def quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
 
 def build_ivf_index(ds, index_dir: str, *, n_cells: int = 16,
                     sample_size: int = 4096, seed: int = 5,
-                    vec_col: str = "embedding", id_col: str = "vec_id"):
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroids: np.ndarray | None = None):
     """Persist an IVF index: train centroids (the same deterministic
     sample + fixed-point kmeans as ``ivf_topk``), assign every vector
     to its argmax-integer-dot cell, and write (id, vector) parquet
@@ -386,14 +390,22 @@ def build_ivf_index(ds, index_dir: str, *, n_cells: int = 16,
     and let a query read ONLY its nprobe probed cells. Centroids (exact
     ``_unit_grid`` float64 values — parquet roundtrips them exactly)
     land in ``_centroids.parquet``; n_cells in ``_meta.json``. Returns
-    n_cells."""
+    n_cells. Pass ``centroids`` (exact-grid rows, e.g. read back from
+    another index) to SKIP training and assign against a fixed matrix —
+    the rebuild/compact path and the equivalence baseline for
+    ``update_ivf_index``."""
     import json
     import os
 
     import ray.data as rd
 
-    cent = _train_centroids(ds, n_cells=n_cells, sample_size=sample_size,
-                            seed=seed, vec_col=vec_col, id_col=id_col)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        n_cells = len(cent)
+    else:
+        cent = _train_centroids(ds, n_cells=n_cells,
+                                sample_size=sample_size,
+                                seed=seed, vec_col=vec_col, id_col=id_col)
     import ray
     cref = ray.put(cent)
 
@@ -429,6 +441,48 @@ def build_ivf_index(ds, index_dir: str, *, n_cells: int = 16,
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
         json.dump({"n_cells": n_cells}, f)
     return n_cells
+
+
+def update_ivf_index(ds, index_dir: str, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id"):
+    """Append NEW vectors to a persistent IVF index WITHOUT retraining
+    (the ANN mirror of ``update_inverted_index``): assignments use the
+    STORED centroid matrix, the new shard builds into a sibling temp
+    dir through the same cell exchange, and its one-file-per-cell
+    output moves into the existing ``cell=<i>/`` dirs under
+    update-unique names (append = new files; a crashed update re-runs
+    after deleting the temp). Search after an update is BIT-identical
+    to ``build_ivf_index(union, centroids=stored)`` + search: cell
+    routing depends only on the unchanged centroid matrix and scoring
+    is exact integer dots, both layout-independent. Caller contract:
+    ``ds`` holds ids not already in the index."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    ct = rd.read_parquet(os.path.join(index_dir, "_centroids")).to_pandas()
+    cent = np.asarray(ct.sort_values("cell")["centroid"].tolist(),
+                      dtype=np.float64)
+    tmp = tempfile.mkdtemp(prefix="ivf_upd_", dir=os.path.dirname(
+        index_dir.rstrip("/")) or ".")
+    try:
+        build_ivf_index(ds, tmp, centroids=cent, vec_col=vec_col,
+                        id_col=id_col)
+        for ent in os.listdir(tmp):
+            if not ent.startswith("cell="):
+                continue
+            dst = os.path.join(index_dir, ent)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(os.path.join(tmp, ent)):
+                shutil.move(
+                    os.path.join(tmp, ent, fn),
+                    os.path.join(dst,
+                                 f"upd_{os.path.basename(tmp)}_{fn}"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(cent)
 
 
 def search_ivf_index(index_dir: str, queries: np.ndarray, *, k: int = 10,

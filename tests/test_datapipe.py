@@ -1410,6 +1410,45 @@ def test_ivf_index_prunes_to_probed_cells(embeds, tmp_path):
     assert len(out) > 0 and out["rank"].max() <= 5
 
 
+def test_ivf_index_update_equals_fixed_centroid_rebuild(embeds, tmp_path):
+    """build(half1) + update(half2) must search bit-equal to a rebuild
+    over the union with the SAME stored centroids (assignment depends
+    only on the centroid matrix; scores are exact integer dots)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import (build_ivf_index, search_ivf_index,
+                                    update_ivf_index)
+
+    df = embeds.to_pandas()
+    half1 = rd.from_pandas(df.iloc[::2].reset_index(drop=True))
+    half2 = rd.from_pandas(df.iloc[1::2].reset_index(drop=True))
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:4]
+
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(half1, inc, n_cells=8)
+    update_ivf_index(half2, inc)
+
+    ct = rd.read_parquet(f"{inc}/_centroids").to_pandas()
+    cent = np.asarray(ct.sort_values("cell")["centroid"].tolist(),
+                      dtype=np.float64)
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(embeds, full, centroids=cent)
+
+    key = ["query_id", "rank"]
+    a = (search_ivf_index(inc, q, k=10, nprobe=4).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (search_ivf_index(full, q, k=10, nprobe=4).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) > 0
+    # the updated index really holds the union's rows
+    import pyarrow.dataset as pds
+    n_stored = pds.dataset(inc, format="parquet",
+                           partitioning="hive").count_rows()
+    assert n_stored == len(df)
+
+
 def test_heavy_hitters_exact_under_forced_pruning():
     """Adversarial zipf vocab with k far below the distinct count: every
     batch AND the driver fold must prune (e > 0), yet the certified
