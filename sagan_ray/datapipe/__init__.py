@@ -41,6 +41,7 @@ from .curate import (  # noqa: F401
     mix_sources,
     pii_redact,
     sample_bottomk,
+    sample_per_group,
     sample_stratified,
     sample_weighted,
     shuffle_shards,

@@ -420,3 +420,22 @@ def sample_weighted(ds, k: int, *, weight_col: str, id_col: str = "doc_id",
     o = np.argsort(b_ids)
     return pd.DataFrame({id_col: b_ids[o], "weight": b_w[o],
                          "priority": b_pri[o]})
+
+
+def sample_per_group(ds, k: int, *, key_col: str, id_col: str = "doc_id"):
+    """Exact-k uniform sample PER KEY — the per-source/per-domain cap
+    every corpus-mixing recipe needs (don't let one crawl dominate):
+    ``group_topk`` ascending over the stateless knuth hash, so the
+    per-batch partial keeps ≤k rows per key per block (hot sources
+    collapse map-side) and the hash exchange finishes each key exactly.
+    Deterministic in ids alone; the SQL oracle is one window row_number
+    over the same hash. Emits (key, id, h, rk)."""
+    def add_h(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * _KNUTH) % _MOD32
+        return tbl.append_column("h", pa.array(h.astype(np.int64)))
+
+    return group_topk(ds.map_batches(add_h, batch_format="pyarrow"),
+                      key_col=key_col, order_col="h", k=k,
+                      id_col=id_col, ascending=True)

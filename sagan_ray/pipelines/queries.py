@@ -3044,6 +3044,70 @@ ORDER BY h, doc_id LIMIT {_BOTTOMK}
 """
 
 
+def q_embed_topk_filtered(sf_dir: str):
+    """Metadata-FILTERED exact vector search (the filtered-ANN staple:
+    top-k restricted to a predicate): the label filter pushes into the
+    parquet scan (row groups that can't match never leave storage), the
+    surviving rows flow through the same brute_force_topk merge. Pure
+    composition — prune-at-the-read + existing operator."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe import brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filter=pac.field("label") == 1)
+    q = _query_vectors(sf_dir, 3)
+    out = brute_force_topk(ds, q, k=5).to_pandas()
+    out = out.astype({"query_id": "int64", "vec_id": "int64",
+                      "rank": "int64"})
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            [["query_id", "vec_id", "rank"]])
+
+
+SQL_EMBED_TOPK_FILTERED = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.label = 1)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank
+FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
+_PER_SOURCE_K = 20
+
+
+def q_sample_per_source(sf_dir: str):
+    """Per-source document cap: a uniform k-sample per source via
+    group_topk ascending on the knuth hash (curate.sample_per_group) —
+    the corpus-mixing staple; hot sources collapse to <=k rows per
+    block before the exchange."""
+    from ..datapipe.curate import sample_per_group
+
+    out = sample_per_group(_docs(sf_dir, ["doc_id", "source"]),
+                           _PER_SOURCE_K, key_col="source").to_pandas()
+    out = _typed(out, {"source": "object", "doc_id": "int64",
+                       "h": "int64", "rk": "int64"})
+    return out.sort_values(["source", "rk"]).reset_index(drop=True)
+
+
+SQL_SAMPLE_PER_SOURCE = f"""
+SELECT source, doc_id, h, rk FROM (
+  SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (doc_id * 2654435761) % 4294967296,
+                                     doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_PER_SOURCE_K} ORDER BY source, rk
+"""
+
+
 _CHUNK_SIZE, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
 
@@ -3297,6 +3361,8 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "multimodal_audio": q_multimodal_audio,
     "doc_chunks": q_doc_chunks,
+    "embed_topk_filtered": q_embed_topk_filtered,
+    "sample_per_source": q_sample_per_source,
 }
 
 ORACLES = {
@@ -3397,4 +3463,6 @@ ORACLES = {
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "embed_topk_filtered": SQL_EMBED_TOPK_FILTERED,
+    "sample_per_source": SQL_SAMPLE_PER_SOURCE,
 }

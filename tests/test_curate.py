@@ -230,3 +230,28 @@ def test_sample_weighted_priority_semantics():
     assert not (set(a["doc_id"]) & set(ids[:5]))
     evens = (a["doc_id"] % 2 == 0).sum()
     assert evens > 180  # 100x weight -> overwhelmingly even picks
+
+
+def test_sample_per_group_matches_window_spec():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import sample_per_group
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    src = np.array(["s%d" % (i % 7) for i in ids], dtype=object)
+    tbl = pa.table({"doc_id": ids, "source": src})
+    got = (sample_per_group(rd.from_arrow(tbl).repartition(9), 15,
+                            key_col="source")
+           .to_pandas().sort_values(["source", "rk"]).reset_index(drop=True))
+
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+         % (np.uint64(1) << np.uint64(32))).astype(np.int64)
+    df = pd.DataFrame({"source": src, "doc_id": ids, "h": h})
+    df["rk"] = (df.sort_values(["h", "doc_id"]).groupby("source")
+                .cumcount() + 1).reindex(df.index)
+    want = (df[df["rk"] <= 15].sort_values(["source", "rk"])
+            .reset_index(drop=True)[["source", "doc_id", "h", "rk"]])
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "h", "rk"]].astype(want.dtypes.to_dict()),
+        want)
