@@ -357,6 +357,15 @@ def run_bench() -> dict:
     timed("word_cms_100k",
           lambda: cms_word_counts(big_docs, ["w1", "w7", "w42"]))
 
+    # continuation-session operators at the same 100k-doc scale
+    from sagan_ray.datapipe import chunk_documents, heavy_hitters
+
+    timed("heavy_hitters_100k",
+          lambda: heavy_hitters(big_docs, 25, k=2048))
+    timed("chunk_docs_100k",
+          lambda: chunk_documents(big_docs, size=16,
+                                  overlap=4).count())
+
     # ---- multimodal codec probe: 2k mixed media rows (BMP / PNG incl.
     # sub-byte + Adam7 / baseline + progressive JPEG / 8-32-bit WAV /
     # SGV frames) through the image actor pool + the AV probe stage —
