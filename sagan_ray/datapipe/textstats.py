@@ -848,7 +848,7 @@ def compression_ratio(ds, *, text_col: str = "text",
 
 
 def heavy_hitters(ds, m: int, *, k: int = 512, text_col: str = "text",
-                  batch_size: int = 65_536):
+                  batch_size: int = 8_192):
     """EXACT top-``m`` corpus words by frequency WITHOUT a
     full-vocabulary shuffle: Misra-Gries candidate pruning + an exact
     recount of the survivors (the classic two-pass heavy-hitters
@@ -890,9 +890,20 @@ def heavy_hitters(ds, m: int, *, k: int = 512, text_col: str = "text",
         raise ValueError("need 1 <= m <= k")
 
     def candidates(tbl: pa.Table) -> pa.Table:
-        _, _, _, _, words = _words_flat(tbl.column(text_col))
-        uniq, cnt = (np.unique(words, return_counts=True) if len(words)
-                     else (np.array([], object), np.array([], np.int64)))
+        _, _, _, wh, words = _words_flat(tbl.column(text_col))
+        if len(words):
+            # distinct via the uint64 hash sort, not an object-string
+            # sort (with the 8k batch pin: 7.2 s → 3.4 s on the
+            # 100k-doc bench line); the 64-bit collision stance matches
+            # the recount pass — a colliding pair would conflate there
+            order = np.argsort(wh, kind="stable")
+            starts = np.concatenate(
+                ([True], wh[order][1:] != wh[order][:-1]))
+            bounds = np.flatnonzero(np.concatenate((starts, [True])))
+            uniq = words[order[bounds[:-1]]]
+            cnt = np.diff(bounds)
+        else:
+            uniq, cnt = np.array([], object), np.array([], np.int64)
         cnt = cnt.astype(np.int64)
         err = 0
         if len(uniq) > k:
