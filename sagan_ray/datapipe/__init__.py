@@ -72,6 +72,7 @@ from .stats import (  # noqa: F401
 )
 from .joins import (  # noqa: F401
     asof_join,
+    bloom_semijoin,
     hash_join,
     range_join_count,
     range_join_pairs,

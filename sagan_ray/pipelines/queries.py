@@ -1058,6 +1058,76 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_join_bloom(sf_dir: str):
+    """Revenue of URGENT orders by order status, with lineitem pruned
+    map-side by a Bloom bitmap of the filtered orders' keys BEFORE the
+    join exchange (``joins.bloom_semijoin``). A Bloom filter has no
+    false negatives, so the result is exactly the plain join's — the
+    prune only cuts the big side's shuffle bytes (~80 % here, ~the
+    semi-join selectivity at 100 TB)."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..datapipe.joins import bloom_semijoin, hash_join
+
+    def urgent_orders(cols):
+        def keep(t: pa.Table) -> pa.Table:
+            m = pac.equal(t.column("o_orderpriority"), "1-URGENT")
+            return t.filter(m).select(cols)
+        return rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=list(dict.fromkeys(cols + ["o_orderpriority"])),
+        ).map_batches(keep, batch_format="pyarrow")
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+
+    # separate DAGs for the bitmap build and the join input so neither
+    # consumption re-executes the other's prefix (CLAUDE.md lesson)
+    pruned = bloom_semijoin(line, urgent_orders(["o_orderkey"]),
+                            on="o_orderkey")
+    joined = hash_join(urgent_orders(["o_orderkey", "o_orderstatus"]),
+                       pruned, on="o_orderkey",
+                       left_cols=["o_orderstatus"],
+                       right_cols=["l_extendedprice", "l_discount"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        rev = pac.multiply(
+            tbl.column("r_l_extendedprice"),
+            pac.subtract(pa.scalar(1.0), tbl.column("r_l_discount")))
+        t = pa.table({"o_orderstatus": tbl.column("o_orderstatus"),
+                      "rev": rev})
+        g = pa.TableGroupBy(t, "o_orderstatus").aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderstatus", "rev", "n"])
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values("o_orderstatus").reset_index(drop=True)
+            [["o_orderstatus", "revenue", "n"]])
+
+
+SQL_JOIN_BLOOM = """
+SELECT o_orderstatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_events_asof(sf_dir: str):
     """For each purchase, the most recent prior-or-equal click by the
     same user (backward as-of join via the hash exchange; unmatched
@@ -3363,6 +3433,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "embed_topk_filtered": q_embed_topk_filtered,
     "sample_per_source": q_sample_per_source,
+    "join_bloom": q_join_bloom,
 }
 
 ORACLES = {
@@ -3465,4 +3536,5 @@ ORACLES = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "embed_topk_filtered": SQL_EMBED_TOPK_FILTERED,
     "sample_per_source": SQL_SAMPLE_PER_SOURCE,
+    "join_bloom": SQL_JOIN_BLOOM,
 }

@@ -657,6 +657,42 @@ def test_hash_join_duplicates_and_left():
     assert len(row3) == 1 and pd.isna(row3["r_rv"].iloc[0])
 
 
+def test_bloom_semijoin_exact_and_pruning():
+    import numpy as np
+    import ray.data as rd
+
+    from sagan_ray.datapipe import bloom_semijoin, hash_join
+
+    rng = np.random.RandomState(11)
+    big_keys = rng.randint(0, 10_000, 20_000).astype(np.int64)
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(big_keys, pa.int64()),
+        "v": pa.array(np.arange(20_000), pa.int64())})).repartition(4)
+    small_keys = np.arange(0, 10_000, 50, dtype=np.int64)  # 2% of keys
+    small = rd.from_arrow(pa.table({
+        "k": pa.array(small_keys, pa.int64()),
+        "w": pa.array(small_keys * 7, pa.int64())})).repartition(2)
+
+    pruned = bloom_semijoin(big, small, on="k")
+    pt = pruned.to_pandas()
+    # no false negatives: every truly-matching row survives the prune
+    match_mask = np.isin(big_keys, small_keys)
+    assert set(pt["v"]) >= set(np.arange(20_000)[match_mask])
+    # the prune actually removes the bulk of the non-matching rows
+    assert len(pt) < 0.10 * len(big_keys)
+
+    small2 = rd.from_arrow(pa.table({
+        "k": pa.array(small_keys, pa.int64()),
+        "w": pa.array(small_keys * 7, pa.int64())})).repartition(2)
+    joined = hash_join(small2, pruned, on="k", left_cols=["w"],
+                       right_cols=["v"]).to_pandas()
+    want = sorted((int(k), int(k) * 7, int(v))
+                  for k, v in zip(big_keys[match_mask],
+                                  np.arange(20_000)[match_mask]))
+    got = sorted(zip(joined["k"], joined["w"], joined["r_v"]))
+    assert got == want
+
+
 def test_dedup_against_prior_planted():
     import ray.data as rd
 
