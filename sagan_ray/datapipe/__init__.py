@@ -6,6 +6,7 @@ plumbing. All Ray-Data-first: vectorized map_batches + pre-aggregated
 groupbys."""
 
 from .dedup import (  # noqa: F401
+    cdc_chunk_stats,
     connected_components,
     dedup_against_prior,
     dedup_cluster_reps,

@@ -967,3 +967,175 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, vec_col: str = "embedding
     return hash_group_apply(cands, ["a", "b"],
                             lambda g: g.drop_duplicates(subset=["a", "b"]),
                             out_schema=pair_schema)
+
+
+# ----------------------------------------------------------------------
+# Content-defined chunking (CDC): sub-document dedup at byte granularity
+# ----------------------------------------------------------------------
+#
+# Gear-hash CDC (the FastCDC/LBFS family): boundaries move WITH content,
+# so an insertion early in a document only re-chunks the surrounding
+# window instead of shifting every fixed-size block — the property that
+# makes chunk-hash dedup robust where fixed windows are not. Spec
+# (replayed per byte by oracle/golden.py::write_golden_cdc):
+#   GEAR[b]  = SplitMix64(b + 1)                      (256 constants)
+#   h_j      = (h_{j-1} * 2 + GEAR[byte_j]) mod 2^64  (h starts 0/doc)
+#   candidate cut AFTER byte j  iff  h_j & (2^bits - 1) == 0
+#   walk: cut at a candidate only if the chunk reaches min_size; force
+#   a cut whenever a chunk would exceed max_size; the final partial
+#   chunk is kept regardless of min_size.
+#   chunk id = pd.util.hash_array of the chunk's raw bytes.
+
+CDC_PAD = 32     # >= bits-1 zero-gear bytes between docs in the flat pass
+
+
+def _gear_table() -> np.ndarray:
+    from .ann import _splitmix64
+
+    return _splitmix64(np.arange(1, 257, dtype=np.uint64))
+
+
+def _utf8_flat(col: pa.ChunkedArray):
+    """Zero-copy view of a string column as one flat uint8 array plus
+    per-row int64 [start, end) offsets."""
+    arr = col.combine_chunks().cast(pa.large_utf8())
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data, offs
+
+
+def _cdc_cuts(cand_local: np.ndarray, n: int, min_size: int,
+              max_size: int) -> list[int]:
+    """Cut positions (exclusive ends) for one doc of n bytes given its
+    sorted candidate cut positions — the sequential min/max walk of the
+    spec (cheap: it visits CANDIDATES, not bytes)."""
+    cuts: list[int] = []
+    start = 0
+    for c in cand_local:
+        while c - start > max_size:
+            start += max_size
+            cuts.append(start)
+        if c - start >= min_size:
+            start = c
+            cuts.append(start)
+    while n - start > max_size:
+        start += max_size
+        cuts.append(start)
+    if n > start:
+        cuts.append(n)
+    return cuts
+
+
+def cdc_chunk_stats(ds, *, bits: int = 6, min_size: int = 32,
+                    max_size: int = 256, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per-document duplicated-CHUNK stats under content-defined
+    chunking: (doc_id, n_chunks, n_bytes, n_dup_chunks, n_dup_bytes),
+    a chunk counting as duplicated iff its byte hash occurs in >= 2
+    DISTINCT documents (the cross_doc_dup stance, at byte granularity).
+
+    Distributed shape: the batch kernel finds candidate cuts with
+    ``bits`` shifted-add passes over the batch's flat utf-8 buffer
+    (h mod 2^bits needs only the low ``bits`` gear terms; docs are
+    isolated by CDC_PAD zero-gear bytes so the windowed sum never
+    crosses a doc start), walks candidates per doc, and emits one
+    32-byte row per DISTINCT (chunk_hash, doc): text never crosses the
+    wire. One exchange on chunk_hash marks cross-doc survivors while
+    forwarding every row's totals, one exchange on doc sums — the
+    cross_doc_dup two-exchange shape. Totals need no extra text pass:
+    chunks partition the doc, so n_bytes = sum of chunk lengths."""
+    from .exchange import hash_group_apply
+
+    if not (0 < bits <= CDC_PAD):
+        raise ValueError(f"bits must be in (0, {CDC_PAD}]")
+    if not (0 < min_size <= max_size):
+        raise ValueError("need 0 < min_size <= max_size")
+    gear = _gear_table()
+    mask = np.uint64((1 << bits) - 1)
+    occ_schema = pa.schema([("g", pa.uint64()), (id_col, pa.int64()),
+                            ("npos", pa.int64()), ("bsum", pa.int64())])
+
+    def chunks(tbl: pa.Table) -> pa.Table:
+        data, offs = _utf8_flat(tbl.column(text_col))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        nd = len(offs) - 1
+        lens = np.diff(offs)
+        if nd == 0 or lens.sum() == 0:
+            return occ_schema.empty_table()
+        # padded flat gear array: doc d starts at offs[d] + CDC_PAD*(d+1)
+        tot = int(offs[-1]) + CDC_PAD * nd
+        G = np.zeros(tot, np.uint64)
+        ppos = (np.arange(len(data))
+                + np.repeat(CDC_PAD * (np.arange(nd) + 1), lens))
+        G[ppos] = gear[data]
+        hm = np.zeros(tot, np.uint64)
+        with np.errstate(over="ignore"):
+            for s in range(bits):
+                hm[s:] += G[:tot - s] << np.uint64(s)
+        cand = np.nonzero((hm & mask) == 0)[0]
+        # keep only candidates inside docs, map to (doc, local cut pos)
+        starts = offs[:-1] + CDC_PAD * (np.arange(nd) + 1)
+        d_of = np.searchsorted(starts, cand, side="right") - 1
+        ok = d_of >= 0
+        local = cand[ok] - starts[d_of[ok]] + 1        # cut AFTER byte
+        d_of = d_of[ok]
+        ok2 = local <= lens[d_of]                      # not in the pad
+        local, d_of = local[ok2], d_of[ok2]
+        per_doc = np.split(local, np.searchsorted(d_of, np.arange(1, nd)))
+        blobs, bdoc, blen = [], [], []
+        for d in range(nd):
+            n = int(lens[d])
+            if n == 0:
+                continue
+            s0 = int(offs[d])
+            prev = 0
+            for c in _cdc_cuts(per_doc[d], n, min_size, max_size):
+                blobs.append(data[s0 + prev:s0 + c].tobytes())
+                bdoc.append(ids[d])
+                blen.append(c - prev)
+                prev = c
+        gh = pd.util.hash_array(np.array(blobs, dtype=object))
+        df = (pd.DataFrame({"g": gh.astype(np.uint64),
+                            id_col: np.array(bdoc, np.int64),
+                            "npos": 1,
+                            "bsum": np.array(blen, np.int64)})
+              .groupby(["g", id_col], sort=False, as_index=False)
+              .agg(npos=("npos", "sum"), bsum=("bsum", "sum")))
+        return pa.Table.from_pandas(
+            df, schema=occ_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    stat_schema = pa.schema([(id_col, pa.int64()),
+                             ("n_chunks", pa.int64()),
+                             ("n_bytes", pa.int64()),
+                             ("n_dup_chunks", pa.int64()),
+                             ("n_dup_bytes", pa.int64())])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("g", sort=False)[id_col].transform("nunique")
+        dup = (nd >= 2).to_numpy()
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_chunks": df["npos"],
+            "n_bytes": df["bsum"],
+            "n_dup_chunks": np.where(dup, df["npos"], 0),
+            "n_dup_bytes": np.where(dup, df["bsum"], 0)})
+
+    occ = ds.map_batches(chunks, batch_format="pyarrow", batch_size=4096)
+    marked = hash_group_apply(occ, ["g"], mark, out_schema=stat_schema)
+
+    def zeros(tbl: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(tbl), np.int64))
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         "n_chunks": z, "n_bytes": z,
+                         "n_dup_chunks": z, "n_dup_bytes": z})
+
+    z = ds.map_batches(zeros, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False, as_index=False).sum()
+        return g
+
+    return hash_group_apply(marked.union(z), [id_col], combine,
+                            out_schema=stat_schema)

@@ -1473,3 +1473,71 @@ def write_golden_compress(sf_dir: str, *, level: int) -> str:
                     "n_deflate": pa.array(nc, pa.int64()),
                     "ratio": pa.array(ratio, pa.float64())})
     return _write(tbl, "text_compress_ratio")
+
+
+def write_golden_cdc(sf_dir: str, *, bits: int, min_size: int,
+                     max_size: int) -> str:
+    """Expected output of ``dedup.cdc_chunk_stats``: a per-BYTE
+    sequential walk of each document (gear rolling hash h = h*2 +
+    GEAR[b] mod 2^64, candidate cut when h's low ``bits`` are zero,
+    min/max-size chunk walk, final partial kept), then a brute
+    hash→distinct-docs dict marking duplicated chunks. GEAR is the
+    SplitMix64 finalizer of (byte+1), computed here with Python ints;
+    the only shared elementwise primitive is pd.util.hash_array for
+    the chunk-content id (the hash-family stance)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    M64 = (1 << 64) - 1
+
+    def _smix(v: int) -> int:
+        v = (v + 0x9E3779B97F4A7C15) & M64
+        v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & M64
+        return v ^ (v >> 31)
+
+    gear = [_smix(b + 1) for b in range(256)]
+    cmask = (1 << bits) - 1
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    per_doc: dict[int, list[tuple[int, int]]] = {}   # doc -> [(hash, len)]
+    owners: dict[int, set[int]] = {}                 # chunk hash -> docs
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        data = txt.encode("utf-8")
+        chunks: list[bytes] = []
+        h = 0
+        start = 0
+        for j, b in enumerate(data):
+            h = (h * 2 + gear[b]) & M64
+            clen = j + 1 - start
+            if (clen == max_size
+                    or ((h & cmask) == 0 and clen >= min_size)):
+                chunks.append(data[start:j + 1])
+                start = j + 1
+        if len(data) > start:
+            chunks.append(data[start:])
+        hashes = (pd.util.hash_array(np.array(chunks, dtype=object))
+                  .astype(np.uint64) if chunks else np.array([], np.uint64))
+        rows = []
+        for c, g in zip(chunks, hashes):
+            rows.append((int(g), len(c)))
+            owners.setdefault(int(g), set()).add(did)
+        per_doc[did] = rows
+
+    ids = sorted(per_doc)
+    nch, nby, dch, dby = [], [], [], []
+    for did in ids:
+        rows = per_doc[did]
+        nch.append(len(rows))
+        nby.append(sum(ln for _, ln in rows))
+        dup = [(g, ln) for g, ln in rows if len(owners[g]) >= 2]
+        dch.append(len(dup))
+        dby.append(sum(ln for _, ln in dup))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_chunks": pa.array(nch, pa.int64()),
+                    "n_bytes": pa.array(nby, pa.int64()),
+                    "n_dup_chunks": pa.array(dch, pa.int64()),
+                    "n_dup_bytes": pa.array(dby, pa.int64())})
+    return _write(tbl, "dedup_cdc")

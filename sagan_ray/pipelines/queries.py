@@ -2999,6 +2999,30 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_cdc(sf_dir: str):
+    """Content-defined-chunking dup stats (dedup.py::cdc_chunk_stats):
+    gear-hash chunk boundaries that move WITH content, per-doc
+    duplicated-chunk/byte counts against the whole corpus. Golden-parquet
+    oracle (golden.py::write_golden_cdc) replays the rolling hash and
+    the min/max chunk walk per BYTE, sequentially."""
+    from ..datapipe.dedup import cdc_chunk_stats
+    from ..oracle.golden import write_golden_cdc
+
+    write_golden_cdc(sf_dir, bits=6, min_size=32, max_size=256)
+    out = cdc_chunk_stats(_docs(sf_dir), bits=6, min_size=32,
+                          max_size=256).to_pandas()
+    cols = ["doc_id", "n_chunks", "n_bytes", "n_dup_chunks", "n_dup_bytes"]
+    out = out[cols].astype({c: "int64" for c in cols})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CDC = """
+SELECT doc_id, n_chunks, n_bytes, n_dup_chunks, n_dup_bytes
+FROM read_parquet('/tmp/sagan_ray_golden/dedup_cdc.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_events_user_hll(sf_dir: str):
     """Approximate distinct users per event_type — the grouped HLL
     (sketch.py::hll_group_distinct): per-batch (key, 4 KB blob)
@@ -3434,6 +3458,7 @@ QUERIES = {
     "embed_topk_filtered": q_embed_topk_filtered,
     "sample_per_source": q_sample_per_source,
     "join_bloom": q_join_bloom,
+    "dedup_cdc": q_dedup_cdc,
 }
 
 ORACLES = {
@@ -3537,4 +3562,5 @@ ORACLES = {
     "embed_topk_filtered": SQL_EMBED_TOPK_FILTERED,
     "sample_per_source": SQL_SAMPLE_PER_SOURCE,
     "join_bloom": SQL_JOIN_BLOOM,
+    "dedup_cdc": SQL_DEDUP_CDC,
 }

@@ -1596,3 +1596,48 @@ def test_chunk_documents_window_arithmetic():
 
     with pytest.raises(ValueError):
         chunk_documents(rd.from_arrow(tbl), size=4, overlap=4)
+
+
+def test_cdc_chunk_stats_matches_golden(docs, tmp_path):
+    """Distributed CDC chunk-dup stats == the sequential per-byte golden
+    walk on the sf0.001 corpus (block-layout independence comes free:
+    the read is multi-file)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sagan_ray.datapipe import cdc_chunk_stats
+    from sagan_ray.oracle.golden import write_golden_cdc
+
+    path = write_golden_cdc(SF, bits=5, min_size=16, max_size=128)
+    want = pq.read_table(path).to_pandas()
+    got = (cdc_chunk_stats(docs, bits=5, min_size=16, max_size=128)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True)
+           [list(want.columns)].astype("int64"))
+    pd.testing.assert_frame_equal(got, want.astype("int64"))
+    # the corpus has planted near-dups: some doc must be mostly duplicated
+    ratio = got["n_dup_bytes"] / got["n_bytes"].clip(lower=1)
+    assert ratio.max() >= 0.9 and got["n_dup_chunks"].sum() > 0
+
+
+def test_cdc_insertion_shift_robustness():
+    """An insertion near the head of a doc must NOT re-chunk the tail:
+    most duplicated bytes survive (the property fixed-size blocks lack),
+    and edge shapes (empty doc, doc shorter than min_size) stay sane."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import cdc_chunk_stats
+
+    base = ("the quick brown fox jumps over the lazy dog. " * 40)
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": [base, "INSERTED-PREFIX " + base, "", "tiny"],
+    })
+    out = (cdc_chunk_stats(rd.from_pandas(df).repartition(3),
+                           bits=5, min_size=16, max_size=128)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[3, "n_bytes"] == 0 and out.loc[3, "n_chunks"] == 0
+    assert out.loc[4, "n_chunks"] == 1 and out.loc[4, "n_dup_chunks"] == 0
+    # tail realigns: >=60% of the shifted doc's bytes still dedup
+    assert out.loc[2, "n_dup_bytes"] >= 0.6 * out.loc[2, "n_bytes"]
+    assert out.loc[1, "n_dup_bytes"] > 0
