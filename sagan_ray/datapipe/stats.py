@@ -159,3 +159,102 @@ def group_percentiles(ds, *, group_col: str, col: str, qs: list[float]):
     return hash_group_apply(
         ds.map_batches(counts, batch_format="pyarrow", batch_size=65536),
         [group_col], bucket, out_schema=schema)
+
+
+def rank_normalize(ds, *, group_col: str, col: str, id_col: str = "doc_id"):
+    """Per-row rank normalization within groups: ``pct_rank``
+    (SQL percent_rank: rows strictly below / (n-1), ties share) and
+    ``cume_dist`` (rows <= value / n) of ``col`` inside its
+    ``group_col`` partition — the per-source quality-score
+    normalization staple (normalize before a GLOBAL filter so one
+    verbose source can't crowd out the rest).
+
+    Shape: one (group, value) histogram exchange (distinct-cardinality
+    ≪ N — the ``percentiles`` stance), then the tiny rank table
+    broadcasts back via ``ray.put`` for a map-side merge: full rows
+    never shuffle. Determinism: ranks are exact integer cumsums; each
+    published float is ONE int/int IEEE division — bit-equal to the
+    window-function oracle."""
+    import ray
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select([group_col, col]),
+                            [group_col, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, col, "cnt"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, col], sort=False)["cnt"].sum()
+                .reset_index())
+
+    hist_schema = pa.schema([(group_col, pa.string()), (col, pa.int64()),
+                             ("cnt", pa.int64())])
+    hist = hash_group_apply(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536),
+        [group_col], combine, out_schema=hist_schema).to_pandas()
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            (group_col, pa.string()), (col, pa.int64()),
+                            ("pct_rank", pa.float64()),
+                            ("cume_dist", pa.float64())])
+    if len(hist) == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_schema.empty_table())
+    hist = hist.sort_values([group_col, col]).reset_index(drop=True)
+    cum = hist.groupby(group_col, sort=False)["cnt"].cumsum().to_numpy()
+    cnt = hist["cnt"].to_numpy()
+    n = hist.groupby(group_col, sort=False)["cnt"].transform("sum").to_numpy()
+    below = (cum - cnt).astype(np.float64)
+    hist["pct_rank"] = np.where(n > 1, below / np.maximum(n - 1, 1), 0.0)
+    hist["cume_dist"] = cum.astype(np.float64) / n
+    lut_ref = ray.put(hist.drop(columns=["cnt"]))
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        df = tbl.select([id_col, group_col, col]).to_pandas()
+        out = df.merge(lut, on=[group_col, col], how="left", sort=False)
+        return pa.Table.from_pandas(
+            out, schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def histogram(ds, *, col: str, lo: float, hi: float, nbins: int):
+    """Fixed-bin histogram of a float column: bin = floor((v - lo)/w)
+    clamped into [0, nbins) (outliers land in the edge bins — counted,
+    never dropped), w = (hi - lo)/nbins. Returns a small pandas frame
+    (bin, lo_edge, cnt) with every bin present (zeros included).
+
+    Shape: per-batch ``np.bincount`` partials (nbins rows each,
+    batch_size pinned — the partial-emitting-stage rule), one
+    tree-combine map_batches, driver folds O(combined) rows. Nothing
+    but (bin, cnt) rows ever leave a task. Determinism: the bin
+    expression is the SAME IEEE ops as the SQL oracle's
+    (floor((v-lo)/w), clamp), and counts are exact ints."""
+    w = (hi - lo) / nbins
+    part_schema = pa.schema([("bin", pa.int64()), ("cnt", pa.int64())])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        b = np.clip(np.floor((v - lo) / w), 0, nbins - 1).astype(np.int64)
+        c = np.bincount(b, minlength=nbins).astype(np.int64)
+        return pa.table({"bin": np.arange(nbins, dtype=np.int64),
+                         "cnt": c})
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl, "bin").aggregate([("cnt", "sum")])
+        return g.rename_columns(["bin", "cnt"])
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536)
+               .map_batches(fold, batch_format="pyarrow",
+                            batch_size=nbins * 64))
+    df = parts.to_pandas()
+    if len(df) == 0:
+        df = pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64),
+                           "cnt": np.zeros(nbins, np.int64)})
+    out = (df.groupby("bin", sort=True)["cnt"].sum()
+           .reindex(np.arange(nbins), fill_value=0).reset_index())
+    out["lo_edge"] = lo + out["bin"].to_numpy() * w
+    return out[["bin", "lo_edge", "cnt"]].astype(
+        {"bin": "int64", "cnt": "int64", "lo_edge": "float64"})

@@ -1868,6 +1868,58 @@ GROUP BY source, q ORDER BY source, q
 """
 
 
+def q_source_rank_norm(sf_dir: str):
+    """Per-row rank normalization of doc length within source
+    (stats.py::rank_normalize): percent_rank + cume_dist via one small
+    (source, value) histogram exchange broadcast back map-side — the
+    per-source quality-normalization staple. Floats are single int/int
+    divisions, bit-equal to the window-function oracle."""
+    from ..datapipe.stats import rank_normalize
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    out = rank_normalize(ds, group_col="source", col="n_chars").to_pandas()
+    out = out.astype({"doc_id": "int64", "n_chars": "int64",
+                      "pct_rank": "float64", "cume_dist": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SOURCE_RANK_NORM = """
+SELECT doc_id, source, n_chars,
+       percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+           AS pct_rank,
+       cume_dist() OVER (PARTITION BY source ORDER BY n_chars)
+           AS cume_dist
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_events_histogram(sf_dir: str):
+    """Fixed-bin histogram of event values (stats.py::histogram):
+    per-batch bincount partials + a tree fold — only (bin, cnt) rows
+    leave a task; the bin expression is operand-identical IEEE to the
+    SQL's."""
+    import ray.data as rd
+
+    from ..datapipe.stats import histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram(ds, col="value", lo=0.0, hi=500.0, nbins=50)
+
+
+SQL_EVENTS_HISTOGRAM = """
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS BIGINT),
+                        0), 49) AS bin
+  FROM events WHERE value IS NOT NULL),
+bins AS (SELECT range AS bin FROM range(0, 50))
+SELECT bins.bin, 0.0 + bins.bin * 10.0 AS lo_edge,
+       COALESCE(c.cnt, 0)::BIGINT AS cnt
+FROM bins LEFT JOIN (SELECT bin, count(*)::BIGINT AS cnt
+                     FROM b GROUP BY bin) c USING (bin)
+ORDER BY bins.bin
+"""
+
+
 def q_doc_pack(sf_dir: str):
     """GPT-style sequence packing of the documents table (doc_id order,
     capacity 4096 whitespace tokens): token_counts composed with the
@@ -3459,6 +3511,8 @@ QUERIES = {
     "sample_per_source": q_sample_per_source,
     "join_bloom": q_join_bloom,
     "dedup_cdc": q_dedup_cdc,
+    "source_rank_norm": q_source_rank_norm,
+    "events_histogram": q_events_histogram,
 }
 
 ORACLES = {
@@ -3563,4 +3617,6 @@ ORACLES = {
     "sample_per_source": SQL_SAMPLE_PER_SOURCE,
     "join_bloom": SQL_JOIN_BLOOM,
     "dedup_cdc": SQL_DEDUP_CDC,
+    "source_rank_norm": SQL_SOURCE_RANK_NORM,
+    "events_histogram": SQL_EVENTS_HISTOGRAM,
 }

@@ -1641,3 +1641,44 @@ def test_cdc_insertion_shift_robustness():
     # tail realigns: >=60% of the shifted doc's bytes still dedup
     assert out.loc[2, "n_dup_bytes"] >= 0.6 * out.loc[2, "n_bytes"]
     assert out.loc[1, "n_dup_bytes"] > 0
+
+
+def test_rank_normalize_ties_and_singletons():
+    """percent_rank ties share the block-min rank; a 1-row group gets
+    pct_rank 0 (the SQL percent_rank convention); cume_dist includes
+    the ties block."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.stats import rank_normalize
+
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(6), dtype="int64"),
+        "source": ["a", "a", "a", "a", "b", "c"],
+        "n_chars": pd.array([10, 20, 20, 30, 7, 7], dtype="int64")})
+    out = (rank_normalize(rd.from_pandas(df).repartition(3),
+                          group_col="source", col="n_chars")
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out["pct_rank"]) == [0.0, 1 / 3, 1 / 3, 1.0, 0.0, 0.0]
+    assert list(out["cume_dist"]) == [0.25, 0.75, 0.75, 1.0, 1.0, 1.0]
+
+
+def test_histogram_outliers_and_gaps():
+    """Outliers clamp into the edge bins; empty bins are present with
+    zero counts; NaNs are dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.stats import histogram
+
+    df = pd.DataFrame({"value": [-5.0, 0.0, 9.99, 10.0, 35.0, 99.0,
+                                 250.0, float("nan")]})
+    out = histogram(rd.from_pandas(df).repartition(3), col="value",
+                    lo=0.0, hi=100.0, nbins=10)
+    assert list(out["bin"]) == list(range(10))
+    assert out["cnt"].sum() == 7          # NaN dropped
+    assert out.loc[0, "cnt"] == 3          # -5 clamps down, 0.0, 9.99
+    assert out.loc[1, "cnt"] == 1          # 10.0 lands in bin 1
+    assert out.loc[9, "cnt"] == 2          # 99.0 + clamped 250.0
+    assert out.loc[2, "cnt"] == 0          # gap bin present
+    assert list(out["lo_edge"]) == [float(i * 10) for i in range(10)]
