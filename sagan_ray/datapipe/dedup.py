@@ -1139,3 +1139,184 @@ def cdc_chunk_stats(ds, *, bits: int = 6, min_size: int = 32,
 
     return hash_group_apply(marked.union(z), [id_col], combine,
                             out_schema=stat_schema)
+
+
+# ----------------------------------------------------------------------
+# n-gram containment (asymmetric near-dup: quotation / inclusion)
+# ----------------------------------------------------------------------
+
+def ngram_containment_pairs(ds, *, threshold: float = 0.8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            k: int = 3, max_posting: int = 4096):
+    """DIRECTED pairs (a, b, containment) with
+    C(a→b) = |S_a ∩ S_b| / |S_a| ≥ threshold over word-k-shingle sets —
+    the asymmetric complement of ``ngram_jaccard_pairs``: a short doc
+    quoted inside a long one scores C ≈ 1 while its Jaccard is tiny
+    (the quotation/inclusion dedup case Jaccard misses by design).
+
+    Prefix filter (exactness-preserving, one-sided): C(a→b) ≥ t needs
+    |S_a ∩ S_b| ≥ ⌈t·L_a⌉, so the pair must share a shingle within a's
+    first ``L_a - ⌈t·L_a⌉ + 1`` canonical-order shingles; only the
+    CONTAINED side is prefix-pruned — the container side must post its
+    full set. Postings therefore carry a prefix flag: bucket candidates
+    are prefix(a) × full(b), a ≠ b, directed. Verification recomputes
+    the exact intersection over full sets via the same two-exchange
+    join shape as ``verify_pairs_jaccard`` (corpus crosses once as
+    packed uint64 shingles; pair traffic is candidate-sized); the
+    published float is ONE int/int division — bit-equal to the SQL
+    oracle. Same stop-shingle skew guard as the Jaccard op."""
+    import logging
+
+    from .exchange import hash_group_apply
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
+        texts = tbl.column(text_col).to_pylist()
+        shs, prefs = [], []
+        for sh in _shingle_hashes_batch(texts, k):
+            u = np.unique(sh)                    # sorted = canonical order
+            # int() truncation never exceeds the exact ⌈t·L⌉ (see
+            # ngram_jaccard_pairs) — the prefix only ever gets longer
+            p = max(1, len(u) - int(threshold * len(u)) + 1)
+            shs.append(u)
+            flag = np.zeros(len(u), bool)
+            flag[:p] = True
+            prefs.append(flag)
+        counts = np.array([len(s) for s in shs], dtype=np.int64)
+        return pa.table({
+            "did": pa.array(np.repeat(ids, counts), pa.int64()),
+            "sh": pa.array(np.concatenate(shs) if shs else
+                           np.empty(0, np.uint64), pa.uint64()),
+            "pref": pa.array(np.concatenate(prefs) if prefs else
+                             np.empty(0, bool), pa.bool_())})
+
+    def postings_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sh", "did"], kind="mergesort")
+        sh = df["sh"].to_numpy()
+        ids = df["did"].to_numpy()
+        pref = df["pref"].to_numpy()
+        out_a, out_b = [], []
+        dropped = 0
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or sh[i] != sh[start]:
+                size = i - start
+                if size > max_posting:
+                    dropped += 1
+                elif size > 1:
+                    grp = ids[start:i]
+                    probe = sorted(set(grp[pref[start:i]].tolist()))
+                    full = sorted(set(grp.tolist()))
+                    for x in probe:
+                        for y in full:
+                            if x != y:
+                                out_a.append(x)
+                                out_b.append(y)
+                start = i
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "ngram_containment_pairs: dropped %d stop-shingle posting "
+                "lists (> %d docs) from candidate generation", dropped,
+                max_posting)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")}
+                            ).drop_duplicates()
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    posts = hash_group_apply(ds.map_batches(explode, batch_format="pyarrow"),
+                             ["sh"], postings_bucket, out_schema=pair_schema)
+    cands = hash_group_apply(posts, ["a", "b"],
+                             lambda g: g.drop_duplicates(),
+                             out_schema=pair_schema)
+    return _verify_pairs_containment(ds, cands, threshold=threshold,
+                                     text_col=text_col, id_col=id_col, k=k)
+
+
+_PAIR_C_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("containment", pa.float64())])
+
+
+def _verify_pairs_containment(ds, cands, *, threshold: float,
+                              text_col: str, id_col: str, k: int):
+    """Exact containment verify over DIRECTED candidate pairs — the
+    two-exchange join of ``verify_pairs_jaccard`` with the asymmetric
+    score |S_a ∩ S_b| / |S_a| (a is the contained side)."""
+    from .exchange import hash_group_apply
+
+    def corpus_rows(tbl: pa.Table) -> pa.Table:
+        ids = [int(i) for i in tbl.column(id_col).to_pylist()]
+        texts = tbl.column(text_col).to_pylist()
+        if ids and min(ids) < 0:
+            raise ValueError(
+                "ngram_containment_pairs requires non-negative doc ids "
+                "(-1 is the corpus-row sentinel)")
+        packed = [np.unique(sh).tobytes()
+                  for sh in _shingle_hashes_batch(texts, k)]
+        n = len(ids)
+        return pa.table({
+            "did": pa.array(ids, pa.int64()),
+            "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "sh": pa.array(packed, pa.binary()),
+        }, schema=_VERIFY_SCHEMA)
+
+    def request_rows(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").combine_chunks().cast(pa.int64())
+        b = tbl.column("b").combine_chunks().cast(pa.int64())
+        n = len(tbl)
+        did = pa.chunked_array([a, b]).combine_chunks()
+        aa = pa.chunked_array([a, a]).combine_chunks()
+        bb = pa.chunked_array([b, b]).combine_chunks()
+        return pa.table({"did": did, "a": aa, "b": bb,
+                         "sh": pa.array([b""] * (2 * n), pa.binary())},
+                        schema=_VERIFY_SCHEMA)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_corpus = df["a"].to_numpy() < 0
+        lut = dict(zip(df.loc[is_corpus, "did"], df.loc[is_corpus, "sh"]))
+        req = df.loc[~is_corpus]
+        sh = req["did"].map(lut)
+        out = pd.DataFrame({
+            "did": req["did"].astype("int64"),
+            "a": req["a"].astype("int64"),
+            "b": req["b"].astype("int64"),
+            "sh": sh,
+        })
+        return out[out["sh"].notna()]
+
+    def pair_containment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a", "b", "did"], kind="mergesort")
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        did = df["did"].to_numpy()
+        sh = df["sh"].to_numpy()
+        oa, ob, oc = [], [], []
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or a[i] != a[start] or b[i] != b[start]:
+                sa = sb = None
+                for j in range(start, i):
+                    if did[j] == a[start]:
+                        sa = np.frombuffer(sh[j], dtype=np.uint64)
+                    if did[j] == b[start]:
+                        sb = np.frombuffer(sh[j], dtype=np.uint64)
+                if sa is not None and sb is not None and sa.size:
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    c = inter / sa.size
+                    if c >= threshold:
+                        oa.append(int(a[start]))
+                        ob.append(int(b[start]))
+                        oc.append(float(c))
+                start = i
+        return pd.DataFrame({"a": pd.Series(oa, dtype="int64"),
+                             "b": pd.Series(ob, dtype="int64"),
+                             "containment": pd.Series(oc, dtype="float64")})
+
+    sides = ds.map_batches(corpus_rows, batch_format="pyarrow").union(
+        cands.map_batches(request_rows, batch_format="pyarrow"))
+    joined = hash_group_apply(sides, ["did"], attach,
+                              out_schema=pa.schema(
+                                  [("did", pa.int64()), ("a", pa.int64()),
+                                   ("b", pa.int64()), ("sh", pa.binary())]))
+    return hash_group_apply(joined, ["a", "b"], pair_containment,
+                            out_schema=_PAIR_C_SCHEMA)

@@ -1619,6 +1619,47 @@ def q_dedup_ngram(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_dedup_containment(sf_dir: str):
+    """Directed containment near-dup pairs C(a→b) ≥ 0.8
+    (dedup.py::ngram_containment_pairs — one-sided prefix filter +
+    exact two-exchange verify); catches quotation/inclusion that
+    Jaccard misses. The float is one int/int division."""
+    from ..datapipe.dedup import ngram_containment_pairs
+
+    out = _typed(
+        ngram_containment_pairs(_docs(sf_dir), threshold=0.8).to_pandas(),
+        {"a": "int64", "b": "int64", "containment": "float64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_DEDUP_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.i::DOUBLE / sa.sz AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+WHERE i.i::DOUBLE / sa.sz >= 0.8
+ORDER BY a, b
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Transitive near-dup cluster representatives: every doc mapped to
     the smallest doc id in its connected component of verified J≥0.9
@@ -3513,6 +3554,7 @@ QUERIES = {
     "dedup_cdc": q_dedup_cdc,
     "source_rank_norm": q_source_rank_norm,
     "events_histogram": q_events_histogram,
+    "dedup_containment": q_dedup_containment,
 }
 
 ORACLES = {
@@ -3619,4 +3661,5 @@ ORACLES = {
     "dedup_cdc": SQL_DEDUP_CDC,
     "source_rank_norm": SQL_SOURCE_RANK_NORM,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
 }

@@ -1682,3 +1682,32 @@ def test_histogram_outliers_and_gaps():
     assert out.loc[9, "cnt"] == 2          # 99.0 + clamped 250.0
     assert out.loc[2, "cnt"] == 0          # gap bin present
     assert list(out["lo_edge"]) == [float(i * 10) for i in range(10)]
+
+
+def test_containment_catches_quotation_jaccard_misses():
+    """A short doc quoted verbatim inside a much longer one: directed
+    containment ≈ 1 while Jaccard is far below any dedup threshold —
+    the asymmetric case the operator exists for."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup import (_jaccard, ngram_containment_pairs)
+
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"word{i} token{i * 7 % 93} thing{i * 3}"
+                      for i in range(60))
+    host = filler + " " + quote + " " + " ".join(
+        f"tail{i} extra{i * 11 % 71}" for i in range(60))
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2], dtype="int64"),
+        "text": [quote, host, "completely unrelated third text entirely"]})
+    out = (ngram_containment_pairs(rd.from_pandas(df).repartition(2),
+                                   threshold=0.9)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert _jaccard(quote, host) < 0.2          # jaccard would miss it
+    pairs = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert (0, 1) in pairs                       # directed: 0 inside 1
+    assert (1, 0) not in pairs                   # host not inside quote
+    assert out.loc[(out.a == 0) & (out.b == 1),
+                   "containment"].iloc[0] == 1.0
+    assert not {(0, 2), (2, 0), (1, 2), (2, 1)} & pairs
