@@ -366,6 +366,11 @@ def run_bench() -> dict:
           lambda: chunk_documents(big_docs, size=16,
                                   overlap=4).count())
 
+    from sagan_ray.datapipe.dedup import cdc_chunk_stats
+
+    timed("dedup_cdc_100k",
+          lambda: cdc_chunk_stats(big_docs).count())
+
     # ---- multimodal codec probe: 2k mixed media rows (BMP / PNG incl.
     # sub-byte + Adam7 / baseline + progressive JPEG / 8-32-bit WAV /
     # SGV frames) through the image actor pool + the AV probe stage —
