@@ -970,3 +970,54 @@ def heavy_hitters(ds, m: int, *, k: int = 512, text_col: str = "text",
             f"m-th candidate count {int(n_sel[-1]) if len(sel) else 0} "
             f"<= error bound {e_total}; retry with larger k")
     return pd.DataFrame({"word": cand[sel], "n": n_sel})
+
+
+def _entropy_from_counts(cnt: np.ndarray) -> np.ndarray:
+    """Shannon entropy (bits/byte) per row of an (n, 256) byte-count
+    matrix, as H = log2(n) - Σ c·log2(c) / n, rounded to 1e-12. THE
+    shared float kernel: the distributed stage and the sequential
+    golden both call this on independently-derived counts (the
+    quality-model ADVICE stance — identical kernel, independent
+    inputs), so SIMD-vs-scalar libm drift can't split the gate. The
+    reduction is numpy's axis-1 pairwise sum over a fixed length-256
+    row — batch-shape independent."""
+    c = cnt.astype(np.float64)
+    n = c.sum(axis=1)
+    clog = np.where(cnt > 0, c * np.log2(np.maximum(c, 1.0)), 0.0)
+    nn = np.maximum(n, 1.0)
+    h = np.where(n > 0, np.log2(nn) - clog.sum(axis=1) / nn, 0.0)
+    return np.round(h, 12)
+
+
+def byte_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document UTF-8 byte-distribution quality signals:
+    (id, n_bytes, distinct_bytes, entropy). Low entropy flags
+    repetitive boilerplate / padded junk; near-8-bits flags binary or
+    compressed noise — the cheap complement to the zlib
+    compression-ratio signal (no deflate pass).
+
+    Map-only (no exchange): one ``np.bincount`` over
+    ``doc_of·256 + byte`` of the batch's flat utf-8 buffer gives the
+    (rows, 256) count matrix; ``batch_size`` pinned so that matrix
+    stays ~8 MB. Ints are exact; the one float column comes from the
+    shared ``_entropy_from_counts`` kernel."""
+    from .dedup import _utf8_flat
+
+    def f(tbl: pa.Table) -> pa.Table:
+        data, offs = _utf8_flat(tbl.column(text_col))
+        nd = len(offs) - 1
+        lens = np.diff(offs).astype(np.int64)
+        if len(data):
+            doc_of = np.repeat(np.arange(nd), lens)
+            cnt = np.bincount(doc_of * 256 + data.astype(np.int64),
+                              minlength=nd * 256).reshape(nd, 256)
+        else:
+            cnt = np.zeros((nd, 256), np.int64)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "n_bytes": pa.array(lens),
+            "distinct_bytes": pa.array((cnt > 0).sum(axis=1)
+                                       .astype(np.int64)),
+            "entropy": pa.array(_entropy_from_counts(cnt), pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)

@@ -1541,3 +1541,39 @@ def write_golden_cdc(sf_dir: str, *, bits: int, min_size: int,
                     "n_dup_chunks": pa.array(dch, pa.int64()),
                     "n_dup_bytes": pa.array(dby, pa.int64())})
     return _write(tbl, "dedup_cdc")
+
+
+def write_golden_entropy(sf_dir: str) -> str:
+    """Expected output of ``textstats.byte_entropy``: byte counts from
+    a sequential per-doc Python loop (collections.Counter over the
+    utf-8 bytes), then the SAME ``_entropy_from_counts`` float kernel
+    over the independently-derived count matrix — identical kernel,
+    independent inputs (the quality-model stance)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..datapipe.textstats import _entropy_from_counts
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids, nby, dby = [], [], []
+    rows = []
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        b = txt.encode("utf-8")
+        c = Counter(b)
+        row = np.zeros(256, np.int64)
+        for byte, k in c.items():
+            row[byte] = k
+        ids.append(did)
+        nby.append(len(b))
+        dby.append(len(c))
+        rows.append(row)
+    cnt = (np.stack(rows) if rows else np.zeros((0, 256), np.int64))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_bytes": pa.array(nby, pa.int64()),
+                    "distinct_bytes": pa.array(dby, pa.int64()),
+                    "entropy": pa.array(_entropy_from_counts(cnt),
+                                        pa.float64())})
+    return _write(tbl, "text_entropy")

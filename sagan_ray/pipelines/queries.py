@@ -3092,6 +3092,30 @@ ORDER BY doc_id
 """
 
 
+def q_text_entropy(sf_dir: str):
+    """Per-doc byte-distribution quality signals
+    (textstats.py::byte_entropy — map-only bincount over the flat
+    utf-8 buffer); golden-parquet oracle derives counts sequentially
+    and shares only the float entropy kernel."""
+    from ..datapipe.textstats import byte_entropy
+    from ..oracle.golden import write_golden_entropy
+
+    write_golden_entropy(sf_dir)
+    out = byte_entropy(_docs(sf_dir)).to_pandas()
+    cols = ["doc_id", "n_bytes", "distinct_bytes", "entropy"]
+    out = out[cols].astype({"doc_id": "int64", "n_bytes": "int64",
+                            "distinct_bytes": "int64",
+                            "entropy": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_ENTROPY = """
+SELECT doc_id, n_bytes, distinct_bytes, entropy
+FROM read_parquet('/tmp/sagan_ray_golden/text_entropy.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_dedup_cdc(sf_dir: str):
     """Content-defined-chunking dup stats (dedup.py::cdc_chunk_stats):
     gear-hash chunk boundaries that move WITH content, per-doc
@@ -3555,6 +3579,7 @@ QUERIES = {
     "source_rank_norm": q_source_rank_norm,
     "events_histogram": q_events_histogram,
     "dedup_containment": q_dedup_containment,
+    "text_entropy": q_text_entropy,
 }
 
 ORACLES = {
@@ -3662,4 +3687,5 @@ ORACLES = {
     "source_rank_norm": SQL_SOURCE_RANK_NORM,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "text_entropy": SQL_TEXT_ENTROPY,
 }

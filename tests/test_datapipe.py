@@ -1711,3 +1711,23 @@ def test_containment_catches_quotation_jaccard_misses():
     assert out.loc[(out.a == 0) & (out.b == 1),
                    "containment"].iloc[0] == 1.0
     assert not {(0, 2), (2, 0), (1, 2), (2, 1)} & pairs
+
+
+def test_byte_entropy_edges():
+    """Known-entropy edges: empty (0), uniform single byte (0), two
+    equiprobable bytes (1 bit), and a non-ASCII doc counted in UTF-8
+    BYTES (n_bytes > n_chars)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.textstats import byte_entropy
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+        "text": ["", "aaaaaaaa", "abababab", "héllo"]})
+    out = (byte_entropy(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "entropy"] == 0.0 and out.loc[0, "n_bytes"] == 0
+    assert out.loc[1, "entropy"] == 0.0 and out.loc[1, "distinct_bytes"] == 1
+    assert out.loc[2, "entropy"] == 1.0
+    assert out.loc[3, "n_bytes"] == 6 and out.loc[3, "distinct_bytes"] == 5
