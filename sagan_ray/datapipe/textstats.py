@@ -1021,3 +1021,66 @@ def byte_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
             "entropy": pa.array(_entropy_from_counts(cnt), pa.float64())})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+def source_overlap(ds, *, k: int = 5, text_col: str = "text",
+                   source_col: str = "source"):
+    """Source-pair content-overlap matrix: for every unordered source
+    pair (sa ≤ sb), the number of DISTINCT word-k-grams that appear in
+    BOTH sources (the diagonal (s, s) is the source's own distinct-gram
+    count — the normalizer for an overlap coefficient). The
+    which-source-copies-from-which analytics behind corpus-mixing and
+    contamination audits.
+
+    Distributed shape: per-batch gram hashing (the ``cross_doc_dup``
+    split + Horner pass) emits DISTINCT (gram, source) rows — doc ids
+    drop out map-side, so the exchange carries ≤ |sources| rows per
+    gram; per gram-bucket a self-merge yields pairs (bounded by
+    |sources|² per gram, NOT docs²), a second tiny exchange sums.
+    Output is ≤ |sources|·(|sources|+1)/2 rows."""
+    from .exchange import hash_group_apply
+
+    occ_schema = pa.schema([("g", pa.uint64()), (source_col, pa.string())])
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, offs = _split_flat(tbl, text_col)
+        valid = np.ones(len(wh), dtype=bool)
+        for j in range(1, k):
+            valid[np.maximum(offs[1:] - j, 0)] = False
+        i0 = np.nonzero(valid)[0]
+        if not len(i0):
+            return occ_schema.empty_table()
+        with np.errstate(over="ignore"):
+            h = wh[i0].copy()
+            for j in range(1, k):
+                h = h * _REP_HORNER + wh[i0 + j]
+        src = np.asarray(tbl.column(source_col).to_pylist(), dtype=object)
+        df = pd.DataFrame({"g": h,
+                           source_col: src[doc_of[i0]]}).drop_duplicates()
+        return pa.Table.from_pandas(
+            df, schema=occ_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    pair_schema = pa.schema([("sa", pa.string()), ("sb", pa.string()),
+                             ("n_shared", pa.int64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()            # across-batch (g, source) dups
+        m = df.merge(df, on="g", sort=False)
+        sx, sy = source_col + "_x", source_col + "_y"
+        m = m[m[sx] <= m[sy]]
+        out = (m.groupby([sx, sy], sort=False).size()
+               .reset_index(name="n_shared"))
+        out.columns = ["sa", "sb", "n_shared"]
+        return out
+
+    parts = hash_group_apply(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        ["g"], bucket, out_schema=pair_schema)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["sa", "sb"], sort=False)["n_shared"].sum()
+                .reset_index())
+
+    return hash_group_apply(parts, ["sa", "sb"], fold,
+                            out_schema=pair_schema)

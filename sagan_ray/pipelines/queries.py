@@ -3092,6 +3092,30 @@ ORDER BY doc_id
 """
 
 
+def q_source_overlap(sf_dir: str):
+    """Source-pair distinct-shared-k-gram matrix
+    (textstats.py::source_overlap — doc ids drop out map-side, the
+    exchange carries ≤|sources| rows per gram). Diagonal = each
+    source's own distinct-gram count."""
+    from ..datapipe.textstats import source_overlap
+
+    ds = _docs(sf_dir, columns=["text", "source"])
+    out = _typed(source_overlap(ds, k=5).to_pandas(),
+                 {"sa": "object", "sb": "object", "n_shared": "int64"})
+    return out.sort_values(["sa", "sb"]).reset_index(drop=True)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH t AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT source, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM (SELECT source, ws, unnest(range(1, len(ws) - 3)) AS i FROM t)),
+sg AS (SELECT DISTINCT source, gram FROM g)
+SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_shared
+FROM sg a JOIN sg b ON a.gram = b.gram AND a.source <= b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_text_entropy(sf_dir: str):
     """Per-doc byte-distribution quality signals
     (textstats.py::byte_entropy — map-only bincount over the flat
@@ -3580,6 +3604,7 @@ QUERIES = {
     "events_histogram": q_events_histogram,
     "dedup_containment": q_dedup_containment,
     "text_entropy": q_text_entropy,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -3688,4 +3713,5 @@ ORACLES = {
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "text_entropy": SQL_TEXT_ENTROPY,
+    "source_overlap": SQL_SOURCE_OVERLAP,
 }

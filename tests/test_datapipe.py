@@ -1731,3 +1731,36 @@ def test_byte_entropy_edges():
     assert out.loc[1, "entropy"] == 0.0 and out.loc[1, "distinct_bytes"] == 1
     assert out.loc[2, "entropy"] == 1.0
     assert out.loc[3, "n_bytes"] == 6 and out.loc[3, "distinct_bytes"] == 5
+
+
+def test_source_overlap_planted():
+    """Two sources sharing one exact doc share all its grams; a third
+    disjoint source overlaps nobody; diagonals count each source's own
+    distinct grams."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.textstats import source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": [shared, "one two three four five six seven",
+                 shared + " iota kappa", "aa bb cc dd ee ff gg hh"]})
+    out = (source_overlap(rd.from_pandas(df).repartition(2), k=5)
+           .to_pandas().sort_values(["sa", "sb"]).reset_index(drop=True))
+    want = duckdb.sql("""
+WITH t AS (SELECT source, string_split(text, ' ') AS ws FROM df),
+g AS (SELECT source, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM (SELECT source, ws, unnest(range(1, len(ws) - 3)) AS i FROM t)),
+sg AS (SELECT DISTINCT source, gram FROM g)
+SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_shared
+FROM sg a JOIN sg b ON a.gram = b.gram AND a.source <= b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+""").df()
+    pd.testing.assert_frame_equal(
+        out.astype({"n_shared": "int64"}), want.astype({"n_shared": "int64"}))
+    m = out.set_index(["sa", "sb"])["n_shared"]
+    assert m[("s1", "s2")] == 4        # the 8-word shared doc: 4 grams
+    assert ("s1", "s3") not in m.index and ("s2", "s3") not in m.index
