@@ -8,6 +8,7 @@ groupbys."""
 from .dedup import (  # noqa: F401
     cdc_chunk_stats,
     connected_components,
+    ngram_containment_pairs,
     dedup_against_prior,
     dedup_cluster_reps,
     embedding_near_dup,
@@ -67,8 +68,11 @@ from .sketch import (  # noqa: F401
 )
 from .pack import chunk_documents, pack_sequences  # noqa: F401
 from .stats import (  # noqa: F401
+    group_outlier_flags,
     group_percentiles,
+    histogram,
     percentiles,
+    rank_normalize,
     rolling_window_count,
 )
 from .joins import (  # noqa: F401
@@ -79,6 +83,7 @@ from .joins import (  # noqa: F401
     range_join_pairs,
 )
 from .textstats import (  # noqa: F401
+    byte_entropy,
     collocations,
     corpus_stats,
     cross_doc_dup,
@@ -89,6 +94,7 @@ from .textstats import (  # noqa: F401
     quality,
     remove_dup_spans,
     repetition,
+    source_overlap,
     token_counts,
     unigram_nll,
 )

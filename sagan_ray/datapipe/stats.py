@@ -258,3 +258,67 @@ def histogram(ds, *, col: str, lo: float, hi: float, nbins: int):
     out["lo_edge"] = lo + out["bin"].to_numpy() * w
     return out[["bin", "lo_edge", "cnt"]].astype(
         {"bin": "int64", "cnt": "int64", "lo_edge": "float64"})
+
+
+def group_outlier_flags(ds, *, group_col: str, col: str, id_col: str,
+                        k: float = 1.5):
+    """Per-row Tukey-fence outlier flags within groups: is_outlier iff
+    value < q1 - k·IQR or > q3 + k·IQR, with q1/q3 the NEAREST-RANK
+    group quantiles (the ``percentiles`` spec) — the per-signal anomaly
+    screen a curation pipeline runs before trusting a metric column.
+
+    Shape: one (group, value) histogram exchange (distinct-cardinality
+    ≪ N), driver keeps only the per-group fence table which broadcasts
+    back via ``ray.put`` for a map-side flag pass — full rows never
+    shuffle. Determinism: ranks are exact ints; every float the flag
+    compares is built with the SAME IEEE expression the SQL oracle
+    spells out (q1 - k·(q3 - q1) on identical doubles)."""
+    import ray
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select([group_col, col]),
+                            [group_col, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, col, "cnt"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, col], sort=False)["cnt"].sum()
+                .reset_index())
+
+    hist_schema = pa.schema([(group_col, pa.string()),
+                             (col, pa.float64()), ("cnt", pa.int64())])
+    hist = hash_group_apply(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536),
+        [group_col], combine, out_schema=hist_schema).to_pandas()
+    out_schema = pa.schema([(id_col, pa.int64()), (group_col, pa.string()),
+                            (col, pa.float64()),
+                            ("is_outlier", pa.bool_())])
+    if len(hist) == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_schema.empty_table())
+    lo_d, hi_d = {}, {}
+    for gval, sub in hist.groupby(group_col, sort=False):
+        sub = sub.sort_values(col)
+        n = int(sub["cnt"].sum())
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub[col].to_numpy()
+        q1 = vals[np.searchsorted(cum, max(1, math.ceil(0.25 * n)),
+                                  side="left")]
+        q3 = vals[np.searchsorted(cum, max(1, math.ceil(0.75 * n)),
+                                  side="left")]
+        lo_d[gval] = q1 - k * (q3 - q1)
+        hi_d[gval] = q3 + k * (q3 - q1)
+    b_ref = ray.put((lo_d, hi_d))
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(b_ref)
+        gv = pd.Series(tbl.column(group_col).to_pylist())
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        lo = gv.map(lo_m).to_numpy(dtype=np.float64)
+        hi = gv.map(hi_m).to_numpy(dtype=np.float64)
+        return pa.table({
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            group_col: tbl.column(group_col),
+            col: tbl.column(col).cast(pa.float64()),
+            "is_outlier": pa.array((v < lo) | (v > hi))})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

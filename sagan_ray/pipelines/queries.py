@@ -3092,6 +3092,42 @@ ORDER BY doc_id
 """
 
 
+def q_events_outliers(sf_dir: str):
+    """Per-row Tukey-fence outlier flags of event value within
+    event_type (stats.py::group_outlier_flags — small histogram
+    exchange + broadcast fence table; rows never shuffle). Fence
+    floats use the exact IEEE expression the SQL spells out."""
+    import ray.data as rd
+
+    from ..datapipe.stats import group_outlier_flags
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = group_outlier_flags(ds, group_col="event_type", col="value",
+                              id_col="event_id").to_pandas()
+    out = out.astype({"event_id": "int64", "value": "float64",
+                      "is_outlier": "bool"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_OUTLIERS = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+q AS (
+  SELECT event_type,
+         min(value) FILTER (rn >= ceil(0.25 * n)) AS q1,
+         min(value) FILTER (rn >= ceil(0.75 * n)) AS q3
+  FROM ranked GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value < (q.q1 - 1.5 * (q.q3 - q.q1))
+        OR e.value > (q.q3 + 1.5 * (q.q3 - q.q1))) AS is_outlier
+FROM events e JOIN q USING (event_type) ORDER BY event_id
+"""
+
+
 def q_source_overlap(sf_dir: str):
     """Source-pair distinct-shared-k-gram matrix
     (textstats.py::source_overlap — doc ids drop out map-side, the
@@ -3605,6 +3641,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "text_entropy": q_text_entropy,
     "source_overlap": q_source_overlap,
+    "events_outliers": q_events_outliers,
 }
 
 ORACLES = {
@@ -3714,4 +3751,5 @@ ORACLES = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "text_entropy": SQL_TEXT_ENTROPY,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "events_outliers": SQL_EVENTS_OUTLIERS,
 }

@@ -1764,3 +1764,26 @@ GROUP BY 1, 2 ORDER BY 1, 2
     m = out.set_index(["sa", "sb"])["n_shared"]
     assert m[("s1", "s2")] == 4        # the 8-word shared doc: 4 grams
     assert ("s1", "s3") not in m.index and ("s2", "s3") not in m.index
+
+
+def test_group_outlier_flags_planted():
+    """A far-out value flags; in-fence values don't; groups get
+    independent fences."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import group_outlier_flags
+
+    vals_a = [float(x) for x in range(1, 21)] + [1000.0]
+    vals_b = [500.0, 510.0, 505.0, 507.0]       # 1000 would be normal here
+    df = pd.DataFrame({
+        "event_id": pd.array(range(25), dtype="int64"),
+        "event_type": ["a"] * 21 + ["b"] * 4,
+        "value": vals_a + vals_b})
+    out = (group_outlier_flags(rd.from_pandas(df).repartition(3),
+                               group_col="event_type", col="value",
+                               id_col="event_id")
+           .to_pandas().set_index("event_id").sort_index())
+    assert bool(out.loc[20, "is_outlier"])          # 1000 in group a
+    assert not out.loc[:19, "is_outlier"].any()     # the 1..20 ramp is clean
+    assert not out.loc[21:, "is_outlier"].any()     # group b unaffected
