@@ -6,7 +6,9 @@ plumbing. All Ray-Data-first: vectorized map_batches + pre-aggregated
 groupbys."""
 
 from .dedup import (  # noqa: F401
+    cdc_chunk_hashes,
     cdc_chunk_stats,
+    cdc_coverage_vs_prior,
     connected_components,
     ngram_containment_pairs,
     dedup_against_prior,

@@ -1027,26 +1027,16 @@ def _cdc_cuts(cand_local: np.ndarray, n: int, min_size: int,
     return cuts
 
 
-def cdc_chunk_stats(ds, *, bits: int = 6, min_size: int = 32,
-                    max_size: int = 256, text_col: str = "text",
-                    id_col: str = "doc_id"):
-    """Per-document duplicated-CHUNK stats under content-defined
-    chunking: (doc_id, n_chunks, n_bytes, n_dup_chunks, n_dup_bytes),
-    a chunk counting as duplicated iff its byte hash occurs in >= 2
-    DISTINCT documents (the cross_doc_dup stance, at byte granularity).
-
-    Distributed shape: the batch kernel finds candidate cuts with
-    ``bits`` shifted-add passes over the batch's flat utf-8 buffer
-    (h mod 2^bits needs only the low ``bits`` gear terms; docs are
-    isolated by CDC_PAD zero-gear bytes so the windowed sum never
-    crosses a doc start), walks candidates per doc, and emits one
-    32-byte row per DISTINCT (chunk_hash, doc): text never crosses the
-    wire. One exchange on chunk_hash marks cross-doc survivors while
-    forwarding every row's totals, one exchange on doc sums — the
-    cross_doc_dup two-exchange shape. Totals need no extra text pass:
-    chunks partition the doc, so n_bytes = sum of chunk lengths."""
-    from .exchange import hash_group_apply
-
+def _cdc_occurrences(bits: int, min_size: int, max_size: int,
+                     text_col: str, id_col: str):
+    """Factory for the shared CDC batch kernel: returns (occ_schema,
+    chunks) where ``chunks`` maps a batch to one row per DISTINCT
+    (chunk_hash, doc) with in-doc position count + byte sum. Candidate
+    cuts come from ``bits`` shifted-add passes over the batch's flat
+    utf-8 buffer (h mod 2^bits needs only the low ``bits`` gear terms;
+    docs are isolated by CDC_PAD zero-gear bytes so the windowed sum
+    never crosses a doc start); the per-doc min/max walk visits
+    CANDIDATES, not bytes. Text never leaves the task."""
     if not (0 < bits <= CDC_PAD):
         raise ValueError(f"bits must be in (0, {CDC_PAD}]")
     if not (0 < min_size <= max_size):
@@ -1106,6 +1096,27 @@ def cdc_chunk_stats(ds, *, bits: int = 6, min_size: int = 32,
             df, schema=occ_schema,
             preserve_index=False).replace_schema_metadata(None)
 
+    return occ_schema, chunks
+
+
+def cdc_chunk_stats(ds, *, bits: int = 6, min_size: int = 32,
+                    max_size: int = 256, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per-document duplicated-CHUNK stats under content-defined
+    chunking: (doc_id, n_chunks, n_bytes, n_dup_chunks, n_dup_bytes),
+    a chunk counting as duplicated iff its byte hash occurs in >= 2
+    DISTINCT documents (the cross_doc_dup stance, at byte granularity).
+
+    Distributed shape: the shared ``_cdc_occurrences`` kernel emits one
+    32-byte row per DISTINCT (chunk_hash, doc); one exchange on
+    chunk_hash marks cross-doc survivors while forwarding every row's
+    totals, one exchange on doc sums — the cross_doc_dup two-exchange
+    shape. Totals need no extra text pass: chunks partition the doc,
+    so n_bytes = sum of chunk lengths."""
+    from .exchange import hash_group_apply
+
+    occ_schema, chunks = _cdc_occurrences(bits, min_size, max_size,
+                                          text_col, id_col)
     stat_schema = pa.schema([(id_col, pa.int64()),
                              ("n_chunks", pa.int64()),
                              ("n_bytes", pa.int64()),
@@ -1320,3 +1331,95 @@ def _verify_pairs_containment(ds, cands, *, threshold: float,
                                    ("b", pa.int64()), ("sh", pa.binary())]))
     return hash_group_apply(joined, ["a", "b"], pair_containment,
                             out_schema=_PAIR_C_SCHEMA)
+
+
+def cdc_chunk_hashes(ds, *, bits: int = 6, min_size: int = 32,
+                     max_size: int = 256, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """DISTINCT CDC chunk hashes of a corpus, as a Dataset with one
+    uint64 ``g`` column — the prior-corpus snapshot
+    ``cdc_coverage_vs_prior`` consumes (write it with ``write_parquet``
+    between crawls; 8 bytes per distinct chunk, no text)."""
+    from .exchange import hash_group_apply
+
+    _, chunks = _cdc_occurrences(bits, min_size, max_size,
+                                 text_col, id_col)
+    g_schema = pa.schema([("g", pa.uint64())])
+    occ = ds.map_batches(chunks, batch_format="pyarrow", batch_size=4096)
+    return hash_group_apply(
+        occ.map_batches(lambda t: t.select(["g"]), batch_format="pyarrow"),
+        ["g"], lambda df: df.drop_duplicates(), out_schema=g_schema)
+
+
+def cdc_coverage_vs_prior(ds, prior, *, bits: int = 6, min_size: int = 32,
+                          max_size: int = 256, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Incremental-crawl coverage at sub-document granularity: for each
+    NEW document, (doc_id, n_chunks, n_bytes, cov_chunks, cov_bytes)
+    where a chunk is covered iff its CDC hash exists in the PRIOR
+    corpus's chunk-hash set — ``dedup_against_prior`` generalized below
+    whole-doc identity: a re-crawled page with one new paragraph shows
+    ~90% covered bytes instead of "not a duplicate". Filter on
+    cov_bytes/n_bytes for the keep/drop ACTION.
+
+    ``prior`` is a Dataset with a uint64 ``g`` column
+    (``cdc_chunk_hashes`` output, usually ``read_parquet`` of a saved
+    snapshot). Shape: new docs' (g, doc, npos, bsum) rows union
+    prior (g, id=-1) rows through ONE exchange on g (the prior side is
+    ids-only — 8 bytes/chunk, deduped map-side); covered new rows
+    forward their totals, a second exchange on doc sums. The prior set
+    never broadcasts and never sits on the driver — the scale path for
+    a prior corpus with billions of distinct chunks."""
+    from .exchange import hash_group_apply
+
+    occ_schema, chunks = _cdc_occurrences(bits, min_size, max_size,
+                                          text_col, id_col)
+
+    def prior_rows(tbl: pa.Table) -> pa.Table:
+        g = tbl.column("g").combine_chunks().cast(pa.uint64())
+        import pyarrow.compute as pac
+        g = pac.unique(g)
+        n = len(g)
+        return pa.table({"g": g,
+                         id_col: pa.array(np.full(n, -1, np.int64)),
+                         "npos": pa.array(np.zeros(n, np.int64)),
+                         "bsum": pa.array(np.zeros(n, np.int64))},
+                        schema=occ_schema)
+
+    cov_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_chunks", pa.int64()),
+                            ("n_bytes", pa.int64()),
+                            ("cov_chunks", pa.int64()),
+                            ("cov_bytes", pa.int64())])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        in_prior = df.loc[ids < 0, "g"]
+        prior_set = set(in_prior.tolist())
+        new = df.loc[ids >= 0]
+        cov = new["g"].isin(prior_set).to_numpy()
+        return pd.DataFrame({
+            id_col: new[id_col],
+            "n_chunks": new["npos"],
+            "n_bytes": new["bsum"],
+            "cov_chunks": np.where(cov, new["npos"], 0),
+            "cov_bytes": np.where(cov, new["bsum"], 0)})
+
+    occ = ds.map_batches(chunks, batch_format="pyarrow", batch_size=4096)
+    sides = occ.union(prior.map_batches(prior_rows,
+                                        batch_format="pyarrow"))
+    marked = hash_group_apply(sides, ["g"], mark, out_schema=cov_schema)
+
+    def zeros(tbl: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(tbl), np.int64))
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         "n_chunks": z, "n_bytes": z,
+                         "cov_chunks": z, "cov_bytes": z})
+
+    z = ds.map_batches(zeros, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(id_col, sort=False, as_index=False).sum()
+
+    return hash_group_apply(marked.union(z), [id_col], combine,
+                            out_schema=cov_schema)

@@ -1577,3 +1577,70 @@ def write_golden_entropy(sf_dir: str) -> str:
                     "entropy": pa.array(_entropy_from_counts(cnt),
                                         pa.float64())})
     return _write(tbl, "text_entropy")
+
+
+def write_golden_cdc_coverage(sf_dir: str, *, split_id: int, bits: int,
+                              min_size: int, max_size: int) -> str:
+    """Expected output of ``dedup.cdc_coverage_vs_prior`` with the
+    prior corpus = docs with doc_id < split_id and the new corpus = the
+    rest: the same per-byte sequential gear walk as
+    ``write_golden_cdc``, a plain Python set of prior chunk hashes, and
+    per-new-doc covered chunk/byte sums."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    M64 = (1 << 64) - 1
+
+    def _smix(v: int) -> int:
+        v = (v + 0x9E3779B97F4A7C15) & M64
+        v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & M64
+        return v ^ (v >> 31)
+
+    gear = [_smix(b + 1) for b in range(256)]
+    cmask = (1 << bits) - 1
+
+    def walk(txt: str) -> list[tuple[int, int]]:
+        data = txt.encode("utf-8")
+        chunks: list[bytes] = []
+        h = 0
+        start = 0
+        for j, b in enumerate(data):
+            h = (h * 2 + gear[b]) & M64
+            clen = j + 1 - start
+            if (clen == max_size
+                    or ((h & cmask) == 0 and clen >= min_size)):
+                chunks.append(data[start:j + 1])
+                start = j + 1
+        if len(data) > start:
+            chunks.append(data[start:])
+        hashes = (pd.util.hash_array(np.array(chunks, dtype=object))
+                  .astype(np.uint64) if chunks else [])
+        return [(int(g), len(c)) for c, g in zip(chunks, hashes)]
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    prior: set[int] = set()
+    new_rows: dict[int, list[tuple[int, int]]] = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        rows = walk(txt)
+        if did < split_id:
+            prior.update(g for g, _ in rows)
+        else:
+            new_rows[did] = rows
+    ids = sorted(new_rows)
+    nch, nby, cch, cby = [], [], [], []
+    for did in ids:
+        rows = new_rows[did]
+        cov = [(g, ln) for g, ln in rows if g in prior]
+        nch.append(len(rows))
+        nby.append(sum(ln for _, ln in rows))
+        cch.append(len(cov))
+        cby.append(sum(ln for _, ln in cov))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_chunks": pa.array(nch, pa.int64()),
+                    "n_bytes": pa.array(nby, pa.int64()),
+                    "cov_chunks": pa.array(cch, pa.int64()),
+                    "cov_bytes": pa.array(cby, pa.int64())})
+    return _write(tbl, "dedup_cdc_incremental")

@@ -3152,6 +3152,41 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_dedup_cdc_incremental(sf_dir: str):
+    """Incremental-crawl CDC coverage (dedup.py::cdc_coverage_vs_prior):
+    prior corpus = docs with doc_id < 250 snapshotted to distinct chunk
+    hashes (cdc_chunk_hashes — the whole prior/new chain runs, not just
+    the join); new docs report chunks/bytes already covered. Golden
+    replays the per-byte walk + a Python prior-hash set."""
+    import pyarrow.compute as pac
+
+    from ..datapipe.dedup import cdc_chunk_hashes, cdc_coverage_vs_prior
+    from ..oracle.golden import write_golden_cdc_coverage
+
+    write_golden_cdc_coverage(sf_dir, split_id=250, bits=6, min_size=32,
+                              max_size=256)
+    docs = _docs(sf_dir)
+    old = docs.map_batches(
+        lambda t: t.filter(pac.less(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda t: t.filter(pac.greater_equal(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    prior = cdc_chunk_hashes(old, bits=6, min_size=32, max_size=256)
+    out = cdc_coverage_vs_prior(new, prior, bits=6, min_size=32,
+                                max_size=256).to_pandas()
+    cols = ["doc_id", "n_chunks", "n_bytes", "cov_chunks", "cov_bytes"]
+    out = out[cols].astype({c: "int64" for c in cols})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CDC_INCREMENTAL = """
+SELECT doc_id, n_chunks, n_bytes, cov_chunks, cov_bytes
+FROM read_parquet('/tmp/sagan_ray_golden/dedup_cdc_incremental.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_text_entropy(sf_dir: str):
     """Per-doc byte-distribution quality signals
     (textstats.py::byte_entropy — map-only bincount over the flat
@@ -3642,6 +3677,7 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     "source_overlap": q_source_overlap,
     "events_outliers": q_events_outliers,
+    "dedup_cdc_incremental": q_dedup_cdc_incremental,
 }
 
 ORACLES = {
@@ -3752,4 +3788,5 @@ ORACLES = {
     "text_entropy": SQL_TEXT_ENTROPY,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "events_outliers": SQL_EVENTS_OUTLIERS,
+    "dedup_cdc_incremental": SQL_DEDUP_CDC_INCREMENTAL,
 }

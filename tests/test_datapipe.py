@@ -1787,3 +1787,32 @@ def test_group_outlier_flags_planted():
     assert bool(out.loc[20, "is_outlier"])          # 1000 in group a
     assert not out.loc[:19, "is_outlier"].any()     # the 1..20 ramp is clean
     assert not out.loc[21:, "is_outlier"].any()     # group b unaffected
+
+
+def test_cdc_coverage_vs_prior_planted():
+    """A re-crawled doc (one new sentence appended) shows mostly-covered
+    bytes; a brand-new doc shows zero coverage; an exact re-crawl is
+    100% covered."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import cdc_chunk_hashes, cdc_coverage_vs_prior
+
+    base = ("the quick brown fox jumps over the lazy dog again " * 30)
+    old = pd.DataFrame({
+        "doc_id": pd.array([0, 1], dtype="int64"),
+        "text": [base, "some other prior page entirely " * 20]})
+    new = pd.DataFrame({
+        "doc_id": pd.array([10, 11, 12], dtype="int64"),
+        "text": [base,                                   # exact re-crawl
+                 base + " one brand new closing sentence appended",
+                 "completely fresh never seen page " * 25]})
+    prior = cdc_chunk_hashes(rd.from_pandas(old), bits=5, min_size=16,
+                             max_size=128)
+    out = (cdc_coverage_vs_prior(rd.from_pandas(new).repartition(2),
+                                 prior, bits=5, min_size=16, max_size=128)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[10, "cov_bytes"] == out.loc[10, "n_bytes"]
+    assert out.loc[11, "cov_bytes"] >= 0.8 * out.loc[11, "n_bytes"]
+    assert out.loc[11, "cov_bytes"] < out.loc[11, "n_bytes"]
+    assert out.loc[12, "cov_bytes"] == 0 and out.loc[12, "cov_chunks"] == 0
