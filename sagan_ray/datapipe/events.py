@@ -204,3 +204,58 @@ def transition_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
            .sum())
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def props_key_agg(ds, *, key: str = "k", group_col: str = "event_type",
+                  props_col: str = "props"):
+    """Grouped aggregates of one integer key extracted from a JSON
+    ``props`` column: (group, n_with_key, sum_k, min_k, max_k) — the
+    ubiquitous semi-structured-payload rollup (every event log carries
+    a props blob; pulling one metric out shouldn't deserialize the
+    whole object). Returns a small pandas frame.
+
+    Shape: a vectorized RE2 ``extract_regex`` pass per batch (the
+    integer-valued-key fast path — no per-row json.loads), per-batch
+    partial (group, n, s, mn, mx) rows, driver folds O(groups ×
+    batches). All columns exact int64, so the gate compares
+    bit-exactly against DuckDB's json_extract_string cast."""
+    import pyarrow.compute as pc
+
+    import re as _re
+
+    # integer-LITERAL values only (spec shared with the SQL oracle):
+    # the digits must be followed by a JSON delimiter, so "k": 1.5 and
+    # "k": 1e3 are ignored on BOTH sides rather than truncated (RE2 has
+    # no lookahead — the delimiter is consumed, which is fine for a
+    # single-key extract)
+    pat = '"' + _re.escape(key) + '":\\s*(?P<v>-?\\d+)\\s*[,}]'
+
+    def part(tbl: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(tbl.column(props_col).cast(pa.large_string()),
+                              pat)
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        df = pd.DataFrame({group_col: tbl.column(group_col).to_pylist(),
+                           "k": k.to_pandas()})
+        g = df.dropna().groupby(group_col)["k"]
+        out = pd.DataFrame({"n": g.size(), "s": g.sum(),
+                            "mn": g.min(), "mx": g.max()}).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([(group_col, pa.string()), ("n", pa.int64()),
+                       ("s", pa.int64()), ("mn", pa.int64()),
+                       ("mx", pa.int64())])).replace_schema_metadata(None)
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "n_with_key": pd.Series(dtype="int64"),
+                             "sum_k": pd.Series(dtype="int64"),
+                             "min_k": pd.Series(dtype="int64"),
+                             "max_k": pd.Series(dtype="int64")})
+    g = parts.groupby(group_col)
+    out = pd.DataFrame({
+        "n_with_key": g["n"].sum(), "sum_k": g["s"].sum(),
+        "min_k": g["mn"].min(), "max_k": g["mx"].max()}).reset_index()
+    return (out.astype({"n_with_key": "int64", "sum_k": "int64",
+                        "min_k": "int64", "max_k": "int64"})
+            .sort_values(group_col).reset_index(drop=True))

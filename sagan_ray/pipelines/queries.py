@@ -3152,6 +3152,31 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_props_agg(sf_dir: str):
+    """Grouped aggregates of the integer 'k' key inside the JSON props
+    blob (events.py::props_key_agg — vectorized RE2 extract, no
+    per-row json.loads; exact int64 columns)."""
+    import ray.data as rd
+
+    from ..datapipe.events import props_key_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return props_key_agg(ds, key="k")
+
+
+SQL_EVENTS_PROPS_AGG = r"""
+SELECT event_type, count(*)::BIGINT AS n_with_key,
+       sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k
+FROM (SELECT event_type, CAST(v AS BIGINT) AS k
+      FROM (SELECT event_type,
+                   json_extract_string(props, '$.k') AS v FROM events)
+      WHERE v IS NOT NULL AND regexp_full_match(v, '-?\d+'))
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_dedup_cdc_incremental(sf_dir: str):
     """Incremental-crawl CDC coverage (dedup.py::cdc_coverage_vs_prior):
     prior corpus = docs with doc_id < 250 snapshotted to distinct chunk
@@ -3678,6 +3703,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "events_outliers": q_events_outliers,
     "dedup_cdc_incremental": q_dedup_cdc_incremental,
+    "events_props_agg": q_events_props_agg,
 }
 
 ORACLES = {
@@ -3789,4 +3815,5 @@ ORACLES = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "dedup_cdc_incremental": SQL_DEDUP_CDC_INCREMENTAL,
+    "events_props_agg": SQL_EVENTS_PROPS_AGG,
 }

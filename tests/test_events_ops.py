@@ -201,3 +201,24 @@ def test_compression_ratio_signals():
     assert out.loc[0, "ratio"] < 0.05          # boilerplate crushes
     assert out.loc[2, "ratio"] > out.loc[1, "ratio"]   # noise resists
     assert out.loc[3, "ratio"] == 1.0 and out.loc[3, "n_bytes"] == 0
+
+
+def test_props_key_agg_edges():
+    """Missing key, non-integer value, negative ints, and malformed
+    JSON: only integer-valued 'k' rows aggregate; NULL-extraction rows
+    drop from n_with_key (the count(k) convention)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.events import props_key_agg
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a", "b", "b", "c"],
+        "props": ['{"k": 3}', '{"x": 9}', '{"k": -7}',
+                  '{"k": 2, "z": 1}', 'not json at all', '{"k": 1.5}']})
+    out = props_key_agg(rd.from_pandas(df).repartition(3), key="k")
+    out = out.set_index("event_type")
+    assert out.loc["a", "n_with_key"] == 2 and out.loc["a", "sum_k"] == -4
+    assert out.loc["a", "min_k"] == -7 and out.loc["a", "max_k"] == 3
+    assert out.loc["b", "n_with_key"] == 1 and out.loc["b", "sum_k"] == 2
+    assert "c" not in out.index          # 1.5 is not an integer k
