@@ -3152,6 +3152,37 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_latency(sf_dir: str):
+    """Per-user view→purchase conversion latency
+    (events.py::step_latency — map-side prune to the two step types,
+    one user exchange, masked minimum.at passes). Timestamps stay
+    int64 µs end-to-end, so every column compares exactly."""
+    import ray.data as rd
+
+    from ..datapipe.events import step_latency
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = step_latency(ds, "view", "purchase").to_pandas()
+    out = _typed(out, {"user_id": "int64", "t_a": "int64",
+                       "t_b": "int64", "latency_us": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_LATENCY = """
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_a
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_b
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > a.t_a
+  GROUP BY e.user_id)
+SELECT a.user_id, a.t_a, b.t_b, b.t_b - a.t_a AS latency_us
+FROM a JOIN b USING (user_id) ORDER BY a.user_id
+"""
+
+
 def q_events_props_agg(sf_dir: str):
     """Grouped aggregates of the integer 'k' key inside the JSON props
     blob (events.py::props_key_agg — vectorized RE2 extract, no
@@ -3704,6 +3735,7 @@ QUERIES = {
     "events_outliers": q_events_outliers,
     "dedup_cdc_incremental": q_dedup_cdc_incremental,
     "events_props_agg": q_events_props_agg,
+    "events_latency": q_events_latency,
 }
 
 ORACLES = {
@@ -3816,4 +3848,5 @@ ORACLES = {
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "dedup_cdc_incremental": SQL_DEDUP_CDC_INCREMENTAL,
     "events_props_agg": SQL_EVENTS_PROPS_AGG,
+    "events_latency": SQL_EVENTS_LATENCY,
 }

@@ -222,3 +222,29 @@ def test_props_key_agg_edges():
     assert out.loc["a", "min_k"] == -7 and out.loc["a", "max_k"] == 3
     assert out.loc["b", "n_with_key"] == 1 and out.loc["b", "sum_k"] == 2
     assert "c" not in out.index          # 1.5 is not an integer k
+
+
+def test_step_latency_strictly_after():
+    """B before the first A doesn't count; the earliest B strictly
+    after the first A wins; users without both steps drop out."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.events import step_latency
+
+    def t(s):
+        return pd.Timestamp(s)
+
+    df = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1, 2, 2, 3], dtype="int64"),
+        "ts": [t("2026-01-01 10:00"), t("2026-01-01 09:00"),
+               t("2026-01-01 11:00"),
+               t("2026-01-02 08:00"), t("2026-01-02 07:00"),
+               t("2026-01-03 00:00")],
+        "event_type": ["A", "B", "B",       # u1: B@9 < A@10 → B@11 wins
+                       "A", "B",            # u2: only B BEFORE A → drop
+                       "A"]})               # u3: no B → drop
+    out = (step_latency(rd.from_pandas(df).repartition(2), "A", "B")
+           .to_pandas())
+    assert list(out["user_id"]) == [1]
+    assert int(out["latency_us"].iloc[0]) == 3600 * 1_000_000
