@@ -439,3 +439,34 @@ def sample_per_group(ds, k: int, *, key_col: str, id_col: str = "doc_id"):
     return group_topk(ds.map_batches(add_h, batch_format="pyarrow"),
                       key_col=key_col, order_col="h", k=k,
                       id_col=id_col, ascending=True)
+
+
+def split_by_cluster(ds, *, train_frac: float = 0.8,
+                     threshold: float = 0.9, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Leakage-safe train/val split: every document follows its
+    near-dup CLUSTER representative's hash, so two near-duplicate docs
+    can never straddle the split (the train/test-contamination failure
+    a per-doc hash split allows). Returns (doc_id, rep, split) with
+    split ∈ {'train', 'val'}; split = train iff
+    knuth(rep) < train_frac·2^32 — the ``sample_stratified`` hash, so
+    the SQL oracle replays it on top of the recursive-CTE cluster
+    closure. Composition: dedup_cluster_reps (verified pairs →
+    distributed min-label propagation) + one stateless map — no new
+    exchange."""
+    from .dedup import dedup_cluster_reps
+
+    t = np.uint64(sample_threshold(train_frac))
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        rep = tbl.column("rep").to_numpy(zero_copy_only=False)
+        h = (rep.astype(np.uint64) * _KNUTH) % _MOD32
+        split = np.where(h < t, "train", "val")
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         "rep": tbl.column("rep").cast(pa.int64()),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return dedup_cluster_reps(ds, threshold=threshold,
+                              text_col=text_col,
+                              id_col=id_col).map_batches(
+        tag, batch_format="pyarrow")

@@ -3152,6 +3152,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_split_leakage_safe(sf_dir: str):
+    """Leakage-safe train/val split (curate.py::split_by_cluster):
+    docs follow their near-dup cluster REP's knuth hash, so near-dups
+    never straddle the split. Oracle = the recursive-CTE cluster
+    closure + the same hash expression."""
+    from ..datapipe.curate import split_by_cluster
+
+    out = _typed(split_by_cluster(_docs(sf_dir), train_frac=0.8,
+                                  threshold=0.9).to_pandas(),
+                 {"doc_id": "int64", "rep": "int64", "split": "object"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _build_sql_split() -> str:
+    from ..datapipe.curate import sample_threshold
+
+    t = sample_threshold(0.8)
+    return r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.9
+),
+e AS (SELECT a AS u, b AS v FROM jac UNION ALL SELECT b, a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+mn AS (SELECT u, min(v) AS m FROM reach GROUP BY u),
+reps AS (
+  SELECT d.doc_id, least(d.doc_id, coalesce(mn.m, d.doc_id)) AS rep
+  FROM documents d LEFT JOIN mn ON mn.u = d.doc_id)
+SELECT doc_id, rep,
+       CASE WHEN (rep * 2654435761) % 4294967296 < {t}
+            THEN 'train' ELSE 'val' END AS split
+FROM reps ORDER BY doc_id
+""".replace("{t}", str(t))
+
+
+SQL_SPLIT_LEAKAGE_SAFE = _build_sql_split()
+
+
 def q_events_latency(sf_dir: str):
     """Per-user view→purchase conversion latency
     (events.py::step_latency — map-side prune to the two step types,
@@ -3736,6 +3799,7 @@ QUERIES = {
     "dedup_cdc_incremental": q_dedup_cdc_incremental,
     "events_props_agg": q_events_props_agg,
     "events_latency": q_events_latency,
+    "split_leakage_safe": q_split_leakage_safe,
 }
 
 ORACLES = {
@@ -3849,4 +3913,5 @@ ORACLES = {
     "dedup_cdc_incremental": SQL_DEDUP_CDC_INCREMENTAL,
     "events_props_agg": SQL_EVENTS_PROPS_AGG,
     "events_latency": SQL_EVENTS_LATENCY,
+    "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
 }

@@ -255,3 +255,28 @@ def test_sample_per_group_matches_window_spec():
     pd.testing.assert_frame_equal(
         got[["source", "doc_id", "h", "rk"]].astype(want.dtypes.to_dict()),
         want)
+
+
+def test_split_by_cluster_no_leakage():
+    """Near-duplicate docs always land in the same split; the split
+    rate tracks train_frac on the rep hashes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.curate import split_by_cluster
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts, n = [], 60
+    for i in range(n):
+        texts.append(base if i % 3 == 0 else
+                     f"unique{i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+    df = pd.DataFrame({"doc_id": pd.array(range(n), dtype="int64"),
+                       "text": texts})
+    out = (split_by_cluster(rd.from_pandas(df).repartition(4),
+                            train_frac=0.8)
+           .to_pandas().set_index("doc_id").sort_index())
+    dup_ids = [i for i in range(n) if i % 3 == 0]
+    dup_splits = set(out.loc[dup_ids, "split"])
+    assert len(dup_splits) == 1                  # whole cluster together
+    assert set(out.loc[dup_ids, "rep"]) == {0}
+    assert set(out["split"]) == {"train", "val"}
