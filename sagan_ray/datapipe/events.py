@@ -234,7 +234,7 @@ def props_key_agg(ds, *, key: str = "k", group_col: str = "event_type",
         ex = pc.extract_regex(tbl.column(props_col).cast(pa.large_string()),
                               pat)
         k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
-        df = pd.DataFrame({group_col: tbl.column(group_col).to_pylist(),
+        df = pd.DataFrame({group_col: tbl.column(group_col).to_pandas(),
                            "k": k.to_pandas()})
         g = df.dropna().groupby(group_col)["k"]
         out = pd.DataFrame({"n": g.size(), "s": g.sum(),

@@ -311,7 +311,7 @@ def group_outlier_flags(ds, *, group_col: str, col: str, id_col: str,
 
     def flag(tbl: pa.Table) -> pa.Table:
         lo_m, hi_m = ray.get(b_ref)
-        gv = pd.Series(tbl.column(group_col).to_pylist())
+        gv = tbl.column(group_col).to_pandas()
         v = tbl.column(col).to_numpy(zero_copy_only=False)
         lo = gv.map(lo_m).to_numpy(dtype=np.float64)
         hi = gv.map(hi_m).to_numpy(dtype=np.float64)

@@ -1054,7 +1054,7 @@ def source_overlap(ds, *, k: int = 5, text_col: str = "text",
             h = wh[i0].copy()
             for j in range(1, k):
                 h = h * _REP_HORNER + wh[i0 + j]
-        src = np.asarray(tbl.column(source_col).to_pylist(), dtype=object)
+        src = tbl.column(source_col).to_pandas().to_numpy(dtype=object)
         df = pd.DataFrame({"g": h,
                            source_col: src[doc_of[i0]]}).drop_duplicates()
         return pa.Table.from_pandas(
