@@ -41,6 +41,7 @@ from .cluster import (  # noqa: F401
 from .decomp import fit_pca, pca_project  # noqa: F401
 from .curate import (  # noqa: F401
     decontaminate,
+    split_by_cluster,
     group_topk,
     mix_sources,
     pii_redact,
@@ -53,6 +54,8 @@ from .curate import (  # noqa: F401
 from .events import (  # noqa: F401
     cohort_retention,
     funnel_stages,
+    props_key_agg,
+    step_latency,
     transition_counts,
 )
 from .exchange import hash_group_apply  # noqa: F401
