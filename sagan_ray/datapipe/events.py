@@ -223,11 +223,13 @@ def props_key_agg(ds, *, key: str = "k", group_col: str = "event_type",
 
     import re as _re
 
-    # integer-LITERAL values only (spec shared with the SQL oracle):
-    # the digits must be followed by a JSON delimiter, so "k": 1.5 and
-    # "k": 1e3 are ignored on BOTH sides rather than truncated (RE2 has
-    # no lookahead — the delimiter is consumed, which is fine for a
-    # single-key extract)
+    # integer-LITERAL values only, FLAT-MAP convention: the spec is
+    # this exact RE2 pattern (the oracle runs the SAME pattern through
+    # DuckDB's regexp_extract, also RE2) — digits must be followed by a
+    # JSON delimiter, so "k": 1.5 / "k": 1e3 are ignored rather than
+    # truncated; a "k" inside a NESTED object also matches (props blobs
+    # are flat maps per the json-input.map convention — use a real JSON
+    # path extractor for nested payloads)
     pat = '"' + _re.escape(key) + '":\\s*(?P<v>-?\\d+)\\s*[,}]'
 
     def part(tbl: pa.Table) -> pa.Table:

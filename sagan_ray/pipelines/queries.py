@@ -3263,10 +3263,11 @@ SQL_EVENTS_PROPS_AGG = r"""
 SELECT event_type, count(*)::BIGINT AS n_with_key,
        sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
        max(k)::BIGINT AS max_k
-FROM (SELECT event_type, CAST(v AS BIGINT) AS k
-      FROM (SELECT event_type,
-                   json_extract_string(props, '$.k') AS v FROM events)
-      WHERE v IS NOT NULL AND regexp_full_match(v, '-?\d+'))
+FROM (SELECT event_type,
+             CAST(NULLIF(regexp_extract(props,
+                 '"k":\s*(-?\d+)\s*[,}]', 1), '') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
 

@@ -252,3 +252,99 @@ def test_byte_entropy_fuzz_matches_spec(seed):
     assert list(got["n_bytes"]) == nby
     assert list(got["distinct_bytes"]) == dby
     assert np.array_equal(got["entropy"].to_numpy(), ent)
+
+
+@pytest.mark.parametrize("seed", [16, 17])
+def test_cdc_coverage_fuzz_matches_sequential(seed):
+    """cdc_coverage_vs_prior == the sequential walk + a Python prior
+    set, on random corpora with planted re-crawls."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup import (cdc_chunk_hashes,
+                                          cdc_coverage_vs_prior)
+
+    docs = _rand_docs(seed, 70, dup_frac=0.3)
+    old = docs.iloc[:35].reset_index(drop=True)
+    new = docs.iloc[35:].reset_index(drop=True)
+    prior = cdc_chunk_hashes(rd.from_pandas(old), bits=4, min_size=8,
+                             max_size=64)
+    got = (cdc_coverage_vs_prior(rd.from_pandas(new).repartition(3),
+                                 prior, bits=4, min_size=8, max_size=64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    gear = [_smix(b + 1) for b in range(256)]
+    cmask = (1 << 4) - 1
+
+    def walk(txt):
+        data = txt.encode("utf-8")
+        chunks, h, start = [], 0, 0
+        for j, b in enumerate(data):
+            h = (h * 2 + gear[b]) & M64
+            clen = j + 1 - start
+            if clen == 64 or ((h & cmask) == 0 and clen >= 8):
+                chunks.append(data[start:j + 1])
+                start = j + 1
+        if len(data) > start:
+            chunks.append(data[start:])
+        hs = (pd.util.hash_array(np.array(chunks, dtype=object))
+              .astype(np.uint64) if chunks else [])
+        return [(int(g), len(c)) for c, g in zip(chunks, hs)]
+
+    prior_set = set()
+    for txt in old.text:
+        prior_set.update(g for g, _ in walk(txt))
+    exp = []
+    for did, txt in zip(new.doc_id, new.text):
+        rows = walk(txt)
+        cov = [(g, ln) for g, ln in rows if g in prior_set]
+        exp.append((did, len(rows), sum(ln for _, ln in rows),
+                    len(cov), sum(ln for _, ln in cov)))
+    exp = pd.DataFrame(exp, columns=list(got.columns))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+@pytest.mark.parametrize("seed", [18, 19])
+def test_props_agg_fuzz_random_json(seed):
+    """props_key_agg over randomly shaped JSON blobs (ints, floats,
+    strings, missing key, nested noise) == the integer-literal spec
+    applied per row."""
+    import json
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.events import props_key_agg
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(500):
+        r = rng.random()
+        if r < 0.3:
+            props = json.dumps({"k": int(rng.integers(-100, 100))})
+        elif r < 0.45:
+            props = json.dumps({"k": float(rng.random())})
+        elif r < 0.6:
+            props = json.dumps({"k": "str", "z": int(rng.integers(9))})
+        elif r < 0.75:
+            props = json.dumps({"other": int(rng.integers(9)),
+                                "deep": {"k": 5}})
+        else:
+            props = json.dumps({"k": int(rng.integers(0, 7)),
+                                "pad": "x" * int(rng.integers(0, 20))})
+        rows.append((str(rng.choice(["a", "b", "c"])), props))
+    df = pd.DataFrame(rows, columns=["event_type", "props"])
+    got = props_key_agg(rd.from_pandas(df).repartition(4), key="k")
+
+    def spec_k(props):                        # top-level integer literal
+        import re
+        m = re.search(r'"k":\s*(-?\d+)\s*[,}]', props)
+        return int(m.group(1)) if m else None
+
+    df["k"] = df["props"].map(spec_k)
+    g = df.dropna(subset=["k"]).groupby("event_type")["k"]
+    exp = pd.DataFrame({"n_with_key": g.size(), "sum_k": g.sum(),
+                        "min_k": g.min(), "max_k": g.max()}).reset_index()
+    exp = exp.astype({"n_with_key": "int64", "sum_k": "int64",
+                      "min_k": "int64", "max_k": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    # flat-map convention: the nested {"deep": {"k": 5}} rows DO match
+    # the substring spec (documented in props_key_agg) — the parity
+    # above proves the operator follows the spec, including those
