@@ -1202,36 +1202,46 @@ def ngram_containment_pairs(ds, *, threshold: float = 0.8,
                              np.empty(0, bool), pa.bool_())})
 
     def postings_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Directed candidate pairs probe(a) × full(b) per shingle
+        group, fully vectorized: group run-lengths via np.unique, the
+        variable-size cross products built with one repeat (probe side)
+        and one offset-arange gather (full side) — no per-group Python.
+        (sh, did) rows are globally unique (one batch per doc, np.unique
+        per doc map-side), so groups need no internal dedup."""
         df = df.sort_values(["sh", "did"], kind="mergesort")
         sh = df["sh"].to_numpy()
         ids = df["did"].to_numpy()
         pref = df["pref"].to_numpy()
-        out_a, out_b = [], []
-        dropped = 0
-        start = 0
-        for i in range(1, len(df) + 1):
-            if i == len(df) or sh[i] != sh[start]:
-                size = i - start
-                if size > max_posting:
-                    dropped += 1
-                elif size > 1:
-                    grp = ids[start:i]
-                    probe = sorted(set(grp[pref[start:i]].tolist()))
-                    full = sorted(set(grp.tolist()))
-                    for x in probe:
-                        for y in full:
-                            if x != y:
-                                out_a.append(x)
-                                out_b.append(y)
-                start = i
+        _, starts, counts = np.unique(sh, return_index=True,
+                                      return_counts=True)
+        keep = counts <= max_posting
+        dropped = int((~keep).sum())
         if dropped:
             logging.getLogger(__name__).warning(
                 "ngram_containment_pairs: dropped %d stop-shingle posting "
                 "lists (> %d docs) from candidate generation", dropped,
                 max_posting)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")}
-                            ).drop_duplicates()
+        gid = np.repeat(np.arange(len(starts)),
+                        counts)                 # group id per row
+        row_ok = keep[gid] & (counts[gid] > 1)
+        # probe rows drive the pairs: each probe row pairs with every
+        # row of its group (self filtered after)
+        pr = np.flatnonzero(pref & row_ok)
+        if not len(pr):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        n_full = counts[gid[pr]]
+        a = np.repeat(ids[pr], n_full)
+        # full-side gather: for probe row r in group g, indices
+        # starts[g] .. starts[g]+counts[g]-1
+        off = np.concatenate([[0], np.cumsum(n_full)[:-1]])
+        b_idx = (np.arange(n_full.sum()) - np.repeat(off, n_full)
+                 + np.repeat(starts[gid[pr]], n_full))
+        b = ids[b_idx]
+        m = a != b
+        return (pd.DataFrame({"a": a[m].astype(np.int64),
+                              "b": b[m].astype(np.int64)})
+                .drop_duplicates())
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     posts = hash_group_apply(ds.map_batches(explode, batch_format="pyarrow"),
