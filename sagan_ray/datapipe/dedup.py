@@ -489,30 +489,40 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, text_col: str = "text",
                                         np.empty(0, np.uint64), pa.uint64())})
 
     def postings_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Unordered within-group pairs (a < b) per shingle group,
+        fully vectorized: each row pairs with every LATER row of its
+        group (ids ascend within a group, and (sh, did) rows are
+        globally unique — one batch per doc, np.unique per doc
+        map-side), built with one repeat + one offset-arange gather —
+        no per-group Python, no itertools."""
         df = df.sort_values(["sh", "did"], kind="mergesort")
         sh = df["sh"].to_numpy()
         ids = df["did"].to_numpy()
-        out_a, out_b = [], []
-        dropped = 0
-        start = 0
-        for i in range(1, len(df) + 1):
-            if i == len(df) or sh[i] != sh[start]:
-                size = i - start
-                if size > max_posting:
-                    dropped += 1
-                elif size > 1:
-                    grp = sorted(set(ids[start:i].tolist()))
-                    for x, y in itertools.combinations(grp, 2):
-                        out_a.append(x)
-                        out_b.append(y)
-                start = i
+        _, starts, counts = np.unique(sh, return_index=True,
+                                      return_counts=True)
+        keep = counts <= max_posting
+        dropped = int((~keep).sum())
         if dropped:
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropped %d stop-shingle posting lists "
                 "(> %d docs) from candidate generation", dropped, max_posting)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")}
-                            ).drop_duplicates()
+        gid = np.repeat(np.arange(len(starts)), counts)
+        ends = starts + counts                     # group end per group
+        n_after = np.where(keep[gid], ends[gid] - np.arange(len(ids)) - 1,
+                           0)                      # later rows in group
+        lead = np.flatnonzero(n_after > 0)
+        if not len(lead):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        na = n_after[lead]
+        a = np.repeat(ids[lead], na)
+        off = np.concatenate([[0], np.cumsum(na)[:-1]])
+        b_idx = (np.arange(na.sum()) - np.repeat(off, na)
+                 + np.repeat(lead + 1, na))
+        b = ids[b_idx]
+        return (pd.DataFrame({"a": a.astype(np.int64),
+                              "b": b.astype(np.int64)})
+                .drop_duplicates())
 
     from .exchange import hash_group_apply
 
