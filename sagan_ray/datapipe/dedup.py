@@ -28,6 +28,39 @@ _WORD_RE = re.compile(r"\S+")
 
 _MERSENNE = (1 << 61) - 1
 
+def _group_pairs_idx(counts: np.ndarray):
+    """Row-index pairs (i, j) with i < j within consecutive groups of
+    the given sizes (rows 0..counts.sum()-1, groups back to back) —
+    one repeat + one offset-arange gather, no per-group Python. The
+    shared construction behind the minhash-band and simhash-block
+    candidate buckets (the jaccard/containment buckets inline the same
+    construction with their stop-posting / probe×full twists)."""
+    counts = counts.astype(np.int64)
+    ends = np.cumsum(counts)
+    n_after = np.repeat(ends, counts) - np.arange(int(counts.sum())) - 1
+    lead = np.flatnonzero(n_after > 0)
+    if not len(lead):
+        z = np.empty(0, np.int64)
+        return z, z
+    na = n_after[lead]
+    ai = np.repeat(lead, na)
+    off = np.concatenate([[0], np.cumsum(na)[:-1]])
+    bi = np.arange(na.sum()) - np.repeat(off, na) + np.repeat(lead + 1, na)
+    return ai, bi
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over a uint64 array (numpy<2 has no bitwise_count)
+    — same kernel as oracle/golden.py's, duplicated so the operator
+    stays independent of the oracle module."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
 
 # ----------------------------------------------------------------------
 # exact dedup
@@ -287,22 +320,21 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
 
     def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # all rows of each (band, key) group are in this bucket: sort,
-        # find boundaries, pair within groups of ≥2
+        # boundary-scan the numeric keys, pair within groups via the
+        # shared offset-arange construction ((doc, band) rows are
+        # globally unique, so ids ascend uniquely within a group)
         df = df.sort_values(["band", "key", id_col], kind="mergesort")
-        keys = (df["band"].astype(str) + "|" + df["key"].astype(str)).to_numpy()
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
         ids = df[id_col].to_numpy()
-        out_a, out_b = [], []
-        start = 0
-        for i in range(1, len(df) + 1):
-            if i == len(df) or keys[i] != keys[start]:
-                if i - start > 1:
-                    grp = sorted(set(ids[start:i].tolist()))
-                    for x, y in itertools.combinations(grp, 2):
-                        out_a.append(x)
-                        out_b.append(y)
-                start = i
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        bnd = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1]))
+        counts = np.diff(np.concatenate([[0], bnd + 1, [len(df)]]))
+        ai, bi = _group_pairs_idx(counts)
+        return pd.DataFrame({"a": ids[ai].astype(np.int64),
+                             "b": ids[bi].astype(np.int64)})
 
     from .exchange import hash_group_apply
 
@@ -620,24 +652,26 @@ def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
                          "sig": pa.array(s_rep, pa.uint64())})
 
     def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # within-(band, key) pairs via the shared offset-arange
+        # construction, Hamming distance as one SWAR popcount pass
         df = df.sort_values(["band", "key", id_col], kind="mergesort")
-        keys = (df["band"].astype(str) + "|" + df["key"].astype(str)).to_numpy()
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
         ids = df[id_col].to_numpy()
         sigs = df["sig"].to_numpy()
-        out = []
-        start = 0
-        for i in range(1, len(df) + 1):
-            if i == len(df) or keys[i] != keys[start]:
-                if i - start > 1:
-                    rows = sorted(set(zip(ids[start:i].tolist(),
-                                          sigs[start:i].tolist())))
-                    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
-                        d = bin(int(sa) ^ int(sb)).count("1")
-                        if d <= max_hamming:
-                            out.append((ia, ib, d))
-                start = i
-        return pd.DataFrame(out, columns=["a", "b", "hamming"]).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"})
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        bnd = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1]))
+        counts = np.diff(np.concatenate([[0], bnd + 1, [len(df)]]))
+        ai, bi = _group_pairs_idx(counts)
+        d = _popcount_u64(sigs[ai].astype(np.uint64)
+                          ^ sigs[bi].astype(np.uint64))
+        m = d <= max_hamming
+        return pd.DataFrame({"a": ids[ai][m].astype(np.int64),
+                             "b": ids[bi][m].astype(np.int64),
+                             "hamming": d[m]})
 
     from .exchange import hash_group_apply
 
