@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import logging
 import re
 
 import numpy as np
@@ -28,16 +29,20 @@ _WORD_RE = re.compile(r"\S+")
 
 _MERSENNE = (1 << 61) - 1
 
-def _group_pairs_idx(counts: np.ndarray):
+def _group_pairs_idx(counts: np.ndarray, keep=None):
     """Row-index pairs (i, j) with i < j within consecutive groups of
     the given sizes (rows 0..counts.sum()-1, groups back to back) —
-    one repeat + one offset-arange gather, no per-group Python. The
-    shared construction behind the minhash-band and simhash-block
-    candidate buckets (the jaccard/containment buckets inline the same
-    construction with their stop-posting / probe×full twists)."""
+    one repeat + one offset-arange gather, no per-group Python; groups
+    with ``keep``=False contribute no pairs (the stop-bucket skew
+    guard). The shared construction behind the minhash-band and
+    simhash-block candidate buckets (the jaccard/containment buckets
+    inline the same construction with their stop-posting / probe×full
+    twists)."""
     counts = counts.astype(np.int64)
     ends = np.cumsum(counts)
     n_after = np.repeat(ends, counts) - np.arange(int(counts.sum())) - 1
+    if keep is not None:
+        n_after[~np.repeat(keep, counts)] = 0
     lead = np.flatnonzero(n_after > 0)
     if not len(lead):
         z = np.empty(0, np.int64)
@@ -286,7 +291,7 @@ def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
 
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            k: int = 3, n_perm: int = 64, bands: int = 16,
-                           seed: int = 1234):
+                           seed: int = 1234, max_band: int = 8192):
     """Candidate pair Dataset (a, b) with a < b from LSH band collisions."""
     assert n_perm % bands == 0
     rows_per_band = n_perm // bands
@@ -332,7 +337,17 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
                                  "b": pd.Series([], dtype="int64")})
         bnd = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1]))
         counts = np.diff(np.concatenate([[0], bnd + 1, [len(df)]]))
-        ai, bi = _group_pairs_idx(counts)
+        keep = counts <= max_band
+        dropped = int((~keep).sum())
+        if dropped:
+            # stop-band skew guard (the max_posting analog): a band
+            # bucket of m docs yields m(m-1)/2 pairs — one hot bucket
+            # (near-identical boilerplate corpora) would go quadratic.
+            # A true pair is lost only if EVERY shared band overflows.
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_candidates: dropped %d band buckets "
+                "(> %d docs) from candidate generation", dropped, max_band)
+        ai, bi = _group_pairs_idx(counts, keep)
         return pd.DataFrame({"a": ids[ai].astype(np.int64),
                              "b": ids[bi].astype(np.int64)})
 
@@ -632,7 +647,7 @@ def _simhash64_batch(texts: list[str]) -> np.ndarray:
 
 
 def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", max_band: int = 8192):
     """Pairs within Hamming distance ≤ max_hamming of 64-bit SimHash.
     Banding into 4×16-bit keys guarantees recall for distance ≤ 3
     (pigeonhole: 3 differing bits can touch at most 3 of 4 bands)."""
@@ -665,7 +680,13 @@ def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
                                  "hamming": pd.Series([], dtype="int64")})
         bnd = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1]))
         counts = np.diff(np.concatenate([[0], bnd + 1, [len(df)]]))
-        ai, bi = _group_pairs_idx(counts)
+        keep = counts <= max_band
+        dropped = int((~keep).sum())
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "simhash_dedup: dropped %d band buckets (> %d docs) "
+                "from candidate generation", dropped, max_band)
+        ai, bi = _group_pairs_idx(counts, keep)
         d = _popcount_u64(sigs[ai].astype(np.uint64)
                           ^ sigs[bi].astype(np.uint64))
         m = d <= max_hamming
