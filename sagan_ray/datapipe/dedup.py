@@ -1498,3 +1498,104 @@ def cdc_coverage_vs_prior(ds, prior, *, bits: int = 6, min_size: int = 32,
 
     return hash_group_apply(marked.union(z), [id_col], combine,
                             out_schema=cov_schema)
+
+
+def minhash_join(ds_a, ds_b, *, threshold: float = 0.8,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3, n_perm: int = 64, bands: int = 16,
+                 seed: int = 1234, max_band: int = 8192):
+    """Bipartite verified near-dup JOIN: pairs (a ∈ ds_a, b ∈ ds_b,
+    jaccard ≥ threshold) — fuzzy decontamination / cross-corpus
+    contamination audit (``decontaminate`` catches exact shingle
+    overlap; this catches paraphrase-level near-dups between a corpus
+    and an eval set or between two crawls). Ids must be disjoint
+    across the two inputs (the verify join keys on id).
+
+    Shape: both sides run the ``minhash_lsh_candidates`` signature
+    stage with a side tag; candidates come ONLY from cross-side band
+    collisions (within-side pairs never materialize — on two mostly
+    self-similar corpora that is the bulk of the quadratic work
+    avoided), built with the offset-arange construction and the
+    ``max_band`` skew guard; exact verification reuses the
+    two-exchange ``verify_pairs_jaccard`` over the tagged union."""
+    assert n_perm % bands == 0
+    rows_per_band = n_perm // bands
+    a_p, b_p = _minhash_params(n_perm, seed)
+
+    def make_sig(side: int):
+        def sig_batch(tbl: pa.Table) -> pa.Table:
+            ids = np.asarray(tbl.column(id_col).to_pylist(),
+                             dtype=np.int64)
+            texts = tbl.column(text_col).to_pylist()
+            all_sh = _shingle_hashes_batch(texts, k)
+            n = len(ids)
+            sigm = np.empty((n, n_perm), np.uint64)
+            for i, sh in enumerate(all_sh):
+                sigm[i] = _signature(sh, a_p, b_p)
+            view = sigm.reshape(n, bands, rows_per_band)
+            with np.errstate(over="ignore"):
+                acc = view[..., 0].copy()
+                for j in range(1, rows_per_band):
+                    acc = acc * _HORNER + view[..., j]
+                acc ^= acc >> np.uint64(33)
+                acc *= np.uint64(0xFF51AFD7ED558CCD)
+                acc ^= acc >> np.uint64(33)
+            return pa.table({
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32),
+                                         n), pa.int32()),
+                "key": pa.array(acc.reshape(-1), pa.uint64()),
+                "side": pa.array(np.full(n * bands, side, np.int8))})
+        return sig_batch
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # cross-side pairs only: sort (band, key, side, id); per group
+        # the side-0 prefix drives one repeat + offset-arange gather
+        # into the side-1 suffix
+        df = df.sort_values(["band", "key", "side", id_col],
+                            kind="mergesort")
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
+        side = df["side"].to_numpy()
+        ids = df[id_col].to_numpy()
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        bnd = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1]))
+        counts = np.diff(np.concatenate([[0], bnd + 1, [len(df)]]))
+        starts = np.concatenate([[0], bnd + 1])
+        n0 = np.add.reduceat((side == 0).astype(np.int64), starts)
+        n1 = counts - n0
+        keep = counts <= max_band
+        dropped = int((~keep).sum())
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "minhash_join: dropped %d band buckets (> %d docs) "
+                "from candidate generation", dropped, max_band)
+        gid = np.repeat(np.arange(len(starts)), counts)
+        row_ok = keep[gid] & (side == 0) & (n1[gid] > 0)
+        pr = np.flatnonzero(row_ok)
+        if not len(pr):
+            return empty
+        nb = n1[gid[pr]]
+        a = np.repeat(ids[pr], nb)
+        off = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        b_idx = (np.arange(nb.sum()) - np.repeat(off, nb)
+                 + np.repeat(starts[gid[pr]] + n0[gid[pr]], nb))
+        return pd.DataFrame({"a": a.astype(np.int64),
+                             "b": ids[b_idx].astype(np.int64)})
+
+    from .exchange import hash_group_apply
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    sides = ds_a.map_batches(make_sig(0), batch_format="pyarrow").union(
+        ds_b.map_batches(make_sig(1), batch_format="pyarrow"))
+    cands = hash_group_apply(sides, ["band", "key"], pairs_bucket,
+                             out_schema=pair_schema)
+    cands = hash_group_apply(cands, ["a", "b"],
+                             lambda g: g.drop_duplicates(),
+                             out_schema=pair_schema)
+    return verify_pairs_jaccard(ds_a.union(ds_b), cands,
+                                threshold=threshold, text_col=text_col,
+                                id_col=id_col, k=k)

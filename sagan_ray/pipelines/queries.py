@@ -3152,6 +3152,58 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_dedup_cross_join(sf_dir: str):
+    """Bipartite near-dup join (dedup.py::minhash_join): verified
+    J≥0.9 pairs between docs <250 (corpus A) and ≥250 (corpus B) —
+    cross-side-only LSH candidates + exact two-exchange verify. At
+    J≥0.9 with 16 bands the LSH miss probability is ~4e-8, so the
+    output equals the brute-force cross-side jaccard set (the
+    dedup_minhash stance)."""
+    import pyarrow.compute as pac
+
+    from ..datapipe.dedup import minhash_join
+
+    docs = _docs(sf_dir)
+    a = docs.map_batches(
+        lambda t: t.filter(pac.less(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    b = docs.map_batches(
+        lambda t: t.filter(pac.greater_equal(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    out = _typed(minhash_join(a, b, threshold=0.9).to_pandas(),
+                 {"a": "int64", "b": "int64", "jaccard": "float64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_DEDUP_CROSS_JOIN = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s
+  WHERE x.doc_id < 250 AND y.doc_id >= 250
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.i::DOUBLE / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.9
+ORDER BY a, b
+"""
+
+
 def q_split_leakage_safe(sf_dir: str):
     """Leakage-safe train/val split (curate.py::split_by_cluster):
     docs follow their near-dup cluster REP's knuth hash, so near-dups
@@ -3801,6 +3853,7 @@ QUERIES = {
     "events_props_agg": q_events_props_agg,
     "events_latency": q_events_latency,
     "split_leakage_safe": q_split_leakage_safe,
+    "dedup_cross_join": q_dedup_cross_join,
 }
 
 ORACLES = {
@@ -3915,4 +3968,5 @@ ORACLES = {
     "events_props_agg": SQL_EVENTS_PROPS_AGG,
     "events_latency": SQL_EVENTS_LATENCY,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
+    "dedup_cross_join": SQL_DEDUP_CROSS_JOIN,
 }

@@ -1816,3 +1816,25 @@ def test_cdc_coverage_vs_prior_planted():
     assert out.loc[11, "cov_bytes"] >= 0.8 * out.loc[11, "n_bytes"]
     assert out.loc[11, "cov_bytes"] < out.loc[11, "n_bytes"]
     assert out.loc[12, "cov_bytes"] == 0 and out.loc[12, "cov_chunks"] == 0
+
+
+def test_minhash_join_cross_side_only():
+    """Within-side near-dups never surface; cross-side exact and
+    shifted near-dups do, with exact jaccard."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup import minhash_join
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different second text about other things entirely ok"
+    a = pd.DataFrame({"doc_id": pd.array([0, 1, 2], dtype="int64"),
+                      "text": [t1, t1, t2]})        # 0,1 dup WITHIN a
+    b = pd.DataFrame({"doc_id": pd.array([10, 11], dtype="int64"),
+                      "text": [t1, "unrelated filler words here nine"]})
+    out = (minhash_join(rd.from_pandas(a).repartition(2),
+                        rd.from_pandas(b), threshold=0.9)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pairs = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert pairs == {(0, 10), (1, 10)}       # cross-side only, directed
+    assert (out["jaccard"] == 1.0).all()
