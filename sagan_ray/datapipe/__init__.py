@@ -16,6 +16,7 @@ from .dedup import (  # noqa: F401
     embedding_near_dup,
     embedding_near_dup_exact,
     exact_dedup,
+    minhash_join,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
