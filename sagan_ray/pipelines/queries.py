@@ -3298,6 +3298,48 @@ FROM a JOIN b USING (user_id) ORDER BY a.user_id
 """
 
 
+def q_dedup_cdc_filter(sf_dir: str):
+    """The incremental-crawl ACTION: new docs (doc_id >= 250) KEPT iff
+    less than 80% of their bytes are covered by the prior corpus's CDC
+    chunks — cdc_coverage_vs_prior composed with a stateless filter
+    (cov_bytes·10 < n_bytes·8 in exact int64, so the threshold needs
+    no float). Golden = the coverage golden + the same arithmetic."""
+    import pyarrow.compute as pac
+
+    from ..datapipe.dedup import cdc_chunk_hashes, cdc_coverage_vs_prior
+    from ..oracle.golden import write_golden_cdc_coverage
+
+    write_golden_cdc_coverage(sf_dir, split_id=250, bits=6, min_size=32,
+                              max_size=256)
+    docs = _docs(sf_dir)
+    old = docs.map_batches(
+        lambda t: t.filter(pac.less(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda t: t.filter(pac.greater_equal(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    prior = cdc_chunk_hashes(old, bits=6, min_size=32, max_size=256)
+    cov = cdc_coverage_vs_prior(new, prior, bits=6, min_size=32,
+                                max_size=256)
+    kept = cov.map_batches(
+        lambda t: t.filter(pac.less(
+            pac.multiply(t.column("cov_bytes"), pa.scalar(10, pa.int64())),
+            pac.multiply(t.column("n_bytes"), pa.scalar(8, pa.int64()))))
+                  .select(["doc_id", "n_bytes", "cov_bytes"]),
+        batch_format="pyarrow")
+    out = _typed(kept.to_pandas(), {"doc_id": "int64", "n_bytes": "int64",
+                                    "cov_bytes": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CDC_FILTER = """
+SELECT doc_id, n_bytes, cov_bytes
+FROM read_parquet('/tmp/sagan_ray_golden/dedup_cdc_incremental.parquet')
+WHERE cov_bytes * 10 < n_bytes * 8
+ORDER BY doc_id
+"""
+
+
 def q_events_props_agg(sf_dir: str):
     """Grouped aggregates of the integer 'k' key inside the JSON props
     blob (events.py::props_key_agg — vectorized RE2 extract, no
@@ -3854,6 +3896,7 @@ QUERIES = {
     "events_latency": q_events_latency,
     "split_leakage_safe": q_split_leakage_safe,
     "dedup_cross_join": q_dedup_cross_join,
+    "dedup_cdc_filter": q_dedup_cdc_filter,
 }
 
 ORACLES = {
@@ -3969,4 +4012,5 @@ ORACLES = {
     "events_latency": SQL_EVENTS_LATENCY,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
     "dedup_cross_join": SQL_DEDUP_CROSS_JOIN,
+    "dedup_cdc_filter": SQL_DEDUP_CDC_FILTER,
 }
