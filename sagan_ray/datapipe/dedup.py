@@ -1599,3 +1599,39 @@ def minhash_join(ds_a, ds_b, *, threshold: float = 0.8,
     return verify_pairs_jaccard(ds_a.union(ds_b), cands,
                                 threshold=threshold, text_col=text_col,
                                 id_col=id_col, k=k)
+
+
+def normalize_text_col(ds, *, text_col: str = "text",
+                       out_col: str = "norm_text"):
+    """Append a normalized-text column: NFC → lowercase → collapse
+    whitespace runs to one space → trim, all as vectorized Arrow/RE2
+    kernels (utf8proc under the hood). The canonicalization step in
+    front of exact dedup so case/whitespace/unicode-composition
+    variants collapse. KNOWN utf8proc-vs-DuckDB divergence: lowercase
+    of dotted capital I (U+0130) — utf8proc yields i + combining dot,
+    DuckDB bare i; the SQL-oracle gate holds on the fixture corpus and
+    the divergence is pinned by a test."""
+    import pyarrow.compute as pc_
+
+    def f(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(text_col).cast(pa.large_string())
+        n = pc_.utf8_trim_whitespace(pc_.replace_substring_regex(
+            pc_.utf8_lower(pc_.utf8_normalize(col, form="NFC")),
+            r"\s+", " "))
+        return tbl.append_column(out_col, n)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def exact_dedup_normalized(ds, *, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Exact dedup on NORMALIZED text: keep the smallest id per
+    distinct canonical form (``normalize_text_col`` ∘ ``exact_dedup``)
+    — catches the case/whitespace/composition near-variants plain
+    exact dedup misses, at exact-dedup cost (the normalized hash
+    partitions the exchange; in-bucket compares are exact on the
+    normalized strings)."""
+    out = exact_dedup(normalize_text_col(ds, text_col=text_col),
+                      text_col="norm_text", id_col=id_col)
+    return out.map_batches(lambda t: t.drop_columns(["norm_text"]),
+                           batch_format="pyarrow")

@@ -3298,6 +3298,28 @@ FROM a JOIN b USING (user_id) ORDER BY a.user_id
 """
 
 
+def q_dedup_normalized(sf_dir: str):
+    """Exact dedup on canonicalized text (NFC + lower + whitespace
+    collapse; dedup.py::exact_dedup_normalized) — survivors' ids.
+    Arrow utf8proc kernels vs DuckDB's nfc_normalize/lower: parity
+    holds on the corpus (the U+0130 divergence is pinned by a test)."""
+    from ..datapipe.dedup import exact_dedup_normalized
+
+    out = exact_dedup_normalized(_docs(sf_dir)).to_pandas()[["doc_id"]]
+    out = out.astype({"doc_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_NORMALIZED = r"""
+SELECT min(doc_id)::BIGINT AS doc_id
+FROM (SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(text)),
+                                 '\s+', ' ', 'g')) AS n
+      FROM documents)
+GROUP BY n ORDER BY doc_id
+"""
+
+
 def q_dedup_cdc_filter(sf_dir: str):
     """The incremental-crawl ACTION: new docs (doc_id >= 250) KEPT iff
     less than 80% of their bytes are covered by the prior corpus's CDC
@@ -3897,6 +3919,7 @@ QUERIES = {
     "split_leakage_safe": q_split_leakage_safe,
     "dedup_cross_join": q_dedup_cross_join,
     "dedup_cdc_filter": q_dedup_cdc_filter,
+    "dedup_normalized": q_dedup_normalized,
 }
 
 ORACLES = {
@@ -4013,4 +4036,5 @@ ORACLES = {
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
     "dedup_cross_join": SQL_DEDUP_CROSS_JOIN,
     "dedup_cdc_filter": SQL_DEDUP_CDC_FILTER,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
 }

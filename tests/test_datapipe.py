@@ -1838,3 +1838,29 @@ def test_minhash_join_cross_side_only():
     pairs = set(zip(out["a"].astype(int), out["b"].astype(int)))
     assert pairs == {(0, 10), (1, 10)}       # cross-side only, directed
     assert (out["jaccard"] == 1.0).all()
+
+
+def test_exact_dedup_normalized_variants():
+    """Case / whitespace / unicode-composition variants collapse to the
+    smallest id; genuinely different texts survive; the known utf8proc
+    U+0130 lowercase divergence from DuckDB is pinned here so a corpus
+    containing it fails loudly instead of flaking the gate."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup import exact_dedup_normalized
+
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(5), dtype="int64"),
+        "text": ["Hello   World", "hello world", "hello\tWORLD",
+                 "café bar",          # composed é
+                 "café bar"]})       # decomposed e + U+0301
+    out = (exact_dedup_normalized(rd.from_pandas(df).repartition(3))
+           .to_pandas())
+    assert sorted(out["doc_id"].astype(int)) == [0, 3]
+    # pin the divergence: utf8proc lower(U+0130) keeps the combining dot
+    low = pc.utf8_lower(pc.utf8_normalize(
+        pa.array(["İ"], pa.large_string()), form="NFC")).to_pylist()
+    assert low == ["i̇"]              # DuckDB lower() gives bare "i"
