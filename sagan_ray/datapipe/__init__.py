@@ -11,11 +11,13 @@ from .dedup import (  # noqa: F401
     cdc_coverage_vs_prior,
     connected_components,
     ngram_containment_pairs,
+    normalize_text_col,
     dedup_against_prior,
     dedup_cluster_reps,
     embedding_near_dup,
     embedding_near_dup_exact,
     exact_dedup,
+    exact_dedup_normalized,
     minhash_join,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
