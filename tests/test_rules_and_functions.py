@@ -212,3 +212,25 @@ def test_parser_fifth_review_regressions():
     assert _prematch("brow*", "brow*", wildcards=False)
     assert not _prematch("brow*", "browser", wildcards=False)
     assert _prematch("brow*", "browser", wildcards=True)   # program only
+
+
+def test_query_registry_consistent():
+    """QUERIES and ORACLES stay key-synchronized (the driver joins them
+    by name), every entry is callable, every oracle is a non-empty SQL
+    string, and registry order still leads with the engine family (the
+    gate-window budget contract)."""
+    from sagan_ray.pipelines.queries import ORACLES, QUERIES
+
+    assert list(QUERIES) and list(ORACLES)
+    assert set(QUERIES) == set(ORACLES)
+    assert all(callable(v) for v in QUERIES.values())
+    assert all(isinstance(v, str) and v.strip() for v in ORACLES.values())
+    names = list(QUERIES)
+    assert names[0].startswith("engine_")        # warmup + identity block
+    # no duplicate result-column aliases drifting: spot that every SQL
+    # has an ORDER BY (the compare sorts, but deterministic oracles are
+    # part of the contract) except golden reads that end with one anyway
+    single_row = {"corpus_stats", "corpus_vocab_sketch"}   # 1-row aggs
+    missing = [k for k, v in ORACLES.items()
+               if "ORDER BY" not in v.upper() and k not in single_row]
+    assert not missing, missing
