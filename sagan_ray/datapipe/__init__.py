@@ -91,6 +91,7 @@ from .joins import (  # noqa: F401
     range_join_pairs,
 )
 from .textstats import (  # noqa: F401
+    bigram_nll,
     byte_entropy,
     collocations,
     corpus_stats,
@@ -102,6 +103,7 @@ from .textstats import (  # noqa: F401
     quality,
     remove_dup_spans,
     repetition,
+    source_divergence,
     source_overlap,
     token_counts,
     unigram_nll,

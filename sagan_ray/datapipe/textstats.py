@@ -419,6 +419,83 @@ def unigram_nll(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hash_group_apply(mid, [id_col], doc_bucket, out_schema=out_schema)
 
 
+def bigram_nll(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-bigram-LM surprisal per document — the conditional analog
+    of ``unigram_nll``: with ``cnt(w1,w2)`` the corpus bigram count and
+    ``ctx(w1) = Σ_w2 cnt(w1,w2)`` (occurrences of ``w1`` as a left
+    context), each doc's mean negative conditional log-likelihood is
+
+        nll2 = -(1/m) Σ ln(cnt(w1,w2)/ctx(w1))
+             = (1/m) Σ tf·(ln ctx(w1) - ln cnt(w1,w2))
+
+    over the doc's m bigram occurrences. No smoothing needed — every
+    scored bigram has cnt ≥ 1 (and hence ctx ≥ 1) by construction.
+    Returns (doc_id, n_bigrams, nll2) for docs with ≥1 bigram.
+
+    Distributed shape: ONE word-keyed exchange suffices (no global
+    total, unlike unigram_nll's ln(T) rewrite) because a bigram's rows
+    always share its LEFT word hash — keying the exchange on ``w1h``
+    co-locates everything needed for both cnt (transform-sum by bigram
+    hash) and ctx (transform-sum by w1h). Per batch one row per
+    DISTINCT (doc, bigram): (w1h, bh, doc, tf); bucket emits per-doc
+    partials (doc, Σtf, Σ tf·(ln ctx - ln cnt)); a doc-keyed exchange
+    sums and divides. 64-bit gram-hash collision stance shared with the
+    dedup family; float s sums in bucket/arrival order (~1e-15 relative
+    vs the SQL oracle, inside the gate tolerance)."""
+    from .exchange import hash_group_apply
+
+    tf_schema = pa.schema([("w1h", pa.uint64()), ("bh", pa.uint64()),
+                           (id_col, pa.int64()), ("tf", pa.int64())])
+
+    def tf_rows(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, wh, _ = _words_flat(tbl.column(text_col))
+        if len(wh) < 2:
+            return tf_schema.empty_table()
+        i0 = np.nonzero(doc_of[1:] == doc_of[:-1])[0]
+        if not len(i0):
+            return tf_schema.empty_table()
+        with np.errstate(over="ignore"):
+            bh = wh[i0] * _REP_HORNER + wh[i0 + 1]
+        o, _, counts, first = _gram_runs(doc_of[i0], bh)
+        fi = i0[o][first]
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w1h": pa.array(wh[fi], pa.uint64()),
+            "bh": pa.array(bh[o][first], pa.uint64()),
+            id_col: pa.array(ids[doc_of[fi]], pa.int64()),
+            "tf": pa.array(counts, pa.int64())})
+
+    part_schema = pa.schema([(id_col, pa.int64()), ("m", pa.int64()),
+                             ("s", pa.float64())])
+
+    def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("bh", sort=False)["tf"].transform("sum")
+        ctx = df.groupby("w1h", sort=False)["tf"].transform("sum")
+        contrib = df["tf"].to_numpy(np.float64) * (
+            np.log(ctx.to_numpy(np.float64))
+            - np.log(cnt.to_numpy(np.float64)))
+        g = pd.DataFrame({id_col: df[id_col], "m": df["tf"],
+                          "s": contrib}).groupby(id_col, sort=False)
+        return g.agg(m=("m", "sum"), s=("s", "sum")).reset_index()
+
+    mid = hash_group_apply(
+        ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=65536),
+        ["w1h"], word_bucket, out_schema=part_schema)
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_bigrams", pa.int64()),
+                            ("nll2", pa.float64())])
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False).agg(
+            m=("m", "sum"), s=("s", "sum")).reset_index()
+        return pd.DataFrame({
+            id_col: g[id_col], "n_bigrams": g["m"],
+            "nll2": g["s"].to_numpy() / g["m"].to_numpy()})
+
+    return hash_group_apply(mid, [id_col], doc_bucket, out_schema=out_schema)
+
+
 def remove_dup_spans(ds, *, k: int = 5, text_col: str = "text",
                      id_col: str = "doc_id"):
     """The transform `cross_doc_dup` only measures: REMOVE every word
@@ -1084,3 +1161,102 @@ def source_overlap(ds, *, k: int = 5, text_col: str = "text",
 
     return hash_group_apply(parts, ["sa", "sb"], fold,
                             out_schema=pair_schema)
+
+
+def source_divergence(ds, *, text_col: str = "text",
+                      source_col: str = "source"):
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    word distributions — the distribution-level companion to
+    ``source_overlap``'s shared-gram matrix (corpus-mixing audits: "how
+    different is src_a's language from src_b's"). For each unordered
+    source pair (sa < sb), with P_s(w) = cnt_s(w)/T_s,
+
+        jsd = Σ_w ½·P_a(w)·ln(2·P_a/(P_a+P_b))
+            + ½·P_b(w)·ln(2·P_b/(P_a+P_b))      (0·ln 0 terms = 0)
+
+    — symmetric, bounded by ln 2, zero iff identical distributions.
+
+    Distributed shape: a cheap column-pruned pass sums per-source word
+    totals (|sources| scalars, broadcast in the closure); per batch one
+    (wh, source, c) row per distinct (word, source); exchange on wh —
+    each bucket owns its words entirely, pivots to a words×sources
+    count matrix and emits ONE partial jsd row per pair (the word axis
+    reduces in-bucket, so the fold input is |pairs|×buckets rows); a
+    tiny pair-keyed exchange sums partials. The per-pair loop is over
+    |sources|² (config-sized), never over rows. 64-bit word-hash
+    collision stance shared with the dedup family; partial sums combine
+    in arrival order (~1e-15 relative vs the SQL oracle)."""
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+
+    tot_schema = pa.schema([(source_col, pa.string()), ("n", pa.int64())])
+
+    def totals(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, _, _ = _words_flat(tbl.column(text_col))
+        src = tbl.column(source_col).to_pandas().to_numpy(dtype=object)
+        g = (pd.DataFrame({source_col: src[doc_of]})
+             .groupby(source_col, sort=False).size().reset_index(name="n"))
+        return pa.Table.from_pandas(
+            g, schema=tot_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    out_schema = pa.schema([("sa", pa.string()), ("sb", pa.string()),
+                            ("jsd", pa.float64())])
+    tp = ds.map_batches(totals, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+    if tp.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    t_by_src = tp.groupby(source_col)["n"].sum()
+    sources = sorted(t_by_src.index)
+    if len(sources) < 2:
+        return rd.from_arrow(out_schema.empty_table())
+    totals_vec = t_by_src.reindex(sources).to_numpy(np.float64)
+
+    occ_schema = pa.schema([("wh", pa.uint64()),
+                            (source_col, pa.string()), ("c", pa.int64())])
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, wh, _ = _words_flat(tbl.column(text_col))
+        if not len(wh):
+            return occ_schema.empty_table()
+        src = tbl.column(source_col).to_pandas().to_numpy(dtype=object)
+        g = (pd.DataFrame({"wh": wh, source_col: src[doc_of]})
+             .groupby(["wh", source_col], sort=False).size()
+             .reset_index(name="c"))
+        return pa.Table.from_pandas(
+            g, schema=occ_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["wh", source_col], sort=False)["c"].sum()
+             .reset_index())                 # across-batch partial merge
+        piv = g.pivot_table(index="wh", columns=source_col, values="c",
+                            fill_value=0, aggfunc="sum")
+        P = (piv.reindex(columns=sources, fill_value=0)
+             .to_numpy(np.float64) / totals_vec)
+        sa_l, sb_l, jsd_l = [], [], []
+        for i in range(len(sources)):
+            for j in range(i + 1, len(sources)):
+                p, q = P[:, i], P[:, j]
+                m = p + q
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    term = (np.where(p > 0,
+                                     0.5 * p * np.log(2 * p / m), 0.0)
+                            + np.where(q > 0,
+                                       0.5 * q * np.log(2 * q / m), 0.0))
+                sa_l.append(sources[i])
+                sb_l.append(sources[j])
+                jsd_l.append(float(term.sum()))
+        return pd.DataFrame({"sa": sa_l, "sb": sb_l, "jsd": jsd_l})
+
+    parts = hash_group_apply(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536),
+        ["wh"], bucket, out_schema=out_schema)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["sa", "sb"], sort=False)["jsd"].sum()
+                .reset_index())
+
+    return hash_group_apply(parts, ["sa", "sb"], fold,
+                            out_schema=out_schema)

@@ -2352,6 +2352,38 @@ GROUP BY tf.doc_id ORDER BY tf.doc_id
 """
 
 
+def q_text_nll_bigram(sf_dir: str):
+    """Corpus-bigram-LM surprisal per doc (textstats.bigram_nll): ONE
+    w1h-keyed exchange computes both cnt(bigram) and ctx(w1) in-bucket
+    (a bigram's rows always share their left-word hash), then a
+    doc-keyed exchange combines partials."""
+    from ..datapipe import bigram_nll
+
+    out = bigram_nll(_docs(sf_dir)).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_bigrams": "int64",
+                      "nll2": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_NLL_BIGRAM = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+tfb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi
+        GROUP BY doc_id, w1, w2),
+cbi AS (SELECT w1, w2, sum(tf) AS cnt FROM tfb GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cnt) AS ctx FROM cbi GROUP BY w1)
+SELECT tfb.doc_id, sum(tf)::BIGINT AS n_bigrams,
+       sum(tf * (ln(ctx) - ln(cnt))) / sum(tf) AS nll2
+FROM tfb JOIN cbi USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY tfb.doc_id ORDER BY tfb.doc_id
+"""
+
+
 _COLLOC_MIN = 20
 
 
@@ -3152,6 +3184,47 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_source_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between source unigram word
+    distributions (textstats.py::source_divergence — word axis reduces
+    inside the wh-keyed exchange, fold input is |pairs|×buckets rows)."""
+    from ..datapipe.textstats import source_divergence
+
+    ds = _docs(sf_dir, columns=["text", "source"])
+    out = _typed(source_divergence(ds).to_pandas(),
+                 {"sa": "object", "sb": "object", "jsd": "float64"})
+    return out.sort_values(["sa", "sb"]).reset_index(drop=True)
+
+
+SQL_SOURCE_DIVERGENCE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+t AS (SELECT source, sum(c) AS t FROM c GROUP BY source),
+p AS (SELECT c.source, w, c::DOUBLE / t AS p FROM c JOIN t USING (source)),
+srcs AS (SELECT DISTINCT source FROM toks),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+wl AS (SELECT DISTINCT w FROM c),
+m AS (SELECT pairs.sa, pairs.sb,
+             coalesce(x.p, 0) AS pa, coalesce(y.p, 0) AS pb
+      FROM pairs CROSS JOIN wl
+      LEFT JOIN p x ON x.source = pairs.sa AND x.w = wl.w
+      LEFT JOIN p y ON y.source = pairs.sb AND y.w = wl.w
+      WHERE coalesce(x.p, 0) > 0 OR coalesce(y.p, 0) > 0)
+SELECT sa, sb,
+       sum(CASE WHEN pa > 0
+                THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+         + CASE WHEN pb > 0
+                THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END) AS jsd
+FROM m GROUP BY sa, sb ORDER BY sa, sb
+"""
+
+
 def q_dedup_cross_join(sf_dir: str):
     """Bipartite near-dup join (dedup.py::minhash_join): verified
     J≥0.9 pairs between docs <250 (corpus A) and ≥250 (corpus B) —
@@ -3920,6 +3993,8 @@ QUERIES = {
     "dedup_cross_join": q_dedup_cross_join,
     "dedup_cdc_filter": q_dedup_cdc_filter,
     "dedup_normalized": q_dedup_normalized,
+    "text_nll_bigram": q_text_nll_bigram,
+    "source_divergence": q_source_divergence,
 }
 
 ORACLES = {
@@ -4037,4 +4112,6 @@ ORACLES = {
     "dedup_cross_join": SQL_DEDUP_CROSS_JOIN,
     "dedup_cdc_filter": SQL_DEDUP_CDC_FILTER,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "text_nll_bigram": SQL_TEXT_NLL_BIGRAM,
+    "source_divergence": SQL_SOURCE_DIVERGENCE,
 }

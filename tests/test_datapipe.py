@@ -979,6 +979,66 @@ def test_unigram_nll_tiny_hand_check():
     assert abs(out["nll"][1] - nll2) < 1e-12
 
 
+def test_bigram_nll_tiny_hand_check():
+    import math
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe import bigram_nll
+
+    # corpus bigrams: doc1 "a b a b" → (a,b)×2 (b,a)×1; doc2 "a b c" →
+    # (a,b) (b,c); doc3 "x" → none. cnt(a,b)=3 cnt(b,a)=1 cnt(b,c)=1;
+    # ctx(a)=3 ctx(b)=2.
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": ["a b a b", "a b c", "x"]}))
+    out = (bigram_nll(ds).to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_bigrams"]) == [3, 2]
+    nll1 = (2 * (math.log(3) - math.log(3))
+            + 1 * (math.log(2) - math.log(1))) / 3
+    nll2 = ((math.log(3) - math.log(3))
+            + (math.log(2) - math.log(1))) / 2
+    assert abs(out["nll2"][0] - nll1) < 1e-12
+    assert abs(out["nll2"][1] - nll2) < 1e-12
+
+
+def test_source_divergence_tiny_hand_check():
+    import math
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe import source_divergence
+
+    # s1: a a b (Pa = {a:2/3, b:1/3}); s2: a c (Pb = {a:1/2, c:1/2})
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["a a b", "a c"],
+        "source": ["s1", "s2"]}))
+    out = source_divergence(ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["sa"], r["sb"]) == ("s1", "s2")
+    pa_, pb_ = 2 / 3, 1 / 2
+    want = (0.5 * pa_ * math.log(2 * pa_ / (pa_ + pb_))
+            + 0.5 * pb_ * math.log(2 * pb_ / (pa_ + pb_))
+            + 0.5 * (1 / 3) * math.log(2.0)
+            + 0.5 * (1 / 2) * math.log(2.0))
+    assert abs(r["jsd"] - want) < 1e-12
+
+
+def test_source_divergence_identical_sources_zero():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import source_divergence
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["x y z", "x y z"],
+        "source": ["s1", "s2"]}))
+    out = source_divergence(ds).to_pandas()
+    assert len(out) == 1
+    assert abs(out.iloc[0]["jsd"]) < 1e-15
+
+
 def test_collocations_tiny_hand_check():
     import math
 
