@@ -67,7 +67,7 @@ from .index import (  # noqa: F401
     search_index,
     update_inverted_index,
 )
-from .search import bm25_topk  # noqa: F401
+from .search import bm25_topk, tfidf_similar  # noqa: F401
 from .sketch import (  # noqa: F401
     bloom_membership,
     cms_word_counts,

@@ -3225,6 +3225,55 @@ FROM m GROUP BY sa, sb ORDER BY sa, sb
 """
 
 
+_TFIDF_QIDS = [3, 47, 101]
+_TFIDF_K = 20
+
+
+def q_search_similar(sf_dir: str):
+    """TF-IDF cosine doc-to-doc top-k (search.py::tfidf_similar):
+    query-vocab df pre-pass gives exact query norms driver-side; the
+    wh-keyed exchange computes idf in-bucket; the doc-keyed exchange
+    completes norms/numerators and prunes top-k per bucket on the
+    rounded ranking key."""
+    from ..datapipe.search import tfidf_similar
+
+    out = tfidf_similar(_docs(sf_dir), _TFIDF_QIDS, k=_TFIDF_K)
+    out = _typed(out, {"qid": "int64", "doc_id": "int64",
+                       "cosine": "float64"})
+    return out.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+
+
+SQL_SEARCH_SIMILAR = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+wv AS (SELECT doc_id, w, tf * ln((SELECT n FROM n) / df) AS wt
+       FROM tf JOIN df USING (w)),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wv GROUP BY doc_id),
+q AS (SELECT doc_id AS qid, w, wt FROM wv
+      WHERE doc_id IN ({", ".join(str(i) for i in _TFIDF_QIDS)})),
+num AS (SELECT q.qid, d.doc_id, sum(d.wt * q.wt) AS v
+        FROM wv d JOIN q USING (w) WHERE d.doc_id <> q.qid
+        GROUP BY q.qid, d.doc_id),
+sc AS (SELECT qid, num.doc_id,
+              round(v / (nd.nrm * nq.nrm), 6) AS cosine
+       FROM num JOIN nrm nd ON nd.doc_id = num.doc_id
+                 JOIN nrm nq ON nq.doc_id = num.qid),
+r AS (SELECT qid, doc_id, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, doc_id) AS rn
+      FROM sc)
+SELECT qid, doc_id, cosine FROM r WHERE rn <= {_TFIDF_K}
+ORDER BY qid, cosine DESC, doc_id
+"""
+
+
 def q_dedup_cross_join(sf_dir: str):
     """Bipartite near-dup join (dedup.py::minhash_join): verified
     J≥0.9 pairs between docs <250 (corpus A) and ≥250 (corpus B) —
@@ -3995,6 +4044,7 @@ QUERIES = {
     "dedup_normalized": q_dedup_normalized,
     "text_nll_bigram": q_text_nll_bigram,
     "source_divergence": q_source_divergence,
+    "search_similar": q_search_similar,
 }
 
 ORACLES = {
@@ -4114,4 +4164,5 @@ ORACLES = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "text_nll_bigram": SQL_TEXT_NLL_BIGRAM,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
+    "search_similar": SQL_SEARCH_SIMILAR,
 }

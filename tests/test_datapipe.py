@@ -911,6 +911,63 @@ def test_bm25_topk_matches_brute_force(docs, docs_tbl):
                        rtol=1e-9, atol=1e-9)
 
 
+def test_tfidf_similar_matches_brute_force(docs, docs_tbl):
+    """Distributed three-pass TF-IDF cosine vs a single-process numpy
+    recomputation of the same formula (same tokenization, same rounded
+    ranking key)."""
+    import re
+
+    from sagan_ray.datapipe import tfidf_similar
+
+    qids, k = [3, 17], 10
+    texts = docs_tbl["text"].to_pylist()
+    ids = np.asarray(docs_tbl["doc_id"].to_pylist(), dtype=np.int64)
+    word_re = re.compile(r"[a-z0-9_]+")
+    toks = [word_re.findall(t.lower()) for t in texts]
+    vocab = sorted({w for t in toks for w in t})
+    vidx = {w: i for i, w in enumerate(vocab)}
+    n = len(toks)
+    tf = np.zeros((n, len(vocab)))
+    for d, t in enumerate(toks):
+        for w in t:
+            tf[d, vidx[w]] += 1
+    df = (tf > 0).sum(axis=0).astype(np.float64)
+    wt = tf * np.log(float(n) / df)
+    nrm = np.sqrt((wt * wt).sum(axis=1))
+    want = {}
+    for q in qids:
+        qi = int(np.nonzero(ids == q)[0][0])
+        cos = np.round(wt @ wt[qi] / (nrm * nrm[qi]), 6)
+        cand = [i for i in range(n) if ids[i] != q]
+        order = sorted(cand, key=lambda i: (-cos[i], ids[i]))[:k]
+        want[q] = [(int(ids[i]), cos[i]) for i in order]
+
+    out = tfidf_similar(docs, qids, k=k)
+    for q in qids:
+        got = out[out["qid"] == q]
+        assert list(got["doc_id"]) == [w[0] for w in want[q]]
+        assert np.allclose(got["cosine"], [w[1] for w in want[q]],
+                           rtol=1e-9, atol=1e-9)
+
+
+def test_tfidf_similar_tiny_and_missing():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import tfidf_similar
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": ["a b", "a b", "c d"]}))
+    out = tfidf_similar(ds, [1], k=5)
+    # doc 2 is identical to the query → cosine 1.0; doc 3 shares nothing
+    assert list(out["doc_id"]) == [2]
+    assert abs(out["cosine"].iloc[0] - 1.0) < 1e-12
+    try:
+        tfidf_similar(ds, [99], k=5)
+        raise AssertionError("expected ValueError for missing query id")
+    except ValueError:
+        pass
+
+
 def test_bm25_empty_and_absent_terms():
     import pandas as pd
     import ray.data as rd
