@@ -68,6 +68,7 @@ from .index import (  # noqa: F401
     update_inverted_index,
 )
 from .search import bm25_topk, tfidf_similar  # noqa: F401
+from .winnow import winnow_pairs  # noqa: F401
 from .sketch import (  # noqa: F401
     bloom_membership,
     cms_word_counts,

@@ -3225,6 +3225,60 @@ FROM m GROUP BY sa, sb ORDER BY sa, sb
 """
 
 
+_WINNOW = {"k": 5, "w": 4, "max_df": 10, "min_shared": 2}
+
+
+def q_dedup_winnow(sf_dir: str):
+    """Winnowing (MOSS) shared-fingerprint pairs
+    (winnow.py::winnow_pairs): prefix-scan range hashes + window-min
+    selection per batch, fp-keyed exchange with the max_df ubiquity
+    filter (the SQL mirrors it — it is part of the semantics), pair
+    exchange sums."""
+    from ..datapipe.winnow import winnow_pairs
+
+    out = _typed(winnow_pairs(_docs(sf_dir), **_WINNOW).to_pandas(),
+                 {"a": "int64", "b": "int64", "n_shared": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_DEDUP_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+gs AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+{_WINNOW['k'] - 1}], ' ') AS g
+       FROM (SELECT doc_id, ws,
+                    unnest(range(1, len(ws) - {_WINNOW['k'] - 2})) AS i
+             FROM t)),
+g AS (SELECT doc_id, pos,
+             list_reduce(list_transform(range(1, length(g) + 1),
+                                        j -> unicode(substr(g, j, 1))::BIGINT),
+                         (a, b) -> (a * 31 + b) % 2147483629) AS h
+      FROM gs),
+wm AS (SELECT doc_id, pos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WINNOW['w'] - 1} FOLLOWING) AS wmin,
+              count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {_WINNOW['w'] - 1} FOLLOWING) AS wn
+       FROM g),
+sel AS (SELECT w.doc_id, min(g2.pos) AS spos
+        FROM wm w JOIN g g2 ON g2.doc_id = w.doc_id
+              AND g2.pos BETWEEN w.pos AND w.pos + {_WINNOW['w'] - 1}
+              AND g2.h = w.wmin
+        WHERE w.wn = {_WINNOW['w']}
+        GROUP BY w.doc_id, w.pos),
+fp AS (SELECT DISTINCT s.doc_id, g.h
+       FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.spos),
+keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= {_WINNOW['max_df']})
+SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+FROM fp x JOIN fp y USING (h) JOIN keep USING (h)
+WHERE x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WINNOW['min_shared']}
+ORDER BY a, b
+"""
+
+
 _TFIDF_QIDS = [3, 47, 101]
 _TFIDF_K = 20
 
@@ -4045,6 +4099,7 @@ QUERIES = {
     "text_nll_bigram": q_text_nll_bigram,
     "source_divergence": q_source_divergence,
     "search_similar": q_search_similar,
+    "dedup_winnow": q_dedup_winnow,
 }
 
 ORACLES = {
@@ -4165,4 +4220,5 @@ ORACLES = {
     "text_nll_bigram": SQL_TEXT_NLL_BIGRAM,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "search_similar": SQL_SEARCH_SIMILAR,
+    "dedup_winnow": SQL_DEDUP_WINNOW,
 }

@@ -1981,3 +1981,74 @@ def test_exact_dedup_normalized_variants():
     low = pc.utf8_lower(pc.utf8_normalize(
         pa.array(["İ"], pa.large_string()), form="NFC")).to_pylist()
     assert low == ["i̇"]              # DuckDB lower() gives bare "i"
+
+
+def _winnow_reference(texts, ids, k, w):
+    """Independent per-doc sequential winnow (plain Python Horner +
+    window loop) — the spec the vectorized prefix-scan kernel must
+    match."""
+    import re
+
+    P, X = 2147483629, 31
+    fps = {}
+    for did, t in zip(ids, texts):
+        words = re.findall(r"[a-z0-9_]+", t.lower())
+        grams = [" ".join(words[i:i + k])
+                 for i in range(len(words) - k + 1)]
+        hs = []
+        for g in grams:
+            h = 0
+            for ch in g:
+                h = (h * X + ord(ch)) % P
+            hs.append(h)
+        sel = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s:s + w]
+            sel.add(s + win.index(min(win)))       # leftmost tie
+        fps[did] = {hs[i] for i in sel}
+    return fps
+
+
+def test_winnow_pairs_matches_sequential_reference(docs, docs_tbl):
+    from sagan_ray.datapipe import winnow_pairs
+
+    k, w, max_df, min_shared = 5, 4, 10, 1
+    texts = docs_tbl["text"].to_pylist()
+    ids = [int(x) for x in docs_tbl["doc_id"].to_pylist()]
+    fps = _winnow_reference(texts, ids, k, w)
+    df_count = {}
+    for s in fps.values():
+        for h in s:
+            df_count[h] = df_count.get(h, 0) + 1
+    want = {}
+    idl = sorted(fps)
+    for i, a in enumerate(idl):
+        for b in idl[i + 1:]:
+            n = sum(1 for h in fps[a] & fps[b] if df_count[h] <= max_df)
+            if n >= min_shared:
+                want[(a, b)] = n
+
+    out = winnow_pairs(docs, k=k, w=w, max_df=max_df,
+                       min_shared=min_shared).to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.n_shared)
+           for r in out.itertuples()}
+    assert got == want and len(want) > 0
+
+
+def test_winnow_pairs_edge_cases():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import winnow_pairs
+
+    # short docs (< k+w-1 words) yield no full window -> no fps
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f", "a b c d e f", ""]}))
+    out = winnow_pairs(ds, k=5, w=4, min_shared=1).to_pandas()
+    assert len(out) == 0
+    # identical long docs share every fingerprint
+    long = " ".join(f"w{i % 13}" for i in range(40))
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                 "text": [long, long]}))
+    out = winnow_pairs(ds, k=5, w=4, min_shared=1).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n_shared"] >= 1
