@@ -58,6 +58,7 @@ from .events import (  # noqa: F401
     cohort_retention,
     funnel_stages,
     props_key_agg,
+    running_totals,
     step_latency,
     transition_counts,
 )

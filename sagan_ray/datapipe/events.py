@@ -302,3 +302,41 @@ def step_latency(ds, step_a: str, step_b: str, *,
     schema = pa.schema([(user_col, pa.int64()), ("t_a", pa.int64()),
                         ("t_b", pa.int64()), ("latency_us", pa.int64())])
     return hash_group_apply(ds, [user_col], bucket, out_schema=schema)
+
+
+def running_totals(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", value_col: str = "value"):
+    """Per-event running totals within each user's stream: for every
+    event, the cumulative sum of ``value`` and the 1-based event rank
+    over the user's events ordered by (ts, event_id) — the
+    ROWS UNBOUNDED PRECEDING window frame (running balances, lifetime
+    spend-to-date, nth-event numbering).
+
+    Distributed shape: user-keyed exchange of the four pruned columns;
+    inside a bucket one lexsort by (user, ts, id) then pandas' grouped
+    cumsum/cumcount (Cython, sequential left-to-right within each
+    group — the same add order as the SQL window accumulator, so
+    per-row sums agree to the last ulp; the gate's tolerance is moot)."""
+    from .exchange import hash_group_apply
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("run_sum", pa.float64()),
+                            ("run_cnt", pa.int64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        eid = df[id_col].to_numpy()
+        val = df[value_col].to_numpy(np.float64)
+        o = np.lexsort((eid, ts, uid))
+        g = pd.DataFrame({"u": uid[o], "v": val[o]})
+        gb = g.groupby("u", sort=False)
+        return pd.DataFrame({
+            id_col: eid[o],
+            "run_sum": gb["v"].cumsum().to_numpy(),
+            "run_cnt": gb.cumcount().to_numpy() + 1})
+
+    cols = ds.map_batches(
+        lambda t: t.select([id_col, user_col, ts_col, value_col]),
+        batch_format="pyarrow", batch_size=65536)
+    return hash_group_apply(cols, [user_col], bucket,
+                            out_schema=out_schema)

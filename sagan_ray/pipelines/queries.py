@@ -3225,6 +3225,32 @@ FROM m GROUP BY sa, sb ORDER BY sa, sb
 """
 
 
+def q_events_running(sf_dir: str):
+    """Per-event running (cumulative) sum + rank within each user's
+    (ts, event_id)-ordered stream (events.py::running_totals): user
+    exchange, in-bucket grouped cumsum in the SQL frame order."""
+    import ray.data as rd
+
+    from ..datapipe import running_totals
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = _typed(running_totals(ds).to_pandas(),
+                 {"event_id": "int64", "run_sum": "float64",
+                  "run_cnt": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id,
+       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_sum,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id)::BIGINT AS run_cnt
+FROM events ORDER BY event_id
+"""
+
+
 _WINNOW = {"k": 5, "w": 4, "max_df": 10, "min_shared": 2}
 
 
@@ -4100,6 +4126,7 @@ QUERIES = {
     "source_divergence": q_source_divergence,
     "search_similar": q_search_similar,
     "dedup_winnow": q_dedup_winnow,
+    "events_running": q_events_running,
 }
 
 ORACLES = {
@@ -4221,4 +4248,5 @@ ORACLES = {
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "search_similar": SQL_SEARCH_SIMILAR,
     "dedup_winnow": SQL_DEDUP_WINNOW,
+    "events_running": SQL_EVENTS_RUNNING,
 }

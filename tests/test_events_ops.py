@@ -248,3 +248,20 @@ def test_step_latency_strictly_after():
            .to_pandas())
     assert list(out["user_id"]) == [1]
     assert int(out["latency_us"].iloc[0]) == 3600 * 1_000_000
+
+
+def test_running_totals_hand_check():
+    from sagan_ray.datapipe import running_totals
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 8, 7, 8], pa.int64()),
+        # user 7: events 2 (ts 10), 1 (ts 20), 4 (ts 20, id breaks tie)
+        "ts": pa.array([20, 10, 5, 20, 30], pa.timestamp("us")),
+        "value": pa.array([1.5, 2.0, 4.0, 0.25, 1.0], pa.float64()),
+    })
+    out = (running_totals(_ds(tbl)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["run_cnt"].tolist() == [2, 1, 1, 3, 2]
+    assert np.allclose(out["run_sum"], [3.5, 2.0, 4.0, 3.75, 5.0])
