@@ -28,6 +28,7 @@ from .dedup import (  # noqa: F401
 from .ann import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
+    mmr_topk,
     quantize_embeddings,
     quantized_topk,
 )

@@ -562,3 +562,104 @@ def search_ivf_index(index_dir: str, queries: np.ndarray, *, k: int = 10,
     return _merge_topk(sub.map_batches(local_topk, batch_format="pyarrow",
                                        batch_size=16384),
                        k, id_col)
+
+
+def mmr_topk(ds, queries: np.ndarray, *, k: int = 10, shortlist: int = 64,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_ids: np.ndarray | None = None):
+    """Maximal-marginal-relevance diversified top-k (Carbonell/Goldstein)
+    at λ = 1/2 over the fixed-point unit grid: greedy selection where
+    step t picks the candidate maximizing
+
+        key(d) = rel(d) - max_{s ∈ S} sim(d, s)        (ties: id asc;
+        the first pick maximizes rel alone)
+
+    with rel/sim the EXACT INTEGER grid dots (``_unit_grid``), so the
+    whole greedy is bit-deterministic under any block layout — the
+    quantized-topk stance that makes an approximate/iterative operator
+    hash-verifiable against a sequential golden. λ = 1/2 is what makes
+    the key integer (λ·a - (1-λ)·b rank-equals a - b).
+
+    Distributed shape: per-batch exact-int scoring against the broadcast
+    query grid + local top-``shortlist`` per query (boundary ties by id,
+    ``_local_topk_idx``), SHIPPING each candidate's int32 grid row — a
+    partial-emitting stage, so ``batch_size`` is pinned (the round-3
+    audit rule); the driver merges to the global shortlist (identical to
+    a full-scan top-m by construction) and runs the O(m·k) greedy on
+    int64. Returns pandas (query_id, vec_id, rank, relevance, mmr) with
+    relevance/mmr = integer dots / 2^28 (exact binary divisions)."""
+    import ray
+
+    q = _unit_grid(np.asarray(queries, dtype=np.float64))
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    if not len(q):
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "relevance": pd.Series([], dtype="float64"),
+                             "mmr": pd.Series([], dtype="float64")})
+    q_ref = ray.put(q)
+    m = int(shortlist)
+    scale = float(1 << 28)           # (2^14)^2: grid-dot → cosine units
+
+    def local(tbl: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = _ids(tbl, id_col)
+        g = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
+        d = g.shape[1]
+        sims = g @ qm.T                         # exact ints in float64
+        kk = min(m, len(ids))
+        gi32 = g.astype(np.int32)
+        qs, vs, dots, grids = [], [], [], []
+        for c in range(sims.shape[1]):
+            sel = _local_topk_idx(sims[:, c], ids, kk)
+            qs.append(np.full(len(sel), qids[c], np.int64))
+            vs.append(ids[sel])
+            dots.append(sims[sel, c].astype(np.int64))
+            grids.append(gi32[sel])
+        gg = np.vstack(grids) if grids else np.empty((0, d), np.int32)
+        n = len(gg)
+        grid_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * d, pa.int32()),
+            pa.array(gg.ravel(), pa.int32()))
+        return pa.table({"query_id": pa.array(np.concatenate(qs) if qs
+                                              else [], pa.int64()),
+                         id_col: pa.array(np.concatenate(vs) if vs
+                                          else [], pa.int64()),
+                         "dot": pa.array(np.concatenate(dots) if dots
+                                         else [], pa.int64()),
+                         "grid": grid_col})
+
+    cand = (ds.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out_rows = []
+    for c in range(len(qids)):
+        sub = cand[cand["query_id"] == qids[c]]
+        if sub.empty:
+            continue
+        ids_c = sub[id_col].to_numpy(np.int64)
+        rel = sub["dot"].to_numpy(np.int64)
+        order = np.lexsort((ids_c, -rel))[:m]   # global shortlist
+        ids_c, rel = ids_c[order], rel[order]
+        grid = np.asarray(sub["grid"].to_numpy()[order].tolist(),
+                          np.int64)
+        picked = np.zeros(len(ids_c), bool)
+        maxsim = np.zeros(len(ids_c), np.int64)   # irrelevant pre-pick-1
+        for rank in range(1, min(k, len(ids_c)) + 1):
+            if rank == 1:
+                key = rel.copy()
+            else:
+                key = rel - maxsim
+            rem = np.flatnonzero(~picked)
+            best = rem[np.lexsort((ids_c[rem], -key[rem]))[0]]
+            picked[best] = True
+            out_rows.append((int(qids[c]), int(ids_c[best]), rank,
+                             rel[best] / scale, key[best] / scale))
+            sim_new = grid @ grid[best]           # exact int64 dots
+            maxsim = (sim_new if rank == 1
+                      else np.maximum(maxsim, sim_new))
+    return pd.DataFrame(out_rows, columns=["query_id", id_col, "rank",
+                                           "relevance", "mmr"]).astype(
+        {"query_id": "int64", id_col: "int64", "rank": "int64",
+         "relevance": "float64", "mmr": "float64"})

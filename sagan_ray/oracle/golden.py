@@ -1644,3 +1644,67 @@ def write_golden_cdc_coverage(sf_dir: str, *, split_id: int, bits: int,
                     "cov_chunks": pa.array(cch, pa.int64()),
                     "cov_bytes": pa.array(cby, pa.int64())})
     return _write(tbl, "dedup_cdc_incremental")
+
+
+def write_golden_mmr(sf_dir: str, *, n_queries: int, k: int,
+                     shortlist: int) -> str:
+    """Expected output of ``embed_mmr``: a sequential MMR — per-row
+    unit-grid quantization (one row at a time; ``_unit_grid``'s ops are
+    elementwise IEEE, so single-row calls equal the batched broadcast),
+    per-candidate integer-dot loops, an explicit python greedy over the
+    (rel desc, id asc) shortlist. Exact because every relevance and
+    pairwise similarity is an integer grid dot and the published floats
+    divide by 2^28 (exact binary division) — the quantized-topk stance."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _unit_grid
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    raw = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, raw = ids[order], raw[order]
+    grid = np.empty_like(raw)
+    for i in range(len(raw)):                     # per-row, sequential
+        grid[i] = _unit_grid(raw[i:i + 1])[0]
+    gi = grid.astype(np.int64)
+    # queries = the n smallest vec_ids through the float32 query path
+    q32 = raw[:n_queries].astype(np.float32).astype(np.float64)
+    qgrid = np.empty_like(q32)
+    for c in range(n_queries):
+        qgrid[c] = _unit_grid(q32[c:c + 1])[0]
+    qi = qgrid.astype(np.int64)
+    scale = float(1 << 28)
+
+    out = []
+    for c in range(n_queries):
+        rel = {}
+        for i in range(len(ids)):
+            rel[int(ids[i])] = int(np.dot(gi[i], qi[c]))
+        short = sorted(rel, key=lambda d: (-rel[d], d))[:shortlist]
+        sel: list[int] = []
+        maxsim = {d: 0 for d in short}
+        pos = {int(ids[i]): i for i in range(len(ids))}
+        for rank in range(1, min(k, len(short)) + 1):
+            best, best_key = None, None
+            for d in short:
+                if d in sel:
+                    continue
+                key = rel[d] if rank == 1 else rel[d] - maxsim[d]
+                if best is None or key > best_key or \
+                        (key == best_key and d < best):
+                    best, best_key = d, key
+            sel.append(best)
+            out.append((c, best, rank, rel[best] / scale,
+                        best_key / scale))
+            for d in short:
+                s = int(np.dot(gi[pos[d]], gi[pos[best]]))
+                maxsim[d] = s if rank == 1 else max(maxsim[d], s)
+    tbl = pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int64()),
+        "vec_id": pa.array([r[1] for r in out], pa.int64()),
+        "rank": pa.array([r[2] for r in out], pa.int64()),
+        "relevance": pa.array([r[3] for r in out], pa.float64()),
+        "mmr": pa.array([r[4] for r in out], pa.float64())})
+    return _write(tbl, "embed_mmr")

@@ -3225,6 +3225,30 @@ FROM m GROUP BY sa, sb ORDER BY sa, sb
 """
 
 
+def q_embed_mmr(sf_dir: str):
+    """MMR diversified top-k at λ=1/2 on the fixed-point unit grid
+    (ann.py::mmr_topk): integer relevance/diversity dots make the
+    greedy bit-deterministic, hash-verified against a sequential
+    golden (independent per-candidate loops + explicit greedy)."""
+    from ..datapipe.ann import mmr_topk
+    from ..oracle.golden import write_golden_mmr
+
+    write_golden_mmr(sf_dir, n_queries=3, k=5, shortlist=64)
+    q = _query_vectors(sf_dir, 3)
+    out = mmr_topk(_embeds(sf_dir), q, k=5, shortlist=64)
+    out = _typed(out, {"query_id": "int64", "vec_id": "int64",
+                       "rank": "int64", "relevance": "float64",
+                       "mmr": "float64"})
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+SQL_EMBED_MMR_GOLDEN = """
+SELECT query_id, vec_id, rank, relevance, mmr
+FROM read_parquet('/tmp/sagan_ray_golden/embed_mmr.parquet')
+ORDER BY query_id, rank
+"""
+
+
 def q_events_running(sf_dir: str):
     """Per-event running (cumulative) sum + rank within each user's
     (ts, event_id)-ordered stream (events.py::running_totals): user
@@ -4127,6 +4151,7 @@ QUERIES = {
     "search_similar": q_search_similar,
     "dedup_winnow": q_dedup_winnow,
     "events_running": q_events_running,
+    "embed_mmr": q_embed_mmr,
 }
 
 ORACLES = {
@@ -4249,4 +4274,5 @@ ORACLES = {
     "search_similar": SQL_SEARCH_SIMILAR,
     "dedup_winnow": SQL_DEDUP_WINNOW,
     "events_running": SQL_EVENTS_RUNNING,
+    "embed_mmr": SQL_EMBED_MMR_GOLDEN,
 }

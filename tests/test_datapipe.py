@@ -2052,3 +2052,34 @@ def test_winnow_pairs_edge_cases():
                                  "text": [long, long]}))
     out = winnow_pairs(ds, k=5, w=4, min_shared=1).to_pandas()
     assert len(out) == 1 and out.iloc[0]["n_shared"] >= 1
+
+
+def test_mmr_diversifies_against_near_duplicates():
+    import ray.data as rd
+
+    from sagan_ray.datapipe import mmr_topk
+
+    # query q = e0. vecs: 1,2 = e0 clones (max relevance, zero mutual
+    # diversity), 3 = 45-degree blend (lower relevance, diverse).
+    # Plain top-3 would be [1, 2, 3]; MMR must pick the diverse 3
+    # before the second clone.
+    v = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [1.0, 0.0, 0.0, 0.0],
+        3: [0.7071, 0.7071, 0.0, 0.0],
+        4: [0.0, 1.0, 0.0, 0.0],
+    }
+    tbl = pa.table({
+        "vec_id": pa.array(sorted(v), pa.int64()),
+        "embedding": pa.array([v[i] for i in sorted(v)],
+                              pa.list_(pa.float32()))})
+    # query close to (but not exactly) the clones, else every key ties
+    # at zero and id order wins
+    q = np.array([[0.9, 0.1, 0.0, 0.0]], np.float32)
+    out = mmr_topk(rd.from_arrow(tbl), q, k=3, shortlist=4)
+    assert out["vec_id"].tolist() == [1, 3, 2]
+    assert out["rank"].tolist() == [1, 2, 3]
+    # rank-1 mmr equals its relevance; the clone's key at pick time is
+    # rel - sim(clone, first pick) = rel - 1 < 0
+    assert abs(out["mmr"].iloc[0] - out["relevance"].iloc[0]) < 1e-12
+    assert out["mmr"].iloc[2] < 0
