@@ -2074,12 +2074,13 @@ def test_mmr_diversifies_against_near_duplicates():
         "embedding": pa.array([v[i] for i in sorted(v)],
                               pa.list_(pa.float32()))})
     # query close to (but not exactly) the clones, else every key ties
-    # at zero and id order wins
+    # at zero and id order wins. Plain top-3 by relevance is [1, 2, 3];
+    # MMR pushes the clone 2 out entirely (its key rel - sim(2,1) < 0):
+    # rank 2 = the orthogonal 4 (key = rel, unpenalized), rank 3 = the
+    # blend 3 (key 0.78 - 0.71 > 0 > key(2)).
     q = np.array([[0.9, 0.1, 0.0, 0.0]], np.float32)
     out = mmr_topk(rd.from_arrow(tbl), q, k=3, shortlist=4)
-    assert out["vec_id"].tolist() == [1, 3, 2]
+    assert out["vec_id"].tolist() == [1, 4, 3]
     assert out["rank"].tolist() == [1, 2, 3]
-    # rank-1 mmr equals its relevance; the clone's key at pick time is
-    # rel - sim(clone, first pick) = rel - 1 < 0
     assert abs(out["mmr"].iloc[0] - out["relevance"].iloc[0]) < 1e-12
-    assert out["mmr"].iloc[2] < 0
+    assert out["mmr"].iloc[2] < out["relevance"].iloc[2]  # penalized
