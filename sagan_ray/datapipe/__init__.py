@@ -29,6 +29,7 @@ from .ann import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
     mmr_topk,
+    pq_topk,
     quantize_embeddings,
     quantized_topk,
 )

@@ -191,14 +191,14 @@ def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8):
     return cent
 
 
-def _train_centroids(ds, *, n_cells: int, sample_size: int, seed: int,
+def _sample_smallest(ds, *, sample_size: int, seed: int,
                      vec_col: str, id_col: str) -> np.ndarray:
-    """Deterministic IVF centroid training shared by ``ivf_topk`` and
-    ``build_ivf_index``: the sample is the ``sample_size`` rows with the
-    SMALLEST SplitMix64(id ^ seed) — identical under any block layout —
-    and kmeans runs on the ``_unit_grid`` fixed-point vectors (see
-    ivf_topk docstring for why this makes the whole operator a pure
-    function of (input, parameters))."""
+    """Deterministic training sample shared by IVF and PQ: the
+    ``sample_size`` rows with the SMALLEST SplitMix64(id ^ seed) —
+    identical under any block layout — returned as ``_unit_grid``
+    fixed-point unit vectors ordered by (hash, id). Per-batch partial
+    smallest-k + a bounded driver merge keep driver memory at
+    O(sample_size) rows regardless of corpus size."""
     def local_smallest(tbl: pa.Table) -> pa.Table:
         ids = _ids(tbl, id_col)
         h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
@@ -225,9 +225,21 @@ def _train_centroids(ds, *, n_cells: int, sample_size: int, seed: int,
             order = np.lexsort((_ids(best, id_col),
                                 best.column("__h").to_numpy()))
             best = best.take(pa.array(order[:sample_size], pa.int64()))
+    if best is None or best.num_rows == 0:
+        return np.empty((0, 0))          # empty corpus → empty sample
     order = np.lexsort((_ids(best, id_col), best.column("__h").to_numpy()))
     best = best.take(pa.array(order, pa.int64()))
-    sample = _unit_grid(_mat(best, vec_col, dtype=np.float64))
+    return _unit_grid(_mat(best, vec_col, dtype=np.float64))
+
+
+def _train_centroids(ds, *, n_cells: int, sample_size: int, seed: int,
+                     vec_col: str, id_col: str) -> np.ndarray:
+    """IVF centroid training (``ivf_topk`` / ``build_ivf_index``):
+    fixed-point spherical kmeans over the deterministic
+    ``_sample_smallest`` sample (see ivf_topk docstring for why this
+    makes the whole operator a pure function of (input, parameters))."""
+    sample = _sample_smallest(ds, sample_size=sample_size, seed=seed,
+                              vec_col=vec_col, id_col=id_col)
     return _kmeans(sample, n_cells)
 
 
@@ -370,6 +382,153 @@ def quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
 
     return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
                        k, id_col)
+
+
+# ----------------------------------------------------------------------
+# product quantization: m-subspace codebooks on the unit grid, ADC
+# lookup-table scoring, exact rerank of a layout-free global shortlist
+# ----------------------------------------------------------------------
+
+PQ_ITERS = 8
+
+
+def _pq_bounds(d: int, m_sub: int) -> list[int]:
+    """Subspace dim boundaries ``[(i*d)//m for i in 0..m]`` — integer
+    arithmetic, shared verbatim with the sequential golden."""
+    return [(i * d) // m_sub for i in range(m_sub + 1)]
+
+
+def _pq_train(sample: np.ndarray, m_sub: int, n_codes: int,
+              iters: int = PQ_ITERS) -> tuple[list[int], list[np.ndarray]]:
+    """Per-subspace Lloyd's over a ``_unit_grid`` sample (integer-valued
+    float64 rows). Assignment is argmin L2 via ``‖c‖² − 2x·c`` — every
+    term an exact integer < 2^53 (coords ≤ 2^14, d_sub ≤ 64), so the
+    vectorized matmul here and the golden's per-point scan agree
+    bit-exactly; argmin ties keep the LOWEST code (numpy first
+    occurrence == the golden's strict ``<`` scan). Updates re-land on
+    the integer grid via ``rint(S / n)`` — S is an exact integer sum
+    (|S| ≤ sample·2^14 ≪ 2^53) and the division is one IEEE op on both
+    sides. Empty codes keep their previous centroid (the _kmeans
+    stance). Init = first n_codes sample rows (the sample is already
+    hash-ordered)."""
+    d = sample.shape[1]
+    bounds = _pq_bounds(d, m_sub)
+    books: list[np.ndarray] = []
+    for s in range(m_sub):
+        X = sample[:, bounds[s]:bounds[s + 1]]
+        C = X[:min(n_codes, len(X))].copy()
+        for _ in range(iters):
+            dist = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            assign = np.argmin(dist, axis=1)
+            for c in range(len(C)):
+                m = assign == c
+                if m.any():
+                    C[c] = np.rint(X[m].sum(axis=0) / m.sum())
+        books.append(C)
+    return bounds, books
+
+
+def _pq_encode(mat: np.ndarray, bounds: list[int],
+               books: list[np.ndarray]) -> np.ndarray:
+    """(n, m_sub) int64 code matrix: per subspace, nearest codebook row
+    by the same exact-integer ``‖c‖² − 2x·c`` argmin as training."""
+    codes = np.empty((len(mat), len(books)), np.int64)
+    for s, C in enumerate(books):
+        X = mat[:, bounds[s]:bounds[s + 1]]
+        dist = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        codes[:, s] = np.argmin(dist, axis=1)
+    return codes
+
+
+def pq_topk(ds, queries: np.ndarray, *, k: int = 10, m_sub: int = 8,
+            n_codes: int = 16, rerank: int = 32,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            sample_size: int = 4096, seed: int = 7,
+            query_ids: np.ndarray | None = None):
+    """Product-quantization ANN — the 100-TB memory path the int8
+    variant can't reach: each vector is m_sub one-byte codes (64-d f32
+    → 8 bytes, 32× smaller), and per-batch scoring is m_sub table
+    lookups per row (ADC) instead of a d-wide dot. Pipeline:
+
+      1. codebooks train on the deterministic ``_sample_smallest``
+         sample (SplitMix64 smallest-k — layout-free), per subspace;
+      2. one corpus pass: each batch encodes its rows, scores every
+         query via ADC lookup tables (LUT[s] = q_s·C_s^T — exact
+         integer entries; the row score is an exact-integer sum, so
+         summation order is irrelevant), keeps its local top-``rerank``
+         per query by (adc desc, id asc), and attaches the EXACT
+         unit-grid dot for just those rows (vectors still in hand —
+         no second corpus pass);
+      3. a tiny hash-exchange merge takes the GLOBAL top-``rerank`` by
+         (adc desc, id asc) — a pure function of the input because the
+         union of per-batch top-rerank sets contains it — then the
+         final top-``k`` among them by (exact dot desc, id asc).
+
+    Every score on both legs is an exact integer in float64
+    (``_unit_grid`` coords ≤ 2^14 ⇒ dots ≤ d·2^28 ≪ 2^53), so the
+    sequential golden (oracle/golden.py::write_golden_pq) hash-verifies
+    the distributed run bit-exactly under any blocking/BLAS. Recall vs
+    brute_force_topk measured in tests. Returns a Dataset
+    (query_id, vec_id, cosine, rank) — ``cosine`` is the exact integer
+    grid dot (monotone in quantized cosine)."""
+    import ray
+
+    from .exchange import hash_group_apply
+
+    q = _unit_grid(np.asarray(queries, dtype=np.float64))
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    sample = _sample_smallest(ds, sample_size=sample_size, seed=seed,
+                              vec_col=vec_col, id_col=id_col)
+    if len(sample) == 0:                 # empty corpus → empty result
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             id_col: pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}))
+    bounds, books = _pq_train(sample, m_sub, n_codes)
+    ref = ray.put((q, qids, bounds, books))
+
+    def local_cand(tbl: pa.Table) -> pa.Table:
+        qm, qi, bnd, bks = ray.get(ref)
+        ids = _ids(tbl, id_col)
+        out_q, out_v, out_a, out_e = [], [], [], []
+        if len(ids):
+            mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
+            codes = _pq_encode(mat, bnd, bks)
+            rr = min(rerank, len(ids))
+            for c in range(len(qm)):
+                adc = np.zeros(len(ids))
+                for s in range(len(bks)):
+                    adc += (bks[s] @ qm[c, bnd[s]:bnd[s + 1]])[codes[:, s]]
+                sel = _local_topk_idx(adc, ids, rr)
+                exact = mat[sel] @ qm[c]          # exact integer dots
+                out_q.extend([int(qi[c])] * len(sel))
+                out_v.extend(ids[sel].tolist())
+                out_a.extend(adc[sel].tolist())
+                out_e.extend(exact.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_v, pa.int64()),
+                         "adc": pa.array(out_a, pa.float64()),
+                         "cosine": pa.array(out_e, pa.float64())})
+
+    schema = pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
+                        ("cosine", pa.float64()), ("rank", pa.int64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "adc", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(rerank)
+        df = df.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1
+                      ).astype(np.int64)
+        return df[["query_id", id_col, "cosine", "rank"]]
+
+    cands = ds.map_batches(local_cand, batch_format="pyarrow")
+    return hash_group_apply(cands, ["query_id"], bucket, out_schema=schema)
 
 
 # ----------------------------------------------------------------------

@@ -1708,3 +1708,106 @@ def write_golden_mmr(sf_dir: str, *, n_queries: int, k: int,
         "relevance": pa.array([r[3] for r in out], pa.float64()),
         "mmr": pa.array([r[4] for r in out], pa.float64())})
     return _write(tbl, "embed_mmr")
+
+
+def write_golden_pq(sf_dir: str, *, n_queries: int, k: int, m_sub: int,
+                    n_codes: int, rerank: int, sample_size: int,
+                    seed: int) -> str:
+    """Expected output of ``embed_pq_topk``: a sequential product-
+    quantization search — per-row unit-grid quantization, SplitMix64
+    smallest-k sample (same spec function), per-subspace Lloyd's with
+    per-point code scans (strict ``<`` keeps the LOWEST code, matching
+    numpy argmin's first-occurrence), per-row encoding scans, per-query
+    ADC sums and an explicit global (adc desc, id) shortlist → exact-dot
+    rerank. Bit-identical to the distributed run BY CONSTRUCTION: every
+    distance/score term on both sides is an exact integer in float64
+    (grid coords ≤ 2^14), and the one float op per centroid update —
+    ``rint(S / n)`` — is the same elementwise IEEE division
+    (datapipe/ann.py::_pq_train docstring)."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _pq_bounds, _splitmix64, _unit_grid
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    raw = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, raw = ids[order], raw[order]
+    grid = np.empty_like(raw)
+    for i in range(len(raw)):                     # per-row, sequential
+        grid[i] = _unit_grid(raw[i:i + 1])[0]
+    # queries = the n smallest vec_ids through the float32 query path
+    q32 = raw[:n_queries].astype(np.float32).astype(np.float64)
+    qgrid = np.empty_like(q32)
+    for c in range(n_queries):
+        qgrid[c] = _unit_grid(q32[c:c + 1])[0]
+
+    d = grid.shape[1]
+    bounds = _pq_bounds(d, m_sub)
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    samp_order = sorted(range(len(ids)),
+                        key=lambda i: (int(h[i]), int(ids[i])))
+    samp = [grid[i] for i in samp_order[:sample_size]]
+
+    books = []
+    for s in range(m_sub):
+        sub = [v[bounds[s]:bounds[s + 1]] for v in samp]
+        C = [sub[c].copy() for c in range(min(n_codes, len(sub)))]
+        for _ in range(8):
+            sums = [np.zeros(bounds[s + 1] - bounds[s]) for _ in C]
+            cnts = [0] * len(C)
+            for x in sub:
+                best, best_d = 0, None
+                for c in range(len(C)):
+                    cc = sum(int(v) * int(v) for v in C[c])
+                    dv = cc - 2 * int(np.dot(x, C[c]))   # exact ints
+                    if best_d is None or dv < best_d:
+                        best, best_d = c, dv
+                sums[best] += x
+                cnts[best] += 1
+            for c in range(len(C)):
+                if cnts[c]:
+                    C[c] = np.rint(sums[c] / cnts[c])
+        books.append(C)
+
+    def encode_row(v):
+        code = []
+        for s in range(m_sub):
+            x = v[bounds[s]:bounds[s + 1]]
+            best, best_d = 0, None
+            for c in range(len(books[s])):
+                cb = books[s][c]
+                cc = sum(int(w) * int(w) for w in cb)
+                dv = cc - 2 * int(np.dot(x, cb))
+                if best_d is None or dv < best_d:
+                    best, best_d = c, dv
+            code.append(best)
+        return code
+
+    codes = [encode_row(grid[i]) for i in range(len(ids))]
+
+    oq, ov, oc, orr = [], [], [], []
+    for qn in range(n_queries):
+        adc = []
+        for i in range(len(ids)):
+            s_tot = 0
+            for s in range(m_sub):
+                qs = qgrid[qn][bounds[s]:bounds[s + 1]]
+                s_tot += int(np.dot(books[s][codes[i][s]], qs))
+            adc.append((s_tot, int(ids[i]), i))
+        adc.sort(key=lambda r: (-r[0], r[1]))
+        short = adc[:rerank]
+        exact = [(int(np.dot(grid[i], qgrid[qn])), vid)
+                 for _, vid, i in short]
+        exact.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (dot, vid) in enumerate(exact[:k], 1):
+            oq.append(qn)
+            ov.append(vid)
+            oc.append(float(dot))
+            orr.append(rank)
+    tbl = pa.table({"query_id": pa.array(oq, pa.int64()),
+                    "vec_id": pa.array(ov, pa.int64()),
+                    "cosine": pa.array(oc, pa.float64()),
+                    "rank": pa.array(orr, pa.int64())})
+    return _write(tbl, "embed_pq_topk")

@@ -3249,6 +3249,33 @@ ORDER BY query_id, rank
 """
 
 
+def q_embed_pq_topk(sf_dir: str):
+    """Product-quantization ANN (ann.py::pq_topk): 8×8-code books on
+    the fixed-point unit grid, per-batch ADC lookup scoring, global
+    (adc, id) shortlist + exact-integer-dot rerank — hash-verified
+    against a sequential golden (per-point Lloyd scans + explicit
+    global sorts) because every score on both sides is an exact
+    integer (oracle/golden.py::write_golden_pq)."""
+    from ..datapipe.ann import pq_topk
+    from ..oracle.golden import write_golden_pq
+
+    write_golden_pq(sf_dir, n_queries=3, k=5, m_sub=8, n_codes=16,
+                    rerank=32, sample_size=4096, seed=7)
+    q = _query_vectors(sf_dir, 3)
+    out = pq_topk(_embeds(sf_dir), q, k=5, m_sub=8, n_codes=16,
+                  rerank=32, sample_size=4096, seed=7).to_pandas()
+    out = _typed(out, {"query_id": "int64", "vec_id": "int64",
+                       "cosine": "float64", "rank": "int64"})
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+SQL_EMBED_PQ_GOLDEN = """
+SELECT query_id, vec_id, cosine, rank
+FROM read_parquet('/tmp/sagan_ray_golden/embed_pq_topk.parquet')
+ORDER BY query_id, rank
+"""
+
+
 def q_events_running(sf_dir: str):
     """Per-event running (cumulative) sum + rank within each user's
     (ts, event_id)-ordered stream (events.py::running_totals): user
@@ -4152,6 +4179,7 @@ QUERIES = {
     "dedup_winnow": q_dedup_winnow,
     "events_running": q_events_running,
     "embed_mmr": q_embed_mmr,
+    "embed_pq_topk": q_embed_pq_topk,
 }
 
 ORACLES = {
@@ -4275,4 +4303,5 @@ ORACLES = {
     "dedup_winnow": SQL_DEDUP_WINNOW,
     "events_running": SQL_EVENTS_RUNNING,
     "embed_mmr": SQL_EMBED_MMR_GOLDEN,
+    "embed_pq_topk": SQL_EMBED_PQ_GOLDEN,
 }

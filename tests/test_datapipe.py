@@ -168,6 +168,43 @@ def test_ivf_recall(embeds):
     assert np.mean(recalls) >= 0.6   # nprobe=4 of 8 cells
 
 
+def test_pq_recall(embeds):
+    """PQ ADC shortlist + exact rerank: recall vs brute force (measured
+    0.8 at rerank=64 on this corpus; deterministic, so the floor is a
+    regression tripwire not a flake margin)."""
+    from sagan_ray.datapipe import brute_force_topk, pq_topk
+
+    df = embeds.to_pandas()
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+    queries = mat[:5]
+    exact = brute_force_topk(embeds, queries, k=10).to_pandas()
+    approx = pq_topk(embeds, queries, k=10, m_sub=8, n_codes=16,
+                     rerank=64).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"].astype(int))
+        a = set(approx[approx.query_id == qi]["vec_id"].astype(int))
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
+
+
+def test_pq_layout_invariance(embeds):
+    """pq_topk is a pure function of (input, params): codebooks train on
+    the SplitMix64-smallest sample, every score is an exact integer on
+    the unit grid, and the merge takes the GLOBAL (adc, id) shortlist —
+    so any repartitioning yields a bit-identical frame."""
+    from sagan_ray.datapipe import pq_topk
+
+    df = embeds.to_pandas()
+    queries = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:3]
+    cols = ["query_id", "rank"]
+    a = (pq_topk(embeds, queries, k=10, rerank=32).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    b = (pq_topk(embeds.repartition(7), queries, k=10, rerank=32)
+         .to_pandas().sort_values(cols).reset_index(drop=True))
+    assert a.equals(b)
+
+
 def test_embedding_near_dup_planted_pairs():
     """Random 64-d embeddings have no cosine>=0.9 pairs (verified via
     DuckDB), so plant near-duplicates and check they are found."""
