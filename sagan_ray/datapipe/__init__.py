@@ -27,10 +27,13 @@ from .dedup import (  # noqa: F401
 )
 from .ann import (  # noqa: F401
     brute_force_topk,
+    build_pq_index,
     ivf_topk,
     mmr_topk,
     pq_topk,
     quantize_embeddings,
+    search_pq_index,
+    update_pq_index,
     quantized_topk,
 )
 from .ann import (  # noqa: F401

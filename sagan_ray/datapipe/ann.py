@@ -723,6 +723,220 @@ def search_ivf_index(index_dir: str, queries: np.ndarray, *, k: int = 10,
                        k, id_col)
 
 
+# ----------------------------------------------------------------------
+# persistent PQ index: codes are m_sub bytes per vector — the ADC scan
+# touches ~1/32 of the raw bytes; exact rerank reads only shortlist rows
+# ----------------------------------------------------------------------
+
+def build_pq_index(ds, index_dir: str, *, m_sub: int = 8, n_codes: int = 16,
+                   sample_size: int = 4096, seed: int = 7,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   books: list[np.ndarray] | None = None) -> int:
+    """Persist a product-quantization index: train codebooks (the same
+    deterministic sample + exact-integer Lloyd's as ``pq_topk``), encode
+    every vector to m_sub uint8 code COLUMNS (c0..c{m-1} — columnar, so
+    the search-side read is zero-copy and parquet compresses per
+    subspace), and write ``index_dir/codes/`` plus the exact-float64
+    codebooks in ``_books.parquet`` and (m_sub, n_codes, d) in
+    ``_meta.json``. A 64-d f32 corpus stores 8 code bytes + an 8-byte id
+    per row — the ADC scan touches ~3% of the raw vector bytes. Pass
+    ``books`` (exact grid rows, e.g. read back from another index) to
+    skip training — the append/rebuild baseline for ``update_pq_index``.
+    Returns the vector dimensionality d."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if books is None:
+        sample = _sample_smallest(ds, sample_size=sample_size, seed=seed,
+                                  vec_col=vec_col, id_col=id_col)
+        if len(sample) == 0:
+            raise ValueError("cannot build a PQ index over an empty corpus")
+        d = sample.shape[1]
+        _, books = _pq_train(sample, m_sub, n_codes)
+    else:
+        books = [np.asarray(b, dtype=np.float64) for b in books]
+        d = int(sum(b.shape[1] for b in books))
+        m_sub = len(books)
+    bounds = _pq_bounds(d, m_sub)
+    bref = ray.put((bounds, books))
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        bnd, bks = ray.get(bref)
+        ids = _ids(tbl, id_col)
+        cols = {id_col: pa.array(ids, pa.int64())}
+        codes = (_pq_encode(_unit_grid(_mat(tbl, vec_col, dtype=np.float64)),
+                            bnd, bks) if len(ids)
+                 else np.empty((0, len(bks)), np.int64))
+        for s in range(len(bks)):
+            cols[f"c{s}"] = pa.array(codes[:, s].astype(np.uint8),
+                                     pa.uint8())
+        return pa.table(cols)
+
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "codes"), mode="overwrite")
+    rows_s, rows_c, rows_v = [], [], []
+    for s, C in enumerate(books):
+        for c in range(len(C)):
+            rows_s.append(s)
+            rows_c.append(c)
+            rows_v.append(C[c].tolist())
+    rd.from_arrow(pa.table({
+        "subspace": pa.array(rows_s, pa.int64()),
+        "code": pa.array(rows_c, pa.int64()),
+        "centroid": pa.array(rows_v, pa.list_(pa.float64())),
+    })).repartition(1).write_parquet(os.path.join(index_dir, "_books"),
+                                     mode="overwrite")
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"m_sub": m_sub, "n_codes": n_codes, "d": d}, f)
+    return d
+
+
+def _read_pq_books(index_dir: str):
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    bt = (rd.read_parquet(os.path.join(index_dir, "_books")).to_pandas()
+          .sort_values(["subspace", "code"]))
+    books = [np.asarray(g["centroid"].tolist(), dtype=np.float64)
+             for _, g in bt.groupby("subspace", sort=True)]
+    return meta, _pq_bounds(meta["d"], meta["m_sub"]), books
+
+
+def update_pq_index(ds, index_dir: str, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> int:
+    """Append NEW vectors to a persistent PQ index WITHOUT retraining
+    (the ``update_ivf_index`` stance): encode against the STORED
+    codebooks into a temp dir, then move the new code files into
+    ``codes/`` under update-unique names (append = new files; a crashed
+    update re-runs after deleting the temp). Search after an update is
+    BIT-identical to ``build_pq_index(union, books=stored)`` + search —
+    codes depend only on the fixed books and ADC/rerank scoring is
+    layout-independent. Caller contract: ``ds`` holds ids not already
+    in the index."""
+    import os
+    import shutil
+    import tempfile
+
+    _, _, books = _read_pq_books(index_dir)
+    tmp = tempfile.mkdtemp(prefix="pq_upd_", dir=os.path.dirname(
+        index_dir.rstrip("/")) or ".")
+    try:
+        build_pq_index(ds, tmp, books=books, vec_col=vec_col, id_col=id_col)
+        src = os.path.join(tmp, "codes")
+        dst = os.path.join(index_dir, "codes")
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                os.replace(os.path.join(src, fn), os.path.join(
+                    dst, f"upd_{os.path.basename(tmp)}_{fn}"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(books)
+
+
+def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,
+                    k: int = 10, rerank: int = 32,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    query_ids: np.ndarray | None = None):
+    """PQ top-k over a built index — BIT-identical to ``pq_topk`` with
+    the same training parameters: the stored codes equal the in-line
+    encoding (fixed books, exact-integer argmin), so the global
+    (adc desc, id asc) top-``rerank`` shortlist is the same set, and the
+    exact rerank computes the same integer grid dots. Two passes:
+
+      1. ADC scan over ``codes/`` ONLY (m_sub + 8 bytes per row — the
+         memory win), local top-rerank per query, tiny global merge;
+      2. exact rerank over ``ds`` restricted to shortlist rows
+         (≤ rerank·n_queries rows score at all), merged by
+         (cosine desc, id asc) into ranks.
+    """
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+
+    meta, bounds, books = _read_pq_books(index_dir)
+    m_sub = meta["m_sub"]
+    q = _unit_grid(np.asarray(queries, dtype=np.float64))
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    ref = ray.put((q, qids, bounds, books))
+
+    import os
+    codes_ds = rd.read_parquet(os.path.join(index_dir, "codes"))
+
+    def local_adc(tbl: pa.Table) -> pa.Table:
+        qm, qi, bnd, bks = ray.get(ref)
+        ids = _ids(tbl, id_col)
+        out_q, out_v, out_a = [], [], []
+        if len(ids):
+            codes = np.stack(
+                [tbl.column(f"c{s}").combine_chunks()
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+                 for s in range(m_sub)], axis=1)
+            rr = min(rerank, len(ids))
+            for c in range(len(qm)):
+                adc = np.zeros(len(ids))
+                for s in range(m_sub):
+                    adc += (bks[s] @ qm[c, bnd[s]:bnd[s + 1]])[codes[:, s]]
+                sel = _local_topk_idx(adc, ids, rr)
+                out_q.extend([int(qi[c])] * len(sel))
+                out_v.extend(ids[sel].tolist())
+                out_a.extend(adc[sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_v, pa.int64()),
+                         "adc": pa.array(out_a, pa.float64())})
+
+    short_schema = pa.schema([("query_id", pa.int64()),
+                              (id_col, pa.int64()), ("adc", pa.float64())])
+
+    def short_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "adc", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(rerank)
+
+    short = hash_group_apply(
+        codes_ds.map_batches(local_adc, batch_format="pyarrow",
+                             batch_size=65536),
+        ["query_id"], short_bucket, out_schema=short_schema).to_pandas()
+    if len(short) == 0:
+        return rd.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             id_col: pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}))
+    per_q = {int(g): np.asarray(sorted(v[id_col]), np.int64)
+             for g, v in short.groupby("query_id", sort=True)}
+    sref = ray.put(per_q)
+
+    def local_exact(tbl: pa.Table) -> pa.Table:
+        qm, qi, _, _ = ray.get(ref)
+        pq_sets = ray.get(sref)
+        ids = _ids(tbl, id_col)
+        rows = []
+        if len(ids):
+            mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
+            for c in range(len(qm)):
+                wanted = pq_sets.get(int(qi[c]))
+                if wanted is None:
+                    continue
+                m = np.isin(ids, wanted)
+                if not m.any():
+                    continue
+                sims = mat[m] @ qm[c]            # exact integer dots
+                rows.append((qi[c], ids[m], sims))
+        return _emit_topk(qi, rows, id_col)
+
+    return _merge_topk(ds.map_batches(local_exact, batch_format="pyarrow"),
+                       k, id_col)
+
+
 def mmr_topk(ds, queries: np.ndarray, *, k: int = 10, shortlist: int = 64,
              vec_col: str = "embedding", id_col: str = "vec_id",
              query_ids: np.ndarray | None = None):

@@ -3276,6 +3276,29 @@ ORDER BY query_id, rank
 """
 
 
+def q_embed_pq_index(sf_dir: str):
+    """PQ search over a PERSISTED code index
+    (ann.py::build_pq_index/search_pq_index): the stored uint8 code
+    columns equal the in-line encoding (fixed books, exact-integer
+    argmin), so search-from-index is bit-identical to pq_topk and the
+    same sequential golden verifies the whole build → ADC-scan →
+    exact-rerank chain."""
+    from ..datapipe.ann import build_pq_index, search_pq_index
+    from ..oracle.golden import write_golden_pq
+
+    write_golden_pq(sf_dir, n_queries=3, k=5, m_sub=8, n_codes=16,
+                    rerank=32, sample_size=4096, seed=7)
+    idx = "/tmp/sagan_ray_index/pq"
+    build_pq_index(_embeds(sf_dir), idx, m_sub=8, n_codes=16,
+                   sample_size=4096, seed=7)
+    q = _query_vectors(sf_dir, 3)
+    out = search_pq_index(idx, _embeds(sf_dir), q, k=5,
+                          rerank=32).to_pandas()
+    out = _typed(out, {"query_id": "int64", "vec_id": "int64",
+                       "cosine": "float64", "rank": "int64"})
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_events_running(sf_dir: str):
     """Per-event running (cumulative) sum + rank within each user's
     (ts, event_id)-ordered stream (events.py::running_totals): user
@@ -4180,6 +4203,7 @@ QUERIES = {
     "events_running": q_events_running,
     "embed_mmr": q_embed_mmr,
     "embed_pq_topk": q_embed_pq_topk,
+    "embed_pq_index": q_embed_pq_index,
 }
 
 ORACLES = {
@@ -4304,4 +4328,5 @@ ORACLES = {
     "events_running": SQL_EVENTS_RUNNING,
     "embed_mmr": SQL_EMBED_MMR_GOLDEN,
     "embed_pq_topk": SQL_EMBED_PQ_GOLDEN,
+    "embed_pq_index": SQL_EMBED_PQ_GOLDEN,
 }

@@ -1639,6 +1639,68 @@ def test_ivf_index_update_equals_fixed_centroid_rebuild(embeds, tmp_path):
     assert n_stored == len(df)
 
 
+def test_pq_index_matches_pq_topk_bitwise(embeds, tmp_path):
+    """search_pq_index must return EXACTLY what the in-line pq_topk
+    returns for the same training params: stored codes equal the
+    in-line encoding (fixed books), the global (adc, id) shortlist is
+    the same set, and the exact rerank computes the same integer
+    dots."""
+    import pandas as pd
+
+    from sagan_ray.datapipe import build_pq_index, pq_topk, search_pq_index
+
+    df = embeds.to_pandas()
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:4]
+    idx = str(tmp_path / "pq")
+    build_pq_index(embeds, idx, m_sub=8, n_codes=16)
+    key = ["query_id", "rank"]
+    got = (search_pq_index(idx, embeds, q, k=10, rerank=32).to_pandas()
+           .sort_values(key).reset_index(drop=True))
+    want = (pq_topk(embeds, q, k=10, rerank=32).to_pandas()
+            .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert len(got) > 0
+    # the memory claim: stored codes are a small fraction of raw bytes
+    import os
+    codes_bytes = sum(os.path.getsize(os.path.join(idx, "codes", f))
+                      for f in os.listdir(os.path.join(idx, "codes")))
+    raw_bytes = len(df) * 64 * 4          # 64-d float32
+    assert codes_bytes < raw_bytes / 2
+
+
+def test_pq_index_update_equals_fixed_books_rebuild(embeds, tmp_path):
+    """build(half1) + update(half2) must search bit-equal to a rebuild
+    over the union with the SAME stored books (codes depend only on
+    the fixed books; ADC/rerank scoring is layout-independent)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import (build_pq_index, search_pq_index,
+                                    update_pq_index)
+    from sagan_ray.datapipe.ann import _read_pq_books
+
+    df = embeds.to_pandas()
+    half1 = rd.from_pandas(df.iloc[::2].reset_index(drop=True))
+    half2 = rd.from_pandas(df.iloc[1::2].reset_index(drop=True))
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:4]
+
+    inc = str(tmp_path / "pq_inc")
+    build_pq_index(half1, inc, m_sub=8, n_codes=16)
+    update_pq_index(half2, inc)
+
+    _, _, books = _read_pq_books(inc)
+    full = str(tmp_path / "pq_full")
+    build_pq_index(embeds, full, books=books)
+
+    key = ["query_id", "rank"]
+    a = (search_pq_index(inc, embeds, q, k=10, rerank=32).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (search_pq_index(full, embeds, q, k=10, rerank=32).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) > 0
+
+
 def test_heavy_hitters_exact_under_forced_pruning():
     """Adversarial zipf vocab with k far below the distinct count: every
     batch AND the driver fold must prune (e > 0), yet the certified
