@@ -445,6 +445,15 @@ def run_bench() -> dict:
           lambda: ivf_topk(big_vecs, qv_big, k=10, n_cells=128,
                            nprobe=8).count())
 
+    # PQ at the same shape: ADC lookup scoring (8 uint8 codes/vector)
+    # + exact rerank of the global shortlist — the memory-bound scale
+    # path (codes are ~3% of raw vector bytes)
+    from sagan_ray.datapipe.ann import pq_topk
+
+    timed("ann_pq_200k_10kq",
+          lambda: pq_topk(big_vecs, qv_big, k=10, m_sub=8, n_codes=16,
+                          rerank=64).count())
+
     result = {
         "metric": "end-to-end routed turns/sec (parse→classify→correlate→route→aggregate)",
         "value": round(headline, 3),

@@ -527,7 +527,12 @@ def pq_topk(ds, queries: np.ndarray, *, k: int = 10, m_sub: int = 8,
                       ).astype(np.int64)
         return df[["query_id", id_col, "cosine", "rank"]]
 
-    cands = ds.map_batches(local_cand, batch_format="pyarrow")
+    # partial-emitting stage (rerank·n_queries rows per BATCH): one
+    # batch per block (batch_size=None) — the default 1024-row batches
+    # multiply the emit by rows/1024, and any pinned size makes Ray
+    # coalesce blocks into fewer tasks (round-5 negative result)
+    cands = ds.map_batches(local_cand, batch_format="pyarrow",
+                           batch_size=None)
     return hash_group_apply(cands, ["query_id"], bucket, out_schema=schema)
 
 
@@ -901,9 +906,12 @@ def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,
                             ascending=[True, False, True], kind="mergesort")
         return df.groupby("query_id", sort=False).head(rerank)
 
+    # batch_size=None → one batch per block: a pinned batch_size makes
+    # Ray coalesce blocks to reach it, collapsing the scan to a handful
+    # of tasks (measured 4 tasks / 40 s at 200k×10k queries with 65536)
     short = hash_group_apply(
         codes_ds.map_batches(local_adc, batch_format="pyarrow",
-                             batch_size=65536),
+                             batch_size=None),
         ["query_id"], short_bucket, out_schema=short_schema).to_pandas()
     if len(short) == 0:
         return rd.from_arrow(pa.table(
@@ -911,29 +919,46 @@ def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,
              id_col: pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64()),
              "rank": pa.array([], pa.int64())}))
-    per_q = {int(g): np.asarray(sorted(v[id_col]), np.int64)
-             for g, v in short.groupby("query_id", sort=True)}
-    sref = ray.put(per_q)
+    # the global shortlist as flat pair arrays sorted by vec_id — the
+    # rerank pass then costs ONE sorted-intersection per batch instead
+    # of a per-query np.isin (10k isin calls per batch at a 10k-query
+    # batch was the measured pass-2 killer)
+    qpos = {int(v): i for i, v in enumerate(qids)}
+    pair_v = short[id_col].to_numpy().astype(np.int64)
+    pair_q = np.asarray([qpos[int(v)] for v in short["query_id"]],
+                        np.int64)
+    o = np.lexsort((pair_q, pair_v))
+    pair_v, pair_q = pair_v[o], pair_q[o]
+    sref = ray.put((pair_v, pair_q))
 
     def local_exact(tbl: pa.Table) -> pa.Table:
         qm, qi, _, _ = ray.get(ref)
-        pq_sets = ray.get(sref)
+        pv, pq_ = ray.get(sref)
         ids = _ids(tbl, id_col)
         rows = []
         if len(ids):
-            mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
-            for c in range(len(qm)):
-                wanted = pq_sets.get(int(qi[c]))
-                if wanted is None:
-                    continue
-                m = np.isin(ids, wanted)
-                if not m.any():
-                    continue
-                sims = mat[m] @ qm[c]            # exact integer dots
-                rows.append((qi[c], ids[m], sims))
+            # pairs whose vec_id lives in this batch (ids may be in any
+            # order): membership via searchsorted on the sorted batch ids
+            so = np.argsort(ids, kind="stable")
+            sid = ids[so]
+            pos = np.searchsorted(sid, pv)
+            pos[pos >= len(sid)] = len(sid) - 1
+            hit = sid[pos] == pv
+            if hit.any():
+                rows_in_batch = so[pos[hit]]
+                qs = pq_[hit]
+                mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
+                sims = np.einsum("ij,ij->i", mat[rows_in_batch], qm[qs])
+                out_q = qi[qs]
+                return pa.table(
+                    {"query_id": pa.array(out_q, pa.int64()),
+                     id_col: pa.array(ids[rows_in_batch], pa.int64()),
+                     "cosine": pa.array(sims.astype(np.float64),
+                                        pa.float64())})
         return _emit_topk(qi, rows, id_col)
 
-    return _merge_topk(ds.map_batches(local_exact, batch_format="pyarrow"),
+    return _merge_topk(ds.map_batches(local_exact, batch_format="pyarrow",
+                                      batch_size=None),
                        k, id_col)
 
 
