@@ -27,14 +27,16 @@ from .dedup import (  # noqa: F401
 )
 from .ann import (  # noqa: F401
     brute_force_topk,
+    build_ivfpq_index,
     build_pq_index,
     ivf_topk,
     mmr_topk,
     pq_topk,
     quantize_embeddings,
+    quantized_topk,
+    search_ivfpq_index,
     search_pq_index,
     update_pq_index,
-    quantized_topk,
 )
 from .ann import (  # noqa: F401
     build_ivf_index,

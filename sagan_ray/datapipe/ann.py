@@ -919,23 +919,33 @@ def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,
              id_col: pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64()),
              "rank": pa.array([], pa.int64())}))
-    # the global shortlist as flat pair arrays sorted by vec_id — the
-    # rerank pass then costs ONE sorted-intersection per batch instead
-    # of a per-query np.isin (10k isin calls per batch at a 10k-query
-    # batch was the measured pass-2 killer)
+    return _exact_rerank_pairs(ds, q, qids, short, k=k, vec_col=vec_col,
+                               id_col=id_col)
+
+
+def _exact_rerank_pairs(ds, q: np.ndarray, qids: np.ndarray,
+                        short: "pd.DataFrame", *, k: int, vec_col: str,
+                        id_col: str):
+    """Shared exact-rerank pass for index-backed ANN (PQ / IVF-PQ): the
+    global shortlist becomes flat (vec_id, query_pos) pair arrays
+    sorted by vec_id, and each corpus batch pays ONE sorted
+    intersection (searchsorted) + one row-wise einsum of exact integer
+    grid dots — a per-query np.isin loop at 10k queries was the
+    measured pass-2 killer. Only shortlist rows score at all; the
+    merge ranks by (cosine desc, id asc)."""
+    import ray
+
     qpos = {int(v): i for i, v in enumerate(qids)}
     pair_v = short[id_col].to_numpy().astype(np.int64)
     pair_q = np.asarray([qpos[int(v)] for v in short["query_id"]],
                         np.int64)
     o = np.lexsort((pair_q, pair_v))
     pair_v, pair_q = pair_v[o], pair_q[o]
-    sref = ray.put((pair_v, pair_q))
+    sref = ray.put((q, qids, pair_v, pair_q))
 
     def local_exact(tbl: pa.Table) -> pa.Table:
-        qm, qi, _, _ = ray.get(ref)
-        pv, pq_ = ray.get(sref)
+        qm, qi, pv, pq_ = ray.get(sref)
         ids = _ids(tbl, id_col)
-        rows = []
         if len(ids):
             # pairs whose vec_id lives in this batch (ids may be in any
             # order): membership via searchsorted on the sorted batch ids
@@ -949,17 +959,214 @@ def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,
                 qs = pq_[hit]
                 mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
                 sims = np.einsum("ij,ij->i", mat[rows_in_batch], qm[qs])
-                out_q = qi[qs]
                 return pa.table(
-                    {"query_id": pa.array(out_q, pa.int64()),
+                    {"query_id": pa.array(qi[qs], pa.int64()),
                      id_col: pa.array(ids[rows_in_batch], pa.int64()),
                      "cosine": pa.array(sims.astype(np.float64),
                                         pa.float64())})
-        return _emit_topk(qi, rows, id_col)
+        return _emit_topk(qi, [], id_col)
 
     return _merge_topk(ds.map_batches(local_exact, batch_format="pyarrow",
                                       batch_size=None),
                        k, id_col)
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011): cell-partitioned RESIDUAL codes — search reads
+# only the probed cells' code partitions (nprobe/n_cells of ~3% of the
+# raw bytes), composing the IVF compute win with the PQ memory win
+# ----------------------------------------------------------------------
+
+def build_ivfpq_index(ds, index_dir: str, *, n_cells: int = 16,
+                      m_sub: int = 8, n_codes: int = 16,
+                      sample_size: int = 4096, seed: int = 5,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> int:
+    """Persist an IVF-PQ index: spherical kmeans centroids on the unit
+    grid (the ``ivf_topk`` training), then PQ codebooks trained on the
+    sample's RESIDUALS (grid row − assigned centroid — still exact
+    integers, ≤ 2^15 per coord), every vector encoded to (cell, m_sub
+    uint8 codes) and written cell-partitioned through the cell exchange
+    (one compact file per cell, the ``build_ivf_index`` layout). The
+    ``cell_id`` column is duplicated into the files because search
+    reads explicit file lists (hive partition values don't survive
+    that). Returns n_cells."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+
+    sample = _sample_smallest(ds, sample_size=sample_size, seed=seed,
+                              vec_col=vec_col, id_col=id_col)
+    if len(sample) == 0:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    cent = _kmeans(sample, n_cells)
+    assign = np.argmax(sample @ cent.T, axis=1)
+    bounds, books = _pq_train(sample - cent[assign], m_sub, n_codes)
+    bref = ray.put((cent, bounds, books))
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        cm, bnd, bks = ray.get(bref)
+        ids = _ids(tbl, id_col)
+        if len(ids):
+            mat = _unit_grid(_mat(tbl, vec_col, dtype=np.float64))
+            cell = np.argmax(mat @ cm.T, axis=1).astype(np.int64)
+            codes = _pq_encode(mat - cm[cell], bnd, bks)
+        else:
+            cell = np.array([], np.int64)
+            codes = np.empty((0, len(bks)), np.int64)
+        cols = {id_col: pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "cell_id": pa.array(cell, pa.int64())}
+        for s in range(len(bks)):
+            cols[f"c{s}"] = pa.array(codes[:, s].astype(np.uint8),
+                                     pa.uint8())
+        return pa.table(cols)
+
+    fields = [(id_col, pa.int64()), ("cell", pa.int64()),
+              ("cell_id", pa.int64())]
+    fields += [(f"c{s}", pa.uint8()) for s in range(m_sub)]
+    hash_group_apply(ds.map_batches(encode, batch_format="pyarrow"),
+                     ["cell"], lambda df: df,
+                     out_schema=pa.schema(fields)).write_parquet(
+        index_dir, partition_cols=["cell"], mode="overwrite")
+    rd.from_arrow(pa.table({
+        "cell": pa.array(np.arange(len(cent)), pa.int64()),
+        "centroid": pa.array(cent.tolist(), pa.list_(pa.float64())),
+    })).repartition(1).write_parquet(os.path.join(index_dir, "_centroids"),
+                                     mode="overwrite")
+    rows_s, rows_c, rows_v = [], [], []
+    for s, C in enumerate(books):
+        for c in range(len(C)):
+            rows_s.append(s)
+            rows_c.append(c)
+            rows_v.append(C[c].tolist())
+    rd.from_arrow(pa.table({
+        "subspace": pa.array(rows_s, pa.int64()),
+        "code": pa.array(rows_c, pa.int64()),
+        "centroid": pa.array(rows_v, pa.list_(pa.float64())),
+    })).repartition(1).write_parquet(os.path.join(index_dir, "_books"),
+                                     mode="overwrite")
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"n_cells": int(len(cent)), "m_sub": m_sub,
+                   "n_codes": n_codes, "d": int(cent.shape[1])}, f)
+    return len(cent)
+
+
+def search_ivfpq_index(index_dir: str, ds, queries: np.ndarray, *,
+                       k: int = 10, nprobe: int = 4, rerank: int = 32,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       query_ids: np.ndarray | None = None):
+    """IVF-PQ top-k over a built index: probe the nprobe nearest cells
+    (exact integer dots, stable ties — the ``ivf_topk`` routing), ADC
+    over ONLY those cells' code partitions where
+
+        adc(x) = q·cent_cell + Σ_s (q_s · book_s[code_s(x)])
+
+    — every term an exact integer, so the global (adc desc, id asc)
+    top-``rerank`` shortlist is a pure function of (index, queries) and
+    the sequential golden hash-verifies the chain. Exact rerank over
+    ``ds`` restricted to shortlist rows (``_exact_rerank_pairs``).
+    Bytes touched in the scan: nprobe/n_cells of the code table (m_sub
+    + 17 bytes/row), not the corpus."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    m_sub = meta["m_sub"]
+    ct = (rd.read_parquet(os.path.join(index_dir, "_centroids"))
+          .to_pandas().sort_values("cell"))
+    cent = np.asarray(ct["centroid"].tolist(), dtype=np.float64)
+    bt = (rd.read_parquet(os.path.join(index_dir, "_books")).to_pandas()
+          .sort_values(["subspace", "code"]))
+    books = [np.asarray(g["centroid"].tolist(), dtype=np.float64)
+             for _, g in bt.groupby("subspace", sort=True)]
+    bounds = _pq_bounds(meta["d"], m_sub)
+
+    q = _unit_grid(np.asarray(queries, dtype=np.float64))
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    q_cells = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    c2q: dict[int, list[int]] = {}
+    for qpos, row in enumerate(q_cells):
+        for c in row:
+            c2q.setdefault(int(c), []).append(qpos)
+
+    need = sorted(c2q)
+    files = sorted(
+        os.path.join(index_dir, f"cell={c}", fn)
+        for c in need if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+        for fn in os.listdir(os.path.join(index_dir, f"cell={c}"))
+        if fn.endswith(".parquet"))
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+    codes_ds = rd.read_parquet(files)
+    ref = ray.put((q, qids, cent, bounds, books,
+                   {c: np.asarray(v, np.int64) for c, v in c2q.items()}))
+
+    def local_adc(tbl: pa.Table) -> pa.Table:
+        qm, qi, cm, bnd, bks, cq = ray.get(ref)
+        ids = _ids(tbl, id_col)
+        out_q, out_v, out_a = [], [], []
+        if len(ids):
+            cell = (tbl.column("cell_id").combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            codes = np.stack(
+                [tbl.column(f"c{s}").combine_chunks()
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+                 for s in range(m_sub)], axis=1)
+            for c in np.unique(cell):
+                qlist = cq.get(int(c))
+                if qlist is None:
+                    continue
+                m = cell == c
+                sub_ids = ids[m]
+                sub_codes = codes[m]
+                rr = min(rerank, len(sub_ids))
+                for qpos in qlist:
+                    base = float(qm[qpos] @ cm[c])   # exact integer
+                    adc = np.full(len(sub_ids), base)
+                    for s in range(m_sub):
+                        adc += (bks[s] @ qm[qpos, bnd[s]:bnd[s + 1]]
+                                )[sub_codes[:, s]]
+                    sel = _local_topk_idx(adc, sub_ids, rr)
+                    out_q.extend([int(qi[qpos])] * len(sel))
+                    out_v.extend(sub_ids[sel].tolist())
+                    out_a.extend(adc[sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_v, pa.int64()),
+                         "adc": pa.array(out_a, pa.float64())})
+
+    short_schema = pa.schema([("query_id", pa.int64()),
+                              (id_col, pa.int64()), ("adc", pa.float64())])
+
+    def short_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "adc", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(rerank)
+
+    short = hash_group_apply(
+        codes_ds.map_batches(local_adc, batch_format="pyarrow",
+                             batch_size=None),
+        ["query_id"], short_bucket, out_schema=short_schema).to_pandas()
+    if len(short) == 0:
+        return rd.from_arrow(empty)
+    return _exact_rerank_pairs(ds, q, qids, short, k=k, vec_col=vec_col,
+                               id_col=id_col)
 
 
 def mmr_topk(ds, queries: np.ndarray, *, k: int = 10, shortlist: int = 64,

@@ -1811,3 +1811,149 @@ def write_golden_pq(sf_dir: str, *, n_queries: int, k: int, m_sub: int,
                     "cosine": pa.array(oc, pa.float64()),
                     "rank": pa.array(orr, pa.int64())})
     return _write(tbl, "embed_pq_topk")
+
+
+def write_golden_ivfpq(sf_dir: str, *, n_queries: int, k: int,
+                       n_cells: int, nprobe: int, m_sub: int,
+                       n_codes: int, rerank: int, sample_size: int,
+                       seed: int) -> str:
+    """Expected output of ``embed_ivfpq_index``: a sequential IVF-PQ —
+    the ivf golden's per-point kmeans, residual codebooks via per-point
+    Lloyd scans (strict ``<`` keeps the lowest code), per-row cell
+    assignment + residual encoding scans, and per-query ADC
+    (q·cent_cell + Σ_s book dots, all exact python ints) over the
+    probed cells' members with explicit global sorts. Bit-identical to
+    the distributed index BY CONSTRUCTION: every term on both sides is
+    an exact integer in float64 (grid coords ≤ 2^14, residuals ≤ 2^15)
+    and the centroid updates share the one IEEE division
+    (ann.py::build_ivfpq_index / search_ivfpq_index docstrings)."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import IVF_FIX, _pq_bounds, _splitmix64
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    unit = np.empty_like(vecs)
+    for i in range(len(vecs)):           # sequential per-row grid spec
+        g = np.rint(vecs[i] * IVF_FIX)
+        ss = sum(int(c) * int(c) for c in g)       # exact Python ints
+        n = float(np.sqrt(float(ss))) if ss else 1.0
+        unit[i] = np.rint(g / n * IVF_FIX)
+    q32 = vecs[:n_queries].astype(np.float32).astype(np.float64)
+    qgrid = np.empty_like(q32)
+    for c in range(n_queries):
+        g = np.rint(q32[c] * IVF_FIX)
+        ss = sum(int(v) * int(v) for v in g)
+        n = float(np.sqrt(float(ss))) if ss else 1.0
+        qgrid[c] = np.rint(g / n * IVF_FIX)
+
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    samp_order = sorted(range(len(ids)),
+                        key=lambda i: (int(h[i]), int(ids[i])))
+    samp = [unit[i] for i in samp_order[:sample_size]]
+
+    cent = [samp[c].copy() for c in range(min(n_cells, len(samp)))]
+    for _ in range(8):
+        sums = [np.zeros(vecs.shape[1]) for _ in cent]
+        cnts = [0] * len(cent)
+        for v in samp:
+            best, best_s = 0, -np.inf
+            for c in range(len(cent)):
+                s = float(np.dot(v, cent[c]))      # exact integer dot
+                if s > best_s:
+                    best, best_s = c, s
+            sums[best] += v
+            cnts[best] += 1
+        for c in range(len(cent)):
+            if cnts[c]:
+                S = sums[c]
+                ss = sum(int(x) * int(x) for x in S)
+                if ss > 0:
+                    cent[c] = np.rint(S / np.sqrt(float(ss)) * IVF_FIX)
+
+    def cell_of(v):
+        best, best_s = 0, -np.inf
+        for c in range(len(cent)):
+            s = float(np.dot(v, cent[c]))
+            if s > best_s:
+                best, best_s = c, s
+        return best
+
+    d = vecs.shape[1]
+    bounds = _pq_bounds(d, m_sub)
+    resid_samp = [v - cent[cell_of(v)] for v in samp]
+
+    books = []
+    for s in range(m_sub):
+        sub = [r[bounds[s]:bounds[s + 1]] for r in resid_samp]
+        C = [sub[c].copy() for c in range(min(n_codes, len(sub)))]
+        for _ in range(8):
+            sums = [np.zeros(bounds[s + 1] - bounds[s]) for _ in C]
+            cnts = [0] * len(C)
+            for x in sub:
+                best, best_d = 0, None
+                for c in range(len(C)):
+                    cc = sum(int(v) * int(v) for v in C[c])
+                    dv = cc - 2 * int(np.dot(x, C[c]))   # exact ints
+                    if best_d is None or dv < best_d:
+                        best, best_d = c, dv
+                sums[best] += x
+                cnts[best] += 1
+            for c in range(len(C)):
+                if cnts[c]:
+                    C[c] = np.rint(sums[c] / cnts[c])
+        books.append(C)
+
+    assign = np.empty(len(ids), dtype=np.int64)
+    codes = []
+    for i in range(len(ids)):
+        cc_i = cell_of(unit[i])
+        assign[i] = cc_i
+        r = unit[i] - cent[cc_i]
+        code = []
+        for s in range(m_sub):
+            x = r[bounds[s]:bounds[s + 1]]
+            best, best_d = 0, None
+            for c in range(len(books[s])):
+                cb = books[s][c]
+                cc = sum(int(w) * int(w) for w in cb)
+                dv = cc - 2 * int(np.dot(x, cb))
+                if best_d is None or dv < best_d:
+                    best, best_d = c, dv
+            code.append(best)
+        codes.append(code)
+
+    oq, ov, oc, orr = [], [], [], []
+    for qn in range(n_queries):
+        sims = [(float(np.dot(qgrid[qn], cent[c])), c)
+                for c in range(len(cent))]
+        cells = [c for _, c in
+                 sorted(sims, key=lambda sc: (-sc[0], sc[1]))][:nprobe]
+        cand = []
+        for i in range(len(ids)):
+            if assign[i] not in cells:
+                continue
+            s_tot = int(np.dot(qgrid[qn], cent[assign[i]]))
+            for s in range(m_sub):
+                qs = qgrid[qn][bounds[s]:bounds[s + 1]]
+                s_tot += int(np.dot(books[s][codes[i][s]], qs))
+            cand.append((s_tot, int(ids[i]), i))
+        cand.sort(key=lambda r: (-r[0], r[1]))
+        short = cand[:rerank]
+        exact = [(int(np.dot(unit[i], qgrid[qn])), vid)
+                 for _, vid, i in short]
+        exact.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (dot, vid) in enumerate(exact[:k], 1):
+            oq.append(qn)
+            ov.append(vid)
+            oc.append(float(dot))
+            orr.append(rank)
+    tbl = pa.table({"query_id": pa.array(oq, pa.int64()),
+                    "vec_id": pa.array(ov, pa.int64()),
+                    "cosine": pa.array(oc, pa.float64()),
+                    "rank": pa.array(orr, pa.int64())})
+    return _write(tbl, "embed_ivfpq_index")

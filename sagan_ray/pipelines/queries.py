@@ -3793,6 +3793,36 @@ def q_embed_ivf_index(sf_dir: str):
             [["query_id", "vec_id", "rank"]])
 
 
+def q_embed_ivfpq_index(sf_dir: str):
+    """IVF-PQ search over a PERSISTED cell-partitioned residual-code
+    index (ann.py::build_ivfpq_index/search_ivfpq_index, Jégou et al.
+    2011): probed-cells-only ADC + exact rerank, hash-verified against
+    a sequential golden because every score term on both sides is an
+    exact integer on the unit grid."""
+    from ..datapipe.ann import build_ivfpq_index, search_ivfpq_index
+    from ..oracle.golden import write_golden_ivfpq
+
+    write_golden_ivfpq(sf_dir, n_queries=3, k=5, n_cells=8, nprobe=4,
+                       m_sub=8, n_codes=16, rerank=32, sample_size=4096,
+                       seed=5)
+    idx = "/tmp/sagan_ray_index/ivfpq"
+    build_ivfpq_index(_embeds(sf_dir), idx, n_cells=8, m_sub=8,
+                      n_codes=16, sample_size=4096, seed=5)
+    q = _query_vectors(sf_dir, 3)
+    out = search_ivfpq_index(idx, _embeds(sf_dir), q, k=5, nprobe=4,
+                             rerank=32).to_pandas()
+    out = _typed(out, {"query_id": "int64", "vec_id": "int64",
+                       "cosine": "float64", "rank": "int64"})
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+SQL_EMBED_IVFPQ_GOLDEN = """
+SELECT query_id, vec_id, cosine, rank
+FROM read_parquet('/tmp/sagan_ray_golden/embed_ivfpq_index.parquet')
+ORDER BY query_id, rank
+"""
+
+
 def q_search_bm25_index(sf_dir: str):
     """Index-backed BM25: build the term-partitioned postings parquet
     (datapipe/index.py::build_inverted_index) then answer the SAME
@@ -4204,6 +4234,7 @@ QUERIES = {
     "embed_mmr": q_embed_mmr,
     "embed_pq_topk": q_embed_pq_topk,
     "embed_pq_index": q_embed_pq_index,
+    "embed_ivfpq_index": q_embed_ivfpq_index,
 }
 
 ORACLES = {
@@ -4329,4 +4360,5 @@ ORACLES = {
     "embed_mmr": SQL_EMBED_MMR_GOLDEN,
     "embed_pq_topk": SQL_EMBED_PQ_GOLDEN,
     "embed_pq_index": SQL_EMBED_PQ_GOLDEN,
+    "embed_ivfpq_index": SQL_EMBED_IVFPQ_GOLDEN,
 }

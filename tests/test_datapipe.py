@@ -1701,6 +1701,76 @@ def test_pq_index_update_equals_fixed_books_rebuild(embeds, tmp_path):
     assert len(a) > 0
 
 
+def test_ivfpq_recall_and_layout_invariance(embeds, tmp_path):
+    """IVF-PQ (cell-partitioned residual codes): recall floor vs brute
+    force at nprobe=4/8 cells (measured 0.56, deterministic — a
+    regression tripwire), and the whole build→ADC→rerank chain must be
+    a pure function of (input, params): rebuilding from a repartitioned
+    input and searching over a repartitioned corpus yields a
+    bit-identical frame."""
+    import pandas as pd
+
+    from sagan_ray.datapipe import (brute_force_topk, build_ivfpq_index,
+                                    search_ivfpq_index)
+
+    df = embeds.to_pandas()
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:5]
+    exact = brute_force_topk(embeds, q, k=10).to_pandas()
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(embeds, idx, n_cells=8, m_sub=8, n_codes=16)
+    out = search_ivfpq_index(idx, embeds, q, k=10, nprobe=4,
+                             rerank=64).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"].astype(int))
+        a = set(out[out.query_id == qi]["vec_id"].astype(int))
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.4
+
+    idx2 = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(embeds.repartition(7), idx2, n_cells=8, m_sub=8,
+                      n_codes=16)
+    key = ["query_id", "rank"]
+    a = (search_ivfpq_index(idx, embeds, q, k=10, nprobe=4, rerank=32)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    b = (search_ivfpq_index(idx2, embeds.repartition(3), q, k=10,
+                            nprobe=4, rerank=32)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) > 0
+
+
+def test_ivfpq_search_prunes_to_probed_cells(embeds, tmp_path):
+    """nprobe=1 must read exactly one cell=<i>/ partition's files —
+    the bytes-touched claim (the search builds its file list from the
+    probed cells only)."""
+    import os
+
+    from sagan_ray.datapipe import build_ivfpq_index, search_ivfpq_index
+
+    df = embeds.to_pandas()
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:1]
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(embeds, idx, n_cells=8, m_sub=8, n_codes=16)
+    out = search_ivfpq_index(idx, embeds, q, k=5, nprobe=1,
+                             rerank=16).to_pandas()
+    assert len(out) == 5
+    # every returned vec_id lives in ONE stored cell partition
+    import pyarrow.parquet as pq_
+    cells = set()
+    for ent in os.listdir(idx):
+        if not ent.startswith("cell="):
+            continue
+        cdir = os.path.join(idx, ent)
+        for fn in os.listdir(cdir):
+            t = pq_.read_table(os.path.join(cdir, fn),
+                               columns=["vec_id"])
+            got = set(t.column("vec_id").to_pylist())
+            if got & set(out["vec_id"].astype(int)):
+                cells.add(ent)
+    assert len(cells) == 1
+
+
 def test_heavy_hitters_exact_under_forced_pruning():
     """Adversarial zipf vocab with k far below the distinct count: every
     batch AND the driver fold must prune (e > 0), yet the certified
