@@ -28,6 +28,7 @@ from .dedup import (  # noqa: F401
 from .ann import (  # noqa: F401
     brute_force_topk,
     build_ivfpq_index,
+    hard_negative_topk,
     build_pq_index,
     ivf_topk,
     mmr_topk,

@@ -133,6 +133,49 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
                        k, id_col)
 
 
+def hard_negative_topk(ds, queries: np.ndarray, query_labels: np.ndarray,
+                       *, k: int = 10, vec_col: str = "embedding",
+                       id_col: str = "vec_id", label_col: str = "label",
+                       query_ids: np.ndarray | None = None):
+    """Hard-negative mining for contrastive training: for each anchor
+    query, the exact cosine top-k among vectors whose ``label_col``
+    DIFFERS from the anchor's label (the per-query predicate
+    ``embed_topk_filtered``'s fixed scan filter can't express). Same
+    distributed shape as ``brute_force_topk`` — broadcast (queries,
+    labels), per-batch dgemm + per-query masked local top-k, tiny
+    candidate merge. Returns (query_id, vec_id, cosine, rank)."""
+    import ray
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    ql = np.asarray(query_labels)
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    q_ref = ray.put((q, ql, qids))
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        qm, qlab, qi = ray.get(q_ref)
+        ids = _ids(tbl, id_col)
+        if not len(ids):
+            return _emit_topk(qi, [], id_col)
+        labels = (tbl.column(label_col).combine_chunks()
+                  .to_numpy(zero_copy_only=False))
+        mat = _unit(_mat(tbl, vec_col))
+        sims = mat @ qm.T                       # (batch, nq)
+        rows = []
+        for c in range(sims.shape[1]):
+            m = labels != qlab[c]
+            if not m.any():
+                continue
+            sub_ids = ids[m]
+            sel = _local_topk_idx(sims[m, c], sub_ids,
+                                  min(k, len(sub_ids)))
+            rows.append((qi[c], sub_ids[sel], sims[m, c][sel]))
+        return _emit_topk(qi, rows, id_col)
+
+    return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
+                       k, id_col)
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer over a uint64 array — the deterministic
     per-id ordering hash behind blocking-independent sampling (the same

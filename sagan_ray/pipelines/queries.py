@@ -2729,6 +2729,43 @@ FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_embed_hard_negatives(sf_dir: str):
+    """Hard-negative mining (ann.py::hard_negative_topk): per-anchor
+    exact cosine top-k restricted to vectors with a DIFFERENT label —
+    the contrastive-training counterpart of embed_topk, verified
+    against the same cross-join SQL with the label-inequality join
+    predicate."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe import hard_negative_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", 64)])
+    df = t.to_pandas().sort_values("vec_id").head(3)
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+    ql = df["label"].to_numpy()
+    out = hard_negative_topk(
+        _embeds(sf_dir, columns=["vec_id", "embedding", "label"]),
+        q, ql, k=5).to_pandas()
+    out = _typed(out[["query_id", "vec_id", "rank"]],
+                 {"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+SQL_EMBED_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cosine
+  FROM embeddings e JOIN q ON e.label <> q.ql)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_embed_near_dup(sf_dir: str):
     """Exact cosine-similar pairs (≥0.45) via the block-nested-loop
     exchange (datapipe.dedup.embedding_near_dup_exact) — all-pairs
@@ -4235,6 +4272,7 @@ QUERIES = {
     "embed_pq_topk": q_embed_pq_topk,
     "embed_pq_index": q_embed_pq_index,
     "embed_ivfpq_index": q_embed_ivfpq_index,
+    "embed_hard_negatives": q_embed_hard_negatives,
 }
 
 ORACLES = {
@@ -4361,4 +4399,5 @@ ORACLES = {
     "embed_pq_topk": SQL_EMBED_PQ_GOLDEN,
     "embed_pq_index": SQL_EMBED_PQ_GOLDEN,
     "embed_ivfpq_index": SQL_EMBED_IVFPQ_GOLDEN,
+    "embed_hard_negatives": SQL_EMBED_HARD_NEGATIVES,
 }

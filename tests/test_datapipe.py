@@ -168,6 +168,32 @@ def test_ivf_recall(embeds):
     assert np.mean(recalls) >= 0.6   # nprobe=4 of 8 cells
 
 
+def test_hard_negative_topk_excludes_anchor_label(embeds):
+    """Every mined negative must carry a label different from its
+    anchor's, and within the allowed subset the ranking must equal
+    brute force restricted to that subset."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import brute_force_topk, hard_negative_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:3]
+    ql = df["label"].to_numpy()[:3]
+    out = hard_negative_topk(ds, q, ql, k=5).to_pandas()
+    lab = dict(zip(df["vec_id"].astype(int), df["label"]))
+    for _, r in out.iterrows():
+        assert lab[int(r["vec_id"])] != ql[int(r["query_id"])]
+    # parity vs brute force over the pre-filtered corpus, per anchor
+    for qi in range(3):
+        sub = rd.from_pandas(df[df["label"] != ql[qi]]
+                             .reset_index(drop=True))
+        want = brute_force_topk(sub, q[qi:qi + 1], k=5).to_pandas()
+        got = out[out.query_id == qi].sort_values("rank")
+        assert list(got["vec_id"].astype(int)) == \
+            list(want.sort_values("rank")["vec_id"].astype(int))
+
+
 def test_pq_recall(embeds):
     """PQ ADC shortlist + exact rerank: recall vs brute force (measured
     0.8 at rerank=64 on this corpus; deterministic, so the floor is a
