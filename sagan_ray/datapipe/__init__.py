@@ -88,6 +88,7 @@ from .pack import chunk_documents, pack_sequences  # noqa: F401
 from .stats import (  # noqa: F401
     group_outlier_flags,
     group_percentiles,
+    group_quantile_sketch,
     histogram,
     percentiles,
     rank_normalize,

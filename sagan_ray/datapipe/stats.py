@@ -161,6 +161,59 @@ def group_percentiles(ds, *, group_col: str, col: str, qs: list[float]):
         [group_col], bucket, out_schema=schema)
 
 
+def group_quantile_sketch(ds, *, group_col: str, col: str,
+                          qs: list[float], grid: int = 64):
+    """Per-group approximate quantiles of a CONTINUOUS column via a
+    fixed-resolution grid — the bounded-exchange answer where
+    ``group_percentiles``'s exact (group, value) histogram degenerates
+    (continuous doubles: every value distinct, the histogram IS the
+    data). Spec, shared verbatim with the SQL oracle: bucket =
+    ``floor(value · grid)`` (one IEEE multiply + exact floor on both
+    sides), the answer for quantile q is ``first bucket with
+    cumulative count ≥ ceil(q · n)`` reported as ``bucket / grid``
+    (grid a power of two ⇒ exact binary division). Error ≤ 1/grid by
+    construction; exchange rows are bounded by the value RANGE × grid
+    per group, independent of row count. Returns a Dataset
+    (group, q, value_est)."""
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        bkt = np.floor(v * float(grid))
+        t = pa.table({group_col: tbl.column(group_col),
+                      "bkt": pa.array(bkt.astype(np.int64), pa.int64())})
+        g = pa.TableGroupBy(t, [group_col, "bkt"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "bkt", "cnt"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_q, out_v = [], [], []
+        for gval, sub in df.groupby(group_col, sort=False):
+            h = (sub.groupby("bkt", sort=False)["cnt"].sum().reset_index()
+                 .sort_values("bkt"))
+            n = int(h["cnt"].sum())
+            cum = h["cnt"].cumsum().to_numpy()
+            bks = h["bkt"].to_numpy()
+            for q in qs:
+                # EXACT rational rank: the SQL side's VALUES (0.9) is a
+                # DECIMAL, so its ceil(q·n) is exact — a float 0.9·n
+                # rounds UP across exact-integer products (0.9·10 →
+                # 9.000000000000002 → ceil 10) and flips the bucket
+                from fractions import Fraction
+                rank = max(1, math.ceil(Fraction(str(float(q))) * n))
+                b = int(bks[np.searchsorted(cum, rank, side="left")])
+                out_g.append(gval)
+                out_q.append(float(q))
+                out_v.append(float(b) / float(grid))
+        return pd.DataFrame({group_col: out_g, "q": out_q,
+                             "value_est": out_v})
+
+    schema = pa.schema([(group_col, pa.string()), ("q", pa.float64()),
+                        ("value_est", pa.float64())])
+    return hash_group_apply(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536),
+        [group_col], bucket, out_schema=schema)
+
+
 def rank_normalize(ds, *, group_col: str, col: str, id_col: str = "doc_id"):
     """Per-row rank normalization within groups: ``pct_rank``
     (SQL percent_rank: rows strictly below / (n-1), ties share) and

@@ -2729,6 +2729,41 @@ FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_events_quantile_sketch(sf_dir: str):
+    """Per-type approximate quantiles of the CONTINUOUS value column on
+    a fixed 1/64 grid (stats.py::group_quantile_sketch) — the
+    bounded-exchange path where the exact (group, value) histogram
+    degenerates to row count; bucket/rank spec shared verbatim with
+    the SQL (exact-rational ranks, power-of-two grid division)."""
+    import ray.data as rd
+
+    from ..datapipe import group_quantile_sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = group_quantile_sketch(ds, group_col="event_type", col="value",
+                                qs=[0.5, 0.9, 0.99], grid=64).to_pandas()
+    out = _typed(out, {"event_type": "str", "q": "float64",
+                       "value_est": "float64"})
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+SQL_EVENTS_QUANTILE_SKETCH = r"""
+WITH b AS (
+  SELECT event_type, floor(value * 64) AS bkt, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bkt, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b)
+SELECT event_type, q, min(bkt) / 64.0 AS value_est
+FROM c CROSS JOIN (VALUES (0.5), (0.9), (0.99)) qs(q)
+WHERE cum >= ceil(q * n)
+GROUP BY event_type, q ORDER BY event_type, q
+"""
+
+
 def q_embed_hard_negatives(sf_dir: str):
     """Hard-negative mining (ann.py::hard_negative_topk): per-anchor
     exact cosine top-k restricted to vectors with a DIFFERENT label —
@@ -4273,6 +4308,7 @@ QUERIES = {
     "embed_pq_index": q_embed_pq_index,
     "embed_ivfpq_index": q_embed_ivfpq_index,
     "embed_hard_negatives": q_embed_hard_negatives,
+    "events_quantile_sketch": q_events_quantile_sketch,
 }
 
 ORACLES = {
@@ -4400,4 +4436,5 @@ ORACLES = {
     "embed_pq_index": SQL_EMBED_PQ_GOLDEN,
     "embed_ivfpq_index": SQL_EMBED_IVFPQ_GOLDEN,
     "embed_hard_negatives": SQL_EMBED_HARD_NEGATIVES,
+    "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
 }

@@ -168,6 +168,38 @@ def test_ivf_recall(embeds):
     assert np.mean(recalls) >= 0.6   # nprobe=4 of 8 cells
 
 
+def test_group_quantile_sketch_error_bound_and_rational_rank():
+    """The grid sketch must land within 1/grid of the exact quantile,
+    and the rank must be the EXACT rational ceil(q·n): 10 values with
+    q=0.9 selects rank 9 (float 0.9·10 rounds to 9.000000000000002 and
+    would ceil to 10 — the DuckDB-DECIMAL mismatch the Fraction spec
+    exists to prevent)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import group_quantile_sketch
+
+    vals = [0.1 * i + 0.05 for i in range(1, 11)]      # 0.15 .. 1.05
+    ds = rd.from_arrow(pa.table({"g": pa.array(["a"] * 10),
+                                 "value": pa.array(vals, pa.float64())}))
+    out = group_quantile_sketch(ds, group_col="g", col="value",
+                                qs=[0.9], grid=64).to_pandas()
+    # rank ceil(0.9·10)=9 → value 0.95 → bucket floor(0.95·64)=60 → 0.9375
+    assert len(out) == 1
+    assert abs(out["value_est"].iloc[0] - 0.9375) < 1e-12
+
+    # error bound vs exact over a bigger random column
+    rng = np.random.RandomState(3)
+    v = rng.uniform(0, 50, 5000)
+    ds2 = rd.from_arrow(pa.table({"g": pa.array(["x"] * 5000),
+                                  "value": pa.array(v, pa.float64())}))
+    out2 = group_quantile_sketch(ds2, group_col="g", col="value",
+                                 qs=[0.5, 0.99], grid=64).to_pandas()
+    for _, r in out2.iterrows():
+        exact = np.sort(v)[max(1, int(np.ceil(r["q"] * 5000))) - 1]
+        assert abs(r["value_est"] - exact) <= 1.0 / 64 + 1e-12
+
+
 def test_hard_negative_topk_excludes_anchor_label(embeds):
     """Every mined negative must carry a label different from its
     anchor's, and within the allowed subset the ranking must equal
