@@ -340,3 +340,42 @@ def running_totals(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         batch_format="pyarrow", batch_size=65536)
     return hash_group_apply(cols, [user_col], bucket,
                             out_schema=out_schema)
+
+
+def window_topk(ds, *, ts_col: str = "ts", key_col: str = "user_id",
+                unit: str = "hour", k: int = 3):
+    """Per-tumbling-window top-k keys by event count — the streaming
+    "top talkers per hour" report. Map side pre-collapses each batch to
+    (window, key, n) via one Arrow group-by (the partial-aggregate
+    stance: full rows never shuffle), the window-keyed exchange sums
+    partials and ranks in-bucket with deterministic ties
+    (n desc, key asc — the SQL row_number order). Returns a Dataset
+    (window, key, n, rank ≤ k)."""
+    import pyarrow.compute as pc
+
+    from .exchange import hash_group_apply
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+        t = pa.table({"window": win, key_col: tbl.column(key_col)})
+        g = pa.TableGroupBy(t, ["window", key_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["window", key_col, "n"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.groupby(["window", key_col], sort=False)["n"].sum()
+              .reset_index())
+        df = df.sort_values(["window", "n", key_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("window", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("window", sort=False).cumcount() + 1
+                      ).astype(np.int64)
+        return df
+
+    schema = pa.schema([("window", pa.timestamp("us")),
+                        (key_col, pa.int64()), ("n", pa.int64()),
+                        ("rank", pa.int64())])
+    return hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["window"], bucket, out_schema=schema)

@@ -2764,6 +2764,34 @@ GROUP BY event_type, q ORDER BY event_type, q
 """
 
 
+def q_events_window_topk(sf_dir: str):
+    """Per-hour top-3 noisiest users (events.py::window_topk): map-side
+    (window, user, n) partials, window-keyed exchange, deterministic
+    (n desc, user asc) ranks — the streaming top-talkers report."""
+    import ray.data as rd
+
+    from ..datapipe import window_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    out = window_topk(ds, ts_col="ts", key_col="user_id", unit="hour",
+                      k=3).to_pandas()
+    out = _typed(out, {"window": "datetime64[us]", "user_id": "int64",
+                       "n": "int64", "rank": "int64"})
+    return out.sort_values(["window", "rank"]).reset_index(drop=True)
+
+
+SQL_EVENTS_WINDOW_TOPK = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS "window", user_id, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT "window", user_id, n,
+       row_number() OVER (PARTITION BY "window"
+                          ORDER BY n DESC, user_id) AS rank
+FROM c QUALIFY rank <= 3 ORDER BY "window", rank
+"""
+
+
 def q_embed_hard_negatives(sf_dir: str):
     """Hard-negative mining (ann.py::hard_negative_topk): per-anchor
     exact cosine top-k restricted to vectors with a DIFFERENT label —
@@ -4309,6 +4337,7 @@ QUERIES = {
     "embed_ivfpq_index": q_embed_ivfpq_index,
     "embed_hard_negatives": q_embed_hard_negatives,
     "events_quantile_sketch": q_events_quantile_sketch,
+    "events_window_topk": q_events_window_topk,
 }
 
 ORACLES = {
@@ -4437,4 +4466,5 @@ ORACLES = {
     "embed_ivfpq_index": SQL_EMBED_IVFPQ_GOLDEN,
     "embed_hard_negatives": SQL_EMBED_HARD_NEGATIVES,
     "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
+    "events_window_topk": SQL_EVENTS_WINDOW_TOPK,
 }

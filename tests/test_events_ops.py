@@ -265,3 +265,20 @@ def test_running_totals_hand_check():
     assert out["event_id"].tolist() == [1, 2, 3, 4, 5]
     assert out["run_cnt"].tolist() == [2, 1, 1, 3, 2]
     assert np.allclose(out["run_sum"], [3.5, 2.0, 4.0, 3.75, 5.0])
+
+
+def test_window_topk_hand_check_and_ties():
+    from sagan_ray.datapipe import window_topk
+
+    h = 3600 * 1_000_000
+    tbl = pa.table({
+        # hour 0: user 1 ×2, users 2 and 3 ×1 each (tie → lower id first)
+        # hour 1: user 9 ×1
+        "ts": pa.array([10, 20, 30, 40, h + 5], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 3, 2, 9], pa.int64()),
+    })
+    out = (window_topk(_ds(tbl), k=2).to_pandas()
+           .sort_values(["window", "rank"]).reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 9]
+    assert out["n"].tolist() == [2, 1, 1]
+    assert out["rank"].tolist() == [1, 2, 1]
