@@ -46,6 +46,7 @@ from .ann import (  # noqa: F401
 )
 from .cluster import (  # noqa: F401
     fit_centroids,
+    embedding_outliers,
     kmeans_assign,
     semantic_near_dup,
 )

@@ -239,3 +239,81 @@ def semantic_near_dup(ds, *, threshold: float = 0.45, k: int = 8,
     return hash_group_apply(
         ds.map_batches(tag, batch_format="pyarrow"), ["cluster"], bucket,
         out_schema=out_schema)
+
+
+def embedding_outliers(ds, *, k: int = 8, n_iters: int = 8, q: float = 0.99,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       bucket_shift: int = 32):
+    """Embedding-space outlier audit: rows whose squared distance to
+    their OWN kmeans centroid falls strictly above their cluster's
+    q-quantile distance BUCKET — the curation signal for mislabeled /
+    corrupt / off-distribution vectors. Spec (deterministic end to
+    end): d² is the exact-integer fixed-point distance (coords ≤ 2^20
+    ⇒ d² ≤ 2^48 exact in float64), buckets are ``d² >> bucket_shift``
+    (integer shift — the continuous-value histogram stance of
+    ``group_quantile_sketch``: per-cluster histogram size is bounded by
+    2^(48-shift), not row count), the threshold bucket is the first
+    with cumulative count ≥ the EXACT rational ceil(q·n), and a row is
+    an outlier iff its bucket is STRICTLY greater. Per-batch (cluster,
+    bucket, count) partials fold driver-side (≤ k·2^16 rows total);
+    thresholds broadcast back for the map-side flag pass. Returns a
+    Dataset (id, cluster, d2) of the flagged rows only."""
+    import math
+    from fractions import Fraction
+
+    import ray
+
+    cent = fit_centroids(ds, k=k, n_iters=n_iters, vec_col=vec_col,
+                         id_col=id_col)
+    ref = ray.put(cent)
+
+    def _d2(x: np.ndarray, c: np.ndarray):
+        a = _assign(x, c)
+        diff = x - c[a]
+        return a, (diff * diff).sum(axis=1)      # exact ints ≤ 2^48
+
+    def hist_part(tbl: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _qmat(tbl, vec_col)
+        if not len(x):
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        a, d2 = _d2(x, c)
+        bkt = (d2.astype(np.int64) >> bucket_shift)
+        t = pa.table({"cluster": pa.array(a.astype(np.int64)),
+                      "bkt": pa.array(bkt, pa.int64())})
+        g = pa.TableGroupBy(t, ["cluster", "bkt"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cluster", "bkt", "cnt"])
+
+    h = (ds.map_batches(hist_part, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby(["cluster", "bkt"], sort=True)["cnt"].sum()
+         .reset_index())
+    thr = np.full(len(cent), np.iinfo(np.int64).max, np.int64)
+    for cl, sub in h.groupby("cluster", sort=False):
+        n = int(sub["cnt"].sum())
+        rank = max(1, math.ceil(Fraction(str(float(q))) * n))
+        cum = sub["cnt"].cumsum().to_numpy()
+        thr[int(cl)] = int(sub["bkt"].to_numpy()[
+            np.searchsorted(cum, rank, side="left")])
+    tref = ray.put(thr)
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        t = ray.get(tref)
+        ids = _ids(tbl, id_col)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        x = _qmat(tbl, vec_col)
+        a, d2 = _d2(x, c)
+        bkt = d2.astype(np.int64) >> bucket_shift
+        m = bkt > t[a]
+        return pa.table({id_col: pa.array(ids[m], pa.int64()),
+                         "cluster": pa.array(a[m].astype(np.int64)),
+                         "d2": pa.array(d2[m].astype(np.int64))})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1957,3 +1957,86 @@ def write_golden_ivfpq(sf_dir: str, *, n_queries: int, k: int,
                     "cosine": pa.array(oc, pa.float64()),
                     "rank": pa.array(orr, pa.int64())})
     return _write(tbl, "embed_ivfpq_index")
+
+
+def write_golden_embed_outliers(sf_dir: str, *, k: int, n_iters: int,
+                                q: float, bucket_shift: int) -> str:
+    """Expected output of ``embed_outliers``: the sequential fixed-point
+    kmeans of ``write_golden_kmeans`` (per-row |x−c|² scans, integer
+    sums) followed by a sequential replay of the bucket-quantile fence —
+    per-row exact-integer d² to the OWN centroid, bucket = d² >> shift,
+    per-cluster threshold bucket at the exact-rational rank
+    ceil(q·n), outlier iff bucket strictly greater. Every quantity on
+    both sides is an exact integer (coords ≤ 2^20, d² ≤ 2^48) and the
+    rank arithmetic is rational — bit-identical by construction."""
+    import math
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    qm = np.rint(np.asarray(t.column("embedding").to_pylist(),
+                            dtype=np.float64) * float(1 << 20))
+    order = np.argsort(ids, kind="stable")
+    ids, qm = ids[order], qm[order]
+    hashes = np.array([_splitmix64_int(int(np.uint64(i))) for i in ids],
+                      dtype=np.uint64)
+    seed_rows = np.argsort(hashes, kind="stable")[:k]
+    cent = qm[seed_rows].copy()
+
+    def assign_row(x):
+        best, best_d = 0, None
+        for j in range(len(cent)):
+            diff = x - cent[j]
+            d2 = float(diff @ diff)
+            if best_d is None or d2 < best_d:
+                best, best_d = j, d2
+        return best, best_d
+
+    for _ in range(n_iters):
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for i in range(len(qm)):
+            a, _ = assign_row(qm[i])
+            sums[a] += qm[i]
+            counts[a] += 1
+        for j in range(len(cent)):
+            if counts[j]:
+                cent[j] = np.rint(sums[j] / counts[j])
+
+    assign = np.empty(len(ids), np.int64)
+    d2s = np.empty(len(ids), np.int64)
+    for i in range(len(qm)):
+        a, d2 = assign_row(qm[i])
+        assign[i] = a
+        d2s[i] = int(d2)
+
+    bkts = d2s >> bucket_shift
+    thr = {}
+    for cl in range(len(cent)):
+        sel = np.flatnonzero(assign == cl)
+        if not len(sel):
+            continue
+        h = {}
+        for b in bkts[sel]:
+            h[int(b)] = h.get(int(b), 0) + 1
+        n = len(sel)
+        rank = max(1, math.ceil(Fraction(str(float(q))) * n))
+        cum = 0
+        for b in sorted(h):
+            cum += h[b]
+            if cum >= rank:
+                thr[cl] = b
+                break
+    oi, oc, od = [], [], []
+    for i in range(len(ids)):
+        if int(bkts[i]) > thr[int(assign[i])]:
+            oi.append(int(ids[i]))
+            oc.append(int(assign[i]))
+            od.append(int(d2s[i]))
+    tbl = pa.table({"vec_id": pa.array(oi, pa.int64()),
+                    "cluster": pa.array(oc, pa.int64()),
+                    "d2": pa.array(od, pa.int64())})
+    return _write(tbl, "embed_outliers")

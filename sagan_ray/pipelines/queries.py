@@ -2729,6 +2729,31 @@ FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_embed_outliers(sf_dir: str):
+    """Embedding-space outlier audit (cluster.py::embedding_outliers):
+    rows whose exact-integer d² to their own kmeans centroid exceeds
+    the cluster's 0.9-quantile distance bucket — hash-verified against
+    a sequential replay (same fixed-point kmeans spec as embed_kmeans
+    plus the rational-rank bucket fence)."""
+    from ..datapipe import embedding_outliers
+    from ..oracle.golden import write_golden_embed_outliers
+
+    write_golden_embed_outliers(sf_dir, k=8, n_iters=8, q=0.9,
+                                bucket_shift=32)
+    out = embedding_outliers(_embeds(sf_dir), k=8, n_iters=8,
+                             q=0.9).to_pandas()
+    out = _typed(out, {"vec_id": "int64", "cluster": "int64",
+                       "d2": "int64"})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBED_OUTLIERS_GOLDEN = """
+SELECT vec_id, cluster, d2
+FROM read_parquet('/tmp/sagan_ray_golden/embed_outliers.parquet')
+ORDER BY vec_id
+"""
+
+
 def q_events_quantile_sketch(sf_dir: str):
     """Per-type approximate quantiles of the CONTINUOUS value column on
     a fixed 1/64 grid (stats.py::group_quantile_sketch) — the
@@ -4338,6 +4363,7 @@ QUERIES = {
     "embed_hard_negatives": q_embed_hard_negatives,
     "events_quantile_sketch": q_events_quantile_sketch,
     "events_window_topk": q_events_window_topk,
+    "embed_outliers": q_embed_outliers,
 }
 
 ORACLES = {
@@ -4467,4 +4493,5 @@ ORACLES = {
     "embed_hard_negatives": SQL_EMBED_HARD_NEGATIVES,
     "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
     "events_window_topk": SQL_EVENTS_WINDOW_TOPK,
+    "embed_outliers": SQL_EMBED_OUTLIERS_GOLDEN,
 }

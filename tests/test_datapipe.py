@@ -168,6 +168,38 @@ def test_ivf_recall(embeds):
     assert np.mean(recalls) >= 0.6   # nprobe=4 of 8 cells
 
 
+def test_embedding_outliers_fence_bound_and_layout_invariance(embeds):
+    """The fence guarantees per-cluster flagged ≤ n − ceil(0.9·n) (at
+    least rank rows sit at or below the threshold bucket), checked
+    against the SAME deterministic assignment via kmeans_assign; and
+    the op must be layout-invariant (exact-integer kmeans + rational
+    ranks). NOTE a planted extreme vector is NOT guaranteed flagged —
+    kmeans absorbs it into a (near-)singleton cluster whose centroid
+    it drags onto itself (d² → 0), which is why the fence is per-
+    cluster, not global."""
+    import math
+
+    import pandas as pd
+
+    from sagan_ray.datapipe import embedding_outliers, kmeans_assign
+
+    out = embedding_outliers(embeds, k=8, n_iters=4, q=0.9).to_pandas()
+    assert len(out) > 0
+    sizes = (kmeans_assign(embeds, k=8, n_iters=4).to_pandas()
+             .groupby("cluster").size())
+    flagged = out.groupby("cluster").size()
+    for cl, f in flagged.items():
+        n = int(sizes[cl])
+        assert f <= n - math.ceil(0.9 * n)
+
+    b = embedding_outliers(embeds.repartition(7), k=8, n_iters=4,
+                           q=0.9).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+        check_exact=True)
+
+
 def test_group_quantile_sketch_error_bound_and_rational_rank():
     """The grid sketch must land within 1/grid of the exact quantile,
     and the rank must be the EXACT rational ceil(q·n): 10 values with
