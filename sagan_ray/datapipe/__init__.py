@@ -68,6 +68,7 @@ from .events import (  # noqa: F401
     funnel_stages,
     props_key_agg,
     running_totals,
+    window_rate_limit,
     window_topk,
     step_latency,
     transition_counts,

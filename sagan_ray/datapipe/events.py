@@ -379,3 +379,39 @@ def window_topk(ds, *, ts_col: str = "ts", key_col: str = "user_id",
     return hash_group_apply(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         ["window"], bucket, out_schema=schema)
+
+
+def window_rate_limit(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", unit: str = "hour",
+                      limit: int = 5):
+    """Per-(user, tumbling window) rate limiting: keep each user's
+    FIRST ``limit`` events per window in (ts, id) order and drop the
+    rest — threshold.c's ``limit`` semantics lifted to the events
+    table (flood control before an expensive downstream stage). One
+    user-keyed exchange; in-bucket grouped cumcount over the SQL frame
+    order, so survivors are exactly the oracle's
+    row_number() ≤ limit set. Returns the surviving rows
+    (event_id, user_id, window, ts)."""
+    import pyarrow.compute as pc
+
+    from .exchange import hash_group_apply
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         user_col: tbl.column(user_col).cast(pa.int64()),
+                         "window": win,
+                         ts_col: tbl.column(ts_col)})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, "window", ts_col, id_col],
+                            kind="mergesort")
+        pos = df.groupby([user_col, "window"], sort=False).cumcount()
+        return df[pos < limit]
+
+    schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
+                        ("window", pa.timestamp("us")),
+                        (ts_col, pa.timestamp("us"))])
+    return hash_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema)

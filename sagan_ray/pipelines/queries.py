@@ -2729,6 +2729,33 @@ FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_events_rate_limited(sf_dir: str):
+    """Per-(user, hour) rate limiting (events.py::window_rate_limit):
+    keep each user's first 2 events per hour in (ts, event_id) order —
+    threshold.c's limit semantics on the events table; survivors equal
+    the SQL row_number() frame exactly."""
+    import ray.data as rd
+
+    from ..datapipe import window_rate_limit
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    out = window_rate_limit(ds, unit="hour", limit=2).to_pandas()
+    out = _typed(out[["event_id", "user_id"]],
+                 {"event_id": "int64", "user_id": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_RATE_LIMITED = """
+SELECT event_id, user_id
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, date_trunc('hour', ts)
+    ORDER BY ts, event_id) <= 2
+ORDER BY event_id
+"""
+
+
 def q_embed_outliers(sf_dir: str):
     """Embedding-space outlier audit (cluster.py::embedding_outliers):
     rows whose exact-integer d² to their own kmeans centroid exceeds
@@ -4364,6 +4391,7 @@ QUERIES = {
     "events_quantile_sketch": q_events_quantile_sketch,
     "events_window_topk": q_events_window_topk,
     "embed_outliers": q_embed_outliers,
+    "events_rate_limited": q_events_rate_limited,
 }
 
 ORACLES = {
@@ -4494,4 +4522,5 @@ ORACLES = {
     "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
     "events_window_topk": SQL_EVENTS_WINDOW_TOPK,
     "embed_outliers": SQL_EMBED_OUTLIERS_GOLDEN,
+    "events_rate_limited": SQL_EVENTS_RATE_LIMITED,
 }

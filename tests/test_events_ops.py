@@ -282,3 +282,20 @@ def test_window_topk_hand_check_and_ties():
     assert out["user_id"].tolist() == [1, 2, 9]
     assert out["n"].tolist() == [2, 1, 1]
     assert out["rank"].tolist() == [1, 2, 1]
+
+
+def test_window_rate_limit_hand_check():
+    from sagan_ray.datapipe import window_rate_limit
+
+    h = 3600 * 1_000_000
+    tbl = pa.table({
+        # user 1, hour 0: four events → keep first 2 by (ts, id);
+        # ts tie between ids 3 and 4 → id breaks it; user 2 untouched;
+        # user 1, hour 1: fresh budget
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 1], pa.int64()),
+        "ts": pa.array([10, 5, 20, 20, 1, h + 1], pa.timestamp("us")),
+    })
+    out = (window_rate_limit(_ds(tbl), limit=2).to_pandas()
+           .sort_values("event_id"))
+    assert out["event_id"].tolist() == [1, 2, 5, 6]
