@@ -30,6 +30,8 @@ from .ann import (  # noqa: F401
     build_ivfpq_index,
     hard_negative_topk,
     build_pq_index,
+    compact_ivf_index,
+    compact_pq_index,
     ivf_topk,
     mmr_topk,
     pq_topk,

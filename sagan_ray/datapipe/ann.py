@@ -692,6 +692,46 @@ def update_ivf_index(ds, index_dir: str, *, vec_col: str = "embedding",
     return len(cent)
 
 
+def compact_ivf_index(index_dir: str, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> int:
+    """Compact an updated IVF index back to one file per cell: read the
+    stored rows, rebuild into a sibling temp dir against the STORED
+    centroids (assignment and search are bit-identical by the
+    ``update_ivf_index`` argument), atomically swap. Bounds the
+    read-amplification of repeated appends (each update adds one file
+    per touched cell)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    ct = rd.read_parquet(os.path.join(index_dir, "_centroids")).to_pandas()
+    cent = np.asarray(ct.sort_values("cell")["centroid"].tolist(),
+                      dtype=np.float64)
+    files = sorted(
+        os.path.join(index_dir, ent, fn)
+        for ent in os.listdir(index_dir) if ent.startswith("cell=")
+        for fn in os.listdir(os.path.join(index_dir, ent))
+        if fn.endswith(".parquet"))
+    rows = rd.read_parquet(files, columns=[id_col, vec_col])
+    tmp = tempfile.mkdtemp(prefix="ivf_cmp_", dir=os.path.dirname(
+        index_dir.rstrip("/")) or ".")
+    try:
+        build_ivf_index(rows, tmp, centroids=cent, vec_col=vec_col,
+                        id_col=id_col)
+        for ent in os.listdir(index_dir):
+            if ent.startswith("cell="):
+                shutil.rmtree(os.path.join(index_dir, ent))
+        for ent in os.listdir(tmp):
+            if ent.startswith("cell="):
+                os.replace(os.path.join(tmp, ent),
+                           os.path.join(index_dir, ent))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(cent)
+
+
 def search_ivf_index(index_dir: str, queries: np.ndarray, *, k: int = 10,
                      nprobe: int = 4, vec_col: str = "embedding",
                      id_col: str = "vec_id",
@@ -886,6 +926,30 @@ def update_pq_index(ds, index_dir: str, *, vec_col: str = "embedding",
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return len(books)
+
+
+def compact_pq_index(index_dir: str, *, id_col: str = "vec_id") -> int:
+    """Compact an updated PQ index's ``codes/`` shards into a fresh set
+    of files. Codes are final (they depend only on the fixed books), so
+    compaction is a plain read → rewrite of the code table — no
+    re-encoding, bit-identical search by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    src = os.path.join(index_dir, "codes")
+    tmp = tempfile.mkdtemp(prefix="pq_cmp_", dir=os.path.dirname(
+        index_dir.rstrip("/")) or ".")
+    try:
+        rd.read_parquet(src).repartition(8).write_parquet(
+            os.path.join(tmp, "codes"), mode="overwrite")
+        shutil.rmtree(src)
+        os.replace(os.path.join(tmp, "codes"), src)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 8
 
 
 def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,

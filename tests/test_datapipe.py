@@ -2343,3 +2343,49 @@ def test_mmr_diversifies_against_near_duplicates():
     assert out["rank"].tolist() == [1, 2, 3]
     assert abs(out["mmr"].iloc[0] - out["relevance"].iloc[0]) < 1e-12
     assert out["mmr"].iloc[2] < out["relevance"].iloc[2]  # penalized
+
+
+def test_index_compaction_bit_equal_and_fewer_files(embeds, tmp_path):
+    """build + update + COMPACT must search bit-equal to the
+    pre-compaction index, with the appended shard files merged away
+    (the read-amplification bound for long-lived indexes)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe import (build_ivf_index, build_pq_index,
+                                    compact_ivf_index, compact_pq_index,
+                                    search_ivf_index, search_pq_index,
+                                    update_ivf_index, update_pq_index)
+
+    df = embeds.to_pandas()
+    half1 = rd.from_pandas(df.iloc[::2].reset_index(drop=True))
+    half2 = rd.from_pandas(df.iloc[1::2].reset_index(drop=True))
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:4]
+    key = ["query_id", "rank"]
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(half1, ivf, n_cells=8)
+    update_ivf_index(half2, ivf)
+    before = (search_ivf_index(ivf, q, k=10, nprobe=4).to_pandas()
+              .sort_values(key).reset_index(drop=True))
+    n_files = sum(len(os.listdir(os.path.join(ivf, e)))
+                  for e in os.listdir(ivf) if e.startswith("cell="))
+    compact_ivf_index(ivf)
+    after = (search_ivf_index(ivf, q, k=10, nprobe=4).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after, check_exact=True)
+    n_files2 = sum(len(os.listdir(os.path.join(ivf, e)))
+                   for e in os.listdir(ivf) if e.startswith("cell="))
+    assert n_files2 < n_files
+
+    pq = str(tmp_path / "pq")
+    build_pq_index(half1, pq, m_sub=8, n_codes=16)
+    update_pq_index(half2, pq)
+    before = (search_pq_index(pq, embeds, q, k=10, rerank=32).to_pandas()
+              .sort_values(key).reset_index(drop=True))
+    compact_pq_index(pq)
+    after = (search_pq_index(pq, embeds, q, k=10, rerank=32).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after, check_exact=True)
