@@ -50,6 +50,7 @@ from .cluster import (  # noqa: F401
     fit_centroids,
     embedding_outliers,
     kmeans_assign,
+    semantic_dedup_filter,
     semantic_near_dup,
 )
 from .decomp import fit_pca, pca_project  # noqa: F401

@@ -317,3 +317,38 @@ def embedding_outliers(ds, *, k: int = 8, n_iters: int = 8, q: float = 0.99,
                          "d2": pa.array(d2[m].astype(np.int64))})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def semantic_dedup_filter(ds, *, threshold: float = 0.45, k: int = 8,
+                          n_iters: int = 8, vec_col: str = "embedding",
+                          id_col: str = "vec_id"):
+    """The SemDeDup ACTION: the corpus with only each semantic-dup
+    cluster's representative kept — ``semantic_near_dup`` pairs →
+    transitive components (min-label propagation) → keep ids that are
+    their component's minimum (or in no pair at all). Ids only cross
+    the exchanges; the label table is pairs-bound, never corpus-bound.
+    Returns a Dataset (id_col) of survivors."""
+    from .dedup import connected_components
+    from .joins import hash_join
+
+    pairs = semantic_near_dup(ds, threshold=threshold, k=k,
+                              n_iters=n_iters, vec_col=vec_col,
+                              id_col=id_col)
+    labels = connected_components(pairs).map_batches(
+        lambda t: pa.table({id_col: t.column("node"),
+                            "label": t.column("label")}),
+        batch_format="pyarrow")
+    ids = ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    j = hash_join(ids, labels, on=id_col, left_cols=[],
+                  right_cols=["label"], how="left")
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        lab = tbl.column("r_label")      # hash_join prefixes right cols
+        m = pc_.or_kleene(pc_.is_null(lab),
+                          pc_.equal(lab, tbl.column(id_col)))
+        return tbl.filter(pc_.fill_null(m, False)).select([id_col])
+
+    return j.map_batches(keep, batch_format="pyarrow")

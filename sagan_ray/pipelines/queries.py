@@ -2781,6 +2781,45 @@ ORDER BY vec_id
 """
 
 
+def q_embed_semantic_filter(sf_dir: str):
+    """The SemDeDup ACTION (cluster.py::semantic_dedup_filter): the
+    embedding corpus with only each semantic-dup component's min-id
+    representative kept. Oracle = the semantic pair expression (golden
+    kmeans join + DuckDB cosine) closed transitively with a recursive
+    CTE, exactly the dedup_filter shape."""
+    from ..datapipe import semantic_dedup_filter
+    from ..oracle.golden import write_golden_kmeans
+
+    write_golden_kmeans(sf_dir, k=8, n_iters=8)
+    out = semantic_dedup_filter(_embeds(sf_dir), threshold=0.45, k=8,
+                                n_iters=8).to_pandas()
+    out = _typed(out, {"vec_id": "int64"})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBED_SEMANTIC_FILTER = """
+WITH RECURSIVE m AS (
+  SELECT e.vec_id, e.embedding, g.cluster
+  FROM embeddings e
+  JOIN read_parquet('/tmp/sagan_ray_golden/embed_kmeans.parquet') g
+    USING (vec_id)),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.45),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+mn AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+SELECT emb.vec_id
+FROM embeddings emb LEFT JOIN mn ON mn.u = emb.vec_id
+WHERE least(emb.vec_id, coalesce(mn.mv, emb.vec_id)) = emb.vec_id
+ORDER BY vec_id
+"""
+
+
 def q_events_quantile_sketch(sf_dir: str):
     """Per-type approximate quantiles of the CONTINUOUS value column on
     a fixed 1/64 grid (stats.py::group_quantile_sketch) — the
@@ -4392,6 +4431,7 @@ QUERIES = {
     "events_window_topk": q_events_window_topk,
     "embed_outliers": q_embed_outliers,
     "events_rate_limited": q_events_rate_limited,
+    "embed_semantic_filter": q_embed_semantic_filter,
 }
 
 ORACLES = {
@@ -4523,4 +4563,5 @@ ORACLES = {
     "events_window_topk": SQL_EVENTS_WINDOW_TOPK,
     "embed_outliers": SQL_EMBED_OUTLIERS_GOLDEN,
     "events_rate_limited": SQL_EVENTS_RATE_LIMITED,
+    "embed_semantic_filter": SQL_EMBED_SEMANTIC_FILTER,
 }

@@ -2389,3 +2389,24 @@ def test_index_compaction_bit_equal_and_fewer_files(embeds, tmp_path):
     after = (search_pq_index(pq, embeds, q, k=10, rerank=32).to_pandas()
              .sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(before, after, check_exact=True)
+
+
+def test_semantic_dedup_filter_one_rep_per_component(embeds):
+    """No semantic-dup pair may have BOTH endpoints survive (a pair
+    merges its endpoints into one component, which keeps exactly its
+    min id), and survivors = corpus − (nodes − components)."""
+    from sagan_ray.datapipe import semantic_dedup_filter, semantic_near_dup
+    from sagan_ray.datapipe.dedup import connected_components
+
+    surv = set(semantic_dedup_filter(embeds, threshold=0.45, k=8,
+                                     n_iters=8).to_pandas()
+               ["vec_id"].astype(int))
+    pairs = semantic_near_dup(embeds, threshold=0.45, k=8, n_iters=8)
+    pdf = pairs.to_pandas()
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        assert not (int(r["a"]) in surv and int(r["b"]) in surv)
+    labels = connected_components(pairs).to_pandas()
+    n_nodes = labels["node"].nunique()
+    n_comp = labels["label"].nunique()
+    assert len(surv) == embeds.count() - (n_nodes - n_comp)
