@@ -17,6 +17,7 @@ from .dedup import (  # noqa: F401
     embedding_near_dup,
     embedding_near_dup_exact,
     exact_dedup,
+    fuzzy_dedup_against_prior,
     exact_dedup_normalized,
     minhash_join,
     minhash_lsh_candidates,

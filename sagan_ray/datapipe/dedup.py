@@ -1635,3 +1635,37 @@ def exact_dedup_normalized(ds, *, text_col: str = "text",
                       text_col="norm_text", id_col=id_col)
     return out.map_batches(lambda t: t.drop_columns(["norm_text"]),
                            batch_format="pyarrow")
+
+
+def fuzzy_dedup_against_prior(new, prior, *, threshold: float = 0.9,
+                              text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Incremental FUZZY dedup for a crawl: drop new docs that are
+    near-duplicates (verified Jaccard ≥ threshold) of ANY prior-corpus
+    doc — the minhash analog of ``dedup_against_prior``'s exact hash
+    anti-join. Cross-side-only candidates via ``minhash_join`` (within-
+    side pairs never materialize), then one id-keyed anti-join exchange:
+    survivors are new ids with no verified prior match. Returns a
+    Dataset (id_col) of surviving NEW ids."""
+    from .exchange import hash_group_apply
+
+    pairs = minhash_join(prior, new, threshold=threshold,
+                         text_col=text_col, id_col=id_col)
+
+    def new_ids(tbl: pa.Table) -> pa.Table:
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         "side": pa.array([0] * tbl.num_rows, pa.int8())})
+
+    def dropped_ids(tbl: pa.Table) -> pa.Table:
+        return pa.table({id_col: tbl.column("b").cast(pa.int64()),
+                         "side": pa.array([1] * tbl.num_rows, pa.int8())})
+
+    tagged = new.map_batches(new_ids, batch_format="pyarrow").union(
+        pairs.map_batches(dropped_ids, batch_format="pyarrow"))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False)["side"].max().reset_index()
+        return g[g["side"] == 0][[id_col]]
+
+    schema = pa.schema([(id_col, pa.int64())])
+    return hash_group_apply(tagged, [id_col], bucket, out_schema=schema)

@@ -3671,6 +3671,62 @@ ORDER BY a, b
 """
 
 
+def q_dedup_fuzzy_incremental(sf_dir: str):
+    """Incremental fuzzy dedup (dedup.py::fuzzy_dedup_against_prior):
+    new docs (ids ≥250) that survive a verified-J≥0.9 anti-join against
+    the prior corpus (ids <250) — the minhash analog of
+    dedup_incremental; same LSH-completeness stance as
+    dedup_cross_join."""
+    import pyarrow.compute as pac
+
+    from ..datapipe import fuzzy_dedup_against_prior
+
+    docs = _docs(sf_dir)
+    prior = docs.map_batches(
+        lambda t: t.filter(pac.less(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda t: t.filter(pac.greater_equal(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    out = _typed(fuzzy_dedup_against_prior(new, prior, threshold=0.9)
+                 .to_pandas(), {"doc_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_FUZZY_INCREMENTAL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s
+  WHERE x.doc_id < 250 AND y.doc_id >= 250
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+               JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.9
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT b FROM dropped)
+ORDER BY doc_id
+"""
+
+
 def q_split_leakage_safe(sf_dir: str):
     """Leakage-safe train/val split (curate.py::split_by_cluster):
     docs follow their near-dup cluster REP's knuth hash, so near-dups
@@ -4432,6 +4488,7 @@ QUERIES = {
     "embed_outliers": q_embed_outliers,
     "events_rate_limited": q_events_rate_limited,
     "embed_semantic_filter": q_embed_semantic_filter,
+    "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
 }
 
 ORACLES = {
@@ -4564,4 +4621,5 @@ ORACLES = {
     "embed_outliers": SQL_EMBED_OUTLIERS_GOLDEN,
     "events_rate_limited": SQL_EVENTS_RATE_LIMITED,
     "embed_semantic_filter": SQL_EMBED_SEMANTIC_FILTER,
+    "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INCREMENTAL,
 }

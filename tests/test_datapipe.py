@@ -2410,3 +2410,26 @@ def test_semantic_dedup_filter_one_rep_per_component(embeds):
     n_nodes = labels["node"].nunique()
     n_comp = labels["label"].nunique()
     assert len(surv) == embeds.count() - (n_nodes - n_comp)
+
+
+def test_fuzzy_dedup_against_prior_partition(docs):
+    """Survivors must be exactly the new ids minus the verified-pair b
+    side — cross-checked against minhash_join on the same split."""
+    import pyarrow.compute as pac
+
+    from sagan_ray.datapipe import fuzzy_dedup_against_prior
+    from sagan_ray.datapipe.dedup import minhash_join
+
+    prior = docs.map_batches(
+        lambda t: t.filter(pac.less(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda t: t.filter(pac.greater_equal(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    surv = set(fuzzy_dedup_against_prior(new, prior, threshold=0.9)
+               .to_pandas()["doc_id"].astype(int))
+    dropped = set(minhash_join(prior, new, threshold=0.9).to_pandas()
+                  ["b"].astype(int))
+    new_ids = set(new.to_pandas()["doc_id"].astype(int))
+    assert surv == new_ids - dropped
+    assert dropped <= new_ids
