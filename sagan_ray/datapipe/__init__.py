@@ -72,6 +72,7 @@ from .events import (  # noqa: F401
     funnel_stages,
     props_key_agg,
     running_totals,
+    type_trend,
     window_rate_limit,
     window_topk,
     step_latency,

@@ -415,3 +415,51 @@ def window_rate_limit(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     return hash_group_apply(
         ds.map_batches(tag, batch_format="pyarrow", batch_size=65536),
         [user_col], bucket, out_schema=schema)
+
+
+def type_trend(ds, *, ts_col: str = "ts", group_col: str = "event_type",
+               unit: str = "day"):
+    """Per-group event-rate TREND: the OLS slope of daily (or hourly)
+    event counts against the time index — the monitoring signal behind
+    "is this alert type ramping up". Map side pre-collapses to
+    (group, window, n); the tiny per-group series folds driver-side
+    (groups × windows rows). Determinism: with x = epoch-unit index and
+    y = count, every OLS sum (Σx, Σy, Σxy, Σx², n) is an exact int64,
+    so slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is ONE float division
+    on both sides — bit-equal to the SQL that spells out the same
+    sums. Windows with zero events contribute nothing (the SQL
+    convention; a gap-filled variant would densify first). Returns
+    pandas (group, n_windows, slope)."""
+    import pyarrow.compute as pc
+
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
+        t = pa.table({group_col: tbl.column(group_col), "x": x})
+        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "x", "n"])
+
+    h = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    out_g, out_w, out_s = [], [], []
+    for gval, sub in h.groupby(group_col, sort=True):
+        x = sub["x"].to_numpy(np.int64)
+        y = sub["n"].to_numpy(np.int64)
+        n = len(x)
+        # exact integer sums (x rebased to the group min so products
+        # stay far below 2^63 at any epoch)
+        x = x - x.min()
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den else 0.0
+        out_g.append(gval)
+        out_w.append(n)
+        out_s.append(slope)
+    return pd.DataFrame({group_col: out_g, "n_windows": out_w,
+                         "slope": out_s})

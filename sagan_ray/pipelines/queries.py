@@ -2756,6 +2756,42 @@ ORDER BY event_id
 """
 
 
+def q_events_trend(sf_dir: str):
+    """Per-type daily event-count OLS slope (events.py::type_trend):
+    every regression sum is an exact integer (x rebased per group), so
+    the single slope division is bit-equal to the SQL that spells out
+    the same sums."""
+    import ray.data as rd
+
+    from ..datapipe import type_trend
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = type_trend(ds, unit="day")
+    out = _typed(out, {"event_type": "str", "n_windows": "int64",
+                       "slope": "float64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_TREND = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type,
+             x - min(x) OVER (PARTITION BY event_type) AS x, n FROM c),
+s AS (SELECT event_type, count(*) AS nw, sum(x) AS sx, sum(n) AS sy,
+             sum(x * n) AS sxy, sum(x * x) AS sxx
+      FROM r GROUP BY event_type)
+SELECT event_type, nw AS n_windows,
+       CASE WHEN nw * sxx - sx * sx = 0 THEN 0.0
+            ELSE (nw * sxy - sx * sy)::DOUBLE
+                 / (nw * sxx - sx * sx)::DOUBLE END AS slope
+FROM s ORDER BY event_type
+"""
+
+
 def q_embed_outliers(sf_dir: str):
     """Embedding-space outlier audit (cluster.py::embedding_outliers):
     rows whose exact-integer d² to their own kmeans centroid exceeds
@@ -4489,6 +4525,7 @@ QUERIES = {
     "events_rate_limited": q_events_rate_limited,
     "embed_semantic_filter": q_embed_semantic_filter,
     "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
+    "events_trend": q_events_trend,
 }
 
 ORACLES = {
@@ -4622,4 +4659,5 @@ ORACLES = {
     "events_rate_limited": SQL_EVENTS_RATE_LIMITED,
     "embed_semantic_filter": SQL_EMBED_SEMANTIC_FILTER,
     "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INCREMENTAL,
+    "events_trend": SQL_EVENTS_TREND,
 }

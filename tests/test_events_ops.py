@@ -299,3 +299,23 @@ def test_window_rate_limit_hand_check():
     out = (window_rate_limit(_ds(tbl), limit=2).to_pandas()
            .sort_values("event_id"))
     assert out["event_id"].tolist() == [1, 2, 5, 6]
+
+
+def test_type_trend_hand_check():
+    """Slope of a perfectly linear daily series must be exact."""
+    from sagan_ray.datapipe import type_trend
+
+    d = 86_400 * 1_000_000
+    # type "up": counts 1,2,3 on days 0,1,2 → slope exactly 1.0
+    ts, et = [], []
+    for day, cnt in [(0, 1), (1, 2), (2, 3)]:
+        for j in range(cnt):
+            ts.append(day * d + j)
+            et.append("up")
+    ts.append(5 * d)
+    et.append("flat")                      # single window → den 0 → 0.0
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                    "event_type": pa.array(et)})
+    out = type_trend(_ds(tbl), unit="day").sort_values("event_type")
+    assert out[out.event_type == "up"]["slope"].iloc[0] == 1.0
+    assert out[out.event_type == "flat"]["slope"].iloc[0] == 0.0
