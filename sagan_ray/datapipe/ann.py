@@ -967,7 +967,12 @@ def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,
       2. exact rerank over ``ds`` restricted to shortlist rows
          (≤ rerank·n_queries rows score at all), merged by
          (cosine desc, id asc) into ranks.
-    """
+
+    Pass ``ds=None`` for ADC-ONLY serving (the raw vectors are not
+    available or too large to touch): pass 2 is skipped and the
+    result is the global shortlist itself ranked by (adc desc, id asc),
+    returned as (query_id, id, adc, rank) with k ≤ rerank rows per
+    query — the same candidate SET the exact mode would rerank."""
     import ray
     import ray.data as rd
 
@@ -1020,6 +1025,15 @@ def search_pq_index(index_dir: str, ds, queries: np.ndarray, *,
         codes_ds.map_batches(local_adc, batch_format="pyarrow",
                              batch_size=None),
         ["query_id"], short_bucket, out_schema=short_schema).to_pandas()
+    if ds is None:
+        out = short.sort_values(["query_id", "adc", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        out = out.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("query_id", sort=False).cumcount() + 1
+                       ).astype(np.int64)
+        return rd.from_arrow(pa.Table.from_pandas(
+            out.reset_index(drop=True), preserve_index=False))
     if len(short) == 0:
         return rd.from_arrow(pa.table(
             {"query_id": pa.array([], pa.int64()),

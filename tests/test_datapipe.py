@@ -2433,3 +2433,26 @@ def test_fuzzy_dedup_against_prior_partition(docs):
     new_ids = set(new.to_pandas()["doc_id"].astype(int))
     assert surv == new_ids - dropped
     assert dropped <= new_ids
+
+
+def test_pq_index_adc_only_mode(embeds, tmp_path):
+    """ds=None serves from codes alone: at k == rerank the ADC-only id
+    SET must equal the exact mode's (same global shortlist, different
+    order), and at small k it must be the (adc desc, id) head."""
+    from sagan_ray.datapipe import build_pq_index, search_pq_index
+
+    df = embeds.to_pandas()
+    q = np.asarray(df["embedding"].tolist(), dtype=np.float32)[:3]
+    idx = str(tmp_path / "pq")
+    build_pq_index(embeds, idx, m_sub=8, n_codes=16)
+    adc_only = search_pq_index(idx, None, q, k=16, rerank=16).to_pandas()
+    exact = search_pq_index(idx, embeds, q, k=16, rerank=16).to_pandas()
+    for qi in range(3):
+        a = set(adc_only[adc_only.query_id == qi]["vec_id"].astype(int))
+        e = set(exact[exact.query_id == qi]["vec_id"].astype(int))
+        assert a == e and len(a) == 16
+    # ranks are (adc desc, id asc) within each query
+    for qi in range(3):
+        sub = adc_only[adc_only.query_id == qi].sort_values("rank")
+        adcs = sub["adc"].to_numpy()
+        assert (np.diff(adcs) <= 0).all()
