@@ -23,6 +23,8 @@ import re
 
 import numpy as np
 import pandas as pd
+
+from .hashing import hash_array_pure as _hash_pure
 import pyarrow as pa
 
 _WORD_RE = re.compile(r"\S+")
@@ -81,7 +83,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     def add_hash(tbl: pa.Table) -> pa.Table:
         texts = tbl.column(text_col).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(texts.astype(object, copy=False))
+        h = _hash_pure(texts.astype(object, copy=False))
         return tbl.append_column("__h", pa.array(h, pa.uint64()))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -107,7 +109,7 @@ def dedup_against_prior(new, prior, *, text_col: str = "text",
     def tag(side):
         def f(tbl: pa.Table) -> pa.Table:
             texts = tbl.column(text_col).to_numpy(zero_copy_only=False)
-            h = pd.util.hash_array(texts.astype(object, copy=False))
+            h = _hash_pure(texts.astype(object, copy=False))
             return pa.table({
                 "__h": pa.array(h, pa.uint64()),
                 "side": pa.array(np.full(len(h), side, np.int8)),
@@ -203,7 +205,7 @@ def _empty_shingle() -> np.ndarray:
     global _EMPTY_WORD_HASH
     if _EMPTY_WORD_HASH is None:
         _EMPTY_WORD_HASH = int(
-            pd.util.hash_array(np.array([""], dtype=object))[0]) % (1 << 61)
+            _hash_pure(np.array([""], dtype=object))[0]) % (1 << 61)
     return np.array([_EMPTY_WORD_HASH], dtype=np.uint64)
 
 
@@ -232,7 +234,7 @@ def _shingle_hashes_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
     keep_cum = np.concatenate([[0], np.cumsum(keep)])
     starts = keep_cum[offs[:-1]]
     ends = keep_cum[offs[1:]]
-    wh = pd.util.hash_array(words.astype(object)).astype(np.uint64)
+    wh = _hash_pure(words.astype(object)).astype(np.uint64)
     m = len(wh)
     if m >= k:
         acc = wh[: m - k + 1].copy()
@@ -1150,7 +1152,7 @@ def _cdc_occurrences(bits: int, min_size: int, max_size: int,
                 bdoc.append(ids[d])
                 blen.append(c - prev)
                 prev = c
-        gh = pd.util.hash_array(np.array(blobs, dtype=object))
+        gh = _hash_pure(np.array(blobs, dtype=object))
         df = (pd.DataFrame({"g": gh.astype(np.uint64),
                             id_col: np.array(bdoc, np.int64),
                             "npos": 1,

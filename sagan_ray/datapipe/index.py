@@ -30,6 +30,8 @@ import os
 
 import numpy as np
 import pandas as pd
+
+from .hashing import hash_array_pure as _hash_pure
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -40,7 +42,7 @@ _META = "_meta.json"
 
 
 def _term_hash(terms) -> np.ndarray:
-    return pd.util.hash_array(
+    return _hash_pure(
         np.array(list(terms), dtype=object)).astype(np.uint64)
 
 
@@ -69,7 +71,7 @@ def build_inverted_index(ds, index_dir: str, *, n_buckets: int = 32,
             "tf": pa.array(tf, pa.int64()),
             "dl": pa.array(dl[d], pa.int64()),
             "bucket": pa.array(
-                (pd.util.hash_array(w) % np.uint64(n_buckets)
+                (_hash_pure(w) % np.uint64(n_buckets)
                  ).astype(np.int64), pa.int64()),
         })
 
@@ -133,7 +135,7 @@ def search_index(index_dir: str, terms: list[str], *, k: int = 50,
     # global df per term: postings for a term all carry distinct doc_ids,
     # so df = that term's row count; tiny per-batch partials, driver sum
     def df_partial(tbl: pa.Table) -> pa.Table:
-        wh = pd.util.hash_array(
+        wh = _hash_pure(
             tbl.column("term").to_numpy(zero_copy_only=False)
             .astype(object)).astype(np.uint64)
         cnt = [int(np.count_nonzero(wh == th[i])) for i in range(nt)]
@@ -150,7 +152,7 @@ def search_index(index_dir: str, terms: list[str], *, k: int = 50,
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         ids = b[id_col].to_numpy()
         docs, inv = np.unique(ids, return_inverse=True)
-        wh = pd.util.hash_array(
+        wh = _hash_pure(
             b["term"].to_numpy().astype(object)).astype(np.uint64)
         dl = np.zeros(len(docs), np.float64)
         dl[inv] = b["dl"].to_numpy().astype(np.float64)
@@ -266,7 +268,7 @@ def search_index_many(index_dir: str, queries: dict[int, list[str]], *,
     nt = len(all_terms)
 
     def df_partial(tbl: pa.Table) -> pa.Table:
-        wh = pd.util.hash_array(
+        wh = _hash_pure(
             tbl.column("term").to_numpy(zero_copy_only=False)
             .astype(object)).astype(np.uint64)
         cnt = [int(np.count_nonzero(wh == th[i])) for i in range(nt)]
@@ -293,7 +295,7 @@ def search_index_many(index_dir: str, queries: dict[int, list[str]], *,
         qplan = ray.get(pref)
         ids = b[id_col].to_numpy()
         docs, inv = np.unique(ids, return_inverse=True)
-        wh = pd.util.hash_array(
+        wh = _hash_pure(
             b["term"].to_numpy().astype(object)).astype(np.uint64)
         dl = np.zeros(len(docs), np.float64)
         dl[inv] = b["dl"].to_numpy().astype(np.float64)

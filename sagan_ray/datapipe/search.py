@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from .hashing import hash_array_pure as _hash_pure
 import pyarrow as pa
 
 from .textstats import _words_flat
@@ -53,7 +55,7 @@ def bm25_topk(ds, terms: list[str], *, k: int = 50,
     # string compares (3 terms × 4 M words × 2 passes of PyUnicode eq
     # dominated the 100k-doc bench line; uint64 vector compares are
     # ~free). Shares the dedup family's documented collision stance.
-    term_h = pd.util.hash_array(
+    term_h = _hash_pure(
         np.array(terms, dtype=object)).astype(np.uint64)
 
     def stats_partial(tbl: pa.Table) -> pa.Table:

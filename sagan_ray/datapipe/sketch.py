@@ -25,6 +25,8 @@ import math
 
 import numpy as np
 import pandas as pd
+
+from .hashing import hash_array_pure as _hash_pure
 import pyarrow as pa
 
 from .textstats import _words_flat
@@ -185,7 +187,7 @@ def cms_word_counts(ds, probe_words: list[str], *, depth: int = CMS_DEPTH,
 
     ests = []
     for w in probe_words:
-        wh = pd.util.hash_array(
+        wh = _hash_pure(
             np.array([w], dtype=object)).astype(np.uint64)
         est = min(int(cms[j][int(_cms_index(wh, j, width)[0])])
                   for j in range(depth))
@@ -249,7 +251,7 @@ def bloom_membership(ds, probe_words: list[str], *, p: int = BF_P,
     fill = int(np.unpackbits(bm).sum())          # exact integer popcount
     present = []
     for w in probe_words:
-        wh = pd.util.hash_array(
+        wh = _hash_pure(
             np.array([w], dtype=object)).astype(np.uint64)
         hit = all((int(bm[int(_bf_bit(wh, j, nbits)[0]) >> 3])
                    >> (int(_bf_bit(wh, j, nbits)[0]) & 7)) & 1
@@ -289,7 +291,7 @@ def hll_group_distinct(ds, *, key_col: str, val_col: str,
     def partial(tbl: pa.Table) -> pa.Table:
         keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
         vals = tbl.column(val_col).to_numpy(zero_copy_only=False)
-        vh = pd.util.hash_array(vals).astype(np.uint64)
+        vh = _hash_pure(vals).astype(np.uint64)
         uk, inv = np.unique(keys, return_inverse=True)
         rho = _rho(vh << pshift, p).astype(np.uint8)
         idx = (vh >> shift).astype(np.int64)

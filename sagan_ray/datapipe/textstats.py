@@ -16,6 +16,8 @@ import re
 
 import numpy as np
 import pandas as pd
+
+from .hashing import hash_array_pure as _hash_pure
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -70,12 +72,12 @@ def _words_flat(col: pa.ChunkedArray | pa.Array):
     doc_of = np.repeat(np.arange(len(col)), np.diff(offs))
     keep = wlen > 0
     words = flat.to_numpy(zero_copy_only=False)[keep].astype(object)
-    wh = pd.util.hash_array(words).astype(np.uint64)
+    wh = _hash_pure(words).astype(np.uint64)
     return len(col), doc_of[keep], wlen[keep], wh, words
 
 
 def _stop_hashes(words) -> np.ndarray:
-    return np.sort(pd.util.hash_array(
+    return np.sort(_hash_pure(
         np.array(sorted(words), dtype=object)).astype(np.uint64))
 
 
@@ -175,7 +177,7 @@ def _split_flat(tbl: pa.Table, text_col: str):
     flat = la.values
     offs = np.asarray(la.offsets, dtype=np.int64)
     wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-    wh = pd.util.hash_array(
+    wh = _hash_pure(
         flat.to_numpy(zero_copy_only=False).astype(object)).astype(np.uint64)
     n_docs = len(col)
     doc_of = np.repeat(np.arange(n_docs), np.diff(offs))
@@ -1016,7 +1018,7 @@ def heavy_hitters(ds, m: int, *, k: int = 512, text_col: str = "text",
         return pd.DataFrame({"word": np.array([], object),
                              "n": np.array([], np.int64)})
 
-    ch = pd.util.hash_array(cand).astype(np.uint64)
+    ch = _hash_pure(cand).astype(np.uint64)
     order = np.argsort(ch)
     cand, ch = cand[order], ch[order]
     ch_ref = ray.put(ch)

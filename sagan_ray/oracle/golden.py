@@ -16,6 +16,9 @@ import os
 import struct
 
 import numpy as np
+import pandas as pd
+
+from ..datapipe.hashing import hash_array_pure as _hash_pure
 import pyarrow as pa
 
 GOLDEN_DIR = "/tmp/sagan_ray_golden"
@@ -803,7 +806,7 @@ def write_golden_bloom(sf_dir: str, probe_words: list[str], *, p: int,
         ws = word_re.findall((x or "").lower())
         if not ws:
             continue
-        hs = pd.util.hash_array(np.array(ws, dtype=object)).astype(np.uint64)
+        hs = _hash_pure(np.array(ws, dtype=object)).astype(np.uint64)
         for j in range(k):
             for ix in _bf_bit(hs, j, nbits):
                 bits[int(ix) >> 3] |= 1 << (int(ix) & 7)
@@ -811,7 +814,7 @@ def write_golden_bloom(sf_dir: str, probe_words: list[str], *, p: int,
 
     out_w, out_p = [], []
     for w in probe_words:
-        h = pd.util.hash_array(
+        h = _hash_pure(
             np.array([w], dtype=object)).astype(np.uint64)
         hit = all((bits[int(_bf_bit(h, j, nbits)[0]) >> 3]
                    >> (int(_bf_bit(h, j, nbits)[0]) & 7)) & 1
@@ -1131,7 +1134,7 @@ def write_golden_hll(sf_dir: str, *, p: int) -> str:
         words = word_re.findall(txt.lower())
         if not words:
             continue
-        hs = pd.util.hash_array(np.array(words, dtype=object))
+        hs = _hash_pure(np.array(words, dtype=object))
         for h in hs.tolist():
             idx = h >> (64 - p)
             rest = (h << p) & mask64
@@ -1323,7 +1326,7 @@ def write_golden_quality_model(sf_dir: str, *, seed: int) -> str:
         if ws:
             # one hash_array per doc (element-wise stable); the logit
             # accumulation stays a Python-int loop
-            hs = pd.util.hash_array(
+            hs = _hash_pure(
                 np.array(ws, dtype=object)).astype(np.uint64)
             bs = _splitmix64(hs) % np.uint64(W_DIM)
             for bb in bs:
@@ -1374,7 +1377,7 @@ def write_golden_cms(sf_dir: str, probe_words: list[str], *, depth: int,
         ws = word_re.findall((x or "").lower())
         if not ws:
             continue
-        hs = pd.util.hash_array(
+        hs = _hash_pure(
             np.array(ws, dtype=object)).astype(np.uint64)
         for j in range(depth):
             # one spec-function call per (doc, row); the counter
@@ -1384,7 +1387,7 @@ def write_golden_cms(sf_dir: str, probe_words: list[str], *, depth: int,
 
     out_w, out_e = [], []
     for w in probe_words:
-        h = pd.util.hash_array(
+        h = _hash_pure(
             np.array([w], dtype=object)).astype(np.uint64)
         est = min(cms[j][int(_cms_index(h, j, width)[0])]
                   for j in range(depth))
@@ -1415,7 +1418,7 @@ def write_golden_group_hll(sf_dir: str, *, key_col: str, val_col: str,
     m = 1 << p
     mask64 = (1 << 64) - 1
     keys = t.column(key_col).to_pylist()
-    hs = pd.util.hash_array(
+    hs = _hash_pure(
         t.column(val_col).to_numpy(zero_copy_only=False)).tolist()
     regs: dict = {}
     for kk, h in zip(keys, hs):
@@ -1518,7 +1521,7 @@ def write_golden_cdc(sf_dir: str, *, bits: int, min_size: int,
                 start = j + 1
         if len(data) > start:
             chunks.append(data[start:])
-        hashes = (pd.util.hash_array(np.array(chunks, dtype=object))
+        hashes = (_hash_pure(np.array(chunks, dtype=object))
                   .astype(np.uint64) if chunks else np.array([], np.uint64))
         rows = []
         for c, g in zip(chunks, hashes):
@@ -1614,7 +1617,7 @@ def write_golden_cdc_coverage(sf_dir: str, *, split_id: int, bits: int,
                 start = j + 1
         if len(data) > start:
             chunks.append(data[start:])
-        hashes = (pd.util.hash_array(np.array(chunks, dtype=object))
+        hashes = (_hash_pure(np.array(chunks, dtype=object))
                   .astype(np.uint64) if chunks else [])
         return [(int(g), len(c)) for c, g in zip(chunks, hashes)]
 

@@ -423,7 +423,12 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         stateless = tbl.filter(pc.invert(sf))
         state = tbl.filter(sf)
         conv = state.column("conv_id").to_numpy(zero_copy_only=False)
-        b = (_pd.util.hash_array(conv.astype(object)) % nb).astype(_np.int64)
+        # categorize=False: value-PURE hash (datapipe/hashing.py) — the
+        # default factorize path conflates NUL-containing conv_ids with
+        # their strlen-truncated twins DEPENDING ON BLOCK CONTENT, which
+        # would split one conversation's state across buckets
+        b = (_pd.util.hash_array(conv.astype(object), categorize=False)
+             % nb).astype(_np.int64)
         parts = _bucket_takes(state, b, nb)
         sizes = _np.array([s.nbytes for s in parts], dtype=_np.int64)
         return (stateless, _count_partial(stateless), sizes, *parts)
@@ -437,7 +442,7 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
         if len(tbl) == 0:
             return tuple(tbl.slice(0, 0) for _ in range(k))
         conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
-        h = _pd.util.hash_array(conv.astype(object))
+        h = _pd.util.hash_array(conv.astype(object), categorize=False)
         b = ((h // nb) % k).astype(_np.int64)
         return tuple(_bucket_takes(tbl, b, k))
 

@@ -61,7 +61,7 @@ def test_cdc_fuzz_matches_sequential_walk(seed, bits, mn, mx):
                 start = j + 1
         if len(data) > start:
             chunks.append(data[start:])
-        hs = (pd.util.hash_array(np.array(chunks, dtype=object))
+        hs = (pd.util.hash_array(np.array(chunks, dtype=object), categorize=False)
               .astype(np.uint64) if chunks else [])
         per[did] = [(int(g), len(c)) for c, g in zip(chunks, hs)]
         for g, _ in per[did]:
@@ -285,7 +285,7 @@ def test_cdc_coverage_fuzz_matches_sequential(seed):
                 start = j + 1
         if len(data) > start:
             chunks.append(data[start:])
-        hs = (pd.util.hash_array(np.array(chunks, dtype=object))
+        hs = (pd.util.hash_array(np.array(chunks, dtype=object), categorize=False)
               .astype(np.uint64) if chunks else [])
         return [(int(g), len(c)) for c, g in zip(chunks, hs)]
 

@@ -148,7 +148,7 @@ def test_lagging_conv_state_survives_fast_conv(tmp_path):
     import numpy as np
     import pandas as pd
 
-    h = pd.util.hash_array(np.array(["lag", "fast"], dtype=object)) % 4
+    h = pd.util.hash_array(np.array(["lag", "fast"], dtype=object), categorize=False) % 4
     assert h[0] == h[1], "conv hash changed: pick colliding conv ids"
     state_dir = str(tmp_path / "st")
     # run 1: lag sets an xbit at t=0 (expire 600 → live until 600)
