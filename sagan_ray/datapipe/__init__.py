@@ -26,6 +26,12 @@ from .dedup import (  # noqa: F401
     simhash_dedup,
     verify_pairs_jaccard,
 )
+from .phash import (  # noqa: F401
+    phash64,
+    phash_dedup,
+    phash_table,
+    synth_phash_media,
+)
 from .ann import (  # noqa: F401
     brute_force_topk,
     build_ivfpq_index,

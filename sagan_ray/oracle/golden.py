@@ -2043,3 +2043,53 @@ def write_golden_embed_outliers(sf_dir: str, *, k: int, n_iters: int,
                     "cluster": pa.array(oc, pa.int64()),
                     "d2": pa.array(od, pa.int64())})
     return _write(tbl, "embed_outliers")
+
+
+def write_golden_phash(n: int, seed: int, *, max_hamming: int) -> str:
+    """Expected output of ``dedup_phash``: per-image SEQUENTIAL pHash
+    derivation (per-scalar luma on the spec's resize index selection,
+    einsum DCT over the shared fixed-point spec matrix ``_dct32_q()`` —
+    exact int64, so evaluation order can't split the sides; Python
+    sorted()/bit loops for median + hash) plus a brute-force O(n²)
+    Hamming scan — no banding, no batched kernel, no exchange. Decode
+    goes through the shared codec boundary, whose correctness the
+    multimodal goldens pin with independent format walks."""
+    from ..datapipe.multimodal import decode_image
+    from ..datapipe.phash import PHASH_SIZE, _dct32_q, synth_phash_media
+
+    corpus = synth_phash_media(n, seed=seed)
+    ids = np.asarray(corpus.column("media_id").to_pylist(), dtype=np.int64)
+    d = _dct32_q()
+    sigs = np.empty(len(ids), dtype=np.uint64)
+    for r, payload in enumerate(corpus.column("payload").to_pylist()):
+        img = decode_image(payload)
+        h, w = img.shape[:2]
+        yi = [min((y * h) // PHASH_SIZE, h - 1) for y in range(PHASH_SIZE)]
+        xi = [min((x * w) // PHASH_SIZE, w - 1) for x in range(PHASH_SIZE)]
+        small = np.empty((PHASH_SIZE, PHASH_SIZE), dtype=np.int64)
+        for a, y in enumerate(yi):
+            for b, x in enumerate(xi):
+                rr, gg, bb = (int(img[y, x, 0]), int(img[y, x, 1]),
+                              int(img[y, x, 2]))
+                small[a, b] = (77 * rr + 150 * gg + 29 * bb) >> 8
+        t = np.einsum("kx,xy,ly->kl", d, small, d)
+        block = [int(v) for v in t[:8, :8].reshape(-1)]
+        med = sorted(block)[31]
+        v = 0
+        for i, c in enumerate(block):
+            if c > med:
+                v |= 1 << i
+        sigs[r] = np.uint64(v)
+    order = np.argsort(ids, kind="stable")
+    ids, sigs = ids[order], sigs[order]
+    oa, ob, oh = [], [], []
+    for i in range(len(ids)):
+        ham = _popcount64(sigs[i] ^ sigs[i + 1:])
+        for j in np.flatnonzero(ham <= max_hamming):
+            oa.append(int(ids[i]))
+            ob.append(int(ids[i + 1 + j]))
+            oh.append(int(ham[j]))
+    tbl = pa.table({"a": pa.array(oa, pa.int64()),
+                    "b": pa.array(ob, pa.int64()),
+                    "hamming": pa.array(oh, pa.int64())})
+    return _write(tbl, "dedup_phash")

@@ -2756,6 +2756,32 @@ ORDER BY event_id
 """
 
 
+def q_dedup_phash(sf_dir: str):
+    """Perceptual-hash image near-dup (datapipe/phash.py): deterministic
+    media corpus with planted recompression variants (same pixels, PNG →
+    JPEG q70) → per-image fixed-point pHash (integer luma → 32×32 NN
+    resize → exact-int DCT → median threshold) → banded Hamming pairs
+    through the exchange, gated against a sequential per-image golden +
+    brute-force O(n²) scan (oracle/golden.py::write_golden_phash)."""
+    import ray.data as rd
+
+    from ..datapipe.phash import phash_dedup, synth_phash_media
+    from ..oracle.golden import write_golden_phash
+
+    write_golden_phash(90, 7, max_hamming=6)
+    tbl = synth_phash_media(90, seed=7)
+    out = _typed(phash_dedup(rd.from_arrow(tbl), max_hamming=6).to_pandas(),
+                 {"a": "int64", "b": "int64", "hamming": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_DEDUP_PHASH_GOLDEN = """
+SELECT a, b, hamming
+FROM read_parquet('/tmp/sagan_ray_golden/dedup_phash.parquet')
+ORDER BY a, b
+"""
+
+
 def q_events_trend(sf_dir: str):
     """Per-type daily event-count OLS slope (events.py::type_trend):
     every regression sum is an exact integer (x rebased per group), so
@@ -4526,6 +4552,7 @@ QUERIES = {
     "embed_semantic_filter": q_embed_semantic_filter,
     "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
     "events_trend": q_events_trend,
+    "dedup_phash": q_dedup_phash,
 }
 
 ORACLES = {
@@ -4660,4 +4687,5 @@ ORACLES = {
     "embed_semantic_filter": SQL_EMBED_SEMANTIC_FILTER,
     "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INCREMENTAL,
     "events_trend": SQL_EVENTS_TREND,
+    "dedup_phash": SQL_DEDUP_PHASH_GOLDEN,
 }

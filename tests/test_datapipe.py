@@ -2456,3 +2456,65 @@ def test_pq_index_adc_only_mode(embeds, tmp_path):
         sub = adc_only[adc_only.query_id == qi].sort_values("rank")
         adcs = sub["adc"].to_numpy()
         assert (np.diff(adcs) <= 0).all()
+
+
+# ----------------------------------------------------------------------
+# perceptual image hash (phash.py)
+# ----------------------------------------------------------------------
+
+def test_phash_pipeline_matches_sequential_golden():
+    """Distributed phash_dedup (banded exchange) == sequential per-image
+    golden + brute-force scan, bit-exact."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.phash import phash_dedup, synth_phash_media
+    from sagan_ray.oracle.golden import write_golden_phash
+
+    import pandas as pd
+
+    path = write_golden_phash(36, 11, max_hamming=6)
+    got = (phash_dedup(rd.from_arrow(synth_phash_media(36, seed=11)),
+                       max_hamming=6).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    want = (pd.read_parquet(path)
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_phash_recompression_near_identity_far():
+    """The planted JPEG-q70 variant of each base image lands within the
+    Hamming budget; unrelated images stay far (the property that makes
+    pHash a dedup key)."""
+    from sagan_ray.datapipe.multimodal import decode_image
+    from sagan_ray.datapipe.phash import phash64, synth_phash_media
+
+    n = 30
+    tbl = synth_phash_media(n, seed=3)
+    hashes = {mid: phash64(decode_image(p))
+              for mid, p in zip(tbl.column("media_id").to_pylist(),
+                                tbl.column("payload").to_pylist())}
+
+    def ham(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+
+    for i in range(0, n, 3):
+        assert ham(i, n + i // 3) <= 6
+    far = [ham(a, b) for a in range(n) for b in range(a + 1, n)]
+    assert min(far) > 6
+
+
+def test_phash_batch_layout_invariant():
+    """Exact-integer spec: hashes are identical under any batch size /
+    block layout (phash_table at 4-row and 64-row batches)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.phash import phash_table, synth_phash_media
+
+    tbl = synth_phash_media(18, seed=5)
+    outs = []
+    for bs in (4, 64):
+        df = (phash_table(rd.from_arrow(tbl), batch_size=bs).to_pandas()
+              .sort_values("media_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0]["phash"].tolist() == outs[1]["phash"].tolist()
