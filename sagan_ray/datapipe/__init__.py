@@ -26,6 +26,10 @@ from .dedup import (  # noqa: F401
     simhash_dedup,
     verify_pairs_jaccard,
 )
+from .graph import (  # noqa: F401
+    pagerank,
+    synth_link_graph,
+)
 from .phash import (  # noqa: F401
     phash64,
     phash_dedup,

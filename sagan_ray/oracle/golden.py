@@ -2093,3 +2093,35 @@ def write_golden_phash(n: int, seed: int, *, max_hamming: int) -> str:
                     "b": pa.array(ob, pa.int64()),
                     "hamming": pa.array(oh, pa.int64())})
     return _write(tbl, "dedup_phash")
+
+
+def write_golden_pagerank(n_nodes: int, seed: int, *,
+                          n_iters: int) -> str:
+    """Expected output of ``graph_pagerank``: the exact-integer PageRank
+    recurrence (datapipe/graph.py docstring) evaluated SEQUENTIALLY —
+    per-edge Python loops, no broadcast, no partial vectors, no Ray.
+    Exact int64 arithmetic on both sides makes the comparison bit-exact
+    regardless of how the distributed run blocks or reduces."""
+    from ..datapipe.graph import PR_GRID, synth_link_graph
+
+    edges = synth_link_graph(n_nodes, seed=seed)
+    src = edges.column("src").to_pylist()
+    dst = edges.column("dst").to_pylist()
+    deg = [0] * n_nodes
+    for u in src:
+        deg[u] += 1
+    r = [PR_GRID] * n_nodes
+    s_total = n_nodes * PR_GRID
+    d_num, d_den = 85, 100
+    base = (d_den - d_num) * (s_total // n_nodes) // d_den
+    for _ in range(n_iters):
+        contrib = [r[u] // deg[u] if deg[u] else 0 for u in range(n_nodes)]
+        dangling = sum(r[u] for u in range(n_nodes) if deg[u] == 0)
+        in_v = [0] * n_nodes
+        for u, v in zip(src, dst):
+            in_v[v] += contrib[u]
+        r = [base + d_num * (in_v[v] + dangling // n_nodes) // d_den
+             for v in range(n_nodes)]
+    tbl = pa.table({"node": pa.array(list(range(n_nodes)), pa.int64()),
+                    "rank": pa.array(r, pa.int64())})
+    return _write(tbl, "graph_pagerank")

@@ -2782,6 +2782,31 @@ ORDER BY a, b
 """
 
 
+def q_graph_pagerank(sf_dir: str):
+    """Exact-integer PageRank over a deterministic hub-skewed link graph
+    (datapipe/graph.py): edges materialized once, per-iteration broadcast
+    rank vector + dense np.add.at partials per block — bit-identical to a
+    sequential per-edge golden (oracle/golden.py::write_golden_pagerank)
+    under any block layout."""
+    import ray.data as rd
+
+    from ..datapipe.graph import pagerank, synth_link_graph
+    from ..oracle.golden import write_golden_pagerank
+
+    write_golden_pagerank(2048, 17, n_iters=10)
+    out = _typed(pagerank(rd.from_arrow(synth_link_graph(2048, seed=17)),
+                          2048, n_iters=10).to_pandas(),
+                 {"node": "int64", "rank": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_PAGERANK_GOLDEN = """
+SELECT node, "rank"
+FROM read_parquet('/tmp/sagan_ray_golden/graph_pagerank.parquet')
+ORDER BY node
+"""
+
+
 def q_events_trend(sf_dir: str):
     """Per-type daily event-count OLS slope (events.py::type_trend):
     every regression sum is an exact integer (x rebased per group), so
@@ -4553,6 +4578,7 @@ QUERIES = {
     "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
     "events_trend": q_events_trend,
     "dedup_phash": q_dedup_phash,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLES = {
@@ -4688,4 +4714,5 @@ ORACLES = {
     "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INCREMENTAL,
     "events_trend": SQL_EVENTS_TREND,
     "dedup_phash": SQL_DEDUP_PHASH_GOLDEN,
+    "graph_pagerank": SQL_PAGERANK_GOLDEN,
 }

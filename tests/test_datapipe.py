@@ -2518,3 +2518,53 @@ def test_phash_batch_layout_invariant():
               .sort_values("media_id").reset_index(drop=True))
         outs.append(df)
     assert outs[0]["phash"].tolist() == outs[1]["phash"].tolist()
+
+
+# ----------------------------------------------------------------------
+# PageRank (graph.py)
+# ----------------------------------------------------------------------
+
+def test_pagerank_matches_sequential_golden():
+    """Distributed broadcast/partial PageRank == per-edge sequential
+    golden, bit-exact (exact-int spec)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import pagerank, synth_link_graph
+    from sagan_ray.oracle.golden import write_golden_pagerank
+
+    path = write_golden_pagerank(256, 5, n_iters=6)
+    got = pagerank(rd.from_arrow(synth_link_graph(256, seed=5)), 256,
+                   n_iters=6).to_pandas()
+    want = pd.read_parquet(path)
+    assert got.equals(want)
+
+
+def test_pagerank_hub_structure_and_mass():
+    """The √x-CDF dst skew makes node 0 a hub (max rank); total mass
+    stays within the documented floor-division leak of n·2^30."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import PR_GRID, pagerank, synth_link_graph
+
+    n = 512
+    out = pagerank(rd.from_arrow(synth_link_graph(n, seed=9)), n,
+                   n_iters=8).to_pandas()
+    r = out.sort_values("node")["rank"].to_numpy()
+    assert r.argmax() == 0
+    total = int(r.sum())
+    assert 0 < total <= n * PR_GRID
+    assert total >= int(0.95 * n * PR_GRID)
+
+
+def test_pagerank_block_layout_invariant():
+    """Repartitioning the edge table cannot change a bit."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import pagerank, synth_link_graph
+
+    tbl = synth_link_graph(256, seed=2)
+    a = pagerank(rd.from_arrow(tbl), 256, n_iters=4).to_pandas()
+    b = pagerank(rd.from_arrow(tbl).repartition(7), 256,
+                 n_iters=4).to_pandas()
+    assert a.equals(b)
