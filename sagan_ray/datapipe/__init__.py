@@ -30,6 +30,12 @@ from .graph import (  # noqa: F401
     pagerank,
     synth_link_graph,
 )
+from .web import (  # noqa: F401
+    domain_filter,
+    domain_stats,
+    extract_urls,
+    synth_web_docs,
+)
 from .phash import (  # noqa: F401
     phash64,
     phash_dedup,

@@ -2807,6 +2807,102 @@ ORDER BY node
 """
 
 
+_WEB_DOCS_PATH = "/tmp/sagan_ray_golden/web_docs.parquet"
+
+
+def _write_web_docs() -> str:
+    """Deterministic URL-bearing corpus written once per process for the
+    web_* queries; BOTH the Ray pipeline and the SQL oracle read this
+    parquet (input sharing, not a golden — the SQL recomputes the
+    operator with DuckDB's own RE2 kernels)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..datapipe.web import synth_web_docs
+
+    os.makedirs(os.path.dirname(_WEB_DOCS_PATH), exist_ok=True)
+    tmp = _WEB_DOCS_PATH + ".tmp"
+    pq.write_table(synth_web_docs(4000, seed=23), tmp)
+    os.replace(tmp, _WEB_DOCS_PATH)
+    return _WEB_DOCS_PATH
+
+
+def q_web_domain_stats(sf_dir: str):
+    """Per-domain URL/doc counts over a deterministic URL-bearing corpus
+    (datapipe/web.py): one flat-buffer compiled-regex pass per batch →
+    distinct (domain, doc) partials → domain-keyed exchange. The SQL
+    oracle recomputes the whole operator with DuckDB regexp kernels on
+    the same parquet (a REAL oracle, not a golden)."""
+    import ray.data as rd
+
+    from ..datapipe.web import domain_stats
+
+    path = _write_web_docs()
+    out = _typed(domain_stats(rd.read_parquet(path)).to_pandas(),
+                 {"domain": "object", "n_urls": "int64",
+                  "n_docs": "int64"})
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+SQL_WEB_DOMAIN_STATS = r"""
+WITH docs AS (
+  SELECT * FROM read_parquet('/tmp/sagan_ray_golden/web_docs.parquet')),
+urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+           'https?://[a-z0-9.-]+(?:/[a-z0-9/?=._~%&-]*)?')) AS url
+  FROM docs),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_extract(url, 'https?://([^/]+)', 1),
+                        '^www\.', '') AS domain
+  FROM urls)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM norm GROUP BY domain ORDER BY domain
+"""
+
+
+def q_web_domain_filter(sf_dir: str):
+    """Blocklist filtering: doc_ids containing NO URL from the two hub
+    domains — the keep-side of crawl curation. Single map_batches pass,
+    blocklist in the task closure; SQL oracle is a NOT EXISTS anti-join
+    over the recomputed extraction."""
+    import ray.data as rd
+
+    from ..datapipe.web import domain_filter
+
+    path = _write_web_docs()
+    kept = domain_filter(rd.read_parquet(path),
+                         {"site0.example.com", "site1.example.com"})
+    out = _typed(kept.select_columns(["doc_id"]).to_pandas(),
+                 {"doc_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WEB_DOMAIN_FILTER = r"""
+WITH docs AS (
+  SELECT * FROM read_parquet('/tmp/sagan_ray_golden/web_docs.parquet')),
+urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+           'https?://[a-z0-9.-]+(?:/[a-z0-9/?=._~%&-]*)?')) AS url
+  FROM docs),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_extract(url, 'https?://([^/]+)', 1),
+                        '^www\.', '') AS domain
+  FROM urls)
+SELECT d.doc_id
+FROM docs d
+WHERE NOT EXISTS (
+  SELECT 1 FROM norm n
+  WHERE n.doc_id = d.doc_id
+    AND n.domain IN ('site0.example.com', 'site1.example.com'))
+ORDER BY d.doc_id
+"""
+
+
 def q_events_trend(sf_dir: str):
     """Per-type daily event-count OLS slope (events.py::type_trend):
     every regression sum is an exact integer (x rebased per group), so
@@ -4579,6 +4675,8 @@ QUERIES = {
     "events_trend": q_events_trend,
     "dedup_phash": q_dedup_phash,
     "graph_pagerank": q_graph_pagerank,
+    "web_domain_stats": q_web_domain_stats,
+    "web_domain_filter": q_web_domain_filter,
 }
 
 ORACLES = {
@@ -4715,4 +4813,6 @@ ORACLES = {
     "events_trend": SQL_EVENTS_TREND,
     "dedup_phash": SQL_DEDUP_PHASH_GOLDEN,
     "graph_pagerank": SQL_PAGERANK_GOLDEN,
+    "web_domain_stats": SQL_WEB_DOMAIN_STATS,
+    "web_domain_filter": SQL_WEB_DOMAIN_FILTER,
 }

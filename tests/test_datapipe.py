@@ -2568,3 +2568,46 @@ def test_pagerank_block_layout_invariant():
     b = pagerank(rd.from_arrow(tbl).repartition(7), 256,
                  n_iters=4).to_pandas()
     assert a.equals(b)
+
+
+# ----------------------------------------------------------------------
+# URL / domain ops (web.py)
+# ----------------------------------------------------------------------
+
+def test_extract_urls_flat_buffer_matches_per_doc():
+    """The flat-buffer single-pass extraction == per-document re.findall
+    (the NUL separator can never leak into a match)."""
+    import re
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.web import URL_RE, extract_urls, synth_web_docs
+
+    tbl = synth_web_docs(300, seed=31)
+    got = (extract_urls(rd.from_arrow(tbl)).to_pandas()
+           .sort_values(["doc_id", "url"]).reset_index(drop=True))
+    pat = re.compile(URL_RE)
+    want = []
+    for did, txt in zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("text").to_pylist()):
+        for u in pat.findall(txt.lower()):
+            d = u.split("://", 1)[1].split("/", 1)[0]
+            want.append((did, u, d[4:] if d.startswith("www.") else d))
+    want.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_domain_filter_drops_exactly_blocklisted_docs():
+    import ray.data as rd
+
+    from sagan_ray.datapipe.web import (domain_filter, extract_urls,
+                                        synth_web_docs)
+
+    tbl = synth_web_docs(300, seed=31)
+    blocked = {"site0.example.com"}
+    kept = set(domain_filter(rd.from_arrow(tbl), blocked)
+               .to_pandas()["doc_id"])
+    ex = extract_urls(rd.from_arrow(tbl)).to_pandas()
+    bad = set(ex.loc[ex["domain"].isin(blocked), "doc_id"])
+    allids = set(tbl.column("doc_id").to_pylist())
+    assert kept == allids - bad and bad
