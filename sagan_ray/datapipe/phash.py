@@ -235,3 +235,165 @@ def synth_phash_media(n: int, seed: int = 7) -> pa.Table:
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "payload": pa.array(payloads, pa.binary()),
                      "mime": pa.array(mimes, pa.string())})
+
+
+# ----------------------------------------------------------------------
+# persistent pHash index (the reverse-image-search layout)
+# ----------------------------------------------------------------------
+
+def build_phash_index(ds, index_dir: str, *, id_col: str = "media_id",
+                      payload_col: str = "payload") -> int:
+    """Persist a reverse-image-search index: 8 band rows per image
+    (band, key, id, phash) written parquet-partitioned by
+    ``band=<b>/key=<k>`` — the operator's own bucket key as the
+    partition key (the datapipe/index.py / ann.py discipline), so a
+    query reads ONLY its 8 matching (band, key) directories out of
+    8×256, and the build is resumable per partition. Returns the number
+    of indexed images."""
+    import json
+    import os
+
+    hashed = phash_table(ds, id_col=id_col, payload_col=payload_col)
+    nb = PHASH_BANDS
+
+    def bands(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
+        s = tbl.column("phash").to_numpy(zero_copy_only=False
+                                         ).astype(np.uint64)
+        bix = np.arange(nb, dtype=np.uint64)
+        s_rep = np.repeat(s, nb)
+        keys = ((s_rep >> np.tile(bix, len(s)) * np.uint64(8))
+                & np.uint64(0xFF)).astype(np.int64)
+        return pa.table({"band": pa.array(np.tile(bix.astype(np.int32),
+                                                  len(s)), pa.int32()),
+                         "key": pa.array(keys, pa.int64()),
+                         id_col: pa.array(np.repeat(ids, nb), pa.int64()),
+                         "phash": pa.array(s_rep, pa.uint64())})
+
+    hashed.map_batches(bands, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["band", "key"])
+    n = ds.count()
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"n_images": int(n), "bands": nb}, f)
+    return int(n)
+
+
+def update_phash_index(index_dir: str, new_ds, *,
+                       id_col: str = "media_id",
+                       payload_col: str = "payload") -> int:
+    """Append new images to an existing index: identical band rows land
+    as NEW FILES inside the same content-keyed partition dirs, so search
+    (which unions a partition's files) is bit-equal to a full rebuild
+    over old ∪ new. Returns the new total image count."""
+    import json
+    import os
+
+    built = build_phash_index(new_ds, index_dir + ".append",
+                              id_col=id_col, payload_col=payload_col)
+    # merge the append run's partition dirs into the live index
+    src = index_dir + ".append"
+    for band_dir in sorted(os.listdir(src)):
+        if not band_dir.startswith("band="):
+            continue
+        for key_dir in sorted(os.listdir(os.path.join(src, band_dir))):
+            sdir = os.path.join(src, band_dir, key_dir)
+            ddir = os.path.join(index_dir, band_dir, key_dir)
+            os.makedirs(ddir, exist_ok=True)
+            for fn in os.listdir(sdir):
+                os.replace(os.path.join(sdir, fn),
+                           os.path.join(ddir, f"append-{fn}"))
+    import shutil
+
+    shutil.rmtree(src)
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_images"] = int(meta["n_images"]) + built
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta["n_images"]
+
+
+def search_phash_index(index_dir: str, query_hashes: np.ndarray, *,
+                       max_hamming: int = 6,
+                       query_ids: np.ndarray | None = None,
+                       id_col: str = "media_id"):
+    """All indexed images within ``max_hamming`` of each query hash
+    (uint64 array — hash payloads first with ``phash64``; queries are
+    the small side by operator contract). Reads ONLY the union of the
+    queries' 8 (band, key) partitions; recall is exact for
+    ``max_hamming`` ≤ 7 (pigeonhole over 8 bands — asserted). Returns a
+    Dataset (query_id, id, hamming), each match once."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .dedup import _popcount_u64
+    from .exchange import hash_group_apply
+
+    assert max_hamming <= 7, "8x8-bit banding only guarantees d <= 7"
+    q = np.asarray(query_hashes, dtype=np.uint64)
+    qids = (np.arange(len(q)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            (id_col, pa.int64()),
+                            ("hamming", pa.int64())])
+    if not len(q):
+        return rd.from_arrow(out_schema.empty_table())
+
+    bk2q: dict[tuple[int, int], list[int]] = {}
+    for pos in range(len(q)):
+        for b in range(PHASH_BANDS):
+            key = int((q[pos] >> np.uint64(8 * b)) & np.uint64(0xFF))
+            bk2q.setdefault((b, key), []).append(pos)
+    files = []
+    for b, key in sorted(bk2q):
+        d = os.path.join(index_dir, f"band={b}", f"key={key}")
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, fn) for fn in sorted(os.listdir(d))
+                         if fn.endswith(".parquet"))
+    if not files:
+        return rd.from_arrow(out_schema.empty_table())
+    ref = ray.put((q, qids, {k: np.asarray(v, np.int64)
+                             for k, v in bk2q.items()}))
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qm, qi, lookup = ray.get(ref)
+        # partition columns materialize as STRINGS on read-back
+        band = pc.cast(tbl.column("band"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = pc.cast(tbl.column("key"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sig = tbl.column("phash").to_numpy(zero_copy_only=False
+                                           ).astype(np.uint64)
+        oq, oi, oh = [], [], []
+        bk = band.astype(np.int64) * 256 + key
+        order = np.argsort(bk, kind="stable")
+        bounds = np.flatnonzero(np.diff(bk[order])) + 1
+        for seg in np.split(order, bounds):
+            b, k = int(band[seg[0]]), int(key[seg[0]])
+            qpos = lookup.get((b, k))
+            if qpos is None:
+                continue
+            # queries-in-bucket × rows-in-bucket popcount verify
+            d = _popcount_u64(qm[qpos][:, None] ^ sig[seg][None, :])
+            ii, jj = np.nonzero(d <= max_hamming)
+            oq.extend(qi[qpos[ii]].tolist())
+            oi.extend(ids[seg][jj].tolist())
+            oh.extend(d[ii, jj].astype(np.int64).tolist())
+        return pa.table({"query_id": pa.array(oq, pa.int64()),
+                         id_col: pa.array(oi, pa.int64()),
+                         "hamming": pa.array(oh, pa.int64())})
+
+    # partition columns come back as dictionary/int columns on read —
+    # select explicitly so probe sees band/key/id/phash
+    cands = rd.read_parquet(files).map_batches(probe,
+                                               batch_format="pyarrow")
+    return hash_group_apply(
+        cands, ["query_id", id_col],
+        lambda g: g.drop_duplicates(subset=["query_id", id_col]),
+        out_schema=out_schema)

@@ -2045,6 +2045,36 @@ def write_golden_embed_outliers(sf_dir: str, *, k: int, n_iters: int,
     return _write(tbl, "embed_outliers")
 
 
+def _phash_sequential(payload: bytes) -> int:
+    """Sequential per-image pHash derivation (the golden's independent
+    composition of the spec steps: per-scalar luma over the resize index
+    selection, einsum DCT over the shared fixed-point spec matrix —
+    exact int64, so evaluation order can't split the sides — Python
+    sorted()/bit loops for median + hash)."""
+    from ..datapipe.multimodal import decode_image
+    from ..datapipe.phash import PHASH_SIZE, _dct32_q
+
+    d = _dct32_q()
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    yi = [min((y * h) // PHASH_SIZE, h - 1) for y in range(PHASH_SIZE)]
+    xi = [min((x * w) // PHASH_SIZE, w - 1) for x in range(PHASH_SIZE)]
+    small = np.empty((PHASH_SIZE, PHASH_SIZE), dtype=np.int64)
+    for a, y in enumerate(yi):
+        for b, x in enumerate(xi):
+            rr, gg, bb = (int(img[y, x, 0]), int(img[y, x, 1]),
+                          int(img[y, x, 2]))
+            small[a, b] = (77 * rr + 150 * gg + 29 * bb) >> 8
+    t = np.einsum("kx,xy,ly->kl", d, small, d)
+    block = [int(v) for v in t[:8, :8].reshape(-1)]
+    med = sorted(block)[31]
+    v = 0
+    for i, c in enumerate(block):
+        if c > med:
+            v |= 1 << i
+    return v
+
+
 def write_golden_phash(n: int, seed: int, *, max_hamming: int) -> str:
     """Expected output of ``dedup_phash``: per-image SEQUENTIAL pHash
     derivation (per-scalar luma on the spec's resize index selection,
@@ -2054,32 +2084,13 @@ def write_golden_phash(n: int, seed: int, *, max_hamming: int) -> str:
     Hamming scan — no banding, no batched kernel, no exchange. Decode
     goes through the shared codec boundary, whose correctness the
     multimodal goldens pin with independent format walks."""
-    from ..datapipe.multimodal import decode_image
-    from ..datapipe.phash import PHASH_SIZE, _dct32_q, synth_phash_media
+    from ..datapipe.phash import synth_phash_media
 
     corpus = synth_phash_media(n, seed=seed)
     ids = np.asarray(corpus.column("media_id").to_pylist(), dtype=np.int64)
-    d = _dct32_q()
-    sigs = np.empty(len(ids), dtype=np.uint64)
-    for r, payload in enumerate(corpus.column("payload").to_pylist()):
-        img = decode_image(payload)
-        h, w = img.shape[:2]
-        yi = [min((y * h) // PHASH_SIZE, h - 1) for y in range(PHASH_SIZE)]
-        xi = [min((x * w) // PHASH_SIZE, w - 1) for x in range(PHASH_SIZE)]
-        small = np.empty((PHASH_SIZE, PHASH_SIZE), dtype=np.int64)
-        for a, y in enumerate(yi):
-            for b, x in enumerate(xi):
-                rr, gg, bb = (int(img[y, x, 0]), int(img[y, x, 1]),
-                              int(img[y, x, 2]))
-                small[a, b] = (77 * rr + 150 * gg + 29 * bb) >> 8
-        t = np.einsum("kx,xy,ly->kl", d, small, d)
-        block = [int(v) for v in t[:8, :8].reshape(-1)]
-        med = sorted(block)[31]
-        v = 0
-        for i, c in enumerate(block):
-            if c > med:
-                v |= 1 << i
-        sigs[r] = np.uint64(v)
+    sigs = np.array([_phash_sequential(p)
+                     for p in corpus.column("payload").to_pylist()],
+                    dtype=np.uint64)
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
     oa, ob, oh = [], [], []
@@ -2125,3 +2136,33 @@ def write_golden_pagerank(n_nodes: int, seed: int, *,
     tbl = pa.table({"node": pa.array(list(range(n_nodes)), pa.int64()),
                     "rank": pa.array(r, pa.int64())})
     return _write(tbl, "graph_pagerank")
+
+
+def write_golden_phash_search(n: int, seed: int, *,
+                              max_hamming: int) -> str:
+    """Expected output of ``dedup_phash_index``: corpus = the base
+    images of ``synth_phash_media`` (media_id < n), queries = the
+    planted recompression variants (media_id ≥ n); sequential per-image
+    hashes + a brute-force query × corpus Hamming scan — no index, no
+    partition pruning, no exchange."""
+    from ..datapipe.phash import synth_phash_media
+
+    tbl = synth_phash_media(n, seed=seed)
+    ids = np.asarray(tbl.column("media_id").to_pylist(), dtype=np.int64)
+    sigs = np.array([_phash_sequential(p)
+                     for p in tbl.column("payload").to_pylist()],
+                    dtype=np.uint64)
+    corpus = ids < n
+    cids, csig = ids[corpus], sigs[corpus]
+    qids, qsig = ids[~corpus], sigs[~corpus]
+    oq, oi, oh = [], [], []
+    for qpos in np.argsort(qids, kind="stable"):
+        ham = _popcount64(qsig[qpos] ^ csig)
+        for j in np.flatnonzero(ham <= max_hamming):
+            oq.append(int(qids[qpos]))
+            oi.append(int(cids[j]))
+            oh.append(int(ham[j]))
+    tbl_out = pa.table({"query_id": pa.array(oq, pa.int64()),
+                        "media_id": pa.array(oi, pa.int64()),
+                        "hamming": pa.array(oh, pa.int64())})
+    return _write(tbl_out, "dedup_phash_index")

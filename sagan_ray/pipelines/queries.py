@@ -2782,6 +2782,48 @@ ORDER BY a, b
 """
 
 
+def q_dedup_phash_index(sf_dir: str):
+    """Persistent reverse-image-search index (datapipe/phash.py): band
+    rows parquet-partitioned by (band, key) — the operator's own bucket
+    key as partition key — searched with the planted recompression
+    variants as queries, reading ONLY the queries' matching partition
+    dirs; gated against a sequential brute-force query × corpus scan
+    (oracle/golden.py::write_golden_phash_search)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..datapipe.multimodal import decode_image
+    from ..datapipe.phash import (build_phash_index, phash64,
+                                  search_phash_index, synth_phash_media)
+    from ..oracle.golden import write_golden_phash_search
+
+    write_golden_phash_search(90, 7, max_hamming=6)
+    tbl = synth_phash_media(90, seed=7)
+    ids = tbl.column("media_id").to_numpy(zero_copy_only=False)
+    corpus = tbl.filter(ids < 90)
+    queries = tbl.filter(ids >= 90)
+    idx = "/tmp/sagan_ray_golden/phash_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_phash_index(rd.from_arrow(corpus), idx)
+    qh = np.array([phash64(decode_image(p))
+                   for p in queries.column("payload").to_pylist()],
+                  dtype=np.uint64)
+    qids = queries.column("media_id").to_numpy(zero_copy_only=False)
+    out = _typed(search_phash_index(idx, qh, max_hamming=6,
+                                    query_ids=qids).to_pandas(),
+                 {"query_id": "int64", "media_id": "int64",
+                  "hamming": "int64"})
+    return out.sort_values(["query_id", "media_id"]).reset_index(drop=True)
+
+
+SQL_DEDUP_PHASH_INDEX_GOLDEN = """
+SELECT query_id, media_id, hamming
+FROM read_parquet('/tmp/sagan_ray_golden/dedup_phash_index.parquet')
+ORDER BY query_id, media_id
+"""
+
+
 def q_graph_pagerank(sf_dir: str):
     """Exact-integer PageRank over a deterministic hub-skewed link graph
     (datapipe/graph.py): edges materialized once, per-iteration broadcast
@@ -4677,6 +4719,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "web_domain_stats": q_web_domain_stats,
     "web_domain_filter": q_web_domain_filter,
+    "dedup_phash_index": q_dedup_phash_index,
 }
 
 ORACLES = {
@@ -4815,4 +4858,5 @@ ORACLES = {
     "graph_pagerank": SQL_PAGERANK_GOLDEN,
     "web_domain_stats": SQL_WEB_DOMAIN_STATS,
     "web_domain_filter": SQL_WEB_DOMAIN_FILTER,
+    "dedup_phash_index": SQL_DEDUP_PHASH_INDEX_GOLDEN,
 }

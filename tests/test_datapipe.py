@@ -2611,3 +2611,74 @@ def test_domain_filter_drops_exactly_blocklisted_docs():
     bad = set(ex.loc[ex["domain"].isin(blocked), "doc_id"])
     allids = set(tbl.column("doc_id").to_pylist())
     assert kept == allids - bad and bad
+
+
+def test_phash_index_search_matches_bruteforce_golden():
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.multimodal import decode_image
+    from sagan_ray.datapipe.phash import (build_phash_index, phash64,
+                                          search_phash_index,
+                                          synth_phash_media)
+    from sagan_ray.oracle.golden import write_golden_phash_search
+
+    path = write_golden_phash_search(36, 11, max_hamming=6)
+    tbl = synth_phash_media(36, seed=11)
+    ids = tbl.column("media_id").to_numpy(zero_copy_only=False)
+    idx = "/tmp/sagan_ray_test/phash_idx"
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    build_phash_index(rd.from_arrow(tbl.filter(ids < 36)), idx)
+    qt = tbl.filter(ids >= 36)
+    qh = np.array([phash64(decode_image(p))
+                   for p in qt.column("payload").to_pylist()],
+                  dtype=np.uint64)
+    got = (search_phash_index(idx, qh, max_hamming=6,
+                              query_ids=qt.column("media_id")
+                              .to_numpy(zero_copy_only=False))
+           .to_pandas().sort_values(["query_id", "media_id"])
+           .reset_index(drop=True))
+    want = (pd.read_parquet(path)
+            .sort_values(["query_id", "media_id"]).reset_index(drop=True))
+    assert got.astype("int64").equals(want.astype("int64"))
+    assert len(got) > 0
+
+
+def test_phash_index_append_equals_rebuild():
+    """update_phash_index lands new band rows in the same content-keyed
+    partitions; search over old∪new == search over a full rebuild."""
+    import shutil
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.multimodal import decode_image
+    from sagan_ray.datapipe.phash import (build_phash_index, phash64,
+                                          search_phash_index,
+                                          synth_phash_media,
+                                          update_phash_index)
+
+    tbl = synth_phash_media(24, seed=13)
+    ids = tbl.column("media_id").to_numpy(zero_copy_only=False)
+    old = tbl.filter(ids < 12)
+    new = tbl.filter((ids >= 12) & (ids < 24))
+    qt = tbl.filter(ids >= 24)
+    qh = np.array([phash64(decode_image(p))
+                   for p in qt.column("payload").to_pylist()],
+                  dtype=np.uint64)
+    a_dir, b_dir = "/tmp/sagan_ray_test/ph_a", "/tmp/sagan_ray_test/ph_b"
+    for d in (a_dir, b_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    build_phash_index(rd.from_arrow(old), a_dir)
+    n_total = update_phash_index(a_dir, rd.from_arrow(new))
+    assert n_total == 24
+    both = tbl.filter(ids < 24)
+    build_phash_index(rd.from_arrow(both), b_dir)
+
+    def run(d):
+        return (search_phash_index(d, qh, max_hamming=6)
+                .to_pandas().sort_values(["query_id", "media_id"])
+                .reset_index(drop=True))
+
+    assert run(a_dir).equals(run(b_dir))
