@@ -30,6 +30,9 @@ from .graph import (  # noqa: F401
     pagerank,
     synth_link_graph,
 )
+from .diff import (  # noqa: F401
+    snapshot_diff,
+)
 from .web import (  # noqa: F401
     domain_filter,
     domain_stats,

@@ -2824,6 +2824,63 @@ ORDER BY query_id, media_id
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Corpus-version delta (datapipe/diff.py): the new snapshot is
+    derived deterministically from documents (drop doc_id%17==0, append
+    ' v2' to doc_id%13==0, add doc_id%19==0 re-keyed +1e6); map-side
+    content hashes through one id-keyed exchange classify every key as
+    added / removed / changed. SQL recomputes the same derivation and
+    diffs with a FULL OUTER JOIN comparing text directly."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..datapipe.diff import snapshot_diff
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def derive_new(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id")
+        txt = tbl.column("text")
+        dv = did.to_numpy(zero_copy_only=False)
+        mod = pc.if_else(pa.array(dv % 13 == 0),
+                         pc.binary_join_element_wise(
+                             txt, pa.scalar(" v2"), pa.scalar("")),
+                         txt)
+        base = pa.table({"doc_id": did, "text": mod}).filter(
+            pa.array(dv % 17 != 0))
+        added = pa.table({
+            "doc_id": pc.add(did, 1000000),
+            "text": txt}).filter(pa.array(dv % 19 == 0))
+        return pa.concat_tables([base, added])
+
+    new = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).map_batches(
+                              derive_new, batch_format="pyarrow")
+    out = _typed(snapshot_diff(old, new).to_pandas(),
+                 {"doc_id": "int64", "status": "object"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents),
+novo AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 19 = 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN novo n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+ORDER BY doc_id
+"""
+
+
 def q_graph_pagerank(sf_dir: str):
     """Exact-integer PageRank over a deterministic hub-skewed link graph
     (datapipe/graph.py): edges materialized once, per-iteration broadcast
@@ -4720,6 +4777,7 @@ QUERIES = {
     "web_domain_stats": q_web_domain_stats,
     "web_domain_filter": q_web_domain_filter,
     "dedup_phash_index": q_dedup_phash_index,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
@@ -4859,4 +4917,5 @@ ORACLES = {
     "web_domain_stats": SQL_WEB_DOMAIN_STATS,
     "web_domain_filter": SQL_WEB_DOMAIN_FILTER,
     "dedup_phash_index": SQL_DEDUP_PHASH_INDEX_GOLDEN,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }

@@ -2682,3 +2682,37 @@ def test_phash_index_append_equals_rebuild():
                 .reset_index(drop=True))
 
     assert run(a_dir).equals(run(b_dir))
+
+
+# ----------------------------------------------------------------------
+# snapshot diff (diff.py)
+# ----------------------------------------------------------------------
+
+def test_snapshot_diff_statuses():
+    import ray.data as rd
+
+    from sagan_ray.datapipe.diff import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["a", "b", "c", "d"])})
+    new = pa.table({"doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+                    "text": pa.array(["b", "C2", "d", "e"])})
+    out = (snapshot_diff(rd.from_arrow(old), rd.from_arrow(new))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == [(1, "removed"), (3, "changed"), (5, "added")]
+
+
+def test_snapshot_diff_duplicate_key_raises():
+    import pytest as _pytest
+    import ray.data as rd
+    from ray.exceptions import RayTaskError
+
+    from sagan_ray.datapipe.diff import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1, 1], pa.int64()),
+                    "text": pa.array(["a", "b"])})
+    new = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["a"])})
+    with _pytest.raises((RayTaskError, ValueError)):
+        snapshot_diff(rd.from_arrow(old), rd.from_arrow(new)).to_pandas()
