@@ -1016,3 +1016,71 @@ def media_pipeline(ds, *, batch_size: int = 64, concurrency: int = 2):
         batch_format="pyarrow")
     return images.map_batches(DecodeImages, batch_format="pyarrow",
                               batch_size=batch_size, concurrency=concurrency)
+
+
+# ----------------------------------------------------------------------
+# fault-isolating decode (corrupt-payload quarantine)
+# ----------------------------------------------------------------------
+
+def decode_quarantine(ds, *, id_col: str = "media_id",
+                      payload_col: str = "payload", batch_size: int = 64):
+    """Fault-isolating image decode: a real 100-TB crawl contains
+    truncated / bit-flipped / mislabeled payloads, and a batch job must
+    QUARANTINE them, not die — one bad row killing a task kills the
+    whole retry lineage. Per row: ``decode_image`` inside a fault
+    boundary → (id, status, err, height, width) where status is ``ok``
+    or ``corrupt`` and ``err`` is the exception class name (stable for
+    a given payload — same bytes walk the same codec path). Downstream
+    stages filter ``status == 'ok'``; the quarantine side is small and
+    can be written to its own sink for inspection."""
+
+    def stage(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col)
+        st, er, hh, ww = [], [], [], []
+        for p in tbl.column(payload_col).to_pylist():
+            try:
+                img = decode_image(p)
+                st.append("ok")
+                er.append("")
+                hh.append(int(img.shape[0]))
+                ww.append(int(img.shape[1]))
+            except Exception as e:        # the fault boundary
+                st.append("corrupt")
+                er.append(type(e).__name__)
+                hh.append(0)
+                ww.append(0)
+        return pa.table({id_col: ids,
+                         "status": pa.array(st, pa.string()),
+                         "err": pa.array(er, pa.string()),
+                         "height": pa.array(hh, pa.int64()),
+                         "width": pa.array(ww, pa.int64())})
+
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def synth_corrupt_media(n: int, seed: int = 29) -> pa.Table:
+    """Deterministic mixed-health corpus: base images from the pHash
+    corpus generator, with every 3rd payload TRUNCATED at half length,
+    every 7th magic-corrupted (first two bytes flipped), every 11th
+    replaced by empty bytes — the three corruption classes a crawl
+    actually produces (partial fetch, wrong content-type, zero-byte
+    object). Truncation/flip/empty are applied AFTER encoding, so the
+    corrupt payloads exercise real mid-stream codec failures."""
+    from .phash import synth_phash_media
+
+    base = synth_phash_media(n, seed=seed)
+    ids = base.column("media_id").to_pylist()
+    payloads = base.column("payload").to_pylist()
+    out = []
+    for i, p in zip(ids, payloads):
+        if i % 11 == 0:
+            out.append(b"")
+        elif i % 7 == 0:
+            out.append(bytes([p[0] ^ 0xFF, p[1] ^ 0xFF]) + p[2:])
+        elif i % 3 == 0:
+            out.append(p[:max(1, len(p) // 2)])
+        else:
+            out.append(p)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "payload": pa.array(out, pa.binary())})

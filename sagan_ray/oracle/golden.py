@@ -2166,3 +2166,34 @@ def write_golden_phash_search(n: int, seed: int, *,
                         "media_id": pa.array(oi, pa.int64()),
                         "hamming": pa.array(oh, pa.int64())})
     return _write(tbl_out, "dedup_phash_index")
+
+
+def write_golden_quarantine(n: int, seed: int) -> str:
+    """Expected output of ``multimodal_quarantine``: a sequential walk of
+    the mixed-health corpus through the same ``decode_image`` fault
+    boundary (the boundary IS the spec here — the codecs' decode
+    correctness is independently pinned by the multimodal goldens'
+    format walks; this gate pins the quarantine classification and that
+    the distributed run is layout-invariant)."""
+    from ..datapipe.multimodal import decode_image, synth_corrupt_media
+
+    tbl = synth_corrupt_media(n, seed=seed)
+    st, er, hh, ww = [], [], [], []
+    for p in tbl.column("payload").to_pylist():
+        try:
+            img = decode_image(p)
+            st.append("ok")
+            er.append("")
+            hh.append(int(img.shape[0]))
+            ww.append(int(img.shape[1]))
+        except Exception as e:
+            st.append("corrupt")
+            er.append(type(e).__name__)
+            hh.append(0)
+            ww.append(0)
+    out = pa.table({"media_id": tbl.column("media_id"),
+                    "status": pa.array(st, pa.string()),
+                    "err": pa.array(er, pa.string()),
+                    "height": pa.array(hh, pa.int64()),
+                    "width": pa.array(ww, pa.int64())})
+    return _write(out, "multimodal_quarantine")

@@ -2881,6 +2881,33 @@ ORDER BY doc_id
 """
 
 
+def q_multimodal_quarantine(sf_dir: str):
+    """Fault-isolating decode over a mixed-health media corpus
+    (truncated / magic-flipped / zero-byte payloads planted
+    deterministically): every row classifies as ok (with shape) or
+    corrupt (with the exception class) instead of killing the task —
+    the 100-TB crawl-reality operator. Gated against a sequential walk
+    of the same fault boundary (golden.py::write_golden_quarantine)."""
+    import ray.data as rd
+
+    from ..datapipe.multimodal import decode_quarantine, synth_corrupt_media
+    from ..oracle.golden import write_golden_quarantine
+
+    write_golden_quarantine(120, 29)
+    tbl = synth_corrupt_media(120, seed=29)
+    out = _typed(decode_quarantine(rd.from_arrow(tbl)).to_pandas(),
+                 {"media_id": "int64", "status": "object",
+                  "err": "object", "height": "int64", "width": "int64"})
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+SQL_MULTIMODAL_QUARANTINE_GOLDEN = """
+SELECT media_id, status, err, height, width
+FROM read_parquet('/tmp/sagan_ray_golden/multimodal_quarantine.parquet')
+ORDER BY media_id
+"""
+
+
 def q_graph_pagerank(sf_dir: str):
     """Exact-integer PageRank over a deterministic hub-skewed link graph
     (datapipe/graph.py): edges materialized once, per-iteration broadcast
@@ -4778,6 +4805,7 @@ QUERIES = {
     "web_domain_filter": q_web_domain_filter,
     "dedup_phash_index": q_dedup_phash_index,
     "snapshot_diff": q_snapshot_diff,
+    "multimodal_quarantine": q_multimodal_quarantine,
 }
 
 ORACLES = {
@@ -4918,4 +4946,5 @@ ORACLES = {
     "web_domain_filter": SQL_WEB_DOMAIN_FILTER,
     "dedup_phash_index": SQL_DEDUP_PHASH_INDEX_GOLDEN,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "multimodal_quarantine": SQL_MULTIMODAL_QUARANTINE_GOLDEN,
 }

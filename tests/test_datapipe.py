@@ -2716,3 +2716,25 @@ def test_snapshot_diff_duplicate_key_raises():
                     "text": pa.array(["a"])})
     with _pytest.raises((RayTaskError, ValueError)):
         snapshot_diff(rd.from_arrow(old), rd.from_arrow(new)).to_pandas()
+
+
+def test_decode_quarantine_classifies_and_survives():
+    """Corrupt payloads quarantine with a stable error class; healthy
+    rows decode with shapes; the stage never raises."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.multimodal import (decode_quarantine,
+                                               synth_corrupt_media)
+
+    tbl = synth_corrupt_media(60, seed=29)
+    out = (decode_quarantine(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert len(out) == len(tbl)
+    assert set(out["status"]) == {"ok", "corrupt"}
+    ok = out[out.status == "ok"]
+    bad = out[out.status == "corrupt"]
+    assert (ok["height"] > 0).all() and (ok["err"] == "").all()
+    assert (bad["height"] == 0).all() and (bad["err"] != "").all()
+    # zero-byte payloads (media_id % 11 == 0 among the base rows)
+    zero = out[(out.media_id % 11 == 0) & (out.media_id < 60)]
+    assert (zero["status"] == "corrupt").all()
