@@ -2908,6 +2908,51 @@ ORDER BY media_id
 """
 
 
+def q_table_profile(sf_dir: str):
+    """Per-column data-quality profile of the documents table
+    (datapipe/profile.py): row/null counts and typed min/max from
+    per-block partials, exact distinct via per-batch distinct-hash
+    partials through the exchange. SQL oracle recomputes every column's
+    aggregates natively in DuckDB."""
+    import ray.data as rd
+
+    from ..datapipe.profile import profile_table
+
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    out = profile_table(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols),
+        cols,
+        ds_distinct=rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=cols)).to_pandas()
+    return _typed(out, {"column": "object", "n_rows": "int64",
+                        "n_nulls": "int64", "n_distinct": "int64",
+                        "min_v": "object", "max_v": "object"})
+
+
+SQL_TABLE_PROFILE = """
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+         count(*) - count(doc_id) AS n_nulls,
+         count(DISTINCT doc_id) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_v,
+         CAST(max(doc_id) AS VARCHAR) AS max_v FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(*) - count(lang),
+         count(DISTINCT lang), min(lang), max(lang) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+         count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+         CAST(max(n_chars) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(*) - count(source),
+         count(DISTINCT source), min(source), max(source) FROM documents
+  UNION ALL
+  SELECT 'text', count(*), count(*) - count(text),
+         count(DISTINCT text), min(text), max(text) FROM documents
+) ORDER BY "column"
+"""
+
+
 def q_graph_pagerank(sf_dir: str):
     """Exact-integer PageRank over a deterministic hub-skewed link graph
     (datapipe/graph.py): edges materialized once, per-iteration broadcast
@@ -4806,6 +4851,7 @@ QUERIES = {
     "dedup_phash_index": q_dedup_phash_index,
     "snapshot_diff": q_snapshot_diff,
     "multimodal_quarantine": q_multimodal_quarantine,
+    "table_profile": q_table_profile,
 }
 
 ORACLES = {
@@ -4947,4 +4993,5 @@ ORACLES = {
     "dedup_phash_index": SQL_DEDUP_PHASH_INDEX_GOLDEN,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "multimodal_quarantine": SQL_MULTIMODAL_QUARANTINE_GOLDEN,
+    "table_profile": SQL_TABLE_PROFILE,
 }

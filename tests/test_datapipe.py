@@ -2738,3 +2738,24 @@ def test_decode_quarantine_classifies_and_survives():
     # zero-byte payloads (media_id % 11 == 0 among the base rows)
     zero = out[(out.media_id % 11 == 0) & (out.media_id < 60)]
     assert (zero["status"] == "corrupt").all()
+
+
+def test_profile_table_cross_block_integer_minmax():
+    """Typed partials: the global integer min/max must combine
+    numerically across blocks ('10' < '9' lexicographically — a
+    stringified partial would corrupt the range)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.profile import profile_table
+
+    tbl = pa.table({"v": pa.array([9, 10, 100, 2], pa.int64()),
+                    "s": pa.array(["b", "a", "c", "a"])})
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = (profile_table(ds, ["v", "s"],
+                         ds_distinct=rd.from_arrow(tbl).repartition(4))
+           .to_pandas().set_index("column"))
+    assert out.loc["v", "min_v"] == "2" and out.loc["v", "max_v"] == "100"
+    assert out.loc["v", "n_distinct"] == 4
+    assert out.loc["s", "min_v"] == "a" and out.loc["s", "max_v"] == "c"
+    assert out.loc["s", "n_distinct"] == 3
+    assert (out["n_rows"] == 4).all() and (out["n_nulls"] == 0).all()
