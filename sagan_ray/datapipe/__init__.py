@@ -33,6 +33,9 @@ from .graph import (  # noqa: F401
 from .diff import (  # noqa: F401
     snapshot_diff,
 )
+from .profile import (  # noqa: F401
+    profile_table,
+)
 from .web import (  # noqa: F401
     domain_filter,
     domain_stats,
@@ -88,6 +91,7 @@ from .curate import (  # noqa: F401
 )
 from .events import (  # noqa: F401
     cohort_retention,
+    debounce,
     funnel_stages,
     props_key_agg,
     running_totals,

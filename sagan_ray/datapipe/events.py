@@ -463,3 +463,46 @@ def type_trend(ds, *, ts_col: str = "ts", group_col: str = "event_type",
         out_s.append(slope)
     return pd.DataFrame({group_col: out_g, "n_windows": out_w,
                          "slope": out_s})
+
+
+def debounce(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+             id_col: str = "event_id", type_col: str = "event_type",
+             gap_us: int = 600_000_000):
+    """Collapse rapid repeats: keep an event iff it is the FIRST of its
+    (user, type) stream or arrived STRICTLY more than ``gap_us``
+    microseconds after the previous event of that stream (lag-based
+    debounce — the previous event counts whether or not it survived,
+    which keeps the spec a pure window function on both sides).
+    Timestamps stay int64 microseconds, every comparison exact. One
+    user-keyed exchange; in-bucket sorted shift-diff, no per-group
+    loop. Returns surviving (event_id, user_id, event_type, ts)."""
+    from .exchange import hash_group_apply
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        return pa.table({id_col: tbl.column(id_col).cast(pa.int64()),
+                         user_col: tbl.column(user_col).cast(pa.int64()),
+                         type_col: tbl.column(type_col),
+                         ts_col: tbl.column(ts_col)})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, type_col, ts_col, id_col],
+                            kind="mergesort")
+        uid = df[user_col].to_numpy()
+        et = df[type_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_grp = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_grp[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        diff = np.empty(len(df), dtype=np.int64)
+        if len(df):
+            diff[0] = 0
+            diff[1:] = ts[1:] - ts[:-1]
+        keep = new_grp | (diff > gap_us)
+        return df[keep]
+
+    schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
+                        (type_col, pa.string()),
+                        (ts_col, pa.timestamp("us"))])
+    return hash_group_apply(
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema)

@@ -4685,6 +4685,43 @@ FROM toks GROUP BY w ORDER BY n DESC, word LIMIT {_HH_M}
 """
 
 
+_DEBOUNCE_GAP_US = 86_400_000_000  # 1 day: drops ~36% at sf0.01
+
+
+def q_events_debounce(sf_dir: str):
+    """Lag-based per-(user, type) debounce (events.py::debounce): keep
+    an event iff it is the first of its stream or arrived strictly more
+    than a day after the PREVIOUS event of the stream (survivor or not
+    — a pure window function, so the spec is one SQL lag()). Exact-int
+    microsecond diffs on both sides; one user-keyed exchange, in-bucket
+    sorted shift-diff."""
+    import ray.data as rd
+
+    from ..datapipe import debounce
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+    out = debounce(ds, gap_us=_DEBOUNCE_GAP_US).to_pandas()
+    out = _typed(out[["event_id", "user_id", "event_type"]],
+                 {"event_id": "int64", "user_id": "int64",
+                  "event_type": "object"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_DEBOUNCE = f"""
+SELECT event_id, user_id, event_type
+FROM events
+QUALIFY lag(epoch_us(ts)) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        IS NULL
+     OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        > {_DEBOUNCE_GAP_US}
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4852,6 +4889,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "multimodal_quarantine": q_multimodal_quarantine,
     "table_profile": q_table_profile,
+    "events_debounce": q_events_debounce,
 }
 
 ORACLES = {
@@ -4994,4 +5032,5 @@ ORACLES = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "multimodal_quarantine": SQL_MULTIMODAL_QUARANTINE_GOLDEN,
     "table_profile": SQL_TABLE_PROFILE,
+    "events_debounce": SQL_EVENTS_DEBOUNCE,
 }

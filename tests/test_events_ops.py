@@ -319,3 +319,26 @@ def test_type_trend_hand_check():
     out = type_trend(_ds(tbl), unit="day").sort_values("event_type")
     assert out[out.event_type == "up"]["slope"].iloc[0] == 1.0
     assert out[out.event_type == "flat"]["slope"].iloc[0] == 0.0
+
+
+def test_debounce_hand_check():
+    """Lag-based semantics: the previous event suppresses the next even
+    when it was itself suppressed; streams are per (user, type); ts tie
+    breaks by event_id (second of a tie never survives)."""
+    from sagan_ray.datapipe import debounce
+
+    tbl = pa.table({
+        # user 1 / "a": ts 0, 5, 12, 30 with gap 10 → keep 0 (first),
+        #   drop 5 (diff 5), keep 12 (diff 7 from the DROPPED 5? no —
+        #   lag-based: diff vs previous event 5 is 7 ≤ 10 → drop),
+        #   keep 30 (diff 18 > 10).
+        # user 1 / "b": independent stream → its first survives.
+        # user 2 / "a": tie at ts 0 → id 7 first, id 8 dropped (diff 0).
+        "event_id": pa.array([1, 2, 3, 4, 5, 7, 8], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "a", "b", "a", "a"]),
+        "ts": pa.array([0, 5, 12, 30, 3, 0, 0], pa.timestamp("us")),
+    })
+    out = (debounce(_ds(tbl), gap_us=10).to_pandas()
+           .sort_values("event_id"))
+    assert out["event_id"].tolist() == [1, 4, 5, 7]
