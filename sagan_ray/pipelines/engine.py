@@ -196,8 +196,16 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
                concurrency=None, batch_size: int = 16384,
                state_dir: str | None = None,
                max_bucket_bytes: int = 256 << 20,
-               task_retries: int = 3) -> EngineResult:
+               task_retries: int = 3,
+               shared_bits: str | None = None) -> EngineResult:
     """Build the lazy match pipeline over a transcript Dataset.
+
+    ``shared_bits``: name of a cluster-wide shared xbit store (a named
+    detached actor, created on first use) — the xbit-redis analog
+    (reference src/xbit-redis.c): CONCURRENT engine runs naming the same
+    store observe each other's xbits at replay-batch granularity; the
+    store is authoritative for xbits while set (see state/shared.py for
+    the exact semantics and their relation to state_dir snapshots).
 
     ``state_dir``: when given, correlation state (xbits/flexbits/after/
     threshold) is loaded per bucket before the replay and snapshotted back
@@ -272,9 +280,16 @@ def run_engine(ds, ruleset: RuleSet, lookups: Lookups | None = None,
                 n_buckets = stored
             else:
                 write_state_meta(state_dir, n_buckets)
+        if shared_bits is not None:
+            # eager get-or-create so the detached store exists before
+            # bucket tasks race to resolve the name
+            from ..state.shared import shared_bit_store
+
+            shared_bit_store(shared_bits)
         list_matches, count_refs = _correlate_exchange(
             matches, ruleset, n_buckets, state_dir=state_dir,
-            max_bucket_bytes=max_bucket_bytes, task_retries=task_retries)
+            max_bucket_bytes=max_bucket_bytes, task_retries=task_retries,
+            shared_bits=shared_bits)
         # public match stream stays the exploded MATCH_SCHEMA — a lazy
         # vectorized explode over the list-form refs (batch_size=None:
         # whole blocks, zero re-slicing)
@@ -330,7 +345,8 @@ def run_engine_dynamic(ds, ruleset: RuleSet, lookups: Lookups | None = None,
 def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
                         state_dir: str | None = None,
                         max_bucket_bytes: int = 256 << 20,
-                        task_retries: int = 3):
+                        task_retries: int = 3,
+                        shared_bits: str | None = None):
     """Two-stage hash exchange + per-bucket ordered replay for the
     stateful tail — raw Ray core, not ``groupby().map_groups``.
 
@@ -449,7 +465,10 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
     @ray.remote(num_returns=2)
     def corr_bucket(bucket_id, *tables):
         """Reduce side: ordered replay of one bucket + its count partial;
-        optionally resumes from / snapshots to the bucket's state file."""
+        optionally resumes from / snapshots to the bucket's state file,
+        and/or syncs xbits through the shared store (xbit-redis analog:
+        fetch-authoritative before the replay, publish the delta after —
+        state/shared.py documents the exact semantics)."""
         init_states = out_states = None
         if state_dir is not None:
             from ..state.snapshot import load_bucket_state, save_bucket_state
@@ -463,8 +482,23 @@ def _correlate_exchange(matches_ds, ruleset: RuleSet, n_buckets: int,
             e = LIST_MATCH_SCHEMA.empty_table()
             return e, _count_partial(e)
         tbl = pa.concat_tables(parts)
+        pre = store = convs = None
+        if shared_bits is not None:
+            from ..state.shared import (bit_delta_ops, merge_shared_bits,
+                                        shared_bit_store)
+
+            if init_states is None:
+                init_states, out_states = {}, {}
+            store = shared_bit_store(shared_bits)
+            convs = set(tbl.column("conv_id").to_pylist())
+            pre = merge_shared_bits(init_states, convs,
+                                    ray.get(store.fetch.remote()))
         out = correlate_lists(tbl, init_states=init_states,
                               out_states=out_states)
+        if store is not None:
+            ops = bit_delta_ops(pre, out_states, convs)
+            if ops:
+                ray.get(store.apply.remote(ops))
         if state_dir is not None:
             # per-conversation watermarks (max ts seen per conv in this
             # run) — a bucket-global max could prune live bits of convs

@@ -46,7 +46,8 @@ def _save_manifest(out_dir: str, done: set[str]) -> None:
 def poll_once(input_dir: str, out_dir: str, ruleset: RuleSet,
               lookups: Lookups | None = None,
               config: EngineConfig | None = None, *,
-              batch_size: int = 16384) -> dict:
+              batch_size: int = 16384,
+              shared_bits: str | None = None) -> dict:
     """One follow-loop iteration: process new parquet files (if any)
     against the carried correlation state; returns
     {"files": [...], "routed": N}."""
@@ -64,7 +65,8 @@ def poll_once(input_dir: str, out_dir: str, ruleset: RuleSet,
 
     state_dir = os.path.join(out_dir, "state")
     eng = run_engine(rd.read_parquet(new), ruleset, lookups, config,
-                     batch_size=batch_size, state_dir=state_dir)
+                     batch_size=batch_size, state_dir=state_dir,
+                     shared_bits=shared_bits)
     # materialize once: count + write must not re-execute the pipeline
     # (a poll's routed set is small — the filtered alert stream)
     routed = eng.routed().materialize()
@@ -85,7 +87,8 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
            idle_polls_to_stop: int | None = None,
            rules_path: str | None = None,
            rule_variables: dict[str, str] | None = None,
-           classifications: dict[str, int] | None = None):
+           classifications: dict[str, int] | None = None,
+           shared_bits: str | None = None):
     """Follow loop: yields each non-empty poll result. ``max_polls`` /
     ``idle_polls_to_stop`` bound the loop for tests and batch drains
     (None = run forever, the FIFO blocking-read analog).
@@ -97,7 +100,13 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
     ruleset applies from that poll on, with correlation state carried
     (snapshots are keyed by conv bucket, not by ruleset). A parse error
     is FATAL, as in the reference (rules.c aborts on bad rules) — the
-    manifest makes the crashed poll replayable."""
+    manifest makes the crashed poll replayable.
+
+    ``shared_bits``: name of the cluster-wide shared xbit store — the
+    xbit-redis analog (reference src/xbit-redis.c): several CONCURRENT
+    follow loops, each with its OWN out_dir/state_dir, observe each
+    other's xbits through the named store at poll granularity (see
+    state/shared.py)."""
     from ..rules.parser import parse_rules_file
     from ..state.snapshot import acquire_state_lock
 
@@ -122,7 +131,8 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
                     ruleset = parse_rules_file(rules_path, rule_variables,
                                                classifications)
                     mtime = m
-            res = poll_once(input_dir, out_dir, ruleset, lookups, config)
+            res = poll_once(input_dir, out_dir, ruleset, lookups, config,
+                            shared_bits=shared_bits)
             polls += 1
             if res["files"]:
                 idle = 0
