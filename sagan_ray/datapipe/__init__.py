@@ -13,6 +13,7 @@ from .dedup import (  # noqa: F401
     ngram_containment_pairs,
     normalize_text_col,
     dedup_against_prior,
+    dedup_cluster_best,
     dedup_cluster_reps,
     embedding_near_dup,
     embedding_near_dup_exact,

@@ -834,6 +834,48 @@ def dedup_cluster_reps(ds, *, threshold: float = 0.9, text_col: str = "text",
     return hash_group_apply(sides, ["key"], attach, out_schema=out_schema)
 
 
+def dedup_cluster_best(ds, *, threshold: float = 0.9, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3, n_perm: int = 64,
+                       bands: int = 16, quality_col: str | None = None):
+    """Quality-aware dedup ACTION: one (doc_id, quality) row per near-dup
+    cluster, keeping the HIGHEST-quality member (ties → lowest doc id)
+    instead of ``dedup_cluster_reps``'s lowest-id convention — what a
+    curation pipeline actually wants when duplicates differ in quality
+    (the canonical copy of a boilerplate page is usually not the one
+    with the smallest id). Quality is ``quality_col`` if given (an
+    int64 column already on ``ds``), else the exact utf-8 char count of
+    ``text_col`` — an exact-integer key, so the argmax is tie-stable
+    under any block layout.
+
+    Shape: cluster labels from the pairs exchange (ids only), one
+    exchange join to attach quality, then ``group_topk(k=1)`` per
+    cluster — its per-batch partial keeps at most one row per cluster
+    per block, so the final exchange carries ≤ one row per (cluster ×
+    block) no matter how large the clusters are. Text never moves."""
+    import pyarrow.compute as pc
+
+    from .curate import group_topk
+    from .joins import hash_join
+
+    reps = dedup_cluster_reps(ds, threshold=threshold, text_col=text_col,
+                              id_col=id_col, k=k, n_perm=n_perm, bands=bands)
+
+    def qual(t: pa.Table) -> pa.Table:
+        q = (t.column(quality_col).combine_chunks().cast(pa.int64())
+             if quality_col is not None else
+             pc.cast(pc.utf8_length(t.column(text_col)), pa.int64()))
+        return pa.table({id_col: t.column(id_col).combine_chunks()
+                         .cast(pa.int64()), "q": q})
+
+    j = hash_join(reps, ds.map_batches(qual, batch_format="pyarrow"),
+                  on=id_col, left_cols=["rep"], right_cols=["q"])
+    best = group_topk(j, key_col="rep", order_col="r_q", k=1, id_col=id_col)
+    return best.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "quality": t.column("r_q")}),
+        batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------------
 # embedding near-dup
 # ----------------------------------------------------------------------

@@ -1759,6 +1759,39 @@ ORDER BY doc_id
 """)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup ACTION (dedup.dedup_cluster_best): one doc
+    per near-dup cluster, keeping the LONGEST member (exact utf-8 char
+    count; ties → lowest doc id) — the curation-grade variant of
+    dedup_filter's keep-lowest-id. Cluster chain identical to
+    dedup_clusters; the argmax rides group_topk(k=1), whose per-batch
+    partial bounds the exchange at one row per (cluster × block)."""
+    from ..datapipe import dedup_cluster_best
+
+    out = _typed(dedup_cluster_best(_docs(sf_dir), threshold=0.9).to_pandas(),
+                 {"doc_id": "int64", "quality": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# same pair/closure CTEs as SQL_DEDUP_CLUSTERS; keep = each cluster's
+# (length desc, doc_id asc) maximum
+SQL_DEDUP_KEEP_BEST = SQL_DEDUP_CLUSTERS.replace(
+    """mn AS (SELECT u, min(v) AS m FROM reach GROUP BY u)
+SELECT d.doc_id, least(d.doc_id, coalesce(mn.m, d.doc_id)) AS rep
+FROM documents d LEFT JOIN mn ON mn.u = d.doc_id
+ORDER BY doc_id
+""",
+    """mn AS (SELECT u, min(v) AS m FROM reach GROUP BY u)
+SELECT doc_id, quality FROM (
+  SELECT d.doc_id, length(d.text)::BIGINT AS quality,
+         row_number() OVER (
+           PARTITION BY least(d.doc_id, coalesce(mn.m, d.doc_id))
+           ORDER BY length(d.text) DESC, d.doc_id) AS rn
+  FROM documents d LEFT JOIN mn ON mn.u = d.doc_id)
+WHERE rn = 1 ORDER BY doc_id
+""")
+
+
 def q_text_tokens(sf_dir: str):
     from ..datapipe import token_counts
 
@@ -4890,6 +4923,7 @@ QUERIES = {
     "multimodal_quarantine": q_multimodal_quarantine,
     "table_profile": q_table_profile,
     "events_debounce": q_events_debounce,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES = {
@@ -5033,4 +5067,5 @@ ORACLES = {
     "multimodal_quarantine": SQL_MULTIMODAL_QUARANTINE_GOLDEN,
     "table_profile": SQL_TABLE_PROFILE,
     "events_debounce": SQL_EVENTS_DEBOUNCE,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
 }

@@ -2759,3 +2759,31 @@ def test_profile_table_cross_block_integer_minmax():
     assert out.loc["s", "min_v"] == "a" and out.loc["s", "max_v"] == "c"
     assert out.loc["s", "n_distinct"] == 3
     assert (out["n_rows"] == 4).all() and (out["n_nulls"] == 0).all()
+
+
+def test_dedup_cluster_best_keeps_longest():
+    """Quality-aware ACTION: within a dup cluster the LONGEST doc wins
+    (ties → lowest id), singletons keep themselves, and an explicit
+    quality_col overrides the length default."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import dedup_cluster_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # 1,2,3 near-identical; 2 is longest; 4,5 singletons
+        "text": pa.array([base, base + " tail", base,
+                          "completely different text one",
+                          "another unrelated document two"]),
+        "prio": pa.array([9, 1, 1, 1, 1], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = (dedup_cluster_best(ds, threshold=0.8).to_pandas()
+           .sort_values("doc_id"))
+    assert out["doc_id"].tolist() == [2, 4, 5]
+    assert int(out["quality"].iloc[0]) == len(base + " tail")
+    # explicit quality column: doc 1 wins its cluster instead
+    out2 = (dedup_cluster_best(ds, threshold=0.8, quality_col="prio")
+            .to_pandas().sort_values("doc_id"))
+    assert out2["doc_id"].tolist() == [1, 4, 5]
