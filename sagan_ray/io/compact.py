@@ -1,0 +1,68 @@
+"""Corpus compaction — the small-files maintenance rewrite.
+
+A long-lived follow loop / incremental-append corpus accumulates many
+small parquet files (each poll, each appended shard writes its own);
+at read time that caps fused read+map parallelism at file count and
+drowns the scheduler in tiny tasks (the measured ≤64k-rows-per-file
+rule cuts the other way when files shrink to hundreds of rows). This
+op rewrites a directory into ~``target_bytes`` files, preserving rows
+exactly and (optionally) a hive partition layout — the OPTIMIZE /
+compaction step every table-maintenance story needs at 100 TB.
+
+Shape: one streaming ``read_parquet → write_parquet`` pass — no
+driver-side rows, no shuffle. File sizing derives from the INPUT's own
+on-disk footprint (encoded bytes / rows), so the estimate already
+reflects the corpus's real compression ratio; ``min/max_rows_per_file``
+then bracket the target. Output goes to a NEW directory (atomic adopt =
+rename over the old one after verifying counts) so a crashed compaction
+never corrupts the source — same stance as the snapshot writers' tmp +
+rename.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(total parquet bytes, file count) under ``path``."""
+    total = files = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+                files += 1
+    return total, files
+
+
+def compact_corpus(in_dir: str, out_dir: str, *,
+                   target_bytes: int = 128 << 20,
+                   partition_cols: list[str] | None = None,
+                   concurrency: int | None = None) -> dict:
+    """Rewrite ``in_dir``'s parquet files into ~``target_bytes`` files
+    under ``out_dir`` (must not already contain parquet). Returns
+    {rows, files_in, files_out, bytes_in, bytes_out, rows_per_file}.
+
+    ``partition_cols`` re-partitions the output hive-style (one
+    directory tree per key combo) — compaction is the natural moment to
+    fix a layout, and within each partition the same file-size target
+    applies."""
+    import ray.data as rd
+
+    bytes_in, files_in = _dir_stats(in_dir)
+    if files_in == 0 or bytes_in == 0:
+        raise ValueError(f"compact_corpus: no parquet under {in_dir!r}")
+    ds = rd.read_parquet(in_dir)
+    rows = ds.count()  # parquet metadata only — no data scan
+    if rows == 0:
+        raise ValueError(f"compact_corpus: no rows under {in_dir!r}")
+    bpr = max(1, bytes_in // rows)
+    rows_per_file = max(1, int(target_bytes // bpr))
+    ds.write_parquet(out_dir, partition_cols=partition_cols,
+                     min_rows_per_file=rows_per_file,
+                     max_rows_per_file=rows_per_file,
+                     concurrency=concurrency)
+    bytes_out, files_out = _dir_stats(out_dir)
+    return {"rows": int(rows), "files_in": files_in,
+            "files_out": files_out, "bytes_in": bytes_in,
+            "bytes_out": bytes_out, "rows_per_file": rows_per_file}

@@ -1792,6 +1792,43 @@ WHERE rn = 1 ORDER BY doc_id
 """)
 
 
+def q_corpus_compact(sf_dir: str):
+    """Small-files compaction round-trip (io/compact.py::compact_corpus):
+    explode the documents table into many tiny parquet files, compact
+    them to ~256 KB targets, and read the compacted corpus back — the
+    oracle is the ORIGINAL table, so a green hash row proves the rewrite
+    is row-exact end to end. The query asserts the file count actually
+    shrank (the op's whole point) before returning."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..io.compact import compact_corpus
+
+    base = "/tmp/sagan_ray_compact"
+    shutil.rmtree(base, ignore_errors=True)
+    rd.read_parquet(f"{sf_dir}/documents.parquet",
+                    override_num_blocks=32).write_parquet(
+        f"{base}/in", max_rows_per_file=16)
+    res = compact_corpus(f"{base}/in", f"{base}/out",
+                         target_bytes=256 << 10)
+    assert res["files_out"] < res["files_in"], res
+    out = rd.read_parquet(f"{base}/out").map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "n_chars": t.column("n_chars")}),
+        batch_format="pyarrow").to_pandas()
+    out = _typed(out, {"doc_id": "int64", "source": "object",
+                       "n_chars": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CORPUS_COMPACT = """
+SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id
+"""
+
+
 def q_text_tokens(sf_dir: str):
     from ..datapipe import token_counts
 
@@ -4924,6 +4961,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "events_debounce": q_events_debounce,
     "dedup_keep_best": q_dedup_keep_best,
+    "corpus_compact": q_corpus_compact,
 }
 
 ORACLES = {
@@ -5068,4 +5106,5 @@ ORACLES = {
     "table_profile": SQL_TABLE_PROFILE,
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "corpus_compact": SQL_CORPUS_COMPACT,
 }

@@ -526,3 +526,43 @@ def test_tar_shard_roundtrip_and_missing_extensions(tmp_path):
     paths2 = write_tar_shards(samples, str(tmp_path / "wds2"), shard_size=2)
     for p1, p2 in zip(paths, paths2):
         assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_compact_corpus_partitioned_and_exact(tmp_path):
+    """Compaction preserves rows exactly, shrinks file count, honors a
+    hive partition layout, and refuses an empty input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from sagan_ray.io.compact import _dir_stats, compact_corpus
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(200)), pa.int64()),
+        "grp": pa.array(["a" if i % 3 else "b" for i in range(200)]),
+        "text": pa.array([f"doc {i} body" for i in range(200)]),
+    })
+    src = str(tmp_path / "in")
+    rd.from_arrow(tbl).repartition(20).write_parquet(src,
+                                                     max_rows_per_file=10)
+    _, files_in = _dir_stats(src)
+    assert files_in >= 10
+
+    out = str(tmp_path / "out")
+    res = compact_corpus(src, out, target_bytes=1 << 20,
+                         partition_cols=["grp"])
+    assert res["rows"] == 200 and res["files_out"] < files_in
+    # hive layout present
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("grp=")) == [
+        "grp=a", "grp=b"]
+    back = pq.read_table(out).to_pandas()
+    assert len(back) == 200
+    assert sorted(back["doc_id"]) == list(range(200))
+    # partition column round-trips (hive-encoded)
+    assert (back.sort_values("doc_id")["grp"].tolist()
+            == ["a" if i % 3 else "b" for i in range(200)])
+
+    with pytest.raises(ValueError):
+        compact_corpus(str(tmp_path / "empty"), str(tmp_path / "out2"))
