@@ -38,6 +38,7 @@ def _dir_stats(path: str) -> tuple[int, int]:
 def compact_corpus(in_dir: str, out_dir: str, *,
                    target_bytes: int = 128 << 20,
                    partition_cols: list[str] | None = None,
+                   order_by: str | None = None,
                    concurrency: int | None = None) -> dict:
     """Rewrite ``in_dir``'s parquet files into ~``target_bytes`` files
     under ``out_dir`` (must not already contain parquet). Returns
@@ -46,7 +47,14 @@ def compact_corpus(in_dir: str, out_dir: str, *,
     ``partition_cols`` re-partitions the output hive-style (one
     directory tree per key combo) — compaction is the natural moment to
     fix a layout, and within each partition the same file-size target
-    applies."""
+    applies.
+
+    ``order_by`` additionally CLUSTERS the rewrite by a column (the
+    linear form of Delta's OPTIMIZE ZORDER): one distributed sort, so
+    output files carry disjoint key ranges and parquet min/max stats
+    prune whole files at read time. A sort is an all-to-all — only
+    worth paying when later reads filter on that key, which is exactly
+    when you'd ask for it."""
     import ray.data as rd
 
     bytes_in, files_in = _dir_stats(in_dir)
@@ -56,6 +64,8 @@ def compact_corpus(in_dir: str, out_dir: str, *,
     rows = ds.count()  # parquet metadata only — no data scan
     if rows == 0:
         raise ValueError(f"compact_corpus: no rows under {in_dir!r}")
+    if order_by is not None:
+        ds = ds.sort(order_by)
     bpr = max(1, bytes_in // rows)
     rows_per_file = max(1, int(target_bytes // bpr))
     ds.write_parquet(out_dir, partition_cols=partition_cols,

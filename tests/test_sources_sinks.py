@@ -566,3 +566,48 @@ def test_compact_corpus_partitioned_and_exact(tmp_path):
 
     with pytest.raises(ValueError):
         compact_corpus(str(tmp_path / "empty"), str(tmp_path / "out2"))
+
+
+def test_compact_corpus_clustered_files_are_range_disjoint(tmp_path):
+    """order_by= clusters the rewrite: per-file parquet min/max stats on
+    the sort key are pairwise disjoint, so a filtered read can prune
+    whole files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sagan_ray.io.compact import compact_corpus
+
+    n = 400
+    tbl = pa.table({
+        # ids deliberately scattered across input files
+        "doc_id": pa.array([(i * 37) % n for i in range(n)], pa.int64()),
+        "text": pa.array([f"body {i}" for i in range(n)]),
+    })
+    src = str(tmp_path / "in")
+    rd.from_arrow(tbl).repartition(16).write_parquet(src)
+    out = str(tmp_path / "out")
+    res = compact_corpus(src, out, target_bytes=4 << 10,
+                         order_by="doc_id")
+    assert res["rows"] == n and res["files_out"] >= 2
+
+    import os
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        col = md.schema.to_arrow_schema().get_field_index("doc_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # disjoint (equal only at a boundary tie)
+    # content preserved
+    back = pq.read_table(out)
+    assert sorted(back["doc_id"].to_pylist()) == sorted(
+        tbl["doc_id"].to_pylist())
