@@ -36,6 +36,7 @@ from .diff import (  # noqa: F401
 )
 from .profile import (  # noqa: F401
     profile_table,
+    validate_table,
 )
 from .web import (  # noqa: F401
     domain_filter,

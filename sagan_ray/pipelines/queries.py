@@ -1829,6 +1829,63 @@ SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id
 """
 
 
+def q_table_validate(sf_dir: str):
+    """Declarative constraint suite over documents
+    (profile.validate_table): null / unique / range / regex / in-set
+    checks as one vectorized count pass + the hash-keyed distinct
+    exchange — the expectation gate a pipeline runs on every snapshot.
+    Mix of passing (0) and failing (>0) constraints so the hash row
+    proves both directions."""
+    import ray.data as rd
+
+    from ..datapipe import validate_table
+
+    def _d():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang", "source",
+                                        "n_chars"])
+
+    out = validate_table(_d(), [
+        ("not_null", "text"),
+        ("unique", "lang"),
+        ("range", "n_chars", (50, 500)),
+        ("regex", "source", r"^src[0-9]$"),
+        ("in_set", "lang", ("en", "zh", "es")),
+    ], ds_unique=_d()).to_pandas()
+    out = _typed(out, {"kind": "object", "col": "object",
+                       "violations": "int64"})
+    return out.sort_values(["kind", "col"]).reset_index(drop=True)
+
+
+SQL_TABLE_VALIDATE = r"""
+SELECT * FROM (
+  SELECT 'not_null' AS kind, 'text' AS col,
+         count(*) FILTER (text IS NULL)::BIGINT AS violations
+  FROM documents
+  UNION ALL
+  SELECT 'unique', 'lang',
+         (count(lang) - count(DISTINCT lang))::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT 'range', 'n_chars',
+         count(*) FILTER (n_chars IS NOT NULL
+                          AND (n_chars < 50 OR n_chars > 500))::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT 'regex', 'source',
+         count(*) FILTER (source IS NOT NULL
+                          AND NOT regexp_matches(source,
+                                                 '^src[0-9]$'))::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT 'in_set', 'lang',
+         count(*) FILTER (lang IS NOT NULL
+                          AND lang NOT IN ('en', 'zh', 'es'))::BIGINT
+  FROM documents
+) ORDER BY kind, col
+"""
+
+
 def q_text_tokens(sf_dir: str):
     from ..datapipe import token_counts
 
@@ -4962,6 +5019,7 @@ QUERIES = {
     "events_debounce": q_events_debounce,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_compact": q_corpus_compact,
+    "table_validate": q_table_validate,
 }
 
 ORACLES = {
@@ -5107,4 +5165,5 @@ ORACLES = {
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "corpus_compact": SQL_CORPUS_COMPACT,
+    "table_validate": SQL_TABLE_VALIDATE,
 }

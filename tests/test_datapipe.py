@@ -2787,3 +2787,34 @@ def test_dedup_cluster_best_keeps_longest():
     out2 = (dedup_cluster_best(ds, threshold=0.8, quality_col="prio")
             .to_pandas().sort_values("doc_id"))
     assert out2["doc_id"].tolist() == [1, 4, 5]
+
+
+def test_validate_table_hand_check():
+    """Nulls excluded from range/regex/in_set (counted only by
+    not_null); unique counts excess non-null rows; int in_set casts;
+    unknown kind raises."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import validate_table
+
+    tbl = pa.table({
+        "v": pa.array([1, 5, 11, None, 5], pa.int64()),
+        "s": pa.array(["ab", "zz", None, "ab", "a1"]),
+    })
+    ds = rd.from_arrow(tbl)
+    out = (validate_table(ds, [
+        ("not_null", "v"),
+        ("not_null", "s"),
+        ("unique", "s"),                 # 4 non-null, 3 distinct → 1
+        ("range", "v", (1, 10)),         # 11 → 1 (null ignored)
+        ("regex", "s", "^[a-z]+$"),      # a1 → 1
+        ("in_set", "v", (1, 5)),         # 11 → 1
+    ], ds_unique=rd.from_arrow(tbl)).to_pandas())
+    got = {(r.kind, r.col): int(r.violations) for r in out.itertuples()}
+    assert got == {("not_null", "v"): 1, ("not_null", "s"): 1,
+                   ("unique", "s"): 1, ("range", "v"): 1,
+                   ("regex", "s"): 1, ("in_set", "v"): 1}
+
+    import pytest
+    with pytest.raises(ValueError):
+        validate_table(ds, [("bogus", "v")])
