@@ -328,3 +328,59 @@ def conv_documents(ds, key: str = "conv_id", text_col: str = "text",
                                            turn_col]),
                        batch_format="pyarrow"),
         [key], bucket, out_schema=schema)
+
+
+def adjacent_pairs(ds, *, prev_role: str, next_role: str,
+                   key: str = "conv_id", role_col: str = "role",
+                   turn_col: str = "turn_idx", text_col: str = "text"):
+    """Adjacent-turn pair extraction — the SFT (prompt → response)
+    mining shape over a transcript corpus: every turn whose role is
+    ``next_role`` immediately preceded (in turn order, same
+    conversation) by a ``prev_role`` turn yields one row
+    (key, turn_idx of the response, prompt_n, response_n) with exact
+    utf-8 char counts of both sides. Adjacency is row adjacency in turn
+    order (the SQL lag() frame), matching role_transitions.
+
+    Text never ships: lengths are computed map-side, the conv-keyed
+    exchange carries (key, turn, role, n) only; inside a bucket one
+    lexsort + shifted masks cover every conversation — no per-key
+    loop. A real extractor would re-join the surviving (key, turn_idx)
+    pairs back to the text exactly like dedup_filter does with doc ids."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..datapipe.exchange import hash_group_apply
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            key: tbl.column(key),
+            turn_col: pc.cast(tbl.column(turn_col), pa.int64()),
+            role_col: tbl.column(role_col),
+            "n": pc.cast(pc.utf8_length(tbl.column(text_col)), pa.int64()),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df[key].to_numpy()
+        turns = df[turn_col].to_numpy()
+        roles = df[role_col].to_numpy()
+        ns = df["n"].to_numpy()
+        o = np.lexsort((turns, ks))
+        ks, turns, roles, ns = ks[o], turns[o], roles[o], ns[o]
+        hit = np.zeros(len(ks), dtype=bool)
+        if len(ks) > 1:
+            hit[1:] = ((ks[1:] == ks[:-1]) & (roles[1:] == next_role)
+                       & (roles[:-1] == prev_role))
+        idx = np.flatnonzero(hit)
+        return pd.DataFrame({key: ks[idx],
+                             turn_col: turns[idx],
+                             "prompt_n": ns[idx - 1],
+                             "response_n": ns[idx]})
+
+    schema = pa.schema([(key, pa.string()), (turn_col, pa.int64()),
+                        ("prompt_n", pa.int64()),
+                        ("response_n", pa.int64())])
+    return hash_group_apply(
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
+        [key], bucket, out_schema=schema)

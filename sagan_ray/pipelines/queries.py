@@ -635,6 +635,35 @@ ORDER BY conv_id, from_role, to_role
 """
 
 
+def q_transcript_pairs(sf_dir: str):
+    """SFT pair mining over the transcripts (aggregates.adjacent_pairs):
+    every purchase turn immediately preceded by a click turn of the
+    same conversation → (conv, response turn, prompt/response char
+    counts). One conv-keyed exchange, lengths computed map-side — text
+    never ships; oracle = lag() window over the rendered transcripts."""
+    from .aggregates import adjacent_pairs
+
+    out = adjacent_pairs(_transcripts(sf_dir), prev_role="click",
+                         next_role="purchase").to_pandas()
+    out = _typed(out, {"conv_id": "object", "turn_idx": "int64",
+                       "prompt_n": "int64", "response_n": "int64"})
+    return (out.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
+SQL_TRANSCRIPT_PAIRS = _T + """
+, p AS (
+  SELECT conv_id, turn_idx,
+         role, length(text)::BIGINT AS n,
+         lag(role) OVER w AS p_role,
+         lag(length(text)::BIGINT) OVER w AS p_n
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx, p_n AS prompt_n, n AS response_n
+FROM p WHERE role = 'purchase' AND p_role = 'click'
+ORDER BY conv_id, turn_idx
+"""
+
+
 def q_conv_documents(sf_dir: str):
     """Transcripts → one ordered training document per conversation
     (role-prefixed turns joined in turn order) — the bridge that feeds
@@ -5020,6 +5049,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_compact": q_corpus_compact,
     "table_validate": q_table_validate,
+    "transcript_pairs": q_transcript_pairs,
 }
 
 ORACLES = {
@@ -5166,4 +5196,5 @@ ORACLES = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "corpus_compact": SQL_CORPUS_COMPACT,
     "table_validate": SQL_TABLE_VALIDATE,
+    "transcript_pairs": SQL_TRANSCRIPT_PAIRS,
 }

@@ -342,3 +342,26 @@ def test_debounce_hand_check():
     out = (debounce(_ds(tbl), gap_us=10).to_pandas()
            .sort_values("event_id"))
     assert out["event_id"].tolist() == [1, 4, 5, 7]
+
+
+def test_adjacent_pairs_hand_check():
+    """Pair = row adjacency in turn order within one conv: roles must
+    match exactly, conv boundaries break pairs, lengths exact."""
+    from sagan_ray.pipelines.aggregates import adjacent_pairs
+
+    tbl = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c1", "c2", "c2"],
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+        "role": ["user", "assistant", "assistant", "user",
+                 "assistant", "user"],
+        "text": ["hi", "hello!", "more", "bye", "orphan", "x"],
+    })
+    out = (adjacent_pairs(_ds(tbl), prev_role="user",
+                          next_role="assistant").to_pandas()
+           .sort_values(["conv_id", "turn_idx"]))
+    # only c1 turn 1 qualifies (turn 2 follows assistant; c2 turn 0 has
+    # no predecessor — conv boundary from c1 must not leak)
+    assert out["conv_id"].tolist() == ["c1"]
+    assert out["turn_idx"].tolist() == [1]
+    assert out["prompt_n"].tolist() == [2]
+    assert out["response_n"].tolist() == [6]
