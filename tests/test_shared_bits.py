@@ -110,3 +110,38 @@ def test_store_ops_unit_and_prune():
     assert [tuple(r[:3]) for r in bits] == [("c", "b2", "k")]
     assert ray.get(store.prune.remote(500)) == 1
     assert ray.get(store.fetch.remote()) == []
+
+
+def test_two_follow_loops_share_bits(tmp_path):
+    """The deployment shape the reference's Redis mode exists for: two
+    follow loops (own input dirs, own out_dirs/state_dirs — the flock
+    allows this) observing each other's xbits through one named store
+    at poll granularity."""
+    import pyarrow.parquet as pq
+
+    from sagan_ray.sources.stream import poll_once
+    from sagan_ray.synth import build_lookups
+
+    shared = _name()
+    rules = parse_rules(RULES)
+    in_a, in_b = tmp_path / "in_a", tmp_path / "in_b"
+    in_a.mkdir(), in_b.mkdir()
+    out_a, out_b = str(tmp_path / "out_a"), str(tmp_path / "out_b")
+
+    # sensor A sees the brute-force trigger
+    pq.write_table(mk([("a", 0, "login failed", 0)]),
+                   in_a / "f0.parquet")
+    res = poll_once(str(in_a), out_a, rules, build_lookups(),
+                    EngineConfig(), shared_bits=shared)
+    assert res["routed"] >= 1
+
+    # sensor B sees only the probe — fires via the shared bit
+    pq.write_table(mk([("a", 1, "login success", 100)]),
+                   in_b / "f0.parquet")
+    res = poll_once(str(in_b), out_b, rules, build_lookups(),
+                    EngineConfig(), shared_bits=shared)
+    assert res["routed"] >= 1
+    import pandas as pd
+
+    alerts = pd.read_parquet(f"{out_b}/alerts")
+    assert 2 in alerts["sid"].astype(int).tolist()
