@@ -485,20 +485,9 @@ def debounce(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                          ts_col: tbl.column(ts_col)})
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([user_col, type_col, ts_col, id_col],
-                            kind="mergesort")
-        uid = df[user_col].to_numpy()
-        et = df[type_col].to_numpy()
-        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_grp = np.ones(len(df), dtype=bool)
-        if len(df) > 1:
-            new_grp[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
-        diff = np.empty(len(df), dtype=np.int64)
-        if len(df):
-            diff[0] = 0
-            diff[1:] = ts[1:] - ts[:-1]
-        keep = new_grp | (diff > gap_us)
-        return df[keep]
+        return debounce_frame(df, user_col=user_col, ts_col=ts_col,
+                              id_col=id_col, type_col=type_col,
+                              gap_us=gap_us)
 
     schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
                         (type_col, pa.string()),
@@ -506,3 +495,26 @@ def debounce(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     return hash_group_apply(
         ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
         [user_col], bucket, out_schema=schema)
+
+
+def debounce_frame(df: pd.DataFrame, *, user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   type_col: str = "event_type",
+                   gap_us: int = 600_000_000) -> pd.DataFrame:
+    """The in-bucket debounce kernel (module-level so the property tests
+    can compare it against a per-stream sequential loop without Ray):
+    sorted shift-diff over (user, type, ts, id)-ordered rows."""
+    df = df.sort_values([user_col, type_col, ts_col, id_col],
+                        kind="mergesort")
+    uid = df[user_col].to_numpy()
+    et = df[type_col].to_numpy()
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_grp = np.ones(len(df), dtype=bool)
+    if len(df) > 1:
+        new_grp[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+    diff = np.empty(len(df), dtype=np.int64)
+    if len(df):
+        diff[0] = 0
+        diff[1:] = ts[1:] - ts[:-1]
+    keep = new_grp | (diff > gap_us)
+    return df[keep]

@@ -238,3 +238,83 @@ def test_bpe_encode_merge_invariants(words, merges):
         n1 = encode_len(w, ranks)
         assert 1 <= n1 <= len(w)
         assert n1 == encode_len(w, ranks)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),            # user
+                          st.integers(0, 2),            # type code
+                          st.integers(0, 40)),          # ts (us)
+                max_size=25),
+       st.integers(0, 15))                              # gap
+def test_debounce_frame_matches_sequential(rows, gap):
+    """The sorted shift-diff kernel must equal a per-stream sequential
+    lag loop — incl. ts ties (id order), interleaved streams, gap 0."""
+    import pandas as pd
+
+    from sagan_ray.datapipe.events import debounce_frame
+
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.array([r[0] for r in rows], np.int64),
+        "event_type": np.array([f"t{r[1]}" for r in rows], object),
+        "ts": pd.to_datetime(
+            np.array([r[2] for r in rows], np.int64), unit="us"),
+    })
+    got = set(debounce_frame(df, gap_us=gap)["event_id"].tolist())
+
+    want = set()
+    last: dict = {}
+    order = sorted(range(len(rows)),
+                   key=lambda i: (rows[i][0], rows[i][1], rows[i][2], i))
+    for i in order:
+        k = (rows[i][0], rows[i][1])
+        ts = rows[i][2]
+        if k not in last or ts - last[k] > gap:
+            want.add(i)
+        last[k] = ts
+    assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),            # conv code
+                          st.integers(0, 2)),           # role code
+                max_size=20))
+def test_adjacent_pairs_matches_sequential(rows):
+    """Vectorized shifted-mask pair extraction ≡ a per-conv sequential
+    scan (conv boundaries, role exactness, turn order)."""
+    import pyarrow as pa
+
+    from sagan_ray.pipelines.aggregates import adjacent_pairs
+
+    # unique turn_idx per conv in input order
+    seen: dict = {}
+    convs, turns, roles, texts = [], [], [], []
+    for c, r in rows:
+        t = seen.get(c, 0)
+        seen[c] = t + 1
+        convs.append(f"c{c}")
+        turns.append(t)
+        roles.append(f"r{r}")
+        texts.append("x" * (t + 1))
+    tbl = pa.table({"conv_id": pa.array(convs),
+                    "turn_idx": pa.array(turns, pa.int32()),
+                    "role": pa.array(roles),
+                    "text": pa.array(texts)})
+
+    import ray.data as rd
+    out = adjacent_pairs(rd.from_arrow(tbl), prev_role="r0",
+                         next_role="r1").to_pandas()
+    # all-empty Dataset.to_pandas() loses columns — treat as empty set
+    got = (set(zip(out["conv_id"], out["turn_idx"].astype(int)))
+           if len(out) else set())
+
+    want = set()
+    by_conv: dict = {}
+    for c, t, r in zip(convs, turns, roles):
+        by_conv.setdefault(c, []).append((t, r))
+    for c, lst in by_conv.items():
+        lst.sort()
+        for (pt, pr), (nt, nr) in zip(lst, lst[1:]):
+            if pr == "r0" and nr == "r1":
+                want.add((c, nt))
+    assert got == want
