@@ -88,6 +88,7 @@ from .curate import (  # noqa: F401
     sample_bottomk,
     sample_per_group,
     sample_stratified,
+    sample_token_budget,
     sample_weighted,
     shuffle_shards,
 )

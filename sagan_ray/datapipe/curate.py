@@ -470,3 +470,108 @@ def split_by_cluster(ds, *, train_frac: float = 0.8,
                               text_col=text_col,
                               id_col=id_col).map_batches(
         tag, batch_format="pyarrow")
+
+
+def sample_token_budget(ds, budget: int, *, id_col: str = "doc_id",
+                        text_col: str = "text", bucket_bits: int = 12):
+    """Token-budget subsampling — "give me a ~1B-token subset": keep the
+    deterministic hash-ordered PREFIX of documents whose running token
+    total stays under ``budget``. A doc is kept iff the sum of token
+    counts of all docs BEFORE it (in ascending (knuth_hash(id), id)
+    order — the ``sample_stratified`` hash, so re-runs and the SQL
+    window-function oracle select the identical subset) is < budget;
+    the straddling doc is included, so the subset reaches the budget
+    with minimal overshoot. Token counts are the whitespace-split spec
+    shared with ``token_counts``/``doc_pack``.
+
+    No global sort: the cut point is found like ``source_quantiles``
+    finds ranks — one slim (id, h, n) pass (24-byte rows, text never
+    leaves the map side), per-batch partial SUMS over 2^bucket_bits
+    hash buckets (≤4096 rows per partial), a driver fold (O(2^bits)
+    ints) that locates the budget-crossing bucket, an exact in-order
+    scan of THAT bucket only (expected corpus/2^bits rows — at larger
+    scale raise ``bucket_bits`` or recurse the same refinement one
+    level), then one stateless filter against the broadcast cut. Three
+    passes over the materialized slim table, zero shuffles.
+
+    Returns (id, h, n) for every kept doc. ``budget <= 0`` selects
+    nothing; ``budget >= total`` selects everything.
+    """
+    assert 1 <= bucket_bits <= 20
+    shift = np.uint64(32 - bucket_bits)
+    n_buckets = 1 << bucket_bits
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        ids = (tbl.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
+        with np.errstate(over="ignore"):
+            h = (ids * _KNUTH) % _MOD32
+        text = tbl.column(text_col)
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
+        empty = pc.equal(pc.utf8_trim_whitespace(text), "")
+        toks = pc.if_else(empty, pa.scalar(0, pa.int32()),
+                          pc.cast(toks, pa.int32()))
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "n": pc.cast(toks, pa.int64()),
+        })
+
+    slim_ds = ds.map_batches(slim, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+    if budget <= 0:                                # typed empty result
+        return slim_ds.map_batches(lambda t: t.slice(0, 0),
+                                   batch_format="pyarrow")
+
+    # pass 1: per-bucket token sums (partial rows bounded by n_buckets
+    # per 64k-row batch — the pinned-batch-size partial pattern)
+    def partial(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        s = np.zeros(n_buckets, np.int64)
+        np.add.at(s, (h >> shift).astype(np.int64), n)
+        nz = np.flatnonzero(s)
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "s": pa.array(s[nz], pa.int64())})
+
+    parts = slim_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()
+    sums = np.zeros(n_buckets, np.int64)
+    if len(parts):
+        np.add.at(sums, parts["b"].to_numpy(), parts["s"].to_numpy())
+    cum = np.cumsum(sums)
+    if cum[-1] < budget:                           # everything fits
+        return slim_ds
+    b_cross = int(np.searchsorted(cum, budget))    # first cum >= budget
+    before_bucket = int(cum[b_cross] - sums[b_cross])
+
+    # pass 2: exact in-order scan of the crossing bucket only
+    lo, hi = b_cross << int(shift), (b_cross + 1) << int(shift)
+    inb = slim_ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t.column("h"), lo),
+                                   pc.less(t.column("h"), hi))),
+        batch_format="pyarrow").to_pandas()
+    if len(inb) == 0:                              # all-empty loses cols
+        inb = pd.DataFrame({id_col: [], "h": [], "n": []})
+    inb = inb.sort_values(["h", id_col], kind="mergesort")
+    before = before_bucket + inb["n"].cumsum().to_numpy() - \
+        inb["n"].to_numpy()
+    kept = np.flatnonzero(before < budget)
+    if len(kept) == 0:                             # cut before bucket b
+        cut_h, cut_id = lo - 1, np.iinfo(np.int64).max
+    else:
+        last = kept[-1]                            # prefix ⇒ contiguous
+        cut_h = int(inb["h"].to_numpy()[last])
+        cut_id = int(inb[id_col].to_numpy()[last])
+
+    # pass 3: stateless filter against the broadcast cut
+    def keep(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("h")
+        ids = tbl.column(id_col)
+        m = pc.or_(pc.less(h, cut_h),
+                   pc.and_(pc.equal(h, cut_h),
+                           pc.less_equal(ids, cut_id)))
+        return tbl.filter(m)
+
+    return slim_ds.map_batches(keep, batch_format="pyarrow")

@@ -4878,6 +4878,40 @@ ORDER BY event_id
 """
 
 
+_TOKEN_BUDGET = 50_000
+
+
+def q_sample_token_budget(sf_dir: str):
+    """Token-budget subsampling ("give me a ~50k-token subset"): the
+    hash-ordered prefix of docs whose running whitespace-token total
+    stays under the budget — found via a weighted hash-bucket histogram
+    exchange + one exact scan of the crossing bucket, never a global
+    sort (curate.py::sample_token_budget)."""
+    from ..datapipe.curate import sample_token_budget
+
+    out = sample_token_budget(_docs(sf_dir), _TOKEN_BUDGET).to_pandas()
+    out = out.astype({"doc_id": "int64", "h": "int64", "n": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SAMPLE_TOKEN_BUDGET = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents),
+c AS (SELECT doc_id, h, n,
+             sum(n) OVER (ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id, h, n FROM c WHERE cum - n < {_TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5050,6 +5084,7 @@ QUERIES = {
     "corpus_compact": q_corpus_compact,
     "table_validate": q_table_validate,
     "transcript_pairs": q_transcript_pairs,
+    "sample_token_budget": q_sample_token_budget,
 }
 
 ORACLES = {
@@ -5197,4 +5232,5 @@ ORACLES = {
     "corpus_compact": SQL_CORPUS_COMPACT,
     "table_validate": SQL_TABLE_VALIDATE,
     "transcript_pairs": SQL_TRANSCRIPT_PAIRS,
+    "sample_token_budget": SQL_SAMPLE_TOKEN_BUDGET,
 }

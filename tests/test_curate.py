@@ -280,3 +280,43 @@ def test_split_by_cluster_no_leakage():
     assert len(dup_splits) == 1                  # whole cluster together
     assert set(out.loc[dup_ids, "rep"]) == {0}
     assert set(out["split"]) == {"train", "val"}
+
+
+def test_sample_token_budget_prefix_semantics():
+    """Budget subsampling = the hash-ordered prefix with before < budget:
+    equals the sequential spec at several budgets (incl. 0, straddle,
+    all), block-layout independent, zero-token docs ride free inside
+    the prefix."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import sample_token_budget
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    texts = ["" if i % 7 == 0 else " ".join(["w"] * (i % 23))
+             for i in range(n)]
+    tbl = pa.table({"doc_id": ids, "text": pa.array(texts)})
+
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+         % (np.uint64(1) << np.uint64(32))).astype(np.int64)
+    ntok = np.array([len(t.split()) if t.strip() else 0 for t in texts],
+                    np.int64)
+    order = np.lexsort((ids, h))
+    before = np.cumsum(ntok[order]) - ntok[order]
+
+    for budget in (0, 1, 500, 7000, 10**9):
+        want = set(ids[order][before < budget].tolist())
+        out = sample_token_budget(rd.from_arrow(tbl), budget).to_pandas()
+        got = set(out["doc_id"].tolist()) if len(out) else set()
+        assert got == want, budget
+        out2 = sample_token_budget(
+            rd.from_arrow(tbl).repartition(13), budget).to_pandas()
+        got2 = set(out2["doc_id"].tolist()) if len(out2) else set()
+        assert got2 == want, budget
+        if budget == 7000:
+            # the prefix includes its zero-token docs
+            kept_zero = [i for i in got if ntok[i] == 0]
+            assert kept_zero
+            # per-row n matches the spec counts
+            m = dict(zip(out["doc_id"], out["n"]))
+            assert all(m[i] == ntok[i] for i in got)
