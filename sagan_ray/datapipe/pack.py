@@ -152,3 +152,69 @@ def chunk_documents(ds, *, size: int, overlap: int = 0,
         })
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=16_384)
+
+
+def length_batches(ds, *, batch_size: int, count_col: str = "n_tokens",
+                   id_col: str = "doc_id"):
+    """Length-bucketed batch assignment — the dynamic-padding staple:
+    sort examples by length so each training batch holds similar-length
+    rows and per-batch padding (batch max − row length) collapses.
+    Returns (id, count, batch_id) with
+    ``batch_id = row_number in ascending (count, id) order // batch_size``
+    — exactly the window-function spec, without globally sorting the
+    data: ranks are assembled from a (count → docs) decomposition.
+
+    Shape: a tiny distinct-count histogram (per-batch (count, cnt)
+    partials — distinct lengths ≪ N, the ``rank_normalize`` stance)
+    folds on the driver into ``offset[c]`` = #rows with count < c; one
+    count-keyed slim exchange ((id, count) rows only) ranks ids WITHIN
+    each count value; batch_id = (offset + within_rank) // batch_size
+    computed inside the bucket task against the broadcast offset table.
+    Full rows never shuffle — the exchange carries 16-byte (id, count)
+    rows; compose after ``token_counts`` exactly like ``pack_sequences``."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_group_apply
+
+    assert batch_size > 0
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "c": tbl.column(count_col).cast(pa.int64()),
+        })
+
+    slim_ds = ds.map_batches(slim, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+
+    def part(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select(["c"]),
+                            ["c"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c", "cnt"])
+
+    hist = slim_ds.map_batches(part, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+    out_schema = pa.schema([(id_col, pa.int64()), ("c", pa.int64()),
+                            ("batch_id", pa.int64())])
+    if len(hist) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    hist = hist.groupby("c", sort=True)["cnt"].sum().reset_index()
+    cum = hist["cnt"].cumsum().to_numpy()
+    vals = hist["c"].to_numpy().astype(np.int64)
+    offs = (cum - hist["cnt"].to_numpy()).astype(np.int64)
+    off_ref = ray.put((vals, offs))
+
+    def bucket(df):
+        vals_, offs_ = ray.get(off_ref)
+        df = df.sort_values(["c", id_col], kind="mergesort")
+        c = df["c"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            first[1:] = c[1:] != c[:-1]
+        idx = np.arange(len(df))
+        rank = idx - idx[first][np.cumsum(first) - 1]
+        base = offs_[np.searchsorted(vals_, c)]
+        return df.assign(batch_id=(base + rank) // batch_size)
+
+    return hash_group_apply(slim_ds, ["c"], bucket, out_schema=out_schema)

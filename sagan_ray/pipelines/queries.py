@@ -4878,11 +4878,11 @@ ORDER BY event_id
 """
 
 
-_TOKEN_BUDGET = 50_000
+_TOKEN_BUDGET = 10_000
 
 
 def q_sample_token_budget(sf_dir: str):
-    """Token-budget subsampling ("give me a ~50k-token subset"): the
+    """Token-budget subsampling ("give me a ~10k-token subset"): the
     hash-ordered prefix of docs whose running whitespace-token total
     stays under the budget — found via a weighted hash-bucket histogram
     exchange + one exact scan of the crossing bucket, never a global
@@ -4909,6 +4909,38 @@ c AS (SELECT doc_id, h, n,
       FROM t)
 SELECT doc_id, h, n FROM c WHERE cum - n < {_TOKEN_BUDGET}
 ORDER BY doc_id
+"""
+
+
+_LEN_BATCH = 64
+
+
+def q_length_batches(sf_dir: str):
+    """Length-bucketed batching (dynamic-padding): every doc's batch_id
+    under the global (token count, id) ordering, assembled from a
+    distinct-count histogram + a count-keyed slim exchange — no global
+    sort (pack.py::length_batches)."""
+    from ..datapipe import token_counts
+    from ..datapipe.pack import length_batches
+
+    out = length_batches(token_counts(_docs(sf_dir)),
+                         batch_size=_LEN_BATCH).to_pandas()
+    out = out.astype({"doc_id": "int64", "c": "int64",
+                      "batch_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LENGTH_BATCHES = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS c
+  FROM documents)
+SELECT doc_id, c,
+       ((row_number() OVER (ORDER BY c, doc_id) - 1)
+        // {_LEN_BATCH})::BIGINT AS batch_id
+FROM t ORDER BY doc_id
 """
 
 
@@ -5085,6 +5117,7 @@ QUERIES = {
     "table_validate": q_table_validate,
     "transcript_pairs": q_transcript_pairs,
     "sample_token_budget": q_sample_token_budget,
+    "length_batches": q_length_batches,
 }
 
 ORACLES = {
@@ -5233,4 +5266,5 @@ ORACLES = {
     "table_validate": SQL_TABLE_VALIDATE,
     "transcript_pairs": SQL_TRANSCRIPT_PAIRS,
     "sample_token_budget": SQL_SAMPLE_TOKEN_BUDGET,
+    "length_batches": SQL_LENGTH_BATCHES,
 }

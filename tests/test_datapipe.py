@@ -2818,3 +2818,32 @@ def test_validate_table_hand_check():
     import pytest
     with pytest.raises(ValueError):
         validate_table(ds, [("bogus", "v")])
+
+
+def test_length_batches_matches_row_number_spec():
+    """batch_id == (row_number over (ORDER BY count, id) - 1) // B:
+    block-layout independent, heavy ties split deterministically by id,
+    B=1 gives pure rank, giant B gives one batch."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.pack import length_batches
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    c = (ids * 7919 % 13).astype(np.int64)        # 13 distinct lengths
+    t = pa.table({"doc_id": ids, "n_tokens": c})
+
+    order = np.lexsort((ids, c))
+    for B in (1, 9, 64, 10**6):
+        want = np.empty(n, np.int64)
+        want[order] = np.arange(n) // B
+        out = (length_batches(rd.from_arrow(t).repartition(7),
+                              batch_size=B)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert np.array_equal(out["batch_id"].to_numpy(), want)
+        assert np.array_equal(out["c"].to_numpy(), c)
+    # padding actually collapses: within every batch, max-min length
+    # spread is bounded by the number of ties straddling a boundary
+    out = (length_batches(rd.from_arrow(t), batch_size=64).to_pandas())
+    spread = out.groupby("batch_id")["c"].agg(lambda s: s.max() - s.min())
+    assert (spread <= 1).all()
