@@ -89,6 +89,7 @@ from .curate import (  # noqa: F401
     sample_per_group,
     sample_stratified,
     sample_token_budget,
+    sample_token_budget_by_group,
     sample_weighted,
     shuffle_shards,
 )

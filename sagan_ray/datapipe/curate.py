@@ -575,3 +575,134 @@ def sample_token_budget(ds, budget: int, *, id_col: str = "doc_id",
         return tbl.filter(m)
 
     return slim_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_token_budget_by_group(ds, budgets: dict[str, int], *,
+                                 group_col: str = "lang",
+                                 default_budget: int = 0,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 bucket_bits: int = 12):
+    """Per-group token quotas — the multilingual/source-balance staple
+    ("2M tokens of each language, whatever the corpus skew"): within
+    every ``group_col`` value independently, keep the hash-ordered doc
+    prefix whose running token total stays under that group's budget
+    (``sample_token_budget`` semantics per partition; the SQL oracle is
+    the same window function PARTITION BY group). Groups without an
+    entry get ``default_budget``; a budget <= 0 drops the group.
+
+    Same shape as the global op, one level keyed by group: (group,
+    bucket) token-sum partials fold on the driver (O(groups × 2^bits)),
+    each group's budget-crossing bucket is scanned exactly once (all
+    groups' crossing rows collected in ONE pass over the slim table),
+    and the final filter applies the per-group cuts from a broadcast
+    table. Three passes over materialized ~32-byte rows, zero shuffles.
+
+    Returns (id, group, h, n) for every kept doc."""
+    import ray
+    import ray.data as rd
+
+    assert 1 <= bucket_bits <= 20
+    shift = np.uint64(32 - bucket_bits)
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        ids = (tbl.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
+        with np.errstate(over="ignore"):
+            h = (ids * _KNUTH) % _MOD32
+        text = tbl.column(text_col)
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
+        empty = pc.equal(pc.utf8_trim_whitespace(text), "")
+        toks = pc.if_else(empty, pa.scalar(0, pa.int32()),
+                          pc.cast(toks, pa.int32()))
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            group_col: tbl.column(group_col).cast(pa.string()),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "n": pc.cast(toks, pa.int64()),
+        })
+
+    slim_ds = ds.map_batches(slim, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            (group_col, pa.string()),
+                            ("h", pa.int64()), ("n", pa.int64())])
+
+    # pass 1: (group, bucket) token sums
+    def partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        df["b"] = (df["h"].to_numpy().astype(np.uint64)
+                   >> shift).astype(np.int64)
+        g = df.groupby([group_col, "b"], sort=False)["n"].sum()
+        return pa.Table.from_pandas(g.reset_index(name="s"),
+                                    preserve_index=False)
+
+    parts = slim_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()
+    if len(parts) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    sums = (parts.groupby([group_col, "b"], sort=True)["s"].sum()
+            .reset_index())
+
+    # driver fold: per-group crossing bucket + tokens before it
+    keep_whole: set[str] = set()
+    crossing: dict[str, tuple[int, int]] = {}   # group -> (bucket, before)
+    for grp, sub in sums.groupby(group_col, sort=False):
+        budget = budgets.get(grp, default_budget)
+        if budget <= 0:
+            continue
+        cum = sub["s"].cumsum().to_numpy()
+        if cum[-1] < budget:
+            keep_whole.add(grp)
+            continue
+        i = int(np.searchsorted(cum, budget))
+        crossing[grp] = (int(sub["b"].to_numpy()[i]),
+                         int(cum[i] - sub["s"].to_numpy()[i]))
+
+    # pass 2: one pass collects every group's crossing-bucket rows
+    cross_ref = ray.put({g: b for g, (b, _) in crossing.items()})
+
+    def in_cross(tbl: pa.Table) -> pa.Table:
+        cr = ray.get(cross_ref)
+        df = tbl.to_pandas()
+        b = (df["h"].to_numpy().astype(np.uint64)
+             >> shift).astype(np.int64)
+        want = df[group_col].map(cr).to_numpy()
+        return pa.Table.from_pandas(df[b == want],
+                                    preserve_index=False)
+
+    cuts: dict[str, tuple[int, int]] = {}        # group -> (cut_h, cut_id)
+    if crossing:
+        inb = slim_ds.map_batches(in_cross,
+                                  batch_format="pyarrow").to_pandas()
+        for grp, sub in inb.groupby(group_col, sort=False):
+            sub = sub.sort_values(["h", id_col], kind="mergesort")
+            before = crossing[grp][1] + \
+                sub["n"].cumsum().to_numpy() - sub["n"].to_numpy()
+            kept = np.flatnonzero(before < budgets.get(grp, default_budget))
+            last = kept[-1]                       # crossing ⇒ non-empty
+            cuts[grp] = (int(sub["h"].to_numpy()[last]),
+                         int(sub[id_col].to_numpy()[last]))
+
+    # pass 3: per-group cut filter (whole-keep groups pass through)
+    whole_ref = ray.put(keep_whole)
+    cuts_ref = ray.put(cuts)
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        whole, ct = ray.get(whole_ref), ray.get(cuts_ref)
+        df = tbl.to_pandas()
+        grp = df[group_col]
+        m = grp.isin(whole).to_numpy()
+        has_cut = grp.isin(ct.keys()).to_numpy()
+        if has_cut.any():
+            ch = grp.map({g: c[0] for g, c in ct.items()}).to_numpy()
+            ci = grp.map({g: c[1] for g, c in ct.items()}).to_numpy()
+            h = df["h"].to_numpy()
+            ids = df[id_col].to_numpy()
+            m = m | (has_cut & ((h < ch) | ((h == ch) & (ids <= ci))))
+        out = df[m]
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return slim_ds.map_batches(keep, batch_format="pyarrow")

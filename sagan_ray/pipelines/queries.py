@@ -4944,6 +4944,48 @@ FROM t ORDER BY doc_id
 """
 
 
+_LANG_BUDGETS = {"en": 4000, "de": 5000, "es": 0}
+_LANG_DEFAULT_BUDGET = 1500
+
+
+def q_sample_token_budget_grouped(sf_dir: str):
+    """Per-language token quotas (the multilingual-balance staple): each
+    lang independently keeps its hash-ordered prefix under that lang's
+    budget — en is cut mid-corpus, de fits whole, es is dropped
+    (budget 0), fr/zh take the default
+    (curate.py::sample_token_budget_by_group)."""
+    from ..datapipe.curate import sample_token_budget_by_group
+
+    out = sample_token_budget_by_group(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), _LANG_BUDGETS,
+        default_budget=_LANG_DEFAULT_BUDGET).to_pandas()
+    out = out.astype({"doc_id": "int64", "lang": "string",
+                      "h": "int64", "n": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SAMPLE_TOKEN_BUDGET_GROUPED = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents),
+c AS (SELECT doc_id, lang, h, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id, lang, h, n FROM c
+WHERE cum - n < CASE lang WHEN 'en' THEN {_LANG_BUDGETS['en']}
+                          WHEN 'de' THEN {_LANG_BUDGETS['de']}
+                          WHEN 'es' THEN {_LANG_BUDGETS['es']}
+                          ELSE {_LANG_DEFAULT_BUDGET} END
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5118,6 +5160,7 @@ QUERIES = {
     "transcript_pairs": q_transcript_pairs,
     "sample_token_budget": q_sample_token_budget,
     "length_batches": q_length_batches,
+    "sample_token_budget_grouped": q_sample_token_budget_grouped,
 }
 
 ORACLES = {
@@ -5267,4 +5310,5 @@ ORACLES = {
     "transcript_pairs": SQL_TRANSCRIPT_PAIRS,
     "sample_token_budget": SQL_SAMPLE_TOKEN_BUDGET,
     "length_batches": SQL_LENGTH_BATCHES,
+    "sample_token_budget_grouped": SQL_SAMPLE_TOKEN_BUDGET_GROUPED,
 }

@@ -320,3 +320,54 @@ def test_sample_token_budget_prefix_semantics():
             # per-row n matches the spec counts
             m = dict(zip(out["doc_id"], out["n"]))
             assert all(m[i] == ntok[i] for i in got)
+
+
+def test_sample_token_budget_by_group_per_partition_prefix():
+    """Grouped budget subsampling = the global op applied independently
+    per group: every branch (cut mid-group, whole-keep, budget-0 drop,
+    default budget) matches the sequential per-group spec, block-layout
+    independent."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import sample_token_budget_by_group
+
+    n = 2400
+    ids = np.arange(n, dtype=np.int64)
+    langs = np.array(["en", "de", "es", "fr"])[ids % 4]
+    texts = ["" if i % 11 == 0 else " ".join(["w"] * (i % 17))
+             for i in range(n)]
+    tbl = pa.table({"doc_id": ids, "text": pa.array(texts),
+                    "lang": pa.array(langs)})
+
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+         % (np.uint64(1) << np.uint64(32))).astype(np.int64)
+    ntok = np.array([len(t.split()) if t.strip() else 0 for t in texts],
+                    np.int64)
+
+    budgets = {"en": 900, "de": 10**9, "es": 0}  # cut / whole / drop
+    default = 300                                # fr takes the default
+
+    want = set()
+    for grp in ("en", "de", "es", "fr"):
+        b = budgets.get(grp, default)
+        if b <= 0:
+            continue
+        sel = np.flatnonzero(langs == grp)
+        order = sel[np.lexsort((ids[sel], h[sel]))]
+        before = np.cumsum(ntok[order]) - ntok[order]
+        want |= set(ids[order][before < b].tolist())
+
+    for parts in (1, 13):
+        ds = rd.from_arrow(tbl)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = sample_token_budget_by_group(
+            ds, budgets, group_col="lang", default_budget=default
+        ).to_pandas()
+        got = set(out["doc_id"].tolist()) if len(out) else set()
+        assert got == want, parts
+        assert "es" not in set(out["lang"])
+        # per-row n and lang match the spec
+        m = out.set_index("doc_id")
+        assert all(int(m.loc[i, "n"]) == ntok[i] for i in got)
+        assert all(m.loc[i, "lang"] == langs[i] for i in got)
