@@ -74,6 +74,7 @@ from .ann import (  # noqa: F401
 from .cluster import (  # noqa: F401
     fit_centroids,
     embedding_outliers,
+    kcenter_coreset,
     kmeans_assign,
     semantic_dedup_filter,
     semantic_near_dup,

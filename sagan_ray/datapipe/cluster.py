@@ -352,3 +352,98 @@ def semantic_dedup_filter(ds, *, threshold: float = 0.45, k: int = 8,
         return tbl.filter(pc_.fill_null(m, False)).select([id_col])
 
     return j.map_batches(keep, batch_format="pyarrow")
+
+
+_KC_SENTINEL = -(1 << 62)
+
+
+def kcenter_coreset(ds, k: int = 16, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Greedy k-center (farthest-point / Gonzalez) coreset selection —
+    the diversity-pruning staple ("keep k maximally spread examples"):
+    seed = the smallest id, then k-1 rounds of picking the point whose
+    nearest selected center is FARTHEST in cosine distance (= smallest
+    max-dot), ties broken by smaller id. All similarity arithmetic runs
+    on the ``ann._unit_grid`` fixed-point sphere, so every dot is an
+    exact int64 and the greedy trajectory is bit-identical to the
+    sequential golden under any block layout / BLAS — the kmeans/IVF
+    determinism stance applied to an ITERATIVE selection.
+
+    Distributed shape: a slim materialized state (id, u, maxdot) —
+    2 passes per round, no shuffles. Pass A (rounds ≥ 1) broadcasts the
+    single new center in the task closure (d int64s), drops its row, and
+    folds ``maxdot = max(maxdot, U @ u_c)`` per batch; pass B emits ONE
+    candidate row per batch (lexicographic (maxdot, id) min) and the
+    driver folds O(batches) rows. At 100 TB the honest cost is k state
+    rewrites (the update must see every row's vector); if k is large,
+    pre-shard by an IVF cell pass and run per-cell coresets instead —
+    this operator is the exact small-k primitive.
+
+    Returns (rank, id, maxdot): selection order, the chosen id, and its
+    max-dot to the previously selected set at selection time (the seed
+    carries the -2^62 sentinel; maxdot/2^28 ≈ cosine to the nearest
+    earlier pick, so the column doubles as the coverage-radius curve).
+    """
+    from .ann import _unit_grid
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        ids = _ids(tbl, id_col)
+        n = len(ids)
+        u = _unit_grid(_mat(tbl, vec_col, dtype=np.float64)).astype(np.int64)
+        d = u.shape[1] if u.size else 0
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "u": pa.ListArray.from_arrays(offsets, pa.array(u.ravel())),
+            "maxdot": pa.array(np.full(n, _KC_SENTINEL, np.int64)),
+        })
+
+    state = ds.map_batches(slim, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    def update(tbl: pa.Table, *, uc: np.ndarray, sel: int) -> pa.Table:
+        ids = _ids(tbl, id_col)
+        keep = ids != sel
+        ids = ids[keep]
+        if len(ids) == 0:
+            return tbl.slice(0, 0)
+        u = _mat(tbl, "u", dtype=np.int64)[keep]
+        md = np.maximum(tbl.column("maxdot")
+                        .to_numpy(zero_copy_only=False)[keep], u @ uc)
+        offsets = pa.array(np.arange(len(ids) + 1, dtype=np.int32)
+                           * u.shape[1])
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "u": pa.ListArray.from_arrays(offsets, pa.array(u.ravel())),
+            "maxdot": pa.array(md, pa.int64()),
+        })
+
+    def cand(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        ids = _ids(tbl, id_col)
+        md = tbl.column("maxdot").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((ids, md))[0])
+        return tbl.take(pa.array([i], pa.int64()))
+
+    out_rank, out_id, out_md = [], [], []
+    for rank in range(k):
+        if rank:
+            import functools
+            state = state.map_batches(
+                functools.partial(update, uc=uc, sel=sel),
+                batch_format="pyarrow").materialize()
+        cands = (state.map_batches(cand, batch_format="pyarrow")
+                 .to_pandas())
+        if len(cands) == 0:
+            break
+        c = cands.sort_values(["maxdot", id_col],
+                              kind="mergesort").iloc[0]
+        sel, uc = int(c[id_col]), np.asarray(c["u"], np.int64)
+        out_rank.append(rank)
+        out_id.append(sel)
+        out_md.append(int(c["maxdot"]))
+
+    return pa.table({"rank": pa.array(out_rank, pa.int64()),
+                     id_col: pa.array(out_id, pa.int64()),
+                     "maxdot": pa.array(out_md, pa.int64())})

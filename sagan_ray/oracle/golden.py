@@ -2197,3 +2197,44 @@ def write_golden_quarantine(n: int, seed: int) -> str:
                     "height": pa.array(hh, pa.int64()),
                     "width": pa.array(ww, pa.int64())})
     return _write(out, "multimodal_quarantine")
+
+
+def write_golden_kcenter(sf_dir: str, *, k: int) -> str:
+    """Expected output of ``embed_coreset``: a sequential greedy
+    k-center (Gonzalez) selection over the ``_unit_grid`` sphere —
+    seed = smallest id, then argmin over (max-dot-to-selected, id).
+    Shares only the grid spec with the pipeline (``_unit_grid`` is
+    elementwise IEEE, identical per-row and vectorized); the greedy
+    loop, the maxdot bookkeeping and the tie-break are an independent
+    straight-line numpy transcription. Every dot is an exact int64, so
+    the trajectory matches cluster.py::kcenter_coreset bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _mat, _unit_grid
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    u = _unit_grid(_mat(t, "embedding",
+                        dtype=np.float64)[order]).astype(np.int64)
+    n = len(ids)
+    sentinel = -(1 << 62)
+    md = np.full(n, sentinel, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    out_rank, out_id, out_md = [], [], []
+    for rank in range(min(k, n)):
+        live = np.flatnonzero(alive)
+        # argmin by (maxdot, id); ids are sorted so the first minimal
+        # maxdot among live rows IS the id tie-break
+        i = live[int(np.argmin(md[live]))]
+        out_rank.append(rank)
+        out_id.append(int(ids[i]))
+        out_md.append(int(md[i]))
+        alive[i] = False
+        md = np.maximum(md, u @ u[i])
+    tbl = pa.table({"rank": pa.array(out_rank, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "maxdot": pa.array(out_md, pa.int64())})
+    return _write(tbl, "embed_coreset")

@@ -4986,6 +4986,28 @@ ORDER BY doc_id
 """
 
 
+def q_embed_coreset(sf_dir: str):
+    """Greedy k-center coreset (farthest-point diversity selection):
+    exact-int unit-grid dots make the whole greedy trajectory
+    bit-deterministic, verified against a sequential Gonzalez golden
+    (cluster.py::kcenter_coreset)."""
+    from ..datapipe.cluster import kcenter_coreset
+    from ..oracle.golden import write_golden_kcenter
+
+    write_golden_kcenter(sf_dir, k=16)
+    out = kcenter_coreset(_embeds(sf_dir), k=16).to_pandas()
+    out = out.astype({"rank": "int64", "vec_id": "int64",
+                      "maxdot": "int64"})
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+SQL_EMBED_CORESET = """
+SELECT rank, vec_id, maxdot
+FROM read_parquet('/tmp/sagan_ray_golden/embed_coreset.parquet')
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5161,6 +5183,7 @@ QUERIES = {
     "sample_token_budget": q_sample_token_budget,
     "length_batches": q_length_batches,
     "sample_token_budget_grouped": q_sample_token_budget_grouped,
+    "embed_coreset": q_embed_coreset,
 }
 
 ORACLES = {
@@ -5311,4 +5334,5 @@ ORACLES = {
     "sample_token_budget": SQL_SAMPLE_TOKEN_BUDGET,
     "length_batches": SQL_LENGTH_BATCHES,
     "sample_token_budget_grouped": SQL_SAMPLE_TOKEN_BUDGET_GROUPED,
+    "embed_coreset": SQL_EMBED_CORESET,
 }

@@ -2847,3 +2847,55 @@ def test_length_batches_matches_row_number_spec():
     out = (length_batches(rd.from_arrow(t), batch_size=64).to_pandas())
     spread = out.groupby("batch_id")["c"].agg(lambda s: s.max() - s.min())
     assert (spread <= 1).all()
+
+
+def test_kcenter_coreset_greedy_spec():
+    """Greedy k-center matches a sequential transcription: seed = min
+    id, then argmin (max-dot-to-selected, id); block-layout independent;
+    duplicate vectors of a selected center are picked LAST (max dot);
+    k > n returns all n rows."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe import kcenter_coreset
+    from sagan_ray.datapipe.ann import _unit_grid
+
+    rng = np.random.RandomState(11)
+    n, d = 120, 8
+    vecs = rng.standard_normal((n, d))
+    vecs[37] = vecs[0]               # exact duplicate of the seed
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+    # sequential spec (independent transcription of the greedy rule)
+    u = _unit_grid(np.asarray(
+        tbl.column("embedding").to_pylist(), np.float64)).astype(np.int64)
+    md = np.full(n, -(1 << 62), np.int64)
+    alive = np.ones(n, bool)
+    want = []
+    for rank in range(10):
+        live = np.flatnonzero(alive)
+        i = live[int(np.argmin(md[live]))]
+        want.append((rank, int(ids[i]), int(md[i])))
+        alive[i] = False
+        md = np.maximum(md, u @ u[i])
+
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = kcenter_coreset(ds, k=10).to_pandas()
+        got = list(zip(out["rank"], out["vec_id"], out["maxdot"]))
+        assert got == want, parts
+
+    # the duplicate ties its source's self-dot — never an early pick
+    assert 37 not in [w[1] for w in want[:5]]
+
+    small = pa.table({"vec_id": pa.array([5, 3], pa.int64()),
+                      "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                            pa.list_(pa.float32()))})
+    out = kcenter_coreset(rd.from_arrow(small), k=9).to_pandas()
+    assert list(out["vec_id"]) == [3, 5] and list(out["rank"]) == [0, 1]
