@@ -34,6 +34,7 @@ is materialized once so iterations replay blocks, not the read.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 PR_GRID = 1 << 30          # per-node fixed-point rank scale (spec)
@@ -101,6 +102,149 @@ def pagerank(edges, n_nodes: int, *, n_iters: int = 10,
     return rd.from_arrow(pa.table({"node": pa.array(np.arange(n_nodes),
                                                     pa.int64()),
                                    "rank": pa.array(r, pa.int64())}))
+
+
+def triangle_counts(edges, n_nodes: int):
+    """(node, n_tri) — EXACT per-node triangle counts over the
+    undirected simple graph induced by a (src, dst) edge Dataset
+    (direction, multiplicity and self-loops ignored). The clustering /
+    community signal a crawl-curation pipeline ranks domains by, next to
+    ``pagerank``.
+
+    Distribution shape (the 100-TB story) — three bounded exchanges, no
+    all-pairs and no uncapped quadratic bucket:
+
+    1. canonical ``(a,b) = (min,max)`` rows dedup through an
+       (a,b)-keyed exchange; the unique edge set is materialized once
+       (degree pass + two downstream consumers replay blocks, not the
+       read).
+    2. each unique edge is oriented toward its lower-DEGREE-RANK
+       endpoint ``u`` (rank = lexsort by (degree, id), broadcast once
+       via ``ray.put``); a u-keyed exchange emits wedge candidates
+       ``(v, w, u)`` for every pair of higher-rank neighbors of ``u``.
+       This ordering IS the skew guard: every vertex has ≤ √(2m)
+       higher-rank neighbors, so wedges are O(m^1.5) worst case and
+       near-linear on power-law graphs (hubs rank last and emit
+       nothing) — exactness survives where a posting cap would not.
+    3. wedges union the edge set (side-tagged ``u = -1``) through a
+       second (a,b)-keyed exchange; a wedge closes iff its bucket group
+       contains the edge row. Each bucket emits (node, c) bincount
+       partials over the 3 corners (≤ 3·|V| rows), folded driver-side
+       into the |V|-vector (nodes fit one machine — the pagerank
+       stance; edges never do and never come back).
+
+    Every count is an exact integer; any block layout gives identical
+    output, so the DuckDB 3-way self-join over the same edge parquet is
+    a REAL SQL oracle (pipelines/queries.py::SQL_GRAPH_TRIANGLES)."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import _group_pairs_idx
+    from .exchange import hash_group_apply
+
+    assert n_nodes <= (1 << 23)
+    canon_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    def uniq(df):
+        return df.drop_duplicates(["a", "b"])
+
+    ded = hash_group_apply(
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=None),
+        ["a", "b"], uniq, out_schema=canon_schema).materialize()
+
+    # degree vector via per-block bincount partials (≤ |V| rows/block)
+    def degpart(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        cnt = (np.bincount(a, minlength=n_nodes)
+               + np.bincount(b, minlength=n_nodes)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"node": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    for t in ded.map_batches(degpart, batch_format="pyarrow",
+                             batch_size=None).iter_batches(
+                                 batch_format="pyarrow"):
+        np.add.at(deg, t.column("node").to_numpy(zero_copy_only=False),
+                  t.column("c").to_numpy(zero_copy_only=False))
+
+    rank = np.empty(n_nodes, dtype=np.int64)
+    order = np.lexsort((np.arange(n_nodes), deg))
+    rank[order] = np.arange(n_nodes)
+    rank_ref = ray.put(rank)
+
+    def orient(tbl: pa.Table, *, _ref=rank_ref) -> pa.Table:
+        r = ray.get(_ref)
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        swap = r[a] > r[b]
+        return pa.table({"u": pa.array(np.where(swap, b, a), pa.int64()),
+                         "w": pa.array(np.where(swap, a, b), pa.int64())})
+
+    wedge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("u", pa.int64())])
+
+    def wedges(df):
+        u = df["u"].to_numpy()
+        w = df["w"].to_numpy()
+        o = np.argsort(u, kind="stable")
+        u, w = u[o], w[o]
+        _, counts = np.unique(u, return_counts=True)
+        ai, bi = _group_pairs_idx(counts)
+        v1, v2 = w[ai], w[bi]
+        return pd.DataFrame({"a": np.minimum(v1, v2),
+                             "b": np.maximum(v1, v2), "u": u[ai]})
+
+    wed = hash_group_apply(
+        ded.map_batches(orient, batch_format="pyarrow", batch_size=None),
+        ["u"], wedges, out_schema=wedge_schema)
+
+    def tag_edges(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "u", pa.array(np.full(len(tbl), -1, np.int64)))
+
+    both = wed.union(ded.map_batches(tag_edges, batch_format="pyarrow",
+                                     batch_size=None))
+    part_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+
+    def close(df):
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        u = df["u"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b, u = a[o], b[o], u[o]
+        is_edge = u < 0
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        gid = np.cumsum(new) - 1
+        has_edge = np.zeros(gid[-1] + 1, dtype=bool)
+        has_edge[gid[is_edge]] = True
+        tri = ~is_edge & has_edge[gid]
+        corners = np.concatenate([a[tri], b[tri], u[tri]])
+        node, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node": node, "c": c.astype(np.int64)})
+
+    n_tri = np.zeros(n_nodes, dtype=np.int64)
+    for t in hash_group_apply(both, ["a", "b"], close,
+                              out_schema=part_schema).iter_batches(
+                                  batch_format="pyarrow"):
+        np.add.at(n_tri, t.column("node").to_numpy(zero_copy_only=False),
+                  t.column("c").to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(n_tri)
+    return rd.from_arrow(pa.table({"node": pa.array(nz, pa.int64()),
+                                   "n_tri": pa.array(n_tri[nz],
+                                                     pa.int64())}))
 
 
 # ----------------------------------------------------------------------

@@ -3134,6 +3134,52 @@ ORDER BY node
 """
 
 
+_TRI_EDGES_PATH = "/tmp/sagan_ray_golden/tri_edges.parquet"
+
+
+def q_graph_triangles(sf_dir: str):
+    """Exact per-node triangle counts over the deterministic hub-skewed
+    link graph (datapipe/graph.py::triangle_counts — dedup exchange →
+    rank-oriented wedge exchange → closure exchange; the degree-rank
+    orientation bounds wedge fan-out at √(2m) per vertex). BOTH sides
+    read the same edge parquet; the SQL recomputes triangles with a
+    genuine 3-way self-join (a REAL oracle, not a golden)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.graph import synth_link_graph, triangle_counts
+
+    edges = synth_link_graph(2048, seed=17)
+    os.makedirs(os.path.dirname(_TRI_EDGES_PATH), exist_ok=True)
+    tmp = _TRI_EDGES_PATH + ".tmp"
+    pq.write_table(edges, tmp)
+    os.replace(tmp, _TRI_EDGES_PATH)
+    out = _typed(triangle_counts(rd.from_arrow(edges).repartition(8),
+                                 2048).to_pandas(),
+                 {"node": "int64", "n_tri": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('/tmp/sagan_ray_golden/tri_edges.parquet')
+  WHERE src <> dst),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+c AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t)
+SELECT node, count(*) AS n_tri FROM c GROUP BY node ORDER BY node
+"""
+
+
 _WEB_DOCS_PATH = "/tmp/sagan_ray_golden/web_docs.parquet"
 
 
@@ -5184,6 +5230,7 @@ QUERIES = {
     "length_batches": q_length_batches,
     "sample_token_budget_grouped": q_sample_token_budget_grouped,
     "embed_coreset": q_embed_coreset,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
@@ -5335,4 +5382,5 @@ ORACLES = {
     "length_batches": SQL_LENGTH_BATCHES,
     "sample_token_budget_grouped": SQL_SAMPLE_TOKEN_BUDGET_GROUPED,
     "embed_coreset": SQL_EMBED_CORESET,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
 }

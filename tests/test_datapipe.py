@@ -2571,6 +2571,64 @@ def test_pagerank_block_layout_invariant():
 
 
 # ----------------------------------------------------------------------
+# Triangle counting (graph.py)
+# ----------------------------------------------------------------------
+
+def test_triangle_counts_hand_graph():
+    """K4 on {0,1,2,3} plus a pendant edge 3-4 and a both-direction
+    duplicate: every K4 vertex is in C(3,2)=3 triangles, 4 in none;
+    direction/multiplicity/self-loops ignored."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import triangle_counts
+
+    src = [0, 0, 0, 1, 1, 2, 3, 1, 2, 2]
+    dst = [1, 2, 3, 2, 3, 3, 4, 0, 1, 2]   # 1-0 dup, 2-1 dup, 2-2 loop
+    out = triangle_counts(
+        rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                "dst": pa.array(dst, pa.int64())})),
+        8).to_pandas().sort_values("node").reset_index(drop=True)
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["n_tri"].tolist() == [3, 3, 3, 3]
+
+
+def test_triangle_counts_sequential_and_layout_invariant():
+    """Distributed count == brute-force sequential enumeration on the
+    synthetic hub graph, and repartitioning cannot change a row."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import synth_link_graph, triangle_counts
+
+    n = 256
+    tbl = synth_link_graph(n, seed=11)
+    s = tbl.column("src").to_numpy()
+    d = tbl.column("dst").to_numpy()
+    adj = np.zeros((n, n), dtype=bool)
+    adj[s, d] = True
+    adj |= adj.T
+    np.fill_diagonal(adj, False)
+    want = np.zeros(n, dtype=np.int64)
+    for a, b, c in itertools.combinations(range(n), 3):
+        if adj[a, b] and adj[b, c] and adj[a, c]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+
+    got = triangle_counts(rd.from_arrow(tbl), n).to_pandas()
+    got_v = np.zeros(n, dtype=np.int64)
+    got_v[got["node"].to_numpy()] = got["n_tri"].to_numpy()
+    assert (got_v == want).all()
+
+    re7 = triangle_counts(rd.from_arrow(tbl).repartition(7), n).to_pandas()
+    assert re7.sort_values("node").reset_index(drop=True).equals(
+        got.sort_values("node").reset_index(drop=True))
+
+
+# ----------------------------------------------------------------------
 # URL / domain ops (web.py)
 # ----------------------------------------------------------------------
 
