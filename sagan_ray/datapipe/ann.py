@@ -435,6 +435,92 @@ def quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
 PQ_ITERS = 8
 
 
+# ----------------------------------------------------------------------
+# Johnson–Lindenstrauss ±1 random projection
+# ----------------------------------------------------------------------
+
+def _rp_signs(d_in: int, d_out: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 JL sign matrix: bit 0 of
+    ``SplitMix64(seed·2^32 + i·d_out + j)``. float64 entries (exact ±1),
+    recomputed anywhere from (d_in, d_out, seed) — never shipped."""
+    idx = (np.uint64(seed) * np.uint64(1 << 32)
+           + np.arange(d_in * d_out, dtype=np.uint64))
+    bits = (_splitmix64(idx) & np.uint64(1)).astype(np.int64)
+    return (2 * bits - 1).reshape(d_in, d_out).astype(np.float64)
+
+
+def _rp_grid(mat: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """Unit-grid rows projected by the ±1 matrix, re-normalized onto the
+    2^14 grid in projected space. ``p = u @ signs`` is an exact integer
+    (|p| ≤ d_in·2^14 ≪ 2^53 — every BLAS partial sum is integral), and
+    the re-normalization is the same elementwise `_unit_grid` IEEE
+    arithmetic, so a per-row golden loop and this blocked dgemm produce
+    identical grid vectors."""
+    u = _unit_grid(mat)
+    p = u @ signs                        # exact integers in float64
+    pi = p.astype(np.int64)
+    ss = (pi * pi).sum(axis=1)           # exact int64
+    norm = np.sqrt(ss.astype(np.float64))
+    norm[norm == 0] = 1.0
+    return np.rint(p / norm[:, None] * IVF_FIX)
+
+
+def rp_topk(ds, queries: np.ndarray, *, k: int = 10, d_out: int = 16,
+            seed: int = 5, vec_col: str = "embedding",
+            id_col: str = "vec_id"):
+    """Approximate cosine top-k in a Johnson–Lindenstrauss ±1 random
+    projection (query_id, vec_id, cosine, rank — cosine is the PROJECTED
+    cosine). At 100 TB the projection is the BYTES lever: only
+    d_out/d_in of each vector's bytes enter the scoring stage (project
+    once at the read, cache the short grid vectors), and the scoring
+    dgemm shrinks by the same factor — the standard first stage before
+    an exact rerank. Both sides land on the shared `_rp_grid`, so every
+    score is an exact integer dot ≤ d_out·2^28 over 2^28 — the
+    sequential golden (oracle/golden.py::write_golden_rp) verifies the
+    distributed run bit-exactly, making an APPROXIMATE operator
+    hash-gateable (the round-3 int8 pattern)."""
+    import ray
+
+    qm = np.asarray(queries, dtype=np.float64)
+    signs = _rp_signs(qm.shape[1], d_out, seed)
+    qg = _rp_grid(qm, signs)
+    qids = np.arange(len(qg), dtype=np.int64)
+    q_ref = ray.put((qg, signs, qids))
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        qgm, sg, qi = ray.get(q_ref)
+        ids = _ids(tbl, id_col)
+        pg = _rp_grid(_mat(tbl, vec_col, dtype=np.float64), sg)
+        sims = (pg @ qgm.T) / (IVF_FIX * IVF_FIX)   # exact-int quotients
+        kk = min(k, len(ids))
+        rows = []
+        for c in range(sims.shape[1]):
+            sel = _local_topk_idx(sims[:, c], ids, kk)
+            rows.append((qi[c], ids[sel], sims[sel, c]))
+        return _emit_topk(qi, rows, id_col)
+
+    return _merge_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
+                       k, id_col)
+
+
+def rp_rerank_topk(ds, queries: np.ndarray, *, k: int = 10,
+                   shortlist: int = 50, d_out: int = 16, seed: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Two-stage JL search: projected shortlist (`rp_topk`, pays
+    d_out/d_in of the scoring bytes/flops) → exact unit-grid cosine
+    rerank of ONLY the shortlisted (query, vec) pairs
+    (`_exact_rerank_pairs` — one searchsorted + einsum per batch).
+    Final ranking is exact cosine over the shortlist, so recall@k equals
+    shortlist recall by construction; both stages are exact-int grid
+    arithmetic — bit-deterministic under any layout."""
+    short = rp_topk(ds, queries, k=shortlist, d_out=d_out, seed=seed,
+                    vec_col=vec_col, id_col=id_col).to_pandas()
+    qm = _unit_grid(np.asarray(queries, dtype=np.float64))
+    qids = np.arange(len(qm), dtype=np.int64)
+    return _exact_rerank_pairs(ds, qm, qids, short, k=k, vec_col=vec_col,
+                               id_col=id_col)
+
+
 def _pq_bounds(d: int, m_sub: int) -> list[int]:
     """Subspace dim boundaries ``[(i*d)//m for i in 0..m]`` — integer
     arithmetic, shared verbatim with the sequential golden."""

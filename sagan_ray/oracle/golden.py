@@ -1195,6 +1195,46 @@ def write_golden_quantized(sf_dir: str, *, n_queries: int, k: int) -> str:
     return _write(tbl, "embed_quantized_topk")
 
 
+def write_golden_rp(sf_dir: str, *, n_queries: int, k: int, d_out: int,
+                    seed: int) -> str:
+    """Expected output of ``embed_rp_topk``: sequential full-scan search
+    in the ±1 JL projection — one corpus row at a time through the
+    shared row-wise grid primitive (`ann._rp_grid` on a 1-row matrix —
+    elementwise ops, identical at any call shape; the quantized-golden
+    stance), then explicit per-query integer dots and a lexsort. No
+    batching, no exchange, no shared ranking code."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import IVF_FIX, _rp_grid, _rp_signs
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    signs = _rp_signs(mat.shape[1], d_out, seed)
+    grid = np.empty((len(ids), d_out), dtype=np.float64)
+    for i in range(len(ids)):                   # per-row, never blocked
+        grid[i] = _rp_grid(mat[i:i + 1], signs)[0]
+    qpos = np.argsort(ids, kind="stable")[:n_queries]   # ids sorted: 0..n
+    out_q, out_v, out_r = [], [], []
+    for c in range(n_queries):
+        qv = grid[qpos[c]].astype(np.int64)
+        scores = np.empty(len(ids), np.float64)
+        for i in range(len(ids)):
+            scores[i] = int(np.dot(grid[i].astype(np.int64), qv)) / (
+                IVF_FIX * IVF_FIX)
+        top = np.lexsort((ids, -scores))[:k]
+        out_q.extend([c] * len(top))
+        out_v.extend(ids[top].tolist())
+        out_r.extend(range(1, len(top) + 1))
+    tbl = pa.table({"query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "rank": pa.array(out_r, pa.int64())})
+    return _write(tbl, "embed_rp_topk")
+
+
 def write_golden_bpe(sf_dir: str, *, n_sample: int, n_merges: int,
                      seed: int) -> str:
     """Expected output of ``text_tokens_bpe``: an independent sequential

@@ -3572,6 +3572,30 @@ ORDER BY query_id, rank
 """
 
 
+def q_embed_rp_topk(sf_dir: str):
+    """Johnson–Lindenstrauss ±1-projection top-k (the d_out/d_in BYTES
+    lever before an exact rerank), hash-verified against a sequential
+    per-row full-scan golden — possible because both sides land on the
+    shared exact-int projected grid (datapipe/ann.py::rp_topk)."""
+    from ..datapipe.ann import rp_topk
+    from ..oracle.golden import write_golden_rp
+
+    write_golden_rp(sf_dir, n_queries=3, k=5, d_out=16, seed=5)
+    q = _query_vectors(sf_dir, 3)
+    out = rp_topk(_embeds(sf_dir), q, k=5, d_out=16, seed=5).to_pandas()
+    out = out.astype({"query_id": "int64", "vec_id": "int64",
+                      "rank": "int64"})
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            [["query_id", "vec_id", "rank"]])
+
+
+SQL_EMBED_RP_GOLDEN = """
+SELECT query_id, vec_id, rank
+FROM read_parquet('/tmp/sagan_ray_golden/embed_rp_topk.parquet')
+ORDER BY query_id, rank
+"""
+
+
 def q_embed_label_stats(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
@@ -5231,6 +5255,7 @@ QUERIES = {
     "sample_token_budget_grouped": q_sample_token_budget_grouped,
     "embed_coreset": q_embed_coreset,
     "graph_triangles": q_graph_triangles,
+    "embed_rp_topk": q_embed_rp_topk,
 }
 
 ORACLES = {
@@ -5383,4 +5408,5 @@ ORACLES = {
     "sample_token_budget_grouped": SQL_SAMPLE_TOKEN_BUDGET_GROUPED,
     "embed_coreset": SQL_EMBED_CORESET,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "embed_rp_topk": SQL_EMBED_RP_GOLDEN,
 }
