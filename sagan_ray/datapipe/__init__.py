@@ -100,6 +100,7 @@ from .events import (  # noqa: F401
     funnel_stages,
     props_key_agg,
     running_totals,
+    sequence_counts,
     type_trend,
     window_rate_limit,
     window_topk,

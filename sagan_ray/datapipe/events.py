@@ -206,6 +206,64 @@ def transition_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
 
 
+def sequence_counts(ds, k: int = 3, *, user_col: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    id_col: str = "event_id"):
+    """Corpus-wide consecutive event-type ``k``-gram counts within each
+    user's (ts, id)-ordered stream — the k-step generalization of
+    ``transition_counts`` (behavioral sequence mining: which 3-step
+    paths dominate). Returns (t1..tk, n) sorted.
+
+    Same partitioning argument: every user's stream lives whole in one
+    exchange bucket, so per-bucket k-gram counts are exact partials and
+    the driver combine is bounded by |types|^k rows (types is the tiny
+    categorical vocabulary, not data — document k ≤ ~4 at 100 TB).
+    Inside a bucket: one lexsort + a shifted same-user AND-mask + one
+    np.unique over Horner-coded int64 k-grams — no per-user loop."""
+    from .exchange import hash_group_apply
+
+    assert k >= 2
+    cols = [f"t{i + 1}" for i in range(k)]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        eid = df[id_col].to_numpy()
+        et = df[type_col].to_numpy()
+        types, code = np.unique(et, return_inverse=True)
+        o = np.lexsort((eid, ts, uid))
+        uid, code = uid[o], code[o].astype(np.int64)
+        if len(uid) < k:
+            return pd.DataFrame({**{c: pd.Series([], dtype="object")
+                                    for c in cols},
+                                 "n": pd.Series([], dtype="int64")})
+        same = uid[1:] == uid[:-1]
+        m = len(uid) - k + 1
+        mask = np.ones(m, dtype=bool)
+        gram = code[:m].copy()
+        for j in range(1, k):
+            mask &= same[j - 1:j - 1 + m]
+            gram = gram * len(types) + code[j:j + m]
+        ug, n = np.unique(gram[mask], return_counts=True)
+        out = {}
+        for j in range(k - 1, -1, -1):
+            out[cols[j]] = types[ug % len(types)]
+            ug = ug // len(types)
+        out["n"] = n.astype(np.int64)
+        return pd.DataFrame(out)
+
+    schema = pa.schema([(c, pa.string()) for c in cols]
+                       + [("n", pa.int64())])
+    parts = hash_group_apply(ds, [user_col], bucket,
+                             out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({**{c: pd.Series([], dtype="object")
+                                for c in cols},
+                             "n": pd.Series([], dtype="int64")})
+    out = parts.groupby(cols, as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(cols).reset_index(drop=True)
+
+
 def props_key_agg(ds, *, key: str = "k", group_col: str = "event_type",
                   props_col: str = "props"):
     """Grouped aggregates of one integer key extracted from a JSON

@@ -4696,6 +4696,33 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_trigrams(sf_dir: str):
+    """Consecutive event-type 3-gram counts over per-user ordered
+    streams — the k-step sequence-mining generalization of the
+    transition matrix (datapipe/events.py::sequence_counts)."""
+    import ray.data as rd
+
+    from ..datapipe.events import sequence_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return sequence_counts(ds, 3)
+
+
+SQL_EVENTS_TRIGRAMS = """
+WITH s AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, count(*)::BIGINT AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 _BOTTOMK = 120
 
 
@@ -5256,6 +5283,7 @@ QUERIES = {
     "embed_coreset": q_embed_coreset,
     "graph_triangles": q_graph_triangles,
     "embed_rp_topk": q_embed_rp_topk,
+    "events_trigrams": q_events_trigrams,
 }
 
 ORACLES = {
@@ -5409,4 +5437,5 @@ ORACLES = {
     "embed_coreset": SQL_EMBED_CORESET,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "embed_rp_topk": SQL_EMBED_RP_GOLDEN,
+    "events_trigrams": SQL_EVENTS_TRIGRAMS,
 }

@@ -159,6 +159,26 @@ def test_transition_counts_tie_order_by_event_id():
     assert got == {("a", "b"): 1, ("b", "c"): 1}
 
 
+def test_sequence_counts_hand_case_and_k2_equivalence():
+    from sagan_ray.datapipe import sequence_counts, transition_counts
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "a"), (1, 40, "c"),
+        (2, 10, "b"), (2, 20, "b"), (2, 30, "b"),
+        (3, 10, "a"), (3, 20, "c"),                # too short for k=3
+    ]
+    tbl = _events_with_ids(rows)
+    out = sequence_counts(_ds(tbl), 3)
+    got = {(r.t1, r.t2, r.t3): r.n for r in out.itertuples()}
+    assert got == {("a", "b", "a"): 1, ("b", "a", "c"): 1,
+                   ("b", "b", "b"): 1}
+
+    # k=2 must equal the transition matrix exactly
+    k2 = sequence_counts(_ds(tbl), 2)
+    tr = transition_counts(_ds(tbl))
+    assert k2.rename(columns={"t1": "from_type",
+                              "t2": "to_type"}).equals(tr)
+
+
 def _events_with_ids(rows):
     t = _events(rows)
     return t.append_column(
