@@ -1289,6 +1289,85 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_customer_returns(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items, top 20
+    customers — the full multi-join plan in Ray Data form. lineitem is
+    PRUNED AT THE READ (returnflag='R' pushed into the parquet scan,
+    3 of 11 columns), pre-aggregated per orderkey INSIDE each batch
+    (combiner before the wide step), equi-joined with orders through
+    ONE hash exchange (datapipe/joins.py::hash_join — the symmetric
+    large×large shape; orders ships only 2 columns), re-aggregated per
+    custkey map-side so only |customers| rows reach the driver, where
+    the tiny customer/nation name lookups attach. Order: (rounded
+    revenue desc, custkey) on both sides."""
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..datapipe.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pac.field("l_returnflag") == "R")
+
+    def per_order(tbl: pa.Table) -> pa.Table:
+        rev = (tbl.column("l_extendedprice").to_numpy()
+               * (1.0 - tbl.column("l_discount").to_numpy()))
+        t = pa.table({"o_orderkey": tbl.column("l_orderkey"),
+                      "rev": pa.array(rev, pa.float64())})
+        return (pa.TableGroupBy(t, "o_orderkey")
+                .aggregate([("rev", "sum")])
+                .rename_columns(["o_orderkey", "rev"]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li.map_batches(per_order, batch_format="pyarrow"),
+        orders, on="o_orderkey", left_cols=["rev"],
+        right_cols=["o_custkey"])
+
+    def per_cust(tbl: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(tbl.select(["r_o_custkey", "rev"]),
+                                "r_o_custkey")
+                .aggregate([("rev", "sum")])
+                .rename_columns(["c_custkey", "revenue"]))
+
+    per = (joined.map_batches(per_cust, batch_format="pyarrow")
+           .groupby("c_custkey")
+           .aggregate(Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name",
+                                  "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = per.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["revenue"].round(2)
+    out = (out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True]).head(20)
+           .reset_index(drop=True))
+    return _typed(out, {"c_custkey": "int64", "c_name": "object",
+                        "n_name": "object", "revenue": "float64"})
+
+
+SQL_CUSTOMER_RETURNS = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON c_custkey   = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+         c_custkey
+LIMIT 20
+"""
+
+
 def q_orders_by_nation(sf_dir: str):
     """Broadcast-join demo: orders ⨝ customer ⨝ nation (both small sides
     shipped once via ray.put; lookup per batch — never a shuffle join)."""
@@ -5284,6 +5363,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "embed_rp_topk": q_embed_rp_topk,
     "events_trigrams": q_events_trigrams,
+    "customer_returns": q_customer_returns,
 }
 
 ORACLES = {
@@ -5438,4 +5518,5 @@ ORACLES = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "embed_rp_topk": SQL_EMBED_RP_GOLDEN,
     "events_trigrams": SQL_EVENTS_TRIGRAMS,
+    "customer_returns": SQL_CUSTOMER_RETURNS,
 }
