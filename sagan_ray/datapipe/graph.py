@@ -104,6 +104,55 @@ def pagerank(edges, n_nodes: int, *, n_iters: int = 10,
                                    "rank": pa.array(r, pa.int64())}))
 
 
+def dedup_undirected(edges):
+    """Materialized Dataset of unique canonical (a, b) = (min, max)
+    undirected edges from a (src, dst) edge Dataset — direction,
+    multiplicity and self-loops dropped through one (a,b)-keyed
+    exchange. Shared front end of the simple-graph operators
+    (triangle_counts, k_core, degree_histogram)."""
+    from .exchange import hash_group_apply
+
+    canon_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    def uniq(df):
+        return df.drop_duplicates(["a", "b"])
+
+    return hash_group_apply(
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=None),
+        ["a", "b"], uniq, out_schema=canon_schema).materialize()
+
+
+def undirected_degrees(ded, n_nodes: int) -> np.ndarray:
+    """int64 degree vector of a `dedup_undirected` Dataset via
+    per-block bincount partials (≤ |V| rows cross per block)."""
+
+    def degpart(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        cnt = (np.bincount(a, minlength=n_nodes)
+               + np.bincount(b, minlength=n_nodes)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"node": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    for t in ded.map_batches(degpart, batch_format="pyarrow",
+                             batch_size=None).iter_batches(
+                                 batch_format="pyarrow"):
+        np.add.at(deg, t.column("node").to_numpy(zero_copy_only=False),
+                  t.column("c").to_numpy(zero_copy_only=False))
+    return deg
+
+
 def triangle_counts(edges, n_nodes: int):
     """(node, n_tri) — EXACT per-node triangle counts over the
     undirected simple graph induced by a (src, dst) edge Dataset
@@ -143,40 +192,8 @@ def triangle_counts(edges, n_nodes: int):
     from .exchange import hash_group_apply
 
     assert n_nodes <= (1 << 23)
-    canon_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-
-    def canon(tbl: pa.Table) -> pa.Table:
-        s = tbl.column("src").to_numpy(zero_copy_only=False)
-        d = tbl.column("dst").to_numpy(zero_copy_only=False)
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        keep = a != b
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64())})
-
-    def uniq(df):
-        return df.drop_duplicates(["a", "b"])
-
-    ded = hash_group_apply(
-        edges.map_batches(canon, batch_format="pyarrow", batch_size=None),
-        ["a", "b"], uniq, out_schema=canon_schema).materialize()
-
-    # degree vector via per-block bincount partials (≤ |V| rows/block)
-    def degpart(tbl: pa.Table) -> pa.Table:
-        a = tbl.column("a").to_numpy(zero_copy_only=False)
-        b = tbl.column("b").to_numpy(zero_copy_only=False)
-        cnt = (np.bincount(a, minlength=n_nodes)
-               + np.bincount(b, minlength=n_nodes)).astype(np.int64)
-        nz = np.flatnonzero(cnt)
-        return pa.table({"node": pa.array(nz, pa.int64()),
-                         "c": pa.array(cnt[nz], pa.int64())})
-
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    for t in ded.map_batches(degpart, batch_format="pyarrow",
-                             batch_size=None).iter_batches(
-                                 batch_format="pyarrow"):
-        np.add.at(deg, t.column("node").to_numpy(zero_copy_only=False),
-                  t.column("c").to_numpy(zero_copy_only=False))
+    ded = dedup_undirected(edges)
+    deg = undirected_degrees(ded, n_nodes)
 
     rank = np.empty(n_nodes, dtype=np.int64)
     order = np.lexsort((np.arange(n_nodes), deg))
@@ -245,6 +262,73 @@ def triangle_counts(edges, n_nodes: int):
     return rd.from_arrow(pa.table({"node": pa.array(nz, pa.int64()),
                                    "n_tri": pa.array(n_tri[nz],
                                                      pa.int64())}))
+
+
+def degree_histogram(edges, n_nodes: int):
+    """(deg, n_nodes) distribution over ALL nodes 0..n_nodes-1
+    (isolated nodes count at deg 0) of the undirected simple graph —
+    the first thing anyone plots about a crawl graph. One dedup
+    exchange + bincount partials; the histogram itself is |degrees|
+    rows on the driver."""
+    import ray.data as rd
+
+    deg = undirected_degrees(dedup_undirected(edges), n_nodes)
+    vals, cnt = np.unique(deg, return_counts=True)
+    return rd.from_arrow(pa.table({
+        "deg": pa.array(vals, pa.int64()),
+        "n_nodes": pa.array(cnt.astype(np.int64), pa.int64())}))
+
+
+def k_core(edges, n_nodes: int, k: int, *, max_rounds: int = 100000):
+    """(node, deg) rows of the k-core — the maximal subgraph in which
+    every node has degree ≥ k (deg = the node's degree WITHIN the
+    core). The classic crawl-graph density filter.
+
+    Distribution shape (the pagerank pattern): the unique edge set
+    materializes once; each peel round broadcasts the |V| alive mask
+    (``ray.put``) and one pass over edge blocks returns
+    alive-subgraph-degree bincount partials (≤ |V| rows/block); every
+    alive node with degree < k dies, fixpoint when none does. The
+    k-core is CONFLUENT (unique maximal subgraph — deleting any
+    below-k node is always safe), so batch deletion here and one-at-a-
+    time sequential peeling (the independent golden,
+    oracle/golden.py::write_golden_kcore) reach the identical set, and
+    integer degrees make the match exact. Rounds ≤ peel depth
+    (typically tens on power-law graphs); edges never re-shuffle."""
+    import ray
+    import ray.data as rd
+
+    ded = dedup_undirected(edges)
+    alive = np.ones(n_nodes, dtype=bool)
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(max_rounds):
+        ref = ray.put(alive)
+
+        def part(tbl: pa.Table, *, _ref=ref) -> pa.Table:
+            al = ray.get(_ref)
+            a = tbl.column("a").to_numpy(zero_copy_only=False)
+            b = tbl.column("b").to_numpy(zero_copy_only=False)
+            m = al[a] & al[b]
+            cnt = (np.bincount(a[m], minlength=len(al))
+                   + np.bincount(b[m], minlength=len(al))).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"node": pa.array(nz, pa.int64()),
+                             "c": pa.array(cnt[nz], pa.int64())})
+
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        for t in ded.map_batches(part, batch_format="pyarrow",
+                                 batch_size=None).iter_batches(
+                                     batch_format="pyarrow"):
+            np.add.at(deg,
+                      t.column("node").to_numpy(zero_copy_only=False),
+                      t.column("c").to_numpy(zero_copy_only=False))
+        dead = alive & (deg < k)
+        if not dead.any():
+            break
+        alive &= ~dead
+    nz = np.flatnonzero(alive)
+    return rd.from_arrow(pa.table({"node": pa.array(nz, pa.int64()),
+                                   "deg": pa.array(deg[nz], pa.int64())}))
 
 
 # ----------------------------------------------------------------------

@@ -2178,6 +2178,36 @@ def write_golden_pagerank(n_nodes: int, seed: int, *,
     return _write(tbl, "graph_pagerank")
 
 
+def write_golden_kcore(n_nodes: int, seed: int, *, k: int) -> str:
+    """Expected output of ``graph_kcore``: ONE-AT-A-TIME sequential
+    peeling with python sets/dicts — repeatedly delete any single node
+    of degree < k until none remains (the textbook algorithm). The
+    k-core is the unique maximal subgraph with min degree ≥ k, so this
+    and the distributed batch-deletion fixpoint agree exactly; final
+    (node, in-core degree) rows, node-sorted."""
+    from ..datapipe.graph import synth_link_graph
+
+    edges = synth_link_graph(n_nodes, seed=seed)
+    adj: dict[int, set[int]] = {}
+    for u, v in zip(edges.column("src").to_pylist(),
+                    edges.column("dst").to_pylist()):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for u in list(adj):
+            if len(adj[u]) < k:
+                for v in adj.pop(u):
+                    adj[v].discard(u)
+                changed = True
+    nodes = sorted(adj)
+    tbl = pa.table({"node": pa.array(nodes, pa.int64()),
+                    "deg": pa.array([len(adj[u]) for u in nodes],
+                                    pa.int64())})
+    return _write(tbl, "graph_kcore")
+
+
 def write_golden_phash_search(n: int, seed: int, *,
                               max_hamming: int) -> str:
     """Expected output of ``dedup_phash_index``: corpus = the base

@@ -3259,6 +3259,70 @@ SELECT node, count(*) AS n_tri FROM c GROUP BY node ORDER BY node
 """
 
 
+def q_graph_degree_hist(sf_dir: str):
+    """Degree distribution of the undirected simple link graph
+    (isolated nodes at deg 0). Shares the edge parquet with
+    graph_triangles; the SQL recomputes the whole histogram (dedup +
+    corner union + left join against range(n)) — a REAL oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.graph import degree_histogram, synth_link_graph
+
+    edges = synth_link_graph(2048, seed=17)
+    os.makedirs(os.path.dirname(_TRI_EDGES_PATH), exist_ok=True)
+    tmp = _TRI_EDGES_PATH + ".tmp"
+    pq.write_table(edges, tmp)
+    os.replace(tmp, _TRI_EDGES_PATH)
+    out = _typed(degree_histogram(rd.from_arrow(edges).repartition(8),
+                                  2048).to_pandas(),
+                 {"deg": "int64", "n_nodes": "int64"})
+    return out.sort_values("deg").reset_index(drop=True)
+
+
+SQL_GRAPH_DEGREE_HIST = """
+WITH e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('/tmp/sagan_ray_golden/tri_edges.parquet')
+  WHERE src <> dst),
+d AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node),
+alln AS (SELECT range AS node FROM range(2048)),
+dd AS (SELECT alln.node, coalesce(d.deg, 0) AS deg
+       FROM alln LEFT JOIN d USING (node))
+SELECT deg, count(*)::BIGINT AS n_nodes FROM dd GROUP BY deg ORDER BY deg
+"""
+
+
+def q_graph_kcore(sf_dir: str):
+    """k-core of the link graph (k=6 — nontrivial on this graph: 1650
+    of 2048 nodes survive), distributed batch peel vs the one-at-a-time
+    sequential golden — equal because the k-core is the unique maximal
+    subgraph with min degree ≥ k (confluence), and degrees are exact
+    ints."""
+    import ray.data as rd
+
+    from ..datapipe.graph import k_core, synth_link_graph
+    from ..oracle.golden import write_golden_kcore
+
+    write_golden_kcore(2048, 17, k=6)
+    out = _typed(k_core(rd.from_arrow(synth_link_graph(2048, seed=17))
+                        .repartition(8), 2048, 6).to_pandas(),
+                 {"node": "int64", "deg": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_KCORE = """
+SELECT node, deg
+FROM read_parquet('/tmp/sagan_ray_golden/graph_kcore.parquet')
+ORDER BY node
+"""
+
+
 _WEB_DOCS_PATH = "/tmp/sagan_ray_golden/web_docs.parquet"
 
 
@@ -5364,6 +5428,8 @@ QUERIES = {
     "embed_rp_topk": q_embed_rp_topk,
     "events_trigrams": q_events_trigrams,
     "customer_returns": q_customer_returns,
+    "graph_degree_hist": q_graph_degree_hist,
+    "graph_kcore": q_graph_kcore,
 }
 
 ORACLES = {
@@ -5519,4 +5585,6 @@ ORACLES = {
     "embed_rp_topk": SQL_EMBED_RP_GOLDEN,
     "events_trigrams": SQL_EVENTS_TRIGRAMS,
     "customer_returns": SQL_CUSTOMER_RETURNS,
+    "graph_degree_hist": SQL_GRAPH_DEGREE_HIST,
+    "graph_kcore": SQL_GRAPH_KCORE,
 }

@@ -2678,6 +2678,53 @@ def test_triangle_counts_sequential_and_layout_invariant():
         got.sort_values("node").reset_index(drop=True))
 
 
+def test_k_core_hand_graph_and_empty_core():
+    """K4 ∪ pendant: the 2-core is exactly the K4 (pendant peels, which
+    then lowers nothing below 2); the 4-core is empty. Batch peel must
+    also match the sequential golden on the synth graph."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import k_core
+
+    src = [0, 0, 0, 1, 1, 2, 3]
+    dst = [1, 2, 3, 2, 3, 3, 4]
+    ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                 "dst": pa.array(dst, pa.int64())}))
+    out = k_core(ds, 8, 2).to_pandas()
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["deg"].tolist() == [3, 3, 3, 3]
+    assert len(k_core(ds, 8, 4).to_pandas()) == 0
+
+
+def test_k_core_matches_sequential_golden():
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import k_core, synth_link_graph
+    from sagan_ray.oracle.golden import write_golden_kcore
+
+    path = write_golden_kcore(512, 9, k=5)
+    got = (k_core(rd.from_arrow(synth_link_graph(512, seed=9))
+                  .repartition(5), 512, 5).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert got.equals(pd.read_parquet(path))
+
+
+def test_degree_histogram_counts_isolated_nodes():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import degree_histogram
+
+    # path 0-1-2 inside n=5: nodes 3,4 isolated (deg 0)
+    ds = rd.from_arrow(pa.table({"src": pa.array([0, 1], pa.int64()),
+                                 "dst": pa.array([1, 2], pa.int64())}))
+    out = degree_histogram(ds, 5).to_pandas()
+    got = dict(zip(out["deg"], out["n_nodes"]))
+    assert got == {0: 2, 1: 2, 2: 1}
+
+
 # ----------------------------------------------------------------------
 # URL / domain ops (web.py)
 # ----------------------------------------------------------------------
