@@ -163,6 +163,54 @@ def langid(ds, text_col: str = "text", id_col: str = "doc_id"):
 _REP_HORNER = np.uint64(1099511628211)
 
 
+def readability(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_words, n_syll, syll_per_word) — the syllable-density
+    readability signal (the Flesch family's per-word term; this corpus
+    has no sentence punctuation, so the sentence term is omitted from
+    the spec). Words = the family tokenizer (``[a-z0-9_]+`` on
+    lowercased text); syllables = maximal ``[aeiou]`` vowel runs.
+
+    Vectorized shape: a vowel run can never span a word boundary (a
+    boundary char is never a vowel), so ``n_syll`` is ONE mask pass
+    over the batch's flat lowercased utf-8 buffer — run starts =
+    vowel & ~prev-vowel (doc-start positions get no prev) — attributed
+    to docs via searchsorted on the string offsets; no word loop.
+    ``syll_per_word`` is a single int/int division on both sides (the
+    SQL oracle recomputes everything with DuckDB regexps), so no
+    rounding is needed anywhere."""
+    _VOWELS = np.frombuffer(b"aeiou", dtype=np.uint8)
+
+    def f(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, _, _, _ = _words_flat(tbl.column(text_col))
+        n_words = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+
+        col = pc.utf8_lower(tbl.column(text_col).cast(pa.large_string()))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off_buf = np.frombuffer(col.buffers()[1], dtype=np.int64)
+        offs = off_buf[col.offset:col.offset + len(col) + 1]
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        vowel = np.isin(buf, _VOWELS)
+        prev = np.empty_like(vowel)
+        prev[0] = False
+        prev[1:] = vowel[:-1]
+        starts = offs[:-1]
+        prev[starts[starts < len(prev)]] = False
+        idx = np.flatnonzero(vowel & ~prev)
+        idx = idx[(idx >= offs[0]) & (idx < offs[-1])]
+        doc = np.searchsorted(offs, idx, side="right") - 1
+        n_syll = np.bincount(doc, minlength=n_docs).astype(np.int64)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "n_words": pa.array(n_words),
+            "n_syll": pa.array(n_syll),
+            "syll_per_word": pa.array(
+                n_syll / np.maximum(n_words, 1), pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _split_flat(tbl: pa.Table, text_col: str):
     """Literal single-space split of a batch into a flat word array with
     per-doc bookkeeping — the spec is DuckDB's string_split(text, ' ')

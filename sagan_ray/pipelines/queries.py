@@ -2027,6 +2027,37 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_readability(sf_dir: str):
+    """Syllable-density readability signal — one flat-buffer vowel-run
+    mask pass per batch (datapipe/textstats.py::readability); the SQL
+    recomputes words and vowel runs with DuckDB regexps (a REAL
+    oracle)."""
+    from ..datapipe.textstats import readability
+
+    out = readability(_docs(sf_dir)).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "n_words": "int64",
+                       "n_syll": "int64", "syll_per_word": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_READABILITY = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+  FROM documents),
+s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(len(regexp_extract_all(word, '[aeiou]+')))::BIGINT AS n_syll
+  FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_words, 0)::BIGINT AS n_words,
+       coalesce(s.n_syll, 0)::BIGINT AS n_syll,
+       coalesce(s.n_syll, 0) * 1.0
+         / greatest(coalesce(s.n_words, 0), 1) AS syll_per_word
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_text_fingerprint(sf_dir: str):
     from ..datapipe import fingerprint
 
@@ -5430,6 +5461,7 @@ QUERIES = {
     "customer_returns": q_customer_returns,
     "graph_degree_hist": q_graph_degree_hist,
     "graph_kcore": q_graph_kcore,
+    "text_readability": q_text_readability,
 }
 
 ORACLES = {
@@ -5587,4 +5619,5 @@ ORACLES = {
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "graph_degree_hist": SQL_GRAPH_DEGREE_HIST,
     "graph_kcore": SQL_GRAPH_KCORE,
+    "text_readability": SQL_TEXT_READABILITY,
 }

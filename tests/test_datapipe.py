@@ -1337,6 +1337,31 @@ def test_rp_grid_blocked_equals_per_row():
     assert (blocked == per_row).all()
 
 
+def test_readability_hand_counts_and_doc_boundaries():
+    """Vowel-run syllables: per-word maximal [aeiou] runs; a doc whose
+    text STARTS with a vowel immediately after a vowel-ending doc in
+    the same buffer must still open a new run (the prev-boundary
+    reset); empty text yields 0/0 with ratio 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.textstats import readability
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["hello queue", "idea", "", "rhythm audio"],
+                         pa.string()),
+    })
+    out = (readability(rd.from_arrow(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # hello: e,o → 2; queue: ueue → 1  | idea: i,ea → 2 (starts with a
+    # vowel right after "queue" ends with one) | rhythm: 0 (y is not a
+    # vowel in this spec); audio: au,io → 2
+    assert out["n_words"].tolist() == [2, 1, 0, 2]
+    assert out["n_syll"].tolist() == [3, 2, 0, 2]
+    assert out["syll_per_word"].tolist() == [1.5, 2.0, 0.0, 1.0]
+
+
 def test_remove_dup_spans_tiny_hand_check():
     import ray.data as rd
 
