@@ -211,6 +211,37 @@ def readability(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def type_token_ratio(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_words, n_types, ttr) — per-doc type-token ratio, the
+    classic lexical-diversity signal. Words = the family tokenizer
+    (``[a-z0-9_]+`` on lowercased text); types = distinct words within
+    the doc, counted on the 64-bit word hashes from ``_words_flat``
+    (the corpus-stats distinct stance: a within-doc collision is the
+    only failure mode and is negligible + deterministic). Per-doc
+    distinct is one lexsort over (doc, hash) + a neighbor-diff mask —
+    no per-doc loop, no exchange (the doc is the group and lives
+    entirely inside its batch row). ``ttr`` is a single int/int
+    division on both sides, so no rounding is needed."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, _, wh, _ = _words_flat(tbl.column(text_col))
+        n_words = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        order = np.lexsort((wh, doc_of))
+        d_s, h_s = doc_of[order], wh[order]
+        new = np.ones(len(d_s), dtype=bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        n_types = np.bincount(d_s[new], minlength=n_docs).astype(np.int64)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "n_words": pa.array(n_words),
+            "n_types": pa.array(n_types),
+            "ttr": pa.array(n_types / np.maximum(n_words, 1),
+                            pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _split_flat(tbl: pa.Table, text_col: str):
     """Literal single-space split of a batch into a flat word array with
     per-doc bookkeeping — the spec is DuckDB's string_split(text, ' ')

@@ -2058,6 +2058,36 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
 """
 
 
+def q_text_ttr(sf_dir: str):
+    """Per-doc type-token ratio — one lexsort distinct pass per batch
+    (datapipe/textstats.py::type_token_ratio); the SQL recomputes words
+    with DuckDB regexps and types with count(DISTINCT word)."""
+    from ..datapipe.textstats import type_token_ratio
+
+    out = type_token_ratio(_docs(sf_dir)).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "n_words": "int64",
+                       "n_types": "int64", "ttr": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_TTR = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+  FROM documents),
+s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         count(DISTINCT word)::BIGINT AS n_types
+  FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_words, 0)::BIGINT AS n_words,
+       coalesce(s.n_types, 0)::BIGINT AS n_types,
+       coalesce(s.n_types, 0) * 1.0
+         / greatest(coalesce(s.n_words, 0), 1) AS ttr
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_text_fingerprint(sf_dir: str):
     from ..datapipe import fingerprint
 
@@ -5462,6 +5492,7 @@ QUERIES = {
     "graph_degree_hist": q_graph_degree_hist,
     "graph_kcore": q_graph_kcore,
     "text_readability": q_text_readability,
+    "text_ttr": q_text_ttr,
 }
 
 ORACLES = {
@@ -5620,4 +5651,5 @@ ORACLES = {
     "graph_degree_hist": SQL_GRAPH_DEGREE_HIST,
     "graph_kcore": SQL_GRAPH_KCORE,
     "text_readability": SQL_TEXT_READABILITY,
+    "text_ttr": SQL_TEXT_TTR,
 }

@@ -1362,6 +1362,28 @@ def test_readability_hand_counts_and_doc_boundaries():
     assert out["syll_per_word"].tolist() == [1.5, 2.0, 0.0, 1.0]
 
 
+def test_type_token_ratio_hand_counts():
+    """Distinct-word types per doc: repeats collapse, case folds,
+    punctuation splits; empty doc is 0/0 with ratio 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.textstats import type_token_ratio
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the The THE cat", "a-b a_b a b", ""],
+                         pa.string()),
+    })
+    out = (type_token_ratio(rd.from_arrow(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc0: words [the,the,the,cat] → 2 types; doc1: a-b splits into
+    # a,b but a_b stays one word → words [a,b,a_b,a,b] → 3 types
+    assert out["n_words"].tolist() == [4, 5, 0]
+    assert out["n_types"].tolist() == [2, 3, 0]
+    assert out["ttr"].tolist() == [0.5, 0.6, 0.0]
+
+
 def test_remove_dup_spans_tiny_hand_check():
     import ray.data as rd
 
