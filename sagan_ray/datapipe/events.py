@@ -576,3 +576,73 @@ def debounce_frame(df: pd.DataFrame, *, user_col: str = "user_id",
         diff[1:] = ts[1:] - ts[:-1]
     keep = new_grp | (diff > gap_us)
     return df[keep]
+
+
+def basket_pairs(ds, *, user_col: str = "user_id",
+                 type_col: str = "event_type"):
+    """Market-basket co-occurrence over users: for every unordered pair
+    of DISTINCT event types (type_a < type_b lexicographically), count
+    the users whose streams contain both. Returns (type_a, type_b,
+    n_users) sorted — the support matrix behind "users who error also
+    click" style association mining.
+
+    Shape: a map-side distinct prune collapses each batch to its unique
+    (user, type) rows — the exchange then carries at most
+    users × |types| slim rows, never events. Each user lives whole in
+    one bucket, so per-bucket pair counts are exact partials; pairs per
+    user are ≤ |types|·(|types|-1)/2 (the tiny categorical vocabulary,
+    not data — no skew cap needed, unlike the dedup candidate buckets).
+    In-bucket: np.unique over (uid, type-code), offset-arange pair
+    construction (dedup._group_pairs_idx), one np.unique over pair
+    codes. Driver combine is bounded by |types|² rows."""
+    from .dedup import _group_pairs_idx
+    from .exchange import hash_group_apply
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy().astype(np.int64)
+        et = tbl.column(type_col).to_numpy(zero_copy_only=False)
+        types, code = np.unique(et, return_inverse=True)
+        o = np.lexsort((code, uid))
+        u_s, c_s = uid[o], code[o]
+        new = np.ones(len(u_s), dtype=bool)
+        new[1:] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
+        return pa.table({user_col: pa.array(u_s[new], pa.int64()),
+                         type_col: pa.array(types[c_s[new]], pa.string())})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df[user_col].to_numpy().astype(np.int64)
+        et = df[type_col].to_numpy()
+        types, code = np.unique(et, return_inverse=True)
+        o = np.lexsort((code, uid))
+        u_s, c_s = uid[o], code[o].astype(np.int64)
+        new = np.ones(len(u_s), dtype=bool)
+        if len(u_s):
+            new[1:] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
+        u_s, c_s = u_s[new], c_s[new]
+        counts = np.bincount(
+            np.unique(u_s, return_inverse=True)[1]) if len(u_s) else \
+            np.empty(0, np.int64)
+        ai, bi = _group_pairs_idx(counts)
+        # rows are (user, code-asc) within each user, so c_s[ai] <
+        # c_s[bi] already — the pair is lexicographic by construction
+        pair = c_s[ai] * len(types) + c_s[bi]
+        up, n = np.unique(pair, return_counts=True)
+        return pd.DataFrame({
+            "type_a": types[up // len(types)],
+            "type_b": types[up % len(types)],
+            "n_users": n.astype(np.int64),
+        })
+
+    schema = pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
+                        ("n_users", pa.int64())])
+    parts = hash_group_apply(
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"type_a": pd.Series([], dtype="object"),
+                             "type_b": pd.Series([], dtype="object"),
+                             "n_users": pd.Series([], dtype="int64")})
+    out = (parts.groupby(["type_a", "type_b"], as_index=False)["n_users"]
+           .sum())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -4900,6 +4900,30 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_basket(sf_dir: str):
+    """Market-basket event-type co-occurrence: users whose streams
+    contain BOTH types, per unordered type pair
+    (datapipe/events.py::basket_pairs — map-side distinct prune, the
+    exchange carries ≤ users×|types| slim rows)."""
+    import ray.data as rd
+
+    from ..datapipe.events import basket_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return basket_pairs(ds)
+
+
+SQL_EVENTS_BASKET = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_trigrams(sf_dir: str):
     """Consecutive event-type 3-gram counts over per-user ordered
     streams — the k-step sequence-mining generalization of the
@@ -5493,6 +5517,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "text_readability": q_text_readability,
     "text_ttr": q_text_ttr,
+    "events_basket": q_events_basket,
 }
 
 ORACLES = {
@@ -5652,4 +5677,5 @@ ORACLES = {
     "graph_kcore": SQL_GRAPH_KCORE,
     "text_readability": SQL_TEXT_READABILITY,
     "text_ttr": SQL_TEXT_TTR,
+    "events_basket": SQL_EVENTS_BASKET,
 }

@@ -385,3 +385,23 @@ def test_adjacent_pairs_hand_check():
     assert out["turn_idx"].tolist() == [1]
     assert out["prompt_n"].tolist() == [2]
     assert out["response_n"].tolist() == [6]
+
+
+def test_basket_pairs_hand_check():
+    """Co-occurrence counts users, not events: repeats within a user
+    collapse; pairs are lexicographic; a single-type user contributes
+    nothing; the map-side prune must not merge users across batches."""
+    from sagan_ray.datapipe.events import basket_pairs
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+        "event_type": ["click", "error", "click", "view",
+                       "error", "click",
+                       "view", "view", "view"],
+    })
+    out = basket_pairs(_ds(tbl))
+    got = list(out.itertuples(index=False, name=None))
+    # user1 {click,error,view}: 3 pairs; user2 {click,error}: 1; user3
+    # {view}: 0
+    assert got == [("click", "error", 2), ("click", "view", 1),
+                   ("error", "view", 1)]
