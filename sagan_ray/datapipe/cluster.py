@@ -447,3 +447,264 @@ def kcenter_coreset(ds, k: int = 16, *, vec_col: str = "embedding",
     return pa.table({"rank": pa.array(out_rank, pa.int64()),
                      id_col: pa.array(out_id, pa.int64()),
                      "maxdot": pa.array(out_md, pa.int64())})
+
+
+def dbscan(ds, *, threshold: float = 0.35, min_pts: int = 3,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           n_blocks: int = 8):
+    """Density clustering (DBSCAN) under cosine similarity: a point's
+    eps-neighborhood is every OTHER point with cosine ≥ ``threshold``;
+    core points have ≥ ``min_pts`` points in the closed neighborhood
+    (self included); clusters are the connected components of the
+    core-core adjacency graph; a non-core point adjacent to ≥1 core
+    joins the MINIMUM adjacent core's cluster (classic DBSCAN border
+    assignment is scan-order-dependent — min-label is the deterministic
+    refinement, mirrored exactly by the SQL oracle); everything else is
+    noise (label -1). Returns a Dataset (vec_id, label, is_core) with
+    label = min core vec_id of the cluster.
+
+    Composition of existing distributed shapes — nothing new shuffles:
+    eps-pairs via the block-nested-loop exchange
+    (``dedup.embedding_near_dup_exact``, float64 end-to-end so
+    threshold-boundary pairs match the SQL cosine bit-for-bit), degrees
+    and border-min via node-keyed exchanges, cluster labels via
+    ``dedup.connected_components`` over the core-core pairs, and the
+    final per-id attach via the side-tagged label exchange (ids only —
+    vectors cross the wire exactly once, in the pair stage). Driver
+    holds nothing but Dataset handles; every intermediate is
+    pair-graph-sized, not corpus-sized."""
+    import pyarrow.compute as pc_
+
+    from .dedup import connected_components, embedding_near_dup_exact
+    from .exchange import hash_group_apply
+
+    pairs = embedding_near_dup_exact(
+        ds, threshold=threshold, vec_col=vec_col, id_col=id_col,
+        n_blocks=n_blocks)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"u": pa.chunked_array([a, b]).combine_chunks(),
+                         "v": pa.chunked_array([b, a]).combine_chunks()})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def deg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", sort=False).size().reset_index(name="deg")
+        return g.rename(columns={"u": "node"})
+
+    deg = hash_group_apply(edges, ["u"], deg_bucket,
+                           out_schema=deg_schema).materialize()
+
+    # side-tagged flag attach: edges learn whether each endpoint is core
+    # (deg + 1 >= min_pts). Two passes, one per endpoint, keyed on that
+    # endpoint — the dedup_cluster_reps attach shape.
+    flag_schema = pa.schema([("key", pa.int64()), ("other", pa.int64()),
+                             ("flag", pa.int8())])
+    tag_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                            ("u_core", pa.int8())])
+
+    def core_rows(t: pa.Table) -> pa.Table:
+        is_core = pc_.greater_equal(
+            pc_.add(t.column("deg").cast(pa.int64()), 1), min_pts)
+        n = len(t)
+        return pa.table({"key": t.column("node"),
+                         "other": pa.array(np.full(n, -1, np.int64)),
+                         "flag": is_core.cast(pa.int8())},
+                        schema=flag_schema)
+
+    def edge_rows_u(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("u"), "other": t.column("v"),
+                         "flag": pa.array(np.full(n, -1, np.int8))},
+                        schema=flag_schema)
+
+    def attach_flag(df: pd.DataFrame) -> pd.DataFrame:
+        is_lab = df["flag"].to_numpy() >= 0
+        lut = dict(zip(df.loc[is_lab, "key"], df.loc[is_lab, "flag"]))
+        e = df.loc[~is_lab]
+        return pd.DataFrame({
+            "u": e["key"].astype("int64"),
+            "v": e["other"].astype("int64"),
+            "u_core": e["key"].map(lut).fillna(0).astype("int8"),
+        })
+
+    tagged = hash_group_apply(
+        edges.map_batches(edge_rows_u, batch_format="pyarrow")
+             .union(deg.map_batches(core_rows, batch_format="pyarrow")),
+        ["key"], attach_flag, out_schema=tag_schema).materialize()
+
+    # tagged has BOTH directions of every pair, so (u, v, u_core) also
+    # carries (v, u, v_core) — one more keyed pass zips them
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    bseed_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def swap_rows(t: pa.Table) -> pa.Table:
+        # key both orientations on (min, max) so the two directed rows
+        # of one pair land in one group
+        lo = pc_.min_element_wise(t.column("u"), t.column("v"))
+        hi = pc_.max_element_wise(t.column("u"), t.column("v"))
+        return pa.table({"lo": lo, "hi": hi, "u": t.column("u"),
+                         "u_core": t.column("u_core")})
+
+    def core_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # per (lo, hi): two rows (u=lo and u=hi); emit the undirected
+        # core-core pair once, and the border seed (non-core u → core v)
+        g = df.sort_values(["lo", "hi", "u"])
+        lo = g["lo"].to_numpy()
+        hi = g["hi"].to_numpy()
+        u = g["u"].to_numpy()
+        c = g["u_core"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        # rows come in (lo-row, hi-row) order within each pair
+        i0 = np.flatnonzero(first)
+        i1 = i0 + 1
+        assert len(i0) == 0 or (u[i0] == lo[i0]).all()
+        lo_c = c[i0].astype(bool)
+        hi_c = c[i1].astype(bool)
+        both = lo_c & hi_c
+        seeds_u = np.concatenate([lo[i0][~lo_c & hi_c],
+                                  hi[i0][lo_c & ~hi_c]])
+        seeds_v = np.concatenate([hi[i0][~lo_c & hi_c],
+                                  lo[i0][lo_c & ~hi_c]])
+        return pd.DataFrame({
+            "a": np.concatenate([lo[i0][both], seeds_u]),
+            "b": np.concatenate([hi[i0][both], seeds_v]),
+            "kind": np.concatenate([np.zeros(both.sum(), np.int8),
+                                    np.ones(len(seeds_u), np.int8)]),
+        })
+
+    ce_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("kind", pa.int8())])
+    classified = hash_group_apply(
+        tagged.map_batches(swap_rows, batch_format="pyarrow"),
+        ["lo", "hi"], core_edge_bucket, out_schema=ce_schema).materialize()
+
+    core_pairs = classified.filter(
+        expr="kind == 0").select_columns(["a", "b"])
+    # border seeds: a = non-core node, b = adjacent core
+    border_seeds = classified.filter(expr="kind == 1")
+
+    comp = connected_components(core_pairs)    # (node, label), cores only
+
+    # cluster label for EVERY core: component label, or own id for a
+    # core with no core neighbor — side-tagged attach keyed on node
+    lab_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    att_schema = pa.schema([("key", pa.int64()), ("label", pa.int64()),
+                            ("tag", pa.int8())])
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("node"), "label": t.column("label"),
+                         "tag": pa.array(np.zeros(n, np.int8))},
+                        schema=att_schema)
+
+    def core_node_rows(t: pa.Table) -> pa.Table:
+        is_core = pc_.greater_equal(
+            pc_.add(t.column("deg").cast(pa.int64()), 1), min_pts)
+        keep = t.filter(is_core)
+        n = len(keep)
+        return pa.table({"key": keep.column("node"),
+                         "label": pa.array(np.full(n, -1, np.int64)),
+                         "tag": pa.array(np.ones(n, np.int8))},
+                        schema=att_schema)
+
+    def core_label(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["tag"] == 0]
+        lut = dict(zip(lab["key"], lab["label"]))
+        nodes = df.loc[df["tag"] == 1, "key"]
+        return pd.DataFrame({
+            "node": nodes.astype("int64"),
+            "label": nodes.map(lambda x: lut.get(x, x)).astype("int64"),
+        })
+
+    core_labels = hash_group_apply(
+        comp.map_batches(comp_rows, batch_format="pyarrow")
+            .union(deg.map_batches(core_node_rows, batch_format="pyarrow")),
+        ["key"], core_label, out_schema=lab_schema).materialize()
+
+    # border: min adjacent-core cluster label per non-core node — key
+    # the seeds on the CORE end to pick up its label, then min per node
+    def seed_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("b"), "label": t.column("a"),
+                         "tag": pa.array(np.ones(n, np.int8))},
+                        schema=att_schema)
+
+    def label_rows2(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("node"), "label": t.column("label"),
+                         "tag": pa.array(np.zeros(n, np.int8))},
+                        schema=att_schema)
+
+    def border_fwd(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["tag"] == 0]
+        lut = dict(zip(lab["key"], lab["label"]))
+        seeds = df.loc[df["tag"] == 1]
+        return pd.DataFrame({
+            "node": seeds["label"].astype("int64"),   # the non-core end
+            "label": seeds["key"].map(lut).astype("int64"),
+        })
+
+    def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", sort=False)["label"].min().reset_index()
+
+    border_labels = hash_group_apply(
+        hash_group_apply(
+            border_seeds.map_batches(seed_rows, batch_format="pyarrow")
+                        .union(core_labels.map_batches(
+                            label_rows2, batch_format="pyarrow")),
+            ["key"], border_fwd, out_schema=lab_schema),
+        ["node"], min_per_node, out_schema=lab_schema)
+
+    # final attach: every vec_id picks core label > border label > -1
+    fin_schema = pa.schema([(id_col, pa.int64()), ("label", pa.int64()),
+                            ("is_core", pa.int64())])
+    src_schema = pa.schema([("key", pa.int64()), ("label", pa.int64()),
+                            ("tag", pa.int8())])
+
+    def id_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        n = len(t)
+        return pa.table({"key": ids,
+                         "label": pa.array(np.full(n, -1, np.int64)),
+                         "tag": pa.array(np.full(n, 2, np.int8))},
+                        schema=src_schema)
+
+    def core_lab_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("node"), "label": t.column("label"),
+                         "tag": pa.array(np.zeros(n, np.int8))},
+                        schema=src_schema)
+
+    def border_lab_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t.column("node"), "label": t.column("label"),
+                         "tag": pa.array(np.ones(n, np.int8))},
+                        schema=src_schema)
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        tag = df["tag"].to_numpy()
+        core_lut = dict(zip(df.loc[tag == 0, "key"],
+                            df.loc[tag == 0, "label"]))
+        bord_lut = dict(zip(df.loc[tag == 1, "key"],
+                            df.loc[tag == 1, "label"]))
+        ids = df.loc[tag == 2, "key"]
+        lab = ids.map(lambda x: core_lut.get(x, bord_lut.get(x, -1)))
+        return pd.DataFrame({
+            id_col: ids.astype("int64"),
+            "label": lab.astype("int64"),
+            "is_core": ids.map(lambda x: int(x in core_lut)).astype("int64"),
+        })
+
+    return hash_group_apply(
+        ds.map_batches(id_rows, batch_format="pyarrow")
+          .union(core_labels.map_batches(core_lab_rows,
+                                         batch_format="pyarrow"))
+          .union(border_labels.map_batches(border_lab_rows,
+                                           batch_format="pyarrow")),
+        ["key"], assemble, out_schema=fin_schema)

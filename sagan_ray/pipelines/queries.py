@@ -4574,6 +4574,52 @@ FROM reps ORDER BY doc_id
 SQL_SPLIT_LEAKAGE_SAFE = _build_sql_split()
 
 
+def q_embed_dbscan(sf_dir: str):
+    """Density clustering (DBSCAN) under cosine similarity
+    (datapipe/cluster.py::dbscan): eps-pairs via the float64 block-pair
+    exchange, cores by closed-neighborhood degree, clusters =
+    connected components of the core-core graph, borders attach to the
+    MIN adjacent core's cluster (the deterministic refinement of
+    DBSCAN's scan-order-dependent border rule — the SQL mirrors it
+    with a recursive-CTE closure)."""
+    from ..datapipe.cluster import dbscan
+
+    out = dbscan(_embeds(sf_dir), threshold=0.35, min_pts=3).to_pandas()
+    out = _typed(out, {"vec_id": "int64", "label": "int64",
+                       "is_core": "int64"})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBED_DBSCAN = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+d AS (SELECT u, count(*) AS c FROM e GROUP BY u),
+core AS (SELECT u FROM d WHERE c + 1 >= 3),
+ce AS (SELECT e.u, e.v FROM e
+       WHERE e.u IN (SELECT u FROM core)
+         AND e.v IN (SELECT u FROM core)),
+reach(u, v) AS (
+  SELECT u, u FROM core
+  UNION
+  SELECT r.u, ce.v FROM reach r JOIN ce ON ce.u = r.v),
+lab AS (SELECT u AS node, min(v) AS label FROM reach GROUP BY u),
+bl AS (SELECT e.u AS node, min(l.label) AS label
+       FROM e JOIN lab l ON e.v = l.node
+       WHERE e.u NOT IN (SELECT u FROM core)
+       GROUP BY e.u)
+SELECT emb.vec_id,
+       coalesce(l.label, b2.label, -1)::BIGINT AS label,
+       (CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_core
+FROM embeddings emb
+LEFT JOIN lab l ON emb.vec_id = l.node
+LEFT JOIN bl b2 ON emb.vec_id = b2.node
+ORDER BY emb.vec_id
+"""
+
+
 def q_events_latency(sf_dir: str):
     """Per-user view→purchase conversion latency
     (events.py::step_latency — map-side prune to the two step types,
@@ -5518,6 +5564,7 @@ QUERIES = {
     "text_readability": q_text_readability,
     "text_ttr": q_text_ttr,
     "events_basket": q_events_basket,
+    "embed_dbscan": q_embed_dbscan,
 }
 
 ORACLES = {
@@ -5678,4 +5725,5 @@ ORACLES = {
     "text_readability": SQL_TEXT_READABILITY,
     "text_ttr": SQL_TEXT_TTR,
     "events_basket": SQL_EVENTS_BASKET,
+    "embed_dbscan": SQL_EMBED_DBSCAN,
 }

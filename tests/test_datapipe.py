@@ -3101,3 +3101,97 @@ def test_kcenter_coreset_greedy_spec():
                                             pa.list_(pa.float32()))})
     out = kcenter_coreset(rd.from_arrow(small), k=9).to_pandas()
     assert list(out["vec_id"]) == [3, 5] and list(out["rank"]) == [0, 1]
+
+
+def test_dbscan_sequential_spec():
+    """Distributed DBSCAN matches a sequential transcription of the
+    spec: closed-neighborhood degree cores, components of the core-core
+    graph labeled by min core id, borders take the MIN adjacent core's
+    cluster label, rest is noise (-1); block-layout independent."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.cluster import dbscan
+
+    d, thr = 32, 0.8
+    e = np.eye(d)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    a = 0.85 ** 0.5
+    # cluster A: 4 members, mutual cos 0.85 (cores at min_pts=3 and 4)
+    mA = [unit(a * e[0] + 0.15 ** 0.5 * e[1 + i]) for i in range(4)]
+    # border: cos 0.9 to mA[0] only, 0.765 (< thr) to the others
+    bd = unit(0.9 * np.asarray(mA[0]) + 0.19 ** 0.5 * e[10])
+    # cluster B: 3 members on e12 (cores at min_pts=3, noise at 4)
+    mB = [unit(a * e[12] + 0.15 ** 0.5 * e[13 + i]) for i in range(3)]
+    # adjacent pair (cos .805) that is still noise: deg 1 < min_pts-1
+    p1 = unit(0.95 * e[20] + 0.0975 ** 0.5 * e[21])
+    p2 = unit(0.95 * e[20] - 0.0975 ** 0.5 * e[21])
+    vecs = np.asarray(mA + [bd] + mB + [p1, p2, e[24], e[25], e[26]])
+    n = len(vecs)
+    # non-monotone ids so min-label selection is actually exercised
+    ids = np.asarray([307, 101, 505, 202, 909, 404, 808, 606,
+                      701, 702, 703, 704, 705], np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+    # sequential spec: float64 cosine over the float32-stored values,
+    # exactly what the pair stage computes
+    v64 = np.asarray(tbl.column("embedding").to_pylist(), np.float64)
+    un = v64 / np.sqrt((v64 * v64).sum(axis=1))[:, None]
+    sim = un @ un.T
+    adj = (sim >= thr) & ~np.eye(n, dtype=bool)
+
+    for min_pts in (3, 4):
+        deg = adj.sum(axis=1)
+        core = deg + 1 >= min_pts
+        assert core.any() and not core.all()
+        parent = {int(ids[i]): int(ids[i]) for i in range(n) if core[i]}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if adj[i, j] and core[i] and core[j]:
+                    ra, rb = find(int(ids[i])), find(int(ids[j]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp_min = {}
+        for i in range(n):
+            if core[i]:
+                r = find(int(ids[i]))
+                comp_min[r] = min(comp_min.get(r, int(ids[i])), int(ids[i]))
+        want = {}
+        for i in range(n):
+            if core[i]:
+                want[int(ids[i])] = comp_min[find(int(ids[i]))]
+        for i in range(n):
+            if not core[i]:
+                labs = [want[int(ids[j])] for j in np.flatnonzero(adj[i])
+                        if core[j]]
+                want[int(ids[i])] = min(labs) if labs else -1
+        if min_pts == 3:
+            assert sorted(set(want.values())) [:1] == [-1]   # noise present
+            assert len({v for v in want.values() if v >= 0}) == 2
+
+        for parts in (1, 5):
+            ds = rd.from_arrow(tbl)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            out = (dbscan(ds, threshold=thr, min_pts=min_pts, n_blocks=3)
+                   .to_pandas().sort_values("vec_id")
+                   .reset_index(drop=True))
+            assert len(out) == n, (min_pts, parts)
+            got = dict(zip(out["vec_id"], out["label"]))
+            assert got == want, (min_pts, parts)
+            got_core = dict(zip(out["vec_id"], out["is_core"]))
+            assert got_core == {int(ids[i]): int(core[i])
+                                for i in range(n)}, (min_pts, parts)
