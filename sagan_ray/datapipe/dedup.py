@@ -1713,3 +1713,196 @@ def fuzzy_dedup_against_prior(new, prior, *, threshold: float = 0.9,
 
     schema = pa.schema([(id_col, pa.int64())])
     return hash_group_apply(tagged, [id_col], bucket, out_schema=schema)
+
+
+def _lev_block(wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distances for aligned word arrays — full DP
+    with the PAIR axis vectorized (the classic j-recurrence is
+    inherently sequential, so pairs are the wide numpy axis and the
+    cell loops are over max word lengths only). Distances are over
+    UTF-8 bytes, which equals character edit distance for the ASCII
+    ``[a-z0-9_]`` vocabulary feeding it (mirrors DuckDB levenshtein)."""
+    P = len(wa)
+    if P == 0:
+        return np.empty(0, np.int64)
+    la = np.array([len(w) for w in wa], np.int64)
+    lb = np.array([len(w) for w in wb], np.int64)
+    maxa, maxb = int(la.max()), int(lb.max())
+    A = np.zeros((P, max(maxa, 1)), np.uint8)
+    B = np.zeros((P, max(maxb, 1)), np.uint8)
+    if maxa:
+        A[:] = wa.astype(f"S{maxa}")[:, None].view(np.uint8)
+    if maxb:
+        B[:] = wb.astype(f"S{maxb}")[:, None].view(np.uint8)
+    dist = np.where(la == 0, lb, np.int64(-1))
+    prev = np.tile(np.arange(maxb + 1, dtype=np.int64), (P, 1))
+    cur = np.empty_like(prev)
+    for i in range(1, maxa + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, maxb + 1):
+            sub = prev[:, j - 1] + (ai != B[:, j - 1])
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], sub, out=cur[:, j])
+        done = la == i
+        if done.any():
+            dist[done] = cur[done, lb[done]]
+        prev, cur = cur, prev
+    return dist
+
+
+def _del_variant_rows(words: np.ndarray, k: int, max_word: int):
+    """SymSpell deletion-neighborhood keys, vectorized per length
+    group: every word emits the uint64 hash of each distinct string
+    reachable by deleting ≤ k characters (itself included; ≤ 1 + L +
+    L(L-1)/2 keys at k=2). Words longer than ``max_word`` skip the
+    deletion fan-out (quadratic in L) and instead post LENGTH-bucket
+    keys ℓ-k..ℓ; every word with L ≥ max_word - k + 1 posts them too,
+    so any pair with a long side still shares a key (|Δlen| ≤ k is
+    implied by lev ≤ k). Returns (key_hash uint64, word_idx int64) —
+    candidate keys only ever bucket; verification is exact."""
+    from .hashing import hash_array_pure
+
+    lens = np.array([len(w) for w in words], np.int64)
+    out_h: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+
+    def emit(byte_arr: np.ndarray, idx: np.ndarray):
+        out_h.append(hash_array_pure(byte_arr.astype(object))
+                     .astype(np.uint64))
+        out_i.append(idx)
+
+    for L in np.unique(lens):
+        L = int(L)
+        sel = np.flatnonzero(lens == L)
+        grp = words[sel].astype(f"S{max(L, 1)}")
+        emit(grp, sel)                                   # d = 0
+        if L == 0 or L > max_word:
+            continue
+        mat = grp[:, None].view(np.uint8).reshape(len(sel), -1)[:, :L]
+        cols = np.arange(L)
+        for d in range(1, min(k, L) + 1):
+            width = L - d
+            for drop in itertools.combinations(range(L), d):
+                keep_cols = np.delete(cols, list(drop))
+                if width == 0:
+                    emit(np.full(len(sel), b"", object), sel)
+                    continue
+                sub = np.ascontiguousarray(mat[:, keep_cols])
+                emit(sub.view(f"S{width}").ravel(), sel)
+    # length-bucket keys for the long-word path (\xff prefix cannot
+    # collide with a variant of the ASCII tokenizer alphabet)
+    near_long = np.flatnonzero(lens >= max(max_word - k + 1, 1))
+    for off in range(k + 1):
+        lk = np.array([b"\xff" + int(v).to_bytes(8, "big")
+                       for v in np.maximum(lens[near_long] - off, 0)],
+                      object)
+        emit(lk, near_long)
+    h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+    i = np.concatenate(out_i).astype(np.int64) if out_i else \
+        np.empty(0, np.int64)
+    # dedupe (key, word): repeated-char deletions and clipped length
+    # buckets produce duplicate postings of one word
+    order = np.lexsort((i, h))
+    hh, ii = h[order], i[order]
+    keep = np.ones(len(hh), bool)
+    keep[1:] = (hh[1:] != hh[:-1]) | (ii[1:] != ii[:-1])
+    return hh[keep], ii[keep]
+
+
+def vocab_edit_pairs(ds, *, k: int = 2, text_col: str = "text",
+                     max_word: int = 48, max_posting: int = 4096):
+    """Edit-distance similarity self-join over the corpus VOCABULARY:
+    every distinct-word pair (w1 < w2 bytewise) at Levenshtein distance
+    ≤ ``k``, with the exact distance. The spell-cluster / typo-merge
+    primitive (SymSpell deletion neighborhoods, Navarro 2001 survey
+    shapes): if lev(a,b) = d ≤ k, the aligned non-matched characters
+    give a common string reachable by ≤ d deletions from EACH side, so
+    grouping by ≤k-deletion variants is a strict candidate superset and
+    the in-bucket DP verify makes the result exact.
+
+    Scale shape: stage 1 reduces the corpus to its vocabulary (per-batch
+    distinct (hash, word) rows through the word-keyed exchange — one row
+    per distinct word per batch, never per occurrence); stage 2 is
+    vocabulary-sized: ~(1 + L + L²/2) 8-byte keys per word cross the
+    variant exchange, candidate buckets pair via the shared
+    offset-arange construction under the ``max_posting`` skew cap, and
+    the exact DP runs vectorized across each bucket's pair axis. A
+    final pair-keyed exchange dedups multi-variant hits. Nothing is
+    corpus-sized past stage 1; nothing materializes on the driver."""
+    from .exchange import hash_group_apply
+
+    def vocab_parts(tbl: pa.Table) -> pa.Table:
+        from .textstats import _words_flat
+
+        _, _, _, wh, ws = _words_flat(tbl.column(text_col))
+        if len(wh):
+            order = np.argsort(wh, kind="mergesort")
+            first = np.ones(len(wh), bool)
+            first[1:] = wh[order][1:] != wh[order][:-1]
+            sel = order[first]
+            return pa.table({"h": pa.array(wh[sel], pa.uint64()),
+                             "w": pa.array(ws[sel], pa.large_string())})
+        return pa.table({"h": pa.array([], pa.uint64()),
+                         "w": pa.array([], pa.large_string())})
+
+    vocab_schema = pa.schema([("w", pa.large_string())])
+
+    def vocab_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["w"])[["w"]]
+
+    vocab = hash_group_apply(
+        ds.map_batches(vocab_parts, batch_format="pyarrow",
+                       batch_size=65536),
+        ["h"], vocab_bucket, out_schema=vocab_schema)
+
+    def variant_rows(tbl: pa.Table) -> pa.Table:
+        ws = tbl.column("w").to_numpy(zero_copy_only=False).astype(object)
+        hh, ii = _del_variant_rows(ws, k, max_word)
+        return pa.table({"kh": pa.array(hh, pa.uint64()),
+                         "w": pa.array(ws[ii], pa.large_string())})
+
+    pair_schema = pa.schema([("w1", pa.large_string()),
+                             ("w2", pa.large_string()),
+                             ("dist", pa.int64())])
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "dist": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.sort_values(["kh", "w"], kind="mergesort")
+        kh = df["kh"].to_numpy()
+        ws = df["w"].to_numpy()
+        bnd = np.flatnonzero(kh[1:] != kh[:-1])
+        counts = np.diff(np.concatenate([[0], bnd + 1, [len(df)]]))
+        keep = counts <= max_posting
+        dropped = int((~keep).sum())
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "vocab_edit_pairs: dropped %d variant buckets (> %d "
+                "words) from candidate generation", dropped, max_posting)
+        ai, bi = _group_pairs_idx(counts, keep)
+        if not len(ai):
+            return empty
+        wa, wb = ws[ai], ws[bi]
+        lens_a = np.array([len(x) for x in wa], np.int64)
+        lens_b = np.array([len(x) for x in wb], np.int64)
+        near = (np.abs(lens_a - lens_b) <= k) & (wa != wb)
+        wa, wb = wa[near], wb[near]
+        if not len(wa):
+            return empty
+        dist = _lev_block(wa, wb)
+        ok = dist <= k
+        # in-group sort is ascending by w, so ai < bi gives w1 < w2
+        return pd.DataFrame({"w1": wa[ok], "w2": wb[ok],
+                             "dist": dist[ok]})
+
+    cands = hash_group_apply(
+        vocab.map_batches(variant_rows, batch_format="pyarrow"),
+        ["kh"], verify_bucket, out_schema=pair_schema)
+    return hash_group_apply(
+        cands, ["w1", "w2"], lambda g: g.drop_duplicates(
+            subset=["w1", "w2"]),
+        out_schema=pair_schema)

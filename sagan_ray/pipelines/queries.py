@@ -4620,6 +4620,31 @@ ORDER BY emb.vec_id
 """
 
 
+def q_corpus_edit_pairs(sf_dir: str):
+    """Edit-distance similarity self-join over the corpus vocabulary
+    (datapipe/dedup.py::vocab_edit_pairs): SymSpell deletion-variant
+    exchange buckets candidates, exact pair-vectorized DP verifies;
+    the SQL recomputes every distinct-word pair with DuckDB
+    levenshtein()."""
+    from ..datapipe.dedup import vocab_edit_pairs
+
+    out = vocab_edit_pairs(_docs(sf_dir), k=2).to_pandas()
+    out = _typed(out, {"w1": "object", "w2": "object", "dist": "int64"})
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+SQL_CORPUS_EDIT_PAIRS = r"""
+WITH words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+    FROM documents) t)
+SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w)::BIGINT AS dist
+FROM words a JOIN words b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+ORDER BY w1, w2
+"""
+
+
 def q_events_latency(sf_dir: str):
     """Per-user view→purchase conversion latency
     (events.py::step_latency — map-side prune to the two step types,
@@ -5565,6 +5590,7 @@ QUERIES = {
     "text_ttr": q_text_ttr,
     "events_basket": q_events_basket,
     "embed_dbscan": q_embed_dbscan,
+    "corpus_edit_pairs": q_corpus_edit_pairs,
 }
 
 ORACLES = {
@@ -5726,4 +5752,5 @@ ORACLES = {
     "text_ttr": SQL_TEXT_TTR,
     "events_basket": SQL_EVENTS_BASKET,
     "embed_dbscan": SQL_EMBED_DBSCAN,
+    "corpus_edit_pairs": SQL_CORPUS_EDIT_PAIRS,
 }

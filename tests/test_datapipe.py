@@ -3195,3 +3195,53 @@ def test_dbscan_sequential_spec():
             got_core = dict(zip(out["vec_id"], out["is_core"]))
             assert got_core == {int(ids[i]): int(core[i])
                                 for i in range(n)}, (min_pts, parts)
+
+
+def test_vocab_edit_pairs_matches_bruteforce():
+    """Distributed edit-distance vocab join matches a sequential
+    brute-force Levenshtein over the distinct vocabulary — including
+    words past the max_word long-word path (length-bucket keys) and
+    duplicate corpus occurrences; block-layout independent."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup import vocab_edit_pairs
+
+    def ref_lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    rng = np.random.RandomState(5)
+    alpha = list("abc0_")
+    vocab = sorted({"".join(rng.choice(alpha, rng.randint(1, 8)))
+                    for _ in range(120)}
+                   | {"x" * 20, "x" * 21, "x" * 19 + "y", "z" * 20})
+    # docs repeat words (vocab distinctness is the operator's job) and
+    # mix cases/punct (tokenizer's job)
+    texts = [" ".join(rng.choice(vocab, 15)).upper() + "!,"
+             for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts, pa.large_string())})
+    present = sorted({w.strip("!,") for t in texts
+                      for w in t.lower().split()})
+    k = 2
+    want = sorted((a, b, ref_lev(a, b))
+                  for i, a in enumerate(present)
+                  for b in present[i + 1:]
+                  if ref_lev(a, b) <= k)
+    assert want, "fixture must produce pairs"
+    assert any(len(a) > 18 for a, b, _ in want), "long-word pair present"
+
+    for parts in (1, 6):
+        ds = rd.from_arrow(tbl)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = (vocab_edit_pairs(ds, k=k, max_word=16).to_pandas()
+               .sort_values(["w1", "w2"]).reset_index(drop=True))
+        got = list(zip(out["w1"], out["w2"], out["dist"]))
+        assert got == want, parts
