@@ -81,6 +81,7 @@ from .cluster import (  # noqa: F401
 )
 from .decomp import fit_pca, pca_project  # noqa: F401
 from .curate import (  # noqa: F401
+    blocklist_flags,
     decontaminate,
     split_by_cluster,
     group_topk,

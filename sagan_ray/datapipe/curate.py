@@ -165,6 +165,57 @@ def pii_redact(ds, *, text_col: str = "text", id_cols: list[str] | None = None,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def blocklist_flags(ds, phrases: list[str], *, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """(id_col, n_banned, banned) per row: ``n_banned`` = number of
+    DISTINCT ``phrases`` occurring as substrings of ``lower(text)`` —
+    the C4/RefinedWeb banned-phrase curation filter (substring
+    semantics, shared exactly with the SQL oracle's ``contains``).
+
+    Two-tier kernel per batch, all Arrow C++ — no Python loop over rows:
+    ONE RE2 alternation pass (`match_substring_regex`; RE2 compiles the
+    alternation to a DFA, the Aho-Corasick-class O(bytes) scan
+    regardless of phrase count) flags candidate docs, then the
+    per-phrase `match_substring` passes that produce the DISTINCT-phrase
+    count run on the flagged SUBSET only. At corpus scale the flagged
+    fraction is small, so the per-phrase leg costs ~|hits|·k bytes, not
+    |corpus|·k — the same prefilter-then-verify shape as the classify
+    stage's literal prefilter (CLAUDE.md round-2 levers)."""
+    import re as _re
+
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    # case-insensitive: both the text and the phrases fold to lower;
+    # DISTINCT-phrase counting, so case-duplicates collapse
+    low_phrases = sorted({p.lower() for p in phrases})
+    # sort for a deterministic alternation (RE2 match result is
+    # order-independent for a boolean match; sorting just pins the
+    # compiled pattern bytes)
+    alt = "|".join(_re.escape(p) for p in sorted(low_phrases))
+
+    def f(tbl: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(
+            pc.fill_null(pc.cast(tbl.column(text_col), pa.string()), ""))
+        any_m = pc.match_substring_regex(low, alt)
+        hit_idx = np.flatnonzero(
+            pc.fill_null(any_m, False).combine_chunks().to_numpy(
+                zero_copy_only=False))
+        n = np.zeros(tbl.num_rows, np.int64)
+        if len(hit_idx):
+            sub = pc.take(low, pa.array(hit_idx, pa.int64()))
+            tot = np.zeros(len(hit_idx), np.int64)
+            for p in low_phrases:
+                m = pc.match_substring(sub, p)
+                tot += m.combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            n[hit_idx] = tot
+        return pa.table({id_col: tbl.column(id_col),
+                         "n_banned": pa.array(n),
+                         "banned": pa.array(n > 0)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------------
 # deterministic stratified sampling
 # ----------------------------------------------------------------------

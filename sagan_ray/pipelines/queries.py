@@ -5404,6 +5404,41 @@ ORDER BY rank
 """
 
 
+# the banned-phrase list the gate exercises: substring semantics, mixed
+# single words and cross-word phrases so both the alternation prefilter
+# and the per-phrase count leg see hits AND misses on the synth vocab
+_BLOCKLIST_PHRASES = ["slow", "big table", "spark a", "vector"]
+
+
+def q_text_blocklist(sf_dir: str):
+    """Banned-phrase curation filter (curate.blocklist_flags): one RE2
+    alternation DFA pass flags candidates, per-phrase counts run on the
+    flagged subset only. The SQL recomputes n_banned with per-phrase
+    ``contains(lower(text), phrase)`` — identical substring semantics."""
+    from ..datapipe.curate import blocklist_flags
+
+    out = blocklist_flags(_docs(sf_dir), _BLOCKLIST_PHRASES).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "n_banned": "int64",
+                       "banned": "bool"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_BLOCKLIST = """
+WITH p AS (
+  SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
+h AS (
+  SELECT doc_id, count(*)::BIGINT AS n_banned
+  FROM documents, p
+  WHERE contains(lower(text), phrase)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_banned, 0)::BIGINT AS n_banned,
+       coalesce(h.n_banned, 0) > 0 AS banned
+FROM documents d LEFT JOIN h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5591,6 +5626,7 @@ QUERIES = {
     "events_basket": q_events_basket,
     "embed_dbscan": q_embed_dbscan,
     "corpus_edit_pairs": q_corpus_edit_pairs,
+    "text_blocklist": q_text_blocklist,
 }
 
 ORACLES = {
@@ -5753,4 +5789,5 @@ ORACLES = {
     "events_basket": SQL_EVENTS_BASKET,
     "embed_dbscan": SQL_EMBED_DBSCAN,
     "corpus_edit_pairs": SQL_CORPUS_EDIT_PAIRS,
+    "text_blocklist": SQL_TEXT_BLOCKLIST,
 }

@@ -101,6 +101,42 @@ def test_pii_redact_patterns_and_counts():
 
 
 # ----------------------------------------------------------------------
+# blocklist_flags
+# ----------------------------------------------------------------------
+
+def test_blocklist_flags_matches_brute_force():
+    from sagan_ray.datapipe import blocklist_flags
+
+    phrases = ["bad word", "spam", "a+b", "Never"]  # incl. regex metachar
+    texts = [
+        "this has a bad word in it",
+        "SPAM and more spam",              # case-insensitive, 1 distinct
+        "the expression a+b is banned",    # metachar must be escaped
+        "clean text entirely",
+        "",                                # empty
+        "never say never",                 # lower() folds the phrase too
+        "bad word spam a+b never",         # all four
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = (blocklist_flags(_ds(tbl), phrases)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    expect = [sum(p.lower() in t.lower() for p in phrases) for t in texts]
+    assert out["n_banned"].tolist() == expect
+    assert out["banned"].tolist() == [n > 0 for n in expect]
+
+
+def test_blocklist_flags_no_hits_batch():
+    from sagan_ray.datapipe import blocklist_flags
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["alpha", "beta"])})
+    out = blocklist_flags(_ds(tbl), ["zzz"]).to_pandas()
+    assert out["n_banned"].tolist() == [0, 0]
+    assert not out["banned"].any()
+
+
+# ----------------------------------------------------------------------
 # sample_stratified
 # ----------------------------------------------------------------------
 
