@@ -646,3 +646,73 @@ def basket_pairs(ds, *, user_col: str = "user_id",
            .sum())
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def active_users(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
+    """Daily activity report: one row per calendar day with the EXACT
+    distinct-user count (DAU), the event count, the containing month's
+    exact distinct-user count (MAU) and stickiness = DAU / MAU — the
+    product-analytics staple.
+
+    Shape: the events stream is scanned ONCE. Each batch pre-collapses
+    to its distinct (period, user) pairs with a count for BOTH period
+    granularities (the dedupe-before-shuffle shape of
+    events_window_distinct), tagged day/month, so one exchange keyed on
+    (tag, period, user) carries ≤ 2·periods×users slim rows per batch —
+    every copy of a pair lands in one bucket, making the per-bucket
+    nunique an exact disjoint partial. (The tag is part of the key
+    because a month-floor CAN equal a day-floor timestamp — the 1st of
+    a month — and the two kinds must never merge.) Final combine is
+    bounded by (buckets × periods) rows on the driver; stickiness is
+    one int/int IEEE division, bit-equal to the SQL's
+    ``dau * 1.0 / mau``."""
+    import pyarrow.compute as pc
+
+    from .exchange import hash_group_apply
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        parts = []
+        for tag, unit in ((0, "day"), (1, "month")):
+            per = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+            t = pa.table({"period": per, user_col: tbl.column(user_col)})
+            g = pa.TableGroupBy(t, ["period", user_col]).aggregate(
+                [([], "count_all")])
+            g = g.rename_columns(["period", user_col, "n"])
+            parts.append(g.append_column(
+                "tag", pa.array(np.full(g.num_rows, tag, np.int8))))
+        return pa.concat_tables(parts)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["tag", "period"], sort=False)
+               .agg(users=(user_col, "nunique"), n_events=("n", "sum"))
+               .reset_index())
+        return g.astype({"tag": "int8", "users": "int64",
+                         "n_events": "int64"})
+
+    schema = pa.schema([("tag", pa.int8()), ("period", pa.timestamp("us")),
+                        ("users", pa.int64()), ("n_events", pa.int64())])
+    parts = hash_group_apply(
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=65536),
+        ["tag", "period", user_col], bucket,
+        out_schema=schema).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({"tag": pd.Series([], dtype="int8"),
+                              "period": pd.Series([], dtype="datetime64[us]"),
+                              "users": pd.Series([], dtype="int64"),
+                              "n_events": pd.Series([], dtype="int64")})
+    tot = (parts.groupby(["tag", "period"], as_index=False)
+           .agg(users=("users", "sum"), n_events=("n_events", "sum"))
+           .astype({"users": "int64", "n_events": "int64"}))
+    dd = (tot[tot["tag"] == 0].rename(
+        columns={"period": "day", "users": "dau"})
+        [["day", "dau", "n_events"]].copy())
+    mm = (tot[tot["tag"] == 1].rename(
+        columns={"period": "month", "users": "mau"})
+        [["month", "mau"]].copy())
+    dd["month"] = dd["day"].dt.to_period("M").dt.to_timestamp().astype(
+        dd["day"].dtype)
+    out = dd.merge(mm, on="month", how="left")
+    out["stickiness"] = out["dau"].to_numpy(np.float64) \
+        / out["mau"].to_numpy(np.float64)
+    out = out[["day", "dau", "n_events", "mau", "stickiness"]]
+    return out.sort_values("day").reset_index(drop=True)

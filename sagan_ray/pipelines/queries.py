@@ -5423,6 +5423,40 @@ def q_text_blocklist(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_events_dau(sf_dir: str):
+    """Daily/monthly active users + stickiness (datapipe/events.py::
+    active_users — two slim pre-collapsed (period, user) exchanges,
+    exact distinct everywhere, DAU/MAU one int/int division)."""
+    import ray.data as rd
+
+    from ..datapipe.events import active_users
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    out = active_users(ds)
+    return _typed(out, {"day": "datetime64[us]", "dau": "int64",
+                        "n_events": "int64", "mau": "int64",
+                        "stickiness": "float64"})
+
+
+SQL_EVENTS_DAU = """
+WITH du AS (
+  SELECT date_trunc('day', ts) AS day, user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+dd AS (
+  SELECT day, count(*)::BIGINT AS dau, sum(n)::BIGINT AS n_events
+  FROM du GROUP BY day),
+mu AS (
+  SELECT date_trunc('month', ts) AS month,
+         count(DISTINCT user_id)::BIGINT AS mau
+  FROM events GROUP BY 1)
+SELECT dd.day, dd.dau, dd.n_events, mu.mau,
+       dd.dau * 1.0 / mu.mau AS stickiness
+FROM dd JOIN mu ON date_trunc('month', dd.day) = mu.month
+ORDER BY dd.day
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5627,6 +5661,7 @@ QUERIES = {
     "embed_dbscan": q_embed_dbscan,
     "corpus_edit_pairs": q_corpus_edit_pairs,
     "text_blocklist": q_text_blocklist,
+    "events_dau": q_events_dau,
 }
 
 ORACLES = {
@@ -5790,4 +5825,5 @@ ORACLES = {
     "embed_dbscan": SQL_EMBED_DBSCAN,
     "corpus_edit_pairs": SQL_CORPUS_EDIT_PAIRS,
     "text_blocklist": SQL_TEXT_BLOCKLIST,
+    "events_dau": SQL_EVENTS_DAU,
 }

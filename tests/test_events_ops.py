@@ -405,3 +405,28 @@ def test_basket_pairs_hand_check():
     # {view}: 0
     assert got == [("click", "error", 2), ("click", "view", 1),
                    ("error", "view", 1)]
+
+
+def test_active_users_hand_check():
+    """DAU counts distinct users per calendar day (repeats collapse),
+    n_events counts events, MAU is the containing MONTH's distinct set
+    (a user active on two days of one month counts once), stickiness =
+    dau/mau. Spans a month boundary so the month join is exercised."""
+    from sagan_ray.datapipe.events import active_users
+
+    US_D = 86_400_000_000
+    jan31 = 30 * US_D          # epoch day 30 = 1970-01-31
+    feb01 = 31 * US_D
+    rows = [
+        (1, 100, "a"), (1, 200, "a"), (2, 300, "a"),       # jan 1
+        (1, jan31 + 100, "a"),                             # jan 31
+        (3, feb01 + 100, "a"), (3, feb01 + 200, "a"),      # feb 1
+    ]
+    out = active_users(_ds(_events(rows)))
+    assert out["day"].dt.strftime("%Y-%m-%d").tolist() == [
+        "1970-01-01", "1970-01-31", "1970-02-01"]
+    assert out["dau"].tolist() == [2, 1, 1]
+    assert out["n_events"].tolist() == [3, 1, 2]
+    # january has users {1,2} (user 1 on two days counts once) -> mau 2
+    assert out["mau"].tolist() == [2, 2, 1]
+    assert out["stickiness"].tolist() == [1.0, 0.5, 1.0]
