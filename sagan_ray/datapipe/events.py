@@ -716,3 +716,114 @@ def active_users(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
         / out["mau"].to_numpy(np.float64)
     out = out[["day", "dau", "n_events", "mau", "stickiness"]]
     return out.sort_values("day").reset_index(drop=True)
+
+
+def last_touch_attribution(ds, *, convert_type: str = "purchase",
+                           user_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           direct_label: str = "direct"):
+    """Last-touch conversion attribution: for every user who converts
+    (has ≥1 ``convert_type`` event), credit the event type of the
+    LATEST event STRICTLY before the user's FIRST conversion (ties on
+    ts broken by the larger ``id_col`` — a total order, so the answer
+    is unique); users whose first conversion has no prior event credit
+    ``direct_label``. Returns (channel, n_conversions) sorted.
+
+    Two passes, events scanned twice but nothing wide ever shuffles:
+
+    1. First-conversion cutoffs: per-batch per-user min conversion ts
+       partials (slim (user, ts) rows) → one tiny groupby-min → the
+       (user → cutoff) map broadcast via ``ray.put`` as two sorted
+       arrays. Same users-fit-one-machine assumption as the pagerank
+       node table — the cutoff map is 16 B per CONVERTING user.
+    2. Candidate prune: each batch keeps, per converting user, only its
+       lexicographically largest (ts, id) row among rows with
+       ts < cutoff (one lexsort, no Python loop) — ≤1 slim row per
+       (user, batch) enters the user-keyed exchange; each bucket takes
+       the global argmax per user. Channel counts fold driver-side
+       (bounded by the type vocabulary)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min
+
+    from .exchange import hash_group_apply
+
+    def p1(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column(type_col), convert_type))
+        g = pa.TableGroupBy(t.select([user_col, ts_col]),
+                            [user_col]).aggregate([(ts_col, "min")])
+        return g.rename_columns([user_col, "cut"])
+
+    cuts = (ds.map_batches(p1, batch_format="pyarrow", batch_size=65536)
+              .groupby(user_col).aggregate(Min("cut", alias_name="cut"))
+              .to_pandas())
+    if cuts.empty:
+        return pd.DataFrame({"channel": pd.Series([], dtype="object"),
+                             "n_conversions": pd.Series([], dtype="int64")})
+    o = np.argsort(cuts[user_col].to_numpy())
+    cut_uid = cuts[user_col].to_numpy()[o].astype(np.int64)
+    cut_ts = cuts["cut"].to_numpy()[o].astype("datetime64[us]") \
+        .astype(np.int64)
+    cut_ref = ray.put((cut_uid, cut_ts))
+
+    def p2(tbl: pa.Table) -> pa.Table:
+        uids, tss = ray.get(cut_ref)
+        uid = tbl.column(user_col).to_numpy().astype(np.int64)
+        ts = tbl.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        pos = np.searchsorted(uids, uid)
+        pos_c = np.minimum(pos, len(uids) - 1)
+        keep = (uids[pos_c] == uid) & (ts < tss[pos_c])
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             type_col: pa.array([], pa.string())})
+        eid = tbl.column(id_col).to_numpy().astype(np.int64)[idx]
+        u, t = uid[idx], ts[idx]
+        # last (u asc, ts asc, id asc) row per user = per-user argmax
+        order = np.lexsort((eid, t, u))
+        last = np.ones(len(order), bool)
+        last[:-1] = u[order][1:] != u[order][:-1]
+        sel = idx[order[last]]
+        return pa.table({
+            user_col: pa.array(uid[sel], pa.int64()),
+            "ts_us": pa.array(ts[sel], pa.int64()),
+            id_col: pa.array(
+                tbl.column(id_col).to_numpy().astype(np.int64)[sel]),
+            type_col: pc.cast(
+                pc.take(tbl.column(type_col),
+                        pa.array(sel, pa.int64())), pa.string()),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy().astype(np.int64)
+        t = df["ts_us"].to_numpy().astype(np.int64)
+        e = df[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((e, t, u))
+        last = np.ones(len(order), bool)
+        if len(order):
+            last[:-1] = u[order][1:] != u[order][:-1]
+        ch = df[type_col].to_numpy()[order[last]]
+        types, n = np.unique(ch, return_counts=True)
+        return pd.DataFrame({"channel": types,
+                             "n_conversions": n.astype(np.int64)})
+
+    schema = pa.schema([("channel", pa.string()),
+                        ("n_conversions", pa.int64())])
+    parts = hash_group_apply(
+        ds.map_batches(p2, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    out = (parts.groupby("channel", as_index=False)["n_conversions"].sum()
+           if not parts.empty else
+           pd.DataFrame({"channel": pd.Series([], dtype="object"),
+                         "n_conversions": pd.Series([], dtype="int64")}))
+    n_direct = len(cut_uid) - int(out["n_conversions"].sum())
+    if n_direct > 0:
+        out = pd.concat([out, pd.DataFrame(
+            {"channel": [direct_label],
+             "n_conversions": [n_direct]})], ignore_index=True)
+    out["n_conversions"] = out["n_conversions"].astype("int64")
+    return out.sort_values("channel").reset_index(drop=True)

@@ -5457,6 +5457,39 @@ ORDER BY dd.day
 """
 
 
+def q_events_attribution(sf_dir: str):
+    """Last-touch conversion attribution (datapipe/events.py::
+    last_touch_attribution — cutoff broadcast + per-batch argmax prune,
+    ≤1 slim row per (user, batch) through the user exchange)."""
+    import ray.data as rd
+
+    from ..datapipe.events import last_touch_attribution
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = last_touch_attribution(ds, convert_type="purchase")
+    return _typed(out, {"channel": "object", "n_conversions": "int64"})
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH fp AS (
+  SELECT user_id, min(ts) AS cut
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+pre AS (
+  SELECT e.user_id, e.event_type,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM events e JOIN fp USING (user_id) WHERE e.ts < fp.cut),
+att AS (SELECT user_id, event_type FROM pre WHERE rn = 1),
+base AS (
+  SELECT fp.user_id, coalesce(att.event_type, 'direct') AS channel
+  FROM fp LEFT JOIN att USING (user_id))
+SELECT channel, count(*)::BIGINT AS n_conversions
+FROM base GROUP BY channel ORDER BY channel
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5662,6 +5695,7 @@ QUERIES = {
     "corpus_edit_pairs": q_corpus_edit_pairs,
     "text_blocklist": q_text_blocklist,
     "events_dau": q_events_dau,
+    "events_attribution": q_events_attribution,
 }
 
 ORACLES = {
@@ -5826,4 +5860,5 @@ ORACLES = {
     "corpus_edit_pairs": SQL_CORPUS_EDIT_PAIRS,
     "text_blocklist": SQL_TEXT_BLOCKLIST,
     "events_dau": SQL_EVENTS_DAU,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
 }

@@ -430,3 +430,31 @@ def test_active_users_hand_check():
     # january has users {1,2} (user 1 on two days counts once) -> mau 2
     assert out["mau"].tolist() == [2, 2, 1]
     assert out["stickiness"].tolist() == [1.0, 0.5, 1.0]
+
+
+def test_last_touch_attribution_hand_check():
+    """Strictly-before cutoff (an event AT the conversion ts does not
+    count), ts ties break by larger event_id, conversion-less users
+    contribute nothing, converters with no prior event fall to
+    'direct', and only the FIRST conversion anchors the cutoff."""
+    from sagan_ray.datapipe.events import last_touch_attribution
+
+    rows = [  # (event_id, user, ts, type)
+        (1, 1, 100, "view"), (2, 1, 200, "click"),
+        (3, 1, 300, "purchase"),          # u1: last touch = click
+        (4, 1, 400, "error"),             # after conversion — ignored
+        (5, 2, 100, "purchase"),          # u2: nothing before -> direct
+        (6, 3, 100, "view"), (7, 3, 100, "click"),   # ts tie -> id 7
+        (8, 3, 150, "purchase"), (9, 3, 160, "purchase"),
+        (10, 4, 100, "view"),             # u4 never converts
+        (11, 5, 100, "click"), (12, 5, 100, "purchase"),  # AT ts -> direct
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = last_touch_attribution(_ds(tbl))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [("click", 2), ("direct", 2)]
