@@ -827,3 +827,66 @@ def last_touch_attribution(ds, *, convert_type: str = "purchase",
              "n_conversions": [n_direct]})], ignore_index=True)
     out["n_conversions"] = out["n_conversions"].astype("int64")
     return out.sort_values("channel").reset_index(drop=True)
+
+
+def ab_conversion(ds, *, convert_type: str = "purchase",
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  n_groups: int = 2):
+    """Deterministic hash-split A/B conversion report: users split into
+    ``n_groups`` arms by the Knuth multiplicative hash of ``user_col``
+    (the sample_stratified hash — stateless, resumable, SQL-replicable),
+    conversion = the user has ≥1 ``convert_type`` event. One row per
+    arm: (grp, n_users, n_converted, conv_rate) with conv_rate a single
+    int/int IEEE division (bit-equal to the SQL's ``sum*1.0/count``).
+
+    Shape: each batch pre-collapses to its distinct (user, converted)
+    rows (converted = per-batch max of the type flag), the user-keyed
+    exchange dedupes exactly (every copy of a user in one bucket, flag =
+    max over copies), and each bucket emits ≤ n_groups count rows —
+    the driver folds buckets × n_groups rows."""
+    import pyarrow.compute as pc
+
+    from .exchange import hash_group_apply
+
+    knuth = np.uint64(2654435761)
+    mod32 = np.uint64(1) << np.uint64(32)
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.equal(tbl.column(type_col), convert_type),
+                       pa.int64())
+        t = pa.table({user_col: tbl.column(user_col), "conv": conv})
+        g = pa.TableGroupBy(t, [user_col]).aggregate([("conv", "max")])
+        return g.rename_columns([user_col, "conv"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(user_col, sort=False)["conv"].max()
+        uid = g.index.to_numpy().astype(np.uint64)
+        grp = (((uid * knuth) % mod32) % np.uint64(n_groups)) \
+            .astype(np.int64)
+        conv = g.to_numpy().astype(np.int64)
+        n_users = np.bincount(grp, minlength=n_groups)
+        n_conv = np.bincount(grp, weights=conv,
+                             minlength=n_groups).astype(np.int64)
+        return pd.DataFrame({"grp": np.arange(n_groups, dtype=np.int64),
+                             "n_users": n_users.astype(np.int64),
+                             "n_converted": n_conv})
+
+    schema = pa.schema([("grp", pa.int64()), ("n_users", pa.int64()),
+                        ("n_converted", pa.int64())])
+    parts = hash_group_apply(
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"grp": pd.Series([], dtype="int64"),
+                             "n_users": pd.Series([], dtype="int64"),
+                             "n_converted": pd.Series([], dtype="int64"),
+                             "conv_rate": pd.Series([], dtype="float64")})
+    out = (parts.groupby("grp", as_index=False)
+           .agg(n_users=("n_users", "sum"),
+                n_converted=("n_converted", "sum"))
+           .astype({"grp": "int64", "n_users": "int64",
+                    "n_converted": "int64"}))
+    out = out[out["n_users"] > 0].copy()
+    out["conv_rate"] = out["n_converted"].to_numpy(np.float64) \
+        / out["n_users"].to_numpy(np.float64)
+    return out.sort_values("grp").reset_index(drop=True)

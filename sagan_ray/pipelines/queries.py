@@ -5490,6 +5490,35 @@ FROM base GROUP BY channel ORDER BY channel
 """
 
 
+def q_events_ab_lift(sf_dir: str):
+    """Hash-split A/B conversion report (datapipe/events.py::
+    ab_conversion — distinct-pruned user exchange, each bucket emits
+    ≤2 count rows; the arm split reuses the sample_stratified Knuth
+    hash so the SQL replays it exactly)."""
+    import ray.data as rd
+
+    from ..datapipe.events import ab_conversion
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = ab_conversion(ds, convert_type="purchase")
+    return _typed(out, {"grp": "int64", "n_users": "int64",
+                        "n_converted": "int64", "conv_rate": "float64"})
+
+
+SQL_EVENTS_AB_LIFT = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id)
+SELECT ((user_id * 2654435761) % 4294967296) % 2 AS grp,
+       count(*)::BIGINT AS n_users,
+       sum(conv)::BIGINT AS n_converted,
+       sum(conv) * 1.0 / count(*) AS conv_rate
+FROM u GROUP BY grp ORDER BY grp
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5696,6 +5725,7 @@ QUERIES = {
     "text_blocklist": q_text_blocklist,
     "events_dau": q_events_dau,
     "events_attribution": q_events_attribution,
+    "events_ab_lift": q_events_ab_lift,
 }
 
 ORACLES = {
@@ -5861,4 +5891,5 @@ ORACLES = {
     "text_blocklist": SQL_TEXT_BLOCKLIST,
     "events_dau": SQL_EVENTS_DAU,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "events_ab_lift": SQL_EVENTS_AB_LIFT,
 }

@@ -458,3 +458,28 @@ def test_last_touch_attribution_hand_check():
     out = last_touch_attribution(_ds(tbl))
     got = list(out.itertuples(index=False, name=None))
     assert got == [("click", 2), ("direct", 2)]
+
+
+def test_ab_conversion_hand_check():
+    """Arms come from the Knuth hash of the user id (not arrival
+    order), repeat events collapse to one user, conversion is max over
+    the user's events, and rates are exact int/int divisions."""
+    from sagan_ray.datapipe.events import ab_conversion
+
+    users = list(range(1, 9))
+    rows = []
+    for u in users:
+        rows.append((u, 100, "view"))
+        rows.append((u, 200, "view"))          # repeats collapse
+        if u in (1, 2, 3):
+            rows.append((u, 300, "purchase"))
+    out = ab_conversion(_ds(_events(rows)))
+    grp_of = {u: (u * 2654435761 % 2**32) % 2 for u in users}
+    exp_users = {g: sum(1 for u in users if grp_of[u] == g) for g in (0, 1)}
+    exp_conv = {g: sum(1 for u in (1, 2, 3) if grp_of[u] == g)
+                for g in (0, 1)}
+    assert out["grp"].tolist() == [0, 1]
+    assert out["n_users"].tolist() == [exp_users[0], exp_users[1]]
+    assert out["n_converted"].tolist() == [exp_conv[0], exp_conv[1]]
+    assert out["conv_rate"].tolist() == [
+        exp_conv[0] / exp_users[0], exp_conv[1] / exp_users[1]]
