@@ -264,6 +264,148 @@ def triangle_counts(edges, n_nodes: int):
                                                      pa.int64())}))
 
 
+def edge_common_neighbors(edges, n_nodes: int):
+    """(a, b, cn, jaccard) per unique undirected edge: cn = the EXACT
+    common-neighbor count |N(a) ∩ N(b)| (= the edge's triangle support,
+    the truss/link-prediction signal) and jaccard = cn / (deg(a) +
+    deg(b) − cn) — one int/int IEEE division, bit-equal to the SQL.
+
+    Same skeleton as ``triangle_counts`` (dedup exchange → degree-rank
+    oriented wedge exchange with the √(2m) fan-out bound → closure
+    exchange), but the closure buckets emit per-EDGE support partials —
+    one (x, y, 1-ish) row per (triangle edge × bucket) — which flow
+    through a second (a,b)-keyed exchange UNIONED with the presence-
+    tagged edge set, so zero-support edges keep a row and the per-edge
+    totals stay exact without anything edge-cardinality-sized touching
+    the driver (edges come back only as the RESULT Dataset). Degrees
+    broadcast once (|V| int64 — the pagerank node-table stance)."""
+    import ray
+
+    from .dedup import _group_pairs_idx
+    from .exchange import hash_group_apply
+
+    assert n_nodes <= (1 << 23)
+    ded = dedup_undirected(edges)
+    deg = undirected_degrees(ded, n_nodes)
+
+    rank = np.empty(n_nodes, dtype=np.int64)
+    order = np.lexsort((np.arange(n_nodes), deg))
+    rank[order] = np.arange(n_nodes)
+    rank_ref = ray.put(rank)
+
+    def orient(tbl: pa.Table, *, _ref=rank_ref) -> pa.Table:
+        r = ray.get(_ref)
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        swap = r[a] > r[b]
+        return pa.table({"u": pa.array(np.where(swap, b, a), pa.int64()),
+                         "w": pa.array(np.where(swap, a, b), pa.int64())})
+
+    wedge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("u", pa.int64())])
+
+    def wedges(df):
+        u = df["u"].to_numpy()
+        w = df["w"].to_numpy()
+        o = np.argsort(u, kind="stable")
+        u, w = u[o], w[o]
+        _, counts = np.unique(u, return_counts=True)
+        ai, bi = _group_pairs_idx(counts)
+        v1, v2 = w[ai], w[bi]
+        return pd.DataFrame({"a": np.minimum(v1, v2),
+                             "b": np.maximum(v1, v2), "u": u[ai]})
+
+    wed = hash_group_apply(
+        ded.map_batches(orient, batch_format="pyarrow", batch_size=None),
+        ["u"], wedges, out_schema=wedge_schema)
+
+    def tag_edges(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "u", pa.array(np.full(len(tbl), -1, np.int64)))
+
+    both = wed.union(ded.map_batches(tag_edges, batch_format="pyarrow",
+                                     batch_size=None))
+    part_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("c", pa.int64())])
+
+    def close(df):
+        """Per closed wedge (triangle {u,a,b}) emit +1 support for its
+        THREE edges; per present edge emit a c=-1 presence marker so
+        zero-support edges survive to the combine."""
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        u = df["u"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b, u = a[o], b[o], u[o]
+        is_edge = u < 0
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        gid = np.cumsum(new) - 1
+        has_edge = np.zeros(gid[-1] + 1, dtype=bool)
+        has_edge[gid[is_edge]] = True
+        tri = ~is_edge & has_edge[gid]
+        ta, tb, tu = a[tri], b[tri], u[tri]
+        ex = np.concatenate([ta, np.minimum(tu, ta), np.minimum(tu, tb),
+                             a[is_edge]])
+        ey = np.concatenate([tb, np.maximum(tu, ta), np.maximum(tu, tb),
+                             b[is_edge]])
+        ec = np.concatenate([np.ones(3 * len(ta), np.int64),
+                             np.full(is_edge.sum(), -1, np.int64)])
+        # collapse duplicate support rows inside the bucket
+        o2 = np.lexsort((ec, ey, ex))
+        ex, ey, ec = ex[o2], ey[o2], ec[o2]
+        new2 = np.empty(len(ex), dtype=bool)
+        if len(ex):
+            new2[0] = True
+            new2[1:] = (ex[1:] != ex[:-1]) | (ey[1:] != ey[:-1]) \
+                | (ec[1:] != ec[:-1])
+        g2 = np.cumsum(new2) - 1 if len(ex) else np.empty(0, np.int64)
+        csum = np.zeros(int(g2[-1]) + 1 if len(ex) else 0, np.int64)
+        np.add.at(csum, g2, ec)
+        # presence markers stay -1 (one per bucket suffices)
+        keep = np.flatnonzero(new2)
+        val = np.where(ec[keep] < 0, -1, csum)
+        return pd.DataFrame({"a": ex[keep], "b": ey[keep],
+                             "c": val.astype(np.int64)})
+
+    deg_ref = ray.put(deg)
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("cn", pa.int64()), ("jaccard", pa.float64())])
+
+    def combine(df):
+        dg = ray.get(deg_ref)
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, a))
+        a, b, c = a[o], b[o], c[o]
+        new = np.empty(len(a), dtype=bool)
+        if len(a):
+            new[0] = True
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        gid = np.cumsum(new) - 1 if len(a) else np.empty(0, np.int64)
+        ng = int(gid[-1]) + 1 if len(a) else 0
+        present = np.zeros(ng, dtype=bool)
+        present[gid[c < 0]] = True
+        cn = np.zeros(ng, np.int64)
+        np.add.at(cn, gid[c > 0], c[c > 0])
+        first = np.flatnonzero(new)
+        ga, gb = a[first], b[first]
+        keep = present
+        ga, gb, cn = ga[keep], gb[keep], cn[keep]
+        jac = cn.astype(np.float64) / (dg[ga] + dg[gb] - cn).astype(
+            np.float64)
+        return pd.DataFrame({"a": ga, "b": gb, "cn": cn, "jaccard": jac})
+
+    parts = hash_group_apply(
+        hash_group_apply(both, ["a", "b"], close,
+                         out_schema=part_schema),
+        ["a", "b"], combine, out_schema=out_schema)
+    return parts
+
+
 def degree_histogram(edges, n_nodes: int):
     """(deg, n_nodes) distribution over ALL nodes 0..n_nodes-1
     (isolated nodes count at deg 0) of the undirected simple graph —

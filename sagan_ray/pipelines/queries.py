@@ -5519,6 +5519,57 @@ FROM u GROUP BY grp ORDER BY grp
 """
 
 
+_CN_EDGES_PATH = "/tmp/sagan_ray_golden/cn_edges.parquet"
+
+
+def q_graph_link_scores(sf_dir: str):
+    """Per-edge common-neighbor count + Jaccard link score
+    (datapipe/graph.py::edge_common_neighbors — the triangle_counts
+    wedge machinery with per-EDGE support partials; the SQL recomputes
+    both from the same edge parquet with real joins)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.graph import edge_common_neighbors, synth_link_graph
+
+    edges = synth_link_graph(2048, seed=29)
+    os.makedirs(os.path.dirname(_CN_EDGES_PATH), exist_ok=True)
+    tmp = _CN_EDGES_PATH + ".tmp"
+    pq.write_table(edges, tmp)
+    os.replace(tmp, _CN_EDGES_PATH)
+    out = edge_common_neighbors(
+        rd.from_arrow(edges).repartition(8), 2048).to_pandas()
+    out = _typed(out, {"a": "int64", "b": "int64", "cn": "int64",
+                       "jaccard": "float64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_GRAPH_LINK_SCORES = """
+WITH e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('/tmp/sagan_ray_golden/cn_edges.parquet')
+  WHERE src <> dst),
+n AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+d AS (SELECT node, count(*)::BIGINT AS deg FROM n GROUP BY node),
+cn AS (
+  SELECT e.a, e.b, count(*)::BIGINT AS cn
+  FROM e
+  JOIN n na ON na.node = e.a
+  JOIN n nb ON nb.node = e.b AND nb.nbr = na.nbr
+  GROUP BY e.a, e.b)
+SELECT e.a, e.b, coalesce(cn.cn, 0)::BIGINT AS cn,
+       coalesce(cn.cn, 0) * 1.0
+         / (da.deg + db.deg - coalesce(cn.cn, 0)) AS jaccard
+FROM e
+LEFT JOIN cn USING (a, b)
+JOIN d da ON da.node = e.a
+JOIN d db ON db.node = e.b
+ORDER BY e.a, e.b
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5726,6 +5777,7 @@ QUERIES = {
     "events_dau": q_events_dau,
     "events_attribution": q_events_attribution,
     "events_ab_lift": q_events_ab_lift,
+    "graph_link_scores": q_graph_link_scores,
 }
 
 ORACLES = {
@@ -5892,4 +5944,5 @@ ORACLES = {
     "events_dau": SQL_EVENTS_DAU,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "events_ab_lift": SQL_EVENTS_AB_LIFT,
+    "graph_link_scores": SQL_GRAPH_LINK_SCORES,
 }

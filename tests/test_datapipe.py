@@ -2690,6 +2690,29 @@ def test_triangle_counts_hand_graph():
     assert out["n_tri"].tolist() == [3, 3, 3, 3]
 
 
+def test_edge_common_neighbors_hand_graph():
+    """K4 plus pendant 3-4: every K4 edge has cn=2 (the other two K4
+    vertices); jaccard = 2/(3+3-2) = 0.5 between degree-3 nodes but
+    2/(3+4-2) = 0.4 on edges touching node 3 (degree 4 via the
+    pendant); the pendant edge has cn=0 and jaccard 0/(4+1-0) = 0.
+    Zero-support edges must keep a row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import edge_common_neighbors
+
+    src = [0, 0, 0, 1, 1, 2, 3, 1, 2, 2]
+    dst = [1, 2, 3, 2, 3, 3, 4, 0, 1, 2]
+    out = (edge_common_neighbors(
+        rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                "dst": pa.array(dst, pa.int64())})),
+        8).to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [(0, 1, 2, 0.5), (0, 2, 2, 0.5), (0, 3, 2, 0.4),
+                   (1, 2, 2, 0.5), (1, 3, 2, 0.4), (2, 3, 2, 0.4),
+                   (3, 4, 0, 0.0)]
+
+
 def test_triangle_counts_sequential_and_layout_invariant():
     """Distributed count == brute-force sequential enumeration on the
     synthetic hub graph, and repartitioning cannot change a row."""
