@@ -890,3 +890,77 @@ def ab_conversion(ds, *, convert_type: str = "purchase",
     out["conv_rate"] = out["n_converted"].to_numpy(np.float64) \
         / out["n_users"].to_numpy(np.float64)
     return out.sort_values("grp").reset_index(drop=True)
+
+
+def interarrival_stats(ds, *, user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       id_col: str = "event_id"):
+    """Per-event-type inter-arrival statistics: gaps between CONSECUTIVE
+    same-type events of the same user (ordered by (ts, id) — the id
+    tie-break makes the gap sequence a total order, exactly the SQL
+    lag() window), aggregated to (event_type, n_gaps, sum_gap_us,
+    max_gap_us, mean_gap_us). All gap arithmetic is exact int64
+    microseconds; the mean is one sum/count IEEE division (both
+    operands exact ints < 2^53), bit-equal to the SQL's
+    ``sum * 1.0 / count``.
+
+    Shape: the user-keyed exchange carries slim (user, ts, id, type)
+    rows (a user's whole history lives in one bucket — gaps never cross
+    buckets); each bucket does one lexsort + one diff + bincount
+    /maximum.at partials per type; the driver folds buckets × |types|
+    rows."""
+    from .exchange import hash_group_apply
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        return tbl.select([user_col, ts_col, id_col, type_col])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        eid = df[id_col].to_numpy().astype(np.int64)
+        types, code = np.unique(df[type_col].to_numpy(),
+                                return_inverse=True)
+        o = np.lexsort((eid, ts, code, uid))
+        u_s, c_s, t_s = uid[o], code[o].astype(np.int64), ts[o]
+        same = np.zeros(len(o), dtype=bool)
+        if len(o) > 1:
+            same[1:] = (u_s[1:] == u_s[:-1]) & (c_s[1:] == c_s[:-1])
+        gap = np.empty(0, np.int64)
+        gc = np.empty(0, np.int64)
+        if same.any():
+            idx = np.flatnonzero(same)
+            gap = t_s[idx] - t_s[idx - 1]
+            gc = c_s[idx]
+        n = np.bincount(gc, minlength=len(types))
+        s = np.bincount(gc, weights=gap,
+                        minlength=len(types)).astype(np.int64)
+        mx = np.full(len(types), np.iinfo(np.int64).min)
+        np.maximum.at(mx, gc, gap)
+        keep = n > 0
+        return pd.DataFrame({
+            type_col: types[keep],
+            "n_gaps": n[keep].astype(np.int64),
+            "sum_gap_us": s[keep],
+            "max_gap_us": mx[keep],
+        })
+
+    schema = pa.schema([(type_col, pa.string()), ("n_gaps", pa.int64()),
+                        ("sum_gap_us", pa.int64()),
+                        ("max_gap_us", pa.int64())])
+    parts = hash_group_apply(
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            type_col: pd.Series([], dtype="object"),
+            "n_gaps": pd.Series([], dtype="int64"),
+            "sum_gap_us": pd.Series([], dtype="int64"),
+            "max_gap_us": pd.Series([], dtype="int64"),
+            "mean_gap_us": pd.Series([], dtype="float64")})
+    out = (parts.groupby(type_col, as_index=False)
+           .agg(n_gaps=("n_gaps", "sum"), sum_gap_us=("sum_gap_us", "sum"),
+                max_gap_us=("max_gap_us", "max"))
+           .astype({"n_gaps": "int64", "sum_gap_us": "int64",
+                    "max_gap_us": "int64"}))
+    out["mean_gap_us"] = out["sum_gap_us"].to_numpy(np.float64) \
+        / out["n_gaps"].to_numpy(np.float64)
+    return out.sort_values(type_col).reset_index(drop=True)

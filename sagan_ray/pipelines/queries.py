@@ -5570,6 +5570,40 @@ ORDER BY e.a, e.b
 """
 
 
+def q_events_interarrival(sf_dir: str):
+    """Per-type inter-arrival gap stats (datapipe/events.py::
+    interarrival_stats — slim user exchange, per-bucket lexsort+diff,
+    exact int64 microsecond gaps)."""
+    import ray.data as rd
+
+    from ..datapipe.events import interarrival_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = interarrival_stats(ds)
+    return _typed(out, {"event_type": "object", "n_gaps": "int64",
+                        "sum_gap_us": "int64", "max_gap_us": "int64",
+                        "mean_gap_us": "float64"})
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap
+  FROM events),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n_gaps,
+         sum(gap)::BIGINT AS sum_gap_us, max(gap)::BIGINT AS max_gap_us
+  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_gaps, sum_gap_us, max_gap_us,
+       sum_gap_us * 1.0 / n_gaps AS mean_gap_us
+FROM s ORDER BY event_type
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5778,6 +5812,7 @@ QUERIES = {
     "events_attribution": q_events_attribution,
     "events_ab_lift": q_events_ab_lift,
     "graph_link_scores": q_graph_link_scores,
+    "events_interarrival": q_events_interarrival,
 }
 
 ORACLES = {
@@ -5945,4 +5980,5 @@ ORACLES = {
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "events_ab_lift": SQL_EVENTS_AB_LIFT,
     "graph_link_scores": SQL_GRAPH_LINK_SCORES,
+    "events_interarrival": SQL_EVENTS_INTERARRIVAL,
 }

@@ -483,3 +483,30 @@ def test_ab_conversion_hand_check():
     assert out["n_converted"].tolist() == [exp_conv[0], exp_conv[1]]
     assert out["conv_rate"].tolist() == [
         exp_conv[0] / exp_users[0], exp_conv[1] / exp_users[1]]
+
+
+def test_interarrival_stats_hand_check():
+    """Gaps pair CONSECUTIVE same-(user, type) events only: a user's
+    single event of a type contributes no gap, different users never
+    pair, and the (ts, id) tie-break orders equal timestamps."""
+    from sagan_ray.datapipe.events import interarrival_stats
+
+    rows = [  # (event_id, user, ts, type)
+        (1, 1, 100, "click"), (2, 1, 250, "click"), (3, 1, 1000, "click"),
+        (4, 1, 500, "view"),                   # single view: no gap
+        (5, 2, 300, "click"),                  # different user
+        (6, 2, 340, "click"),
+        (7, 3, 700, "view"), (8, 3, 700, "view"),   # tie -> gap 0
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = interarrival_stats(_ds(tbl))
+    got = list(out.itertuples(index=False, name=None))
+    # click gaps: u1 (150, 750), u2 (40) -> n=3 sum=940 max=750
+    # view gaps: u3 (0) -> n=1 sum=0 max=0
+    assert got == [("click", 3, 940, 750, 940 / 3),
+                   ("view", 1, 0, 0, 0.0)]
