@@ -1475,3 +1475,122 @@ def mmr_topk(ds, queries: np.ndarray, *, k: int = 10, shortlist: int = 64,
                                            "relevance", "mmr"]).astype(
         {"query_id": "int64", id_col: "int64", "rank": "int64",
          "relevance": "float64", "mmr": "float64"})
+
+
+def pair_cosine_histogram(ds, *, rate: float = 0.5, n_bins: int = 64,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id", n_blocks: int = 8):
+    """Distribution of pairwise cosine similarity over a deterministic
+    hash-sampled subset — the threshold-tuning profile a dedup/ANN
+    pipeline reads before picking an eps/threshold. Returns one row per
+    NON-EMPTY bin: (bin, cos_lo, n_pairs), bins uniform over the GRID
+    dot range (cos_lo = bin·2/n_bins − 1, an exact dyadic on both
+    sides).
+
+    Exactness: all similarity arithmetic runs on the ``_unit_grid``
+    fixed-point sphere, so every pair's dot is an exact int64 and the
+    bin index ``clip((dot + 2^28)·n_bins // 2^29, 0, n_bins−1)`` is pure
+    integer arithmetic — the distributed run matches the sequential
+    golden (oracle/golden.py::write_golden_pair_hist) bit-for-bit under
+    any block layout / BLAS. (A real SQL oracle is impossible here:
+    DuckDB's list_cosine_similarity carries float32-level error ~3e-7,
+    enough to flip ~1e-5 of pairs across bin edges at n_bins=64.)
+
+    Shape: the ``embedding_near_dup_exact`` block-pair exchange
+    (sample map-side by the Knuth hash, ship each sampled unit-grid
+    vector to its n_blocks block-pair buckets, chunked dgemm per
+    bucket), but each bucket emits only its n_bins-row bincount PARTIAL
+    — the driver folds buckets × n_bins rows, never pairs."""
+    import pyarrow.compute as _pc  # noqa: F401 (parity with siblings)
+
+    from .exchange import hash_group_apply
+
+    knuth = np.uint64(2654435761)
+    mod32 = np.uint64(1) << np.uint64(32)
+    thr = np.uint64(int(min(max(rate, 0.0), 1.0) * float(mod32)))
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    nb = int(n_blocks)
+    grid2 = np.int64(1) << np.int64(28)          # (2^14)^2
+    span = np.int64(1) << np.int64(29)
+
+    def fan_out(tbl: pa.Table) -> pa.Table:
+        ids = _ids(tbl, id_col)
+        keep = ((ids.astype(np.uint64) * knuth) % mod32) < thr
+        ids = ids[keep]
+        n = len(ids)
+        if n == 0:
+            return pa.table({"bkt": pa.array([], pa.int32()),
+                             "did": pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int32()),
+                             "unit": pa.array([], pa.binary())})
+        unit = _unit_grid(_mat(tbl, vec_col,
+                               dtype=np.float64)[keep]).astype(np.int64)
+        blk = (((ids.astype(np.uint64) * mix) >> np.uint64(32))
+               % np.uint64(nb)).astype(np.int64)
+        packed = np.empty(n, dtype=object)
+        for r in range(n):
+            packed[r] = unit[r].tobytes()
+        q = np.arange(nb, dtype=np.int64)
+        p_rep = np.repeat(blk, nb)
+        q_rep = np.tile(q, n)
+        lo = np.minimum(p_rep, q_rep)
+        hi = np.maximum(p_rep, q_rep)
+        bkt = (lo * nb + hi).astype(np.int32)
+        return pa.table({"bkt": pa.array(bkt, pa.int32()),
+                         "did": pa.array(np.repeat(ids, nb), pa.int64()),
+                         "blk": pa.array(p_rep.astype(np.int32),
+                                         pa.int32()),
+                         "unit": pa.array(np.repeat(packed, nb),
+                                          pa.binary())})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(n_bins, dtype=np.int64)
+        for bkt_val in df["bkt"].unique():
+            sub = df[df["bkt"] == bkt_val]
+            i, j = int(bkt_val) // nb, int(bkt_val) % nb
+            units = sub["unit"].to_numpy()
+            flat = np.frombuffer(b"".join(units.tolist()), dtype=np.int64)
+            dim = len(flat) // len(sub)
+            mat = flat.reshape(len(sub), dim).astype(np.float64)
+            ids = sub["did"].to_numpy()
+            blk = sub["blk"].to_numpy()
+            if i == j:
+                order = np.argsort(ids, kind="stable")
+                m, gid = mat[order], ids[order]
+                for s in range(0, len(gid), 2048):
+                    d = (m[s:s + 2048] @ m.T)           # exact ints ≤ 2^34
+                    ii, jj = np.nonzero(
+                        gid[s:s + 2048, None] < gid[None, :])
+                    dots = d[ii, jj].astype(np.int64)
+                    b = np.clip((dots + grid2) * np.int64(n_bins) // span,
+                                0, n_bins - 1)
+                    counts += np.bincount(b, minlength=n_bins)
+            else:
+                ma = blk == i
+                a_m, b_m = mat[ma], mat[~ma]
+                if len(a_m) and len(b_m):
+                    for s in range(0, len(a_m), 2048):
+                        d = (a_m[s:s + 2048] @ b_m.T)
+                        dots = d.ravel().astype(np.int64)
+                        b = np.clip(
+                            (dots + grid2) * np.int64(n_bins) // span,
+                            0, n_bins - 1)
+                        counts += np.bincount(b, minlength=n_bins)
+        return pd.DataFrame({"bin": np.arange(n_bins, dtype=np.int64),
+                             "n_pairs": counts})
+
+    schema = pa.schema([("bin", pa.int64()), ("n_pairs", pa.int64())])
+    parts = hash_group_apply(
+        ds.map_batches(fan_out, batch_format="pyarrow",
+                       batch_size=65536),
+        ["bkt"], bucket, out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "cos_lo": pd.Series([], dtype="float64"),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    out = (parts.groupby("bin", as_index=False)["n_pairs"].sum()
+           .astype({"bin": "int64", "n_pairs": "int64"}))
+    out = out[out["n_pairs"] > 0].copy()
+    out["cos_lo"] = out["bin"].to_numpy(np.float64) * (2.0 / n_bins) - 1.0
+    return (out[["bin", "cos_lo", "n_pairs"]]
+            .sort_values("bin").reset_index(drop=True))

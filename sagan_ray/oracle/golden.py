@@ -2308,3 +2308,44 @@ def write_golden_kcenter(sf_dir: str, *, k: int) -> str:
                     "vec_id": pa.array(out_id, pa.int64()),
                     "maxdot": pa.array(out_md, pa.int64())})
     return _write(tbl, "embed_coreset")
+
+
+def write_golden_pair_hist(sf_dir: str, *, rate: float = 0.5,
+                           n_bins: int = 64) -> str:
+    """Expected output of ``embed_pair_hist``: sequential per-anchor
+    pair enumeration over the Knuth-hash-sampled subset on the
+    ``_unit_grid`` sphere. Shares only the SPEC constants with the
+    pipeline (the grid, the Knuth threshold, the integer bin
+    expression); the pair walk is an independent per-anchor loop —
+    every dot is an exact int64, so the block-pair exchange must match
+    bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _mat, _unit_grid
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    knuth = np.uint64(2654435761)
+    mod32 = np.uint64(1) << np.uint64(32)
+    thr = np.uint64(int(min(max(rate, 0.0), 1.0) * float(mod32)))
+    keep = ((ids.astype(np.uint64) * knuth) % mod32) < thr
+    order = np.argsort(ids[keep], kind="stable")
+    u = _unit_grid(_mat(t, "embedding",
+                        dtype=np.float64)[keep][order]).astype(np.int64)
+    grid2 = np.int64(1) << np.int64(28)
+    span = np.int64(1) << np.int64(29)
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for i in range(1, len(u)):
+        dots = (u[:i].astype(np.float64) @ u[i].astype(np.float64)) \
+            .astype(np.int64)
+        b = np.clip((dots + grid2) * np.int64(n_bins) // span,
+                    0, n_bins - 1)
+        counts += np.bincount(b, minlength=n_bins)
+    nz = np.flatnonzero(counts)
+    tbl = pa.table({
+        "bin": pa.array(nz.astype(np.int64), pa.int64()),
+        "cos_lo": pa.array(nz.astype(np.float64) * (2.0 / n_bins) - 1.0,
+                           pa.float64()),
+        "n_pairs": pa.array(counts[nz], pa.int64())})
+    return _write(tbl, "embed_pair_hist")

@@ -5604,6 +5604,29 @@ FROM s ORDER BY event_type
 """
 
 
+def q_embed_pair_hist(sf_dir: str):
+    """Pairwise-cosine distribution histogram over a hash-sampled
+    subset (datapipe/ann.py::pair_cosine_histogram — block-pair
+    exchange emitting n_bins-row bincount partials; exact int64 grid
+    dots make the sequential golden bit-exact; a live SQL oracle is
+    impossible because DuckDB's list_cosine_similarity carries ~3e-7
+    float32-level error, enough to flip bins)."""
+    from ..datapipe.ann import pair_cosine_histogram
+    from ..oracle.golden import write_golden_pair_hist
+
+    write_golden_pair_hist(sf_dir, rate=0.5, n_bins=64)
+    out = pair_cosine_histogram(_embeds(sf_dir), rate=0.5, n_bins=64)
+    return _typed(out, {"bin": "int64", "cos_lo": "float64",
+                        "n_pairs": "int64"})
+
+
+SQL_EMBED_PAIR_HIST = """
+SELECT bin, cos_lo, n_pairs
+FROM read_parquet('/tmp/sagan_ray_golden/embed_pair_hist.parquet')
+ORDER BY bin
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5813,6 +5836,7 @@ QUERIES = {
     "events_ab_lift": q_events_ab_lift,
     "graph_link_scores": q_graph_link_scores,
     "events_interarrival": q_events_interarrival,
+    "embed_pair_hist": q_embed_pair_hist,
 }
 
 ORACLES = {
@@ -5981,4 +6005,5 @@ ORACLES = {
     "events_ab_lift": SQL_EVENTS_AB_LIFT,
     "graph_link_scores": SQL_GRAPH_LINK_SCORES,
     "events_interarrival": SQL_EVENTS_INTERARRIVAL,
+    "embed_pair_hist": SQL_EMBED_PAIR_HIST,
 }

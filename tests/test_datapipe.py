@@ -2713,6 +2713,34 @@ def test_edge_common_neighbors_hand_graph():
                    (3, 4, 0, 0.0)]
 
 
+def test_pair_cosine_histogram_layout_invariant_and_total():
+    """Distributed histogram == the sequential golden bit-for-bit at
+    two different block layouts, and the bin counts sum to exactly
+    C(s, 2) over the s hash-sampled vectors."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sagan_ray.datapipe.ann import pair_cosine_histogram
+    from sagan_ray.oracle.golden import write_golden_pair_hist
+
+    sf = "/root/testdata/sf0.001"
+    path = write_golden_pair_hist(sf, rate=0.5, n_bins=64)
+    exp = pq.read_table(path).to_pandas()
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    for parts in (2, 7):
+        got = pair_cosine_histogram(ds.repartition(parts),
+                                    rate=0.5, n_bins=64)
+        assert got["bin"].tolist() == exp["bin"].tolist()
+        assert got["n_pairs"].tolist() == exp["n_pairs"].tolist()
+        assert got["cos_lo"].tolist() == exp["cos_lo"].tolist()
+    ids = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id"])["vec_id"].to_numpy()
+    s = int((((ids.astype("uint64") * 2654435761) % (1 << 32))
+             < ((1 << 32) // 2)).sum())
+    assert int(exp["n_pairs"].sum()) == s * (s - 1) // 2
+
+
 def test_triangle_counts_sequential_and_layout_invariant():
     """Distributed count == brute-force sequential enumeration on the
     synthetic hub graph, and repartitioning cannot change a row."""
