@@ -708,3 +708,65 @@ def dbscan(ds, *, threshold: float = 0.35, min_pts: int = 3,
           .union(border_labels.map_batches(border_lab_rows,
                                            batch_format="pyarrow")),
         ["key"], assemble, out_schema=fin_schema)
+
+
+def cluster_quality(ds, *, k: int = 8, n_iters: int = 8,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Per-cluster quality report over the fixed-point kmeans fit:
+    (cluster, n, inertia, max_d2, mean_d2) where d² is the exact-integer
+    grid distance (≤ 2^48 per row), inertia = Σ d² folded EXACTLY —
+    per-batch partials split each d² into (d² // 2^24, d² mod 2^24) so
+    both per-batch sums stay < 2^41 in int64, and the driver recombines
+    them as arbitrary-precision Python ints (the only place the full sum
+    exists; asserted < 2^63 before the int64 column is built). mean_d2 =
+    inertia / n is one Python big-int true division — correctly rounded,
+    so the sequential golden's identical expression matches bit-for-bit.
+
+    Shape: centroids broadcast once; one map pass emits ≤ k partial rows
+    per batch (batch_size pinned — the r3 partial-emit rule); nothing
+    else moves."""
+    import ray
+
+    cent = fit_centroids(ds, k=k, n_iters=n_iters, vec_col=vec_col,
+                         id_col=id_col)
+    ref = ray.put(cent)
+    q24 = np.int64(1) << np.int64(24)
+
+    def part(tbl: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _qmat(tbl, vec_col)
+        if not len(x):
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "sr": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        a = _assign(x, c)
+        diff = x - c[a]
+        d2 = (diff * diff).sum(axis=1).astype(np.int64)  # exact ≤ 2^48
+        n = np.bincount(a, minlength=len(c))
+        sq = np.bincount(a, weights=(d2 // q24).astype(np.float64),
+                         minlength=len(c)).astype(np.int64)
+        sr = np.bincount(a, weights=(d2 % q24).astype(np.float64),
+                         minlength=len(c)).astype(np.int64)
+        mx = np.full(len(c), -1, np.int64)
+        np.maximum.at(mx, a, d2)
+        nz = np.flatnonzero(n)
+        return pa.table({"cluster": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(n[nz].astype(np.int64)),
+                         "sq": pa.array(sq[nz]), "sr": pa.array(sr[nz]),
+                         "mx": pa.array(mx[nz])})
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536).to_pandas())
+    rows = []
+    for cl, sub in parts.groupby("cluster", sort=True):
+        n = int(sub["n"].sum())
+        inertia = int(sub["sq"].sum()) * (1 << 24) + int(sub["sr"].sum())
+        assert inertia < (1 << 63)
+        rows.append((int(cl), n, inertia, int(sub["mx"].max()),
+                     inertia / n))
+    return pd.DataFrame(rows, columns=["cluster", "n", "inertia",
+                                       "max_d2", "mean_d2"]).astype(
+        {"cluster": "int64", "n": "int64", "inertia": "int64",
+         "max_d2": "int64", "mean_d2": "float64"})

@@ -2349,3 +2349,64 @@ def write_golden_pair_hist(sf_dir: str, *, rate: float = 0.5,
                            pa.float64()),
         "n_pairs": pa.array(counts[nz], pa.int64())})
     return _write(tbl, "embed_pair_hist")
+
+
+def write_golden_cluster_quality(sf_dir: str, *, k: int,
+                                 n_iters: int) -> str:
+    """Expected output of ``embed_cluster_quality``: the sequential
+    per-row Lloyd of ``write_golden_kmeans`` followed by a per-row
+    Python-int inertia accumulation (no numpy sums — every d² folds
+    into an arbitrary-precision int), mean_d2 = inertia / n as the same
+    big-int true division the pipeline performs."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    q = np.rint(np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64) * float(1 << 20))
+    order = np.argsort(ids, kind="stable")
+    ids, q = ids[order], q[order]
+    hashes = np.array([_splitmix64_int(int(np.uint64(i))) for i in ids],
+                      dtype=np.uint64)
+    seed_rows = np.argsort(hashes, kind="stable")[:k]
+    cent = q[seed_rows].copy()
+
+    def assign_row(x):
+        best, best_d = 0, None
+        for j in range(len(cent)):
+            diff = x - cent[j]
+            d2 = float(diff @ diff)
+            if best_d is None or d2 < best_d:
+                best, best_d = j, d2
+        return best
+
+    for _ in range(n_iters):
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for i in range(len(q)):
+            a = assign_row(q[i])
+            sums[a] += q[i]
+            counts[a] += 1
+        for j in range(len(cent)):
+            if counts[j]:
+                cent[j] = np.rint(sums[j] / counts[j])
+    n = [0] * k
+    inertia = [0] * k
+    mx = [-1] * k
+    for i in range(len(q)):
+        a = assign_row(q[i])
+        diff = q[i] - cent[a]
+        d2 = int(diff @ diff)
+        n[a] += 1
+        inertia[a] += d2
+        mx[a] = max(mx[a], d2)
+    rows = [(j, n[j], inertia[j], mx[j], inertia[j] / n[j])
+            for j in range(k) if n[j]]
+    tbl = pa.table({
+        "cluster": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "inertia": pa.array([r[2] for r in rows], pa.int64()),
+        "max_d2": pa.array([r[3] for r in rows], pa.int64()),
+        "mean_d2": pa.array([r[4] for r in rows], pa.float64())})
+    return _write(tbl, "embed_cluster_quality")

@@ -5627,6 +5627,29 @@ ORDER BY bin
 """
 
 
+def q_embed_cluster_quality(sf_dir: str):
+    """Per-cluster kmeans quality report (datapipe/cluster.py::
+    cluster_quality — exact-int inertia via split-sum partials folded
+    as Python big ints; sequential per-row golden)."""
+    import ray.data as rd
+
+    from ..datapipe.cluster import cluster_quality
+    from ..oracle.golden import write_golden_cluster_quality
+
+    write_golden_cluster_quality(sf_dir, k=8, n_iters=8)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = cluster_quality(ds, k=8, n_iters=8)
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+SQL_EMBED_CLUSTER_QUALITY = """
+SELECT cluster, n, inertia, max_d2, mean_d2
+FROM read_parquet('/tmp/sagan_ray_golden/embed_cluster_quality.parquet')
+ORDER BY cluster
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5837,6 +5860,7 @@ QUERIES = {
     "graph_link_scores": q_graph_link_scores,
     "events_interarrival": q_events_interarrival,
     "embed_pair_hist": q_embed_pair_hist,
+    "embed_cluster_quality": q_embed_cluster_quality,
 }
 
 ORACLES = {
@@ -6006,4 +6030,5 @@ ORACLES = {
     "graph_link_scores": SQL_GRAPH_LINK_SCORES,
     "events_interarrival": SQL_EVENTS_INTERARRIVAL,
     "embed_pair_hist": SQL_EMBED_PAIR_HIST,
+    "embed_cluster_quality": SQL_EMBED_CLUSTER_QUALITY,
 }

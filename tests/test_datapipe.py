@@ -2741,6 +2741,28 @@ def test_pair_cosine_histogram_layout_invariant_and_total():
     assert int(exp["n_pairs"].sum()) == s * (s - 1) // 2
 
 
+def test_cluster_quality_matches_golden_any_layout():
+    """Distributed inertia report == the sequential big-int golden at
+    two block layouts; n sums to the corpus size."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sagan_ray.datapipe.cluster import cluster_quality
+    from sagan_ray.oracle.golden import write_golden_cluster_quality
+
+    sf = "/root/testdata/sf0.001"
+    path = write_golden_cluster_quality(sf, k=4, n_iters=4)
+    exp = pq.read_table(path).to_pandas()
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    for parts in (1, 5):
+        got = cluster_quality(ds.repartition(parts), k=4, n_iters=4)
+        for col in ("cluster", "n", "inertia", "max_d2", "mean_d2"):
+            assert got[col].tolist() == exp[col].tolist(), col
+    n_rows = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+    assert int(exp["n"].sum()) == n_rows
+
+
 def test_triangle_counts_sequential_and_layout_invariant():
     """Distributed count == brute-force sequential enumeration on the
     synthetic hub graph, and repartitioning cannot change a row."""
