@@ -218,3 +218,78 @@ def length_batches(ds, *, batch_size: int, count_col: str = "n_tokens",
         return df.assign(batch_id=(base + rank) // batch_size)
 
     return hash_group_apply(slim_ds, ["c"], bucket, out_schema=out_schema)
+
+
+def pack_bins_bfd(ds, *, capacity: int, count_col: str = "n_chars",
+                  id_col: str = "doc_id", n_shards: int = 16):
+    """Best-fit-decreasing BIN packing (docs never straddle — the
+    padded-batch regime, complementary to ``pack_sequences``'
+    concatenate-then-chunk): docs shard by the Knuth hash of their id,
+    and within each shard the classic BFD greedy runs — docs in
+    (count desc, id asc) order, each placed into the open bin with the
+    LARGEST current fill that still fits (ties → the largest bin id,
+    i.e. the rightmost candidate in (fill, bin) order), a fresh bin
+    when none fits; over-capacity docs get a bin of their own. Returns
+    a Dataset (id_col, shard, bin, fill) where fill is the doc's bin
+    offset — exact integers end-to-end.
+
+    Distribution contract: BFD is inherently SEQUENTIAL, so the
+    parallel unit is the shard (greedy quality is preserved per shard;
+    cross-shard packing efficiency loss is the documented price of
+    parallelism — raise ``n_shards`` for parallelism, lower it for
+    packing quality). The exchange carries slim (id, count) rows; the
+    per-shard loop is O(n_shard · log bins) Python with a bisect-sorted
+    fill list — the golden (oracle/golden.py::write_golden_pack_bfd)
+    replays the identical documented rule independently."""
+    import bisect
+
+    import pandas as pd
+
+    from .exchange import hash_group_apply
+
+    knuth = np.uint64(2654435761)
+    mod32 = np.uint64(1) << np.uint64(32)
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        ids = (tbl.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        shard = (((ids.astype(np.uint64) * knuth) % mod32)
+                 % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "c": pc.cast(tbl.column(count_col), pa.int64()),
+                         "shard": pa.array(shard, pa.int64())})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for sh, sub in df.groupby("shard", sort=True):
+            ids = sub[id_col].to_numpy().astype(np.int64)
+            c = sub["c"].to_numpy().astype(np.int64)
+            order = np.lexsort((ids, -c))        # count desc, id asc
+            fills: list[tuple[int, int]] = []    # sorted (fill, bin)
+            fill_of: list[int] = []              # bin -> current fill
+            for i in order:
+                ci = int(c[i])
+                place = -1
+                if ci <= capacity:
+                    # rightmost (fill, bin) with fill + ci <= capacity
+                    j = bisect.bisect_left(fills,
+                                           (capacity - ci + 1,)) - 1
+                    if j >= 0:
+                        place = fills[j][1]
+                        fills.pop(j)
+                if place < 0:
+                    place = len(fill_of)
+                    fill_of.append(0)
+                off = fill_of[place]
+                out.append((int(ids[i]), int(sh), place, off))
+                fill_of[place] = off + ci
+                if ci <= capacity:
+                    bisect.insort(fills, (fill_of[place], place))
+        return pd.DataFrame(out, columns=[id_col, "shard", "bin",
+                                          "fill"]).astype("int64")
+
+    schema = pa.schema([(id_col, pa.int64()), ("shard", pa.int64()),
+                        ("bin", pa.int64()), ("fill", pa.int64())])
+    return hash_group_apply(
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
+        ["shard"], bucket, out_schema=schema)

@@ -2410,3 +2410,47 @@ def write_golden_cluster_quality(sf_dir: str, *, k: int,
         "max_d2": pa.array([r[3] for r in rows], pa.int64()),
         "mean_d2": pa.array([r[4] for r in rows], pa.float64())})
     return _write(tbl, "embed_cluster_quality")
+
+
+def write_golden_pack_bfd(sf_dir: str, *, capacity: int,
+                          n_shards: int = 16) -> str:
+    """Expected output of ``doc_pack_bfd``: per-shard best-fit-
+    decreasing replayed NAIVELY — for each doc a linear scan over all
+    open bins picking the largest fill that fits (ties → largest bin
+    id), no sorted containers. Shares only the documented rule with
+    datapipe/pack.py::pack_bins_bfd (which uses a bisect-sorted fill
+    list); the two mechanisms agreeing on every row is the check."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    cnt = np.asarray(t.column("n_chars").to_pylist(), dtype=np.int64)
+    rows = []
+    for sh in range(n_shards):
+        m = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % (np.uint64(1) << np.uint64(32))) \
+            % np.uint64(n_shards) == np.uint64(sh)
+        sid, sc = ids[m], cnt[m]
+        order = sorted(range(len(sid)), key=lambda i: (-sc[i], sid[i]))
+        fills: list[int] = []
+        for i in order:
+            ci = int(sc[i])
+            best = -1
+            if ci <= capacity:
+                for b in range(len(fills)):
+                    if fills[b] + ci <= capacity and \
+                            (best < 0 or fills[b] >= fills[best]):
+                        best = b
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            rows.append((int(sid[i]), sh, best, fills[best]))
+            fills[best] += ci
+    rows.sort()
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "shard": pa.array([r[1] for r in rows], pa.int64()),
+        "bin": pa.array([r[2] for r in rows], pa.int64()),
+        "fill": pa.array([r[3] for r in rows], pa.int64())})
+    return _write(tbl, "doc_pack_bfd")

@@ -5650,6 +5650,32 @@ ORDER BY cluster
 """
 
 
+def q_doc_pack_bfd(sf_dir: str):
+    """Per-shard best-fit-decreasing bin packing
+    (datapipe/pack.py::pack_bins_bfd — slim (id, count) shard exchange,
+    sequential BFD per shard; naive-scan golden replays the same
+    documented rule through a different mechanism)."""
+    import ray.data as rd
+
+    from ..datapipe.pack import pack_bins_bfd
+    from ..oracle.golden import write_golden_pack_bfd
+
+    write_golden_pack_bfd(sf_dir, capacity=2048, n_shards=16)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    out = pack_bins_bfd(ds, capacity=2048, n_shards=16).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "shard": "int64",
+                       "bin": "int64", "fill": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PACK_BFD = """
+SELECT doc_id, shard, bin, fill
+FROM read_parquet('/tmp/sagan_ray_golden/doc_pack_bfd.parquet')
+ORDER BY doc_id
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5861,6 +5887,7 @@ QUERIES = {
     "events_interarrival": q_events_interarrival,
     "embed_pair_hist": q_embed_pair_hist,
     "embed_cluster_quality": q_embed_cluster_quality,
+    "doc_pack_bfd": q_doc_pack_bfd,
 }
 
 ORACLES = {
@@ -6031,4 +6058,5 @@ ORACLES = {
     "events_interarrival": SQL_EVENTS_INTERARRIVAL,
     "embed_pair_hist": SQL_EMBED_PAIR_HIST,
     "embed_cluster_quality": SQL_EMBED_CLUSTER_QUALITY,
+    "doc_pack_bfd": SQL_DOC_PACK_BFD,
 }

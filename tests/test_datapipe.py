@@ -2763,6 +2763,36 @@ def test_cluster_quality_matches_golden_any_layout():
     assert int(exp["n"].sum()) == n_rows
 
 
+def test_pack_bins_bfd_hand_check():
+    """BFD order is (count desc, id asc); best fit = fullest open bin
+    that fits; an over-capacity doc gets its own bin; fill is the doc's
+    in-bin offset. n_shards=1 makes the greedy global."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.pack import pack_bins_bfd
+
+    ids = [1, 2, 3, 4, 5, 6]
+    cnt = [6, 5, 4, 3, 2, 15]      # capacity 10; 15 is oversized
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_chars": pa.array(cnt, pa.int64())})
+    out = (pack_bins_bfd(rd.from_arrow(tbl), capacity=10, n_shards=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # order: 15(id6), 6(id1), 5(id2), 4(id3), 3(id4), 2(id5)
+    # 15 -> bin0 alone; 6 -> bin1; 5 -> no fit in b1(6) -> bin2;
+    # 4 -> fullest fitting = b1(6) -> b1 at off 6; 3 -> b2(5) off 5;
+    # 2 -> b2 now 8, fullest fitting (b1=10 full? 10+2>10) -> b2 off 8
+    got = {int(r.doc_id): (int(r.bin), int(r.fill))
+           for r in out.itertuples()}
+    assert got == {6: (0, 0), 1: (1, 0), 2: (2, 0), 3: (1, 6),
+                   4: (2, 5), 5: (2, 8)}
+    # per-bin totals never exceed capacity except the oversized solo bin
+    fills = {}
+    for i, c in zip(ids, cnt):
+        fills[got[i][0]] = fills.get(got[i][0], 0) + c
+    assert fills == {0: 15, 1: 10, 2: 10}
+
+
 def test_triangle_counts_sequential_and_layout_invariant():
     """Distributed count == brute-force sequential enumeration on the
     synthetic hub graph, and repartitioning cannot change a row."""
