@@ -22,6 +22,7 @@ near-degenerate eigenvalues).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from .ann import _mat
@@ -122,3 +123,80 @@ def pca_project(ds, *, n_components: int, vec_col: str = "embedding",
         return pa.table(cols)
 
     return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def embedding_drift(ds, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", fix_bits: int = 20):
+    """Split-half embedding drift report: rows split into two arms by
+    the Knuth hash of their id (the A/B split of events.ab_conversion),
+    and for every dimension the two arms' centroid means are compared —
+    the regression check a pipeline runs when an embedding model is
+    re-versioned or a corpus slice is swapped. Returns one row per dim:
+    (dim, n_a, n_b, sum_a, sum_b, mean_a, mean_b, delta).
+
+    Exactness with a REAL SQL oracle (rare for embedding ops): each
+    coordinate quantizes to ``floor(v · 2^fix_bits + 0.5)`` — an
+    elementwise IEEE expression DuckDB evaluates identically (floor is
+    exact; rint is NOT used because numpy rounds half-to-even while SQL
+    round() rounds half-away) — so the per-dim sums are exact int64,
+    the means are single int/int divisions, and delta = mean_a − mean_b
+    is one subtraction of two exact-ratio doubles. Per-batch partials
+    are one (2 × d) int64 table per batch (batch_size pinned — the r3
+    partial-emit rule); the driver folds batches × 2d rows."""
+    import pyarrow.compute as _pc  # noqa: F401
+
+    knuth = np.uint64(2654435761)
+    mod32 = np.uint64(1) << np.uint64(32)
+    fix = float(1 << fix_bits)
+
+    def part(tbl: pa.Table) -> pa.Table:
+        from .ann import _ids, _mat
+
+        ids = _ids(tbl, id_col)
+        if not len(ids):
+            return pa.table({"grp": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        x = _mat(tbl, vec_col, dtype=np.float64)
+        q = np.floor(x * fix + 0.5)              # exact ints in f64
+        grp = (((ids.astype(np.uint64) * knuth) % mod32)
+               % np.uint64(2)).astype(np.int64)
+        d = q.shape[1]
+        rows = {"grp": [], "dim": [], "s": [], "n": []}
+        for g in (0, 1):
+            m = grp == g
+            if not m.any():
+                continue
+            s = q[m].sum(axis=0).astype(np.int64)   # ≤ rows·2^21·2^20
+            rows["grp"].extend([g] * d)
+            rows["dim"].extend(range(d))
+            rows["s"].extend(s.tolist())
+            rows["n"].extend([int(m.sum())] * d)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536).to_pandas())
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("dim", "n_a", "n_b",
+                                       "sum_a", "sum_b")} |
+                            {c: pd.Series([], dtype="float64")
+                             for c in ("mean_a", "mean_b", "delta")})
+    agg = (parts.groupby(["grp", "dim"], as_index=False)
+           .agg(s=("s", "sum"), n=("n", "sum")))
+    a = agg[agg["grp"] == 0].set_index("dim")
+    b = agg[agg["grp"] == 1].set_index("dim")
+    dims = sorted(set(a.index) | set(b.index))
+    out = pd.DataFrame({"dim": np.array(dims, np.int64)})
+    out["n_a"] = a["n"].reindex(dims, fill_value=0).to_numpy(np.int64)
+    out["n_b"] = b["n"].reindex(dims, fill_value=0).to_numpy(np.int64)
+    out["sum_a"] = a["s"].reindex(dims, fill_value=0).to_numpy(np.int64)
+    out["sum_b"] = b["s"].reindex(dims, fill_value=0).to_numpy(np.int64)
+    out["mean_a"] = out["sum_a"].to_numpy(np.float64) \
+        / np.maximum(out["n_a"].to_numpy(np.float64), 1.0)
+    out["mean_b"] = out["sum_b"].to_numpy(np.float64) \
+        / np.maximum(out["n_b"].to_numpy(np.float64), 1.0)
+    out["delta"] = out["mean_a"].to_numpy() - out["mean_b"].to_numpy()
+    return out.sort_values("dim").reset_index(drop=True)

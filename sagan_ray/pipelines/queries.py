@@ -5676,6 +5676,43 @@ ORDER BY doc_id
 """
 
 
+def q_embed_drift(sf_dir: str):
+    """Split-half per-dimension centroid drift
+    (datapipe/decomp.py::embedding_drift — floor(v·2^20 + 0.5)
+    quantization is operand-identical IEEE on both sides, so this
+    embedding op gets a REAL SQL oracle: exact int sums, int/int
+    means, one-subtraction deltas)."""
+    from ..datapipe.decomp import embedding_drift
+
+    out = embedding_drift(_embeds(sf_dir))
+    return _typed(out, {"dim": "int64", "n_a": "int64", "n_b": "int64",
+                        "sum_a": "int64", "sum_b": "int64",
+                        "mean_a": "float64", "mean_b": "float64",
+                        "delta": "float64"})
+
+
+SQL_EMBED_DRIFT = """
+WITH e AS (
+  SELECT ((vec_id * 2654435761) % 4294967296) % 2 AS grp,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings),
+s AS (
+  SELECT grp, dim,
+         sum(floor(v * 1048576.0 + 0.5))::BIGINT AS s,
+         count(*)::BIGINT AS n
+  FROM e GROUP BY grp, dim)
+SELECT a.dim, a.n AS n_a, b.n AS n_b, a.s AS sum_a, b.s AS sum_b,
+       a.s * 1.0 / greatest(a.n, 1) AS mean_a,
+       b.s * 1.0 / greatest(b.n, 1) AS mean_b,
+       a.s * 1.0 / greatest(a.n, 1)
+         - b.s * 1.0 / greatest(b.n, 1) AS delta
+FROM (SELECT * FROM s WHERE grp = 0) a
+JOIN (SELECT * FROM s WHERE grp = 1) b USING (dim)
+ORDER BY a.dim
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5888,6 +5925,7 @@ QUERIES = {
     "embed_pair_hist": q_embed_pair_hist,
     "embed_cluster_quality": q_embed_cluster_quality,
     "doc_pack_bfd": q_doc_pack_bfd,
+    "embed_drift": q_embed_drift,
 }
 
 ORACLES = {
@@ -6059,4 +6097,5 @@ ORACLES = {
     "embed_pair_hist": SQL_EMBED_PAIR_HIST,
     "embed_cluster_quality": SQL_EMBED_CLUSTER_QUALITY,
     "doc_pack_bfd": SQL_DOC_PACK_BFD,
+    "embed_drift": SQL_EMBED_DRIFT,
 }

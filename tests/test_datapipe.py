@@ -2793,6 +2793,34 @@ def test_pack_bins_bfd_hand_check():
     assert fills == {0: 15, 1: 10, 2: 10}
 
 
+def test_embedding_drift_hand_check():
+    """Arms split by the Knuth hash; per-dim sums are exact quantized
+    ints; a planted constant shift in arm-1 vectors shows up as exactly
+    -shift in delta."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe.decomp import embedding_drift
+
+    ids = list(range(8))
+    grp = [(i * 2654435761 % 2**32) % 2 for i in ids]
+    base = [0.25, -0.5]          # exact dyadics -> exact quantization
+    shift = 0.125
+    vecs = [[b + (shift if g else 0.0) for b in base]
+            for g in (grp[i] for i in ids)]
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs,
+                                          pa.list_(pa.float32()))})
+    out = embedding_drift(rd.from_arrow(tbl))
+    f = float(1 << 20)
+    assert out["dim"].tolist() == [0, 1]
+    assert out["n_a"].tolist() == [grp.count(0)] * 2
+    assert out["n_b"].tolist() == [grp.count(1)] * 2
+    assert out["mean_a"].tolist() == [b * f for b in base]
+    assert out["mean_b"].tolist() == [(b + shift) * f for b in base]
+    assert out["delta"].tolist() == [-shift * f, -shift * f]
+
+
 def test_triangle_counts_sequential_and_layout_invariant():
     """Distributed count == brute-force sequential enumeration on the
     synthetic hub graph, and repartitioning cannot change a row."""
