@@ -892,6 +892,34 @@ def ab_conversion(ds, *, convert_type: str = "purchase",
     return out.sort_values("grp").reset_index(drop=True)
 
 
+def hourly_profile(ds, *, ts_col: str = "ts",
+                   type_col: str = "event_type"):
+    """Hour-of-day seasonality matrix: (event_type, hour, n) for the 24
+    local hours — the traffic-shape profile behind capacity planning
+    and anomaly baselines. Pure map-side bincount partials (≤ 24·|types|
+    rows per batch, batch_size pinned), one tiny driver fold — nothing
+    shuffles."""
+    import pyarrow.compute as pc
+
+    def part(tbl: pa.Table) -> pa.Table:
+        hour = pc.hour(tbl.column(ts_col))
+        t = pa.table({type_col: tbl.column(type_col), "hour": hour})
+        g = pa.TableGroupBy(t, [type_col, "hour"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([type_col, "hour", "n"])
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536).to_pandas())
+    if parts.empty:
+        return pd.DataFrame({type_col: pd.Series([], dtype="object"),
+                             "hour": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    out = (parts.groupby([type_col, "hour"], as_index=False)["n"].sum())
+    out["hour"] = out["hour"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values([type_col, "hour"]).reset_index(drop=True)
+
+
 def interarrival_stats(ds, *, user_col: str = "user_id",
                        ts_col: str = "ts", type_col: str = "event_type",
                        id_col: str = "event_id"):

@@ -5713,6 +5713,26 @@ ORDER BY a.dim
 """
 
 
+def q_events_hourly(sf_dir: str):
+    """Hour-of-day × type seasonality matrix (datapipe/events.py::
+    hourly_profile — map-only bincount partials, nothing shuffles)."""
+    import ray.data as rd
+
+    from ..datapipe.events import hourly_profile
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = hourly_profile(ds)
+    return _typed(out, {"event_type": "object", "hour": "int64",
+                        "n": "int64"})
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, hour(ts)::BIGINT AS hour, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5926,6 +5946,7 @@ QUERIES = {
     "embed_cluster_quality": q_embed_cluster_quality,
     "doc_pack_bfd": q_doc_pack_bfd,
     "embed_drift": q_embed_drift,
+    "events_hourly": q_events_hourly,
 }
 
 ORACLES = {
@@ -6098,4 +6119,5 @@ ORACLES = {
     "embed_cluster_quality": SQL_EMBED_CLUSTER_QUALITY,
     "doc_pack_bfd": SQL_DOC_PACK_BFD,
     "embed_drift": SQL_EMBED_DRIFT,
+    "events_hourly": SQL_EVENTS_HOURLY,
 }
