@@ -1906,3 +1906,62 @@ def vocab_edit_pairs(ds, *, k: int = 2, text_col: str = "text",
         cands, ["w1", "w2"], lambda g: g.drop_duplicates(
             subset=["w1", "w2"]),
         out_schema=pair_schema)
+
+
+def source_dup_report(ds, *, threshold: float = 0.9,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source"):
+    """Per-source near-duplicate contamination report: every doc's
+    transitive near-dup cluster rep (``dedup_cluster_reps``) joins its
+    source, and each source reports (source, n_docs, n_dup, dup_ratio)
+    where n_dup = docs that are NOT their cluster's representative —
+    exactly the rows the keep-one-per-cluster ACTION would drop, so
+    dup_ratio is the fraction of the source a dedup pass deletes (the
+    which-source-is-polluted audit that decides mixing weights).
+    dup_ratio = one int/int IEEE division.
+
+    Shape: the rep attach and the source attach are both id-keyed
+    exchanges (ids only — text crosses once, inside the minhash
+    candidate stage); per-batch partial counts per source fold
+    driver-side (≤ |sources| rows per batch)."""
+    import pandas as pd
+
+    from .joins import hash_join
+
+    reps = dedup_cluster_reps(ds, threshold=threshold, text_col=text_col,
+                              id_col=id_col)
+
+    def src_rows(tbl: pa.Table) -> pa.Table:
+        return pa.table({id_col: tbl.column(id_col).combine_chunks()
+                         .cast(pa.int64()),
+                         source_col: tbl.column(source_col)})
+
+    src = ds.map_batches(src_rows, batch_format="pyarrow")
+    j = hash_join(reps, src, on=id_col, left_cols=["rep"],
+                  right_cols=[source_col])
+    scol = "r_" + source_col
+
+    def part(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        dup = (df[id_col] != df["rep"]).astype(np.int64)
+        g = (pd.DataFrame({source_col: df[scol], "dup": dup})
+             .groupby(source_col, sort=False)
+             .agg(n_docs=("dup", "size"), n_dup=("dup", "sum"))
+             .reset_index())
+        return pa.table({source_col: pa.array(g[source_col], pa.string()),
+                         "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                         "n_dup": pa.array(g["n_dup"].to_numpy(np.int64))})
+
+    parts = (j.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    if parts.empty:
+        return pd.DataFrame({source_col: pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_dup": pd.Series([], dtype="int64"),
+                             "dup_ratio": pd.Series([], dtype="float64")})
+    out = (parts.groupby(source_col, as_index=False)
+           .agg(n_docs=("n_docs", "sum"), n_dup=("n_dup", "sum"))
+           .astype({"n_docs": "int64", "n_dup": "int64"}))
+    out["dup_ratio"] = out["n_dup"].to_numpy(np.float64) \
+        / out["n_docs"].to_numpy(np.float64)
+    return out.sort_values(source_col).reset_index(drop=True)

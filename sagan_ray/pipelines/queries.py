@@ -5733,6 +5733,65 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_dedup_source_report(sf_dir: str):
+    """Per-source near-dup contamination report (datapipe/dedup.py::
+    source_dup_report — cluster reps + source attach through id-keyed
+    exchanges, per-batch partial counts; oracle = the dedup_clusters
+    recursive-CTE closure grouped by source)."""
+    from ..datapipe.dedup import source_dup_report
+
+    out = source_dup_report(_docs(sf_dir, columns=["doc_id", "text",
+                                                   "source"]),
+                            threshold=0.9)
+    return _typed(out, {"source": "object", "n_docs": "int64",
+                        "n_dup": "int64", "dup_ratio": "float64"})
+
+
+SQL_DEDUP_SOURCE_REPORT = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.9
+),
+e AS (SELECT a AS u, b AS v FROM jac UNION ALL SELECT b, a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+mn AS (SELECT u, min(v) AS m FROM reach GROUP BY u),
+rep AS (
+  SELECT d.doc_id, d.source,
+         least(d.doc_id, coalesce(mn.m, d.doc_id)) AS rep
+  FROM documents d LEFT JOIN mn ON mn.u = d.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       sum(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS dup_ratio
+FROM rep GROUP BY source ORDER BY source
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -5947,6 +6006,7 @@ QUERIES = {
     "doc_pack_bfd": q_doc_pack_bfd,
     "embed_drift": q_embed_drift,
     "events_hourly": q_events_hourly,
+    "dedup_source_report": q_dedup_source_report,
 }
 
 ORACLES = {
@@ -6120,4 +6180,5 @@ ORACLES = {
     "doc_pack_bfd": SQL_DOC_PACK_BFD,
     "embed_drift": SQL_EMBED_DRIFT,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "dedup_source_report": SQL_DEDUP_SOURCE_REPORT,
 }
