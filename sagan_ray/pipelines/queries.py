@@ -5792,6 +5792,61 @@ FROM rep GROUP BY source ORDER BY source
 """
 
 
+_CC_EDGES_PATH = "/tmp/sagan_ray_golden/cc_edges.parquet"
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components of the link graph: (node, component) with
+    component = min node id, via the dedup family's distributed
+    min-label propagation (datapipe/dedup.py::connected_components)
+    over the dedup_undirected edge set; the SQL recomputes the closure
+    with a genuine recursive CTE. The synth hub graph is one giant
+    component, so the edge set is hash-SPARSIFIED to 1/10 before
+    writing — 53 components over 331 nodes at this seed, making the
+    min-label oracle non-vacuous (an all-zero labeling would fail)."""
+    import os
+
+    import numpy as np_
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.dedup import connected_components
+    from ..datapipe.graph import dedup_undirected, synth_link_graph
+
+    full = synth_link_graph(512, seed=31)
+    src = full.column("src").to_numpy()
+    dst = full.column("dst").to_numpy()
+    h = ((src.astype(np_.uint64) * np_.uint64(2654435761))
+         ^ (dst.astype(np_.uint64) * np_.uint64(0x9E3779B97F4A7C15)))
+    keep = (h % np_.uint64(10)) == 0
+    edges = pa.table({"src": pa.array(src[keep], pa.int64()),
+                      "dst": pa.array(dst[keep], pa.int64())})
+    os.makedirs(os.path.dirname(_CC_EDGES_PATH), exist_ok=True)
+    tmp = _CC_EDGES_PATH + ".tmp"
+    pq.write_table(edges, tmp)
+    os.replace(tmp, _CC_EDGES_PATH)
+    ded = dedup_undirected(rd.from_arrow(edges).repartition(8))
+    out = connected_components(ded).to_pandas()
+    out = out.rename(columns={"label": "component"})
+    out = _typed(out, {"node": "int64", "component": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('/tmp/sagan_ray_golden/cc_edges.parquet')
+  WHERE src <> dst),
+u AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+reach(x, y) AS (
+  SELECT x, y FROM u
+  UNION
+  SELECT r.x, u2.y FROM reach r JOIN u u2 ON r.y = u2.x)
+SELECT x AS node, least(x, min(y)) AS component
+FROM reach GROUP BY x ORDER BY node
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -6007,6 +6062,7 @@ QUERIES = {
     "embed_drift": q_embed_drift,
     "events_hourly": q_events_hourly,
     "dedup_source_report": q_dedup_source_report,
+    "graph_components": q_graph_components,
 }
 
 ORACLES = {
@@ -6181,4 +6237,5 @@ ORACLES = {
     "embed_drift": SQL_EMBED_DRIFT,
     "events_hourly": SQL_EVENTS_HOURLY,
     "dedup_source_report": SQL_DEDUP_SOURCE_REPORT,
+    "graph_components": SQL_GRAPH_COMPONENTS,
 }
