@@ -1341,3 +1341,74 @@ def source_divergence(ds, *, text_col: str = "text",
 
     return hash_group_apply(parts, ["sa", "sb"], fold,
                             out_schema=out_schema)
+
+
+def source_terms(ds, *, k: int = 3, text_col: str = "text",
+                 source_col: str = "source"):
+    """Top-k most distinctive terms PER SOURCE: rank each source's
+    terms by (source frequency asc, in-source tf desc, term asc) — the
+    integer-only ranking of ``distinctive_terms`` lifted from docs to
+    sources (deliberately no float idf: the SQL oracle compares
+    exactly). Returns (source, term, tf, sf, rnk) for rnk ≤ k.
+
+    Shape: per-batch (hash, word, source, tf-partial) runs (a (source,
+    word) pair DOES span batches, unlike (doc, word), so the term
+    bucket first sums partials per (word, source), then sf = its
+    distinct-source row count); a second source-keyed exchange does the
+    per-source lexsort top-k. Exact strings group — hash collisions
+    only co-locate."""
+    import pandas as pd
+
+    from .exchange import hash_group_apply
+
+    def tfrows(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, words = _words_flat(tbl.column(text_col))
+        src = tbl.column(source_col).to_pandas().to_numpy(dtype=object)
+        src_of, codes = pd.factorize(src[doc_of])
+        o, run_id, counts, first = _gram_runs(src_of.astype(np.int64), wh)
+        return pa.table({
+            "h": pa.array(wh[o][first], pa.uint64()),
+            "w": pa.array(words[o][first], pa.large_string()),
+            source_col: pa.array(np.asarray(codes, dtype=object)
+                                 [src_of[o][first]], pa.string())
+            if len(codes) else pa.array([], pa.string()),
+            "tf": pa.array(counts, pa.int64()),
+        })
+
+    def with_sf(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["w", source_col], sort=False, as_index=False)
+             ["tf"].sum())
+        g["sf"] = g.groupby("w", sort=False)["w"].transform("size")
+        return g[[source_col, "w", "tf", "sf"]]
+
+    mid_schema = pa.schema([(source_col, pa.string()),
+                            ("w", pa.large_string()),
+                            ("tf", pa.int64()), ("sf", pa.int64())])
+    cand = hash_group_apply(
+        ds.map_batches(tfrows, batch_format="pyarrow"), ["h"], with_sf,
+        out_schema=mid_schema)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sf", "tf", "w"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = []
+        for s, sub in df.groupby(source_col, sort=True):
+            head = sub.head(k).rename(columns={"w": "term"})
+            head = head.assign(rnk=np.arange(1, len(head) + 1,
+                                             dtype=np.int64))
+            out.append(head)
+        return (pd.concat(out)[[source_col, "term", "tf", "sf", "rnk"]]
+                if out else
+                pd.DataFrame({source_col: pd.Series([], dtype="object"),
+                              "term": pd.Series([], dtype="object"),
+                              "tf": pd.Series([], dtype="int64"),
+                              "sf": pd.Series([], dtype="int64"),
+                              "rnk": pd.Series([], dtype="int64")}))
+
+    out_schema = pa.schema([(source_col, pa.string()),
+                            ("term", pa.large_string()),
+                            ("tf", pa.int64()), ("sf", pa.int64()),
+                            ("rnk", pa.int64())])
+    return hash_group_apply(cand, [source_col], topk,
+                            out_schema=out_schema)

@@ -5847,6 +5847,36 @@ FROM reach GROUP BY x ORDER BY node
 """
 
 
+def q_source_terms(sf_dir: str):
+    """Top-3 most distinctive terms per source (textstats.py::
+    source_terms — integer-only (sf asc, tf desc, term) ranking,
+    term-bucket partial sums then a per-source top-k exchange)."""
+    from ..datapipe.textstats import source_terms
+
+    out = source_terms(_docs(sf_dir, columns=["text", "source"]),
+                       k=3).to_pandas()
+    out = _typed(out, {"source": "object", "term": "object",
+                       "tf": "int64", "sf": "int64", "rnk": "int64"})
+    return out.sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
+SQL_SOURCE_TERMS = """
+WITH w AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+t AS (SELECT source, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+s AS (SELECT term, count(*)::BIGINT AS sf FROM t GROUP BY term),
+r AS (
+  SELECT t.source, t.term, t.tf, s.sf,
+         row_number() OVER (PARTITION BY t.source
+                            ORDER BY s.sf, t.tf DESC, t.term) AS rnk
+  FROM t JOIN s USING (term))
+SELECT source, term, tf, sf, rnk FROM r WHERE rnk <= 3
+ORDER BY source, rnk
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -6063,6 +6093,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "dedup_source_report": q_dedup_source_report,
     "graph_components": q_graph_components,
+    "source_terms": q_source_terms,
 }
 
 ORACLES = {
@@ -6238,4 +6269,5 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "dedup_source_report": SQL_DEDUP_SOURCE_REPORT,
     "graph_components": SQL_GRAPH_COMPONENTS,
+    "source_terms": SQL_SOURCE_TERMS,
 }
