@@ -722,13 +722,18 @@ def last_touch_attribution(ds, *, convert_type: str = "purchase",
                            user_col: str = "user_id", ts_col: str = "ts",
                            type_col: str = "event_type",
                            id_col: str = "event_id",
-                           direct_label: str = "direct"):
+                           direct_label: str = "direct",
+                           touch: str = "last"):
     """Last-touch conversion attribution: for every user who converts
     (has ≥1 ``convert_type`` event), credit the event type of the
     LATEST event STRICTLY before the user's FIRST conversion (ties on
     ts broken by the larger ``id_col`` — a total order, so the answer
     is unique); users whose first conversion has no prior event credit
     ``direct_label``. Returns (channel, n_conversions) sorted.
+    ``touch="first"`` flips the pick to the EARLIEST pre-conversion
+    event (ties → smaller id) — first-touch attribution; the pruning
+    and exchange shape is identical, only the per-user argmax becomes
+    an argmin.
 
     Two passes, events scanned twice but nothing wide ever shuffles:
 
@@ -748,6 +753,8 @@ def last_touch_attribution(ds, *, convert_type: str = "purchase",
     from ray.data.aggregate import Min
 
     from .exchange import hash_group_apply
+
+    assert touch in ("last", "first")
 
     def p1(tbl: pa.Table) -> pa.Table:
         t = tbl.filter(pc.equal(tbl.column(type_col), convert_type))
@@ -783,10 +790,15 @@ def last_touch_attribution(ds, *, convert_type: str = "purchase",
                              type_col: pa.array([], pa.string())})
         eid = tbl.column(id_col).to_numpy().astype(np.int64)[idx]
         u, t = uid[idx], ts[idx]
-        # last (u asc, ts asc, id asc) row per user = per-user argmax
+        # in (u asc, ts asc, id asc) order the LAST row per user is the
+        # argmax pick (last-touch) and the FIRST is the argmin
+        # (first-touch)
         order = np.lexsort((eid, t, u))
         last = np.ones(len(order), bool)
-        last[:-1] = u[order][1:] != u[order][:-1]
+        if touch == "last":
+            last[:-1] = u[order][1:] != u[order][:-1]
+        else:
+            last[1:] = u[order][1:] != u[order][:-1]
         sel = idx[order[last]]
         return pa.table({
             user_col: pa.array(uid[sel], pa.int64()),
@@ -805,7 +817,10 @@ def last_touch_attribution(ds, *, convert_type: str = "purchase",
         order = np.lexsort((e, t, u))
         last = np.ones(len(order), bool)
         if len(order):
-            last[:-1] = u[order][1:] != u[order][:-1]
+            if touch == "last":
+                last[:-1] = u[order][1:] != u[order][:-1]
+            else:
+                last[1:] = u[order][1:] != u[order][:-1]
         ch = df[type_col].to_numpy()[order[last]]
         types, n = np.unique(ch, return_counts=True)
         return pd.DataFrame({"channel": types,

@@ -5877,6 +5877,40 @@ ORDER BY source, rnk
 """
 
 
+def q_events_attribution_first(sf_dir: str):
+    """First-touch attribution — same cutoff-broadcast + per-batch
+    prune shape as events_attribution, argmax flipped to argmin
+    (datapipe/events.py::last_touch_attribution(touch='first'))."""
+    import ray.data as rd
+
+    from ..datapipe.events import last_touch_attribution
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = last_touch_attribution(ds, convert_type="purchase",
+                                 touch="first")
+    return _typed(out, {"channel": "object", "n_conversions": "int64"})
+
+
+SQL_EVENTS_ATTRIBUTION_FIRST = """
+WITH fp AS (
+  SELECT user_id, min(ts) AS cut
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+pre AS (
+  SELECT e.user_id, e.event_type,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+  FROM events e JOIN fp USING (user_id) WHERE e.ts < fp.cut),
+att AS (SELECT user_id, event_type FROM pre WHERE rn = 1),
+base AS (
+  SELECT fp.user_id, coalesce(att.event_type, 'direct') AS channel
+  FROM fp LEFT JOIN att USING (user_id))
+SELECT channel, count(*)::BIGINT AS n_conversions
+FROM base GROUP BY channel ORDER BY channel
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -6094,6 +6128,7 @@ QUERIES = {
     "dedup_source_report": q_dedup_source_report,
     "graph_components": q_graph_components,
     "source_terms": q_source_terms,
+    "events_attribution_first": q_events_attribution_first,
 }
 
 ORACLES = {
@@ -6270,4 +6305,5 @@ ORACLES = {
     "dedup_source_report": SQL_DEDUP_SOURCE_REPORT,
     "graph_components": SQL_GRAPH_COMPONENTS,
     "source_terms": SQL_SOURCE_TERMS,
+    "events_attribution_first": SQL_EVENTS_ATTRIBUTION_FIRST,
 }

@@ -458,6 +458,11 @@ def test_last_touch_attribution_hand_check():
     out = last_touch_attribution(_ds(tbl))
     got = list(out.itertuples(index=False, name=None))
     assert got == [("click", 2), ("direct", 2)]
+    # first-touch on the same table: u1 earliest pre-conversion = view;
+    # u3 ts tie at 100 -> SMALLER id 6 = view; direct users unchanged
+    out_f = last_touch_attribution(_ds(tbl), touch="first")
+    got_f = list(out_f.itertuples(index=False, name=None))
+    assert got_f == [("direct", 2), ("view", 2)]
 
 
 def test_ab_conversion_hand_check():
