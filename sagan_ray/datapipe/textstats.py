@@ -1412,3 +1412,70 @@ def source_terms(ds, *, k: int = 3, text_col: str = "text",
                             ("rnk", pa.int64())])
     return hash_group_apply(cand, [source_col], topk,
                             out_schema=out_schema)
+
+
+def nll_quality_filter(ds, *, drop_denom: int = 10,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """The perplexity-filter ACTION (CCNet): score every doc with the
+    corpus-unigram surprisal (``unigram_nll``) and DROP the worst
+    ``n // drop_denom`` docs under the TOTAL order
+    (round(nll, 6), doc_id) — the BM25 rounded-ranking-key stance, so
+    identical word-multiset docs tie-break deterministically and the
+    SQL window oracle selects the identical set. Returns a Dataset
+    (doc_id, n_words, nll) of the KEPT docs.
+
+    Shape: the scored Dataset materializes once (it feeds a histogram
+    pass and the filter pass); the cutoff rank resolves via the
+    sample_token_budget histogram-cut pattern — integer bucket counts
+    (floor(r·2^16)) fold driver-side, only the single budget-crossing
+    BUCKET's rows come back for the exact (r, id) tie resolution;
+    everything else is a map-side keep/drop."""
+    import ray.data as rd
+
+    from .exchange import hash_group_apply  # noqa: F401 (sibling parity)
+
+    scored = unigram_nll(ds, text_col=text_col, id_col=id_col) \
+        .materialize()
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        r = np.round(tbl.column("nll").to_numpy(zero_copy_only=False), 6)
+        b = np.floor(r * 65536.0).astype(np.int64)
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    h = (scored.map_batches(hist, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+         .groupby("b", sort=True)["cnt"].sum().reset_index())
+    n = int(h["cnt"].sum())
+    if n == 0:
+        return scored
+    keep_k = n - n // drop_denom
+    cum = h["cnt"].cumsum().to_numpy()
+    pos = int(np.searchsorted(cum, keep_k, side="left"))
+    if pos >= len(h):
+        return scored
+    cut_b = int(h["b"].iloc[pos])
+    below = int(cum[pos - 1]) if pos > 0 else 0
+    need = keep_k - below
+
+    def keep_low(tbl: pa.Table) -> pa.Table:
+        r = np.round(tbl.column("nll").to_numpy(zero_copy_only=False), 6)
+        b = np.floor(r * 65536.0).astype(np.int64)
+        return tbl.filter(pa.array(b < cut_b))
+
+    def crossing(tbl: pa.Table) -> pa.Table:
+        r = np.round(tbl.column("nll").to_numpy(zero_copy_only=False), 6)
+        b = np.floor(r * 65536.0).astype(np.int64)
+        return tbl.filter(pa.array(b == cut_b))
+
+    cross = (scored.map_batches(crossing, batch_format="pyarrow",
+                                batch_size=65536).to_pandas())
+    cross["_r"] = np.round(cross["nll"].to_numpy(), 6)
+    cross = (cross.sort_values(["_r", id_col], kind="mergesort")
+             .head(need).drop(columns="_r"))
+    kept_low = scored.map_batches(keep_low, batch_format="pyarrow",
+                                  batch_size=65536)
+    if len(cross):
+        return kept_low.union(rd.from_pandas(cross))
+    return kept_low

@@ -5911,6 +5911,44 @@ FROM base GROUP BY channel ORDER BY channel
 """
 
 
+def q_text_nll_filter(sf_dir: str):
+    """Perplexity-filter ACTION: drop the worst n//10 docs by
+    (round(nll,6), doc_id) (textstats.py::nll_quality_filter —
+    histogram-cut rank resolution, only the crossing bucket's rows
+    leave the cluster)."""
+    from ..datapipe.textstats import nll_quality_filter
+
+    out = nll_quality_filter(_docs(sf_dir)).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "n_words": "int64",
+                       "nll": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_NLL_FILTER = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+cnt AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY w),
+tot AS (SELECT sum(cnt)::DOUBLE AS t FROM cnt),
+nll AS (
+  SELECT tf.doc_id, sum(tf)::BIGINT AS n_words,
+         ln((SELECT t FROM tot))
+         - sum(tf * ln(cnt)) / sum(tf) AS nll
+  FROM tf JOIN cnt USING (w)
+  GROUP BY tf.doc_id),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY round(nll, 6), doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM nll)
+SELECT doc_id, n_words, nll FROM r
+WHERE rn <= n - n // 10 ORDER BY doc_id
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -6129,6 +6167,7 @@ QUERIES = {
     "graph_components": q_graph_components,
     "source_terms": q_source_terms,
     "events_attribution_first": q_events_attribution_first,
+    "text_nll_filter": q_text_nll_filter,
 }
 
 ORACLES = {
@@ -6306,4 +6345,5 @@ ORACLES = {
     "graph_components": SQL_GRAPH_COMPONENTS,
     "source_terms": SQL_SOURCE_TERMS,
     "events_attribution_first": SQL_EVENTS_ATTRIBUTION_FIRST,
+    "text_nll_filter": SQL_TEXT_NLL_FILTER,
 }
