@@ -935,6 +935,60 @@ def hourly_profile(ds, *, ts_col: str = "ts",
     return out.sort_values([type_col, "hour"]).reset_index(drop=True)
 
 
+def daily_rate_outliers(ds, *, ts_col: str = "ts",
+                        type_col: str = "event_type", k: float = 1.5):
+    """Per-type daily-RATE anomaly flags: each (type, day) event count
+    is screened against its type's Tukey fences over the daily counts
+    (nearest-rank q1/q3, rank = ceil(0.25·m) / ceil(0.75·m) — 0.25 and
+    0.75 are exact dyadics, so the float rank expression is exact on
+    both sides, unlike the 0.9 case events_quantile_sketch documents).
+    Returns (event_type, day, n, lo, hi, is_outlier) for every cell —
+    the volume-anomaly baseline behind traffic monitoring.
+
+    Shape: map-side (type, day) bincount partials (≤ types×days rows
+    per batch); the fold and the fence arithmetic are driver-side on a
+    table whose size is days × types BY DEFINITION — nothing shuffles.
+    Fences are the group_outlier_flags IEEE expression (q1 − k·IQR on
+    identical doubles)."""
+    import pyarrow.compute as pc
+
+    def part(tbl: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(tbl.column(ts_col), unit="day")
+        t = pa.table({type_col: tbl.column(type_col), "day": day})
+        g = pa.TableGroupBy(t, [type_col, "day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([type_col, "day", "n"])
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536).to_pandas())
+    if parts.empty:
+        return pd.DataFrame({type_col: pd.Series([], dtype="object"),
+                             "day": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64"),
+                             "lo": pd.Series([], dtype="float64"),
+                             "hi": pd.Series([], dtype="float64"),
+                             "is_outlier": pd.Series([], dtype="bool")})
+    d = (parts.groupby([type_col, "day"], as_index=False)["n"].sum())
+    d["n"] = d["n"].astype("int64")
+    out = []
+    for et, sub in d.groupby(type_col, sort=True):
+        vals = np.sort(sub["n"].to_numpy())
+        m = len(vals)
+        q1 = float(vals[int(np.ceil(0.25 * m)) - 1])
+        q3 = float(vals[int(np.ceil(0.75 * m)) - 1])
+        lo = q1 - k * (q3 - q1)
+        hi = q3 + k * (q3 - q1)
+        s = sub.copy()
+        s["lo"] = lo
+        s["hi"] = hi
+        nn = s["n"].to_numpy(np.float64)
+        s["is_outlier"] = (nn < lo) | (nn > hi)
+        out.append(s)
+    res = pd.concat(out, ignore_index=True)
+    return (res[[type_col, "day", "n", "lo", "hi", "is_outlier"]]
+            .sort_values([type_col, "day"]).reset_index(drop=True))
+
+
 def interarrival_stats(ds, *, user_col: str = "user_id",
                        ts_col: str = "ts", type_col: str = "event_type",
                        id_col: str = "event_id"):

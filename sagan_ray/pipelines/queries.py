@@ -5949,6 +5949,48 @@ WHERE rn <= n - n // 10 ORDER BY doc_id
 """
 
 
+def q_events_rate_outliers(sf_dir: str):
+    """Per-type daily-rate Tukey anomaly flags (datapipe/events.py::
+    daily_rate_outliers — map-side day partials, driver-side fences on
+    the days×types table)."""
+    import ray.data as rd
+
+    from ..datapipe.events import daily_rate_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = daily_rate_outliers(ds)
+    return _typed(out, {"event_type": "object",
+                        "day": "datetime64[us]", "n": "int64",
+                        "lo": "float64", "hi": "float64",
+                        "is_outlier": "bool"})
+
+
+SQL_EVENTS_RATE_OUTLIERS = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM d),
+q AS (
+  SELECT event_type,
+         min(n) FILTER (rn >= ceil(0.25 * m)) AS q1,
+         min(n) FILTER (rn >= ceil(0.75 * m)) AS q3
+  FROM ranked GROUP BY event_type)
+SELECT d.event_type, d.day, d.n,
+       q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+       q.q3 + 1.5 * (q.q3 - q.q1) AS hi,
+       (d.n < q.q1 - 1.5 * (q.q3 - q.q1)
+        OR d.n > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+FROM d JOIN q USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -6168,6 +6210,7 @@ QUERIES = {
     "source_terms": q_source_terms,
     "events_attribution_first": q_events_attribution_first,
     "text_nll_filter": q_text_nll_filter,
+    "events_rate_outliers": q_events_rate_outliers,
 }
 
 ORACLES = {
@@ -6346,4 +6389,5 @@ ORACLES = {
     "source_terms": SQL_SOURCE_TERMS,
     "events_attribution_first": SQL_EVENTS_ATTRIBUTION_FIRST,
     "text_nll_filter": SQL_TEXT_NLL_FILTER,
+    "events_rate_outliers": SQL_EVENTS_RATE_OUTLIERS,
 }

@@ -515,3 +515,33 @@ def test_interarrival_stats_hand_check():
     # view gaps: u3 (0) -> n=1 sum=0 max=0
     assert got == [("click", 3, 940, 750, 940 / 3),
                    ("view", 1, 0, 0, 0.0)]
+
+
+def test_daily_rate_outliers_hand_check():
+    """Fences are PER TYPE over that type's daily counts (nearest-rank
+    q1/q3): a spike day is flagged against its own type's history only,
+    and a type whose counts are constant flags nothing (IQR 0 => fences
+    collapse onto the constant)."""
+    from sagan_ray.datapipe.events import daily_rate_outliers
+
+    DAY = 86_400_000_000  # us
+    rows = []
+    # type a: days 0..3 with counts 1,1,1,5 -> m=4, q1=vals[0]=1,
+    # q3=vals[2]=1, IQR=0 -> lo=hi=1.0; only day 3 (n=5) is outside.
+    for d, n in enumerate([1, 1, 1, 5]):
+        rows += [(d * DAY + j, "a") for j in range(n)]
+    # type b: two days at a constant 3 -> lo=hi=3.0, nothing flagged.
+    for d in range(2):
+        rows += [(d * DAY + 10 + j, "b") for j in range(3)]
+    tbl = pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = daily_rate_outliers(_ds(tbl))
+    got = [(r.event_type, r.day.value // (DAY * 1000), r.n, r.lo, r.hi,
+            r.is_outlier) for r in out.itertuples(index=False)]
+    assert got == [
+        ("a", 0, 1, 1.0, 1.0, False), ("a", 1, 1, 1.0, 1.0, False),
+        ("a", 2, 1, 1.0, 1.0, False), ("a", 3, 5, 1.0, 1.0, True),
+        ("b", 0, 3, 3.0, 3.0, False), ("b", 1, 3, 3.0, 3.0, False),
+    ]
