@@ -907,6 +907,79 @@ def distinctive_terms(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hash_group_apply(cand, [id_col], best, out_schema=out_schema)
 
 
+def doc_keywords(ds, *, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Top-k TF-IDF keywords per document — the per-DOC generalization
+    of ``distinctive_terms`` (which is the k=1 integer-key argmin):
+    score(w, d) = tf · ln(N / df) with N the corpus doc count and df the
+    word's distinct-doc frequency; rank per doc on (round(score, 6)
+    DESC, word ASC) — the BM25 rounded-ranking-key stance, so the SQL
+    oracle's row_number() agrees exactly while the reported float score
+    compares under tolerance. Returns (doc_id, rank, term, tf, df,
+    tfidf), rank 1..k.
+
+    Shape: a tiny doc-count partial pass (N rides the closure); distinct
+    (word, doc, tf) rows meet word-keyed buckets where df = the exact
+    STRING's row count (hashes only co-locate); candidates re-key by doc
+    for the per-doc top-k. Candidate volume is the distinct (doc, word)
+    pair count — no vocabulary broadcast, no all-pairs."""
+    from .exchange import hash_group_apply
+
+    def nrows(tbl: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([tbl.num_rows], pa.int64())})
+
+    _cnt = ds.map_batches(nrows, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    n_docs = 0 if _cnt.empty else int(_cnt["n"].sum())
+    out_cols = {id_col: "int64", "rank": "int64", "term": "object",
+                "tf": "int64", "df": "int64", "tfidf": "float64"}
+    if n_docs == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in out_cols.items()})
+    n_f = float(n_docs)
+
+    def tfrows(tbl: pa.Table) -> pa.Table:
+        n, doc_of, wlen, wh, words = _words_flat(tbl.column(text_col))
+        ids = (tbl.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        o, run_id, counts, first = _gram_runs(doc_of, wh)
+        return pa.table({
+            "h": pa.array(wh[o][first], pa.uint64()),
+            "w": pa.array(words[o][first], pa.large_string()),
+            id_col: pa.array(ids[doc_of[o][first]], pa.int64()),
+            "tf": pa.array(counts, pa.int64()),
+        })
+
+    def with_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = df.groupby("w", sort=False)["w"].transform("size")
+        return df[[id_col, "w", "tf", "df"]]
+
+    mid_schema = pa.schema([(id_col, pa.int64()), ("w", pa.large_string()),
+                            ("tf", pa.int64()), ("df", pa.int64())])
+    cand = hash_group_apply(
+        ds.map_batches(tfrows, batch_format="pyarrow"), ["h"], with_df,
+        out_schema=mid_schema)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        # operand order matches the SQL spec: tf * ln(N / df), all
+        # float64 — the rounded key collapses the ln-kernel 1-ulp gap.
+        score = (df["tf"].to_numpy(np.float64)
+                 * np.log(n_f / df["df"].to_numpy(np.float64)))
+        df = df.assign(tfidf=score, key=np.round(score, 6))
+        df = df.sort_values([id_col, "key", "w"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby(id_col, sort=False).cumcount() + 1
+        out = df[df["rank"] <= k].rename(columns={"w": "term"})
+        return out[[id_col, "rank", "term", "tf", "df", "tfidf"]]
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("rank", pa.int64()),
+                            ("term", pa.large_string()),
+                            ("tf", pa.int64()), ("df", pa.int64()),
+                            ("tfidf", pa.float64())])
+    return hash_group_apply(cand, [id_col], topk, out_schema=out_schema)
+
+
 def corpus_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     """One-row corpus profile: (n_docs, n_words, n_vocab) with n_vocab
     the EXACT distinct-word count — per-batch distinct (hash, word)

@@ -5991,6 +5991,40 @@ ORDER BY d.event_type, d.day
 """
 
 
+def q_doc_keywords(sf_dir: str):
+    """Top-3 TF-IDF keywords per doc (textstats.doc_keywords — word
+    exchange for df, doc exchange for the rounded-key top-k)."""
+    from ..datapipe.textstats import doc_keywords
+
+    out = doc_keywords(_docs(sf_dir), k=3).to_pandas()
+    out = out.astype({"doc_id": "int64", "rank": "int64",
+                      "tf": "int64", "df": "int64", "tfidf": "float64"})
+    return (out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+            [["doc_id", "rank", "term", "tf", "df", "tfidf"]])
+
+
+SQL_DOC_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (SELECT doc_id, w, tf, df, tf * ln(n.n / df) AS tfidf
+      FROM tf JOIN df USING (w) CROSS JOIN n),
+r AS (SELECT doc_id, w, tf, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(tfidf, 6) DESC, w) AS rn
+      FROM s)
+SELECT doc_id, rn::BIGINT AS rank, w AS term,
+       tf::BIGINT AS tf, df::BIGINT AS df, tfidf
+FROM r WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
 SQL_TEXT_BLOCKLIST = """
 WITH p AS (
   SELECT unnest(['slow', 'big table', 'spark a', 'vector']) AS phrase),
@@ -6211,6 +6245,7 @@ QUERIES = {
     "events_attribution_first": q_events_attribution_first,
     "text_nll_filter": q_text_nll_filter,
     "events_rate_outliers": q_events_rate_outliers,
+    "doc_keywords": q_doc_keywords,
 }
 
 ORACLES = {
@@ -6390,4 +6425,5 @@ ORACLES = {
     "events_attribution_first": SQL_EVENTS_ATTRIBUTION_FIRST,
     "text_nll_filter": SQL_TEXT_NLL_FILTER,
     "events_rate_outliers": SQL_EVENTS_RATE_OUTLIERS,
+    "doc_keywords": SQL_DOC_KEYWORDS,
 }

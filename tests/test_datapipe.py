@@ -3376,3 +3376,32 @@ def test_vocab_edit_pairs_matches_bruteforce():
                .sort_values(["w1", "w2"]).reset_index(drop=True))
         got = list(zip(out["w1"], out["w2"], out["dist"]))
         assert got == want, parts
+
+
+def test_doc_keywords_ranking_and_ties():
+    """Rank is (round(tfidf,6) DESC, word ASC): a doc-unique word (df=1)
+    outranks shared words; equal-(tf,df) words tie on the rounded score
+    and break lexicographically; df=N words score exactly 0 and can
+    still fill trailing ranks."""
+    import ray.data as rd
+    from sagan_ray.datapipe.textstats import doc_keywords
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "zeta common common bb aa",   # zeta df=1; aa/bb tf=1 df=1 tie
+            "common other",
+            "common other",
+        ], pa.large_string()),
+    })
+    out = (doc_keywords(rd.from_arrow(tbl), k=3).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    d1 = out[out["doc_id"] == 1]
+    # df=1 words (tf 1) all score ln(3) ~ 1.0986; zeta/aa/bb tie -> word asc
+    assert list(d1["term"]) == ["aa", "bb", "zeta"]
+    assert list(d1["rank"]) == [1, 2, 3]
+    assert (d1["df"] == 1).all()
+    d2 = out[out["doc_id"] == 2]
+    # other df=2 > common df=3 (score 0); both rows present
+    assert list(d2["term"]) == ["other", "common"]
+    assert d2["tfidf"].tolist()[1] == 0.0
