@@ -989,6 +989,73 @@ def daily_rate_outliers(ds, *, ts_col: str = "ts",
             .sort_values([type_col, "day"]).reset_index(drop=True))
 
 
+def session_stats(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", gap_s: int = 1800):
+    """Per-user session DURATION stats under the sessionize spec (a new
+    session starts on a strict > ``gap_s`` gap; events totally ordered
+    by (ts, id)): (user_id, n_sessions, total_dur_us, max_dur_us,
+    avg_events) where a session's duration is last-ts − first-ts in
+    exact int64 microseconds (a singleton session is 0) and avg_events
+    is one IEEE division of exact ints (n_events / n_sessions) —
+    bit-equal to the SQL's ``sum(n_ev)::DOUBLE / count(*)``.
+
+    Shape: user-keyed exchange of slim (user, ts, id) rows — a user's
+    whole history lands in one bucket, so each output row is FINAL in
+    its bucket (no driver fold). In-bucket: one lexsort, boundary
+    masks, then two reduceat ladders (per-session durations, then each
+    user's contiguous session slice) — no per-user loop."""
+    from .exchange import hash_group_apply
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        return tbl.select([user_col, ts_col, id_col])
+
+    schema = pa.schema([(user_col, pa.int64()), ("n_sessions", pa.int64()),
+                        ("total_dur_us", pa.int64()),
+                        ("max_dur_us", pa.int64()),
+                        ("avg_events", pa.float64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame({f.name: pd.Series([], dtype=f.type.to_pandas_dtype())
+                                 for f in schema})
+        eid = df[id_col].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        u, t = uid[o], ts[o]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, np.int64)
+        gap[0] = 0
+        gap[1:] = t[1:] - t[:-1]
+        new_s = new_user | (gap > gap_us)
+        ss = np.flatnonzero(new_s)                 # session starts
+        se = np.append(ss[1:], n)                  # session ends (excl)
+        dur = t[se - 1] - t[ss]
+        su = np.flatnonzero(new_user[ss])          # first session per user
+        n_sessions = np.diff(np.append(su, len(ss)))
+        us_idx = np.flatnonzero(new_user)
+        n_ev = np.diff(np.append(us_idx, n))
+        return pd.DataFrame({
+            user_col: u[us_idx],
+            "n_sessions": n_sessions.astype(np.int64),
+            "total_dur_us": np.add.reduceat(dur, su).astype(np.int64),
+            "max_dur_us": np.maximum.reduceat(dur, su).astype(np.int64),
+            "avg_events": (n_ev.astype(np.float64)
+                           / n_sessions.astype(np.float64))})
+
+    out = hash_group_apply(
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    if out.empty:
+        return pd.DataFrame({f.name: pd.Series([], dtype=f.type.to_pandas_dtype())
+                             for f in schema})
+    return out.sort_values(user_col).reset_index(drop=True)
+
+
 def interarrival_stats(ds, *, user_col: str = "user_id",
                        ts_col: str = "ts", type_col: str = "event_type",
                        id_col: str = "event_id"):

@@ -5991,6 +5991,45 @@ ORDER BY d.event_type, d.day
 """
 
 
+def q_events_sessions(sf_dir: str):
+    """Per-user session duration stats (datapipe/events.py::
+    session_stats — user exchange, reduceat ladders; durations exact
+    int64 microseconds)."""
+    import ray.data as rd
+
+    from ..datapipe.events import session_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    out = session_stats(ds)
+    return _typed(out, {"user_id": "int64", "n_sessions": "int64",
+                        "total_dur_us": "int64", "max_dur_us": "int64",
+                        "avg_events": "float64"})
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS tu,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, tu,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS sid
+  FROM e),
+g AS (
+  SELECT user_id, sid, count(*) AS n_ev, max(tu) - min(tu) AS dur_us
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(dur_us)::BIGINT AS total_dur_us,
+       max(dur_us)::BIGINT AS max_dur_us,
+       sum(n_ev)::DOUBLE / count(*) AS avg_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_doc_keywords(sf_dir: str):
     """Top-3 TF-IDF keywords per doc (textstats.doc_keywords — word
     exchange for df, doc exchange for the rounded-key top-k)."""
@@ -6246,6 +6285,7 @@ QUERIES = {
     "text_nll_filter": q_text_nll_filter,
     "events_rate_outliers": q_events_rate_outliers,
     "doc_keywords": q_doc_keywords,
+    "events_sessions": q_events_sessions,
 }
 
 ORACLES = {
@@ -6426,4 +6466,5 @@ ORACLES = {
     "text_nll_filter": SQL_TEXT_NLL_FILTER,
     "events_rate_outliers": SQL_EVENTS_RATE_OUTLIERS,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "events_sessions": SQL_EVENTS_SESSIONS,
 }

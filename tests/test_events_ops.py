@@ -545,3 +545,28 @@ def test_daily_rate_outliers_hand_check():
         ("a", 2, 1, 1.0, 1.0, False), ("a", 3, 5, 1.0, 1.0, True),
         ("b", 0, 3, 3.0, 3.0, False), ("b", 1, 3, 3.0, 3.0, False),
     ]
+
+
+def test_session_stats_boundary_and_singletons():
+    """A gap of EXACTLY gap_s stays inside the session (strict >);
+    durations are last-minus-first per session with singletons at 0;
+    avg_events is n_events/n_sessions."""
+    from sagan_ray.datapipe.events import session_stats
+
+    S = 1_000_000  # 1 s in us
+    rows = [  # (event_id, user, ts_us)
+        # user 1: [0, 1800s] one session (gap == 1800 s exactly),
+        # then 1800s+1us later -> new session, singleton.
+        (1, 1, 0), (2, 1, 1800 * S), (3, 1, 3600 * S + S + 1),
+        # user 2: single event -> one session of duration 0.
+        (4, 2, 50),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = session_stats(_ds(tbl))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [(1, 2, 1800 * S, 1800 * S, 1.5),
+                   (2, 1, 0, 0, 1.0)]
