@@ -989,6 +989,76 @@ def daily_rate_outliers(ds, *, ts_col: str = "ts",
             .sort_values([type_col, "day"]).reset_index(drop=True))
 
 
+def monthly_churn(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
+    """Month-over-month retention: for each calendar month m,
+    n_active = distinct users with ≥1 event in m, n_retained = those
+    also active in m+1 (the CALENDAR next month — month arithmetic on
+    the months-since-epoch integer, exactly SQL's
+    ``m + INTERVAL 1 MONTH``), retained_rate = one IEEE division of
+    exact ints. Returns (month, n_active, n_retained, retained_rate).
+
+    Shape: per-batch DISTINCT (user, month) pairs (bounded by
+    users × months per batch, not events); user-keyed exchange so each
+    user's month set is whole in one bucket; in-bucket one lexsort +
+    adjacency diff + two bincounts emit (month, n_active, n_retained)
+    partials — the driver folds a months-sized table."""
+    from .exchange import hash_group_apply
+
+    def _distinct_pairs(uid: np.ndarray, mo: np.ndarray):
+        o = np.lexsort((mo, uid))
+        u, m = uid[o], mo[o]
+        if not len(u):
+            return u, m
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (m[1:] != m[:-1])
+        return u[first], m[first]
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        uid = (tbl.column(user_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        mo = (tbl.column(ts_col).to_numpy(zero_copy_only=False)
+              .astype("datetime64[M]").astype(np.int64))
+        u, m = _distinct_pairs(uid, mo)
+        return pa.table({user_col: pa.array(u, pa.int64()),
+                         "mo": pa.array(m, pa.int64())})
+
+    schema = pa.schema([("mo", pa.int64()), ("n_active", pa.int64()),
+                        ("n_retained", pa.int64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u, m = _distinct_pairs(df[user_col].to_numpy(np.int64),
+                               df["mo"].to_numpy(np.int64))
+        ret = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            ret[:-1] = (u[1:] == u[:-1]) & (m[1:] - m[:-1] == 1)
+        months, inv = np.unique(m, return_inverse=True)
+        return pd.DataFrame({
+            "mo": months,
+            "n_active": np.bincount(inv).astype(np.int64),
+            "n_retained": np.bincount(inv, weights=ret,
+                                      minlength=len(months)).astype(np.int64)})
+
+    parts = hash_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"month": pd.Series([], dtype="datetime64[us]"),
+                             "n_active": pd.Series([], dtype="int64"),
+                             "n_retained": pd.Series([], dtype="int64"),
+                             "retained_rate": pd.Series([], dtype="float64")})
+    g = (parts.groupby("mo", as_index=False)
+         .agg(n_active=("n_active", "sum"), n_retained=("n_retained", "sum"))
+         .sort_values("mo").reset_index(drop=True))
+    return pd.DataFrame({
+        "month": g["mo"].to_numpy(np.int64).astype("datetime64[M]")
+                  .astype("datetime64[us]"),
+        "n_active": g["n_active"].astype("int64"),
+        "n_retained": g["n_retained"].astype("int64"),
+        "retained_rate": (g["n_retained"].to_numpy(np.float64)
+                          / g["n_active"].to_numpy(np.float64))})
+
+
 def session_stats(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                   id_col: str = "event_id", gap_s: int = 1800):
     """Per-user session DURATION stats under the sessionize spec (a new

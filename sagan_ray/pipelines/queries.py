@@ -6030,6 +6030,33 @@ FROM g GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_churn(sf_dir: str):
+    """Month-over-month retention (datapipe/events.py::monthly_churn —
+    distinct (user, month) pairs via user exchange, calendar-month
+    adjacency, months-sized driver fold)."""
+    import ray.data as rd
+
+    from ..datapipe.events import monthly_churn
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    out = monthly_churn(ds)
+    return _typed(out, {"month": "datetime64[us]", "n_active": "int64",
+                        "n_retained": "int64", "retained_rate": "float64"})
+
+
+SQL_EVENTS_CHURN = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events)
+SELECT a.m AS month, count(*)::BIGINT AS n_active,
+       count(b.user_id)::BIGINT AS n_retained,
+       count(b.user_id)::DOUBLE / count(*) AS retained_rate
+FROM um a LEFT JOIN um b ON b.user_id = a.user_id
+                        AND b.m = a.m + INTERVAL 1 MONTH
+GROUP BY a.m ORDER BY a.m
+"""
+
+
 def q_doc_keywords(sf_dir: str):
     """Top-3 TF-IDF keywords per doc (textstats.doc_keywords — word
     exchange for df, doc exchange for the rounded-key top-k)."""
@@ -6286,6 +6313,7 @@ QUERIES = {
     "events_rate_outliers": q_events_rate_outliers,
     "doc_keywords": q_doc_keywords,
     "events_sessions": q_events_sessions,
+    "events_churn": q_events_churn,
 }
 
 ORACLES = {
@@ -6467,4 +6495,5 @@ ORACLES = {
     "events_rate_outliers": SQL_EVENTS_RATE_OUTLIERS,
     "doc_keywords": SQL_DOC_KEYWORDS,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_churn": SQL_EVENTS_CHURN,
 }

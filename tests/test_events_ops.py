@@ -570,3 +570,31 @@ def test_session_stats_boundary_and_singletons():
     got = list(out.itertuples(index=False, name=None))
     assert got == [(1, 2, 1800 * S, 1800 * S, 1.5),
                    (2, 1, 0, 0, 1.0)]
+
+
+def test_monthly_churn_adjacency_and_year_boundary():
+    """Retained = active in the CALENDAR next month: Dec->Jan counts
+    (year rollover), a 2-month gap does not; rate is retained/active."""
+    from sagan_ray.datapipe.events import monthly_churn
+
+    def ts(y, mo):  # mid-month timestamp
+        return np.datetime64(f"{y}-{mo:02d}-15", "us")
+
+    rows = [  # (user, ts)
+        (1, ts(2023, 11)), (1, ts(2023, 12)), (1, ts(2024, 1)),
+        (2, ts(2023, 12)), (2, ts(2024, 2)),   # gap: not retained
+        (3, ts(2024, 1)),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = monthly_churn(_ds(tbl))
+    got = [(str(r.month)[:7], r.n_active, r.n_retained, r.retained_rate)
+           for r in out.itertuples(index=False)]
+    assert got == [
+        ("2023-11", 1, 1, 1.0),        # u1 Nov->Dec
+        ("2023-12", 2, 1, 0.5),        # u1 Dec->Jan; u2 gap
+        ("2024-01", 2, 0, 0.0),        # u1,u3 active; none in Feb
+        ("2024-02", 1, 0, 0.0),        # u2
+    ]
