@@ -989,6 +989,105 @@ def daily_rate_outliers(ds, *, ts_col: str = "ts",
             .sort_values([type_col, "day"]).reset_index(drop=True))
 
 
+def markov_nll(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", id_col: str = "event_id"):
+    """Per-user sequence-anomaly score under the corpus transition
+    model — the events analog of textstats.unigram_nll: with cnt(a,b)
+    the corpus count of consecutive (a→b) transitions (per user,
+    ordered (ts, id)) and left(a) = Σ_b cnt(a,b),
+
+        nll(u) = mean over u's transitions of ln(left(a) / cnt(a,b))
+
+    No smoothing needed — every scored transition has cnt ≥ 1 by
+    construction. Returns (user_id, n_trans, nll) for users with ≥1
+    transition; a typical user scores low, a user whose type sequence
+    is rare scores high.
+
+    Shape: the transition-pair space is bounded by the TYPE vocabulary
+    squared (the events_basket stance), never by users — pass A's
+    user-keyed exchange emits per-bucket (a, b, n) partials and the
+    driver folds a |types|²-sized table; pass B re-runs the user
+    exchange with the ln-contribution lookup riding the closure (tiny)
+    and each bucket emits final per-user rows. Two exchanges of slim
+    (user, ts, id, type) rows — transitions never cross buckets. The
+    float mean is sum/count per user; DuckDB's avg() sums in scan
+    order, so parity is ~1e-15 relative under the gate's tolerance,
+    not bit-exact (the unigram_nll stance)."""
+    from .exchange import hash_group_apply
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        return tbl.select([user_col, ts_col, id_col, type_col])
+
+    slim_ds = ds.map_batches(slim, batch_format="pyarrow",
+                             batch_size=65536)
+
+    def _transitions(df: pd.DataFrame):
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        eid = df[id_col].to_numpy().astype(np.int64)
+        types, code = np.unique(df[type_col].to_numpy(),
+                                return_inverse=True)
+        o = np.lexsort((eid, ts, uid))
+        u, c = uid[o], code[o].astype(np.int64)
+        same = np.zeros(len(o), dtype=bool)
+        if len(o) > 1:
+            same[1:] = u[1:] == u[:-1]
+        idx = np.flatnonzero(same)
+        return types, u[idx], c[idx - 1], c[idx]   # user, a, b codes
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n", pa.int64())])
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        types, u, a, b = _transitions(df)
+        if not len(u):
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        key = a * len(types) + b
+        ks, n = np.unique(key, return_counts=True)
+        return pd.DataFrame({"a": types[ks // len(types)],
+                             "b": types[ks % len(types)],
+                             "n": n.astype(np.int64)})
+
+    parts = hash_group_apply(slim_ds, [user_col], pair_bucket,
+                             out_schema=pair_schema).to_pandas()
+    out_cols = {user_col: "int64", "n_trans": "int64", "nll": "float64"}
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in out_cols.items()})
+    pairs = (parts.groupby(["a", "b"], as_index=False)["n"].sum())
+    left = pairs.groupby("a")["n"].transform("sum")
+    # ln(left/cnt): operand order matches the SQL's ln(tot::DOUBLE / n)
+    pairs["contrib"] = np.log(left.to_numpy(np.float64)
+                              / pairs["n"].to_numpy(np.float64))
+    lut = pairs[["a", "b", "contrib"]]
+
+    out_schema = pa.schema([(user_col, pa.int64()), ("n_trans", pa.int64()),
+                            ("nll", pa.float64())])
+
+    def user_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        types, u, a, b = _transitions(df)
+        if not len(u):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        tr = pd.DataFrame({"a": types[a], "b": types[b], "u": u})
+        tr = tr.merge(lut, on=["a", "b"], how="left")
+        g = tr.groupby("u", sort=True)["contrib"]
+        agg = g.agg(["count", "sum"]).reset_index()
+        return pd.DataFrame({
+            user_col: agg["u"],
+            "n_trans": agg["count"].astype("int64"),
+            "nll": agg["sum"].to_numpy(np.float64)
+                   / agg["count"].to_numpy(np.float64)})
+
+    out = hash_group_apply(slim_ds, [user_col], user_bucket,
+                           out_schema=out_schema).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in out_cols.items()})
+    return out.sort_values(user_col).reset_index(drop=True)
+
+
 def monthly_churn(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
     """Month-over-month retention: for each calendar month m,
     n_active = distinct users with ≥1 event in m, n_retained = those

@@ -6057,6 +6057,39 @@ GROUP BY a.m ORDER BY a.m
 """
 
 
+def q_events_markov_nll(sf_dir: str):
+    """Per-user transition-model surprisal (datapipe/events.py::
+    markov_nll — pair counts fold to a |types|²-sized table, then a
+    user exchange scores with the broadcast lookup)."""
+    import ray.data as rd
+
+    from ..datapipe.events import markov_nll
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = markov_nll(ds)
+    return _typed(out, {"user_id": "int64", "n_trans": "int64",
+                        "nll": "float64"})
+
+
+SQL_EVENTS_MARKOV_NLL = """
+WITH t AS (
+  SELECT user_id, event_type AS b,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS a
+  FROM events),
+p AS (SELECT a, b, count(*) AS n FROM t WHERE a IS NOT NULL GROUP BY a, b),
+l AS (SELECT a, sum(n) AS tot FROM p GROUP BY a)
+SELECT t.user_id, count(*)::BIGINT AS n_trans,
+       avg(ln(l.tot::DOUBLE / p.n)) AS nll
+FROM t JOIN p ON p.a = t.a AND p.b = t.b
+       JOIN l ON l.a = t.a
+WHERE t.a IS NOT NULL
+GROUP BY t.user_id ORDER BY t.user_id
+"""
+
+
 def q_doc_keywords(sf_dir: str):
     """Top-3 TF-IDF keywords per doc (textstats.doc_keywords — word
     exchange for df, doc exchange for the rounded-key top-k)."""
@@ -6314,6 +6347,7 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "events_sessions": q_events_sessions,
     "events_churn": q_events_churn,
+    "events_markov_nll": q_events_markov_nll,
 }
 
 ORACLES = {
@@ -6496,4 +6530,5 @@ ORACLES = {
     "doc_keywords": SQL_DOC_KEYWORDS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_churn": SQL_EVENTS_CHURN,
+    "events_markov_nll": SQL_EVENTS_MARKOV_NLL,
 }

@@ -598,3 +598,25 @@ def test_monthly_churn_adjacency_and_year_boundary():
         ("2024-01", 2, 0, 0.0),        # u1,u3 active; none in Feb
         ("2024-02", 1, 0, 0.0),        # u2
     ]
+
+
+def test_markov_nll_hand_check():
+    """Transition probs are corpus-global, scoring is per user: with
+    a->b twice and a->c once in the corpus, P(b|a)=2/3 and P(c|a)=1/3;
+    a user whose only transition is the rare a->c scores ln(3)."""
+    from sagan_ray.datapipe.events import markov_nll
+
+    rows = [  # (user, ts, type)
+        (1, 10, "a"), (1, 20, "b"),      # a->b
+        (2, 10, "a"), (2, 20, "b"),      # a->b
+        (3, 10, "a"), (3, 20, "c"),      # a->c (rare)
+        (4, 10, "b"),                    # no transition: no row
+    ]
+    tbl = _events_with_ids(rows)
+    out = markov_nll(_ds(tbl))
+    got = {int(r.user_id): (int(r.n_trans), r.nll)
+           for r in out.itertuples(index=False)}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (1, np.log(3.0 / 2.0))
+    assert got[2] == (1, np.log(3.0 / 2.0))
+    assert got[3] == (1, np.log(3.0 / 1.0))
