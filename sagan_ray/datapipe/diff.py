@@ -23,6 +23,49 @@ import pyarrow as pa
 from .hashing import hash_array_pure
 
 
+def table_upsert(old_ds, new_ds, *, key_col: str = "doc_id"):
+    """Keyed snapshot refresh (upsert): every key's row comes from the
+    NEW snapshot when present there, else from the old one — no
+    deletes; pair with ``snapshot_diff`` for a remove work-list. The
+    two sides must share a schema. Returns the merged Dataset.
+
+    Full rows cross the key exchange exactly once (they ARE the
+    output — there is no slimmer shape for a materializing merge);
+    in-bucket the winner per key is one sort + drop_duplicates, no
+    per-key loop. A duplicated key WITHIN one snapshot raises (the
+    ``snapshot_diff`` stance: a snapshot is a keyed table)."""
+    import pandas as pd
+
+    from .exchange import hash_group_apply
+
+    out_schema = old_ds.schema().base_schema
+    new_schema = new_ds.schema().base_schema
+    if [f.name for f in out_schema] != [f.name for f in new_schema]:
+        raise ValueError("table_upsert: snapshot schemas differ: "
+                         f"{out_schema.names} vs {new_schema.names}")
+
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "_side", pa.array(np.full(tbl.num_rows, side, np.int32),
+                                  pa.int32()))
+        return fn
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.duplicated([key_col, "_side"]).any():
+            raise ValueError("table_upsert: duplicate key within one "
+                             "snapshot")
+        df = df.sort_values([key_col, "_side"], ascending=[True, False],
+                            kind="mergesort")
+        return (df.drop_duplicates(subset=[key_col], keep="first")
+                .drop(columns=["_side"]))
+
+    tagged = (old_ds.map_batches(tag(0), batch_format="pyarrow")
+              .union(new_ds.map_batches(tag(1), batch_format="pyarrow")))
+    return hash_group_apply(tagged, [key_col], reduce_bucket,
+                            out_schema=out_schema)
+
+
 def snapshot_diff(old_ds, new_ds, *, key_col: str = "doc_id",
                   content_col: str = "text"):
     """(key, status) for every key whose row differs between snapshots:

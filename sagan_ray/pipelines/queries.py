@@ -6090,6 +6090,59 @@ GROUP BY t.user_id ORDER BY t.user_id
 """
 
 
+def q_table_upsert(sf_dir: str):
+    """Keyed snapshot refresh (datapipe/diff.py::table_upsert): the new
+    snapshot is q_snapshot_diff's derivation (drop %17, ' v2' on %13,
+    add %19 re-keyed +1e6); upsert keeps old rows for keys absent from
+    new and takes new rows elsewhere. SQL is the FULL OUTER JOIN with
+    COALESCE on both columns."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..datapipe.diff import table_upsert
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def derive_new(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id")
+        txt = tbl.column("text")
+        dv = did.to_numpy(zero_copy_only=False)
+        mod = pc.if_else(pa.array(dv % 13 == 0),
+                         pc.binary_join_element_wise(
+                             txt, pa.scalar(" v2"), pa.scalar("")),
+                         txt)
+        base = pa.table({"doc_id": did, "text": mod}).filter(
+            pa.array(dv % 17 != 0))
+        added = pa.table({
+            "doc_id": pc.add(did, 1000000),
+            "text": txt}).filter(pa.array(dv % 19 == 0))
+        return pa.concat_tables([base, added])
+
+    new = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).map_batches(
+                              derive_new, batch_format="pyarrow")
+    out = _typed(table_upsert(old, new).to_pandas(),
+                 {"doc_id": "int64", "text": "object"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TABLE_UPSERT = """
+WITH old AS (SELECT doc_id, text FROM documents),
+novo AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 19 = 0)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       COALESCE(n.text, o.text) AS text
+FROM old o FULL OUTER JOIN novo n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_doc_keywords(sf_dir: str):
     """Top-3 TF-IDF keywords per doc (textstats.doc_keywords — word
     exchange for df, doc exchange for the rounded-key top-k)."""
@@ -6348,6 +6401,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_churn": q_events_churn,
     "events_markov_nll": q_events_markov_nll,
+    "table_upsert": q_table_upsert,
 }
 
 ORACLES = {
@@ -6531,4 +6585,5 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_churn": SQL_EVENTS_CHURN,
     "events_markov_nll": SQL_EVENTS_MARKOV_NLL,
+    "table_upsert": SQL_TABLE_UPSERT,
 }

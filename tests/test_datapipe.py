@@ -3405,3 +3405,31 @@ def test_doc_keywords_ranking_and_ties():
     # other df=2 > common df=3 (score 0); both rows present
     assert list(d2["term"]) == ["other", "common"]
     assert d2["tfidf"].tolist()[1] == 0.0
+
+
+def test_table_upsert_semantics_and_guards():
+    """New wins on key conflict, old-only keys survive (no deletes),
+    new-only keys appear; mismatched schemas and within-snapshot
+    duplicate keys raise."""
+    import ray.data as rd
+    import pytest
+    from sagan_ray.datapipe.diff import table_upsert
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["a1", "a2", "a3"])})
+    new = pa.table({"doc_id": pa.array([2, 4], pa.int64()),
+                    "text": pa.array(["b2", "b4"])})
+    out = (table_upsert(rd.from_arrow(old), rd.from_arrow(new))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(zip(out["doc_id"], out["text"])) == [
+        (1, "a1"), (2, "b2"), (3, "a3"), (4, "b4")]
+
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "body": pa.array(["x"])})
+    with pytest.raises(ValueError, match="schemas differ"):
+        table_upsert(rd.from_arrow(old), rd.from_arrow(bad))
+
+    dup = pa.table({"doc_id": pa.array([5, 5], pa.int64()),
+                    "text": pa.array(["x", "y"])})
+    with pytest.raises(Exception, match="duplicate key"):
+        table_upsert(rd.from_arrow(old), rd.from_arrow(dup)).to_pandas()
