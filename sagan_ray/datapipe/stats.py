@@ -375,3 +375,60 @@ def group_outlier_flags(ds, *, group_col: str, col: str, id_col: str,
             "is_outlier": pa.array((v < lo) | (v > hi))})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def group_gini(ds, *, group_col: str, col: str):
+    """Per-group Gini concentration of a value column — the
+    inequality/skew report (how concentrated is event value across
+    rows of a type, spend across users, bytes across sources):
+
+        G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σ x) − (n + 1)/n      (ranks 1..n, x sorted)
+
+    Rank ties are harmless: equal values contribute v·Σi over the tied
+    block regardless of their order, so the statistic is deterministic
+    without an id tie-break. Returns (group, n, gini); a group whose
+    value sum is 0 yields NaN (division by zero, the SQL's NULL analog
+    — callers on signed data should screen first, Gini assumes ≥ 0).
+
+    Shape: the (group, value) histogram exchange (distinct-cardinality
+    ≪ N — the ``percentiles`` stance); the driver computes Σ i·x from
+    each distinct value's rank block (c·cum_before + c(c+1)/2 exact
+    ints) over the groups-sized histogram. Full rows never shuffle.
+    Float sums accumulate in histogram order vs the SQL's scan order —
+    ~1e-15 relative, inside the gate tolerance."""
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select([group_col, col]),
+                            [group_col, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, col, "cnt"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, col], sort=False)["cnt"].sum()
+                .reset_index())
+
+    hist_schema = pa.schema([(group_col, pa.string()),
+                             (col, pa.float64()), ("cnt", pa.int64())])
+    hist = hash_group_apply(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536),
+        [group_col], combine, out_schema=hist_schema).to_pandas()
+    if len(hist) == 0:
+        return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "gini": pd.Series([], dtype="float64")})
+    rows = []
+    for gval, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values(col)
+        c = sub["cnt"].to_numpy(np.int64)
+        v = sub[col].to_numpy(np.float64)
+        n = int(c.sum())
+        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        # float64 on purpose: c·cum_before ~ n² wraps int64 at extreme
+        # n; exact while < 2^53 and it feeds a float sum regardless.
+        cf = c.astype(np.float64)
+        rank_sum = cf * cum_before.astype(np.float64) + cf * (cf + 1) / 2
+        s_iv = float(np.sum(v * rank_sum))
+        s_v = float(np.sum(v * c.astype(np.float64)))
+        gini = (2.0 * s_iv / (n * s_v) - (n + 1.0) / n
+                if s_v != 0.0 else float("nan"))
+        rows.append((gval, n, gini))
+    return pd.DataFrame(rows, columns=[group_col, "n", "gini"])

@@ -6090,6 +6090,35 @@ GROUP BY t.user_id ORDER BY t.user_id
 """
 
 
+def q_events_gini(sf_dir: str):
+    """Per-type Gini concentration of event value (datapipe/stats.py::
+    group_gini — (group, value) histogram exchange, rank-block fold on
+    the driver; rows never shuffle)."""
+    import ray.data as rd
+
+    from ..datapipe.stats import group_gini
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = group_gini(ds, group_col="event_type", col="value")
+    out = _typed(out, {"event_type": "object", "n": "int64",
+                       "gini": "float64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_GINI = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, max(n)::BIGINT AS n,
+       2 * sum(rn * value) / (max(n) * sum(value))
+         - (max(n) + 1.0) / max(n) AS gini
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_table_upsert(sf_dir: str):
     """Keyed snapshot refresh (datapipe/diff.py::table_upsert): the new
     snapshot is q_snapshot_diff's derivation (drop %17, ' v2' on %13,
@@ -6402,6 +6431,7 @@ QUERIES = {
     "events_churn": q_events_churn,
     "events_markov_nll": q_events_markov_nll,
     "table_upsert": q_table_upsert,
+    "events_gini": q_events_gini,
 }
 
 ORACLES = {
@@ -6586,4 +6616,5 @@ ORACLES = {
     "events_churn": SQL_EVENTS_CHURN,
     "events_markov_nll": SQL_EVENTS_MARKOV_NLL,
     "table_upsert": SQL_TABLE_UPSERT,
+    "events_gini": SQL_EVENTS_GINI,
 }

@@ -3433,3 +3433,36 @@ def test_table_upsert_semantics_and_guards():
                     "text": pa.array(["x", "y"])})
     with pytest.raises(Exception, match="duplicate key"):
         table_upsert(rd.from_arrow(old), rd.from_arrow(dup)).to_pandas()
+
+
+def test_group_gini_known_values_and_tie_invariance():
+    """Perfect equality gives 0; a single earner among n gives
+    (n-1)/n; duplicated values (rank ties) match the sequential
+    sorted-rank formula regardless of block layout."""
+    import ray.data as rd
+    from sagan_ray.datapipe.stats import group_gini
+
+    vals_a = [5.0] * 4                      # equality -> 0
+    vals_b = [0.0, 0.0, 0.0, 12.0]          # one earner -> 3/4
+    vals_c = [1.0, 1.0, 2.0, 2.0, 4.0]      # ties
+    tbl = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 4 + ["c"] * 5),
+        "v": pa.array(vals_a + vals_b + vals_c, pa.float64()),
+    })
+    out = group_gini(rd.from_arrow(tbl), group_col="g", col="v")
+    got = {r.g: (r.n, r.gini) for r in out.itertuples(index=False)}
+
+    def seq(vals):
+        x = np.sort(np.array(vals, np.float64))
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        return 2 * np.sum(i * x) / (n * x.sum()) - (n + 1) / n
+
+    assert got["a"] == (4, 0.0)
+    assert abs(got["b"][1] - 0.75) < 1e-12
+    assert abs(got["c"][1] - seq(vals_c)) < 1e-12
+    # layout invariance: many small blocks, same numbers
+    out2 = group_gini(rd.from_arrow(tbl).repartition(7),
+                      group_col="g", col="v")
+    got2 = {r.g: (r.n, r.gini) for r in out2.itertuples(index=False)}
+    assert got == got2
