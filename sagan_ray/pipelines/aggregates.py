@@ -384,3 +384,128 @@ def adjacent_pairs(ds, *, prev_role: str, next_role: str,
     return hash_group_apply(
         ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
         [key], bucket, out_schema=schema)
+
+
+def boilerplate_turns(ds, *, min_convs: int, key: str = "conv_id",
+                      text_col: str = "text", role_col: str = "role",
+                      turn_col: str = "turn_idx", sep: str = "\n"):
+    """Templated-turn (boilerplate) removal — the CCNet/RefinedWeb
+    line-level dedup staple applied to conversational data: a turn whose
+    EXACT text appears in at least ``min_convs`` distinct conversations
+    is boilerplate (system prompts, canned tool banners, templated
+    notices) and is dropped from the rebuilt per-conversation document.
+
+    Returns (key, n_kept, n_boiler, doc_text) — doc_text is the
+    conv_documents rendering (``role: text`` lines joined in turn order)
+    over the surviving turns only; an all-boilerplate conversation keeps
+    its row with doc_text ''.
+
+    Shape for scale: pass A ships only per-batch-DISTINCT
+    (hash64(text), hash64(conv)) uint64 pairs through a text-hash
+    exchange (16 bytes/pair — text bytes never enter the wide exchange;
+    identity-by-hash64 is the dedup_exact stance), the frequent-hash set
+    (small by construction: each member repeats across >= min_convs
+    convs) broadcasts back via ray.put, and pass B flags turns map-side
+    before the ordinary per-conv rebuild exchange. ``ds`` is consumed
+    twice — pass it materialized (the query catalog's _transcripts
+    cache) or cheap to recompute.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..datapipe.exchange import hash_group_apply
+    from ..datapipe.hashing import hash_array_pure
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        txt = tbl.column(text_col).to_numpy(zero_copy_only=False)
+        cv = tbl.column(key).to_numpy(zero_copy_only=False)
+        h = hash_array_pure(txt).astype(np.uint64)
+        c = hash_array_pure(cv).astype(np.uint64)
+        o = np.lexsort((c, h))
+        h, c = h[o], c[o]
+        keep = np.ones(len(h), dtype=bool)
+        if len(h) > 1:
+            keep[1:] = (h[1:] != h[:-1]) | (c[1:] != c[:-1])
+        return pa.table({"h": h[keep], "c": c[keep]})
+
+    def df_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"h": pd.Series(dtype="uint64")})
+        h = df["h"].to_numpy()
+        c = df["c"].to_numpy()
+        o = np.lexsort((c, h))
+        h, c = h[o], c[o]
+        # drop duplicate (h, c) pairs arriving from different batches,
+        # then count distinct convs per hash via run boundaries
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (h[1:] != h[:-1]) | (c[1:] != c[:-1])
+        h = h[first]
+        starts = np.ones(len(h), dtype=bool)
+        starts[1:] = h[1:] != h[:-1]
+        idx = np.flatnonzero(starts)
+        cnt = np.diff(np.append(idx, len(h)))
+        hot = idx[cnt >= min_convs]
+        return pd.DataFrame({"h": h[hot]})
+
+    hot = hash_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        ["h"], df_bucket,
+        out_schema=pa.schema([("h", pa.uint64())])).to_pandas()
+    hot_ref = ray.put(np.sort(hot["h"].to_numpy().astype(np.uint64))
+                      if len(hot) else np.empty(0, dtype=np.uint64))
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        fr = ray.get(hot_ref)
+        txt = tbl.column(text_col).to_numpy(zero_copy_only=False)
+        h = hash_array_pure(txt).astype(np.uint64)
+        if len(fr):
+            i = np.searchsorted(fr, h)
+            boiler = (i < len(fr)) & (fr[np.minimum(i, len(fr) - 1)] == h)
+        else:
+            boiler = np.zeros(len(h), dtype=bool)
+        return pa.table({
+            key: tbl.column(key),
+            turn_col: tbl.column(turn_col),
+            role_col: tbl.column(role_col),
+            text_col: tbl.column(text_col),
+            "boiler": pa.array(boiler),
+        })
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "n_kept": pd.Series(dtype="int64"),
+                                 "n_boiler": pd.Series(dtype="int64"),
+                                 "doc_text": pd.Series(dtype="object")})
+        ks = df[key].to_numpy()
+        turns = df[turn_col].to_numpy()
+        o = np.lexsort((turns, ks))
+        ks = ks[o]
+        boiler = df["boiler"].to_numpy()[o]
+        lines = (df[role_col].astype(str).to_numpy()[o]
+                 + np.array(": ", dtype=object)
+                 + df[text_col].astype(str).to_numpy()[o])
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(ks))
+        docs, n_kept, n_boiler = [], [], []
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            m = ~boiler[s:e]
+            docs.append(sep.join(lines[s:e][m]))
+            n_kept.append(int(m.sum()))
+            n_boiler.append(int((e - s) - m.sum()))
+        return pd.DataFrame({key: ks[starts],
+                             "n_kept": np.asarray(n_kept, dtype=np.int64),
+                             "n_boiler": np.asarray(n_boiler,
+                                                    dtype=np.int64),
+                             "doc_text": docs})
+
+    schema = pa.schema([(key, pa.string()), ("n_kept", pa.int64()),
+                        ("n_boiler", pa.int64()),
+                        ("doc_text", pa.large_string())])
+    return hash_group_apply(
+        ds.map_batches(flag, batch_format="pyarrow", batch_size=65536),
+        [key], rebuild, out_schema=schema)

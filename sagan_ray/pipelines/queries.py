@@ -6222,6 +6222,39 @@ ORDER BY d.doc_id
 """
 
 
+def q_transcript_boilerplate(sf_dir: str):
+    """Templated-turn removal (pipelines/aggregates.py::
+    boilerplate_turns): a turn whose exact text repeats across >= 10
+    distinct conversations (canned click payloads here; system prompts
+    / tool banners in real chat data) is boilerplate — the CCNet
+    line-level-dedup staple for conversational corpora. Pass A counts
+    conv-df per text hash through a 16-byte-pair exchange, pass B flags
+    map-side off the broadcast hot set and rebuilds the per-conv
+    document from surviving turns."""
+    from .aggregates import boilerplate_turns
+
+    out = boilerplate_turns(_transcripts(sf_dir), min_convs=10).to_pandas()
+    out = _typed(out, {"conv_id": "object", "n_kept": "int64",
+                       "n_boiler": "int64", "doc_text": "object"})
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+SQL_TRANSCRIPT_BOILERPLATE = _T + """,
+freq AS (
+  SELECT text FROM (
+    SELECT text, count(DISTINCT conv_id) AS df FROM t GROUP BY text)
+  WHERE df >= 10)
+SELECT conv_id,
+       count(*) FILTER (WHERE f.text IS NULL)::BIGINT AS n_kept,
+       count(*) FILTER (WHERE f.text IS NOT NULL)::BIGINT AS n_boiler,
+       coalesce(string_agg(t.role || ': ' || t.text, chr(10)
+                           ORDER BY t.turn_idx)
+                FILTER (WHERE f.text IS NULL), '') AS doc_text
+FROM t LEFT JOIN freq f ON t.text = f.text
+GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6432,6 +6465,7 @@ QUERIES = {
     "events_markov_nll": q_events_markov_nll,
     "table_upsert": q_table_upsert,
     "events_gini": q_events_gini,
+    "transcript_boilerplate": q_transcript_boilerplate,
 }
 
 ORACLES = {
@@ -6617,4 +6651,5 @@ ORACLES = {
     "events_markov_nll": SQL_EVENTS_MARKOV_NLL,
     "table_upsert": SQL_TABLE_UPSERT,
     "events_gini": SQL_EVENTS_GINI,
+    "transcript_boilerplate": SQL_TRANSCRIPT_BOILERPLATE,
 }

@@ -620,3 +620,48 @@ def test_markov_nll_hand_check():
     assert got[1] == (1, np.log(3.0 / 2.0))
     assert got[2] == (1, np.log(3.0 / 2.0))
     assert got[3] == (1, np.log(3.0 / 1.0))
+
+
+def test_boilerplate_turns_hand_check():
+    """A turn text in >= min_convs distinct convs is dropped everywhere
+    (even on repeats within one conv); distinctness is per conv, not per
+    occurrence; an all-boilerplate conv keeps its row with doc_text ''."""
+    from sagan_ray.pipelines.aggregates import boilerplate_turns
+
+    tbl = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c3", "c3", "c3"],
+        "turn_idx": pa.array([0, 1, 2, 0, 1, 0, 1, 2], pa.int32()),
+        "role": ["sys", "user", "sys", "sys", "user", "sys", "sys",
+                 "user"],
+        "text": ["BANNER", "hi", "BANNER", "BANNER", "yo", "BANNER",
+                 "BANNER", "hm"],
+    })
+    out = (boilerplate_turns(_ds(tbl), min_convs=3).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    # BANNER appears in 3 distinct convs -> boiler; repeats inside c1/c3
+    # are each counted in n_boiler
+    assert out["conv_id"].tolist() == ["c1", "c2", "c3"]
+    assert out["n_boiler"].tolist() == [2, 1, 2]
+    assert out["n_kept"].tolist() == [1, 1, 1]
+    assert out["doc_text"].tolist() == ["user: hi", "user: yo",
+                                        "user: hm"]
+    # raise the bar: nothing qualifies, docs = full conv_documents form
+    out2 = (boilerplate_turns(_ds(tbl), min_convs=4).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    assert out2["n_boiler"].tolist() == [0, 0, 0]
+    assert out2["doc_text"].tolist()[0] == "sys: BANNER\nuser: hi\nsys: BANNER"
+
+
+def test_boilerplate_turns_all_boiler_conv():
+    from sagan_ray.pipelines.aggregates import boilerplate_turns
+
+    tbl = pa.table({
+        "conv_id": ["a", "b", "c", "a"],
+        "turn_idx": pa.array([0, 0, 0, 1], pa.int32()),
+        "role": ["sys", "sys", "sys", "user"],
+        "text": ["T", "T", "T", "q"],
+    })
+    out = (boilerplate_turns(_ds(tbl), min_convs=2).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert out["doc_text"].tolist() == ["user: q", "", ""]
+    assert out["n_kept"].tolist() == [1, 0, 0]
