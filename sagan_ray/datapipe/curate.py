@@ -757,3 +757,90 @@ def sample_token_budget_by_group(ds, budgets: dict[str, int], *,
                                     preserve_index=False)
 
     return slim_ds.map_batches(keep, batch_format="pyarrow")
+
+
+# stage order IS the cascade: a doc is attributed to its FIRST failing
+# stage (C4/Gopher-style filter funnels report attrition this way so
+# downstream stages' counts are conditional on surviving earlier ones)
+FUNNEL_STAGES = ("too_few_words", "word_len_out", "low_stopword",
+                 "repetitive", "kept")
+
+
+def filter_funnel(ds, *, text_col: str = "text",
+                  group_col: str = "source",
+                  min_words: int = 25,
+                  stop_words: frozenset[str] | None = None):
+    """Quality-filter cascade report: per (group, stage) document counts
+    where stage = the first failing filter (or 'kept') — the attrition
+    funnel every C4/Gopher/RefinedWeb-style curation run publishes.
+
+    Filters (all EXACT integer predicates so the SQL oracle is
+    operand-identical — no float ratios cross the comparison):
+
+    1. too_few_words: n_words < min_words
+    2. word_len_out:  mean word length outside [3.8, 5.1], tested as
+                      5*sum_len < 19*n_words  OR  10*sum_len > 51*n_words
+    3. low_stopword:  stopword fraction < 0.04: 25*n_stop < n_words
+    4. repetitive:    top single-word share > 12.5%: 8*max_rep > n_words
+
+    Words are the literal single-space split (``_split_flat`` ==
+    DuckDB string_split(text, ' '), empty tokens kept). Stopword
+    membership is counted on the 64-bit word hashes (the family hash
+    stance). Map-side each batch emits one (group, stage) bincount
+    partial — at most |groups|×5 rows per batch — and the driver folds
+    the tiny partials; document rows never shuffle.
+    """
+    from .textstats import STOPWORDS, _gram_runs, _split_flat
+    from .hashing import hash_array_pure
+
+    stops = sorted(stop_words if stop_words is not None
+                   else STOPWORDS["en"])
+    stop_h = np.sort(hash_array_pure(
+        np.asarray(stops, dtype=object)).astype(np.uint64))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        n_docs, doc_of, wlen, wh, _ = _split_flat(tbl, text_col)
+        grp = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        n_words = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        sum_len = np.bincount(doc_of, weights=wlen,
+                              minlength=n_docs).astype(np.int64)
+        i = np.searchsorted(stop_h, wh)
+        is_stop = (i < len(stop_h)) & (
+            stop_h[np.minimum(i, len(stop_h) - 1)] == wh)
+        n_stop = np.bincount(doc_of, weights=is_stop,
+                             minlength=n_docs).astype(np.int64)
+        o, run_id, run_counts, first = _gram_runs(doc_of, wh)
+        max_rep = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(max_rep, doc_of[o][first], run_counts)
+        stage = np.full(n_docs, 4, dtype=np.int64)            # kept
+        fail4 = 8 * max_rep > n_words
+        stage[fail4] = 3
+        fail3 = 25 * n_stop < n_words
+        stage[fail3] = 2
+        fail2 = (5 * sum_len < 19 * n_words) | (10 * sum_len
+                                                > 51 * n_words)
+        stage[fail2] = 1
+        stage[n_words < min_words] = 0
+        gs, gi = np.unique(grp, return_inverse=True)
+        cnt = np.bincount(gi * 5 + stage,
+                          minlength=len(gs) * 5).astype(np.int64)
+        keep = cnt > 0
+        cell = np.flatnonzero(keep)
+        return pa.table({
+            group_col: pa.array(gs[cell // 5]),
+            "stage_idx": pa.array(cell % 5, pa.int64()),
+            "n_docs": pa.array(cnt[keep]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "stage_idx": pd.Series(dtype="int64"),
+                             "stage": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64")})
+    out = (parts.groupby([group_col, "stage_idx"], sort=True)["n_docs"]
+           .sum().reset_index())
+    out["stage"] = out["stage_idx"].map(dict(enumerate(FUNNEL_STAGES)))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[[group_col, "stage_idx", "stage", "n_docs"]]

@@ -6255,6 +6255,60 @@ GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_text_filter_report(sf_dir: str):
+    """Quality-filter cascade funnel (datapipe/curate.py::filter_funnel):
+    per (source, first-failing-stage) doc counts — the C4/Gopher
+    curation attrition report. Every predicate is exact-integer on both
+    sides; map-side each batch ships at most |sources|×5 partial rows."""
+    from ..datapipe.curate import filter_funnel
+
+    out = filter_funnel(_docs(sf_dir, columns=["doc_id", "text",
+                                               "source"]))
+    out = _typed(out, {"source": "object", "stage_idx": "int64",
+                       "stage": "object", "n_docs": "int64"})
+    return (out.sort_values(["source", "stage_idx"])
+            .reset_index(drop=True))
+
+
+_SQL_FUNNEL_STOPS = ",".join(
+    f"'{w}'" for w in sorted(["the", "and", "of", "a", "to", "in", "is",
+                              "it", "that", "for"]))
+
+SQL_TEXT_FILTER_REPORT = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, source, len(ws)::BIGINT AS nw,
+         list_sum(list_transform(ws, x -> len(x)))::BIGINT AS swl,
+         len(list_filter(ws, x -> x IN ({_SQL_FUNNEL_STOPS})))::BIGINT
+           AS nstop
+  FROM w),
+r AS (
+  SELECT doc_id, max(c)::BIGINT AS mx FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+    GROUP BY doc_id, word)
+  GROUP BY doc_id),
+staged AS (
+  SELECT s.source,
+         CASE WHEN nw < 25 THEN 0
+              WHEN 5 * swl < 19 * nw OR 10 * swl > 51 * nw THEN 1
+              WHEN 25 * nstop < nw THEN 2
+              WHEN 8 * mx > nw THEN 3
+              ELSE 4 END AS stage_idx
+  FROM s JOIN r USING (doc_id))
+SELECT source, stage_idx::BIGINT AS stage_idx,
+       CASE stage_idx WHEN 0 THEN 'too_few_words'
+                      WHEN 1 THEN 'word_len_out'
+                      WHEN 2 THEN 'low_stopword'
+                      WHEN 3 THEN 'repetitive'
+                      ELSE 'kept' END AS stage,
+       count(*)::BIGINT AS n_docs
+FROM staged GROUP BY source, stage_idx
+ORDER BY source, stage_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6466,6 +6520,7 @@ QUERIES = {
     "table_upsert": q_table_upsert,
     "events_gini": q_events_gini,
     "transcript_boilerplate": q_transcript_boilerplate,
+    "text_filter_report": q_text_filter_report,
 }
 
 ORACLES = {
@@ -6652,4 +6707,5 @@ ORACLES = {
     "table_upsert": SQL_TABLE_UPSERT,
     "events_gini": SQL_EVENTS_GINI,
     "transcript_boilerplate": SQL_TRANSCRIPT_BOILERPLATE,
+    "text_filter_report": SQL_TEXT_FILTER_REPORT,
 }

