@@ -1297,3 +1297,111 @@ def interarrival_stats(ds, *, user_col: str = "user_id",
     out["mean_gap_us"] = out["sum_gap_us"].to_numpy(np.float64) \
         / out["n_gaps"].to_numpy(np.float64)
     return out.sort_values(type_col).reset_index(drop=True)
+
+
+def rollup_report(ds, *, group_col: str = "event_type", ts_col: str = "ts",
+                  val_col: str = "value", all_label: str = "(all)"):
+    """One-pass GROUPING-SETS rollup: (group × day), (group), (total) —
+    the multi-granularity dashboard aggregate — computed from ONE scan.
+
+    Per batch one Arrow group-by emits (group, day, n, vmin, vmax)
+    partials (at most |groups| × |days| rows per batch); the driver
+    folds the tiny partial table and derives the coarser levels from
+    the finest EXACTLY: counts are integer sums, min/max are
+    fold-order-free, so no float summation ever happens and the
+    DuckDB ROLLUP oracle matches bit-for-bit. Rolled-up keys render as
+    ``all_label`` (strings, not NULLs — value-hash-stable on both
+    sides). Day is the UTC calendar date string of the floored ts.
+    """
+
+    import pyarrow.compute as pc
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(tbl.column(ts_col),
+                                            unit="day"), format="%Y-%m-%d")
+        t = pa.table({"g": tbl.column(group_col).cast(pa.string()),
+                      "day": day, "v": tbl.column(val_col)})
+        g = pa.TableGroupBy(t, ["g", "day"]).aggregate(
+            [("v", "count"), ("v", "min"), ("v", "max")])
+        return g.rename_columns(["g", "day", "n", "vmin", "vmax"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    cols = {"level": "int64", group_col: "object", "day": "object",
+            "n": "int64", "vmin": "float64", "vmax": "float64"}
+    if len(parts) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in cols.items()})
+
+    def fold(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        g = df.groupby(keys, sort=True).agg(
+            n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
+        return g.reset_index()
+
+    fine = fold(parts, ["g", "day"])
+    by_g = fold(fine, ["g"])
+    total = pd.DataFrame({"n": [int(fine["n"].sum())],
+                          "vmin": [fine["vmin"].min()],
+                          "vmax": [fine["vmax"].max()]})
+    fine["level"], by_g["level"], total["level"] = 2, 1, 0
+    by_g["day"] = all_label
+    total["g"], total["day"] = all_label, all_label
+    out = pd.concat([total, by_g, fine], ignore_index=True)
+    out = out.rename(columns={"g": group_col})
+    out["n"] = out["n"].astype("int64")
+    return (out[list(cols)].astype(cols)
+            .sort_values(["level", group_col, "day"])
+            .reset_index(drop=True))
+
+
+def pivot_counts(ds, types: list[str], *, user_col: str = "user_id",
+                 type_col: str = "event_type"):
+    """Per-user wide count matrix over a FIXED type vocabulary — the
+    long→wide pivot that feeds per-user feature tables. Returns one row
+    per user: (user, n_<type>..., n_total); events whose type is not in
+    ``types`` are ignored (the vocabulary is the schema).
+
+    Map-side each batch collapses to at most one partial wide row per
+    user present (bincount over user×type cells), so the user exchange
+    carries |users-per-batch| rows of small ints; the bucket fold is a
+    column-wise sum. No all-to-all on raw events.
+    """
+    from .exchange import hash_group_apply
+
+    t_idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    cols = [f"n_{t}" for t in types]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        et = tbl.column(type_col).to_numpy(zero_copy_only=False)
+        # vectorized type lookup: factorize batch types once, map the
+        # (tiny) uniques through the dict, gather
+        uniq, inv = np.unique(et, return_inverse=True)
+        code = np.array([t_idx.get(u, -1) for u in uniq],
+                        dtype=np.int64)[inv]
+        m = code >= 0
+        uu, ui = np.unique(uid[m], return_inverse=True)
+        cnt = np.bincount(ui * k + code[m],
+                          minlength=len(uu) * k).astype(np.int64)
+        mat = cnt.reshape(len(uu), k)
+        data = {user_col: pa.array(uu, pa.int64())}
+        for j, c in enumerate(cols):
+            data[c] = pa.array(mat[:, j])
+        return pa.table(data)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({user_col: pd.Series(dtype="int64"),
+                                 **{c: pd.Series(dtype="int64")
+                                    for c in cols + ["n_total"]}})
+        g = df.groupby(user_col, sort=False)[cols].sum().reset_index()
+        g["n_total"] = g[cols].sum(axis=1)
+        return g
+
+    schema = pa.schema([(user_col, pa.int64())]
+                       + [(c, pa.int64()) for c in cols + ["n_total"]])
+    return hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        [user_col], bucket, out_schema=schema)

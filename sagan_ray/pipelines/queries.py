@@ -6309,6 +6309,65 @@ ORDER BY source, stage_idx
 """
 
 
+def q_events_rollup(sf_dir: str):
+    """Grouping-sets rollup (datapipe/events.py::rollup_report):
+    (type × day) / (type) / (total) from ONE scan — per-batch Arrow
+    group-by partials, coarser levels folded exactly from the finest
+    (integer counts + order-free min/max; no float sums)."""
+    import ray.data as rd
+
+    from ..datapipe.events import rollup_report
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = rollup_report(ds)
+    return _typed(out, {"level": "int64", "event_type": "object",
+                        "day": "object", "n": "int64",
+                        "vmin": "float64", "vmax": "float64"})
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT (2 - grouping(event_type) - grouping(d))::BIGINT AS level,
+       coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(d, '%Y-%m-%d'), '(all)') AS day,
+       count(*)::BIGINT AS n, min(value) AS vmin, max(value) AS vmax
+FROM (SELECT event_type, date_trunc('day', ts) AS d, value FROM events)
+GROUP BY ROLLUP (event_type, d)
+ORDER BY level, event_type, day
+"""
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Per-user wide count matrix over the fixed event-type vocabulary
+    (datapipe/events.py::pivot_counts) — long→wide through the user
+    exchange; each batch ships at most one small-int partial row per
+    user present."""
+    import ray.data as rd
+
+    from ..datapipe.events import pivot_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = pivot_counts(ds, _PIVOT_TYPES).to_pandas()
+    out = _typed(out, {"user_id": "int64",
+                       **{f"n_{t}": "int64" for t in _PIVOT_TYPES},
+                       "n_total": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       """ + ",\n       ".join(
+    f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+    for t in _PIVOT_TYPES) + """,
+       count(*)::BIGINT AS n_total
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6521,6 +6580,8 @@ QUERIES = {
     "events_gini": q_events_gini,
     "transcript_boilerplate": q_transcript_boilerplate,
     "text_filter_report": q_text_filter_report,
+    "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
 }
 
 ORACLES = {
@@ -6708,4 +6769,6 @@ ORACLES = {
     "events_gini": SQL_EVENTS_GINI,
     "transcript_boilerplate": SQL_TRANSCRIPT_BOILERPLATE,
     "text_filter_report": SQL_TEXT_FILTER_REPORT,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_pivot": SQL_EVENTS_PIVOT,
 }

@@ -665,3 +665,44 @@ def test_boilerplate_turns_all_boiler_conv():
            .sort_values("conv_id").reset_index(drop=True))
     assert out["doc_text"].tolist() == ["user: q", "", ""]
     assert out["n_kept"].tolist() == [1, 0, 0]
+
+
+def test_rollup_report_levels_fold_exactly():
+    """Coarser levels derive from the finest: counts sum, min/max fold
+    order-free; rolled-up keys render as the all-label."""
+    from sagan_ray.datapipe.events import rollup_report
+
+    tbl = pa.table({
+        "event_type": ["a", "a", "a", "b"],
+        "ts": pa.array([0, 86_400_000_000, 86_400_000_000 + 5, 10],
+                       pa.timestamp("us")),
+        "value": [1.5, -2.0, 7.25, 0.5],
+    })
+    out = rollup_report(_ds(tbl))
+    total = out[out["level"] == 0].iloc[0]
+    assert (total["event_type"], total["day"]) == ("(all)", "(all)")
+    assert total["n"] == 4 and total["vmin"] == -2.0 and total["vmax"] == 7.25
+    a = out[(out["level"] == 1) & (out["event_type"] == "a")].iloc[0]
+    assert a["n"] == 3 and a["vmin"] == -2.0 and a["vmax"] == 7.25
+    fine = out[out["level"] == 2]
+    assert len(fine) == 3           # a×2 days + b×1 day
+    d2 = fine[(fine["event_type"] == "a")
+              & (fine["day"] == "1970-01-02")].iloc[0]
+    assert d2["n"] == 2 and d2["vmax"] == 7.25
+
+
+def test_pivot_counts_vocabulary_and_fold():
+    """Unlisted types are ignored; per-user partials fold across
+    batches; n_total counts only vocabulary events."""
+    from sagan_ray.datapipe.events import pivot_counts
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 1], pa.int64()),
+        "event_type": ["x", "y", "x", "y", "zzz", "x"],
+    })
+    out = (pivot_counts(_ds(tbl).repartition(3), ["x", "y"]).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_x"].tolist() == [3, 0]
+    assert out["n_y"].tolist() == [1, 1]
+    assert out["n_total"].tolist() == [4, 1]
