@@ -1405,3 +1405,76 @@ def pivot_counts(ds, types: list[str], *, user_col: str = "user_id",
         ds.map_batches(partial, batch_format="pyarrow",
                        batch_size=65536),
         [user_col], bucket, out_schema=schema)
+
+
+def user_rfm(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+             value_col: str = "value"):
+    """Per-user RFM feature table: recency_days (epoch-day gap between
+    the corpus's last event and the user's last event), frequency
+    (event count) and monetary_q (sum of floor(value·64) — the exact
+    64ths grid the quantile sketch already uses, so the sum is an exact
+    int64 under any fold topology).
+
+    All three are algebraic, so each batch pre-collapses to one row per
+    distinct user (map-side partial) before the user exchange folds
+    partials per user. The global last day is the max of a column that
+    already exists in the per-user output — at 100 TB it's a scalar
+    tree-fold broadcast back for a map-side subtract; here the per-user
+    table is the query result anyway, so the subtract happens on it
+    directly. Returns (user_id, recency_days, frequency, monetary_q)
+    sorted by user_id."""
+    from .exchange import hash_group_apply
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        ts = (tbl.column(ts_col).cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        mq = np.floor(
+            tbl.column(value_col).to_numpy(zero_copy_only=False) * 64.0
+        ).astype(np.int64)
+        users, inv = np.unique(uid, return_inverse=True)
+        last = np.full(len(users), _I64_MIN)
+        np.maximum.at(last, inv, ts)
+        cnt = np.bincount(inv, minlength=len(users)).astype(np.int64)
+        ms = np.zeros(len(users), np.int64)
+        np.add.at(ms, inv, mq)
+        return pa.table({user_col: pa.array(users.astype(np.int64)),
+                         "__last": pa.array(last),
+                         "__cnt": pa.array(cnt),
+                         "__mq": pa.array(ms)})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                user_col: pd.Series(dtype="int64"),
+                "last_day": pd.Series(dtype="int64"),
+                "frequency": pd.Series(dtype="int64"),
+                "monetary_q": pd.Series(dtype="int64")})
+        uid = df[user_col].to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        last = np.full(len(users), _I64_MIN)
+        np.maximum.at(last, inv, df["__last"].to_numpy())
+        cnt = np.zeros(len(users), np.int64)
+        np.add.at(cnt, inv, df["__cnt"].to_numpy())
+        ms = np.zeros(len(users), np.int64)
+        np.add.at(ms, inv, df["__mq"].to_numpy())
+        return pd.DataFrame({user_col: users,
+                             "last_day": last // _US_PER_DAY,
+                             "frequency": cnt,
+                             "monetary_q": ms})
+
+    schema = pa.schema([(user_col, pa.int64()), ("last_day", pa.int64()),
+                        ("frequency", pa.int64()),
+                        ("monetary_q", pa.int64())])
+    out = hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            user_col: pd.Series(dtype="int64"),
+            "recency_days": pd.Series(dtype="int64"),
+            "frequency": pd.Series(dtype="int64"),
+            "monetary_q": pd.Series(dtype="int64")})
+    out["recency_days"] = out["last_day"].max() - out["last_day"]
+    out = out[[user_col, "recency_days", "frequency", "monetary_q"]]
+    return out.sort_values(user_col).reset_index(drop=True)

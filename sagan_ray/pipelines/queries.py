@@ -6368,6 +6368,37 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_rfm(sf_dir: str):
+    """Per-user RFM feature table (datapipe/events.py::user_rfm) —
+    recency in epoch days vs the corpus's last event, event count, and
+    the exact 64ths-grid monetary sum; map-side per-user partials fold
+    through the user exchange, the global last day is a scalar fold of
+    the per-user output."""
+    import ray.data as rd
+
+    from ..datapipe.events import user_rfm
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = user_rfm(ds)
+    return _typed(out, {"user_id": "int64", "recency_days": "int64",
+                        "frequency": "int64", "monetary_q": "int64"})
+
+
+SQL_EVENTS_RFM = """
+WITH u AS (
+  SELECT user_id,
+         epoch_us(max(ts)) // 86400000000 AS last_day,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(floor(value * 64) AS BIGINT)) AS monetary_q
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       ((SELECT max(last_day) FROM u) - last_day)::BIGINT AS recency_days,
+       frequency, monetary_q
+FROM u ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6582,6 +6613,7 @@ QUERIES = {
     "text_filter_report": q_text_filter_report,
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
+    "events_rfm": q_events_rfm,
 }
 
 ORACLES = {
@@ -6771,4 +6803,5 @@ ORACLES = {
     "text_filter_report": SQL_TEXT_FILTER_REPORT,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "events_rfm": SQL_EVENTS_RFM,
 }

@@ -706,3 +706,27 @@ def test_pivot_counts_vocabulary_and_fold():
     assert out["n_x"].tolist() == [3, 0]
     assert out["n_y"].tolist() == [1, 1]
     assert out["n_total"].tolist() == [4, 1]
+
+
+def test_user_rfm_hand_check():
+    """Recency = corpus-last-day minus user-last-day (so the freshest
+    user reads 0), frequency is a plain count, monetary is the exact
+    64ths-grid integer sum; multi-block partials fold to the same."""
+    from sagan_ray.datapipe.events import user_rfm
+
+    D = 86_400_000_000  # one epoch day in us
+    rows = [  # (user, ts_us, value)
+        (1, 0 * D + 5, 1.0), (1, 2 * D + 7, 0.25),   # last day 2
+        (2, 5 * D + 1, 10.5),                        # last day 5 (corpus max)
+        (3, 1 * D, 0.015625),                        # 1/64 -> 1 on the grid
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    out = user_rfm(_ds(tbl).repartition(3))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [(1, 3, 2, 80),    # 64*1.0 + 16
+                   (2, 0, 1, 672),   # 64*10.5
+                   (3, 4, 1, 1)]
