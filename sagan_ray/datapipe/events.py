@@ -1478,3 +1478,87 @@ def user_rfm(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     out["recency_days"] = out["last_day"].max() - out["last_day"]
     out = out[[user_col, "recency_days", "frequency", "monetary_q"]]
     return out.sort_values(user_col).reset_index(drop=True)
+
+
+def user_lifecycle(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
+    """Growth-accounting lifecycle matrix: for each calendar month m,
+    classify every active user as new (first month ever), retained
+    (also active in the CALENDAR previous month) or resurrected (active
+    before, but not in m-1); additionally count churned-into-m = users
+    active in m-1 but not in m (the last active month churns into
+    max+1, the standard convention — the SQL mirror uses lead()).
+
+    Same shape as ``monthly_churn``: per-batch DISTINCT (user, month)
+    pairs, user-keyed exchange so each user's month set is whole in one
+    bucket, in-bucket adjacency diffs + bincounts emit a months-sized
+    (mo, n_new, n_retained, n_resurrected, n_churned) partial; the
+    driver folds ≤ months × buckets rows. Month arithmetic is integer
+    months-since-epoch, exactly SQL's ``+ INTERVAL 1 MONTH``."""
+    from .exchange import hash_group_apply
+
+    def _distinct_pairs(uid: np.ndarray, mo: np.ndarray):
+        o = np.lexsort((mo, uid))
+        u, m = uid[o], mo[o]
+        if not len(u):
+            return u, m
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (m[1:] != m[:-1])
+        return u[first], m[first]
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        uid = (tbl.column(user_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        mo = (tbl.column(ts_col).to_numpy(zero_copy_only=False)
+              .astype("datetime64[M]").astype(np.int64))
+        u, m = _distinct_pairs(uid, mo)
+        return pa.table({user_col: pa.array(u, pa.int64()),
+                         "mo": pa.array(m, pa.int64())})
+
+    schema = pa.schema([("mo", pa.int64()), ("n_new", pa.int64()),
+                        ("n_retained", pa.int64()),
+                        ("n_resurrected", pa.int64()),
+                        ("n_churned", pa.int64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u, m = _distinct_pairs(df[user_col].to_numpy(np.int64),
+                               df["mo"].to_numpy(np.int64))
+        n = len(u)
+        if not n:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in schema.names})
+        same_prev = np.zeros(n, dtype=bool)   # row i shares user with i-1
+        same_prev[1:] = u[1:] == u[:-1]
+        new = ~same_prev
+        retained = same_prev.copy()
+        retained[1:] &= (m[1:] - m[:-1]) == 1
+        resurrected = same_prev & ~retained
+        # churn lands at mo+1 wherever the user's next active month is
+        # not mo+1 (gap or end of history)
+        churn_src = np.ones(n, dtype=bool)
+        churn_src[:-1] = (u[:-1] != u[1:]) | ((m[1:] - m[:-1]) > 1)
+        months = np.unique(np.concatenate([m, m[churn_src] + 1]))
+        idx = np.searchsorted(months, m)
+        out = {"mo": months}
+        for name, mask in (("n_new", new), ("n_retained", retained),
+                           ("n_resurrected", resurrected)):
+            out[name] = np.bincount(idx[mask], minlength=len(months)
+                                    ).astype(np.int64)
+        out["n_churned"] = np.bincount(
+            np.searchsorted(months, m[churn_src] + 1),
+            minlength=len(months)).astype(np.int64)
+        return pd.DataFrame(out)
+
+    parts = hash_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    cols = ["n_new", "n_retained", "n_resurrected", "n_churned"]
+    if parts.empty:
+        return pd.DataFrame({"month": pd.Series(dtype="datetime64[us]"),
+                             **{c: pd.Series(dtype="int64") for c in cols}})
+    g = (parts.groupby("mo", as_index=False)[cols].sum()
+         .sort_values("mo").reset_index(drop=True))
+    return pd.DataFrame({
+        "month": g["mo"].to_numpy(np.int64).astype("datetime64[M]")
+                  .astype("datetime64[us]"),
+        **{c: g[c].astype("int64") for c in cols}})

@@ -6399,6 +6399,224 @@ FROM u ORDER BY user_id
 """
 
 
+def q_events_lifecycle(sf_dir: str):
+    """Growth-accounting lifecycle matrix (datapipe/events.py::
+    user_lifecycle — distinct (user, month) pairs via the user
+    exchange, per-user adjacency classification, months-sized fold)."""
+    import ray.data as rd
+
+    from ..datapipe.events import user_lifecycle
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    out = user_lifecycle(ds)
+    return _typed(out, {"month": "datetime64[us]", "n_new": "int64",
+                        "n_retained": "int64", "n_resurrected": "int64",
+                        "n_churned": "int64"})
+
+
+SQL_EVENTS_LIFECYCLE = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS mo FROM events),
+s AS (
+  SELECT user_id, mo,
+         lag(mo)  OVER (PARTITION BY user_id ORDER BY mo) AS prev,
+         lead(mo) OVER (PARTITION BY user_id ORDER BY mo) AS nxt
+  FROM um),
+act AS (
+  SELECT mo,
+         sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+         sum(CASE WHEN prev = mo - INTERVAL 1 MONTH
+                  THEN 1 ELSE 0 END) AS n_retained,
+         sum(CASE WHEN prev IS NOT NULL AND prev < mo - INTERVAL 1 MONTH
+                  THEN 1 ELSE 0 END) AS n_resurrected
+  FROM s GROUP BY mo),
+ch AS (
+  SELECT mo + INTERVAL 1 MONTH AS mo, count(*) AS n_churned
+  FROM s WHERE nxt IS NULL OR nxt > mo + INTERVAL 1 MONTH
+  GROUP BY 1)
+SELECT coalesce(act.mo, ch.mo) AS month,
+       coalesce(n_new, 0)::BIGINT AS n_new,
+       coalesce(n_retained, 0)::BIGINT AS n_retained,
+       coalesce(n_resurrected, 0)::BIGINT AS n_resurrected,
+       coalesce(n_churned, 0)::BIGINT AS n_churned
+FROM act FULL JOIN ch ON act.mo = ch.mo
+ORDER BY month
+"""
+
+
+def q_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue by nation inside one region where the
+    ordering customer and the supplying supplier share a nation. The
+    only large×large step is lineitem ⨝ orders through ONE hash
+    exchange (joins.py::hash_join); supplier→nation and customer→nation
+    are broadcast array lookups (index_in + take, the orders_by_nation
+    pattern), and the region restriction prunes lineitem MAP-SIDE
+    before the exchange (only in-region-supplied items ship). Lineitem
+    pre-aggregates per (orderkey, supplier-nation) inside each batch so
+    the exchange carries partials, not items."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..datapipe.joins import hash_join
+
+    region = "ASIA"
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    regions = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(regions.loc[regions["r_name"] == region,
+                           "r_regionkey"].iloc[0])
+    in_region = set(nation.loc[nation["n_regionkey"] == rkey,
+                               "n_nationkey"].astype(int))
+    ref = ray.put((sup.column("s_suppkey").combine_chunks(),
+                   sup.column("s_nationkey").combine_chunks(),
+                   cust.column("c_custkey").combine_chunks(),
+                   cust.column("c_nationkey").combine_chunks(),
+                   np.array(sorted(in_region), dtype=np.int32)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def per_order(tbl: pa.Table) -> pa.Table:
+        skey, snat, _, _, region_nats = ray.get(ref)
+        nat = snat.take(pc.index_in(tbl.column("l_suppkey"),
+                                    value_set=skey)).to_numpy(
+            zero_copy_only=False)
+        keep = np.isin(nat, region_nats)
+        rev = (tbl.column("l_extendedprice").to_numpy()
+               * (1.0 - tbl.column("l_discount").to_numpy()))
+        t = pa.table({
+            "o_orderkey": tbl.column("l_orderkey").filter(pa.array(keep)),
+            "snat": pa.array(nat[keep].astype(np.int32)),
+            "rev": pa.array(rev[keep], pa.float64())})
+        g = pa.TableGroupBy(t, ["o_orderkey", "snat"]).aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderkey", "snat", "rev", "n_items"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li.map_batches(per_order, batch_format="pyarrow"),
+                       orders, on="o_orderkey",
+                       left_cols=["snat", "rev", "n_items"],
+                       right_cols=["o_custkey"])
+
+    def per_nation(tbl: pa.Table) -> pa.Table:
+        _, _, ckey, cnat, _ = ray.get(ref)
+        cn = cnat.take(pc.index_in(tbl.column("r_o_custkey"),
+                                   value_set=ckey)).to_numpy(
+            zero_copy_only=False)
+        keep = pa.array(cn == tbl.column("snat").to_numpy(
+            zero_copy_only=False))
+        t = tbl.select(["snat", "rev", "n_items"]).filter(keep)
+        g = pa.TableGroupBy(t, "snat").aggregate(
+            [("rev", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["snat", "revenue", "n_items"])
+
+    per = (joined.map_batches(per_nation, batch_format="pyarrow")
+           .groupby("snat")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())
+    names = nation.set_index("n_nationkey")["n_name"]
+    per["nation"] = per["snat"].map(names)
+    per["revenue"] = per["revenue"].round(2)
+    out = (per[["nation", "revenue", "n_items"]]
+           .sort_values("nation").reset_index(drop=True))
+    return _typed(out, {"nation": "object", "revenue": "float64",
+                        "n_items": "int64"})
+
+
+SQL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name ORDER BY nation
+"""
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: per ship-month promo vs total revenue. No
+    exchange at all — part's promo flag broadcasts as a sorted-key
+    bitmask (ray.put once, index_in + take per batch) and each lineitem
+    batch pre-collapses to a months-sized partial; the wide step is a
+    groupby over ≤ months × batches rows."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = pc.starts_with(part.column("p_type"), "PROMO")
+    ref = ray.put((part.column("p_partkey").combine_chunks(),
+                   promo.combine_chunks()))
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pkey, pflag = ray.get(ref)
+        flag = pflag.take(pc.index_in(tbl.column("l_partkey"),
+                                      value_set=pkey)).to_numpy(
+            zero_copy_only=False).astype(bool)
+        rev = (tbl.column("l_extendedprice").to_numpy()
+               * (1.0 - tbl.column("l_discount").to_numpy()))
+        mo = (tbl.column("l_shipdate").to_numpy(zero_copy_only=False)
+              .astype("datetime64[M]").astype(np.int64))
+        months, inv = np.unique(mo, return_inverse=True)
+        total = np.bincount(inv, weights=rev)
+        pr = np.bincount(inv, weights=np.where(flag, rev, 0.0),
+                         minlength=len(months))
+        n = np.bincount(inv, minlength=len(months)).astype(np.int64)
+        return pa.table({"mo": pa.array(months),
+                         "promo_rev": pa.array(pr, pa.float64()),
+                         "total_rev": pa.array(total, pa.float64()),
+                         "n_items": pa.array(n)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("mo")
+           .aggregate(Sum("promo_rev", alias_name="promo_rev"),
+                      Sum("total_rev", alias_name="total_rev"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())
+    out = out.sort_values("mo").reset_index(drop=True)
+    res = pd.DataFrame({
+        "month": out["mo"].to_numpy(np.int64).astype("datetime64[M]")
+                  .astype("datetime64[us]"),
+        "promo_rev": out["promo_rev"].round(2),
+        "total_rev": out["total_rev"].round(2),
+        "n_items": out["n_items"].astype("int64")})
+    return res
+
+
+SQL_PROMO_REVENUE = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END), 2) AS promo_rev,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY month
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6614,6 +6832,9 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
     "events_rfm": q_events_rfm,
+    "events_lifecycle": q_events_lifecycle,
+    "supplier_volume": q_supplier_volume,
+    "promo_revenue": q_promo_revenue,
 }
 
 ORACLES = {
@@ -6804,4 +7025,7 @@ ORACLES = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_rfm": SQL_EVENTS_RFM,
+    "events_lifecycle": SQL_EVENTS_LIFECYCLE,
+    "supplier_volume": SQL_SUPPLIER_VOLUME,
+    "promo_revenue": SQL_PROMO_REVENUE,
 }

@@ -730,3 +730,47 @@ def test_user_rfm_hand_check():
     assert got == [(1, 3, 2, 80),    # 64*1.0 + 16
                    (2, 0, 1, 672),   # 64*10.5
                    (3, 4, 1, 1)]
+
+
+def test_user_lifecycle_classification_and_churn_placement():
+    """new = first month ever; retained = prev calendar month active;
+    resurrected = gap > 1 month; churned lands at (last-active + 1)
+    and at every gap's first missing month."""
+    from sagan_ray.datapipe.events import user_lifecycle
+
+    def ts(y, mo):
+        return np.datetime64(f"{y}-{mo:02d}-15", "us")
+
+    rows = [
+        # u1: Nov, Dec, Jan -> new Nov, retained Dec + Jan, churn Feb
+        (1, ts(2023, 11)), (1, ts(2023, 12)), (1, ts(2024, 1)),
+        # u2: Dec, Feb -> new Dec, churn Jan, resurrected Feb, churn Mar
+        (2, ts(2023, 12)), (2, ts(2024, 2)),
+        # u3: Jan only -> new Jan, churn Feb
+        (3, ts(2024, 1)), (3, ts(2024, 1)),  # dup event, one pair
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = user_lifecycle(_ds(tbl))
+    got = [(str(r.month)[:7], r.n_new, r.n_retained, r.n_resurrected,
+            r.n_churned) for r in out.itertuples(index=False)]
+    assert got == [
+        ("2023-11", 1, 0, 0, 0),
+        ("2023-12", 1, 1, 0, 0),
+        ("2024-01", 1, 1, 0, 1),   # u3 new, u1 retained; u2 churned in
+        ("2024-02", 0, 0, 1, 2),   # u2 resurrected; u1 + u3 churned in
+        ("2024-03", 0, 0, 0, 1),   # u2 churned in
+    ]
+
+
+def test_user_lifecycle_empty():
+    from sagan_ray.datapipe.events import user_lifecycle
+
+    tbl = pa.table({"user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us"))})
+    out = user_lifecycle(_ds(tbl))
+    assert list(out.columns) == ["month", "n_new", "n_retained",
+                                 "n_resurrected", "n_churned"]
+    assert len(out) == 0
