@@ -1562,3 +1562,132 @@ def user_lifecycle(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
         "month": g["mo"].to_numpy(np.int64).astype("datetime64[M]")
                   .astype("datetime64[us]"),
         **{c: g[c].astype("int64") for c in cols}})
+
+
+def windowed_count_join(ds, step_a: str, step_b: str, *,
+                        window_s: int = 604800,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        id_col: str = "event_id"):
+    """Stream-stream windowed join: for every ``step_a`` event, the
+    number of same-user ``step_b`` events with ts in
+    (t_a, t_a + window_s] — the "responses within the window" count
+    behind conversion-window joins. Returns a Dataset of
+    (event_id, user_id, t_a, n_follow), zero counts kept.
+
+    Distributed shape: map-side prune to the two types (everything
+    else never enters the exchange), one user exchange, and inside a
+    bucket a MERGE instead of a join: B rows and two probe points per
+    A row (t_a and t_a + W) lexsort together by (user, ts, is_probe);
+    a cumsum of the B indicator read at the two probe positions gives
+    the half-open-window count — no per-user loop, no pair
+    materialization, ties handled exactly (B at t_a excluded, B at
+    t_a + W included, because probes sort AFTER B rows at equal ts)."""
+    from .exchange import hash_group_apply
+
+    w_us = int(window_s) * 1_000_000
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        et = tbl.column(type_col).to_numpy(zero_copy_only=False)
+        return tbl.select([id_col, user_col, ts_col, type_col]).filter(
+            pa.array((et == step_a) | (et == step_b)))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            batch_size=65536)
+
+    schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
+                        ("t_a", pa.timestamp("us")),
+                        ("n_follow", pa.int64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        et = df[type_col].to_numpy()
+        eid = df[id_col].to_numpy(np.int64)
+        ma, mb = et == step_a, et == step_b
+        ua, ta, ea = uid[ma], ts[ma], eid[ma]
+        ub, tb = uid[mb], ts[mb]
+        na, nb = len(ua), len(ub)
+        if not na:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 user_col: pd.Series(dtype="int64"),
+                                 "t_a": pd.Series(dtype="datetime64[us]"),
+                                 "n_follow": pd.Series(dtype="int64")})
+        u = np.concatenate([ub, ua, ua])
+        t = np.concatenate([tb, ta, ta + w_us])
+        probe = np.concatenate([np.zeros(nb, np.int8),
+                                np.ones(2 * na, np.int8)])
+        o = np.lexsort((probe, t, u))
+        cum = np.cumsum(probe[o] == 0)
+        pos = np.empty(nb + 2 * na, np.int64)
+        pos[o] = np.arange(len(o))
+        lo, hi = cum[pos[nb:nb + na]], cum[pos[nb + na:]]
+        return pd.DataFrame({id_col: ea, user_col: ua,
+                             "t_a": ta.astype("datetime64[us]"),
+                             "n_follow": (hi - lo).astype(np.int64)})
+
+    return hash_group_apply(pruned, [user_col], bucket,
+                            out_schema=schema)
+
+
+def cohort_matrix(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
+    """Classic cohort-retention triangle: cohort = a user's FIRST
+    active calendar month; for each (cohort, k) the number of cohort
+    users active exactly k calendar months later (k = 0 is cohort
+    size). Same exchange shape as ``monthly_churn``: per-batch
+    distinct (user, month) pairs, user exchange, per-user min +
+    month-diff bincounts, driver folds a (cohorts × offsets)-sized
+    table. Returns (cohort, k, n_users) sorted."""
+    from .exchange import hash_group_apply
+
+    def _distinct_pairs(uid: np.ndarray, mo: np.ndarray):
+        o = np.lexsort((mo, uid))
+        u, m = uid[o], mo[o]
+        if not len(u):
+            return u, m
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (m[1:] != m[:-1])
+        return u[first], m[first]
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        uid = (tbl.column(user_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        mo = (tbl.column(ts_col).to_numpy(zero_copy_only=False)
+              .astype("datetime64[M]").astype(np.int64))
+        u, m = _distinct_pairs(uid, mo)
+        return pa.table({user_col: pa.array(u, pa.int64()),
+                         "mo": pa.array(m, pa.int64())})
+
+    schema = pa.schema([("cohort", pa.int64()), ("k", pa.int64()),
+                        ("n_users", pa.int64())])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u, m = _distinct_pairs(df[user_col].to_numpy(np.int64),
+                               df["mo"].to_numpy(np.int64))
+        if not len(u):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in schema.names})
+        # sorted by (user, month): each user's first row is the cohort
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        m0 = m[np.maximum.accumulate(np.where(first, np.arange(len(u)),
+                                              0))]
+        t = pd.DataFrame({"cohort": m0, "k": m - m0})
+        g = t.groupby(["cohort", "k"], as_index=False).size()
+        return g.rename(columns={"size": "n_users"}).astype("int64")
+
+    parts = hash_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        [user_col], bucket, out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"cohort": pd.Series(dtype="datetime64[us]"),
+                             "k": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    g = (parts.groupby(["cohort", "k"], as_index=False)["n_users"].sum()
+         .sort_values(["cohort", "k"]).reset_index(drop=True))
+    return pd.DataFrame({
+        "cohort": g["cohort"].to_numpy(np.int64).astype("datetime64[M]")
+                   .astype("datetime64[us]"),
+        "k": g["k"].astype("int64"),
+        "n_users": g["n_users"].astype("int64")})

@@ -6617,6 +6617,64 @@ GROUP BY 1 ORDER BY month
 """
 
 
+def q_events_window_join(sf_dir: str):
+    """Stream-stream windowed join (datapipe/events.py::
+    windowed_count_join — per-view count of same-user purchases within
+    7 days; merge + cumsum inside the user exchange, no pair blowup)."""
+    import ray.data as rd
+
+    from ..datapipe.events import windowed_count_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = windowed_count_join(ds, "view", "purchase",
+                              window_s=7 * 86400).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return _typed(out, {"event_id": "int64", "user_id": "int64",
+                        "t_a": "datetime64[us]", "n_follow": "int64"})
+
+
+SQL_EVENTS_WINDOW_JOIN = """
+SELECT a.event_id, a.user_id, a.ts AS t_a,
+       count(b.event_id)::BIGINT AS n_follow
+FROM events a
+LEFT JOIN events b ON b.user_id = a.user_id
+                  AND b.event_type = 'purchase'
+                  AND b.ts > a.ts
+                  AND b.ts <= a.ts + INTERVAL 7 DAY
+WHERE a.event_type = 'view'
+GROUP BY 1, 2, 3 ORDER BY a.event_id
+"""
+
+
+def q_events_cohorts(sf_dir: str):
+    """Cohort-retention triangle (datapipe/events.py::cohort_matrix —
+    distinct (user, month) pairs via the user exchange, per-user first
+    month + month-offset bincounts, cohorts×offsets driver fold)."""
+    import ray.data as rd
+
+    from ..datapipe.events import cohort_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    out = cohort_matrix(ds)
+    return _typed(out, {"cohort": "datetime64[us]", "k": "int64",
+                        "n_users": "int64"})
+
+
+SQL_EVENTS_COHORTS = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS mo FROM events),
+c AS (
+  SELECT user_id, mo, min(mo) OVER (PARTITION BY user_id) AS m0
+  FROM um)
+SELECT m0 AS cohort, date_diff('month', m0, mo)::BIGINT AS k,
+       count(*)::BIGINT AS n_users
+FROM c GROUP BY 1, 2 ORDER BY cohort, k
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6835,6 +6893,8 @@ QUERIES = {
     "events_lifecycle": q_events_lifecycle,
     "supplier_volume": q_supplier_volume,
     "promo_revenue": q_promo_revenue,
+    "events_window_join": q_events_window_join,
+    "events_cohorts": q_events_cohorts,
 }
 
 ORACLES = {
@@ -7028,4 +7088,6 @@ ORACLES = {
     "events_lifecycle": SQL_EVENTS_LIFECYCLE,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
     "promo_revenue": SQL_PROMO_REVENUE,
+    "events_window_join": SQL_EVENTS_WINDOW_JOIN,
+    "events_cohorts": SQL_EVENTS_COHORTS,
 }

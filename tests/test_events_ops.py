@@ -774,3 +774,60 @@ def test_user_lifecycle_empty():
     assert list(out.columns) == ["month", "n_new", "n_retained",
                                  "n_resurrected", "n_churned"]
     assert len(out) == 0
+
+
+def test_windowed_count_join_ties_and_zero_counts():
+    """B at exactly t_a is excluded (strictly after); B at exactly
+    t_a + W is included; A events with no B in window keep a 0 row;
+    other users' B events never count."""
+    from sagan_ray.datapipe.events import windowed_count_join
+
+    W = 10  # seconds
+    rows = [  # (event_id, user, ts_us, type)
+        (1, 1, 1_000_000, "view"),
+        (2, 1, 1_000_000, "purchase"),       # tie with t_a: excluded
+        (3, 1, 5_000_000, "purchase"),       # inside
+        (4, 1, 11_000_000, "purchase"),      # exactly t_a + W: included
+        (5, 1, 11_000_001, "purchase"),      # 1 us past: excluded
+        (6, 2, 2_000_000, "purchase"),       # other user
+        (7, 2, 50_000_000, "view"),          # no B in window -> 0
+        (8, 3, 1_000_000, "click"),          # pruned type
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = (windowed_count_join(_ds(tbl), "view", "purchase", window_s=W)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    got = dict(zip(out["event_id"].astype(int),
+                   out["n_follow"].astype(int)))
+    assert got == {1: 2, 7: 0}
+
+
+def test_cohort_matrix_offsets_and_fold():
+    from sagan_ray.datapipe.events import cohort_matrix
+
+    def ts(y, mo):
+        return np.datetime64(f"{y}-{mo:02d}-10", "us")
+
+    rows = [
+        # u1: cohort Nov-23, active Nov, Jan (k=0, k=2)
+        (1, ts(2023, 11)), (1, ts(2024, 1)),
+        # u2: cohort Nov-23, active Nov, Dec (k=0, k=1)
+        (2, ts(2023, 11)), (2, ts(2023, 12)), (2, ts(2023, 12)),
+        # u3: cohort Jan-24, active Jan (k=0)
+        (3, ts(2024, 1)),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = cohort_matrix(_ds(tbl))
+    got = [(str(r.cohort)[:7], r.k, r.n_users)
+           for r in out.itertuples(index=False)]
+    assert got == [
+        ("2023-11", 0, 2), ("2023-11", 1, 1), ("2023-11", 2, 1),
+        ("2024-01", 0, 1),
+    ]
