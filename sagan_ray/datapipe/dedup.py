@@ -1965,3 +1965,77 @@ def source_dup_report(ds, *, threshold: float = 0.9,
     out["dup_ratio"] = out["n_dup"].to_numpy(np.float64) \
         / out["n_docs"].to_numpy(np.float64)
     return out.sort_values(source_col).reset_index(drop=True)
+
+
+def dup_growth(ds, edges, *, text_col: str = "text",
+               id_col: str = "doc_id", ids_ds=None):
+    """Dedup ROI curve: for each id checkpoint ``edges[i]`` (ascending
+    int64), how many of the docs with id ≤ edge are exact duplicates of
+    an earlier-id doc — the "how fast does duplication accumulate as
+    the corpus grows" diagnostic that sizes a dedup stage's win before
+    running it. Returns (i, edge, n_docs, n_unique, n_dups).
+
+    Shape: the exact_dedup exchange (8-byte content hash partitions,
+    within-bucket exact text compare) reduced per bucket to ONE
+    |edges|-sized row of cumulative first-occurrence counts (sorted
+    min-ids searchsorted against the edge vector); a separate id-only
+    column scan histograms total docs per edge. Both folds are
+    |edges| × buckets tables — text crosses the wire exactly once, the
+    driver never sees ids. Pass ``ids_ds`` (an id-only scan of the
+    same table) so the totals pass reads one int column instead of
+    re-executing the text read."""
+    from .exchange import hash_group_apply
+
+    edges = np.asarray(edges, dtype=np.int64)
+    assert (np.diff(edges) >= 0).all()
+    n_e = len(edges)
+
+    def add_hash(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_numpy(zero_copy_only=False)
+        h = _hash_pure(texts.astype(object, copy=False))
+        return pa.table({id_col: tbl.column(id_col),
+                         text_col: tbl.column(text_col),
+                         "__h": pa.array(h, pa.uint64())})
+
+    schema = pa.schema([("i", pa.int64()), ("n_unique", pa.int64())])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fid = (g.groupby(text_col, sort=False)[id_col].min()
+               .to_numpy(np.int64))
+        fid.sort()
+        return pd.DataFrame({
+            "i": np.arange(n_e, dtype=np.int64),
+            "n_unique": np.searchsorted(fid, edges, side="right")
+                          .astype(np.int64)})
+
+    uniq = hash_group_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["__h"], bucket, out_schema=schema).to_pandas()
+
+    def totals(tbl: pa.Table) -> pa.Table:
+        ids = np.sort(tbl.column(id_col).to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({
+            "i": pa.array(np.arange(n_e, dtype=np.int64)),
+            "n_docs": pa.array(np.searchsorted(ids, edges, side="right")
+                               .astype(np.int64))})
+
+    id_source = ids_ds if ids_ds is not None else ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
+    tot = (id_source
+           .map_batches(totals, batch_format="pyarrow", batch_size=65536)
+           .to_pandas())
+
+    base = pd.DataFrame({"i": np.arange(n_e, dtype=np.int64),
+                         "edge": edges})
+    u = (uniq.groupby("i", as_index=False)["n_unique"].sum()
+         if len(uniq) else
+         pd.DataFrame({"i": base["i"], "n_unique": 0}))
+    t = (tot.groupby("i", as_index=False)["n_docs"].sum()
+         if len(tot) else
+         pd.DataFrame({"i": base["i"], "n_docs": 0}))
+    out = base.merge(t, on="i", how="left").merge(u, on="i", how="left")
+    out[["n_docs", "n_unique"]] = (out[["n_docs", "n_unique"]]
+                                   .fillna(0).astype("int64"))
+    out["n_dups"] = out["n_docs"] - out["n_unique"]
+    return out.sort_values("i").reset_index(drop=True)

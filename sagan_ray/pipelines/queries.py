@@ -6675,6 +6675,46 @@ FROM c GROUP BY 1, 2 ORDER BY cohort, k
 """
 
 
+def q_corpus_dup_growth(sf_dir: str):
+    """Dedup ROI curve (datapipe/dedup.py::dup_growth — exact_dedup
+    exchange reduced to cumulative first-occurrence counts per id
+    decile; edges from parquet row-group stats, no data pass)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.dedup import dup_growth
+
+    # max doc_id from row-group statistics — metadata only, no scan
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    idx = pf.schema_arrow.names.index("doc_id")
+    max_id = max(pf.metadata.row_group(g).column(idx).statistics.max
+                 for g in range(pf.metadata.num_row_groups))
+    edges = [(max_id * i) // 10 for i in range(1, 11)]
+
+    ds = _docs(sf_dir)
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    out = dup_growth(ds, edges, ids_ds=ids)
+    return _typed(out, {"i": "int64", "edge": "int64", "n_docs": "int64",
+                        "n_unique": "int64", "n_dups": "int64"})
+
+
+SQL_CORPUS_DUP_GROWTH = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+e AS (SELECT i::BIGINT - 1 AS i, (m * i) // 10 AS edge
+      FROM mx, range(1, 11) t(i)),
+f AS (SELECT min(doc_id) AS fid FROM documents GROUP BY text)
+SELECT e.i, e.edge,
+       (SELECT count(*) FROM documents d
+         WHERE d.doc_id <= e.edge)::BIGINT AS n_docs,
+       (SELECT count(*) FROM f WHERE f.fid <= e.edge)::BIGINT AS n_unique,
+       ((SELECT count(*) FROM documents d WHERE d.doc_id <= e.edge)
+        - (SELECT count(*) FROM f
+            WHERE f.fid <= e.edge))::BIGINT AS n_dups
+FROM e ORDER BY e.i
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6895,6 +6935,7 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "events_window_join": q_events_window_join,
     "events_cohorts": q_events_cohorts,
+    "corpus_dup_growth": q_corpus_dup_growth,
 }
 
 ORACLES = {
@@ -7090,4 +7131,5 @@ ORACLES = {
     "promo_revenue": SQL_PROMO_REVENUE,
     "events_window_join": SQL_EVENTS_WINDOW_JOIN,
     "events_cohorts": SQL_EVENTS_COHORTS,
+    "corpus_dup_growth": SQL_CORPUS_DUP_GROWTH,
 }

@@ -3466,3 +3466,25 @@ def test_group_gini_known_values_and_tie_invariance():
                       group_col="g", col="v")
     got2 = {r.g: (r.n, r.gini) for r in out2.itertuples(index=False)}
     assert got == got2
+
+
+def test_dup_growth_hand_check():
+    """Duplicates only count after their first occurrence's id; edge
+    histogram is cumulative; ids_ds path agrees with the default."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup import dup_growth
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["a", "b", "a", "c", "b", "a"], pa.string()),
+    })
+    # edges 2, 4, 6: prefix {1,2} no dups; {1..4} one dup (id3=a);
+    # {1..6} three dups (3, 5, 6)
+    out = dup_growth(rd.from_arrow(tbl), [2, 4, 6])
+    assert list(out["n_docs"]) == [2, 4, 6]
+    assert list(out["n_unique"]) == [2, 3, 3]
+    assert list(out["n_dups"]) == [0, 1, 3]
+    out2 = dup_growth(rd.from_arrow(tbl), [2, 4, 6],
+                      ids_ds=rd.from_arrow(tbl.select(["doc_id"])))
+    assert out.equals(out2)
