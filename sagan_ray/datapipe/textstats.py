@@ -1552,3 +1552,60 @@ def nll_quality_filter(ds, *, drop_denom: int = 10,
     if len(cross):
         return kept_low.union(rd.from_pandas(cross))
     return kept_low
+
+
+def zipf_fit(ds, *, top_n: int = 100, text_col: str = "text"):
+    """Zipf-slope diagnostic: OLS fit of ln(count) on ln(rank) over the
+    corpus's ``top_n`` most frequent words (rank order = count DESC,
+    word ASC — an exact integer+string key, so the top-N cut never sits
+    on a float boundary). Natural language sits near slope −1; a heavy
+    template/boilerplate corpus flattens, a spam blowup steepens.
+    Returns one row (n_top, slope, intercept).
+
+    Shape: per-batch word-run partials through the word-keyed exchange
+    (each word lives in exactly ONE bucket, so a bucket-local top-N by
+    the same key is a sound global prune); the driver ranks
+    ≤ top_n × buckets rows and evaluates the closed-form OLS — the
+    same float expression the SQL oracle spells out over identical
+    exact-int (rank, count) pairs."""
+    from .exchange import hash_group_apply
+
+    schema = pa.schema([("w", pa.large_string()), ("c", pa.int64())])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        _, doc_of, _, wh, words = _words_flat(tbl.column(text_col))
+        if not len(wh):
+            return schema.empty_table()
+        o, _, counts, first = _gram_runs(np.zeros(len(wh), np.int64), wh)
+        return pa.table({"w": pa.array(words[o][first], pa.large_string()),
+                         "c": pa.array(counts, pa.int64())})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("w", sort=False)["c"].sum().reset_index())
+        return (g.sort_values(["c", "w"], ascending=[False, True],
+                              kind="mergesort").head(top_n))
+
+    parts = hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["w"], bucket, out_schema=schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_top": pd.Series([0], dtype="int64"),
+                             "slope": [float("nan")],
+                             "intercept": [float("nan")]})
+    top = (parts.sort_values(["c", "w"], ascending=[False, True],
+                             kind="mergesort").head(top_n)
+           .reset_index(drop=True))
+    n = len(top)
+    if n < 2:
+        return pd.DataFrame({"n_top": pd.Series([n], dtype="int64"),
+                             "slope": [float("nan")],
+                             "intercept": [float("nan")]})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["c"].to_numpy(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy * sxx - sx * sxy) / den
+    return pd.DataFrame({"n_top": pd.Series([n], dtype="int64"),
+                         "slope": [slope], "intercept": [intercept]})

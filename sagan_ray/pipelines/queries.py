@@ -6715,6 +6715,36 @@ FROM e ORDER BY e.i
 """
 
 
+def q_corpus_zipf(sf_dir: str):
+    """Zipf-slope diagnostic (datapipe/textstats.py::zipf_fit — word
+    exchange with a sound bucket-local top-N prune on the exact
+    (count, word) key; closed-form OLS shared with the SQL)."""
+    from ..datapipe.textstats import zipf_fit
+
+    out = zipf_fit(_docs(sf_dir), top_n=100)
+    return _typed(out, {"n_top": "int64", "slope": "float64",
+                        "intercept": "float64"})
+
+
+SQL_CORPUS_ZIPF = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+wc AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+        FROM wc ORDER BY c DESC, w LIMIT 100),
+f AS (SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM top)
+SELECT count(*)::BIGINT AS n_top,
+       (count(*) * sum(x*y) - sum(x) * sum(y))
+         / (count(*) * sum(x*x) - sum(x) * sum(x)) AS slope,
+       (sum(y) * sum(x*x) - sum(x) * sum(x*y))
+         / (count(*) * sum(x*x) - sum(x) * sum(x)) AS intercept
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6936,6 +6966,7 @@ QUERIES = {
     "events_window_join": q_events_window_join,
     "events_cohorts": q_events_cohorts,
     "corpus_dup_growth": q_corpus_dup_growth,
+    "corpus_zipf": q_corpus_zipf,
 }
 
 ORACLES = {
@@ -7132,4 +7163,5 @@ ORACLES = {
     "events_window_join": SQL_EVENTS_WINDOW_JOIN,
     "events_cohorts": SQL_EVENTS_COHORTS,
     "corpus_dup_growth": SQL_CORPUS_DUP_GROWTH,
+    "corpus_zipf": SQL_CORPUS_ZIPF,
 }

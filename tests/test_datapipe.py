@@ -3488,3 +3488,30 @@ def test_dup_growth_hand_check():
     out2 = dup_growth(rd.from_arrow(tbl), [2, 4, 6],
                       ids_ds=rd.from_arrow(tbl.select(["doc_id"])))
     assert out.equals(out2)
+
+
+def test_zipf_fit_exact_small_corpus():
+    """Known counts -> hand-computable OLS; ties at the cut break by
+    word asc; tiny corpora (n_top < 2) return NaN, not a crash."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.textstats import zipf_fit
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa aa aa aa bb bb", "aa aa bb cc"], pa.string()),
+    })
+    out = zipf_fit(rd.from_arrow(docs), top_n=3)
+    # counts: aa=6, bb=3, cc=1 -> x=ln(1..3), y=ln([6,3,1])
+    x = np.log(np.arange(1, 4, dtype=np.float64))
+    y = np.log(np.array([6.0, 3.0, 1.0]))
+    n, sx, sy = 3, x.sum(), y.sum()
+    den = n * (x * x).sum() - sx * sx
+    slope = (n * (x * y).sum() - sx * sy) / den
+    assert out["n_top"].iloc[0] == 3
+    assert abs(out["slope"].iloc[0] - slope) < 1e-12
+
+    one = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["solo solo"], pa.string())})
+    out1 = zipf_fit(rd.from_arrow(one))
+    assert out1["n_top"].iloc[0] == 1 and np.isnan(out1["slope"].iloc[0])
