@@ -176,6 +176,78 @@ def hard_negative_topk(ds, queries: np.ndarray, query_labels: np.ndarray,
                        k, id_col)
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _sign_pack(mat: np.ndarray) -> np.ndarray:
+    """Binarize an embedding matrix by coordinate SIGN — bit i is
+    ``v_i > 0`` — packed little-endian into uint8 code words. The sign
+    test is exact in IEEE and in SQL alike, which makes this the one
+    ANN quantization whose oracle can be plain SQL over the raw floats
+    (no fixed-point grid needed)."""
+    return np.packbits(mat > 0, axis=1, bitorder="little")
+
+
+def sign_hamming_topk(ds, queries: np.ndarray, *, k: int = 10,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      query_ids: np.ndarray | None = None):
+    """Binarized-embedding search: per query, the k corpus vectors with
+    the smallest sign-bit Hamming distance (ties broken by id asc) —
+    the 32×-memory-compression retrieval baseline (64-dim float → 8
+    bytes/vector). Same distributed shape as ``brute_force_topk``:
+    queries packed once and broadcast, each batch XORs its packed codes
+    against every query word and popcounts via a 256-entry table (all
+    vectorized), emits its local top-k, and a tiny candidate exchange
+    merges. Returns (query_id, vec_id, hamming, rank)."""
+    import ray
+
+    from .exchange import hash_group_apply
+
+    qb = _sign_pack(np.asarray(queries, dtype=np.float32))
+    qids = (np.arange(len(qb)) if query_ids is None
+            else np.asarray(query_ids)).astype(np.int64)
+    q_ref = ray.put((qb, qids))
+
+    schema = pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
+                        ("hamming", pa.int64()), ("rank", pa.int64())])
+    cand_schema = pa.schema([("query_id", pa.int64()),
+                             (id_col, pa.int64()),
+                             ("hamming", pa.int64())])
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        qw, qi = ray.get(q_ref)
+        ids = _ids(tbl, id_col)
+        if not len(ids):
+            return cand_schema.empty_table()
+        codes = _sign_pack(_mat(tbl, vec_col))
+        kk = min(k, len(ids))
+        out_q, out_v, out_h = [], [], []
+        for c in range(len(qw)):
+            ham = _POP8[codes ^ qw[c]].sum(axis=1, dtype=np.int64)
+            # _local_topk_idx ranks score DESC; negate (small ints are
+            # exact in float64 far beyond any plausible dimension)
+            sel = _local_topk_idx(-ham.astype(np.float64), ids, kk)
+            out_q.extend([int(qi[c])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_h.extend(ham[sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_v, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "hamming", id_col],
+                            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1
+                      ).astype(np.int64)
+        return df
+
+    return hash_group_apply(cands, ["query_id"], bucket,
+                            out_schema=schema)
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer over a uint64 array — the deterministic
     per-id ordering hash behind blocking-independent sampling (the same

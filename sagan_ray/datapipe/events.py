@@ -989,6 +989,60 @@ def daily_rate_outliers(ds, *, ts_col: str = "ts",
             .sort_values([type_col, "day"]).reset_index(drop=True))
 
 
+def daily_spike_days(ds, *, ts_col: str = "ts",
+                     type_col: str = "event_type", z: int = 2):
+    """Per-type daily volume SPIKES: flag every (type, day) whose event
+    count exceeds its type's mean by more than ``z`` standard deviations
+    over the type's observed days — the z-score twin of
+    ``daily_rate_outliers``'s Tukey fences. The predicate is EXACT
+    INTEGER arithmetic on both sides: with n = observed days, S = Σc,
+    SS = Σc², the test c > mean + z·σ rearranges to
+
+        (c·n − S) > 0  AND  (c·n − S)² > z²·(n·SS − S²)
+
+    so no float ever enters the comparison (counts ≤ 2^31 keep every
+    term < 2^63 up to ~10⁹ events/day/type). Returns (event_type, day,
+    n, is_spike) for every observed cell.
+
+    Shape: identical to daily_rate_outliers — map-side (type, day)
+    bincount partials (≤ types×days rows per batch), driver fold over a
+    table that is days × types by definition; rows never shuffle."""
+    import pyarrow.compute as pc
+
+    def part(tbl: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(tbl.column(ts_col), unit="day")
+        t = pa.table({type_col: tbl.column(type_col), "day": day})
+        g = pa.TableGroupBy(t, [type_col, "day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([type_col, "day", "n"])
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536).to_pandas())
+    if parts.empty:
+        return pd.DataFrame({type_col: pd.Series([], dtype="object"),
+                             "day": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64"),
+                             "is_spike": pd.Series([], dtype="bool")})
+    d = parts.groupby([type_col, "day"], as_index=False)["n"].sum()
+    d["n"] = d["n"].astype("int64")
+    out = []
+    for et, sub in d.groupby(type_col, sort=True):
+        c = sub["n"].to_numpy(np.int64)
+        n = int(len(c))
+        s = int(c.sum())
+        ss = int((c.astype(object) * c.astype(object)).sum())
+        dev = c.astype(object) * n - s            # exact python ints
+        var_term = n * ss - s * s
+        flags = [(int(dv) > 0 and int(dv) * int(dv) > z * z * var_term)
+                 for dv in dev]
+        sb = sub.copy()
+        sb["is_spike"] = np.asarray(flags, dtype=bool)
+        out.append(sb)
+    res = pd.concat(out, ignore_index=True)
+    return (res[[type_col, "day", "n", "is_spike"]]
+            .sort_values([type_col, "day"]).reset_index(drop=True))
+
+
 def markov_nll(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                type_col: str = "event_type", id_col: str = "event_id"):
     """Per-user sequence-anomaly score under the corpus transition

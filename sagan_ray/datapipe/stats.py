@@ -20,6 +20,7 @@ engine's quantile flavor): quantile q = the element at 1-indexed rank
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 import numpy as np
 import pandas as pd
@@ -58,7 +59,11 @@ def percentiles(ds, col: str, qs: list[float]):
     vals = hist[col].to_numpy()
     out_q, out_v = [], []
     for q in qs:
-        rank = max(1, math.ceil(q * n))
+        # exact-rational rank: float ceil(0.9*n) can round UP across an
+        # exact integer boundary (0.9 is not a binary float) while the
+        # SQL side's ceil(DECIMAL * n) is exact — the
+        # events_quantile_sketch lesson applied to the exact path too
+        rank = max(1, math.ceil(Fraction(str(q)) * n))
         out_q.append(float(q))
         out_v.append(int(vals[np.searchsorted(cum, rank, side="left")]))
     return pd.DataFrame({"q": out_q, "value": out_v})
@@ -147,7 +152,7 @@ def group_percentiles(ds, *, group_col: str, col: str, qs: list[float]):
             cum = h["cnt"].cumsum().to_numpy()
             vals = h[col].to_numpy()
             for q in qs:
-                rank = max(1, math.ceil(q * n))
+                rank = max(1, math.ceil(Fraction(str(q)) * n))
                 out_g.append(gval)
                 out_q.append(float(q))
                 out_v.append(int(vals[np.searchsorted(cum, rank,

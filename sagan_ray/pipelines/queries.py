@@ -6745,6 +6745,223 @@ FROM f
 """
 
 
+def q_embed_sign_topk(sf_dir: str):
+    """Binarized-embedding retrieval (ann.py::sign_hamming_topk): sign
+    bits packed to 8 bytes/vector, per-batch XOR + table popcount, local
+    top-k, tiny candidate merge. The sign test (v > 0) is exact in IEEE
+    and SQL alike, so this is the one ANN compression whose oracle is
+    plain SQL over the raw float lists (positional unnest zip), no
+    fixed-point grid required."""
+    from ..datapipe.ann import sign_hamming_topk
+
+    q = _query_vectors(sf_dir, 3)
+    out = sign_hamming_topk(_embeds(sf_dir), q, k=5).to_pandas()
+    out = _typed(out, {"query_id": "int64", "vec_id": "int64",
+                       "hamming": "int64", "rank": "int64"})
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            [["query_id", "vec_id", "hamming", "rank"]])
+
+
+SQL_EMBED_SIGN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 3),
+z AS (
+  SELECT q.query_id, e.vec_id,
+         unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+  FROM embeddings e CROSS JOIN q),
+h AS (
+  SELECT query_id, vec_id,
+         sum(CASE WHEN (ev > 0) <> (qe > 0) THEN 1 ELSE 0 END)::BIGINT
+           AS hamming
+  FROM z GROUP BY query_id, vec_id)
+SELECT query_id, vec_id, hamming,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming, vec_id) AS rank
+FROM h QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_events_spike(sf_dir: str):
+    """Per-type daily volume spikes (events.py::daily_spike_days):
+    z-score screen on observed-day counts where the z > 2 test is
+    rearranged into pure integer arithmetic — (c·n − S)² vs
+    z²·(n·SS − S²) — so the flag is exact on both sides (no float
+    mean/σ ever compared). Map-side (type, day) bincount partials; the
+    driver folds a table that is days × types by definition."""
+    import ray.data as rd
+
+    from ..datapipe.events import daily_spike_days
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    out = daily_spike_days(ds, z=2)
+    out = _typed(out, {"event_type": "str", "day": "datetime64[us]",
+                       "n": "int64", "is_spike": "bool"})
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
+SQL_EVENTS_SPIKE = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS m, sum(n)::BIGINT AS sm,
+         sum(n * n)::BIGINT AS ss
+  FROM d GROUP BY 1)
+SELECT d.event_type, d.day, d.n,
+       ((d.n * s.m - s.sm) > 0 AND
+        (d.n * s.m - s.sm) * (d.n * s.m - s.sm)
+          > 4 * (s.m * s.ss - s.sm * s.sm)) AS is_spike
+FROM d JOIN s USING (event_type)
+ORDER BY event_type, day
+"""
+
+
+def q_orders_top_revenue(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top orders): BUILDING-segment
+    customers, orders placed before the cutoff, revenue from line items
+    shipped after it, top 10 orders by revenue. Plan: the qualifying
+    custkey set comes from the small customer table and BROADCASTS as a
+    semi-join filter (never a shuffle); both fact scans push their date
+    predicate AND column prune into the parquet read; lineitem
+    pre-aggregates per order inside each batch; ONE hash exchange joins
+    the two order-keyed streams. Rank on (rounded revenue desc,
+    orderkey) on both sides — the customer_returns rounding stance."""
+    import datetime as _dt
+
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..datapipe.joins import hash_join
+
+    cutoff = _dt.datetime(1998, 6, 1)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filters=[("c_mktsegment", "==", "BUILDING")])
+    ckeys_ref = ray.put(np.sort(
+        cust.column("c_custkey").to_numpy(zero_copy_only=False)))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pac.field("o_orderdate") < cutoff)
+
+    def semi(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        ck = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+        return tbl.filter(pa.array(hit)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pac.field("l_shipdate") > cutoff)
+
+    def per_order(tbl: pa.Table) -> pa.Table:
+        rev = (tbl.column("l_extendedprice").to_numpy()
+               * (1.0 - tbl.column("l_discount").to_numpy()))
+        t = pa.table({"o_orderkey": tbl.column("l_orderkey"),
+                      "rev": pa.array(rev, pa.float64())})
+        return (pa.TableGroupBy(t, "o_orderkey")
+                .aggregate([("rev", "sum")])
+                .rename_columns(["o_orderkey", "rev"]))
+
+    joined = hash_join(
+        li.map_batches(per_order, batch_format="pyarrow"),
+        orders.map_batches(semi, batch_format="pyarrow"),
+        on="o_orderkey",
+        left_cols=["rev"],
+        right_cols=["o_orderdate", "o_orderpriority"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        # date/priority are 1:1 with orderkey, so grouping on all three
+        # keeps them in the output without a second orders consumption
+        g = pa.TableGroupBy(
+            tbl.select(["o_orderkey", "r_o_orderdate",
+                        "r_o_orderpriority", "rev"]),
+            ["o_orderkey", "r_o_orderdate", "r_o_orderpriority"]
+        ).aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "o_orderdate",
+                                 "o_orderpriority", "rev"])
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby(["o_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("rev", alias_name="revenue"))
+           .to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    out = (out.sort_values(["revenue", "o_orderkey"],
+                           ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    return _typed(out, {"o_orderkey": "int64",
+                        "o_orderdate": "datetime64[us]",
+                        "o_orderpriority": "str",
+                        "revenue": "float64"})
+
+
+SQL_ORDERS_TOP_REVENUE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey  = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+         o_orderkey
+LIMIT 10
+"""
+
+
+def q_events_latency_quantiles(sf_dir: str):
+    """Conversion-latency distribution: exact nearest-rank p50/p90/p99
+    of the view→purchase latency (step_latency composed with the
+    value-histogram percentile operator — only (value, count) rows
+    shuffle; ranks are exact rationals so ceil(0.9·n) can't flake
+    across an integer boundary)."""
+    import ray.data as rd
+
+    from ..datapipe import percentiles
+    from ..datapipe.events import step_latency
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    lat = step_latency(ds, "view", "purchase").select_columns(
+        ["latency_us"])
+    out = percentiles(lat, "latency_us", [0.5, 0.9, 0.99])
+    out = out.rename(columns={"value": "latency_us"})
+    out = _typed(out, {"q": "float64", "latency_us": "int64"})
+    return out.sort_values("q").reset_index(drop=True)
+
+
+SQL_EVENTS_LATENCY_QUANTILES = """
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_a
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_b
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > a.t_a
+  GROUP BY e.user_id),
+v AS (SELECT b.t_b - a.t_a AS x FROM a JOIN b USING (user_id)),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                  count(*) OVER () AS n FROM v)
+SELECT q, min(x)::BIGINT AS latency_us
+FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) qs(q)
+WHERE rn >= ceil(q * n)
+GROUP BY q ORDER BY q
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6967,6 +7184,10 @@ QUERIES = {
     "events_cohorts": q_events_cohorts,
     "corpus_dup_growth": q_corpus_dup_growth,
     "corpus_zipf": q_corpus_zipf,
+    "embed_sign_topk": q_embed_sign_topk,
+    "events_spike": q_events_spike,
+    "orders_top_revenue": q_orders_top_revenue,
+    "events_latency_quantiles": q_events_latency_quantiles,
 }
 
 ORACLES = {
@@ -7164,4 +7385,8 @@ ORACLES = {
     "events_cohorts": SQL_EVENTS_COHORTS,
     "corpus_dup_growth": SQL_CORPUS_DUP_GROWTH,
     "corpus_zipf": SQL_CORPUS_ZIPF,
+    "embed_sign_topk": SQL_EMBED_SIGN_TOPK,
+    "events_spike": SQL_EVENTS_SPIKE,
+    "orders_top_revenue": SQL_ORDERS_TOP_REVENUE,
+    "events_latency_quantiles": SQL_EVENTS_LATENCY_QUANTILES,
 }

@@ -152,6 +152,43 @@ def test_brute_force_topk_exact(embeds):
         assert list(sub["vec_id"].astype(int)) == [int(x) for x in want]
 
 
+def test_sign_hamming_topk_matches_naive(embeds):
+    """Distributed sign-bit Hamming top-k equals the per-query naive
+    scan (distance asc, id asc ties), and distances really are the
+    count of sign disagreements — checked against a bool-matrix XOR
+    reference, independent of the packbits/popcount kernel."""
+    from sagan_ray.datapipe.ann import sign_hamming_topk
+
+    df = embeds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+    ids = df["vec_id"].to_numpy(np.int64)
+    queries = mat[:3]
+    got = sign_hamming_topk(embeds, queries, k=5).to_pandas()
+    bits = mat > 0
+    for qi in range(3):
+        ham = (bits != bits[qi]).sum(axis=1).astype(np.int64)
+        order = np.lexsort((ids, ham))
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert list(sub["vec_id"].astype(int)) == ids[order][:5].tolist()
+        assert list(sub["hamming"].astype(int)) == ham[order][:5].tolist()
+        assert list(sub["rank"].astype(int)) == [1, 2, 3, 4, 5]
+
+
+def test_sign_pack_bit_layout():
+    """Little-endian packing: coordinate i lands in byte i//8, bit i%8;
+    negative and exactly-zero coordinates are 0-bits (the > 0 test, not
+    >=, matching the SQL oracle's (ev > 0) exactly)."""
+    from sagan_ray.datapipe.ann import _sign_pack
+
+    v = np.zeros((1, 16), np.float32)
+    v[0, 0] = 1.0        # byte 0 bit 0
+    v[0, 9] = 2.0        # byte 1 bit 1
+    v[0, 3] = -5.0       # negative -> 0
+    codes = _sign_pack(v)
+    assert codes.shape == (1, 2)
+    assert codes[0, 0] == 1 and codes[0, 1] == 2
+
+
 def test_ivf_recall(embeds):
     from sagan_ray.datapipe import brute_force_topk, ivf_topk
 
@@ -737,9 +774,15 @@ def test_percentiles_nearest_rank():
     got = percentiles(ds.repartition(3), "x", [0.0, 0.1, 0.5, 0.9, 1.0])
     srt = sorted(vals)
     import math
-    want = [srt[max(1, math.ceil(q * 10)) - 1]
+    from fractions import Fraction
+    # ranks are EXACT RATIONALS: ceil(0.9 * 10) is 9, not the float
+    # artifact ceil(9.000000000000002) = 10 — matching the SQL oracle's
+    # ceil(DECIMAL * BIGINT). q=0.9 at n=10 is precisely the boundary
+    # where the float form picks the WRONG (next) element.
+    want = [srt[max(1, math.ceil(Fraction(str(q)) * 10)) - 1]
             for q in [0.0, 0.1, 0.5, 0.9, 1.0]]
     assert got["value"].tolist() == want
+    assert got["value"].tolist()[3] == 9      # the q=0.9 boundary case
 
 
 def test_semantic_dup_subset_of_exact(embeds):

@@ -547,6 +547,34 @@ def test_daily_rate_outliers_hand_check():
     ]
 
 
+def test_daily_spike_days_exact_integer_fence():
+    """The z-score test runs in pure integers: with counts [1,1,1,5]
+    (n=4, S=8, SS=28) the spike day needs (5·4−8)² = 144 >
+    z²·(4·28−64) = 48·z², true at z=1 but FALSE at exactly the
+    boundary z where 144 = 48·z² (z²=3) — strict inequality; constant
+    series flag nothing (variance term 0 AND deviation 0)."""
+    from sagan_ray.datapipe.events import daily_spike_days
+
+    DAY = 86_400_000_000
+    rows = []
+    for d, n in enumerate([1, 1, 1, 5]):
+        rows += [(d * DAY + j, "a") for j in range(n)]
+    for d in range(2):
+        rows += [(d * DAY + 10 + j, "b") for j in range(3)]
+    tbl = pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = daily_spike_days(_ds(tbl), z=1)
+    got = [(r.event_type, r.n, r.is_spike)
+           for r in out.itertuples(index=False)]
+    assert got == [("a", 1, False), ("a", 1, False), ("a", 1, False),
+                   ("a", 5, True), ("b", 3, False), ("b", 3, False)]
+    # z=2: 144 > 4*48=192 is false -> nothing flagged
+    out2 = daily_spike_days(_ds(tbl), z=2)
+    assert not out2["is_spike"].any()
+
+
 def test_session_stats_boundary_and_singletons():
     """A gap of EXACTLY gap_s stays inside the session (strict >);
     durations are last-minus-first per session with singletons at 0;
