@@ -291,21 +291,36 @@ def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
     return h.min(axis=1)
 
 
+def _band_keys_from_sigs(sigm: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 band keys from an (n, n_perm) signature matrix:
+    a vectorized Horner-combine + fmix64 avalanche over each band's
+    signature chunk — one numpy pass over the whole batch (the previous
+    per-(doc, band) blake2b loop was the stage's hot spot). Keys only
+    BUCKET candidates; verification is exact, so the key function needs
+    mixing quality, not cryptographic strength. Shared verbatim by the
+    in-line LSH path and the persistent index (dedup_index.py) so the
+    two produce identical buckets by construction."""
+    n, n_perm = sigm.shape
+    rows_per_band = n_perm // bands
+    view = sigm.reshape(n, bands, rows_per_band)
+    acc = view[..., 0].copy()
+    for j in range(1, rows_per_band):
+        acc = acc * _HORNER + view[..., j]          # uint64 wrap
+    acc ^= acc >> np.uint64(33)
+    acc *= np.uint64(0xFF51AFD7ED558CCD)
+    acc ^= acc >> np.uint64(33)
+    return acc
+
+
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            k: int = 3, n_perm: int = 64, bands: int = 16,
                            seed: int = 1234, max_band: int = 8192):
     """Candidate pair Dataset (a, b) with a < b from LSH band collisions."""
     assert n_perm % bands == 0
-    rows_per_band = n_perm // bands
     a_p, b_p = _minhash_params(n_perm, seed)
 
     def sig_batch(tbl: pa.Table) -> pa.Table:
-        """(doc, band, band_key) rows. Band keys are a vectorized
-        Horner-combine + fmix64 avalanche over each band's signature
-        chunk — one numpy pass over the whole batch (the previous
-        per-(doc, band) blake2b loop was the stage's hot spot). Keys only
-        BUCKET candidates; verification is exact, so the key function
-        needs mixing quality, not cryptographic strength."""
+        """(doc, band, band_key) rows via the shared band-key kernel."""
         ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
         texts = tbl.column(text_col).to_pylist()
         all_sh = _shingle_hashes_batch(texts, k)
@@ -313,13 +328,7 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         sigm = np.empty((n, n_perm), np.uint64)
         for i, sh in enumerate(all_sh):
             sigm[i] = _signature(sh, a_p, b_p)
-        view = sigm.reshape(n, bands, rows_per_band)
-        acc = view[..., 0].copy()
-        for j in range(1, rows_per_band):
-            acc = acc * _HORNER + view[..., j]      # uint64 wrap
-        acc ^= acc >> np.uint64(33)
-        acc *= np.uint64(0xFF51AFD7ED558CCD)
-        acc ^= acc >> np.uint64(33)
+        acc = _band_keys_from_sigs(sigm, bands)
         return pa.table({id_col: pa.array(np.repeat(ids, bands), pa.int64()),
                          "band": pa.array(np.tile(
                              np.arange(bands, dtype=np.int32), n), pa.int32()),

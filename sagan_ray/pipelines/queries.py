@@ -6962,6 +6962,83 @@ GROUP BY q ORDER BY q
 """
 
 
+def q_dedup_minhash_index(sf_dir: str):
+    """Persistent MinHash-LSH dedup index (datapipe/dedup_index.py):
+    build over docs ≥ 100, APPEND docs < 100 (append lands new files in
+    the same content-keyed partitions, so search ≡ rebuild over the
+    union — both paths are inside this one gate), then probe with the
+    < 100 docs as queries. Band keys come from the same
+    _signature/_band_keys_from_sigs kernels as the in-line LSH path;
+    verify is exact shingle Jaccard, so the SQL exact-Jaccard cross
+    join is the oracle (LSH misses a J ≥ 0.9 pair with prob
+    (1−0.9⁴)¹⁶ ≈ 4e-8 — the dedup_minhash stance). Self-matches
+    excluded on both sides."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.dedup_index import (build_minhash_index,
+                                        search_minhash_index,
+                                        update_minhash_index)
+
+    idx = "/tmp/sagan_ray_index/minhash_gate"
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import pyarrow.compute as pac
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           filter=pac.field("doc_id") >= 100)
+    build_minhash_index(base, idx)
+    newer = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filter=pac.field("doc_id") < 100)
+    update_minhash_index(idx, newer)
+
+    qt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "<", 100)]).to_pandas()
+    qt = qt.sort_values("doc_id")
+    out = search_minhash_index(idx, qt["doc_id"].to_numpy(),
+                               qt["text"].tolist(),
+                               threshold=0.9).to_pandas()
+    out = _typed(out, {"query_id": "int64", "doc_id": "int64",
+                       "jaccard": "float64"})
+    out = out[out["query_id"] != out["doc_id"]]
+    return (out.sort_values(["query_id", "doc_id"])
+            .reset_index(drop=True))
+
+
+SQL_DEDUP_MINHASH_INDEX = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS query_id, y.doc_id AS doc_id, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id <> y.doc_id
+  WHERE x.doc_id < 100
+  GROUP BY 1, 2
+)
+SELECT i.query_id, i.doc_id,
+       i.i::DOUBLE / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.query_id
+JOIN sizes sb ON sb.doc_id = i.doc_id
+WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.9
+ORDER BY i.query_id, i.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7188,6 +7265,7 @@ QUERIES = {
     "events_spike": q_events_spike,
     "orders_top_revenue": q_orders_top_revenue,
     "events_latency_quantiles": q_events_latency_quantiles,
+    "dedup_minhash_index": q_dedup_minhash_index,
 }
 
 ORACLES = {
@@ -7389,4 +7467,5 @@ ORACLES = {
     "events_spike": SQL_EVENTS_SPIKE,
     "orders_top_revenue": SQL_ORDERS_TOP_REVENUE,
     "events_latency_quantiles": SQL_EVENTS_LATENCY_QUANTILES,
+    "dedup_minhash_index": SQL_DEDUP_MINHASH_INDEX,
 }
