@@ -270,8 +270,13 @@ def build_phash_index(ds, index_dir: str, *, id_col: str = "media_id",
                          id_col: pa.array(np.repeat(ids, nb), pa.int64()),
                          "phash": pa.array(s_rep, pa.uint64())})
 
-    hashed.map_batches(bands, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["band", "key"])
+    # sort by the partition key before the partitioned write — an
+    # unsorted stream emits one file per (partition × write task),
+    # measured 1.16M files at 100k docs on the minhash twin
+    # (dedup_index.py); sorted it is ≈ one file per partition
+    (hashed.map_batches(bands, batch_format="pyarrow")
+     .sort(["band", "key"])
+     .write_parquet(index_dir, partition_cols=["band", "key"]))
     n = ds.count()
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
         json.dump({"n_images": int(n), "bands": nb}, f)
