@@ -233,3 +233,52 @@ def validate_table(ds, constraints: list[tuple], *, ds_unique=None):
            .astype({"violations": "int64"})
            .sort_values(["kind", "col"]).reset_index(drop=True))
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def fk_violations(child, parent, *, child_key: str, parent_key: str):
+    """Referential-integrity check — the FOREIGN KEY expectation over
+    two snapshots: every ``child_key`` value with at least one child row
+    but NO matching ``parent_key`` row, with its orphan row count —
+    SQL's LEFT JOIN ... WHERE parent IS NULL GROUP BY key. Null child
+    keys never match anything in SQL and are EXCLUDED here too (gate
+    them with validate_table's not_null).
+
+    Shape: map-side per-batch combiners on BOTH sides (child collapses
+    to (key, n) partials, parent to distinct keys), then one side-tagged
+    union through the key exchange — only distinct-key-sized rows
+    shuffle, never child rows. Returns (<child_key>, n_rows)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_group_apply
+
+    def child_part(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(child_key).drop_null()
+        g = (pa.TableGroupBy(pa.table({"k": col}), "k")
+             .aggregate([([], "count_all")]))
+        g = g.rename_columns(["k", "n"])
+        return pa.table({"k": pc.cast(g.column("k"), pa.int64()),
+                         "n": pc.cast(g.column("n"), pa.int64()),
+                         "side": pa.array([0] * len(g), pa.int8())})
+
+    def parent_part(tbl: pa.Table) -> pa.Table:
+        k = pc.unique(tbl.column(parent_key).drop_null())
+        return pa.table({"k": pc.cast(k, pa.int64()),
+                         "n": pa.array([0] * len(k), pa.int64()),
+                         "side": pa.array([1] * len(k), pa.int8())})
+
+    sides = (child.map_batches(child_part, batch_format="pyarrow",
+                               batch_size=65536)
+             .union(parent.map_batches(parent_part, batch_format="pyarrow",
+                                       batch_size=65536)))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["side"].to_numpy()
+        n_child = (df.loc[side == 0].groupby("k", sort=False)["n"].sum())
+        parent_keys = pd.unique(df.loc[side == 1, "k"])
+        orphan = n_child[~n_child.index.isin(parent_keys)]
+        return pd.DataFrame({child_key: orphan.index.to_numpy(np.int64),
+                             "n_rows": orphan.to_numpy(np.int64)})
+
+    schema = pa.schema([(child_key, pa.int64()), ("n_rows", pa.int64())])
+    return hash_group_apply(sides, ["k"], bucket, out_schema=schema)

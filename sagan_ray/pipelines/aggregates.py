@@ -386,6 +386,61 @@ def adjacent_pairs(ds, *, prev_role: str, next_role: str,
         [key], bucket, out_schema=schema)
 
 
+def context_windows(ds, *, window: int = 3, sep: str = " | ",
+                    key: str = "conv_id", turn_col: str = "turn_idx",
+                    text_col: str = "text"):
+    """Rolling context assembly — the SFT context-window staple: for
+    every turn, the concatenation (in turn order, ``sep``-joined) of the
+    last ``window`` turns' text within the same conversation — SQL's
+    ``string_agg(text) OVER (PARTITION BY conv ORDER BY turn ROWS
+    window-1 PRECEDING)`` exactly.
+
+    Shape: ONE conv-keyed exchange; the text must cross it (it IS the
+    output), but crosses exactly once — the ×window blow-up happens only
+    in the OUTPUT, which is the operator's contract. Inside a bucket one
+    lexsort + (window−1) shifted same-conv masks build every context
+    with elementwise object-array concatenation — no per-conversation
+    loop."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..datapipe.exchange import hash_group_apply
+
+    assert window >= 1
+
+    def slim(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            key: tbl.column(key),
+            turn_col: pc.cast(tbl.column(turn_col), pa.int64()),
+            text_col: tbl.column(text_col),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df[key].to_numpy()
+        turns = df[turn_col].to_numpy()
+        txt = df[text_col].to_numpy(dtype=object)
+        o = np.lexsort((turns, ks))
+        ks, turns, txt = ks[o], turns[o], txt[o]
+        ctx = txt.copy()
+        sepv = np.full(len(ks), sep, dtype=object)
+        for back in range(1, window):
+            if back >= len(ks):
+                break
+            same = ks[back:] == ks[:-back]      # sorted ⇒ contiguous
+            m = np.zeros(len(ks), dtype=bool)
+            m[back:] = same
+            ctx[m] = txt[np.flatnonzero(m) - back] + sepv[m] + ctx[m]
+        return pd.DataFrame({key: ks, turn_col: turns, "context": ctx})
+
+    schema = pa.schema([(key, pa.string()), (turn_col, pa.int64()),
+                        ("context", pa.string())])
+    return hash_group_apply(
+        ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
+        [key], bucket, out_schema=schema)
+
+
 def boilerplate_turns(ds, *, min_convs: int, key: str = "conv_id",
                       text_col: str = "text", role_col: str = "role",
                       turn_col: str = "turn_idx", sep: str = "\n"):

@@ -7039,6 +7039,64 @@ ORDER BY i.query_id, i.doc_id
 """
 
 
+def q_transcript_context(sf_dir: str):
+    """SFT context-window assembly (aggregates.context_windows): per
+    turn, the last-3-turns text joined in turn order within the
+    conversation — SQL's windowed string_agg frame exactly. One
+    conv-keyed exchange; text crosses once (it IS the output); inside a
+    bucket, lexsort + 2 shifted same-conv masks with elementwise
+    object concatenation — no per-conversation loop."""
+    from .aggregates import context_windows
+
+    out = context_windows(_transcripts(sf_dir), window=3).to_pandas()
+    out = _typed(out, {"conv_id": "object", "turn_idx": "int64",
+                       "context": "object"})
+    return (out.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
+SQL_TRANSCRIPT_CONTEXT = _T + """
+SELECT conv_id, turn_idx,
+       string_agg(text, ' | ') OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS context
+FROM t ORDER BY conv_id, turn_idx
+"""
+
+
+def q_orders_fk_check(sf_dir: str):
+    """Referential-integrity expectation (profile.fk_violations):
+    orders whose customer is not in the ACTIVE parent set
+    (c_acctbal > 0, pushed into the parent scan) — per orphan custkey,
+    the orphan order count. Both sides collapse to distinct-key
+    partials map-side; only key-sized rows cross the side-tagged
+    exchange."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe.profile import fk_violations
+
+    child = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey"])
+    parent = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"],
+                             filter=pac.field("c_acctbal") > 0.0)
+    out = fk_violations(child, parent, child_key="o_custkey",
+                        parent_key="c_custkey").to_pandas()
+    out = _typed(out, {"o_custkey": "int64", "n_rows": "int64"})
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_ORDERS_FK_CHECK = """
+SELECT o_custkey, count(*)::BIGINT AS n_rows
+FROM orders
+LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) p
+       ON o_custkey = p.c_custkey
+WHERE p.c_custkey IS NULL
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7266,6 +7324,8 @@ QUERIES = {
     "orders_top_revenue": q_orders_top_revenue,
     "events_latency_quantiles": q_events_latency_quantiles,
     "dedup_minhash_index": q_dedup_minhash_index,
+    "transcript_context": q_transcript_context,
+    "orders_fk_check": q_orders_fk_check,
 }
 
 ORACLES = {
@@ -7468,4 +7528,6 @@ ORACLES = {
     "orders_top_revenue": SQL_ORDERS_TOP_REVENUE,
     "events_latency_quantiles": SQL_EVENTS_LATENCY_QUANTILES,
     "dedup_minhash_index": SQL_DEDUP_MINHASH_INDEX,
+    "transcript_context": SQL_TRANSCRIPT_CONTEXT,
+    "orders_fk_check": SQL_ORDERS_FK_CHECK,
 }

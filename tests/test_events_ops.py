@@ -859,3 +859,41 @@ def test_cohort_matrix_offsets_and_fold():
         ("2023-11", 0, 2), ("2023-11", 1, 1), ("2023-11", 2, 1),
         ("2024-01", 0, 1),
     ]
+
+
+def test_context_windows_frames_and_conv_boundaries():
+    """Window frames never cross a conversation; a turn with fewer than
+    window-1 predecessors gets the shorter prefix; window=1 is the
+    identity; order inside the frame is turn order."""
+    from sagan_ray.pipelines.aggregates import context_windows
+
+    tbl = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1", "c1", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d", "x"], pa.string()),
+    })
+    out = (context_windows(_ds(tbl), window=3).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert out["context"].tolist() == [
+        "a", "a | b", "a | b | c", "b | c | d", "x"]
+    one = (context_windows(_ds(tbl), window=1).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert one["context"].tolist() == ["a", "b", "c", "d", "x"]
+
+
+def test_fk_violations_orphans_nulls_and_parent_only():
+    """Orphan child keys are reported with exact row counts; null child
+    keys are excluded (SQL LEFT JOIN semantics); parent-only keys are
+    not violations; matched keys don't appear."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.profile import fk_violations
+
+    child = rd.from_arrow(pa.table({
+        "fk": pa.array([1, 1, 2, 3, None, 9, 9, 9], pa.int64())}))
+    parent = rd.from_arrow(pa.table({
+        "pk": pa.array([1, 2, 7], pa.int64())}))
+    out = (fk_violations(child, parent, child_key="fk", parent_key="pk")
+           .to_pandas().sort_values("fk").reset_index(drop=True))
+    assert out["fk"].tolist() == [3, 9]
+    assert out["n_rows"].tolist() == [1, 3]
