@@ -7097,6 +7097,62 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility report — BPE tokens per whitespace word, per
+    language (the tokenizer-evaluation staple: a tokenizer 'spends' more
+    subwords on languages it undertrained on). Per-doc BPE counts (the
+    text_tokens_bpe pipeline, golden-verified) equi-join the lang column
+    through one doc-keyed exchange, collapse to per-lang integer sums
+    map-side, and the single final division is exact on both sides. SQL
+    oracle = the BPE golden parquet joined back to documents."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe.joins import hash_join
+    from ..oracle.golden import write_golden_bpe
+
+    write_golden_bpe(sf_dir, n_sample=_BPE_SAMPLE, n_merges=_BPE_MERGES,
+                     seed=_BPE_SEED)
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    joined = hash_join(_bpe_counts(sf_dir), langs, on="doc_id",
+                       left_cols=["n_words", "n_tokens_bpe"],
+                       right_cols=["lang"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        t = pa.table({"lang": tbl.column("r_lang"),
+                      "n_docs": pa.array(np.ones(len(tbl), np.int64)),
+                      "n_words": pac.cast(tbl.column("n_words"),
+                                          pa.int64()),
+                      "n_tokens": pac.cast(tbl.column("n_tokens_bpe"),
+                                           pa.int64())})
+        g = pa.TableGroupBy(t, "lang").aggregate(
+            [("n_docs", "sum"), ("n_words", "sum"), ("n_tokens", "sum")])
+        return g.rename_columns(["lang", "n_docs", "n_words", "n_tokens"])
+
+    out = (joined.map_batches(part, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("lang", as_index=False)[["n_docs", "n_words",
+                                             "n_tokens"]].sum())
+    out["fertility"] = (out["n_tokens"].to_numpy(np.float64)
+                        / out["n_words"].to_numpy(np.float64))
+    out = _typed(out, {"lang": "object", "n_docs": "int64",
+                       "n_words": "int64", "n_tokens": "int64",
+                       "fertility": "float64"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_TOKENIZER_FERTILITY = """
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(g.n_words)::BIGINT AS n_words,
+       sum(g.n_tokens_bpe)::BIGINT AS n_tokens,
+       sum(g.n_tokens_bpe)::DOUBLE / sum(g.n_words)::DOUBLE AS fertility
+FROM read_parquet('/tmp/sagan_ray_golden/text_tokens_bpe.parquet') g
+JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7326,6 +7382,7 @@ QUERIES = {
     "dedup_minhash_index": q_dedup_minhash_index,
     "transcript_context": q_transcript_context,
     "orders_fk_check": q_orders_fk_check,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -7530,4 +7587,5 @@ ORACLES = {
     "dedup_minhash_index": SQL_DEDUP_MINHASH_INDEX,
     "transcript_context": SQL_TRANSCRIPT_CONTEXT,
     "orders_fk_check": SQL_ORDERS_FK_CHECK,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
 }
