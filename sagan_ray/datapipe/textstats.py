@@ -980,6 +980,136 @@ def doc_keywords(ds, *, k: int = 3, text_col: str = "text",
     return hash_group_apply(cand, [id_col], topk, out_schema=out_schema)
 
 
+def doc_summary(ds, *, k: int = 2, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Extractive summarization for curation: the top-k sentences per
+    document by corpus-IDF mass — score(s) = Σ over s's DISTINCT words
+    of ln(N / df(w)) — the cheap 'which sentences carry this doc's
+    information' signal behind summary-based dedup/selection. Sentences
+    are the non-blank trimmed pieces of an RE2 split on ``[.!?]+``
+    (sent_idx = 1-based RAW slot, identical in Arrow and DuckDB);
+    words are the corpus tokenizer's. Rank per doc on (round(score, 6)
+    DESC, sent_idx ASC) — the BM25 rounded-ranking-key stance (float
+    sum order differs between engines; the reported score compares
+    under tolerance). Returns (doc_id, rank, sent_idx, score).
+
+    Shape: one side-tagged union through the word exchange — side A is
+    the distinct (doc, word) stream (df = side-A rows per exact word
+    STRING; hashes only co-locate), side B the distinct (sentence, word)
+    stream, which leaves the bucket as bare (doc, sent, df) triples; a
+    doc-keyed exchange then reduceats the scores and ranks. Sentence
+    text never ships — output is ids, like adjacent_pairs."""
+    from .exchange import hash_group_apply
+
+    def nrows(tbl: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([tbl.num_rows], pa.int64())})
+
+    _cnt = ds.map_batches(nrows, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    n_docs = 0 if _cnt.empty else int(_cnt["n"].sum())
+    if n_docs == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "sent_idx": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    n_f = float(n_docs)
+
+    union_schema = pa.schema([
+        ("h", pa.uint64()), ("w", pa.large_string()),
+        ("side", pa.int8()), (id_col, pa.int64()),
+        ("sent_idx", pa.int64())])
+
+    def emit(tbl: pa.Table) -> pa.Table:
+        ids = (tbl.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        # side A: distinct (doc, word)
+        _n, doc_of, _wl, wh, words = _words_flat(tbl.column(text_col))
+        o, _r, _c, first = _gram_runs(doc_of, wh)
+        a_h, a_w = wh[o][first], words[o][first]
+        a_doc = ids[doc_of[o][first]]
+        # side B: distinct (sentence, word)
+        col = tbl.column(text_col).cast(pa.large_string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.split_pattern_regex(col, "[.!?]+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = pc.utf8_trim_whitespace(la.values)
+        offs = np.asarray(la.offsets, dtype=np.int64)
+        counts = np.diff(offs)
+        doc_of_s = np.repeat(np.arange(len(col)), counts)
+        # 1-based RAW slot index within each doc's split list
+        slot = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], counts) + 1
+        keep = (pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                .astype(np.int64) > 0)
+        kept = flat.filter(pa.array(keep))
+        kdoc, kslot = doc_of_s[keep], slot[keep]
+        _ns, sent_of, _wl2, wh2, words2 = _words_flat(kept)
+        o2, _r2, _c2, first2 = _gram_runs(sent_of, wh2)
+        b_h, b_w = wh2[o2][first2], words2[o2][first2]
+        b_sent = sent_of[o2][first2]
+        b_doc = ids[kdoc[b_sent]]
+        b_idx = kslot[b_sent]
+        na, nb = len(a_h), len(b_h)
+        return pa.table({
+            "h": pa.array(np.concatenate([a_h, b_h]), pa.uint64()),
+            "w": pa.array(np.concatenate([a_w, b_w]).astype(object),
+                          pa.large_string()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(na, np.int8), np.ones(nb, np.int8)]), pa.int8()),
+            id_col: pa.array(np.concatenate([a_doc, b_doc]), pa.int64()),
+            "sent_idx": pa.array(np.concatenate(
+                [np.full(na, -1, np.int64), b_idx]), pa.int64()),
+        }, schema=union_schema)
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["side"].to_numpy()
+        dfc = df.loc[side == 0].groupby("w", sort=False)["w"].size()
+        b = df.loc[side == 1]
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "sent_idx": b["sent_idx"].to_numpy(np.int64),
+            "df": b["w"].map(dfc).to_numpy(np.int64),
+        })
+
+    mid_schema = pa.schema([(id_col, pa.int64()), ("sent_idx", pa.int64()),
+                            ("df", pa.int64())])
+    scored = hash_group_apply(
+        ds.map_batches(emit, batch_format="pyarrow"), ["h"], attach_df,
+        out_schema=mid_schema)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64"),
+                                 "sent_idx": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        doc = df[id_col].to_numpy(np.int64)
+        sent = df["sent_idx"].to_numpy(np.int64)
+        idf = np.log(n_f / df["df"].to_numpy(np.float64))
+        o = np.lexsort((sent, doc))
+        doc, sent, idf = doc[o], sent[o], idf[o]
+        new = np.empty(len(doc), dtype=bool)
+        new[0] = True
+        new[1:] = (doc[1:] != doc[:-1]) | (sent[1:] != sent[:-1])
+        starts = np.flatnonzero(new)
+        score = np.add.reduceat(idf, starts)
+        g = pd.DataFrame({id_col: doc[starts], "sent_idx": sent[starts],
+                          "score": score,
+                          "key": np.round(score, 6)})
+        g = g.sort_values([id_col, "key", "sent_idx"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return g[[id_col, "rank", "sent_idx", "score"]]
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("rank", pa.int64()),
+                            ("sent_idx", pa.int64()),
+                            ("score", pa.float64())])
+    return hash_group_apply(scored, [id_col], topk, out_schema=out_schema)
+
+
 def corpus_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     """One-row corpus profile: (n_docs, n_words, n_vocab) with n_vocab
     the EXACT distinct-word count — per-batch distinct (hash, word)

@@ -7153,6 +7153,75 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def q_doc_summary(sf_dir: str):
+    """Extractive summary selection (textstats.doc_summary): top-2
+    sentences per doc by corpus-IDF mass, ranked on the rounded key +
+    sent_idx (BM25 stance). Word exchange (side-tagged df attach) +
+    doc exchange; sentence text never ships. The synthetic corpus has
+    no sentence punctuation, so the gate appends the source tag as a
+    second sentence (mirrored in the SQL CTE) to exercise the
+    multi-sentence ranking for real; ties and hand-built sentences are
+    pinned by unit test."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe.textstats import doc_summary
+
+    def two_sent(tbl: pa.Table) -> pa.Table:
+        txt = pac.binary_join_element_wise(
+            tbl.column("text").cast(pa.large_string()),
+            tbl.column("source").cast(pa.large_string()),
+            pa.scalar(". ", pa.large_string()))
+        return pa.table({"doc_id": tbl.column("doc_id"), "text": txt})
+
+    docs = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+            .map_batches(two_sent, batch_format="pyarrow"))
+    out = doc_summary(docs, k=2)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = _typed(out, {"doc_id": "int64", "rank": "int64",
+                       "sent_idx": "int64", "score": "float64"})
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+SQL_DOC_SUMMARY = r"""
+WITH documents2 AS (
+  SELECT doc_id, text || '. ' || source AS text FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents2),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9_]+'),
+                            x -> x <> '')) AS w
+  FROM documents2),
+df AS (SELECT w, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toks GROUP BY w),
+sents AS (
+  SELECT doc_id, i AS sent_idx, trim(parts[i]) AS sent
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
+        FROM documents2) p,
+       LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) r
+  WHERE trim(parts[i]) <> ''),
+sw AS (
+  SELECT DISTINCT s.doc_id, s.sent_idx, t.w
+  FROM sents s,
+       LATERAL (SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(s.sent), '[^a-z0-9_]+'),
+                  x -> x <> '')) AS w) t),
+sc AS (
+  SELECT sw.doc_id, sw.sent_idx, sum(ln(n.n / df.df)) AS score,
+         round(sum(ln(n.n / df.df)), 6) AS key
+  FROM sw JOIN df USING (w) CROSS JOIN n
+  GROUP BY sw.doc_id, sw.sent_idx)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY key DESC, sent_idx) AS rank,
+       sent_idx, score
+FROM sc QUALIFY rank <= 2 ORDER BY doc_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7383,6 +7452,7 @@ QUERIES = {
     "transcript_context": q_transcript_context,
     "orders_fk_check": q_orders_fk_check,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "doc_summary": q_doc_summary,
 }
 
 ORACLES = {
@@ -7588,4 +7658,5 @@ ORACLES = {
     "transcript_context": SQL_TRANSCRIPT_CONTEXT,
     "orders_fk_check": SQL_ORDERS_FK_CHECK,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "doc_summary": SQL_DOC_SUMMARY,
 }

@@ -3558,3 +3558,45 @@ def test_zipf_fit_exact_small_corpus():
                     "text": pa.array(["solo solo"], pa.string())})
     out1 = zipf_fit(rd.from_arrow(one))
     assert out1["n_top"].iloc[0] == 1 and np.isnan(out1["slope"].iloc[0])
+
+
+def test_doc_summary_hand_case_and_ties():
+    """IDF mass picks the sentence with the rare words; sent_idx is the
+    1-based RAW split slot (blank slots skipped but numbered); equal
+    scores tie-break by sent_idx asc; k caps per doc."""
+    import math
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.textstats import doc_summary
+
+    texts = [
+        # doc 0: s1 = common words, s2 = rare words, s3 blank slot after
+        # the trailing '!': slots are 1,2,(3 blank)
+        "the cat sat. zyzzyva qwerty!",
+        "the cat sat on the mat.",          # doc 1: one sentence
+        "the cat. the cat.",                # doc 2: two IDENTICAL -> tie
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = doc_summary(ds, k=2)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = (out.astype({"doc_id": "int64", "rank": "int64",
+                       "sent_idx": "int64"})
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    # doc 0: rare sentence (slot 2) must outrank the common one (slot 1)
+    d0 = out[out.doc_id == 0]
+    assert d0[["rank", "sent_idx"]].values.tolist() == [[1, 2], [2, 1]]
+    # doc 1: single sentence, rank 1 only
+    d1 = out[out.doc_id == 1]
+    assert d1[["rank", "sent_idx"]].values.tolist() == [[1, 1]]
+    # doc 2: identical sentences -> exact tie -> sent_idx asc
+    d2 = out[out.doc_id == 2]
+    assert d2[["rank", "sent_idx"]].values.tolist() == [[1, 1], [2, 2]]
+    assert d2["score"].iloc[0] == d2["score"].iloc[1]
+    # spot-check one score: doc 0 slot 2 = ln(3/1)*2 (zyzzyva, qwerty
+    # each appear in 1 doc)
+    want = 2 * math.log(3.0 / 1.0)
+    assert abs(d0["score"].iloc[0] - want) < 1e-12
