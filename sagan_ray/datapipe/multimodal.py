@@ -875,6 +875,140 @@ class AudioIntFeatures:
                          **{k: pa.array(v) for k, v in out.items()}})
 
 
+def synth_padded_audio(n: int, seed: int = 17) -> pa.Table:
+    """Deterministic audio table for the trim operator: each clip is a
+    sine body wrapped in leading/trailing EXACT-ZERO runs (either may be
+    empty; some clips are all-silent), cycling sample widths 1-4 bytes
+    and 1-2 channels. Zero encodes to the exact midpoint at every width
+    (rint(0·full)=0; 8-bit stores 128 → re-centres to 0), so the planted
+    runs survive the PCM round-trip on the stored integer grid."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                            "width", "height", "duration_ms")}
+    rate = 8000
+    for i in range(n):
+        lead = int(rng.integers(0, 400))
+        trail = int(rng.integers(0, 400))
+        body_n = 0 if i % 9 == 0 else int(rng.integers(1, 800))
+        t = np.arange(body_n) / rate
+        freq = float(rng.uniform(100, 1000))
+        # phase offset keeps the body's FIRST sample far from zero so
+        # the planted lead is the run the operator measures
+        body = 0.5 * np.sin(2 * np.pi * freq * t + 0.7)
+        samples = np.concatenate([np.zeros(lead), body, np.zeros(trail)])
+        payload = encode_wav(samples, rate, sampwidth=(2, 1, 3, 4)[i % 4],
+                             channels=1 + (i % 2))
+        rows["media_id"].append(i)
+        rows["kind"].append("audio")
+        rows["payload"].append(payload)
+        rows["mime"].append("audio/wav")
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["duration_ms"].append(int(1000 * len(samples) / rate))
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioTrim:
+    """Actor-pool stage: WAV payload → silence-trim report, all exact
+    int64 — (n_samples, lead, trail, n_kept) where lead/trail are the
+    maximal edge runs of EXACT-ZERO channel-0 samples on the stored
+    integer grid (8-bit midpoint 128 counts as zero — decode_wav_ints
+    re-centres). An all-silent clip reports lead = n_samples, trail = 0,
+    n_kept = 0 (the golden spells the same convention). The trim
+    decision a speech pipeline applies before feature extraction."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        out = {k: np.zeros(n, np.int64)
+               for k in ("n_samples", "lead", "trail", "n_kept")}
+        for i, p in enumerate(tbl.column("payload").to_pylist()):
+            x, _rate, _sw = decode_wav_ints(p)
+            ns = len(x)
+            out["n_samples"][i] = ns
+            nz = np.flatnonzero(x != 0)
+            if not len(nz):
+                out["lead"][i] = ns
+                continue
+            out["lead"][i] = int(nz[0])
+            out["trail"][i] = int(ns - 1 - nz[-1])
+            out["n_kept"][i] = int(nz[-1] - nz[0] + 1)
+        return pa.table({"media_id": tbl.column("media_id"),
+                         **{k: pa.array(v) for k, v in out.items()}})
+
+
+def synth_scene_videos(n: int, seed: int = 23) -> pa.Table:
+    """Deterministic SGV1 videos for scene-cut detection: 1-4 scenes per
+    video, each scene 1-3 near-identical 16×16 frames (solid base color
+    + a ±1 jitter on a few pixels → within-scene diff energy ≤ ~100),
+    scene boundaries jump to a different base color (energy ~10⁴-10⁵).
+    SGV1/BMP only — the GIF decode path is gated separately
+    (multimodal_av, test_gif)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                            "width", "height", "duration_ms")}
+    h = w = 16
+    interval = 500
+    for i in range(n):
+        frames = []
+        n_scenes = int(rng.integers(1, 5))
+        for _s in range(n_scenes):
+            base = rng.integers(0, 256, 3)
+            nf = int(rng.integers(1, 4))
+            for _f in range(nf):
+                img = np.broadcast_to(base, (h, w, 3)).copy()
+                # jitter a handful of pixels by ±1 (clipped)
+                for _j in range(int(rng.integers(0, 8))):
+                    y, x = int(rng.integers(0, h)), int(rng.integers(0, w))
+                    c = int(rng.integers(0, 3))
+                    img[y, x, c] = np.clip(
+                        img[y, x, c] + int(rng.choice([-1, 1])), 0, 255)
+                frames.append(encode_bmp(img.astype(np.uint8)))
+        payload = encode_sgv(frames, interval)
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["payload"].append(payload)
+        rows["mime"].append("video/x-sgv")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(len(frames) * interval)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class SceneCuts:
+    """Actor-pool stage: SGV1 payload → one row per FRAME TRANSITION
+    with its exact-integer diff energy Σ|f_t − f_{t−1}| (int64 over all
+    pixels × channels) and the cut flag ``energy > threshold`` — the
+    shot-boundary primitive behind frame-sampling 'one frame per scene'
+    policies. frame_idx is the 1-based index of the LATER frame."""
+
+    def __init__(self, threshold: int = 10_000):
+        self.threshold = int(threshold)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        oid, oidx, oen, ocut = [], [], [], []
+        for mid, payload in zip(tbl.column("media_id").to_pylist(),
+                                tbl.column("payload").to_pylist()):
+            frames, _interval = decode_sgv(payload)
+            prev = None
+            for t, fb in enumerate(frames):
+                img = decode_bmp(fb).astype(np.int64)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                if prev is not None:
+                    en = int(np.abs(img - prev).sum())
+                    oid.append(mid)
+                    oidx.append(t)
+                    oen.append(en)
+                    ocut.append(en > self.threshold)
+                prev = img
+        return pa.table({
+            "media_id": pa.array(oid, pa.int64()),
+            "frame_idx": pa.array(oidx, pa.int64()),
+            "energy": pa.array(oen, pa.int64()),
+            "is_cut": pa.array(ocut, pa.bool_()),
+        })
+
+
 class AVProbe:
     """Actor-pool stage: audio/video payload → deterministic probe row.
     Audio: ``feat`` = channel-0 first sample as decoded float32 (round

@@ -2454,3 +2454,106 @@ def write_golden_pack_bfd(sf_dir: str, *, capacity: int,
         "bin": pa.array([r[2] for r in rows], pa.int64()),
         "fill": pa.array([r[3] for r in rows], pa.int64())})
     return _write(tbl, "doc_pack_bfd")
+
+
+def write_golden_audio_trim(n: int, seed: int) -> str:
+    """Expected output of ``multimodal_audio_trim``: every clip decoded
+    by an independent per-byte RIFF walk (no stdlib ``wave``, no numpy)
+    and scanned sequentially for the maximal edge runs of exact-zero
+    channel-0 samples; all-silent clips report lead = n_samples,
+    trail = 0, n_kept = 0 (the stage's documented convention)."""
+    from ..datapipe.multimodal import synth_padded_audio
+
+    media = synth_padded_audio(n, seed=seed)
+    rows = []
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("payload").to_pylist()):
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        pos, ch, bits, data = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = payload[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+            if cid == b"fmt ":
+                ch = int.from_bytes(body[2:4], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                data = body
+        sw = bits // 8
+        stride = sw * ch
+        nf = len(data) // stride
+        first = last = None
+        for f in range(nf):                 # channel 0 of each frame
+            raw = data[f * stride:f * stride + sw]
+            if sw == 1:
+                v = raw[0] - 128
+            elif sw == 3:
+                u = raw[0] | (raw[1] << 8) | (raw[2] << 16)
+                v = u - ((u >> 23) << 24)
+            else:
+                v = int.from_bytes(raw, "little", signed=True)
+            if v != 0:
+                if first is None:
+                    first = f
+                last = f
+        if first is None:
+            rows.append((mid, nf, nf, 0, 0))
+        else:
+            rows.append((mid, nf, first, nf - 1 - last,
+                         last - first + 1))
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_samples": pa.array([r[1] for r in rows], pa.int64()),
+        "lead": pa.array([r[2] for r in rows], pa.int64()),
+        "trail": pa.array([r[3] for r in rows], pa.int64()),
+        "n_kept": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    return _write(tbl, "multimodal_audio_trim")
+
+
+def write_golden_scene_cuts(n: int, seed: int, threshold: int) -> str:
+    """Expected output of ``multimodal_scenes``: an independent SGV1
+    container walk, with each transition's energy accumulated PER BYTE
+    over the two frames' raw BMP pixel arrays (offset/stride read from
+    the headers) in arbitrary-precision Python ints. Row padding is
+    zero in both frames of a same-size pair, so the byte walk equals
+    the pipeline's decoded-RGB |Δ| sum exactly — and shares none of its
+    code."""
+    from ..datapipe.multimodal import synth_scene_videos
+
+    media = synth_scene_videos(n, seed=seed)
+    rows = []
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("payload").to_pylist()):
+        assert payload[:4] == b"SGV1"
+        nf = int.from_bytes(payload[4:8], "little")
+        lens = [int.from_bytes(payload[12 + 4 * i:16 + 4 * i], "little")
+                for i in range(nf)]
+        off = 12 + 4 * nf
+        frames = []
+        for ln in lens:
+            frames.append(payload[off:off + ln])
+            off += ln
+
+        def pixel_bytes(b: bytes) -> bytes:
+            assert b[:2] == b"BM"
+            po = int.from_bytes(b[10:14], "little")
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = abs(int.from_bytes(b[22:26], "little", signed=True))
+            stride = (w * 3 + 3) & ~3
+            return b[po:po + stride * h]
+
+        for t in range(1, nf):
+            a, b = pixel_bytes(frames[t - 1]), pixel_bytes(frames[t])
+            en = 0
+            for x, y in zip(a, b):
+                en += x - y if x >= y else y - x
+            rows.append((mid, t, en, en > threshold))
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "frame_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "energy": pa.array([r[2] for r in rows], pa.int64()),
+        "is_cut": pa.array([r[3] for r in rows], pa.bool_()),
+    })
+    return _write(tbl, "multimodal_scenes")

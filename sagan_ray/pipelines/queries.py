@@ -5184,6 +5184,64 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_audio_trim(sf_dir: str):
+    """Silence-trim report (lead / trail runs of exact-zero channel-0
+    samples on the stored PCM grid, n_kept body length) over a synth
+    corpus of zero-padded WAV clips in an actor pool, gated bit-exactly
+    against an independent per-byte RIFF-walk golden
+    (oracle/golden.py::write_golden_audio_trim)."""
+    import ray.data as rd
+
+    from ..datapipe.multimodal import AudioTrim, synth_padded_audio
+    from ..oracle.golden import write_golden_audio_trim
+
+    write_golden_audio_trim(200, seed=17)
+    tbl = synth_padded_audio(200, seed=17)
+    ds = rd.from_arrow(tbl).map_batches(
+        AudioTrim, batch_format="pyarrow", batch_size=64, concurrency=2)
+    out = ds.to_pandas()
+    cols = ["media_id", "n_samples", "lead", "trail", "n_kept"]
+    out = _typed(out, {c: "int64" for c in cols})
+    return out.sort_values("media_id").reset_index(drop=True)[cols]
+
+
+SQL_MULTIMODAL_AUDIO_TRIM = """
+SELECT media_id, n_samples, lead, trail, n_kept
+FROM read_parquet('/tmp/sagan_ray_golden/multimodal_audio_trim.parquet')
+ORDER BY media_id
+"""
+
+
+def q_multimodal_scenes(sf_dir: str):
+    """Shot-boundary detection over synth SGV1 videos: per frame
+    transition the exact-int64 pixel diff energy Σ|f_t − f_{t−1}| and
+    the cut flag, in an actor pool; gated bit-exactly against an
+    independent byte-level container-walk golden
+    (oracle/golden.py::write_golden_scene_cuts)."""
+    import ray.data as rd
+
+    from ..datapipe.multimodal import SceneCuts, synth_scene_videos
+    from ..oracle.golden import write_golden_scene_cuts
+
+    write_golden_scene_cuts(120, seed=23, threshold=10_000)
+    tbl = synth_scene_videos(120, seed=23)
+    ds = rd.from_arrow(tbl).map_batches(
+        SceneCuts, batch_format="pyarrow", batch_size=32, concurrency=2)
+    out = ds.to_pandas()
+    out = _typed(out, {"media_id": "int64", "frame_idx": "int64",
+                       "energy": "int64", "is_cut": "bool"})
+    return (out.sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True)
+            [["media_id", "frame_idx", "energy", "is_cut"]])
+
+
+SQL_MULTIMODAL_SCENES = """
+SELECT media_id, frame_idx, energy, is_cut
+FROM read_parquet('/tmp/sagan_ray_golden/multimodal_scenes.parquet')
+ORDER BY media_id, frame_idx
+"""
+
+
 def q_sample_weighted(sf_dir: str):
     """Length-weighted priority sample (Duffield-Lund-Thorup): the 120
     docs with the smallest knuth_hash(doc_id)/n_chars — longer docs
@@ -7453,6 +7511,8 @@ QUERIES = {
     "orders_fk_check": q_orders_fk_check,
     "tokenizer_fertility": q_tokenizer_fertility,
     "doc_summary": q_doc_summary,
+    "multimodal_audio_trim": q_multimodal_audio_trim,
+    "multimodal_scenes": q_multimodal_scenes,
 }
 
 ORACLES = {
@@ -7659,4 +7719,6 @@ ORACLES = {
     "orders_fk_check": SQL_ORDERS_FK_CHECK,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "doc_summary": SQL_DOC_SUMMARY,
+    "multimodal_audio_trim": SQL_MULTIMODAL_AUDIO_TRIM,
+    "multimodal_scenes": SQL_MULTIMODAL_SCENES,
 }

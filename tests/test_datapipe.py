@@ -3600,3 +3600,56 @@ def test_doc_summary_hand_case_and_ties():
     # each appear in 1 doc)
     want = 2 * math.log(3.0 / 1.0)
     assert abs(d0["score"].iloc[0] - want) < 1e-12
+
+
+def test_audio_trim_vs_python_spec():
+    """AudioTrim's edge-run report vs a per-sample Python-int scan, over
+    handcrafted clips hitting every branch: lead+trail, no lead, no
+    trail, all-silent, empty, and the 8-bit midpoint-as-zero quirk."""
+    from sagan_ray.datapipe.multimodal import (AudioTrim, decode_wav_ints,
+                                               encode_wav)
+
+    clips = [
+        np.concatenate([np.zeros(5), [0.5, -0.25, 0.5], np.zeros(3)]),
+        np.array([0.9, 0.0, 0.9]),            # no lead, no trail
+        np.concatenate([[0.5], np.zeros(4)]),  # trail only
+        np.zeros(7),                           # all-silent
+        np.zeros(0),                           # empty
+    ]
+    payloads = [encode_wav(c, sampwidth=sw, channels=ch)
+                for c in clips for sw in (1, 2, 3, 4) for ch in (1, 2)]
+    tbl = pa.table({"media_id": pa.array(range(len(payloads)), pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    got = AudioTrim()(tbl).to_pandas()
+    for i, p in enumerate(payloads):
+        x, _r, _sw = decode_wav_ints(p)
+        xs = [int(v) for v in x]
+        nz = [j for j, v in enumerate(xs) if v != 0]
+        if nz:
+            want = (len(xs), nz[0], len(xs) - 1 - nz[-1],
+                    nz[-1] - nz[0] + 1)
+        else:
+            want = (len(xs), len(xs), 0, 0)
+        assert tuple(got.loc[i, ["n_samples", "lead", "trail",
+                                 "n_kept"]]) == want
+
+
+def test_scene_cuts_vs_python_spec():
+    """SceneCuts' per-transition diff energy vs a hand-computed per-pixel
+    Python-int sum on a tiny video: two identical frames (energy 0, no
+    cut), then a full color jump (energy over threshold, cut)."""
+    from sagan_ray.datapipe.multimodal import (SceneCuts, decode_bmp,
+                                               encode_bmp, encode_sgv)
+
+    f0 = np.full((4, 4, 3), 100, np.uint8)
+    f1 = f0.copy()
+    f1[0, 0, 0] = 103                       # tiny jitter: energy 3
+    f2 = np.full((4, 4, 3), 200, np.uint8)  # scene jump: 4*4*3*100
+    payload = encode_sgv([encode_bmp(f) for f in (f0, f1, f2)], 500)
+    tbl = pa.table({"media_id": pa.array([7], pa.int64()),
+                    "payload": pa.array([payload], pa.binary())})
+    got = SceneCuts(threshold=1000)(tbl).to_pandas()
+    # transition 2 is f1->f2: 47 pixels jump 100, the jittered one 97
+    assert got[["media_id", "frame_idx", "energy", "is_cut"]].values.tolist() \
+        == [[7, 1, 3, False], [7, 2, 47 * 100 + 97, True]]
+    assert np.array_equal(decode_bmp(encode_bmp(f2)), f2)
