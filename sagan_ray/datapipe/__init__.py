@@ -35,6 +35,7 @@ from .diff import (  # noqa: F401
     snapshot_diff,
 )
 from .profile import (  # noqa: F401
+    k_anonymity,
     profile_table,
     validate_table,
 )

@@ -1666,3 +1666,134 @@ def pair_cosine_histogram(ds, *, rate: float = 0.5, n_bins: int = 64,
     out["cos_lo"] = out["bin"].to_numpy(np.float64) * (2.0 / n_bins) - 1.0
     return (out[["bin", "cos_lo", "n_pairs"]]
             .sort_values("bin").reset_index(drop=True))
+
+
+def knn_graph(ds, *, k: int = 8, n_blocks: int = 4,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Mutual k-nearest-neighbor graph over an embedding column — the
+    edge set behind graph-based dedup clustering, label propagation and
+    coreset/diversity heuristics: edge (src, dst) kept iff each endpoint
+    ranks in the OTHER's cosine top-k. Returns (src, dst, dot) with
+    src < dst and ``dot`` the exact int64 unit-grid dot (cosine =
+    dot / 2^28, an exact dyadic).
+
+    Exactness: neighbors rank on ``_unit_grid`` integer dots with ties
+    by id asc, so a sequential per-row golden
+    (oracle/golden.py::write_golden_knn_graph) matches bit-for-bit under
+    any block layout / BLAS.
+
+    Shape (the ``embedding_near_dup_exact`` block-pair exchange, top-k
+    flavored): each vector ships its int16-packed grid row to its
+    n_blocks block-pair buckets; each bucket emits per-src top-k
+    CANDIDATES against only that bucket's complement rows (per-src
+    global candidate volume k·n_blocks, never the corpus); a src-keyed
+    exchange keeps the global top-k; an unordered-pair exchange keeps
+    edges present in both directions. Rows never materialize
+    driver-side. Brute-force all-pairs underneath — n_blocks bounds
+    task memory, not work; for corpus scale, restrict candidates first
+    (IVF cells / LSH buckets) and feed the per-cell subset here."""
+    from .exchange import hash_group_apply
+
+    nb = int(n_blocks)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def fan_out(tbl: pa.Table) -> pa.Table:
+        ids = _ids(tbl, id_col)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"bkt": pa.array([], pa.int32()),
+                             "did": pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int32()),
+                             "unit": pa.array([], pa.binary())})
+        unit = _unit_grid(_mat(tbl, vec_col,
+                               dtype=np.float64)).astype(np.int16)
+        blk = (((ids.astype(np.uint64) * mix) >> np.uint64(32))
+               % np.uint64(nb)).astype(np.int64)
+        packed = np.empty(n, dtype=object)
+        for r in range(n):
+            packed[r] = unit[r].tobytes()
+        q = np.arange(nb, dtype=np.int64)
+        p_rep = np.repeat(blk, nb)
+        q_rep = np.tile(q, n)
+        lo = np.minimum(p_rep, q_rep)
+        hi = np.maximum(p_rep, q_rep)
+        bkt = (lo * nb + hi).astype(np.int32)
+        return pa.table({"bkt": pa.array(bkt, pa.int32()),
+                         "did": pa.array(np.repeat(ids, nb), pa.int64()),
+                         "blk": pa.array(p_rep.astype(np.int32),
+                                         pa.int32()),
+                         "unit": pa.array(np.repeat(packed, nb),
+                                          pa.binary())})
+
+    def cand_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        osrc, odst, odot = [], [], []
+
+        def emit(src_ids, src_m, dst_ids, dst_m, exclude_self):
+            # exact int dots in float64 (grid coords ≤ 2^14)
+            sims = src_m @ dst_m.T
+            kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+            for r in range(len(src_ids)):
+                sel = _local_topk_idx(sims[r], dst_ids, kk)
+                if exclude_self:
+                    sel = sel[dst_ids[sel] != src_ids[r]][:k]
+                osrc.extend([int(src_ids[r])] * len(sel))
+                odst.extend(dst_ids[sel].tolist())
+                odot.extend(sims[r][sel].astype(np.int64).tolist())
+
+        for bkt_val in df["bkt"].unique():
+            sub = df[df["bkt"] == bkt_val]
+            i, j = int(bkt_val) // nb, int(bkt_val) % nb
+            units = sub["unit"].to_numpy()
+            flat = np.frombuffer(b"".join(units.tolist()), dtype=np.int16)
+            dim = len(flat) // len(sub)
+            mat = flat.reshape(len(sub), dim).astype(np.float64)
+            ids = sub["did"].to_numpy()
+            blk = sub["blk"].to_numpy()
+            if i == j:
+                emit(ids, mat, ids, mat, True)
+            else:
+                ma = blk == i
+                a_ids, b_ids = ids[ma], ids[~ma]
+                a_m, b_m = mat[ma], mat[~ma]
+                if len(a_ids) and len(b_ids):
+                    emit(a_ids, a_m, b_ids, b_m, False)
+                    emit(b_ids, b_m, a_ids, a_m, False)
+        return pd.DataFrame({"src": np.asarray(osrc, np.int64),
+                             "dst": np.asarray(odst, np.int64),
+                             "dot": np.asarray(odot, np.int64)})
+
+    cand_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                             ("dot", pa.int64())])
+    cands = hash_group_apply(
+        ds.map_batches(fan_out, batch_format="pyarrow",
+                       batch_size=65536),
+        ["bkt"], cand_bucket, out_schema=cand_schema)
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "dot", "dst"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("src", sort=False).head(k)
+
+    directed = hash_group_apply(cands, ["src"], topk_bucket,
+                                out_schema=cand_schema)
+
+    def pair_part(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo = pc.min_element_wise(tbl.column("src"), tbl.column("dst"))
+        hi = pc.max_element_wise(tbl.column("src"), tbl.column("dst"))
+        return pa.table({"a": lo, "b": hi, "dot": tbl.column("dot")})
+
+    def mutual_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False).agg(
+            n=("dot", "size"), dot=("dot", "first")).reset_index()
+        g = g[g["n"] == 2]
+        return (g[["a", "b", "dot"]]
+                .rename(columns={"a": "src", "b": "dst"})
+                .astype({"src": "int64", "dst": "int64", "dot": "int64"}))
+
+    pairs = directed.map_batches(pair_part, batch_format="pyarrow",
+                                 batch_size=None)
+    return hash_group_apply(pairs, ["a", "b"], mutual_bucket,
+                            out_schema=cand_schema)

@@ -235,6 +235,46 @@ def validate_table(ds, constraints: list[tuple], *, ds_unique=None):
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
 
+def k_anonymity(ds, quasi_cols: list[str], k: int):
+    """k-anonymity audit over a quasi-identifier tuple — every
+    equivalence class (distinct quasi-identifier combination) with fewer
+    than ``k`` rows, with its row count: the records a privacy-preserving
+    release would have to suppress or generalize (Sweeney 2002). The
+    re-identification gate a pipeline runs AFTER ``pii_redact`` — direct
+    identifiers scrubbed, linkage risk through quasi-identifiers still
+    open.
+
+    Shape: per-batch groupby collapses each block to ≤|classes| count
+    partials (rows never shuffle), the quasi-key exchange sums them, and
+    the ``< k`` filter runs bucket-side — output is bounded by the
+    number of VIOLATING classes, never the table. Returns
+    (*quasi_cols, n_rows) rows where n_rows < k."""
+    import pandas as pd
+
+    from .exchange import hash_group_apply
+
+    cols = list(quasi_cols)
+
+    def part(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select(cols), cols).aggregate(
+            [([], "count_all")])
+        assert g.column_names[:len(cols)] == cols
+        return g.rename_columns(cols + ["n"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(cols, sort=False, observed=True)["n"]
+             .sum().reset_index())
+        g = g[g["n"] < k].rename(columns={"n": "n_rows"})
+        return g.astype({"n_rows": "int64"})
+
+    in_schema = ds.schema().base_schema      # parquet metadata, no exec
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536)
+    schema = pa.schema([*((c, in_schema.field(c).type) for c in cols),
+                        ("n_rows", pa.int64())])
+    return hash_group_apply(parts, cols, bucket, out_schema=schema)
+
+
 def fk_violations(child, parent, *, child_key: str, parent_key: str):
     """Referential-integrity check — the FOREIGN KEY expectation over
     two snapshots: every ``child_key`` value with at least one child row

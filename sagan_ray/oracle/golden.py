@@ -2557,3 +2557,53 @@ def write_golden_scene_cuts(n: int, seed: int, threshold: int) -> str:
         "is_cut": pa.array([r[3] for r in rows], pa.bool_()),
     })
     return _write(tbl, "multimodal_scenes")
+
+
+def write_golden_knn_graph(sf_dir: str, *, k: int) -> str:
+    """Expected output of ``embed_knn_graph``: per-row unit-grid
+    quantization (one row at a time — ``_unit_grid``'s ops are
+    elementwise IEEE, so single-row calls equal the batched broadcast),
+    per-pair integer dots via an explicit double loop, per-src top-k by
+    an explicit (dot desc, id asc) sort excluding self, and a mutual
+    set intersection. Every dot is an exact int ≤ d·2^28, so the
+    distributed block-pair run matches bit-for-bit by construction."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _unit_grid
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    raw = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, raw = ids[order], raw[order]
+    n = len(ids)
+    grid = np.empty_like(raw)
+    for i in range(n):                            # per-row, sequential
+        grid[i] = _unit_grid(raw[i:i + 1])[0]
+    gi = grid.astype(np.int64)
+
+    topk: dict[int, list[tuple[int, int]]] = {}
+    dots: dict[tuple[int, int], int] = {}
+    for i in range(n):
+        cand = []
+        for j in range(n):
+            if j == i:
+                continue
+            d = int(np.dot(gi[i], gi[j]))
+            cand.append((int(ids[j]), d))
+            dots[(int(ids[i]), int(ids[j]))] = d
+        cand.sort(key=lambda p: (-p[1], p[0]))
+        topk[int(ids[i])] = cand[:k]
+
+    rows = []
+    for i in range(n):
+        a = int(ids[i])
+        for b, d in topk[a]:
+            if a < b and any(x == a for x, _ in topk[b]):
+                rows.append((a, b, d))
+    rows.sort()
+    tbl = pa.table({"src": pa.array([r[0] for r in rows], pa.int64()),
+                    "dst": pa.array([r[1] for r in rows], pa.int64()),
+                    "dot": pa.array([r[2] for r in rows], pa.int64())})
+    return _write(tbl, "embed_knn_graph")

@@ -1965,6 +1965,35 @@ def q_table_validate(sf_dir: str):
     return out.sort_values(["kind", "col"]).reset_index(drop=True)
 
 
+def q_table_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (c_nationkey, c_mktsegment)
+    quasi-identifier tuple (profile.k_anonymity): every equivalence
+    class under k=10 rows with its count — map-side groupby partials
+    through the quasi-key exchange, < k filtered bucket-side so only
+    violating classes reach the driver. REAL SQL oracle (GROUP BY +
+    HAVING on the same parquet)."""
+    import ray.data as rd
+
+    from ..datapipe import k_anonymity
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_mktsegment"])
+    out = k_anonymity(ds, ["c_nationkey", "c_mktsegment"], 10).to_pandas()
+    out = _typed(out, {"c_nationkey": "int64", "c_mktsegment": "object",
+                       "n_rows": "int64"})
+    return (out.sort_values(["c_nationkey", "c_mktsegment"])
+            .reset_index(drop=True))
+
+
+SQL_TABLE_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 10
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 SQL_TABLE_VALIDATE = r"""
 SELECT * FROM (
   SELECT 'not_null' AS kind, 'text' AS col,
@@ -4221,6 +4250,30 @@ SQL_EMBED_MMR_GOLDEN = """
 SELECT query_id, vec_id, rank, relevance, mmr
 FROM read_parquet('/tmp/sagan_ray_golden/embed_mmr.parquet')
 ORDER BY query_id, rank
+"""
+
+
+def q_embed_knn_graph(sf_dir: str):
+    """Mutual k-NN graph over the embeddings table
+    (ann.py::knn_graph): block-pair exchange emits per-src top-k
+    candidates, a src-keyed exchange keeps the global top-k, an
+    unordered-pair exchange keeps both-direction edges — all ranking
+    on exact unit-grid integer dots, hash-verified against a
+    sequential double-loop golden
+    (oracle/golden.py::write_golden_knn_graph)."""
+    from ..datapipe.ann import knn_graph
+    from ..oracle.golden import write_golden_knn_graph
+
+    write_golden_knn_graph(sf_dir, k=8)
+    out = knn_graph(_embeds(sf_dir), k=8, n_blocks=4).to_pandas()
+    out = _typed(out, {"src": "int64", "dst": "int64", "dot": "int64"})
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+SQL_EMBED_KNN_GRAPH_GOLDEN = """
+SELECT src, dst, dot
+FROM read_parquet('/tmp/sagan_ray_golden/embed_knn_graph.parquet')
+ORDER BY src, dst
 """
 
 
@@ -7513,6 +7566,8 @@ QUERIES = {
     "doc_summary": q_doc_summary,
     "multimodal_audio_trim": q_multimodal_audio_trim,
     "multimodal_scenes": q_multimodal_scenes,
+    "table_k_anonymity": q_table_k_anonymity,
+    "embed_knn_graph": q_embed_knn_graph,
 }
 
 ORACLES = {
@@ -7721,4 +7776,6 @@ ORACLES = {
     "doc_summary": SQL_DOC_SUMMARY,
     "multimodal_audio_trim": SQL_MULTIMODAL_AUDIO_TRIM,
     "multimodal_scenes": SQL_MULTIMODAL_SCENES,
+    "table_k_anonymity": SQL_TABLE_K_ANONYMITY,
+    "embed_knn_graph": SQL_EMBED_KNN_GRAPH_GOLDEN,
 }

@@ -3653,3 +3653,35 @@ def test_scene_cuts_vs_python_spec():
     assert got[["media_id", "frame_idx", "energy", "is_cut"]].values.tolist() \
         == [[7, 1, 3, False], [7, 2, 47 * 100 + 97, True]]
     assert np.array_equal(decode_bmp(encode_bmp(f2)), f2)
+
+
+def test_knn_graph_layout_invariance_and_ties():
+    """knn_graph under different block layouts / n_blocks gives
+    identical edges; duplicate vectors (tied dots) break by id; with
+    k >= n-1 every edge is mutual (complete graph)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.ann import knn_graph
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, (40, 8)).astype(np.float32)
+    vecs[7] = vecs[3]          # exact duplicate -> tied integer dots
+    vecs[25] = vecs[3]
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+
+    def run(ds, **kw):
+        df = knn_graph(ds, **kw).to_pandas()
+        return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+    a = run(rd.from_arrow(tbl), k=4, n_blocks=3)
+    b = run(rd.from_arrow(tbl).repartition(9), k=4, n_blocks=3)
+    c = run(rd.from_arrow(tbl).repartition(2), k=4, n_blocks=5)
+    assert a.equals(b) and a.equals(c)
+    assert (a["src"] < a["dst"]).all()
+    # duplicates rank each other first (max dot, id asc) -> mutual
+    edges = set(zip(a["src"], a["dst"]))
+    assert (3, 7) in edges and (3, 25) in edges and (7, 25) in edges
+    # complete mutual graph when k >= n-1
+    full = run(rd.from_arrow(tbl).repartition(4), k=39, n_blocks=3)
+    assert len(full) == 40 * 39 // 2

@@ -897,3 +897,35 @@ def test_fk_violations_orphans_nulls_and_parent_only():
            .to_pandas().sort_values("fk").reset_index(drop=True))
     assert out["fk"].tolist() == [3, 9]
     assert out["n_rows"].tolist() == [1, 3]
+
+
+def test_k_anonymity_boundary_and_block_layout():
+    """Classes of size k are NOT violations (strict <); partial counts
+    sum correctly across blocks (each class split over many batches);
+    an empty violating set keeps the schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import k_anonymity
+
+    # class A: 3 rows, class B: 2 rows, class C: 5 rows
+    tbl = pa.table({"g": pa.array([0, 0, 0, 1, 1, 2, 2, 2, 2, 2],
+                                  pa.int64()),
+                    "seg": ["x"] * 5 + ["y"] * 5})
+    # classes straddle blocks: 5 single-row blocks x 2
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = (k_anonymity(ds, ["g", "seg"], 3).to_pandas()
+           .sort_values(["g", "seg"]).reset_index(drop=True))
+    # under k=3: (1,x) size 2 and (2,y) size 2 violate; size-3 (0,x)
+    # and (2,y)? -- recompute: g/seg pairs: (0,x)x3 (1,x)x2 (2,x)?...
+    got = list(zip(out["g"], out["seg"], out["n_rows"]))
+    import collections
+    truth = collections.Counter(zip(tbl["g"].to_pylist(),
+                                    tbl["seg"].to_pylist()))
+    want = sorted((g, s, n) for (g, s), n in truth.items() if n < 3)
+    assert got == want
+    # k=1: nothing violates; Dataset-level schema intact (empty
+    # to_pandas() drops columns -- known Ray quirk, assert upstream)
+    empty = k_anonymity(rd.from_arrow(tbl), ["g", "seg"], 1)
+    assert empty.count() == 0
+    assert empty.schema().names == ["g", "seg", "n_rows"]
