@@ -507,3 +507,52 @@ def synth_link_graph(n_nodes: int = 2048, seed: int = 17) -> pa.Table:
     keep = src != dst
     return pa.table({"src": pa.array(src[keep], pa.int64()),
                      "dst": pa.array(dst[keep], pa.int64())})
+
+
+def bfs_distances(edges, n_nodes: int, seeds, *, max_rounds: int = 10000):
+    """Multi-source BFS over the undirected simple graph: (node, dist)
+    with dist = exact minimum hop count from ANY seed; unreachable
+    nodes emit no row. The crawl-frontier / influence-radius primitive
+    (seed set = trusted hosts, dist = link distance for quality decay).
+
+    Distribution shape (the k_core pattern): the unique edge set
+    materializes once; each level broadcasts the |V|-bit frontier mask
+    (``ray.put``) and one pass over edge blocks returns the ≤|V|-row
+    set of frontier-adjacent nodes; the driver keeps the unvisited
+    ones as the next frontier. Rounds = eccentricity of the seed set,
+    driver state two |V| arrays — edges never re-shuffle, and hop
+    counts are exact ints so a recursive-CTE SQL oracle matches
+    bit-for-bit."""
+    import ray
+    import ray.data as rd
+
+    ded = dedup_undirected(edges)
+    dist = np.full(n_nodes, -1, dtype=np.int64)
+    frontier = np.zeros(n_nodes, dtype=bool)
+    seeds = np.asarray(list(seeds), dtype=np.int64)
+    frontier[seeds] = True
+    dist[seeds] = 0
+    visited = frontier.copy()
+    for d in range(1, max_rounds + 1):
+        if not frontier.any():
+            break
+        ref = ray.put(frontier)
+
+        def part(tbl: pa.Table, *, _ref=ref) -> pa.Table:
+            fr = ray.get(_ref)
+            a = tbl.column("a").to_numpy(zero_copy_only=False)
+            b = tbl.column("b").to_numpy(zero_copy_only=False)
+            nxt = np.union1d(b[fr[a]], a[fr[b]])
+            return pa.table({"node": pa.array(nxt, pa.int64())})
+
+        reached = np.zeros(n_nodes, dtype=bool)
+        for t in ded.map_batches(part, batch_format="pyarrow",
+                                 batch_size=None).iter_batches(
+                                     batch_format="pyarrow"):
+            reached[t.column("node").to_numpy(zero_copy_only=False)] = True
+        frontier = reached & ~visited
+        dist[frontier] = d
+        visited |= frontier
+    nz = np.flatnonzero(visited)
+    return rd.from_arrow(pa.table({"node": pa.array(nz, pa.int64()),
+                                   "dist": pa.array(dist[nz], pa.int64())}))

@@ -165,3 +165,61 @@ def synth_web_docs(n: int, seed: int = 23) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64),
                                         pa.int64()),
                      "text": pa.array(docs, pa.string())})
+
+
+def _canon_urls(urls: list[str]) -> list[str]:
+    """Canonical form: scheme dropped, leading ``www.`` dropped, ONE
+    trailing slash dropped (exactly what the SQL oracle's three
+    regexp_replace calls do — keep the two in lockstep). Input is
+    already lowercased by extraction."""
+    out = []
+    for u in urls:
+        if u.startswith("https://"):
+            u = u[8:]
+        elif u.startswith("http://"):
+            u = u[7:]
+        if u.startswith("www."):
+            u = u[4:]
+        if u.endswith("/"):
+            u = u[:-1]
+        out.append(u)
+    return out
+
+
+def url_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical-URL dedup report — one row per canonical URL with its
+    raw-spelling occurrence count, distinct-document count and first
+    (min) doc_id: the crawl-frontier dedup that collapses
+    http/https × www/bare × case spellings before fetch scheduling.
+    Map side extracts + canonicalizes + collapses each batch to
+    (canon_url, doc, n) partials; only those cross the URL-keyed
+    exchange — text never shuffles. Returns
+    (url, n_urls, n_docs, first_doc)."""
+    import pandas as pd
+
+    from .exchange import hash_group_apply
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ex = _extract_batch(tbl, id_col, text_col)
+        df = ex.to_pandas()
+        df["url"] = _canon_urls(df["url"].tolist())
+        g = (df.groupby(["url", id_col], sort=False, observed=True)
+             .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("url", pa.string()), (id_col, pa.int64()),
+                       ("n", pa.int64())]))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", sort=False, observed=True)
+        out = g.agg(n_urls=("n", "sum"), n_docs=(id_col, "nunique"),
+                    first_doc=(id_col, "min")).reset_index()
+        return out.astype({"n_urls": "int64", "n_docs": "int64",
+                           "first_doc": "int64"})
+
+    out_schema = pa.schema([("url", pa.string()), ("n_urls", pa.int64()),
+                            ("n_docs", pa.int64()),
+                            ("first_doc", pa.int64())])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return hash_group_apply(parts, ["url"], reduce_bucket,
+                            out_schema=out_schema)

@@ -3406,6 +3406,48 @@ def q_graph_kcore(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_graph_bfs(sf_dir: str):
+    """Multi-source BFS hop distances from seeds {0,1,2,3} over the
+    link graph (graph.py::bfs_distances — per-level broadcast frontier
+    mask + one edge-block pass, driver state two |V| arrays). Shares
+    the edge parquet with graph_triangles; the SQL recomputes distances
+    with a genuine recursive CTE (a REAL oracle, not a golden; the
+    dist < 16 cap is safely above the measured eccentricity 4)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.graph import bfs_distances, synth_link_graph
+
+    edges = synth_link_graph(2048, seed=17)
+    os.makedirs(os.path.dirname(_TRI_EDGES_PATH), exist_ok=True)
+    tmp = _TRI_EDGES_PATH + ".tmp"
+    pq.write_table(edges, tmp)
+    os.replace(tmp, _TRI_EDGES_PATH)
+    out = _typed(bfs_distances(rd.from_arrow(edges).repartition(8),
+                               2048, [0, 1, 2, 3]).to_pandas(),
+                 {"node": "int64", "dist": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_BFS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('/tmp/sagan_ray_golden/tri_edges.parquet')
+  WHERE src <> dst),
+und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+bfs AS (
+  SELECT * FROM (VALUES (0::BIGINT, 0::BIGINT), (1, 0), (2, 0), (3, 0))
+       t(node, dist)
+  UNION
+  SELECT und.y, bfs.dist + 1 FROM bfs JOIN und ON und.x = bfs.node
+  WHERE bfs.dist < 16
+)
+SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY node ORDER BY node
+"""
+
+
 SQL_GRAPH_KCORE = """
 SELECT node, deg
 FROM read_parquet('/tmp/sagan_ray_golden/graph_kcore.parquet')
@@ -3466,6 +3508,43 @@ norm AS (
   FROM urls)
 SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM norm GROUP BY domain ORDER BY domain
+"""
+
+
+def q_web_url_dedup(sf_dir: str):
+    """Canonical-URL dedup report (web.py::url_dedup): scheme/www/case
+    spelling variants collapse to one canonical URL with occurrence,
+    distinct-doc and first-doc stats — the crawl-frontier dedup. SQL
+    oracle recomputes extraction + canonicalization with DuckDB RE2
+    kernels on the same parquet (a REAL oracle)."""
+    import ray.data as rd
+
+    from ..datapipe.web import url_dedup
+
+    path = _write_web_docs()
+    out = _typed(url_dedup(rd.read_parquet(path)).to_pandas(),
+                 {"url": "object", "n_urls": "int64", "n_docs": "int64",
+                  "first_doc": "int64"})
+    return out.sort_values("url").reset_index(drop=True)
+
+
+SQL_WEB_URL_DEDUP = r"""
+WITH docs AS (
+  SELECT * FROM read_parquet('/tmp/sagan_ray_golden/web_docs.parquet')),
+urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+           'https?://[a-z0-9.-]+(?:/[a-z0-9/?=._~%&-]*)?')) AS url
+  FROM docs),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(url,
+           '^https?://', ''), '^www\.', ''), '/$', '') AS curl
+  FROM urls)
+SELECT curl AS url, count(*) AS n_urls,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM canon GROUP BY curl ORDER BY curl
 """
 
 
@@ -7568,6 +7647,8 @@ QUERIES = {
     "multimodal_scenes": q_multimodal_scenes,
     "table_k_anonymity": q_table_k_anonymity,
     "embed_knn_graph": q_embed_knn_graph,
+    "graph_bfs": q_graph_bfs,
+    "web_url_dedup": q_web_url_dedup,
 }
 
 ORACLES = {
@@ -7778,4 +7859,6 @@ ORACLES = {
     "multimodal_scenes": SQL_MULTIMODAL_SCENES,
     "table_k_anonymity": SQL_TABLE_K_ANONYMITY,
     "embed_knn_graph": SQL_EMBED_KNN_GRAPH_GOLDEN,
+    "graph_bfs": SQL_GRAPH_BFS,
+    "web_url_dedup": SQL_WEB_URL_DEDUP,
 }

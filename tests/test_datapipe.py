@@ -3685,3 +3685,60 @@ def test_knn_graph_layout_invariance_and_ties():
     # complete mutual graph when k >= n-1
     full = run(rd.from_arrow(tbl).repartition(4), k=39, n_blocks=3)
     assert len(full) == 40 * 39 // 2
+
+
+def test_bfs_distances_vs_python_spec():
+    """bfs_distances vs a sequential queue BFS on a hand graph with an
+    unreachable component, a multi-seed tie, and layout invariance."""
+    import collections
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import bfs_distances
+
+    # 0-1-2-3 chain, 4 hangs off 1; {5,6} separate component; 7 isolated
+    edges = [(0, 1), (1, 2), (2, 3), (1, 4), (5, 6)]
+    tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64())})
+
+    def spec(seeds):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        dist = {s: 0 for s in seeds}
+        q = collections.deque(seeds)
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return sorted(dist.items())
+
+    for seeds in ([0], [0, 3], [3, 5]):
+        got = (bfs_distances(rd.from_arrow(tbl).repartition(3), 8, seeds)
+               .to_pandas().sort_values("node"))
+        assert list(zip(got["node"], got["dist"])) == spec(seeds)
+
+
+def test_url_dedup_canonicalization():
+    """Spelling variants (scheme, www, case, trailing slash) collapse to
+    one canonical URL; counts and first_doc aggregate across docs."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.web import url_dedup
+
+    tbl = pa.table({
+        "doc_id": pa.array([5, 2, 9], pa.int64()),
+        "text": [
+            "x HTTP://WWW.A.example.com/p1 y https://a.example.com/p1/",
+            "z http://a.example.com/p1 w https://b.example.com/q",
+            "no urls here",
+        ]})
+    out = (url_dedup(rd.from_arrow(tbl).repartition(3)).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    got = list(zip(out["url"], out["n_urls"], out["n_docs"],
+                   out["first_doc"]))
+    assert got == [("a.example.com/p1", 3, 2, 2),
+                   ("b.example.com/q", 1, 1, 2)]
