@@ -1218,3 +1218,80 @@ def synth_corrupt_media(n: int, seed: int = 29) -> pa.Table:
             out.append(p)
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "payload": pa.array(out, pa.binary())})
+
+
+def synth_dup_audio(n: int, seed: int = 29) -> pa.Table:
+    """Deterministic audio corpus with PLANTED content duplicates for
+    fingerprint dedup: clips come in content groups of 1-3; within a
+    group the channel-0 sample stream is IDENTICAL (sampwidth pinned to
+    2 so stored ints match exactly) but the container differs — channel
+    count 1/2/3 (1-D input replicates, so channel 0 is unchanged) and
+    sample rate 8000/16000 — so whole-payload byte hashing misses every
+    planted pair while content fingerprinting catches them all."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                            "width", "height", "duration_ms")}
+    mid = 0
+    while mid < n:
+        body_n = int(rng.integers(600, 2000))
+        t = np.arange(body_n) / 8000.0
+        f1, f2 = rng.uniform(80, 900), rng.uniform(80, 900)
+        x = 0.4 * np.sin(2 * np.pi * f1 * t) \
+            + 0.3 * np.sin(2 * np.pi * f2 * t + 0.5)
+        n_copies = int(rng.integers(1, 4))
+        for c in range(n_copies):
+            if mid >= n:
+                break
+            rate = 8000 if (mid % 2) else 16000
+            payload = encode_wav(x, rate, sampwidth=2,
+                                 channels=1 + (c % 3))
+            rows["media_id"].append(mid)
+            rows["kind"].append("audio")
+            rows["payload"].append(payload)
+            rows["mime"].append("audio/wav")
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["duration_ms"].append(int(1000 * body_n / rate))
+            mid += 1
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioFingerprint:
+    """Actor-pool stage: WAV payload → content fingerprint row
+    (media_id, n_frames, e0, fp). The fingerprint is container-blind —
+    it sees only the channel-0 PCM stream: samples map to the common
+    16-bit grid (the AudioIntFeatures shift rule), frames of 256
+    samples (tail dropped) each yield an exact-int64 energy Σg², and
+    the fp packs the energy-RISE bits (E_f > E_{f-1}, MSB-first,
+    zero-padded to a byte) as hex; ``e0`` anchors the absolute level.
+    Equal sample streams always collide (the dedup contract); unequal
+    streams may — fingerprint equality IS the operator's near-dup
+    notion, like simhash. All arithmetic is exact integers, so a
+    per-byte sequential golden matches bit-for-bit."""
+
+    FRAME = 256
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        oid, onf, oe0, ofp = [], [], [], []
+        for mid, p in zip(tbl.column("media_id").to_pylist(),
+                          tbl.column("payload").to_pylist()):
+            x, _rate, sw = decode_wav_ints(p)
+            g = x << 8 if sw == 1 else x if sw == 2 \
+                else x >> 8 if sw == 3 else x >> 16
+            nf = len(g) // self.FRAME
+            e = (g[:nf * self.FRAME].astype(np.int64) ** 2
+                 ).reshape(nf, self.FRAME).sum(axis=1) if nf else \
+                np.zeros(0, np.int64)
+            bits = (e[1:] > e[:-1]).astype(np.uint8)
+            pad = (-len(bits)) % 8
+            packed = np.packbits(np.concatenate(
+                [bits, np.zeros(pad, np.uint8)])) if len(bits) else \
+                np.zeros(0, np.uint8)
+            oid.append(mid)
+            onf.append(nf)
+            oe0.append(int(e[0]) if nf else 0)
+            ofp.append(packed.tobytes().hex())
+        return pa.table({"media_id": pa.array(oid, pa.int64()),
+                         "n_frames": pa.array(onf, pa.int64()),
+                         "e0": pa.array(oe0, pa.int64()),
+                         "fp": pa.array(ofp, pa.string())})

@@ -2607,3 +2607,152 @@ def write_golden_knn_graph(sf_dir: str, *, k: int) -> str:
                     "dst": pa.array([r[1] for r in rows], pa.int64()),
                     "dot": pa.array([r[2] for r in rows], pa.int64())})
     return _write(tbl, "embed_knn_graph")
+
+
+def write_golden_audio_fp(n: int, seed: int) -> str:
+    """Expected fingerprints for ``dedup_audio_fp``: every clip decoded
+    by an independent per-byte RIFF walk (no stdlib ``wave``, no
+    numpy), energies accumulated as Python ints over sequential
+    256-sample frames on the common 16-bit grid, rise bits packed
+    MSB-first by hand. The dedup step itself is left to the REAL SQL
+    oracle (min(media_id) OVER the fingerprint partition)."""
+    from ..datapipe.multimodal import synth_dup_audio
+
+    media = synth_dup_audio(n, seed=seed)
+    rows = []
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("payload").to_pylist()):
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        pos, ch, bits, data = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = payload[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+            if cid == b"fmt ":
+                ch = int.from_bytes(body[2:4], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                data = body
+        sw = bits // 8
+        stride = sw * ch
+        nsamp = len(data) // stride
+        g = []
+        for f in range(nsamp):                  # channel 0, per byte
+            raw = data[f * stride:f * stride + sw]
+            if sw == 1:
+                v = (raw[0] - 128) << 8
+            elif sw == 2:
+                v = int.from_bytes(raw, "little", signed=True)
+            elif sw == 3:
+                u = raw[0] | (raw[1] << 8) | (raw[2] << 16)
+                v = (u - ((u >> 23) << 24)) >> 8
+            else:
+                v = int.from_bytes(raw, "little", signed=True) >> 16
+            g.append(v)
+        nf = nsamp // 256
+        e = []
+        for fr in range(nf):
+            s = 0
+            for v in g[fr * 256:(fr + 1) * 256]:
+                s += v * v
+            e.append(s)
+        bitlist = [1 if e[f] > e[f - 1] else 0 for f in range(1, nf)]
+        while len(bitlist) % 8:
+            bitlist.append(0)
+        fp = bytes(
+            sum(b << (7 - k) for k, b in enumerate(bitlist[i:i + 8]))
+            for i in range(0, len(bitlist), 8)).hex()
+        rows.append((mid, nf, e[0] if nf else 0, fp))
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_frames": pa.array([r[1] for r in rows], pa.int64()),
+        "e0": pa.array([r[2] for r in rows], pa.int64()),
+        "fp": pa.array([r[3] for r in rows], pa.string())})
+    return _write(tbl, "audio_fp")
+
+
+def write_golden_knn_graph_ivf(sf_dir: str, *, k: int, n_cells: int,
+                               sample_size: int, seed: int) -> str:
+    """Expected output of ``embed_knn_graph_ivf``: the
+    write_golden_embed_ivf sequential IVF spec (per-row grid loop,
+    SplitMix64 smallest sample, per-point Lloyd scans, ``>`` assignment
+    scans keeping the lowest cell) followed by a per-cell double-loop
+    mutual top-k with (dot desc, id asc) ties. Exact by the unit-grid
+    integer-dot construction."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import IVF_FIX, _splitmix64
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    unit = np.empty_like(vecs)
+    for i in range(len(vecs)):
+        g = np.rint(vecs[i] * IVF_FIX)
+        ss = sum(int(c) * int(c) for c in g)
+        n = float(np.sqrt(float(ss))) if ss else 1.0
+        unit[i] = np.rint(g / n * IVF_FIX)
+
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    samp_order = sorted(range(len(ids)),
+                        key=lambda i: (int(h[i]), int(ids[i])))
+    samp = [unit[i] for i in samp_order[:sample_size]]
+    cent = [samp[c].copy() for c in range(min(n_cells, len(samp)))]
+    for _ in range(8):
+        sums = [np.zeros(vecs.shape[1]) for _ in cent]
+        cnts = [0] * len(cent)
+        for v in samp:
+            best, best_s = 0, -np.inf
+            for c in range(len(cent)):
+                s = float(np.dot(v, cent[c]))
+                if s > best_s:
+                    best, best_s = c, s
+            sums[best] += v
+            cnts[best] += 1
+        for c in range(len(cent)):
+            if cnts[c]:
+                S = sums[c]
+                ss = sum(int(x) * int(x) for x in S)
+                if ss > 0:
+                    cent[c] = np.rint(S / np.sqrt(float(ss)) * IVF_FIX)
+
+    cells: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        best, best_s = 0, -np.inf
+        for c in range(len(cent)):
+            s = float(np.dot(unit[i], cent[c]))
+            if s > best_s:
+                best, best_s = c, s
+        cells.setdefault(best, []).append(i)
+
+    rows = []
+    for members in cells.values():
+        if len(members) < 2:
+            continue
+        topk = {}
+        dots = {}
+        for i in members:
+            cand = []
+            for j in members:
+                if j == i:
+                    continue
+                d = int(np.dot(unit[i].astype(np.int64),
+                               unit[j].astype(np.int64)))
+                cand.append((int(ids[j]), d))
+                dots[(int(ids[i]), int(ids[j]))] = d
+            cand.sort(key=lambda p: (-p[1], p[0]))
+            topk[int(ids[i])] = cand[:k]
+        for i in members:
+            a = int(ids[i])
+            for b, d in topk[a]:
+                if a < b and any(x == a for x, _ in topk[b]):
+                    rows.append((a, b, d))
+    rows.sort()
+    tbl = pa.table({"src": pa.array([r[0] for r in rows], pa.int64()),
+                    "dst": pa.array([r[1] for r in rows], pa.int64()),
+                    "dot": pa.array([r[2] for r in rows], pa.int64())})
+    return _write(tbl, "embed_knn_graph_ivf")

@@ -4356,6 +4356,31 @@ ORDER BY src, dst
 """
 
 
+def q_embed_knn_graph_ivf(sf_dir: str):
+    """Cell-restricted mutual k-NN graph (ann.py::knn_graph_ivf) — the
+    brute knn_graph's scale path: IVF cells partition the corpus (one
+    exchange row per vector, no block-pair replication), mutual top-k
+    runs within each cell on exact unit-grid dots. Hash-verified
+    against the sequential IVF + double-loop golden
+    (oracle/golden.py::write_golden_knn_graph_ivf)."""
+    from ..datapipe.ann import knn_graph_ivf
+    from ..oracle.golden import write_golden_knn_graph_ivf
+
+    write_golden_knn_graph_ivf(sf_dir, k=8, n_cells=8, sample_size=256,
+                               seed=5)
+    out = knn_graph_ivf(_embeds(sf_dir), k=8, n_cells=8,
+                        sample_size=256, seed=5).to_pandas()
+    out = _typed(out, {"src": "int64", "dst": "int64", "dot": "int64"})
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+SQL_EMBED_KNN_GRAPH_IVF_GOLDEN = """
+SELECT src, dst, dot
+FROM read_parquet('/tmp/sagan_ray_golden/embed_knn_graph_ivf.parquet')
+ORDER BY src, dst
+"""
+
+
 def q_embed_pq_topk(sf_dir: str):
     """Product-quantization ANN (ann.py::pq_topk): 8×8-code books on
     the fixed-point unit grid, per-batch ADC lookup scoring, global
@@ -5371,6 +5396,51 @@ SQL_MULTIMODAL_SCENES = """
 SELECT media_id, frame_idx, energy, is_cut
 FROM read_parquet('/tmp/sagan_ray_golden/multimodal_scenes.parquet')
 ORDER BY media_id, frame_idx
+"""
+
+
+def q_dedup_audio_fp(sf_dir: str):
+    """Container-blind audio content dedup: exact-integer energy-rise
+    fingerprints (multimodal.AudioFingerprint) over a corpus with
+    planted channel-count/rate container variants, then rep =
+    min(media_id) per fingerprint through the fp-keyed exchange.
+    The fingerprint math is gated against an independent per-byte
+    RIFF-walk golden; the dedup step is recomputed by the SQL's
+    window min over the golden's fingerprint columns."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
+    from ..datapipe.multimodal import AudioFingerprint, synth_dup_audio
+    from ..oracle.golden import write_golden_audio_fp
+
+    write_golden_audio_fp(150, seed=29)
+    tbl = synth_dup_audio(150, seed=29)
+    fps = rd.from_arrow(tbl).map_batches(
+        AudioFingerprint, batch_format="pyarrow", batch_size=32,
+        concurrency=2)
+
+    def rep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rep"] = df.groupby(["n_frames", "e0", "fp"],
+                               sort=False)["media_id"].transform("min")
+        return df.astype({"rep": "int64"})
+
+    schema = pa.schema([("media_id", pa.int64()),
+                        ("n_frames", pa.int64()), ("e0", pa.int64()),
+                        ("fp", pa.string()), ("rep", pa.int64())])
+    out = hash_group_apply(fps, ["n_frames", "e0", "fp"], rep_bucket,
+                           out_schema=schema).to_pandas()
+    out = _typed(out, {"media_id": "int64", "n_frames": "int64",
+                       "e0": "int64", "fp": "object", "rep": "int64"})
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+SQL_DEDUP_AUDIO_FP = """
+SELECT media_id, n_frames, e0, fp,
+       min(media_id) OVER (PARTITION BY n_frames, e0, fp) AS rep
+FROM read_parquet('/tmp/sagan_ray_golden/audio_fp.parquet')
+ORDER BY media_id
 """
 
 
@@ -7649,6 +7719,8 @@ QUERIES = {
     "embed_knn_graph": q_embed_knn_graph,
     "graph_bfs": q_graph_bfs,
     "web_url_dedup": q_web_url_dedup,
+    "dedup_audio_fp": q_dedup_audio_fp,
+    "embed_knn_graph_ivf": q_embed_knn_graph_ivf,
 }
 
 ORACLES = {
@@ -7861,4 +7933,6 @@ ORACLES = {
     "embed_knn_graph": SQL_EMBED_KNN_GRAPH_GOLDEN,
     "graph_bfs": SQL_GRAPH_BFS,
     "web_url_dedup": SQL_WEB_URL_DEDUP,
+    "dedup_audio_fp": SQL_DEDUP_AUDIO_FP,
+    "embed_knn_graph_ivf": SQL_EMBED_KNN_GRAPH_IVF_GOLDEN,
 }

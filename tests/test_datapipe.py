@@ -3742,3 +3742,69 @@ def test_url_dedup_canonicalization():
                    out["first_doc"]))
     assert got == [("a.example.com/p1", 3, 2, 2),
                    ("b.example.com/q", 1, 1, 2)]
+
+
+def test_audio_fingerprint_container_blind():
+    """Clips with identical channel-0 streams but different channel
+    counts / rates fingerprint identically; different content differs;
+    planted duplicates in synth_dup_audio land in shared rep groups."""
+    from sagan_ray.datapipe.multimodal import (AudioFingerprint,
+                                               encode_wav,
+                                               synth_dup_audio)
+
+    t = np.arange(1500) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 330 * t)
+    y = 0.5 * np.sin(2 * np.pi * 470 * t)
+    payloads = [encode_wav(x, 8000, sampwidth=2, channels=1),
+                encode_wav(x, 16000, sampwidth=2, channels=2),
+                encode_wav(x, 8000, sampwidth=2, channels=3),
+                encode_wav(y, 8000, sampwidth=2, channels=1)]
+    tbl = pa.table({"media_id": pa.array(range(4), pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    got = AudioFingerprint()(tbl).to_pandas()
+    keys = list(zip(got["n_frames"], got["e0"], got["fp"]))
+    assert keys[0] == keys[1] == keys[2]
+    assert keys[3] != keys[0]
+    assert len(set(payloads)) == 4           # byte hashing misses them
+    # synth corpus: content groups actually produce multi-clip groups
+    media = synth_dup_audio(60, seed=29)
+    fp = AudioFingerprint()(media.select(["media_id", "payload"])
+                            ).to_pandas()
+    sizes = fp.groupby(["n_frames", "e0", "fp"]).size()
+    assert (sizes > 1).any() and (sizes == 1).any()
+
+
+def test_knn_graph_ivf_recall_and_guard():
+    """Cell-restricted kNN graph: layout-invariant, high edge recall vs
+    the brute mutual graph on clustered data, and the max_cell skew
+    guard raises instead of doing m^2 on a mega-cell."""
+    import pytest
+    import ray.data as rd
+
+    from sagan_ray.datapipe.ann import knn_graph, knn_graph_ivf
+
+    rng = np.random.RandomState(5)
+    # 4 tight clusters of 50 in 16-d
+    centers = rng.uniform(-1, 1, (4, 16))
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((50, 16))
+                           for c in centers]).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                    "embedding": pa.array(list(vecs),
+                                          pa.list_(pa.float32()))})
+
+    def edges(fn, ds, **kw):
+        df = fn(ds, k=5, **kw).to_pandas()
+        return set(zip(df["src"], df["dst"]))
+
+    a = edges(knn_graph_ivf, rd.from_arrow(tbl), n_cells=4,
+              sample_size=64, seed=5)
+    b = edges(knn_graph_ivf, rd.from_arrow(tbl).repartition(7),
+              n_cells=4, sample_size=64, seed=5)
+    assert a == b
+    brute = edges(knn_graph, rd.from_arrow(tbl), n_blocks=3)
+    # on tightly clustered data nearly all mutual-kNN edges are
+    # within-cluster, so the cell restriction keeps most of them
+    assert len(a & brute) / len(brute) > 0.8
+    with pytest.raises((ValueError, Exception)):
+        knn_graph_ivf(rd.from_arrow(tbl), k=5, n_cells=2,
+                      sample_size=64, seed=5, max_cell=10).to_pandas()
