@@ -556,3 +556,70 @@ def bfs_distances(edges, n_nodes: int, seeds, *, max_rounds: int = 10000):
     nz = np.flatnonzero(visited)
     return rd.from_arrow(pa.table({"node": pa.array(nz, pa.int64()),
                                    "dist": pa.array(dist[nz], pa.int64())}))
+
+
+def label_propagation(edges, n_nodes: int, labels: np.ndarray,
+                      *, n_iters: int = 5):
+    """Semi-supervised label propagation over an undirected edge list —
+    the pseudo-labeling step that spreads a small seed-labeled set
+    (e.g. human-audited documents) across a kNN/link graph. ``labels``
+    is an (n_nodes,) int array, −1 = unlabeled; seed labels (≥ 0 on
+    input) are IMMUTABLE. Synchronous rounds: each node's next label is
+    the argmax neighbor-label vote count with ties → LOWEST label id;
+    a node with no labeled neighbor keeps its current label. Fixed
+    ``n_iters`` synchronous rounds make the result a pure function of
+    (edges, labels, n_iters) — vote counts are exact ints, so a
+    sequential per-edge golden matches bit-for-bit.
+
+    Shape (the pagerank pattern): per round, broadcast the label
+    vector (``ray.put``), one pass over edge blocks emits sparse
+    (node, label, count) vote partials (bounded by 2·edges per block,
+    collapsed by np.unique map-side), dense-folded on the driver
+    (|V|·|labels| ints — the same driver-state class as the rank
+    vector). Edges never re-shuffle. Returns (node, label) for all
+    nodes."""
+    import ray
+    import ray.data as rd
+
+    ded = dedup_undirected(edges)
+    lab = np.asarray(labels, dtype=np.int64).copy()
+    if len(lab) != n_nodes:
+        raise ValueError("labels must have n_nodes entries")
+    seed_mask = lab >= 0
+    n_labels = int(lab.max()) + 1 if seed_mask.any() else 0
+    if n_labels == 0:
+        nz = np.arange(n_nodes, dtype=np.int64)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nz, pa.int64()),
+            "label": pa.array(lab, pa.int64())}))
+
+    for _ in range(n_iters):
+        ref = ray.put(lab)
+
+        def part(tbl: pa.Table, *, _ref=ref) -> pa.Table:
+            lb = ray.get(_ref)
+            a = tbl.column("a").to_numpy(zero_copy_only=False)
+            b = tbl.column("b").to_numpy(zero_copy_only=False)
+            tgt = np.concatenate([a[lb[b] >= 0], b[lb[a] >= 0]])
+            src_lab = np.concatenate([lb[b][lb[b] >= 0],
+                                      lb[a][lb[a] >= 0]])
+            key, cnt = np.unique(tgt * np.int64(n_labels) + src_lab,
+                                 return_counts=True)
+            return pa.table({"key": pa.array(key, pa.int64()),
+                             "c": pa.array(cnt.astype(np.int64),
+                                           pa.int64())})
+
+        votes = np.zeros((n_nodes, n_labels), dtype=np.int64)
+        for t in ded.map_batches(part, batch_format="pyarrow",
+                                 batch_size=None).iter_batches(
+                                     batch_format="pyarrow"):
+            key = t.column("key").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            np.add.at(votes.reshape(-1), key, c)
+        has = votes.sum(axis=1) > 0
+        new = np.where(has, votes.argmax(axis=1), lab)
+        lab = np.where(seed_mask, lab, new).astype(np.int64)
+
+    nz = np.arange(n_nodes, dtype=np.int64)
+    return rd.from_arrow(pa.table({"node": pa.array(nz, pa.int64()),
+                                   "label": pa.array(lab, pa.int64())}))

@@ -76,3 +76,58 @@ def compact_corpus(in_dir: str, out_dir: str, *,
     return {"rows": int(rows), "files_in": files_in,
             "files_out": files_out, "bytes_in": bytes_in,
             "bytes_out": bytes_out, "rows_per_file": rows_per_file}
+
+
+def file_stats(path: str, key_col: str):
+    """Footer-only per-file audit — (file, n_rows, min_v, max_v) for
+    every parquet file under ``path``, read exclusively from file
+    metadata (row-group statistics), never the data pages: the
+    scan-planning pass that tells a 100-TB reader which files a key
+    predicate can skip, and the audit that PROVES a compaction's
+    ``order_by`` produced disjoint key ranges. One footer read per
+    file, fanned out as a Dataset over the file list; a real SQL
+    oracle recomputes the same numbers the hard way (full scan with
+    ``filename=true``). Raises if a footer lacks statistics for
+    ``key_col`` — an honest failure beats a silently-unprunable file."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    root = path.rstrip("/")
+    files = sorted(
+        f for f in _glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True) if os.path.isfile(f))
+
+    def part(batch: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = {"file": [], "n_rows": [], "min_v": [], "max_v": []}
+        for f in batch["item"]:
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == key_col:
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            raise ValueError(
+                                f"{f}: no min/max statistics for "
+                                f"{key_col!r}")
+                        mins.append(st.min)
+                        maxs.append(st.max)
+            if not mins:
+                raise ValueError(f"{f}: column {key_col!r} not found")
+            out["file"].append(os.path.relpath(f, root))
+            out["n_rows"].append(md.num_rows)
+            out["min_v"].append(min(mins))
+            out["max_v"].append(max(maxs))
+        return pa.table({"file": pa.array(out["file"], pa.string()),
+                         "n_rows": pa.array(out["n_rows"], pa.int64()),
+                         "min_v": pa.array(out["min_v"], pa.int64()),
+                         "max_v": pa.array(out["max_v"], pa.int64())})
+
+    return rd.from_items(files).map_batches(part, batch_size=64)

@@ -2756,3 +2756,72 @@ def write_golden_knn_graph_ivf(sf_dir: str, *, k: int, n_cells: int,
                     "dst": pa.array([r[1] for r in rows], pa.int64()),
                     "dot": pa.array([r[2] for r in rows], pa.int64())})
     return _write(tbl, "embed_knn_graph_ivf")
+
+
+def write_golden_label_prop(sf_dir: str, *, k: int, n_iters: int,
+                            seed_mod: int) -> str:
+    """Expected output of ``embed_label_prop``: the
+    write_golden_knn_graph sequential edge construction (per-row grid,
+    double-loop dots, (dot desc, id asc) top-k, mutual intersection)
+    followed by an explicit per-edge synchronous propagation loop with
+    Python-dict vote counts — argmax ties to the LOWEST label id, a
+    node with no labeled neighbor keeps its current label, seeds
+    (vec_id % seed_mod == 0) immutable."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.ann import _unit_grid
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    raw = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    true_lab = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, raw, true_lab = ids[order], raw[order], true_lab[order]
+    n = len(ids)
+    grid = np.empty_like(raw)
+    for i in range(n):
+        grid[i] = _unit_grid(raw[i:i + 1])[0]
+    gi = grid.astype(np.int64)
+
+    topk = {}
+    for i in range(n):
+        cand = []
+        for j in range(n):
+            if j != i:
+                cand.append((int(ids[j]), int(np.dot(gi[i], gi[j]))))
+        cand.sort(key=lambda p: (-p[1], p[0]))
+        topk[int(ids[i])] = [p[0] for p in cand[:k]]
+    adj: dict[int, list[int]] = {int(v): [] for v in ids}
+    for i in range(n):
+        a = int(ids[i])
+        for b in topk[a]:
+            if a < b and a in topk[b]:
+                adj[a].append(b)
+                adj[b].append(a)
+
+    lab = {int(ids[i]): (int(true_lab[i]) if ids[i] % seed_mod == 0
+                         else -1) for i in range(n)}
+    seeds = {v for v in lab if v % seed_mod == 0}
+    n_labels = max(lab.values()) + 1
+    for _ in range(n_iters):
+        new = {}
+        for v in lab:
+            votes = [0] * n_labels
+            for u in adj[v]:
+                if lab[u] >= 0:
+                    votes[lab[u]] += 1
+            if v in seeds or sum(votes) == 0:
+                new[v] = lab[v]
+            else:
+                best = 0
+                for c in range(1, n_labels):     # strict > keeps lowest
+                    if votes[c] > votes[best]:
+                        best = c
+                new[v] = best
+        lab = new
+    nodes = sorted(lab)
+    tbl = pa.table({"node": pa.array(nodes, pa.int64()),
+                    "label": pa.array([lab[v] for v in nodes],
+                                      pa.int64())})
+    return _write(tbl, "embed_label_prop")

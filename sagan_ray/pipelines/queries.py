@@ -1937,6 +1937,43 @@ SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id
 """
 
 
+def q_corpus_file_stats(sf_dir: str):
+    """Footer-only per-file stats audit (io/compact.py::file_stats):
+    documents sharded to many files, then (n_rows, min/max doc_id) per
+    file read from parquet METADATA alone — the scan-planning /
+    compaction-disjointness pass. The SQL oracle recomputes the same
+    numbers the expensive way (full scan with filename=true), so a
+    green hash row proves footer statistics match the data."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..io.compact import file_stats
+
+    base = "/tmp/sagan_ray_filestats"
+    shutil.rmtree(base, ignore_errors=True)
+    (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "n_chars"],
+                     override_num_blocks=8)
+     .write_parquet(f"{base}/in", max_rows_per_file=256))
+    out = _typed(file_stats(f"{base}/in", "doc_id").to_pandas(),
+                 {"file": "object", "n_rows": "int64",
+                  "min_v": "int64", "max_v": "int64"})
+    return out.sort_values("file").reset_index(drop=True)
+
+
+SQL_CORPUS_FILE_STATS = """
+WITH d AS (
+  SELECT doc_id,
+         replace(filename, '/tmp/sagan_ray_filestats/in/', '') AS file
+  FROM read_parquet('/tmp/sagan_ray_filestats/in/**/*.parquet',
+                    filename=true))
+SELECT file, count(*)::BIGINT AS n_rows,
+       min(doc_id) AS min_v, max(doc_id) AS max_v
+FROM d GROUP BY file ORDER BY file
+"""
+
+
 def q_table_validate(sf_dir: str):
     """Declarative constraint suite over documents
     (profile.validate_table): null / unique / range / regex / in-set
@@ -4378,6 +4415,42 @@ SQL_EMBED_KNN_GRAPH_IVF_GOLDEN = """
 SELECT src, dst, dot
 FROM read_parquet('/tmp/sagan_ray_golden/embed_knn_graph_ivf.parquet')
 ORDER BY src, dst
+"""
+
+
+def q_embed_label_prop(sf_dir: str):
+    """Semi-supervised label propagation (graph.py::label_propagation)
+    over the mutual kNN graph: every 4th vec_id keeps its true label as
+    an immutable seed, 5 synchronous majority-vote rounds spread labels
+    along the edges (broadcast label vector + sparse vote partials per
+    edge block). Hash-verified against a sequential per-edge golden
+    that rebuilds the same graph with double loops
+    (oracle/golden.py::write_golden_label_prop)."""
+    import pyarrow.parquet as _pq
+
+    from ..datapipe.ann import knn_graph
+    from ..datapipe.graph import label_propagation
+    from ..oracle.golden import write_golden_label_prop
+
+    write_golden_label_prop(sf_dir, k=8, n_iters=5, seed_mod=4)
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "label"])
+    ids = t.column("vec_id").to_numpy()
+    true_lab = t.column("label").to_numpy().astype("int64")
+    n_nodes = int(ids.max()) + 1
+    labels = np.full(n_nodes, -1, dtype=np.int64)
+    seeds = ids % 4 == 0
+    labels[ids[seeds]] = true_lab[seeds]
+    edges = knn_graph(_embeds(sf_dir), k=8, n_blocks=4)
+    out = label_propagation(edges, n_nodes, labels, n_iters=5).to_pandas()
+    out = _typed(out, {"node": "int64", "label": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_EMBED_LABEL_PROP_GOLDEN = """
+SELECT node, label
+FROM read_parquet('/tmp/sagan_ray_golden/embed_label_prop.parquet')
+ORDER BY node
 """
 
 
@@ -7721,6 +7794,8 @@ QUERIES = {
     "web_url_dedup": q_web_url_dedup,
     "dedup_audio_fp": q_dedup_audio_fp,
     "embed_knn_graph_ivf": q_embed_knn_graph_ivf,
+    "corpus_file_stats": q_corpus_file_stats,
+    "embed_label_prop": q_embed_label_prop,
 }
 
 ORACLES = {
@@ -7935,4 +8010,6 @@ ORACLES = {
     "web_url_dedup": SQL_WEB_URL_DEDUP,
     "dedup_audio_fp": SQL_DEDUP_AUDIO_FP,
     "embed_knn_graph_ivf": SQL_EMBED_KNN_GRAPH_IVF_GOLDEN,
+    "corpus_file_stats": SQL_CORPUS_FILE_STATS,
+    "embed_label_prop": SQL_EMBED_LABEL_PROP_GOLDEN,
 }

@@ -3808,3 +3808,31 @@ def test_knn_graph_ivf_recall_and_guard():
     with pytest.raises((ValueError, Exception)):
         knn_graph_ivf(rd.from_arrow(tbl), k=5, n_cells=2,
                       sample_size=64, seed=5, max_cell=10).to_pandas()
+
+
+def test_label_propagation_semantics():
+    """Hand graph: seeds immutable, majority vote with lowest-label
+    ties, isolated node stays unlabeled, convergence along a chain."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import label_propagation
+
+    # 0(seed L1)-1-2-3(seed L0); 4 isolated; 5(seed L0)-1 makes node
+    # 1 see votes {L1:1, L0:1} -> tie -> lowest label 0
+    edges = [(0, 1), (1, 2), (2, 3), (5, 1)]
+    tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64())})
+    labels = np.array([1, -1, -1, 0, -1, 0], dtype=np.int64)
+    out = (label_propagation(rd.from_arrow(tbl).repartition(2), 6,
+                             labels, n_iters=4)
+           .to_pandas().sort_values("node"))
+    got = dict(zip(out["node"], out["label"]))
+    assert got[0] == 1 and got[3] == 0 and got[5] == 0   # seeds fixed
+    assert got[4] == -1                                  # isolated
+    assert got[1] == 0                                   # tie -> lowest
+    # node 2 neighbors: 1 (becomes 0) and 3 (seed 0) -> 0
+    assert got[2] == 0
+    # zero iterations returns the input labels
+    out0 = (label_propagation(rd.from_arrow(tbl), 6, labels, n_iters=0)
+            .to_pandas().sort_values("node"))
+    assert list(out0["label"]) == list(labels)
