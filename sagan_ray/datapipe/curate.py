@@ -844,3 +844,99 @@ def filter_funnel(ds, *, text_col: str = "text",
     out["stage"] = out["stage_idx"].map(dict(enumerate(FUNNEL_STAGES)))
     out["n_docs"] = out["n_docs"].astype("int64")
     return out[[group_col, "stage_idx", "stage", "n_docs"]]
+
+
+def _pseudo_token(kind: str, value: str) -> str:
+    """kind + '_' + first 8 hex chars of md5(value) — shared spec with
+    the SQL oracle's ``kind || '_' || substr(md5(value), 1, 8)``."""
+    import hashlib
+
+    return f"{kind}_{hashlib.md5(value.encode('utf-8')).hexdigest()[:8]}"
+
+
+def pii_pseudonymize(ds, *, text_col: str = "text",
+                     id_cols: list[str] | None = None,
+                     patterns: list[tuple] | None = None):
+    """Consistent pseudonymization — the de-identification step when a
+    pipeline must keep REFERENTIAL structure that blanket redaction
+    (``pii_redact``) destroys: every PII occurrence maps to a
+    deterministic token (``email_3f2a9c01``), so the same address
+    yields the same token corpus-wide and cross-document joins,
+    frequency counts and co-occurrence analyses survive. Emits one row
+    per occurrence: (*id_cols, kind, value, pseudonym). Extraction
+    runs per kind on the ORIGINAL text (the SQL oracle's
+    regexp_extract_all semantics); one compiled-regex pass per kind
+    per batch over the NUL-joined flat buffer (the web.py discipline),
+    md5 once per DISTINCT value per batch. ``rewrite_pseudonyms``
+    applies the same tokens in-text."""
+    import re as _re
+
+    pats = [(n, p) for n, p, _ in
+            (PII_PATTERNS if patterns is None else patterns)]
+    ids = id_cols or ["doc_id"]
+    compiled = [(n, _re.compile(p)) for n, p in pats]
+
+    def f(tbl: pa.Table) -> pa.Table:
+        texts = [t or "" for t in
+                 pc.cast(tbl.column(text_col), pa.string()).to_pylist()]
+        joined = "\x00".join(texts)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens + 1)])[:-1]
+        rows, kinds, values = [], [], []
+        for kind, rx in compiled:
+            pos, vals = [], []
+            for m in rx.finditer(joined):
+                pos.append(m.start())
+                vals.append(m.group(0))
+            if pos:
+                r = np.searchsorted(starts, np.array(pos, np.int64),
+                                    side="right") - 1
+                rows.extend(r.tolist())
+                kinds.extend([kind] * len(vals))
+                values.extend(vals)
+        memo: dict[tuple, str] = {}
+        pseud = []
+        for k, v in zip(kinds, values):
+            t = memo.get((k, v))
+            if t is None:
+                t = memo[(k, v)] = _pseudo_token(k, v)
+            pseud.append(t)
+        out = {c: tbl.column(c).take(pa.array(rows, pa.int64()))
+               for c in ids}
+        out["kind"] = pa.array(kinds, pa.string())
+        out["value"] = pa.array(values, pa.string())
+        out["pseudonym"] = pa.array(pseud, pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rewrite_pseudonyms(ds, *, text_col: str = "text",
+                       id_cols: list[str] | None = None,
+                       patterns: list[tuple] | None = None):
+    """The in-text companion of ``pii_pseudonymize``: each kind's
+    pattern substitutes its per-match token, kinds applied
+    SEQUENTIALLY (so a later kind never re-matches an earlier kind's
+    token — tokens contain '_' which no pattern matches). Returns
+    (*id_cols, text_pseudo)."""
+    import re as _re
+
+    pats = [(n, p) for n, p, _ in
+            (PII_PATTERNS if patterns is None else patterns)]
+    ids = id_cols or ["doc_id"]
+    compiled = [(n, _re.compile(p)) for n, p in pats]
+
+    def f(tbl: pa.Table) -> pa.Table:
+        texts = [t or "" for t in
+                 pc.cast(tbl.column(text_col), pa.string()).to_pylist()]
+        out = []
+        for t in texts:
+            for kind, rx in compiled:
+                t = rx.sub(lambda m, _k=kind: _pseudo_token(_k,
+                                                            m.group(0)), t)
+            out.append(t)
+        cols = {c: tbl.column(c) for c in ids}
+        cols["text_pseudo"] = pa.array(out, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1745,3 +1745,63 @@ def cohort_matrix(ds, *, user_col: str = "user_id", ts_col: str = "ts"):
                    .astype("datetime64[us]"),
         "k": g["k"].astype("int64"),
         "n_users": g["n_users"].astype("int64")})
+
+
+def user_paths(ds, *, max_steps: int = 8, top: int = 20,
+               user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", id_col: str = "event_id"):
+    """Top journey paths: each user's first ``max_steps`` event types in
+    (ts, id) order joined with '>', counted across users, top ``top``
+    by (n_users desc, path asc) — the funnel-discovery report that
+    tells you which sequences actually happen before designing a
+    funnel query.
+
+    Shape: the user exchange delivers each user's stream whole to one
+    bucket (path assembly is exact there — one lexsort + prefix mask +
+    a per-user join over the bucket's users); per-bucket (path, n)
+    partials then cross a PATH-keyed exchange where counts complete,
+    and each path bucket forwards only its local top ``top`` — the
+    driver merges ≤ top·buckets rows. Path cardinality never
+    materializes anywhere in full."""
+    from .exchange import hash_group_apply
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        uid, ts = _uid_ts(df, user_col, ts_col)
+        eid = df[id_col].to_numpy()
+        et = df[type_col].to_numpy()
+        o = np.lexsort((eid, ts, uid))
+        uid, et = uid[o], et[o]
+        if not len(uid):
+            return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        new = np.concatenate([[True], uid[1:] != uid[:-1]])
+        start = np.repeat(np.flatnonzero(new),
+                          np.diff(np.concatenate(
+                              [np.flatnonzero(new), [len(uid)]])))
+        pos = np.arange(len(uid)) - start
+        keep = pos < max_steps
+        sub = pd.DataFrame({"u": uid[keep], "t": et[keep]})
+        paths = sub.groupby("u", sort=False)["t"].agg(">".join)
+        g = paths.value_counts()
+        return pd.DataFrame({"path": g.index.to_numpy(object),
+                             "n": g.to_numpy(np.int64)})
+
+    part_schema = pa.schema([("path", pa.string()), ("n", pa.int64())])
+    parts = hash_group_apply(ds, [user_col], assemble,
+                             out_schema=part_schema)
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("path", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "path"], ascending=[False, True],
+                          kind="mergesort").head(top)
+        return g.astype({"n": "int64"})
+
+    cand = hash_group_apply(parts, ["path"], count_bucket,
+                            out_schema=part_schema).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                             "n_users": pd.Series([], dtype="int64")})
+    out = (cand.sort_values(["n", "path"], ascending=[False, True],
+                            kind="mergesort").head(top)
+           .rename(columns={"n": "n_users"}))
+    return out.reset_index(drop=True)

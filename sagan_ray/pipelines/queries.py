@@ -2931,6 +2931,40 @@ def _build_sql_pii() -> str:
 SQL_PII_REDACT = _build_sql_pii()
 
 
+def q_pii_pseudonymize(sf_dir: str):
+    """Consistent pseudonymization mapping (curate.pii_pseudonymize):
+    one row per PII occurrence in the rendered transcripts with its
+    deterministic token kind_md5[:8] — same value, same token,
+    corpus-wide. REAL SQL oracle: per-kind regexp_extract_all on the
+    original text + DuckDB's own md5()."""
+    from ..datapipe.curate import pii_pseudonymize
+
+    out = pii_pseudonymize(_transcripts(sf_dir),
+                           id_cols=["conv_id", "turn_idx"]).to_pandas()
+    out = _typed(out, {"conv_id": "object", "turn_idx": "int64",
+                       "kind": "object", "value": "object",
+                       "pseudonym": "object"})
+    return (out.sort_values(["conv_id", "turn_idx", "kind", "value"])
+            .reset_index(drop=True))
+
+
+def _build_sql_pii_pseudo() -> str:
+    from ..datapipe.curate import PII_PATTERNS
+
+    arms = [
+        f"SELECT conv_id, turn_idx, '{name}' AS kind,\n"
+        f"       unnest(regexp_extract_all(text, '{pat}')) AS value "
+        f"FROM t"
+        for name, pat, _ in PII_PATTERNS]
+    return (_T + ", m AS (" + "\n  UNION ALL\n  ".join(arms) + ")\n"
+            "SELECT conv_id, turn_idx, kind, value,\n"
+            "       kind || '_' || substr(md5(value), 1, 8) AS pseudonym\n"
+            "FROM m ORDER BY conv_id, turn_idx, kind, value")
+
+
+SQL_PII_PSEUDONYMIZE = _build_sql_pii_pseudo()
+
+
 _SAMPLE_RATES = {"src0": 0.5, "src3": 0.25, "src7": 0.75}
 _SAMPLE_DEFAULT = 0.1
 
@@ -5249,6 +5283,38 @@ WITH s AS (
 SELECT t1, t2, t3, count(*)::BIGINT AS n
 FROM s WHERE t3 IS NOT NULL
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_events_paths(sf_dir: str):
+    """Top-20 user journey paths (events.py::user_paths): each user's
+    first 8 event types in (ts, id) order joined with '>', counted
+    across users through the user exchange then a path-keyed exchange
+    (per-bucket top-20 forwarding — path cardinality never
+    materializes). REAL SQL oracle: row_number + ordered string_agg +
+    the same (n desc, path asc) LIMIT."""
+    import ray.data as rd
+
+    from ..datapipe.events import user_paths
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    out = user_paths(ds, max_steps=8, top=20)
+    return out.astype({"path": "object", "n_users": "int64"})
+
+
+SQL_EVENTS_PATHS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM o WHERE rn <= 8 GROUP BY user_id)
+SELECT path, count(*)::BIGINT AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
 """
 
 
@@ -7796,6 +7862,8 @@ QUERIES = {
     "embed_knn_graph_ivf": q_embed_knn_graph_ivf,
     "corpus_file_stats": q_corpus_file_stats,
     "embed_label_prop": q_embed_label_prop,
+    "events_paths": q_events_paths,
+    "pii_pseudonymize": q_pii_pseudonymize,
 }
 
 ORACLES = {
@@ -8012,4 +8080,6 @@ ORACLES = {
     "embed_knn_graph_ivf": SQL_EMBED_KNN_GRAPH_IVF_GOLDEN,
     "corpus_file_stats": SQL_CORPUS_FILE_STATS,
     "embed_label_prop": SQL_EMBED_LABEL_PROP_GOLDEN,
+    "events_paths": SQL_EVENTS_PATHS,
+    "pii_pseudonymize": SQL_PII_PSEUDONYMIZE,
 }

@@ -3836,3 +3836,39 @@ def test_label_propagation_semantics():
     out0 = (label_propagation(rd.from_arrow(tbl), 6, labels, n_iters=0)
             .to_pandas().sort_values("node"))
     assert list(out0["label"]) == list(labels)
+
+
+def test_pii_pseudonymize_consistency_and_rewrite():
+    """Same value -> same token across docs and batches; rewrite
+    substitutes exactly the mapping's tokens; tokens never re-match a
+    later pattern."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.curate import (pii_pseudonymize,
+                                           rewrite_pseudonyms)
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["mail a@b.com then 10.0.0.1:80 and a@b.com again",
+                 "other c@d.org and a@b.com; user u123456",
+                 "clean"]})
+    ds = rd.from_arrow(tbl).repartition(3)
+    m = pii_pseudonymize(ds).to_pandas()
+    tok = dict(zip(m["value"], m["pseudonym"]))
+    # a@b.com appears 3x across 2 docs -> one token
+    ab = m[m["value"] == "a@b.com"]
+    assert len(ab) == 3 and ab["pseudonym"].nunique() == 1
+    assert all(p.startswith(k + "_") and len(p) == len(k) + 9
+               for k, p in zip(m["kind"], m["pseudonym"]))
+    r = (rewrite_pseudonyms(rd.from_arrow(tbl)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert r.loc[0, "text_pseudo"] == (
+        f"mail {tok['a@b.com']} then {tok['10.0.0.1:80']} and "
+        f"{tok['a@b.com']} again")
+    assert r.loc[2, "text_pseudo"] == "clean"
+    # a second pseudonymize pass over the rewritten text finds nothing
+    clean = pii_pseudonymize(
+        rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                "text": [r.loc[0, "text_pseudo"]]}))
+    ).to_pandas()
+    assert len(clean) == 0
