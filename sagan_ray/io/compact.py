@@ -24,6 +24,9 @@ from __future__ import annotations
 import os
 
 
+import numpy as np
+
+
 def _dir_stats(path: str) -> tuple[int, int]:
     """(total parquet bytes, file count) under ``path``."""
     total = files = 0
@@ -131,3 +134,80 @@ def file_stats(path: str, key_col: str):
                          "max_v": pa.array(out["max_v"], pa.int64())})
 
     return rd.from_items(files).map_batches(part, batch_size=64)
+
+
+_MANIFEST_MOD = 9223372036854775807            # 2^63 - 1, fits BIGINT
+
+
+def snapshot_manifest(path: str, cols: list[str]):
+    """Content manifest of a parquet directory — (file, n_rows,
+    content_hash) per file, where content_hash is the ORDER-FREE sum
+    (mod 2^63−1) of per-row fingerprints int(md5('|'.join(cols))[:15],
+    16): the change-detection index an incremental-ingest pipeline
+    keeps per snapshot so a re-crawl reships only files whose hash
+    moved. One task per file batch; the row fingerprint is md5 so a
+    REAL SQL oracle replays it (md5(concat_ws('|', ...)) — DuckDB and
+    hashlib agree byte-for-byte; ints CAST to plain digits on both
+    sides). md5-per-row is the price of SQL verifiability — for a
+    pure-speed manifest swap in hashing.hash_array_pure and a golden.
+    Pair with ``manifest_diff``."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    root = path.rstrip("/")
+    files = sorted(
+        f for f in _glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True) if os.path.isfile(f))
+
+    def part(batch: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = {"file": [], "n_rows": [], "content_hash": []}
+        for f in batch["item"]:
+            t = pq.read_table(f, columns=cols)
+            arrs = [t.column(c).to_pylist() for c in cols]
+            s = 0
+            for vals in zip(*arrs):
+                row = "|".join(str(v) for v in vals)
+                s += int(hashlib.md5(row.encode("utf-8"))
+                         .hexdigest()[:15], 16)
+            out["file"].append(os.path.relpath(f, root))
+            out["n_rows"].append(t.num_rows)
+            out["content_hash"].append(s % _MANIFEST_MOD)
+        return pa.table({"file": pa.array(out["file"], pa.string()),
+                         "n_rows": pa.array(out["n_rows"], pa.int64()),
+                         "content_hash": pa.array(out["content_hash"],
+                                                  pa.int64())})
+
+    return rd.from_items(files).map_batches(part, batch_size=16)
+
+
+def manifest_diff(old, new):
+    """Diff two manifests (anything ``to_pandas``-able with
+    file/n_rows/content_hash): one row per file that changed —
+    (file, status ∈ {added, removed, changed}, n_rows_old, n_rows_new).
+    Manifests are file-count-sized; this is a driver-side join by
+    design."""
+    import pandas as pd
+
+    o = old.to_pandas() if hasattr(old, "to_pandas") else old
+    n = new.to_pandas() if hasattr(new, "to_pandas") else new
+    m = o.merge(n, on="file", how="outer", suffixes=("_old", "_new"),
+                indicator=True)
+    status = np.where(
+        m["_merge"] == "left_only", "removed",
+        np.where(m["_merge"] == "right_only", "added",
+                 np.where(m["content_hash_old"] != m["content_hash_new"],
+                          "changed", "same")))
+    m = m.assign(status=status)
+    m = m[m["status"] != "same"]
+    out = pd.DataFrame({
+        "file": m["file"].to_numpy(object),
+        "status": m["status"].to_numpy(object),
+        "n_rows_old": m["n_rows_old"].fillna(-1).astype("int64"),
+        "n_rows_new": m["n_rows_new"].fillna(-1).astype("int64")})
+    return out.sort_values("file").reset_index(drop=True)

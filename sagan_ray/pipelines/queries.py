@@ -1974,6 +1974,85 @@ FROM d GROUP BY file ORDER BY file
 """
 
 
+def q_snapshot_manifest(sf_dir: str):
+    """Incremental-ingest change detection
+    (io/compact.py::snapshot_manifest + manifest_diff): two snapshot
+    dirs sharded from documents — v2 drops shard 0, adds shard 7, and
+    edits one column inside shard 3 — and the diff reports exactly the
+    added/removed/changed files from the ORDER-FREE md5 content sums.
+    REAL SQL oracle: both manifests recomputed with DuckDB's md5 over
+    the same files, FULL OUTER JOIN for the status logic."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..io.compact import manifest_diff, snapshot_manifest
+
+    base = "/tmp/sagan_ray_manifest"
+    shutil.rmtree(base, ignore_errors=True)
+    t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "source", "n_chars"])
+    t = t.sort_by("doc_id")
+    ids = t.column("doc_id").to_numpy()
+    import pyarrow.compute as _pc
+    for ver in ("v1", "v2"):
+        os.makedirs(f"{base}/{ver}", exist_ok=True)
+    # width 64 keeps every shard NON-empty (500 docs -> 8 shards):
+    # an empty parquet file appears in the Ray manifest but vanishes
+    # from the SQL's GROUP BY, so the fixture must not produce any
+    for k in range(8):
+        shard = t.filter((ids // 64) == k)
+        if k < 7:
+            _pq.write_table(shard, f"{base}/v1/shard{k}.parquet")
+        if k >= 1:
+            if k == 3:          # edit one column inside the shard
+                shard = shard.set_column(
+                    shard.schema.get_field_index("n_chars"), "n_chars",
+                    _pc.add(shard.column("n_chars"), 1))
+            _pq.write_table(shard, f"{base}/v2/shard{k}.parquet")
+    cols = ["doc_id", "source", "n_chars"]
+    out = manifest_diff(snapshot_manifest(f"{base}/v1", cols),
+                        snapshot_manifest(f"{base}/v2", cols))
+    return out.astype({"file": "object", "status": "object",
+                       "n_rows_old": "int64", "n_rows_new": "int64"})
+
+
+SQL_SNAPSHOT_MANIFEST = """
+WITH m1 AS (
+  SELECT replace(filename, '/tmp/sagan_ray_manifest/v1/', '') AS file,
+         count(*)::BIGINT AS n,
+         (sum(('0x' || substr(md5(concat_ws('|', doc_id, source,
+              n_chars)), 1, 15))::BIGINT)
+          % 9223372036854775807)::BIGINT AS h
+  FROM read_parquet('/tmp/sagan_ray_manifest/v1/*.parquet',
+                    filename=true)
+  GROUP BY 1),
+m2 AS (
+  SELECT replace(filename, '/tmp/sagan_ray_manifest/v2/', '') AS file,
+         count(*)::BIGINT AS n,
+         (sum(('0x' || substr(md5(concat_ws('|', doc_id, source,
+              n_chars)), 1, 15))::BIGINT)
+          % 9223372036854775807)::BIGINT AS h
+  FROM read_parquet('/tmp/sagan_ray_manifest/v2/*.parquet',
+                    filename=true)
+  GROUP BY 1),
+j AS (
+  SELECT coalesce(m1.file, m2.file) AS file,
+         m1.n AS n1, m2.n AS n2, m1.h AS h1, m2.h AS h2
+  FROM m1 FULL JOIN m2 ON m1.file = m2.file)
+SELECT file,
+       CASE WHEN n1 IS NULL THEN 'added'
+            WHEN n2 IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       coalesce(n1, -1) AS n_rows_old,
+       coalesce(n2, -1) AS n_rows_new
+FROM j
+WHERE n1 IS NULL OR n2 IS NULL OR h1 <> h2
+ORDER BY file
+"""
+
+
 def q_table_validate(sf_dir: str):
     """Declarative constraint suite over documents
     (profile.validate_table): null / unique / range / regex / in-set
@@ -7864,6 +7943,7 @@ QUERIES = {
     "embed_label_prop": q_embed_label_prop,
     "events_paths": q_events_paths,
     "pii_pseudonymize": q_pii_pseudonymize,
+    "snapshot_manifest": q_snapshot_manifest,
 }
 
 ORACLES = {
@@ -8082,4 +8162,5 @@ ORACLES = {
     "embed_label_prop": SQL_EMBED_LABEL_PROP_GOLDEN,
     "events_paths": SQL_EVENTS_PATHS,
     "pii_pseudonymize": SQL_PII_PSEUDONYMIZE,
+    "snapshot_manifest": SQL_SNAPSHOT_MANIFEST,
 }

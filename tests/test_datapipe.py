@@ -3872,3 +3872,40 @@ def test_pii_pseudonymize_consistency_and_rewrite():
                                 "text": [r.loc[0, "text_pseudo"]]}))
     ).to_pandas()
     assert len(clean) == 0
+
+
+def test_manifest_diff_statuses():
+    """snapshot_manifest + manifest_diff on tiny dirs: added / removed /
+    changed / same, order-free content hash (row order inside a file
+    does not change it), empty diff when nothing changed."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from sagan_ray.io.compact import manifest_diff, snapshot_manifest
+
+    base = "/tmp/sagan_ray_manifest_test"
+    shutil.rmtree(base, ignore_errors=True)
+    a = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["x", "y"]})
+    a_rev = pa.table({"doc_id": pa.array([2, 1], pa.int64()),
+                      "text": ["y", "x"]})
+    b = pa.table({"doc_id": pa.array([3], pa.int64()), "text": ["z"]})
+    b2 = pa.table({"doc_id": pa.array([3], pa.int64()), "text": ["Z"]})
+    os.makedirs(f"{base}/v1")
+    os.makedirs(f"{base}/v2")
+    pq.write_table(a, f"{base}/v1/a.parquet")
+    pq.write_table(b, f"{base}/v1/b.parquet")
+    pq.write_table(a_rev, f"{base}/v2/a.parquet")   # reordered -> same
+    pq.write_table(b2, f"{base}/v2/b.parquet")      # changed
+    pq.write_table(a, f"{base}/v2/c.parquet")       # added
+    cols = ["doc_id", "text"]
+    d = manifest_diff(snapshot_manifest(f"{base}/v1", cols),
+                      snapshot_manifest(f"{base}/v2", cols))
+    assert list(zip(d["file"], d["status"])) == [("b.parquet", "changed"),
+                                                 ("c.parquet", "added")]
+    assert list(d["n_rows_old"]) == [1, -1]
+    d0 = manifest_diff(snapshot_manifest(f"{base}/v1", cols),
+                       snapshot_manifest(f"{base}/v1", cols))
+    assert len(d0) == 0
