@@ -940,3 +940,48 @@ def rewrite_pseudonyms(ds, *, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sample_balanced(ds, *, label_col: str = "label",
+                    id_col: str = "vec_id", ds_counts=None):
+    """Class-balanced downsampling — every label keeps exactly
+    m = |smallest class| rows, chosen as the m smallest Knuth hashes
+    of the id (the ``sample_stratified`` hash spec, so selection is a
+    pure function of ids — resumable, blocking-independent, and
+    SQL-replicable via row_number over (hash, id)). The label-skew
+    equalizer a fine-tuning pipeline runs before training on
+    classification data. Returns (label_col, id_col, h, rk) rows.
+
+    Shape: one count pass (per-batch label partials, |labels|·blocks
+    driver rows) finds m; the selection itself is ``group_topk``
+    ascending on the hash — at most m rows per label per BLOCK cross
+    the exchange. ``ds_counts`` supplies a second Dataset over the
+    same input for the count pass (the branch-reexecution rule)."""
+
+    def count_part(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select([label_col]),
+                            label_col).aggregate([([], "count_all")])
+        return g.rename_columns([label_col, "n"])
+
+    src = ds_counts if ds_counts is not None else ds
+    counts = (src.map_batches(count_part, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+              .groupby(label_col)["n"].sum())
+    if counts.empty:
+        import pandas as pd
+
+        return pd.DataFrame({label_col: [], id_col: [], "h": [],
+                             "rk": []})
+    m = int(counts.min())
+
+    def add_hash(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * _KNUTH) % _MOD32
+        return pa.table({label_col: tbl.column(label_col),
+                         id_col: tbl.column(id_col),
+                         "h": pa.array(h.astype(np.int64), pa.int64())})
+
+    withh = ds.map_batches(add_hash, batch_format="pyarrow",
+                           batch_size=None)
+    return group_topk(withh, key_col=label_col, order_col="h", k=m,
+                      id_col=id_col, ascending=True)

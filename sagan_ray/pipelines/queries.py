@@ -3044,6 +3044,48 @@ def _build_sql_pii_pseudo() -> str:
 SQL_PII_PSEUDONYMIZE = _build_sql_pii_pseudo()
 
 
+def q_sample_balanced(sf_dir: str):
+    """Class-balanced downsampling (curate.sample_balanced): every
+    label keeps exactly |smallest class| rows, the ones with the
+    smallest Knuth id-hashes — count pass for m, then group_topk
+    ascending on the hash. REAL SQL oracle: row_number over (hash, id)
+    against the min class count."""
+    import ray.data as rd
+
+    from ..datapipe.curate import sample_balanced
+
+    def _e():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label"])
+
+    out = sample_balanced(_e(), label_col="label", id_col="vec_id",
+                          ds_counts=_e())
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = _typed(out, {"label": "int64", "vec_id": "int64",
+                       "h": "int64", "rk": "int64"})
+    return out.sort_values(["label", "rk"]).reset_index(drop=True)
+
+
+SQL_SAMPLE_BALANCED = """
+WITH c AS (
+  SELECT min(n) AS m FROM (
+    SELECT count(*) AS n FROM embeddings GROUP BY label)),
+h AS (
+  SELECT label, vec_id,
+         (vec_id * 2654435761) % 4294967296 AS h
+  FROM embeddings),
+r AS (
+  SELECT label, vec_id, h,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY h, vec_id) AS rk
+  FROM h)
+SELECT label::BIGINT AS label, vec_id, h, rk
+FROM r WHERE rk <= (SELECT m FROM c)
+ORDER BY label, rk
+"""
+
+
 _SAMPLE_RATES = {"src0": 0.5, "src3": 0.25, "src7": 0.75}
 _SAMPLE_DEFAULT = 0.1
 
@@ -7944,6 +7986,7 @@ QUERIES = {
     "events_paths": q_events_paths,
     "pii_pseudonymize": q_pii_pseudonymize,
     "snapshot_manifest": q_snapshot_manifest,
+    "sample_balanced": q_sample_balanced,
 }
 
 ORACLES = {
@@ -8163,4 +8206,5 @@ ORACLES = {
     "events_paths": SQL_EVENTS_PATHS,
     "pii_pseudonymize": SQL_PII_PSEUDONYMIZE,
     "snapshot_manifest": SQL_SNAPSHOT_MANIFEST,
+    "sample_balanced": SQL_SAMPLE_BALANCED,
 }

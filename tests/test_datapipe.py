@@ -3909,3 +3909,30 @@ def test_manifest_diff_statuses():
     d0 = manifest_diff(snapshot_manifest(f"{base}/v1", cols),
                        snapshot_manifest(f"{base}/v1", cols))
     assert len(d0) == 0
+
+
+def test_sample_balanced_equalizes_classes():
+    """Every class ends at exactly min-class size; selection is a pure
+    function of ids (block-layout invariant)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.curate import sample_balanced
+
+    tbl = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                    "label": pa.array([0] * 50 + [1] * 30 + [2] * 20,
+                                      pa.int64())})
+
+    def run(ds, dsc):
+        out = sample_balanced(ds, label_col="label", id_col="vec_id",
+                              ds_counts=dsc)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        return out.sort_values(["label", "rk"]).reset_index(drop=True)
+
+    a = run(rd.from_arrow(tbl), rd.from_arrow(tbl))
+    b = run(rd.from_arrow(tbl).repartition(7),
+            rd.from_arrow(tbl).repartition(3))
+    assert a.equals(b)
+    assert a.groupby("label").size().tolist() == [20, 20, 20]
+    # smallest class is kept whole
+    assert set(a[a["label"] == 2]["vec_id"]) == set(range(80, 100))
