@@ -7338,6 +7338,137 @@ ORDER BY event_type, day
 """
 
 
+def q_orders_late_shipments(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority where EXISTS a line item shipped more than 60 days after
+    the order date. Plan: lineitem collapses map-side to per-order MAX
+    shipdate partials (the EXISTS needs only the max), orders rows are
+    slim (key, date, priority); ONE side-tagged orderkey exchange folds
+    partials and tests the predicate, emitting per-priority count
+    partials — the driver folds |priorities|·buckets rows. All exact
+    int64 microsecond arithmetic."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    day_us = 86_400_000_000
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def li_part(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = tbl.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"k": k, "v": s}).groupby("k")["v"].max()
+        return pa.table({"k": pa.array(df.index.to_numpy(np.int64)),
+                         "v": pa.array(df.to_numpy(np.int64)),
+                         "pri": pa.array([""] * len(df), pa.string()),
+                         "side": pa.array(np.zeros(len(df), np.int8))})
+
+    def o_part(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": tbl.column("o_orderkey"),
+            "v": tbl.column("o_orderdate").cast(pa.int64()),
+            "pri": tbl.column("o_orderpriority"),
+            "side": pa.array(np.ones(tbl.num_rows, np.int8))})
+
+    sides = (li.map_batches(li_part, batch_format="pyarrow",
+                            batch_size=65536)
+             .union(orders.map_batches(o_part, batch_format="pyarrow",
+                                       batch_size=65536)))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["side"].to_numpy()
+        ship = (df.loc[side == 0].groupby("k")["v"].max())
+        o = df.loc[side == 1]
+        ms = ship.reindex(o["k"]).to_numpy()
+        late = np.nan_to_num(ms, nan=-np.inf) > \
+            o["v"].to_numpy() + 60 * day_us
+        g = (o.loc[late].groupby("pri").size()
+             .reset_index(name="n_orders"))
+        return g.astype({"n_orders": "int64"})
+
+    schema = pa.schema([("pri", pa.string()), ("n_orders", pa.int64())])
+    parts = hash_group_apply(sides, ["k"], bucket,
+                             out_schema=schema).to_pandas()
+    out = (parts.groupby("pri", as_index=False)["n_orders"].sum()
+           .rename(columns={"pri": "o_orderpriority"})
+           .astype({"o_orderpriority": "object", "n_orders": "int64"}))
+    return (out.sort_values("o_orderpriority").reset_index(drop=True))
+
+
+SQL_ORDERS_LATE_SHIPMENTS = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_orders_large_volume(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line-item quantity exceeds 300, with customer and price attributes.
+    Plan: lineitem pre-aggregates per-order quantity inside each batch,
+    the orderkey exchange completes the sums and filters > 300 (only
+    survivors leave their bucket), one hash join attaches the order
+    attributes. l_quantity is integral-valued, so the double sums are
+    exact in any fold order."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
+    from ..datapipe.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def li_part(tbl: pa.Table) -> pa.Table:
+        g = (pa.TableGroupBy(tbl, "l_orderkey")
+             .aggregate([("l_quantity", "sum")]))
+        return g.rename_columns(["o_orderkey", "q"])
+
+    def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False)["q"].sum()
+        return g[g["q"] > 300.0]
+
+    qty = hash_group_apply(
+        li.map_batches(li_part, batch_format="pyarrow",
+                       batch_size=65536),
+        ["o_orderkey"], sum_bucket,
+        out_schema=pa.schema([("o_orderkey", pa.int64()),
+                              ("q", pa.float64())]))
+    joined = hash_join(qty, orders, on="o_orderkey",
+                       left_cols=["q"],
+                       right_cols=["o_custkey", "o_totalprice"]
+                       ).to_pandas()
+    out = pd.DataFrame({
+        "o_custkey": joined["r_o_custkey"].astype("int64"),
+        "o_orderkey": joined["o_orderkey"].astype("int64"),
+        "o_totalprice": joined["r_o_totalprice"].astype("float64"),
+        "sum_qty": joined["q"].astype("float64")})
+    return (out.sort_values("o_orderkey").reset_index(drop=True))
+
+
+SQL_ORDERS_LARGE_VOLUME = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       sum(l_quantity) AS sum_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_custkey, o_orderkey, o_totalprice
+HAVING sum(l_quantity) > 300
+ORDER BY o_orderkey
+"""
+
+
 def q_orders_top_revenue(sf_dir: str):
     """TPC-H Q3 shape (shipping-priority top orders): BUILDING-segment
     customers, orders placed before the cutoff, revenue from line items
@@ -7987,6 +8118,8 @@ QUERIES = {
     "pii_pseudonymize": q_pii_pseudonymize,
     "snapshot_manifest": q_snapshot_manifest,
     "sample_balanced": q_sample_balanced,
+    "orders_late_shipments": q_orders_late_shipments,
+    "orders_large_volume": q_orders_large_volume,
 }
 
 ORACLES = {
@@ -8207,4 +8340,6 @@ ORACLES = {
     "pii_pseudonymize": SQL_PII_PSEUDONYMIZE,
     "snapshot_manifest": SQL_SNAPSHOT_MANIFEST,
     "sample_balanced": SQL_SAMPLE_BALANCED,
+    "orders_late_shipments": SQL_ORDERS_LATE_SHIPMENTS,
+    "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
 }
