@@ -321,3 +321,171 @@ def search_minhash_index(index_dir: str, query_ids, query_texts, *,
     return hash_group_apply(
         cands.map_batches(add_bucket, batch_format="pyarrow"),
         ["bucket"], verify, out_schema=out_schema)
+
+
+# ----------------------------------------------------------------------
+# persistent SimHash index (pigeonhole-banded Hamming search)
+# ----------------------------------------------------------------------
+
+N_SIM_BANDS = 4              # 4 x 16-bit bands over the 64-bit sig
+
+
+def build_simhash_index(ds, index_dir: str, *, text_col: str = "text",
+                        id_col: str = "doc_id") -> int:
+    """Persist a SimHash near-dup index: one row per (doc × band) with
+    the 16-bit band key as partition key and the full 64-bit signature
+    inline — so search probes only the partitions its queries hash
+    into AND verifies exact Hamming in the same pass (no second
+    store; the sig is 8 bytes, unlike MinHash's shingle sets).
+    Pigeonhole recall contract: with 4 bands, any pair at Hamming ≤ 3
+    shares at least one exact band key — search at max_hamming ≤ 3 is
+    EXACT, which is what lets the gate reuse the brute-force golden of
+    the in-line ``dedup_simhash``. Returns the doc count."""
+    from .dedup import _simhash64_batch
+
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+
+    def rows(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column(id_col).to_pylist(), np.int64)
+        s = _simhash64_batch(tbl.column(text_col).to_pylist())
+        n = len(ids)
+        bands = np.arange(N_SIM_BANDS, dtype=np.uint64)
+        s_rep = np.repeat(s, N_SIM_BANDS)
+        keys = ((s_rep >> np.tile(bands, n) * np.uint64(16))
+                & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "band": pa.array(np.tile(bands.astype(np.int32), n),
+                             pa.int32()),
+            "bucket": pa.array((keys & (N_KEY_BUCKETS - 1))
+                               .astype(np.int32), pa.int32()),
+            "key": pa.array(keys, pa.int64()),
+            id_col: pa.array(np.repeat(ids, N_SIM_BANDS), pa.int64()),
+            "sig": pa.array(s_rep, pa.uint64())})
+
+    src = ds.map_batches(rows, batch_format="pyarrow")
+    # sorted partitioned write — the measured 10x-files rule
+    (src.sort(["band", "bucket"])
+     .write_parquet(os.path.join(index_dir, "bands"),
+                    partition_cols=["band", "bucket"]))
+    n_docs = src.count() // N_SIM_BANDS
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump({"n_docs": int(n_docs), "id_col": id_col,
+                   "kind": "simhash"}, f)
+    return int(n_docs)
+
+
+def update_simhash_index(index_dir: str, new_ds, *,
+                         text_col: str = "text") -> int:
+    """Append new docs as new files inside the same content-keyed
+    partition dirs (search unions a partition's files → post-append
+    search ≡ rebuild over old ∪ new). Caller guarantees disjoint ids."""
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    tmp = index_dir + ".append"
+    built = build_simhash_index(new_ds, tmp, text_col=text_col,
+                                id_col=meta["id_col"])
+    _merge_partition_dirs(os.path.join(tmp, "bands"),
+                          os.path.join(index_dir, "bands"))
+    shutil.rmtree(tmp)
+    meta["n_docs"] = int(meta["n_docs"]) + built
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta["n_docs"]
+
+
+def search_simhash_index(index_dir: str, query_ids, query_texts, *,
+                         max_hamming: int = 3):
+    """All indexed docs within Hamming ≤ ``max_hamming`` of each query
+    signature — EXACT for max_hamming ≤ 3 (the 4-band pigeonhole).
+    Queries hash driver-side (small side by contract); only matching
+    (band, bucket) partition dirs are read; the probe pass verifies
+    popcount inline; one exchange dedups (query, doc) pairs (a pair
+    can hit several bands). Self-matches are NOT excluded. Returns a
+    Dataset (query_id, <id_col>, hamming)."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import _popcount_u64, _simhash64_batch
+
+    if max_hamming >= N_SIM_BANDS:
+        raise ValueError("recall guarantee requires max_hamming < 4")
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    qids = np.asarray(list(query_ids), np.int64)
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            (id_col, pa.int64()),
+                            ("hamming", pa.int64())])
+    if not len(qids):
+        return rd.from_arrow(out_schema.empty_table())
+    qsig = _simhash64_batch(list(query_texts))
+
+    per_band = {}
+    dirs = set()
+    for b in range(N_SIM_BANDS):
+        col = ((qsig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+               ).astype(np.int64)
+        order = np.argsort(col, kind="stable")
+        ks = col[order]
+        uk, first = np.unique(ks, return_index=True)
+        offs = np.concatenate([first, [len(ks)]]).astype(np.int64)
+        per_band[b] = (uk, offs, order.astype(np.int64))
+        for key in uk:
+            dirs.add(os.path.join(
+                index_dir, "bands", f"band={b}",
+                f"bucket={int(key) & (N_KEY_BUCKETS - 1)}"))
+    files = []
+    for d in sorted(dirs):
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, fn) for fn in sorted(os.listdir(d))
+                         if fn.endswith(".parquet"))
+    if not files:
+        return rd.from_arrow(out_schema.empty_table())
+
+    probe_ref = ray.put((qids, qsig, per_band))
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qi, qs, lut = ray.get(probe_ref)
+        band = pc.cast(tbl.column("band"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sig = tbl.column("sig").to_numpy(zero_copy_only=False
+                                         ).astype(np.uint64)
+        out_q, out_i, out_h = [], [], []
+        for b in np.unique(band):
+            uk, offs, qpos = lut[int(b)]
+            m = band == b
+            kk, idm, sgm = key[m], ids[m], sig[m]
+            pos = np.searchsorted(uk, kk)
+            pos[pos >= len(uk)] = 0
+            hit = uk[pos] == kk
+            if not hit.any():
+                continue
+            pos, idm, sgm = pos[hit], idm[hit], sgm[hit]
+            cnts = offs[pos + 1] - offs[pos]
+            total = int(cnts.sum())
+            cum = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            idx = (np.repeat(offs[pos], cnts)
+                   + np.arange(total) - np.repeat(cum, cnts))
+            qidx = qpos[idx]
+            d = _popcount_u64(qs[qidx] ^ np.repeat(sgm, cnts))
+            keep = d <= max_hamming
+            out_q.append(qi[qidx[keep]])
+            out_i.append(np.repeat(idm, cnts)[keep])
+            out_h.append(d[keep].astype(np.int64))
+        if not out_q:
+            return out_schema.empty_table()
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), pa.int64())})
+
+    return hash_group_apply(
+        rd.read_parquet(files).map_batches(probe, batch_format="pyarrow"),
+        ["query_id", id_col],
+        lambda g: g.drop_duplicates(subset=["query_id", id_col]),
+        out_schema=out_schema)

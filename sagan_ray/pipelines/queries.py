@@ -1645,6 +1645,42 @@ ORDER BY a, b
 """
 
 
+def q_dedup_simhash_index(sf_dir: str):
+    """Persistent SimHash index chain
+    (dedup_index.build/update/search_simhash_index): build on the
+    first half of documents, APPEND the rest, search every doc as a
+    query at Hamming ≤ 2 — exact by the 4-band pigeonhole, so the
+    a<b pair set must equal the in-line dedup_simhash's brute-force
+    golden bit-for-bit (the prove-index-≡-inline pattern)."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..datapipe.dedup_index import (build_simhash_index,
+                                        search_simhash_index,
+                                        update_simhash_index)
+    from ..oracle.golden import write_golden_simhash
+
+    write_golden_simhash(sf_dir, max_hamming=2)
+    idx = "/tmp/sagan_ray_simhash_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    mid = int(np.median(ids))
+    import ray.data as rd
+    build_simhash_index(rd.from_arrow(t.filter(ids < mid)), idx)
+    update_simhash_index(idx, rd.from_arrow(t.filter(ids >= mid)))
+    out = search_simhash_index(idx, t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist(),
+                               max_hamming=2).to_pandas()
+    out = out[out["query_id"] < out["doc_id"]].rename(
+        columns={"query_id": "a", "doc_id": "b"})
+    out = _typed(out, {"a": "int64", "b": "int64", "hamming": "int64"})
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            [["a", "b", "hamming"]])
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd k-means assignments over the embeddings table,
     hash-matched against a sequential per-row golden spec — exact
@@ -8120,6 +8156,7 @@ QUERIES = {
     "sample_balanced": q_sample_balanced,
     "orders_late_shipments": q_orders_late_shipments,
     "orders_large_volume": q_orders_large_volume,
+    "dedup_simhash_index": q_dedup_simhash_index,
 }
 
 ORACLES = {
@@ -8342,4 +8379,5 @@ ORACLES = {
     "sample_balanced": SQL_SAMPLE_BALANCED,
     "orders_late_shipments": SQL_ORDERS_LATE_SHIPMENTS,
     "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
+    "dedup_simhash_index": SQL_SIMHASH_GOLDEN,
 }

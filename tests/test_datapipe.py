@@ -3936,3 +3936,43 @@ def test_sample_balanced_equalizes_classes():
     assert a.groupby("label").size().tolist() == [20, 20, 20]
     # smallest class is kept whole
     assert set(a[a["label"] == 2]["vec_id"]) == set(range(80, 100))
+
+
+def test_simhash_index_append_equals_rebuild():
+    """search over build(A)+append(B) is bit-equal to build(A∪B);
+    self-matches at hamming 0; max_hamming >= 4 rejected (no recall
+    guarantee)."""
+    import shutil
+
+    import pytest
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup_index import (build_simhash_index,
+                                                search_simhash_index,
+                                                update_simhash_index)
+
+    texts = [f"alpha beta gamma delta {i % 4} epsilon zeta" for i in
+             range(24)]
+    tbl = pa.table({"doc_id": pa.array(range(24), pa.int64()),
+                    "text": texts})
+    i1, i2 = "/tmp/simhash_idx_a", "/tmp/simhash_idx_b"
+    for p in (i1, i2):
+        shutil.rmtree(p, ignore_errors=True)
+    build_simhash_index(rd.from_arrow(tbl), i1)
+    build_simhash_index(rd.from_arrow(tbl.slice(0, 12)), i2)
+    update_simhash_index(i2, rd.from_arrow(tbl.slice(12)))
+
+    def run(idx):
+        return (search_simhash_index(idx, [0, 5, 23], [texts[0],
+                                                       texts[5],
+                                                       texts[23]],
+                                     max_hamming=2).to_pandas()
+                .sort_values(["query_id", "doc_id"])
+                .reset_index(drop=True))
+
+    a, b = run(i1), run(i2)
+    assert a.equals(b) and len(a) > 0
+    self0 = a[(a["query_id"] == 0) & (a["doc_id"] == 0)]
+    assert len(self0) == 1 and self0["hamming"].iloc[0] == 0
+    with pytest.raises(ValueError):
+        search_simhash_index(i1, [0], [texts[0]], max_hamming=4)
