@@ -371,6 +371,26 @@ def run_bench() -> dict:
     timed("dedup_cdc_100k",
           lambda: cdc_chunk_stats(big_docs).count())
 
+    # ---- mutual kNN graph: brute block-pair at 20k, IVF-cell path at
+    # 50k (clustered corpus — the regime the cell restriction is for)
+    from sagan_ray.datapipe.ann import knn_graph, knn_graph_ivf
+
+    _rng = np.random.RandomState(7)
+    _centers = _rng.uniform(-1, 1, (64, 64))
+    _kv = (_centers[_rng.randint(0, 64, 50000)]
+           + 0.08 * _rng.standard_normal((50000, 64))).astype(np.float32)
+    _ktbl = pa.table({
+        "vec_id": pa.array(range(50000), pa.int64()),
+        "embedding": pa.array(list(_kv), pa.list_(pa.float32()))})
+    _kds = rd.from_arrow(_ktbl).repartition(32).materialize()
+    _kds20 = rd.from_arrow(_ktbl.slice(0, 20000)).repartition(
+        32).materialize()
+    timed("knn_graph_20k",
+          lambda: knn_graph(_kds20, k=10, n_blocks=16).count())
+    timed("knn_graph_ivf_50k",
+          lambda: knn_graph_ivf(_kds, k=10, n_cells=64,
+                                sample_size=4096).count())
+
     # ---- multimodal codec probe: 2k mixed media rows (BMP / PNG incl.
     # sub-byte + Adam7 / baseline + progressive JPEG / 8-32-bit WAV /
     # SGV frames) through the image actor pool + the AV probe stage —
