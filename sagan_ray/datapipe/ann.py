@@ -1883,3 +1883,46 @@ def knn_graph_ivf(ds, *, k: int = 8, n_cells: int = 16,
                            batch_size=65536)
     return hash_group_apply(parts, ["cell"], cell_bucket,
                             out_schema=schema)
+
+
+def ivf_index_stats(index_dir: str):
+    """Cell-balance report over a persisted IVF index — (cell, n_vecs,
+    n_files) per cell dir, read from parquet FOOTERS only (the
+    io/compact.py::file_stats discipline): the skew audit that tells
+    you when a mega-cell is eating your probe latency and it's time to
+    re-train with more cells (or that a compact is due — n_files grows
+    with appends). One metadata read per file, fanned out as a Dataset
+    over the file list."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    import ray.data as rd
+
+    files = []
+    for d in sorted(_glob.glob(os.path.join(index_dir, "cell=*"))):
+        m = _re.match(r".*cell=(\d+)$", d)
+        if not m:
+            continue
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                files.append((int(m.group(1)), os.path.join(d, fn)))
+
+    def part(batch: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        cells, rows = [], []
+        for cell, f in batch["item"]:
+            cells.append(cell)
+            rows.append(pq.read_metadata(f).num_rows)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(rows, pa.int64()),
+                         "f": pa.array(np.ones(len(cells), np.int64))})
+
+    parts = (rd.from_items(files).map_batches(part, batch_size=64)
+             .to_pandas())
+    out = (parts.groupby("cell", as_index=False)
+           .agg(n_vecs=("n", "sum"), n_files=("f", "sum"))
+           .astype({"cell": "int64", "n_vecs": "int64",
+                    "n_files": "int64"}))
+    return out.sort_values("cell").reset_index(drop=True)

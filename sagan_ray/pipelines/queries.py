@@ -5316,6 +5316,31 @@ def q_embed_ivf_index(sf_dir: str):
             [["query_id", "vec_id", "rank"]])
 
 
+def q_embed_ivf_stats(sf_dir: str):
+    """Cell-balance audit over the persisted IVF index
+    (ann.py::ivf_index_stats): per-cell vector/file counts read from
+    parquet FOOTERS only — the skew report that schedules re-training
+    or compaction. REAL SQL oracle: DuckDB recomputes the counts the
+    expensive way (full scan with hive partitioning)."""
+    from ..datapipe.ann import build_ivf_index, ivf_index_stats
+
+    idx = "/tmp/sagan_ray_index/ivf_stats"
+    build_ivf_index(_embeds(sf_dir), idx, n_cells=8, sample_size=4096,
+                    seed=5)
+    out = ivf_index_stats(idx)
+    return out.astype({"cell": "int64", "n_vecs": "int64",
+                       "n_files": "int64"})
+
+
+SQL_EMBED_IVF_STATS = """
+SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs,
+       count(DISTINCT filename)::BIGINT AS n_files
+FROM read_parquet('/tmp/sagan_ray_index/ivf_stats/cell=*/*.parquet',
+                  filename=true, hive_partitioning=true)
+GROUP BY cell ORDER BY cell
+"""
+
+
 def q_embed_ivfpq_index(sf_dir: str):
     """IVF-PQ search over a PERSISTED cell-partitioned residual-code
     index (ann.py::build_ivfpq_index/search_ivfpq_index, Jégou et al.
@@ -8157,6 +8182,7 @@ QUERIES = {
     "orders_late_shipments": q_orders_late_shipments,
     "orders_large_volume": q_orders_large_volume,
     "dedup_simhash_index": q_dedup_simhash_index,
+    "embed_ivf_stats": q_embed_ivf_stats,
 }
 
 ORACLES = {
@@ -8380,4 +8406,5 @@ ORACLES = {
     "orders_late_shipments": SQL_ORDERS_LATE_SHIPMENTS,
     "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
     "dedup_simhash_index": SQL_SIMHASH_GOLDEN,
+    "embed_ivf_stats": SQL_EMBED_IVF_STATS,
 }
