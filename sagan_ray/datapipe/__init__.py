@@ -28,6 +28,8 @@ from .dedup import (  # noqa: F401
     verify_pairs_jaccard,
 )
 from .graph import (  # noqa: F401
+    bfs_distances,
+    label_propagation,
     pagerank,
     synth_link_graph,
 )
@@ -44,6 +46,7 @@ from .web import (  # noqa: F401
     domain_stats,
     extract_urls,
     synth_web_docs,
+    url_dedup,
 )
 from .phash import (  # noqa: F401
     phash64,
@@ -53,6 +56,9 @@ from .phash import (  # noqa: F401
 )
 from .ann import (  # noqa: F401
     brute_force_topk,
+    ivf_index_stats,
+    knn_graph,
+    knn_graph_ivf,
     build_ivfpq_index,
     hard_negative_topk,
     build_pq_index,
@@ -87,7 +93,10 @@ from .curate import (  # noqa: F401
     split_by_cluster,
     group_topk,
     mix_sources,
+    pii_pseudonymize,
     pii_redact,
+    rewrite_pseudonyms,
+    sample_balanced,
     sample_bottomk,
     sample_per_group,
     sample_stratified,
@@ -98,6 +107,7 @@ from .curate import (  # noqa: F401
 )
 from .events import (  # noqa: F401
     cohort_retention,
+    user_paths,
     debounce,
     funnel_stages,
     props_key_agg,
