@@ -2089,6 +2089,47 @@ ORDER BY file
 """
 
 
+def q_corpus_zorder(sf_dir: str):
+    """Z-order compaction (io/compact.py::zorder_compact): documents
+    rewritten clustered by the Morton interleave of (n_chars, doc_id),
+    the 2-D file-pruning layout. The gate reads the rewritten corpus
+    back and checks every row's persisted Z-key against the SQL's
+    bit-exact replay of the interleave (generated per-bit shift
+    expression) — proving the rewrite is row-exact AND the key math
+    matches."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..io.compact import zorder_compact
+
+    base = "/tmp/sagan_ray_zorder"
+    shutil.rmtree(base, ignore_errors=True)
+    (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "n_chars"],
+                     override_num_blocks=8)
+     .write_parquet(f"{base}/in", max_rows_per_file=64))
+    res = zorder_compact(f"{base}/in", f"{base}/out", col_a="n_chars",
+                         col_b="doc_id", target_bytes=8 << 10)
+    assert res["files_out"] >= 1, res
+    out = rd.read_parquet(f"{base}/out").to_pandas()
+    out = _typed(out, {"doc_id": "int64", "n_chars": "int64",
+                       "_z": "int64"}).rename(columns={"_z": "z"})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_chars", "z"]])
+
+
+def _build_sql_zorder() -> str:
+    from ..io.compact import zorder_sql_expr
+
+    return (f"SELECT doc_id, n_chars, "
+            f"({zorder_sql_expr('n_chars', 'doc_id')}) AS z\n"
+            f"FROM documents ORDER BY doc_id")
+
+
+SQL_CORPUS_ZORDER = _build_sql_zorder()
+
+
 def q_table_validate(sf_dir: str):
     """Declarative constraint suite over documents
     (profile.validate_table): null / unique / range / regex / in-set
@@ -8183,6 +8224,7 @@ QUERIES = {
     "orders_large_volume": q_orders_large_volume,
     "dedup_simhash_index": q_dedup_simhash_index,
     "embed_ivf_stats": q_embed_ivf_stats,
+    "corpus_zorder": q_corpus_zorder,
 }
 
 ORACLES = {
@@ -8407,4 +8449,5 @@ ORACLES = {
     "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
     "dedup_simhash_index": SQL_SIMHASH_GOLDEN,
     "embed_ivf_stats": SQL_EMBED_IVF_STATS,
+    "corpus_zorder": SQL_CORPUS_ZORDER,
 }

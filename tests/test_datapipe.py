@@ -3976,3 +3976,46 @@ def test_simhash_index_append_equals_rebuild():
     assert len(self0) == 1 and self0["hamming"].iloc[0] == 0
     with pytest.raises(ValueError):
         search_simhash_index(i1, [0], [texts[0]], max_hamming=4)
+
+
+def test_zorder_improves_2d_pruning():
+    """Against a linear (a-sorted) layout, the Z-ordered rewrite lets a
+    predicate on the OTHER column prune files: fewer files' footer
+    [min,max] ranges overlap b in [8,15]."""
+    import shutil
+
+    import ray.data as rd
+
+    from sagan_ray.io.compact import (compact_corpus, file_stats,
+                                      zorder_compact, zorder_values)
+
+    base = "/tmp/sagan_ray_zorder_test"
+    shutil.rmtree(base, ignore_errors=True)
+    # 64x64 grid: every (a, b) pair once
+    a = np.repeat(np.arange(64), 64)
+    b = np.tile(np.arange(64), 64)
+    tbl = pa.table({"a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64())})
+    rd.from_arrow(tbl).repartition(8).write_parquet(
+        f"{base}/in", max_rows_per_file=256)
+    compact_corpus(f"{base}/in", f"{base}/lin", target_bytes=2 << 10,
+                   order_by="a")
+    zorder_compact(f"{base}/in", f"{base}/z", col_a="a", col_b="b",
+                   target_bytes=2 << 10)
+
+    def overlapping(path):
+        st = file_stats(path, "b").to_pandas()
+        return int(((st["min_v"] <= 15) & (st["max_v"] >= 8)).sum()), \
+            len(st)
+
+    lin_hit, lin_all = overlapping(f"{base}/lin")
+    z_hit, z_all = overlapping(f"{base}/z")
+    # z-order must prune a strictly larger FRACTION of files on the
+    # b predicate than the a-sorted layout (whose files mostly span b)
+    assert z_hit * lin_all < lin_hit * z_all
+    assert z_hit < z_all
+    # z key spec: interleave matches the naive per-bit loop
+    za = zorder_values(np.array([3]), np.array([5]))
+    want = sum(((3 >> i) & 1) << (2 * i) for i in range(16)) \
+        | sum(((5 >> i) & 1) << (2 * i + 1) for i in range(16))
+    assert za[0] == want
