@@ -489,3 +489,28 @@ def search_simhash_index(index_dir: str, query_ids, query_texts, *,
         ["query_id", id_col],
         lambda g: g.drop_duplicates(subset=["query_id", id_col]),
         out_schema=out_schema)
+
+
+def compact_simhash_index(index_dir: str) -> int:
+    """Rewrite the band partition tree into ~one file per partition
+    (appends accumulate small files; search unions them, so this is
+    pure layout maintenance — search is bit-equal before and after).
+    Returns the file count after compaction. Same tmp + atomic swap
+    stance as the corpus compactor."""
+    import ray.data as rd
+
+    bands_dir = os.path.join(index_dir, "bands")
+    tmp = bands_dir + ".compact"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (rd.read_parquet(bands_dir)
+     .sort(["band", "bucket"])
+     .write_parquet(tmp, partition_cols=["band", "bucket"]))
+    old = bands_dir + ".old"
+    os.replace(bands_dir, old)
+    os.replace(tmp, bands_dir)
+    shutil.rmtree(old)
+    n = 0
+    for _root, _dirs, files in os.walk(bands_dir):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

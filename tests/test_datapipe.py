@@ -4019,3 +4019,42 @@ def test_zorder_improves_2d_pruning():
     want = sum(((3 >> i) & 1) << (2 * i) for i in range(16)) \
         | sum(((5 >> i) & 1) << (2 * i + 1) for i in range(16))
     assert za[0] == want
+
+
+def test_compact_simhash_index_preserves_search():
+    """After several appends, compaction shrinks the file count and the
+    search result is bit-equal."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup_index import (build_simhash_index,
+                                                compact_simhash_index,
+                                                search_simhash_index,
+                                                update_simhash_index)
+
+    texts = [f"tok{i % 7} alpha beta gamma {i % 3}" for i in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": texts})
+    idx = "/tmp/simhash_idx_compact"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_simhash_index(rd.from_arrow(tbl.slice(0, 10)), idx)
+    for s in (10, 20, 30):
+        update_simhash_index(idx, rd.from_arrow(tbl.slice(s, 10)))
+
+    def run():
+        return (search_simhash_index(idx, [0, 39], [texts[0], texts[39]],
+                                     max_hamming=2).to_pandas()
+                .sort_values(["query_id", "doc_id"])
+                .reset_index(drop=True))
+
+    def nfiles():
+        return sum(1 for _r, _d, fs in os.walk(os.path.join(idx, "bands"))
+                   for f in fs if f.endswith(".parquet"))
+
+    before, files_before = run(), nfiles()
+    files_after = compact_simhash_index(idx)
+    after = run()
+    assert after.equals(before) and len(after) > 0
+    assert files_after < files_before and nfiles() == files_after
