@@ -88,7 +88,9 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
            rules_path: str | None = None,
            rule_variables: dict[str, str] | None = None,
            classifications: dict[str, int] | None = None,
-           shared_bits: str | None = None):
+           shared_bits: str | None = None,
+           lookups_paths: list[str] | None = None,
+           lookups_loader=None):
     """Follow loop: yields each non-empty poll result. ``max_polls`` /
     ``idle_polls_to_stop`` bound the loop for tests and batch drains
     (None = run forever, the FIFO blocking-read analog).
@@ -106,9 +108,29 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
     xbit-redis analog (reference src/xbit-redis.c): several CONCURRENT
     follow loops, each with its OWN out_dir/state_dir, observe each
     other's xbits through the named store at poll granularity (see
-    state/shared.py)."""
+    state/shared.py).
+
+    ``lookups_paths`` + ``lookups_loader``: the enrichment-reload
+    analog — the reference re-reads its processor data files
+    (blacklist, zeek intel, GeoIP) alongside the rules on SIGHUP
+    (reference src/sagan.c:729-799 reload block). When any listed
+    path's mtime changes between polls, ``lookups_loader()`` is called
+    to rebuild the Lookups and the new tables broadcast from that poll
+    on. A loader error is FATAL, matching the rules stance."""
     from ..rules.parser import parse_rules_file
     from ..state.snapshot import acquire_state_lock
+
+    if (lookups_paths is None) != (lookups_loader is None):
+        raise ValueError("follow: lookups_paths and lookups_loader "
+                         "go together")
+
+    def _lk_mtimes():
+        return tuple(os.stat(p).st_mtime_ns for p in lookups_paths)
+
+    lk_mtime = None
+    if lookups_loader is not None:
+        lookups = lookups_loader()
+        lk_mtime = _lk_mtimes()
 
     mtime: int | None = None
     if rules_path is not None:
@@ -131,6 +153,11 @@ def follow(input_dir: str, out_dir: str, ruleset: RuleSet | None = None,
                     ruleset = parse_rules_file(rules_path, rule_variables,
                                                classifications)
                     mtime = m
+            if lookups_loader is not None:
+                lm = _lk_mtimes()
+                if lm != lk_mtime:
+                    lookups = lookups_loader()
+                    lk_mtime = lm
             res = poll_once(input_dir, out_dir, ruleset, lookups, config,
                             shared_bits=shared_bits)
             polls += 1

@@ -339,3 +339,63 @@ def test_state_dir_lock_blocks_concurrent_writer(tmp_path):
     out = subprocess.run([sys.executable, "-c", probe],
                          capture_output=True, text=True, timeout=60)
     assert out.stdout.strip() == "ACQUIRED", out.stderr
+
+
+def test_follow_loop_lookups_reload(tmp_path):
+    """Enrichment-reload analog (the reference re-reads blacklist /
+    intel files on SIGHUP alongside the rules): a blacklist file edit
+    between polls changes which source IPs alert from the next poll
+    on."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from sagan_ray.config import Lookups
+    from sagan_ray.functions.ip import CidrTable
+    from sagan_ray.sources.stream import follow
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"bl"; content:"beacon"; '
+        "parse_src_ip:1; blacklist: by_src; sid:7;)\n")
+    bl_path = tmp_path / "blacklist.txt"
+    bl_path.write_text("10.0.0.0/24\n")
+
+    def loader():
+        entries = [(line.strip(), "1")
+                   for line in bl_path.read_text().splitlines()
+                   if line.strip()]
+        return Lookups(blacklist=CidrTable(entries))
+
+    pq.write_table(mk([("a", 0, "beacon from 10.0.0.5", 0),
+                       ("a", 1, "beacon from 192.168.1.5", 1)]),
+                   str(in_dir / "p0.parquet"))
+    res = list(follow(str(in_dir), str(out_dir), rules, None,
+                      EngineConfig(), poll_seconds=0.01,
+                      idle_polls_to_stop=1,
+                      lookups_paths=[str(bl_path)],
+                      lookups_loader=loader))
+    assert res and res[0]["routed"] == 1        # only the 10.0.0.5 row
+
+    # swap the blacklist: now the OTHER network is listed
+    bl_path.write_text("192.168.1.0/24\n")
+    os.utime(bl_path, ns=(time.time_ns(), time.time_ns()))
+    pq.write_table(mk([("a", 2, "beacon from 10.0.0.5", 2),
+                       ("a", 3, "beacon from 192.168.1.5", 3)]),
+                   str(in_dir / "p1.parquet"))
+    res2 = list(follow(str(in_dir), str(out_dir), rules, None,
+                       EngineConfig(), poll_seconds=0.01,
+                       idle_polls_to_stop=1,
+                       lookups_paths=[str(bl_path)],
+                       lookups_loader=loader))
+    assert res2 and res2[0]["routed"] == 1
+
+    alert_dir = out_dir / "alerts"
+    hits = set()
+    for f in os.listdir(alert_dir):
+        for r in pq.read_table(os.path.join(alert_dir, f)).to_pylist():
+            hits.add((r["conv_id"], r["turn_idx"]))
+    assert hits == {("a", 0), ("a", 3)}
