@@ -2089,6 +2089,59 @@ ORDER BY file
 """
 
 
+_LINES_PATH = "/tmp/sagan_ray_golden/multiline_docs.parquet"
+
+
+def q_text_line_filter(sf_dir: str):
+    """C4-style line-level cleaning (datapipe/lines.py::line_filter):
+    per document the line counts before/after the prose predicates
+    (≥3 words, terminal punctuation, not all-caps) plus the re-joined
+    cleaned text. REAL SQL oracle: DuckDB string_split + the same RE2
+    predicates per line + ordered string_agg over the same parquet."""
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..datapipe.lines import line_filter, synth_multiline_docs
+
+    os.makedirs(os.path.dirname(_LINES_PATH), exist_ok=True)
+    tmp = _LINES_PATH + ".tmp"
+    _pq.write_table(synth_multiline_docs(3000, seed=31), tmp)
+    os.replace(tmp, _LINES_PATH)
+    out = line_filter(rd.read_parquet(_LINES_PATH)).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "n_lines": "int64",
+                       "n_kept": "int64", "text_clean": "object"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_LINE_FILTER = r"""
+WITH docs AS (
+  SELECT * FROM read_parquet(
+    '/tmp/sagan_ray_golden/multiline_docs.parquet')),
+ll AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+lz AS (
+  SELECT doc_id,
+         unnest(list_zip(ls, generate_series(1, len(ls)))) AS z
+  FROM ll),
+l AS (
+  SELECT doc_id, z[1] AS line, z[2] AS ord FROM lz),
+k AS (
+  SELECT doc_id, line, ord,
+         (len(regexp_extract_all(line, '\S+')) >= 3
+          AND regexp_matches(line, '[.!?"]$')
+          AND NOT (line = upper(line)
+                   AND regexp_matches(line, '[A-Za-z]'))) AS keep
+  FROM l)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       count(*) FILTER (keep)::BIGINT AS n_kept,
+       coalesce(string_agg(line, chr(10) ORDER BY ord) FILTER (keep),
+                '') AS text_clean
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_corpus_zorder(sf_dir: str):
     """Z-order compaction (io/compact.py::zorder_compact): documents
     rewritten clustered by the Morton interleave of (n_chars, doc_id),
@@ -8225,6 +8278,7 @@ QUERIES = {
     "dedup_simhash_index": q_dedup_simhash_index,
     "embed_ivf_stats": q_embed_ivf_stats,
     "corpus_zorder": q_corpus_zorder,
+    "text_line_filter": q_text_line_filter,
 }
 
 ORACLES = {
@@ -8450,4 +8504,5 @@ ORACLES = {
     "dedup_simhash_index": SQL_SIMHASH_GOLDEN,
     "embed_ivf_stats": SQL_EMBED_IVF_STATS,
     "corpus_zorder": SQL_CORPUS_ZORDER,
+    "text_line_filter": SQL_TEXT_LINE_FILTER,
 }

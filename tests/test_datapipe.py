@@ -4058,3 +4058,29 @@ def test_compact_simhash_index_preserves_search():
     after = run()
     assert after.equals(before) and len(after) > 0
     assert files_after < files_before and nfiles() == files_after
+
+
+def test_line_filter_predicates():
+    """Each predicate arm against a hand-built doc; cleaned text keeps
+    original order; all-dropped doc yields empty string."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import line_filter
+
+    doc = "\n".join([
+        "good line stays here.",        # kept
+        "too short.",                   # < 3 words
+        "no terminal punctuation here", # no punct
+        "THIS IS SHOUTING LOUDLY!",     # all-caps
+        "1 2 3 4!",                     # no letters -> caps rule off, kept
+        "",                             # empty
+        'quoted ending works fine."',   # kept
+    ])
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": [doc, "DROP ME NOW!"]})
+    out = (line_filter(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_lines"] == 7 and out.loc[0, "n_kept"] == 3
+    assert out.loc[0, "text_clean"] == (
+        "good line stays here.\n1 2 3 4!\nquoted ending works fine.\"")
+    assert out.loc[1, "n_kept"] == 0 and out.loc[1, "text_clean"] == ""
