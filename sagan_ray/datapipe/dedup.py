@@ -2048,3 +2048,119 @@ def dup_growth(ds, edges, *, text_col: str = "text",
                                    .fillna(0).astype("int64"))
     out["n_dups"] = out["n_docs"] - out["n_unique"]
     return out.sort_values("i").reset_index(drop=True)
+
+
+def minhash_calibration(ds_factory, *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        n_perm: int = 64, bands: int = 16,
+                        seed: int = 1234, max_band: int = 8192):
+    """Estimate-vs-exact calibration of the MinHash family — for every
+    banded CANDIDATE pair, the signature agreement count
+    (``matches`` of ``n_perm`` — E[matches]/n_perm = Jaccard) next to
+    the EXACT shingle Jaccard: the report that tells you where to set
+    ``threshold``/``bands`` before trusting the dedup at corpus scale.
+    ``ds_factory`` is a zero-arg callable returning a fresh Dataset per
+    pass (the branch-reexecution rule — three passes read the text).
+
+    Shape: the candidate pairs come from the in-line banding; one
+    doc-keyed exchange attaches each candidate doc's signature AND
+    packed shingle set to its pair rows; one pair-keyed exchange folds
+    the two sides into (matches, jaccard) — a single int/int division
+    in lockstep with the SQL's i/(sa+sb−i). Driver holds only the
+    pairs-sized report. Returns (a, b, matches, jaccard) sorted."""
+    from .exchange import hash_group_apply
+
+    a_p, b_p = _minhash_params(n_perm, seed)
+    cands = minhash_lsh_candidates(
+        ds_factory(), text_col=text_col, id_col=id_col, k=k,
+        n_perm=n_perm, bands=bands, seed=seed,
+        max_band=max_band).materialize()
+
+    side_schema = pa.schema([("key", pa.int64()), ("a", pa.int64()),
+                             ("b", pa.int64()), ("sig", pa.binary()),
+                             ("sh", pa.binary())])
+
+    def doc_rows(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column(id_col).to_pylist(), np.int64)
+        texts = tbl.column(text_col).to_pylist()
+        all_sh = _shingle_hashes_batch(texts, k)
+        sigs, shs = [], []
+        n = len(ids)
+        for i in range(n):
+            sigs.append(_signature(all_sh[i], a_p, b_p).tobytes())
+            shs.append(np.unique(all_sh[i]).tobytes())
+        return pa.table({"key": pa.array(ids, pa.int64()),
+                         "a": pa.array(np.full(n, -1, np.int64)),
+                         "b": pa.array(np.full(n, -1, np.int64)),
+                         "sig": pa.array(sigs, pa.binary()),
+                         "sh": pa.array(shs, pa.binary())})
+
+    def pair_rows(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                         "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                         "sig": pa.array([None] * len(key), pa.binary()),
+                         "sh": pa.array([None] * len(key), pa.binary())})
+
+    sides = (ds_factory().map_batches(doc_rows, batch_format="pyarrow",
+                                      batch_size=None)
+             .union(cands.map_batches(pair_rows, batch_format="pyarrow",
+                                      batch_size=None)))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["a"] < 0].set_index("key")
+        pairs = df[df["a"] >= 0]
+        if not len(pairs):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "sig": pd.Series([], dtype="object"),
+                                 "sh": pd.Series([], dtype="object")})
+        sig = docs["sig"].reindex(pairs["key"]).to_numpy(object)
+        sh = docs["sh"].reindex(pairs["key"]).to_numpy(object)
+        return pd.DataFrame({"a": pairs["a"].to_numpy(np.int64),
+                             "b": pairs["b"].to_numpy(np.int64),
+                             "sig": sig, "sh": sh})
+
+    att_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("sig", pa.binary()), ("sh", pa.binary())])
+    attached = hash_group_apply(sides, ["key"], attach,
+                                out_schema=att_schema)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a", "b"], kind="mergesort")
+        aa = df["a"].to_numpy(np.int64)
+        bb = df["b"].to_numpy(np.int64)
+        if len(df) % 2 or not (np.array_equal(aa[0::2], aa[1::2])
+                               and np.array_equal(bb[0::2], bb[1::2])):
+            raise ValueError("calibration fold: a pair is missing a side")
+        # matches: one reshape + vectorized compare over all pairs
+        S = np.frombuffer(b"".join(df["sig"].tolist()),
+                          np.uint64).reshape(len(df), n_perm)
+        matches = (S[0::2] == S[1::2]).sum(axis=1).astype(np.int64)
+        # exact Jaccard: the per-pair sorted-array intersect stays a
+        # loop (variable-length sets — verify_pairs_jaccard cost class)
+        sh = df["sh"].tolist()
+        jac = np.empty(len(df) // 2, np.float64)
+        for i in range(0, len(df), 2):
+            h1 = np.frombuffer(sh[i], np.uint64)
+            h2 = np.frombuffer(sh[i + 1], np.uint64)
+            inter = len(np.intersect1d(h1, h2, assume_unique=True))
+            denom = len(h1) + len(h2) - inter
+            jac[i // 2] = inter / denom if denom else 1.0
+        return pd.DataFrame({"a": aa[0::2], "b": bb[0::2],
+                             "matches": matches, "jaccard": jac})
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("matches", pa.int64()),
+                            ("jaccard", pa.float64())])
+    out = hash_group_apply(attached, ["a", "b"], fold,
+                           out_schema=out_schema).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "matches": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

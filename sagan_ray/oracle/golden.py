@@ -2825,3 +2825,50 @@ def write_golden_label_prop(sf_dir: str, *, k: int, n_iters: int,
                     "label": pa.array([lab[v] for v in nodes],
                                       pa.int64())})
     return _write(tbl, "embed_label_prop")
+
+
+def write_golden_minhash_calibration(sf_dir: str, *, k: int, n_perm: int,
+                                     bands: int, seed: int) -> str:
+    """Expected (a, b, matches) for ``dedup_minhash_calibration``: a
+    sequential replay — per-row shingles + ``_signature`` (the spec
+    function, as in every minhash golden), per-row band keys via the
+    shared key kernel on a 1-row matrix (elementwise uint64, identical
+    to the batched call), an explicit dict-of-buckets candidate scan,
+    and a per-pair Python count of agreeing permutations. The exact
+    Jaccard column is left to the REAL SQL side (the dedup_minhash
+    shingle CTE recomputes it from the same parquet)."""
+    import pyarrow.parquet as pq
+
+    from ..datapipe.dedup import (_band_keys_from_sigs, _minhash_params,
+                                  _shingle_hashes, _signature)
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    a_p, b_p = _minhash_params(n_perm, seed)
+
+    sigs = {}
+    buckets: dict[tuple, list[int]] = {}
+    for i, did in enumerate(ids):
+        sig = _signature(_shingle_hashes(texts[i] or "", k), a_p, b_p)
+        sigs[did] = sig
+        keys = _band_keys_from_sigs(sig[None, :], bands)[0]
+        for band in range(bands):
+            buckets.setdefault((band, int(keys[band])), []).append(did)
+
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
+
+    rows = []
+    for a, b in sorted(pairs):
+        m = sum(1 for p in range(n_perm) if sigs[a][p] == sigs[b][p])
+        rows.append((a, b, m))
+    tbl = pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
+                    "b": pa.array([r[1] for r in rows], pa.int64()),
+                    "matches": pa.array([r[2] for r in rows], pa.int64())})
+    return _write(tbl, "minhash_calibration")

@@ -1491,6 +1491,60 @@ ORDER BY a, b
 """
 
 
+def q_dedup_minhash_calibration(sf_dir: str):
+    """MinHash estimate-vs-exact calibration
+    (dedup.minhash_calibration): for every banded candidate pair the
+    signature agreement count and the exact shingle Jaccard — the
+    banding/threshold tuning report. Hybrid oracle: the matches column
+    comes from a sequential golden replay (signatures are not SQL-
+    expressible), the Jaccard column from the REAL dedup_minhash
+    shingle CTE LEFT-joined to it (zero-intersection candidates keep
+    their row at jaccard 0)."""
+    from ..datapipe.dedup import minhash_calibration
+    from ..oracle.golden import write_golden_minhash_calibration
+
+    write_golden_minhash_calibration(sf_dir, k=3, n_perm=64, bands=16,
+                                     seed=1234)
+    out = minhash_calibration(lambda: _docs(sf_dir))
+    return out.astype({"a": "int64", "b": "int64", "matches": "int64",
+                       "jaccard": "float64"})
+
+
+SQL_DEDUP_MINHASH_CALIBRATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, chr(1)) AS s FROM toks
+  WHERE len(w) < 3
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+g AS (SELECT * FROM
+      read_parquet('/tmp/sagan_ray_golden/minhash_calibration.parquet')),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT g.a, g.b, g.matches,
+       coalesce(i.i, 0)::DOUBLE
+         / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jaccard
+FROM g
+LEFT JOIN inter i ON i.a = g.a AND i.b = g.b
+JOIN sizes sa ON sa.doc_id = g.a
+JOIN sizes sb ON sb.doc_id = g.b
+ORDER BY g.a, g.b
+"""
+
+
 def q_docs_shuffle(sf_dir: str):
     """Deterministic global shuffle into 8 training shards (hash-ranked
     positions — reproducible shuffled sharding for dataloaders),
@@ -8279,6 +8333,7 @@ QUERIES = {
     "embed_ivf_stats": q_embed_ivf_stats,
     "corpus_zorder": q_corpus_zorder,
     "text_line_filter": q_text_line_filter,
+    "dedup_minhash_calibration": q_dedup_minhash_calibration,
 }
 
 ORACLES = {
@@ -8505,4 +8560,5 @@ ORACLES = {
     "embed_ivf_stats": SQL_EMBED_IVF_STATS,
     "corpus_zorder": SQL_CORPUS_ZORDER,
     "text_line_filter": SQL_TEXT_LINE_FILTER,
+    "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
 }

@@ -4084,3 +4084,34 @@ def test_line_filter_predicates():
     assert out.loc[0, "text_clean"] == (
         "good line stays here.\n1 2 3 4!\nquoted ending works fine.\"")
     assert out.loc[1, "n_kept"] == 0 and out.loc[1, "text_clean"] == ""
+
+
+def test_minhash_calibration_semantics():
+    """Identical docs calibrate at matches=64 / jaccard=1.0; the report
+    is block-layout invariant; estimates correlate with exact overlap."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.dedup import minhash_calibration
+
+    base = ["alpha beta gamma delta epsilon zeta eta theta " * 3,
+            "one two three four five six seven eight nine ten " * 2]
+    texts = [base[0], base[0],                       # exact dup
+             base[1], base[1][:-6] + "CHANGED",      # near dup
+             "totally different words here apart from nothing"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": texts})
+
+    def run(parts):
+        return minhash_calibration(
+            lambda: rd.from_arrow(tbl).repartition(parts))
+
+    a, b = run(1), run(4)
+    assert a.equals(b)
+    exact = a[(a["a"] == 0) & (a["b"] == 1)]
+    assert len(exact) == 1
+    assert exact["matches"].iloc[0] == 64
+    assert exact["jaccard"].iloc[0] == 1.0
+    near = a[(a["a"] == 2) & (a["b"] == 3)]
+    if len(near):                    # banded candidates: recall, not cert
+        assert 0 < near["jaccard"].iloc[0] < 1
+        assert near["matches"].iloc[0] < 64
