@@ -293,3 +293,76 @@ def pack_bins_bfd(ds, *, capacity: int, count_col: str = "n_chars",
     return hash_group_apply(
         ds.map_batches(slim, batch_format="pyarrow", batch_size=65536),
         ["shard"], bucket, out_schema=schema)
+
+
+def concat_chunk_spans(ds, *, capacity: int, count_col: str,
+                       id_col: str = "doc_id"):
+    """Concat-then-chunk packing — the GPT pretraining layout where the
+    token stream is one long concatenation split into fixed
+    ``capacity`` sequences and documents CROSS boundaries: one row per
+    (sequence × document) span, (seq_id, id, n_tokens) with n_tokens =
+    how many of the doc's tokens land in that sequence. Zero-count
+    docs emit no rows. ``pack_sequences``'s distributed prefix-sum
+    over id-sorted blocks (disjointness asserted), with a vectorized
+    repeat/arange span expansion per block — the companion to
+    ``pack_sequences`` (which places doc STARTS) when the dataloader
+    needs per-sequence composition (boundary masks, source mixing
+    audits)."""
+    import ray
+    import ray.data as rd
+
+    assert capacity > 0
+    ds = ds.materialize()
+
+    @ray.remote
+    def block_stats(tbl: pa.Table):
+        if len(tbl) == 0:
+            return None
+        s = pc.sum(tbl.column(count_col)).as_py()
+        mm = pc.min_max(tbl.column(id_col))
+        return (int(mm["min"].as_py()), int(mm["max"].as_py()),
+                int(s or 0))
+
+    @ray.remote
+    def emit(tbl: pa.Table, start: int) -> pa.Table:
+        ids = (tbl.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        n = (tbl.column(count_col).combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        before = start + np.cumsum(n) - n
+        first = before // capacity
+        last = (before + n - 1) // capacity
+        reps = (last - first + 1).astype(np.int64)
+        seq = np.repeat(first, reps) + (
+            np.arange(int(reps.sum())) - np.repeat(
+                np.cumsum(reps) - reps, reps))
+        d_id = np.repeat(ids, reps)
+        b = np.repeat(before, reps)
+        e = np.repeat(before + n, reps)
+        lo = np.maximum(b, seq * capacity)
+        hi = np.minimum(e, (seq + 1) * capacity)
+        return pa.table({
+            "seq_id": pa.array(seq, pa.int64()),
+            id_col: pa.array(d_id, pa.int64()),
+            "n_tokens": pa.array(hi - lo, pa.int64()),
+        })
+
+    refs = [b for bundle in ds.iter_internal_ref_bundles()
+            for b in bundle.block_refs]
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    keep = [(st, r) for st, r in zip(stats, refs) if st is not None]
+    keep.sort(key=lambda x: x[0][0])
+    for (_, hi, _), (lo2, _, _) in zip([k[0] for k in keep],
+                                       [k[0] for k in keep][1:]):
+        if lo2 <= hi:
+            raise ValueError(
+                "concat_chunk_spans: blocks are not disjoint id ranges "
+                "— sort by the id column before packing")
+    sums = [st[2] for st, _ in keep]
+    starts = np.concatenate(([0], np.cumsum(sums)[:-1])) if keep else []
+    return rd.from_arrow_refs(
+        [emit.remote(r, int(s)) for (_, r), s in zip(keep, starts)])

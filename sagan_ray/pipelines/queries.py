@@ -2615,6 +2615,46 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_doc_pack_spans(sf_dir: str):
+    """Concat-then-chunk packing report (pack.concat_chunk_spans):
+    one row per (sequence × document) span at capacity 512 — documents
+    cross sequence boundaries, so Σ n_tokens per seq == 512 except the
+    tail. REAL SQL oracle: the doc_pack cumsum window + a range()
+    unnest over each doc's covered sequences."""
+    from ..datapipe import token_counts
+    from ..datapipe.pack import concat_chunk_spans
+
+    toks = token_counts(_docs(sf_dir))
+    out = concat_chunk_spans(toks, capacity=512,
+                             count_col="n_tokens").to_pandas()
+    out = out.astype({"seq_id": "int64", "doc_id": "int64",
+                      "n_tokens": "int64"})
+    return (out.sort_values(["seq_id", "doc_id"])
+            .reset_index(drop=True))
+
+
+SQL_DOC_PACK_SPANS = r"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n
+  FROM documents),
+c AS (SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS cb
+      FROM v WHERE n > 0),
+s AS (SELECT doc_id, n, cb,
+             unnest(range((cb // 512)::BIGINT,
+                          ((cb + n - 1) // 512 + 1)::BIGINT)) AS seq
+      FROM c)
+SELECT seq::BIGINT AS seq_id, doc_id,
+       (least(cb + n, (seq + 1) * 512)
+        - greatest(cb, seq * 512))::BIGINT AS n_tokens
+FROM s ORDER BY seq_id, doc_id
+"""
+
+
 _BPE_SAMPLE = 256       # training-sample docs (SplitMix64 smallest)
 _BPE_MERGES = 200
 _BPE_SEED = 11
@@ -8334,6 +8374,7 @@ QUERIES = {
     "corpus_zorder": q_corpus_zorder,
     "text_line_filter": q_text_line_filter,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
+    "doc_pack_spans": q_doc_pack_spans,
 }
 
 ORACLES = {
@@ -8561,4 +8602,5 @@ ORACLES = {
     "corpus_zorder": SQL_CORPUS_ZORDER,
     "text_line_filter": SQL_TEXT_LINE_FILTER,
     "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
+    "doc_pack_spans": SQL_DOC_PACK_SPANS,
 }

@@ -4115,3 +4115,36 @@ def test_minhash_calibration_semantics():
     if len(near):                    # banded candidates: recall, not cert
         assert 0 < near["jaccard"].iloc[0] < 1
         assert near["matches"].iloc[0] < 64
+
+
+def test_concat_chunk_spans_invariants():
+    """Every interior sequence sums to exactly capacity; per-doc token
+    totals are preserved; boundary-crossing docs split correctly; the
+    unsorted-blocks guard raises."""
+    import pytest
+    import ray.data as rd
+
+    from sagan_ray.datapipe.pack import concat_chunk_spans
+
+    counts = [3, 5, 9, 2, 0, 7]             # doc 4 empty -> no rows
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "n_tokens": pa.array(counts, pa.int64())})
+    out = (concat_chunk_spans(rd.from_arrow(tbl), capacity=8,
+                              count_col="n_tokens").to_pandas()
+           .sort_values(["seq_id", "doc_id"]).reset_index(drop=True))
+    # stream: 3+5 | 9 -> crosses two boundaries? cum: doc2 spans 8..17
+    per_doc = out.groupby("doc_id")["n_tokens"].sum().to_dict()
+    assert per_doc == {0: 3, 1: 5, 2: 9, 3: 2, 5: 7}
+    per_seq = out.groupby("seq_id")["n_tokens"].sum()
+    total = sum(counts)
+    assert per_seq.iloc[:-1].eq(8).all()
+    assert per_seq.sum() == total
+    # doc 2 (9 tokens starting at offset 8) spans seqs 1 and 2
+    d2 = out[out["doc_id"] == 2]
+    assert list(zip(d2["seq_id"], d2["n_tokens"])) == [(1, 8), (2, 1)]
+    # overlapping id ranges across blocks must be refused
+    shuffled = pa.table({"doc_id": pa.array([0, 2, 1, 3], pa.int64()),
+                         "n_tokens": pa.array([1, 1, 1, 1], pa.int64())})
+    with pytest.raises(ValueError):
+        concat_chunk_spans(rd.from_arrow(shuffled).repartition(2),
+                           capacity=2, count_col="n_tokens").to_pandas()
