@@ -7587,6 +7587,74 @@ ORDER BY event_type, day
 """
 
 
+def q_customer_orders_dist(sf_dir: str):
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly k orders, INCLUDING the zero-order customers a
+    plain join would drop. Plan: orders collapse map-side to
+    (custkey, n) partials, customers ship bare keys; one side-tagged
+    custkey exchange completes counts with zeros for order-less
+    customers and emits per-bucket (c_count, n) histogram partials —
+    the driver folds |distinct counts|·buckets rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def o_part(tbl: pa.Table) -> pa.Table:
+        g = (pa.TableGroupBy(tbl, "o_custkey")
+             .aggregate([([], "count_all")]))
+        g = g.rename_columns(["k", "n"])
+        import pyarrow.compute as pc_
+        return pa.table({"k": pc_.cast(g.column("k"), pa.int64()),
+                         "n": pc_.cast(g.column("n"), pa.int64()),
+                         "side": pa.array(np.zeros(len(g), np.int8))})
+
+    def c_part(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey")
+        import pyarrow.compute as pc_
+        return pa.table({"k": pc_.cast(k, pa.int64()),
+                         "n": pa.array(np.zeros(len(k), np.int64)),
+                         "side": pa.array(np.ones(len(k), np.int8))})
+
+    sides = (orders.map_batches(o_part, batch_format="pyarrow",
+                                batch_size=65536)
+             .union(cust.map_batches(c_part, batch_format="pyarrow",
+                                     batch_size=65536)))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["side"].to_numpy()
+        n_orders = df.loc[side == 0].groupby("k")["n"].sum()
+        ck = pd.unique(df.loc[side == 1, "k"])
+        counts = n_orders.reindex(ck).fillna(0).astype(np.int64)
+        g = counts.value_counts().reset_index()
+        g.columns = ["c_count", "custdist"]
+        return g.astype({"c_count": "int64", "custdist": "int64"})
+
+    schema = pa.schema([("c_count", pa.int64()),
+                        ("custdist", pa.int64())])
+    parts = hash_group_apply(sides, ["k"], bucket,
+                             out_schema=schema).to_pandas()
+    out = (parts.groupby("c_count", as_index=False)["custdist"].sum()
+           .astype({"c_count": "int64", "custdist": "int64"}))
+    return (out.sort_values(["custdist", "c_count"],
+                            ascending=[False, False])
+            .reset_index(drop=True))
+
+
+SQL_CUSTOMER_ORDERS_DIST = """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
 def q_orders_late_shipments(sf_dir: str):
     """TPC-H Q4 shape (order-priority checking): count orders per
     priority where EXISTS a line item shipped more than 60 days after
@@ -8375,6 +8443,7 @@ QUERIES = {
     "text_line_filter": q_text_line_filter,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "doc_pack_spans": q_doc_pack_spans,
+    "customer_orders_dist": q_customer_orders_dist,
 }
 
 ORACLES = {
@@ -8603,4 +8672,5 @@ ORACLES = {
     "text_line_filter": SQL_TEXT_LINE_FILTER,
     "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
     "doc_pack_spans": SQL_DOC_PACK_SPANS,
+    "customer_orders_dist": SQL_CUSTOMER_ORDERS_DIST,
 }
