@@ -7587,6 +7587,96 @@ ORDER BY event_type, day
 """
 
 
+def q_table_scd2(sf_dir: str):
+    """Slowly-changing-dimension type-2 merge (diff.scd2_merge): an
+    old versioned snapshot derived from customer (open rows for 90% of
+    keys, a closed history row for the %7 subset) merged with a new
+    snapshot where every %3 key's balance moved — closed history passes
+    through, unchanged rows stay open, changed rows close at ts=1000
+    and reopen, absent keys keep their open row, new keys open fresh.
+    REAL SQL oracle: the same construction + FULL JOIN + four UNION
+    arms."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..datapipe.diff import SCD2_OPEN, scd2_merge
+
+    t = _pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_mktsegment",
+                                "c_acctbal"])
+    k = t.column("c_custkey").to_numpy()
+    seg = t.column("c_mktsegment")
+    bal = t.column("c_acctbal").to_numpy()
+
+    keep = k % 10 != 0
+    old_open = pa.table({
+        "k": pa.array(k[keep], pa.int64()),
+        "seg": seg.filter(pa.array(keep)),
+        "bal": pa.array(bal[keep], pa.float64()),
+        "valid_from": pa.array(np.zeros(keep.sum(), np.int64)),
+        "valid_to": pa.array(np.full(keep.sum(), SCD2_OPEN, np.int64))})
+    hist = keep & (k % 7 == 0)
+    old_hist = pa.table({
+        "k": pa.array(k[hist], pa.int64()),
+        "seg": seg.filter(pa.array(hist)),
+        "bal": pa.array(bal[hist], pa.float64()),
+        "valid_from": pa.array(np.full(hist.sum(), -100, np.int64)),
+        "valid_to": pa.array(np.zeros(hist.sum(), np.int64))})
+    old = pa.concat_tables([old_open, old_hist])
+    new = pa.table({
+        "k": pa.array(k, pa.int64()),
+        "seg": seg,
+        "bal": pa.array(bal + np.where(k % 3 == 0, 1.0, 0.0),
+                        pa.float64())})
+
+    out = scd2_merge(rd.from_arrow(old).repartition(8),
+                     rd.from_arrow(new).repartition(8),
+                     key_col="k", attr_cols=["seg", "bal"],
+                     ts=1000).to_pandas()
+    out = _typed(out, {"k": "int64", "seg": "object", "bal": "float64",
+                       "valid_from": "int64", "valid_to": "int64"})
+    return (out.sort_values(["k", "valid_from", "valid_to"])
+            .reset_index(drop=True))
+
+
+SQL_TABLE_SCD2 = """
+WITH oldv AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+         0::BIGINT AS valid_from,
+         4611686018427387904::BIGINT AS valid_to
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal, -100, 0
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0),
+newv AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 1.0
+                          ELSE 0 END AS bal
+  FROM customer),
+closed AS (SELECT * FROM oldv WHERE valid_to <> 4611686018427387904),
+cur AS (SELECT * FROM oldv WHERE valid_to = 4611686018427387904),
+j AS (
+  SELECT cur.k AS ck, cur.seg AS cseg, cur.bal AS cbal,
+         cur.valid_from AS cvf,
+         newv.k AS nk, newv.seg AS nseg, newv.bal AS nbal
+  FROM cur FULL JOIN newv ON cur.k = newv.k)
+SELECT k, seg, bal, valid_from, valid_to FROM closed
+UNION ALL
+SELECT ck, cseg, cbal, cvf, 4611686018427387904 FROM j
+WHERE ck IS NOT NULL
+  AND (nk IS NULL OR (cseg = nseg AND cbal = nbal))
+UNION ALL
+SELECT ck, cseg, cbal, cvf, 1000 FROM j
+WHERE ck IS NOT NULL AND nk IS NOT NULL
+  AND NOT (cseg = nseg AND cbal = nbal)
+UNION ALL
+SELECT nk, nseg, nbal, 1000, 4611686018427387904 FROM j
+WHERE nk IS NOT NULL
+  AND (ck IS NULL OR NOT (cseg = nseg AND cbal = nbal))
+ORDER BY k, valid_from, valid_to
+"""
+
+
 def q_customer_orders_dist(sf_dir: str):
     """TPC-H Q13 shape (customer distribution): how many customers
     placed exactly k orders, INCLUDING the zero-order customers a
@@ -8444,6 +8534,7 @@ QUERIES = {
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "doc_pack_spans": q_doc_pack_spans,
     "customer_orders_dist": q_customer_orders_dist,
+    "table_scd2": q_table_scd2,
 }
 
 ORACLES = {
@@ -8673,4 +8764,5 @@ ORACLES = {
     "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
     "doc_pack_spans": SQL_DOC_PACK_SPANS,
     "customer_orders_dist": SQL_CUSTOMER_ORDERS_DIST,
+    "table_scd2": SQL_TABLE_SCD2,
 }

@@ -4148,3 +4148,43 @@ def test_concat_chunk_spans_invariants():
     with pytest.raises(ValueError):
         concat_chunk_spans(rd.from_arrow(shuffled).repartition(2),
                            capacity=2, count_col="n_tokens").to_pandas()
+
+
+def test_scd2_merge_arms():
+    """Every merge arm on a hand fixture: pass-through closed history,
+    unchanged open, changed close+reopen, absent keeps open, new key
+    opens; duplicate snapshot keys and double-open rows are refused."""
+    import pytest
+    import ray.data as rd
+
+    from sagan_ray.datapipe.diff import SCD2_OPEN, scd2_merge
+
+    old = pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "v": ["a_old", "a", "b", "c"],
+        "valid_from": pa.array([-5, 0, 0, 0], pa.int64()),
+        "valid_to": pa.array([0, SCD2_OPEN, SCD2_OPEN, SCD2_OPEN],
+                             pa.int64())})
+    new = pa.table({"k": pa.array([1, 2, 4], pa.int64()),
+                    "v": ["a", "b2", "d"]})
+    out = (scd2_merge(rd.from_arrow(old).repartition(2),
+                      rd.from_arrow(new), key_col="k", attr_cols=["v"],
+                      ts=100).to_pandas()
+           .sort_values(["k", "valid_from", "valid_to"])
+           .reset_index(drop=True))
+    got = list(zip(out["k"], out["v"], out["valid_from"],
+                   out["valid_to"]))
+    assert got == [
+        (1, "a_old", -5, 0),              # closed history untouched
+        (1, "a", 0, SCD2_OPEN),           # unchanged stays open
+        (2, "b", 0, 100),                 # changed: closed at ts
+        (2, "b2", 100, SCD2_OPEN),        # ...and reopened
+        (3, "c", 0, SCD2_OPEN),           # absent from snapshot: open
+        (4, "d", 100, SCD2_OPEN),         # brand-new key
+    ]
+    with pytest.raises(Exception):
+        scd2_merge(rd.from_arrow(old),
+                   rd.from_arrow(pa.table({"k": pa.array([5, 5],
+                                                         pa.int64()),
+                                           "v": ["x", "y"]})),
+                   key_col="k", attr_cols=["v"], ts=1).to_pandas()
