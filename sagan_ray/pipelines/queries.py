@@ -7587,6 +7587,165 @@ ORDER BY event_type, day
 """
 
 
+def q_nations_trade(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): yearly revenue between one
+    nation pair in both directions — supplier nation from a broadcast
+    lookup prunes lineitem MAP-SIDE to the two nations, per-(order,
+    snat) partials cross ONE orderkey hash join to pick up customer
+    nation + order year, and only the |2×2×years| report reaches the
+    driver. Rounded-revenue stance (the Q3/Q5 float-sum rule)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..datapipe.joins import hash_join
+
+    n1, n2 = 1, 2
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ref = ray.put((sup.column("s_suppkey").combine_chunks(),
+                   sup.column("s_nationkey").combine_chunks(),
+                   cust.column("c_custkey").combine_chunks(),
+                   cust.column("c_nationkey").combine_chunks()))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def per_order(tbl: pa.Table) -> pa.Table:
+        skey, snat, _, _ = ray.get(ref)
+        nat = snat.take(pc.index_in(tbl.column("l_suppkey"),
+                                    value_set=skey)).to_numpy(
+            zero_copy_only=False)
+        keep = (nat == n1) | (nat == n2)
+        rev = (tbl.column("l_extendedprice").to_numpy()
+               * (1.0 - tbl.column("l_discount").to_numpy()))
+        t = pa.table({
+            "o_orderkey": tbl.column("l_orderkey").filter(pa.array(keep)),
+            "snat": pa.array(nat[keep].astype(np.int64)),
+            "rev": pa.array(rev[keep], pa.float64())})
+        g = pa.TableGroupBy(t, ["o_orderkey", "snat"]).aggregate(
+            [("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "snat", "rev"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    joined = hash_join(li.map_batches(per_order, batch_format="pyarrow"),
+                       orders, on="o_orderkey",
+                       left_cols=["snat", "rev"],
+                       right_cols=["o_custkey", "o_orderdate"])
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        _, _, ckey, cnat = ray.get(ref)
+        cn = cnat.take(pc.index_in(tbl.column("r_o_custkey"),
+                                   value_set=ckey)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sn = tbl.column("snat").to_numpy(zero_copy_only=False)
+        keep = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
+        ts = (tbl.column("r_o_orderdate").cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False))
+        yr = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        t = pa.table({"supp_nat": pa.array(sn[keep], pa.int64()),
+                      "cust_nat": pa.array(cn[keep], pa.int64()),
+                      "yr": pa.array(yr[keep], pa.int64()),
+                      "rev": tbl.column("rev").filter(pa.array(keep))})
+        g = pa.TableGroupBy(t, ["supp_nat", "cust_nat", "yr"]).aggregate(
+            [("rev", "sum")])
+        return g.rename_columns(["supp_nat", "cust_nat", "yr", "rev"])
+
+    from ray.data.aggregate import Sum
+
+    out = (joined.map_batches(fold, batch_format="pyarrow")
+           .groupby(["supp_nat", "cust_nat", "yr"])
+           .aggregate(Sum("rev", alias_name="revenue")).to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    out = _typed(out, {"supp_nat": "int64", "cust_nat": "int64",
+                       "yr": "int64", "revenue": "float64"})
+    return (out.sort_values(["supp_nat", "cust_nat", "yr"])
+            .reset_index(drop=True))
+
+
+def q_parts_promo_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue under a DISJUNCTION of
+    part-attribute × line-attribute predicate groups): the part
+    attributes broadcast as three aligned arrays (``ray.put`` once),
+    each lineitem batch evaluates the OR-of-ANDs map-side and emits a
+    one-row sum partial — no join, no shuffle, a single scalar out.
+    Per-group row counts are exact ints; revenue follows the rounded
+    float-sum stance."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    ref = ray.put((part.column("p_partkey").combine_chunks(),
+                   np.asarray(part.column("p_brand").to_pylist(),
+                              dtype=object),
+                   part.column("p_size").to_numpy(
+                       zero_copy_only=False).astype(np.int64)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pkey, brand, size = ray.get(ref)
+        idx = pc.index_in(tbl.column("l_partkey"),
+                          value_set=pkey).to_numpy(zero_copy_only=False)
+        b = brand[idx]
+        s = size[idx]
+        q = tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        g1 = (b == "Brand#1") & (s >= 1) & (s <= 15) \
+            & (q >= 1) & (q <= 20)
+        g2 = (b == "Brand#2") & (s >= 10) & (s <= 30) \
+            & (q >= 10) & (q <= 40)
+        keep = g1 | g2
+        rev = (tbl.column("l_extendedprice").to_numpy()
+               * (1.0 - tbl.column("l_discount").to_numpy()))
+        return pa.table({
+            "revenue": pa.array([float(rev[keep].sum())], pa.float64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    import pandas as pd
+
+    return pd.DataFrame({
+        "revenue": [round(float(parts["revenue"].sum()), 2)],
+        "n_items": [int(parts["n_items"].sum())]})
+
+
+SQL_PARTS_PROMO_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+SQL_NATIONS_TRADE = """
+SELECT s_nationkey AS supp_nat, c_nationkey AS cust_nat,
+       EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE (s_nationkey = 1 AND c_nationkey = 2)
+   OR (s_nationkey = 2 AND c_nationkey = 1)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def q_table_scd2(sf_dir: str):
     """Slowly-changing-dimension type-2 merge (diff.scd2_merge): an
     old versioned snapshot derived from customer (open rows for 90% of
@@ -8535,6 +8694,8 @@ QUERIES = {
     "doc_pack_spans": q_doc_pack_spans,
     "customer_orders_dist": q_customer_orders_dist,
     "table_scd2": q_table_scd2,
+    "nations_trade": q_nations_trade,
+    "parts_promo_revenue": q_parts_promo_revenue,
 }
 
 ORACLES = {
@@ -8765,4 +8926,6 @@ ORACLES = {
     "doc_pack_spans": SQL_DOC_PACK_SPANS,
     "customer_orders_dist": SQL_CUSTOMER_ORDERS_DIST,
     "table_scd2": SQL_TABLE_SCD2,
+    "nations_trade": SQL_NATIONS_TRADE,
+    "parts_promo_revenue": SQL_PARTS_PROMO_REVENUE,
 }
