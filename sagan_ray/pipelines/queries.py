@@ -7587,6 +7587,92 @@ ORDER BY event_type, day
 """
 
 
+def q_customers_dormant(sf_dir: str):
+    """TPC-H Q22 shape (global-positive-balance customers with no
+    orders SINCE the cutoff — dormancy, not absence): balance moves to
+    an EXACT cents grid
+    (round(bal·100) → int64) so the above-average test is the integer
+    cross-multiplication cents·n > total — no float-boundary flake by
+    construction. One count pass folds (sum, n) scalar partials; the
+    filtered customers anti-join order custkeys through a side-tagged
+    exchange (orders collapse to distinct keys map-side)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    def _cust():
+        return rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_acctbal"])
+
+    def cents_part(tbl: pa.Table) -> pa.Table:
+        cents = np.rint(tbl.column("c_acctbal").to_numpy() * 100.0
+                        ).astype(np.int64)
+        return pa.table({"s": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([len(cents)], pa.int64())})
+
+    tot = _cust().map_batches(cents_part, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    s, n = int(tot["s"].sum()), int(tot["n"].sum())
+
+    def rich_part(tbl: pa.Table) -> pa.Table:
+        cents = np.rint(tbl.column("c_acctbal").to_numpy() * 100.0
+                        ).astype(np.int64)
+        keep = cents * n > s
+        return pa.table({
+            "k": tbl.column("c_custkey").filter(pa.array(keep)),
+            "cents": pa.array(cents[keep], pa.int64()),
+            "side": pa.array(np.ones(int(keep.sum()), np.int8))})
+
+    import pyarrow.compute as pac
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pac.field("o_orderdate")
+        >= __import__("datetime").datetime(1998, 1, 1))
+
+    def o_part(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        k = pc_.unique(tbl.column("o_custkey"))
+        return pa.table({"k": pc_.cast(k, pa.int64()),
+                         "cents": pa.array(np.zeros(len(k), np.int64)),
+                         "side": pa.array(np.zeros(len(k), np.int8))})
+
+    sides = (_cust().map_batches(rich_part, batch_format="pyarrow",
+                                 batch_size=None)
+             .union(orders.map_batches(o_part, batch_format="pyarrow",
+                                       batch_size=65536)))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        has_order = set(df.loc[df["side"] == 0, "k"])
+        rich = df[df["side"] == 1]
+        out = rich[~rich["k"].isin(has_order)]
+        return pd.DataFrame({
+            "c_custkey": out["k"].to_numpy(np.int64),
+            "cents": out["cents"].to_numpy(np.int64)})
+
+    schema = pa.schema([("c_custkey", pa.int64()),
+                        ("cents", pa.int64())])
+    out = hash_group_apply(sides, ["k"], bucket,
+                           out_schema=schema).to_pandas()
+    out = _typed(out, {"c_custkey": "int64", "cents": "int64"})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMERS_DORMANT = """
+WITH t AS (
+  SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS cents
+  FROM customer),
+tot AS (SELECT sum(cents) AS s, count(*) AS n FROM t)
+SELECT c_custkey, cents FROM t, tot
+WHERE cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+ORDER BY c_custkey
+"""
+
+
 def q_nations_trade(sf_dir: str):
     """TPC-H Q7 shape (volume shipping): yearly revenue between one
     nation pair in both directions — supplier nation from a broadcast
@@ -8696,6 +8782,7 @@ QUERIES = {
     "table_scd2": q_table_scd2,
     "nations_trade": q_nations_trade,
     "parts_promo_revenue": q_parts_promo_revenue,
+    "customers_dormant": q_customers_dormant,
 }
 
 ORACLES = {
@@ -8928,4 +9015,5 @@ ORACLES = {
     "table_scd2": SQL_TABLE_SCD2,
     "nations_trade": SQL_NATIONS_TRADE,
     "parts_promo_revenue": SQL_PARTS_PROMO_REVENUE,
+    "customers_dormant": SQL_CUSTOMERS_DORMANT,
 }
