@@ -97,3 +97,62 @@ def synth_multiline_docs(n: int, seed: int = 31) -> pa.Table:
         docs.append("\n".join(lines))
     return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
                      "text": pa.array(docs, pa.string())})
+
+
+def rouge1_recall(ds, *, ref_col: str, cand_col: str,
+                  id_col: str = "doc_id"):
+    """ROUGE-1 recall per row — Σ_w min(count_cand(w), count_ref(w)) /
+    Σ_w count_ref(w) over lowercased whitespace tokens (clipped
+    unigram overlap, Lin 2004): the summary/retention eval a pipeline
+    runs on its own cleaning and summarization outputs. Emits
+    (id, overlap, ref_total, rouge1); rouge1 is one int/int IEEE
+    division (0.0 for an empty reference), so a SQL oracle replays it
+    exactly. Per batch: ONE split per column, a combined factorize,
+    and bincounts over (row, word) codes — no per-row Python."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+
+        def row_word_counts(col):
+            la = pc.split_pattern_regex(
+                pc.utf8_lower(pc.cast(tbl.column(col), pa.string())),
+                r"\s+")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            flat = la.values
+            offs = np.asarray(la.offsets, dtype=np.int64)
+            words = flat.to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(n), offs[1:] - offs[:-1])
+            keep = np.fromiter((len(w) > 0 for w in words), bool,
+                               count=len(words))
+            return rows[keep], words[keep]
+
+        r_rows, r_words = row_word_counts(ref_col)
+        c_rows, c_words = row_word_counts(cand_col)
+        vocab, codes = np.unique(np.concatenate([r_words, c_words]),
+                                 return_inverse=True)
+        rc = codes[:len(r_words)]
+        cc = codes[len(r_words):]
+        v = len(vocab)
+        # (row, word) count maps via bincount over combined keys
+        rk = r_rows * v + rc
+        ck = c_rows * v + cc
+        ru, rcnt = np.unique(rk, return_counts=True)
+        cu, ccnt = np.unique(ck, return_counts=True)
+        # align: for each ref key, the cand count (0 if absent)
+        pos = np.searchsorted(cu, ru)
+        pos[pos >= len(cu)] = 0
+        cand_at = np.where(len(cu) and cu[pos] == ru, ccnt[pos], 0) \
+            if len(cu) else np.zeros(len(ru), np.int64)
+        clipped = np.minimum(rcnt, cand_at)
+        overlap = np.bincount(ru // v, weights=clipped,
+                              minlength=n).astype(np.int64)
+        ref_total = np.bincount(r_rows, minlength=n).astype(np.int64)
+        rouge = np.where(ref_total > 0,
+                         overlap / np.maximum(ref_total, 1), 0.0)
+        return pa.table({id_col: tbl.column(id_col),
+                         "overlap": pa.array(overlap, pa.int64()),
+                         "ref_total": pa.array(ref_total, pa.int64()),
+                         "rouge1": pa.array(rouge, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

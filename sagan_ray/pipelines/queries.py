@@ -2196,6 +2196,60 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_text_rouge(sf_dir: str):
+    """ROUGE-1 recall (lines.rouge1_recall) of a deterministic
+    candidate (each doc's first 10 words, repeated — the repetition
+    exercises count CLIPPING) against the document itself. REAL SQL
+    oracle: per-(doc, word) count CTEs + sum(least(...)) + the same
+    single int/int division."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..datapipe.lines import rouge1_recall
+
+    def with_cand(tbl: pa.Table) -> pa.Table:
+        la = pc_.split_pattern_regex(
+            pc_.utf8_trim_whitespace(pc_.cast(tbl.column("text"),
+                                              pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        head = pc_.list_slice(la, 0, 10)
+        j = pc_.binary_join(head, " ")
+        cand = pc_.binary_join_element_wise(j, j, " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": cand})
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(with_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = rouge1_recall(ds, ref_col="text", cand_col="cand").to_pandas()
+    out = _typed(out, {"doc_id": "int64", "overlap": "int64",
+                       "ref_total": "int64", "rouge1": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_ROUGE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS rw
+  FROM documents),
+cand AS (SELECT doc_id, list_concat(rw[1:10], rw[1:10]) AS cw FROM w),
+rt AS (SELECT doc_id, unnest(rw) AS word FROM w),
+ct AS (SELECT doc_id, unnest(cw) AS word FROM cand),
+rcnt AS (SELECT doc_id, word, count(*) AS c FROM rt GROUP BY 1, 2),
+ccnt AS (SELECT doc_id, word, count(*) AS c FROM ct GROUP BY 1, 2),
+o AS (
+  SELECT r.doc_id, sum(least(r.c, coalesce(c2.c, 0))) AS ov,
+         sum(r.c) AS tot
+  FROM rcnt r LEFT JOIN ccnt c2 USING (doc_id, word) GROUP BY 1)
+SELECT doc_id, ov::BIGINT AS overlap, tot::BIGINT AS ref_total,
+       CASE WHEN tot > 0 THEN ov::DOUBLE / tot ELSE 0.0 END AS rouge1
+FROM o ORDER BY doc_id
+"""
+
+
 def q_corpus_zorder(sf_dir: str):
     """Z-order compaction (io/compact.py::zorder_compact): documents
     rewritten clustered by the Morton interleave of (n_chars, doc_id),
@@ -8783,6 +8837,7 @@ QUERIES = {
     "nations_trade": q_nations_trade,
     "parts_promo_revenue": q_parts_promo_revenue,
     "customers_dormant": q_customers_dormant,
+    "text_rouge": q_text_rouge,
 }
 
 ORACLES = {
@@ -9016,4 +9071,5 @@ ORACLES = {
     "nations_trade": SQL_NATIONS_TRADE,
     "parts_promo_revenue": SQL_PARTS_PROMO_REVENUE,
     "customers_dormant": SQL_CUSTOMERS_DORMANT,
+    "text_rouge": SQL_TEXT_ROUGE,
 }

@@ -4188,3 +4188,24 @@ def test_scd2_merge_arms():
                                                          pa.int64()),
                                            "v": ["x", "y"]})),
                    key_col="k", attr_cols=["v"], ts=1).to_pandas()
+
+
+def test_rouge1_recall_clipping():
+    """Clipped-count semantics against hand values: repeats in the
+    candidate clip at the reference count; identical text scores 1.0;
+    disjoint scores 0.0; empty reference scores 0.0."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import rouge1_recall
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ref": ["a a b c", "x y z", "q r", ""],
+        "cand": ["a a a b", "x y z", "s t", "anything"]})
+    out = (rouge1_recall(rd.from_arrow(tbl).repartition(2),
+                         ref_col="ref", cand_col="cand")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1: ref counts a:2 b:1 c:1; cand a:3 b:1 -> min sums 2+1=3 of 4
+    assert list(zip(out["overlap"], out["ref_total"])) == [
+        (3, 4), (3, 3), (0, 2), (0, 0)]
+    assert out["rouge1"].tolist() == [0.75, 1.0, 0.0, 0.0]
