@@ -99,16 +99,18 @@ def synth_multiline_docs(n: int, seed: int = 31) -> pa.Table:
                      "text": pa.array(docs, pa.string())})
 
 
-def rouge1_recall(ds, *, ref_col: str, cand_col: str,
-                  id_col: str = "doc_id"):
-    """ROUGE-1 recall per row — Σ_w min(count_cand(w), count_ref(w)) /
-    Σ_w count_ref(w) over lowercased whitespace tokens (clipped
-    unigram overlap, Lin 2004): the summary/retention eval a pipeline
+def rouge_recall(ds, *, ref_col: str, cand_col: str,
+                 id_col: str = "doc_id", n_gram: int = 1):
+    """ROUGE-N recall per row — Σ_g min(count_cand(g), count_ref(g)) /
+    Σ_g count_ref(g) over lowercased whitespace-token ``n_gram``-grams
+    (clipped overlap, Lin 2004): the summary/retention eval a pipeline
     runs on its own cleaning and summarization outputs. Emits
     (id, overlap, ref_total, rouge1); rouge1 is one int/int IEEE
-    division (0.0 for an empty reference), so a SQL oracle replays it
-    exactly. Per batch: ONE split per column, a combined factorize,
-    and bincounts over (row, word) codes — no per-row Python."""
+    division (0.0 for a gram-less reference), so a SQL oracle replays
+    it exactly (n-grams via the dedup shingle CTE style). Per batch:
+    ONE split per column, a combined factorize, and bincounts over
+    (row, gram) codes — no per-row Python."""
+    assert n_gram >= 1
 
     def f(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
@@ -125,7 +127,22 @@ def rouge1_recall(ds, *, ref_col: str, cand_col: str,
             rows = np.repeat(np.arange(n), offs[1:] - offs[:-1])
             keep = np.fromiter((len(w) > 0 for w in words), bool,
                                count=len(words))
-            return rows[keep], words[keep]
+            rows, words = rows[keep], words[keep]
+            if n_gram == 1:
+                return rows, words
+            # n-grams: join adjacent same-row words with chr(1) (the
+            # dedup shingle separator, shared with the SQL)
+            m = len(words) - n_gram + 1
+            if m <= 0:
+                return (np.empty(0, np.int64),
+                        np.empty(0, dtype=object))
+            same = np.ones(m, dtype=bool)
+            for j in range(1, n_gram):
+                same &= rows[j:j + m] == rows[:m]
+            grams = np.array(
+                ["\x01".join(words[i:i + n_gram])
+                 for i in np.flatnonzero(same)], dtype=object)
+            return rows[:m][same], grams
 
         r_rows, r_words = row_word_counts(ref_col)
         c_rows, c_words = row_word_counts(cand_col)
@@ -156,3 +173,10 @@ def rouge1_recall(ds, *, ref_col: str, cand_col: str,
                          "rouge1": pa.array(rouge, pa.float64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rouge1_recall(ds, *, ref_col: str, cand_col: str,
+                  id_col: str = "doc_id"):
+    """Unigram special case of ``rouge_recall``."""
+    return rouge_recall(ds, ref_col=ref_col, cand_col=cand_col,
+                        id_col=id_col, n_gram=1)

@@ -2250,6 +2250,67 @@ FROM o ORDER BY doc_id
 """
 
 
+def q_text_rouge2(sf_dir: str):
+    """ROUGE-2 recall (lines.rouge_recall n_gram=2) of the same
+    first-10-words-doubled candidate — bigrams stress the gram
+    construction (including the one crossing the repetition boundary).
+    REAL SQL oracle via the shingle-style chr(1)-joined bigram CTE."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..datapipe.lines import rouge_recall
+
+    def with_cand(tbl: pa.Table) -> pa.Table:
+        la = pc_.split_pattern_regex(
+            pc_.utf8_trim_whitespace(pc_.cast(tbl.column("text"),
+                                              pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        head = pc_.list_slice(la, 0, 10)
+        j = pc_.binary_join(head, " ")
+        cand = pc_.binary_join_element_wise(j, j, " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": cand})
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(with_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = rouge_recall(ds, ref_col="text", cand_col="cand",
+                       n_gram=2).to_pandas()
+    out = _typed(out, {"doc_id": "int64", "overlap": "int64",
+                       "ref_total": "int64", "rouge1": "float64"})
+    out = out.rename(columns={"rouge1": "rouge2"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_ROUGE2 = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS rw
+  FROM documents),
+cwl AS (SELECT doc_id, list_concat(rw[1:10], rw[1:10]) AS cw FROM w),
+rg AS (
+  SELECT doc_id, rw[i] || chr(1) || rw[i + 1] AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(rw))) AS i) r
+  WHERE len(rw) >= 2),
+cg AS (
+  SELECT doc_id, cw[i] || chr(1) || cw[i + 1] AS g
+  FROM cwl, LATERAL (SELECT unnest(range(1, len(cw))) AS i) r
+  WHERE len(cw) >= 2),
+rcnt AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY 1, 2),
+ccnt AS (SELECT doc_id, g, count(*) AS c FROM cg GROUP BY 1, 2),
+o AS (
+  SELECT r.doc_id, sum(least(r.c, coalesce(c2.c, 0))) AS ov,
+         sum(r.c) AS tot
+  FROM rcnt r LEFT JOIN ccnt c2 USING (doc_id, g) GROUP BY 1)
+SELECT doc_id, ov::BIGINT AS overlap, tot::BIGINT AS ref_total,
+       CASE WHEN tot > 0 THEN ov::DOUBLE / tot ELSE 0.0 END AS rouge2
+FROM o ORDER BY doc_id
+"""
+
+
 def q_corpus_zorder(sf_dir: str):
     """Z-order compaction (io/compact.py::zorder_compact): documents
     rewritten clustered by the Morton interleave of (n_chars, doc_id),
@@ -8838,6 +8899,7 @@ QUERIES = {
     "parts_promo_revenue": q_parts_promo_revenue,
     "customers_dormant": q_customers_dormant,
     "text_rouge": q_text_rouge,
+    "text_rouge2": q_text_rouge2,
 }
 
 ORACLES = {
@@ -9072,4 +9134,5 @@ ORACLES = {
     "parts_promo_revenue": SQL_PARTS_PROMO_REVENUE,
     "customers_dormant": SQL_CUSTOMERS_DORMANT,
     "text_rouge": SQL_TEXT_ROUGE,
+    "text_rouge2": SQL_TEXT_ROUGE2,
 }

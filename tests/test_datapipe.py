@@ -4209,3 +4209,23 @@ def test_rouge1_recall_clipping():
     assert list(zip(out["overlap"], out["ref_total"])) == [
         (3, 4), (3, 3), (0, 2), (0, 0)]
     assert out["rouge1"].tolist() == [0.75, 1.0, 0.0, 0.0]
+
+
+def test_rouge2_gram_semantics():
+    """Bigram clipping vs hand values; n-grams never span rows; a
+    one-word reference has no bigrams."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import rouge_recall
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "ref": ["a b a b c", "solo"],
+        "cand": ["a b a b", "solo solo"]})
+    out = (rouge_recall(rd.from_arrow(tbl).repartition(2), ref_col="ref",
+                        cand_col="cand", n_gram=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # ref bigrams: ab, ba, ab, bc (ab:2 ba:1 bc:1); cand: ab:2 ba:1
+    assert list(zip(out["overlap"], out["ref_total"])) == [(3, 4),
+                                                           (0, 0)]
+    assert out["rouge1"].tolist() == [0.75, 0.0]
