@@ -180,3 +180,49 @@ def rouge1_recall(ds, *, ref_col: str, cand_col: str,
     """Unigram special case of ``rouge_recall``."""
     return rouge_recall(ds, ref_col=ref_col, cand_col=cand_col,
                         id_col=id_col, n_gram=1)
+
+
+def rouge_l_recall(ds, *, ref_col: str, cand_col: str,
+                   id_col: str = "doc_id"):
+    """ROUGE-L recall per row — LCS(ref, cand) / |ref| over lowercased
+    whitespace tokens (longest common subsequence, Lin 2004): rewards
+    in-order coverage where ROUGE-N rewards bag overlap. Emits
+    (id, lcs, ref_total, rouge_l); all integers plus one int/int
+    division. Per row a rolling two-row DP (len(ref) passes of
+    numpy-free cell updates) — fine for the summary-sized texts this
+    metric exists for; a corpus-scale variant would want the
+    bit-parallel LCS. The golden oracle recomputes with the classic
+    full 2-D table (different mechanics, same spec)."""
+
+    def lcs(a: list, b: list) -> int:
+        if not a or not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            curr = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                curr[j] = prev[j - 1] + 1 if y == x else \
+                    max(prev[j], curr[j - 1])
+            prev = curr
+        return prev[-1]
+
+    def f(tbl: pa.Table) -> pa.Table:
+        ref = pc.utf8_lower(pc.cast(tbl.column(ref_col),
+                                    pa.string())).to_pylist()
+        cand = pc.utf8_lower(pc.cast(tbl.column(cand_col),
+                                     pa.string())).to_pylist()
+        out_l, out_t = [], []
+        for r, c in zip(ref, cand):
+            ra = (r or "").split()
+            ca = (c or "").split()
+            out_l.append(lcs(ra, ca))
+            out_t.append(len(ra))
+        lv = np.asarray(out_l, np.int64)
+        tv = np.asarray(out_t, np.int64)
+        rl = np.where(tv > 0, lv / np.maximum(tv, 1), 0.0)
+        return pa.table({id_col: tbl.column(id_col),
+                         "lcs": pa.array(lv, pa.int64()),
+                         "ref_total": pa.array(tv, pa.int64()),
+                         "rouge_l": pa.array(rl, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

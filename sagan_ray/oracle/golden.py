@@ -2872,3 +2872,38 @@ def write_golden_minhash_calibration(sf_dir: str, *, k: int, n_perm: int,
                     "b": pa.array([r[1] for r in rows], pa.int64()),
                     "matches": pa.array([r[2] for r in rows], pa.int64())})
     return _write(tbl, "minhash_calibration")
+
+
+def write_golden_rouge_l(sf_dir: str) -> str:
+    """Expected output of ``text_rouge_l``: the candidate is each
+    document's first 10 (whitespace) words doubled — exactly the
+    text_rouge fixture — and the LCS comes from the classic FULL 2-D
+    DP table (the operator uses a rolling two-row sweep; same spec,
+    different mechanics). rouge_l = one int/int division."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        w = (text or "").strip().split()
+        head = w[:10]
+        cand_tokens = [tok.lower() for tok in head + head]
+        ref = [tok.lower() for tok in w]
+        m, n = len(ref), len(cand_tokens)
+        dp = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                if ref[i - 1] == cand_tokens[j - 1]:
+                    dp[i][j] = dp[i - 1][j - 1] + 1
+                else:
+                    dp[i][j] = max(dp[i - 1][j], dp[i][j - 1])
+        l = dp[m][n]
+        rows.append((did, l, m, l / m if m else 0.0))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lcs": pa.array([r[1] for r in rows], pa.int64()),
+        "ref_total": pa.array([r[2] for r in rows], pa.int64()),
+        "rouge_l": pa.array([r[3] for r in rows], pa.float64())})
+    return _write(tbl, "text_rouge_l")

@@ -2284,6 +2284,48 @@ def q_text_rouge2(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_text_rouge_l(sf_dir: str):
+    """ROUGE-L recall (lines.rouge_l_recall) of the first-10-words
+    doubled candidate — LCS rewards in-order coverage, not bag
+    overlap. Golden oracle (LCS is not SQL-expressible): classic 2-D
+    DP vs the operator's rolling two-row sweep."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..datapipe.lines import rouge_l_recall
+    from ..oracle.golden import write_golden_rouge_l
+
+    write_golden_rouge_l(sf_dir)
+
+    def with_cand(tbl: pa.Table) -> pa.Table:
+        la = pc_.split_pattern_regex(
+            pc_.utf8_trim_whitespace(pc_.cast(tbl.column("text"),
+                                              pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        head = pc_.list_slice(la, 0, 10)
+        j = pc_.binary_join(head, " ")
+        cand = pc_.binary_join_element_wise(j, j, " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": cand})
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(with_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = rouge_l_recall(ds, ref_col="text", cand_col="cand").to_pandas()
+    out = _typed(out, {"doc_id": "int64", "lcs": "int64",
+                       "ref_total": "int64", "rouge_l": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_ROUGE_L = """
+SELECT doc_id, lcs, ref_total, rouge_l
+FROM read_parquet('/tmp/sagan_ray_golden/text_rouge_l.parquet')
+ORDER BY doc_id
+"""
+
+
 SQL_TEXT_ROUGE2 = r"""
 WITH w AS (
   SELECT doc_id,
@@ -8900,6 +8942,7 @@ QUERIES = {
     "customers_dormant": q_customers_dormant,
     "text_rouge": q_text_rouge,
     "text_rouge2": q_text_rouge2,
+    "text_rouge_l": q_text_rouge_l,
 }
 
 ORACLES = {
@@ -9135,4 +9178,5 @@ ORACLES = {
     "customers_dormant": SQL_CUSTOMERS_DORMANT,
     "text_rouge": SQL_TEXT_ROUGE,
     "text_rouge2": SQL_TEXT_ROUGE2,
+    "text_rouge_l": SQL_TEXT_ROUGE_L,
 }

@@ -4229,3 +4229,26 @@ def test_rouge2_gram_semantics():
     assert list(zip(out["overlap"], out["ref_total"])) == [(3, 4),
                                                            (0, 0)]
     assert out["rouge1"].tolist() == [0.75, 0.0]
+
+
+def test_rouge_l_order_sensitivity():
+    """LCS distinguishes order where bag overlap cannot: reversed
+    candidate drops ROUGE-L but not ROUGE-1; identical text = 1.0."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import rouge_l_recall, rouge_recall
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "ref": ["a b c d e", "a b c"],
+        "cand": ["e d c b a", "a b c"]})
+    ds = rd.from_arrow(tbl)
+    l = (rouge_l_recall(ds, ref_col="ref", cand_col="cand").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    r1 = (rouge_recall(rd.from_arrow(tbl), ref_col="ref",
+                       cand_col="cand").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert r1.loc[0, "rouge1"] == 1.0       # bag overlap is blind
+    assert l.loc[0, "lcs"] == 1             # LCS of x vs reversed x
+    assert l.loc[0, "rouge_l"] == 0.2
+    assert l.loc[1, "rouge_l"] == 1.0
