@@ -113,6 +113,7 @@ from .events import (  # noqa: F401
     props_key_agg,
     running_totals,
     sequence_counts,
+    ses_forecast,
     type_trend,
     window_rate_limit,
     window_topk,

@@ -523,6 +523,50 @@ def type_trend(ds, *, ts_col: str = "ts", group_col: str = "event_type",
                          "slope": out_s})
 
 
+def ses_forecast(ds, *, ts_col: str = "ts",
+                 group_col: str = "event_type", unit: str = "day"):
+    """Per-group simple-exponential-smoothing forecast (α = 1/2) of
+    the daily event-count series — the one-step-ahead load forecast a
+    monitoring pipeline keeps per alert type. Same partial shape as
+    ``type_trend``: map side pre-collapses to (group, window, n); the
+    tiny (groups × windows) series folds driver-side in window order:
+    s₁ = x₁, s_t = (s_{t-1} + x_t) / 2.
+
+    Determinism: the fold is the SAME IEEE op sequence the SQL
+    oracle's recursive CTE performs — one double add + one divide per
+    step, applied in the same order — so the result is bit-identical
+    even once 2^-t terms round (the operand-identical-expression
+    stance, applied sequentially). Windows with zero events contribute
+    nothing (the ``type_trend`` convention). Returns pandas
+    (group, n_windows, forecast)."""
+    import pyarrow.compute as pc
+
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
+        t = pa.table({group_col: tbl.column(group_col), "x": x})
+        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "x", "n"])
+
+    h = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    out_g, out_w, out_s = [], [], []
+    for gval, sub in h.groupby(group_col, sort=True):
+        y = sub.sort_values("x")["n"].to_numpy(np.int64)
+        s = float(y[0])
+        for v in y[1:]:
+            s = (s + float(v)) / 2.0
+        out_g.append(gval)
+        out_w.append(len(y))
+        out_s.append(s)
+    return pd.DataFrame({group_col: out_g, "n_windows": out_w,
+                         "forecast": out_s})
+
+
 def debounce(ds, *, user_col: str = "user_id", ts_col: str = "ts",
              id_col: str = "event_id", type_col: str = "event_type",
              gap_us: int = 600_000_000):

@@ -182,6 +182,137 @@ def rouge1_recall(ds, *, ref_col: str, cand_col: str,
                         id_col=id_col, n_gram=1)
 
 
+def _bleu_from_counts(clip: np.ndarray, tot: np.ndarray,
+                      ref_len: np.ndarray, cand_len: np.ndarray,
+                      max_n: int = 4) -> np.ndarray:
+    """Shared BLEU float kernel (Papineni et al. 2002, smoothing: n=1
+    precision unsmoothed, n≥2 add-one — Lin & Och 2004 style):
+    bleu = BP · exp(Σ_n ln(p_n)/max_n), BP = exp(1 − ref/cand) when the
+    candidate is shorter, and 0.0 outright when the candidate is empty
+    or shares no unigram. ``clip``/``tot`` are (rows, max_n) int64.
+    BOTH the batched operator and the sequential golden call THIS
+    function over their independently-derived integer counts (the
+    text_entropy stance — determinism comes from sharing the float
+    kernel, not from reimplementing it twice)."""
+    n_rows = len(ref_len)
+    logs = np.zeros(n_rows, np.float64)
+    for j in range(max_n):
+        if j == 0:
+            p = clip[:, 0] / np.maximum(tot[:, 0], 1)
+        else:
+            p = (clip[:, j] + 1.0) / (tot[:, j] + 1.0)
+        logs = logs + np.log(np.maximum(p, 1e-300)) / max_n
+    bp = np.where(cand_len >= ref_len, 1.0,
+                  np.exp(1.0 - ref_len / np.maximum(cand_len, 1)))
+    bleu = bp * np.exp(logs)
+    return np.where((cand_len > 0) & (clip[:, 0] > 0), bleu, 0.0)
+
+
+def bleu_scores(ds, *, ref_col: str, cand_col: str,
+                id_col: str = "doc_id", max_n: int = 4):
+    """Per-row BLEU-``max_n`` of ``cand_col`` against ``ref_col`` over
+    lowercased whitespace tokens — the generation-eval companion to
+    the ROUGE family (precision-oriented: clipped CANDIDATE n-gram
+    counts over candidate totals, brevity penalty for short
+    candidates). Emits (id, clip1..clipN, tot1..totN, ref_len,
+    cand_len, bleu); every count is an exact integer, the float comes
+    from ``_bleu_from_counts`` (shared with the golden).
+
+    Batch mechanics: ONE split per column; words factorize once over
+    both columns combined; each n-gram level extends the previous
+    level's dense gram codes with the next word's code and
+    RE-FACTORIZES (np.unique over both columns' combined keys), so
+    keys stay < 2^63 at any vocabulary size — no string joins, no
+    per-row Python. Clipped overlap per row is the same
+    bincount-alignment as ``rouge_recall`` (min of the two (row, gram)
+    count maps is symmetric)."""
+    assert max_n >= 1
+
+    def f(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+
+        def row_words(col):
+            la = pc.split_pattern_regex(
+                pc.utf8_lower(pc.cast(tbl.column(col), pa.string())),
+                r"\s+")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            flat = la.values
+            offs = np.asarray(la.offsets, dtype=np.int64)
+            words = flat.to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(n), offs[1:] - offs[:-1])
+            keep = np.fromiter((len(w) > 0 for w in words), bool,
+                               count=len(words))
+            return rows[keep], words[keep]
+
+        r_rows, r_words = row_words(ref_col)
+        c_rows, c_words = row_words(cand_col)
+        _, codes = np.unique(np.concatenate([r_words, c_words]),
+                             return_inverse=True)
+        r_codes = codes[:len(r_words)].astype(np.int64)
+        c_codes = codes[len(r_words):].astype(np.int64)
+        ref_len = np.bincount(r_rows, minlength=n).astype(np.int64)
+        cand_len = np.bincount(c_rows, minlength=n).astype(np.int64)
+
+        clip = np.zeros((n, max_n), np.int64)
+        ctot = np.zeros((n, max_n), np.int64)
+        # level state: gram start indices into the word arrays + dense
+        # gram codes (shared code space across both columns)
+        r_idx = np.arange(len(r_codes))
+        c_idx = np.arange(len(c_codes))
+        g_r = r_codes
+        g_c = c_codes
+        v_words = int(codes.max(initial=-1)) + 1
+        v_cur = v_words
+        for j in range(max_n):
+            if j > 0:
+                # extend (j)-grams at start i to (j+1)-grams: the next
+                # word lives at i+j and must be in the same row; the
+                # combined key multiplies by the WORD vocab size (the
+                # addend's bound) so it is collision-free regardless
+                # of how many distinct grams the previous level had
+                def ext(idx, g, rows, word_codes):
+                    ok = idx + j < len(word_codes)
+                    ii = idx[ok]
+                    same = rows[ii + j] == rows[ii]
+                    ii, gg = ii[same], g[ok][same]
+                    return ii, gg * v_words + word_codes[ii + j]
+
+                r_idx, key_r = ext(r_idx, g_r, r_rows, r_codes)
+                c_idx, key_c = ext(c_idx, g_c, c_rows, c_codes)
+                uniq, newc = np.unique(np.concatenate([key_r, key_c]),
+                                       return_inverse=True)
+                g_r = newc[:len(key_r)].astype(np.int64)
+                g_c = newc[len(key_r):].astype(np.int64)
+                v_cur = len(uniq)
+            rr = r_rows[r_idx]
+            cr = c_rows[c_idx]
+            ctot[:, j] = np.bincount(cr, minlength=n)
+            rk = rr * v_cur + g_r
+            ck = cr * v_cur + g_c
+            ru, rcnt = np.unique(rk, return_counts=True)
+            cu, ccnt = np.unique(ck, return_counts=True)
+            if len(ru) and len(cu):
+                pos = np.searchsorted(cu, ru)
+                pos[pos >= len(cu)] = 0
+                cand_at = np.where(cu[pos] == ru, ccnt[pos], 0)
+                clipped = np.minimum(rcnt, cand_at)
+                clip[:, j] = np.bincount(ru // v_cur, weights=clipped,
+                                         minlength=n).astype(np.int64)
+
+        bleu = _bleu_from_counts(clip, ctot, ref_len, cand_len, max_n)
+        cols = {id_col: tbl.column(id_col)}
+        for j in range(max_n):
+            cols[f"clip{j + 1}"] = pa.array(clip[:, j], pa.int64())
+            cols[f"tot{j + 1}"] = pa.array(ctot[:, j], pa.int64())
+        cols["ref_len"] = pa.array(ref_len, pa.int64())
+        cols["cand_len"] = pa.array(cand_len, pa.int64())
+        cols["bleu"] = pa.array(bleu, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def rouge_l_recall(ds, *, ref_col: str, cand_col: str,
                    id_col: str = "doc_id"):
     """ROUGE-L recall per row — LCS(ref, cand) / |ref| over lowercased

@@ -2907,3 +2907,57 @@ def write_golden_rouge_l(sf_dir: str) -> str:
         "ref_total": pa.array([r[2] for r in rows], pa.int64()),
         "rouge_l": pa.array([r[3] for r in rows], pa.float64())})
     return _write(tbl, "text_rouge_l")
+
+
+def write_golden_bleu(sf_dir: str, max_n: int = 4) -> str:
+    """Expected output of ``text_bleu``: candidate = each document's
+    first 10 (whitespace) words doubled (the ROUGE fixture — the
+    repetition exercises clipping, the short candidate exercises the
+    brevity penalty). Counts come from per-row ``collections.Counter``
+    over TUPLE n-grams (entirely different mechanics from the
+    operator's incremental factorize), then ONE vectorized call into
+    the operator's own ``_bleu_from_counts`` float kernel over the
+    collected integer arrays (the text_entropy stance: share the float
+    kernel, derive the integers independently; per ADVICE_r4 the
+    kernel call is vectorized, not per-scalar)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..datapipe.lines import _bleu_from_counts
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids, clip_rows, tot_rows, rl_rows, cl_rows = [], [], [], [], []
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        ref = [w for w in (text or "").lower().split()]
+        head = (text or "").strip().split()[:10]
+        cand = [w.lower() for w in head + head]
+        clips, tots = [], []
+        for ng in range(1, max_n + 1):
+            rc = Counter(tuple(ref[i:i + ng])
+                         for i in range(len(ref) - ng + 1))
+            cc = Counter(tuple(cand[i:i + ng])
+                         for i in range(len(cand) - ng + 1))
+            clips.append(sum(min(c, rc.get(g, 0))
+                             for g, c in cc.items()))
+            tots.append(max(len(cand) - ng + 1, 0))
+        ids.append(did)
+        clip_rows.append(clips)
+        tot_rows.append(tots)
+        rl_rows.append(len(ref))
+        cl_rows.append(len(cand))
+    clip = np.asarray(clip_rows, np.int64).reshape(len(ids), max_n)
+    tot = np.asarray(tot_rows, np.int64).reshape(len(ids), max_n)
+    ref_len = np.asarray(rl_rows, np.int64)
+    cand_len = np.asarray(cl_rows, np.int64)
+    bleu = _bleu_from_counts(clip, tot, ref_len, cand_len, max_n)
+    cols = {"doc_id": pa.array(ids, pa.int64())}
+    for j in range(max_n):
+        cols[f"clip{j + 1}"] = pa.array(clip[:, j], pa.int64())
+        cols[f"tot{j + 1}"] = pa.array(tot[:, j], pa.int64())
+    cols["ref_len"] = pa.array(ref_len, pa.int64())
+    cols["cand_len"] = pa.array(cand_len, pa.int64())
+    cols["bleu"] = pa.array(bleu, pa.float64())
+    return _write(pa.table(cols), "text_bleu")

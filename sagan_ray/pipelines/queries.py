@@ -2326,6 +2326,293 @@ ORDER BY doc_id
 """
 
 
+def q_text_bleu(sf_dir: str):
+    """BLEU-4 (lines.bleu_scores) of the first-10-words doubled
+    candidate against the document — the precision-oriented companion
+    to the ROUGE family (clipped candidate n-grams n=1..4, add-one
+    smoothing for n≥2, brevity penalty for the short candidate).
+    Golden oracle: per-row Counter counts over tuple n-grams
+    (independent mechanics) + the SAME ``_bleu_from_counts`` float
+    kernel, called once vectorized."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..datapipe.lines import bleu_scores
+    from ..oracle.golden import write_golden_bleu
+
+    write_golden_bleu(sf_dir)
+
+    def with_cand(tbl: pa.Table) -> pa.Table:
+        la = pc_.split_pattern_regex(
+            pc_.utf8_trim_whitespace(pc_.cast(tbl.column("text"),
+                                              pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        head = pc_.list_slice(la, 0, 10)
+        j = pc_.binary_join(head, " ")
+        cand = pc_.binary_join_element_wise(j, j, " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": cand})
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(with_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = bleu_scores(ds, ref_col="text", cand_col="cand").to_pandas()
+    types = {"doc_id": "int64"}
+    for j in range(1, 5):
+        types[f"clip{j}"] = "int64"
+        types[f"tot{j}"] = "int64"
+    types.update({"ref_len": "int64", "cand_len": "int64",
+                  "bleu": "float64"})
+    out = _typed(out, types)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_BLEU = """
+SELECT doc_id, clip1, tot1, clip2, tot2, clip3, tot3, clip4, tot4,
+       ref_len, cand_len, bleu
+FROM read_parquet('/tmp/sagan_ray_golden/text_bleu.parquet')
+ORDER BY doc_id
+"""
+
+
+def q_events_forecast(sf_dir: str):
+    """Per-type SES (α=1/2) daily-count forecast
+    (events.py::ses_forecast): the map side ships only (type, day, n)
+    partials; the per-type fold s←(s+x)/2 is the SAME IEEE op sequence
+    the recursive-CTE oracle performs, so the float forecast is
+    bit-identical even after 2^-t rounding sets in."""
+    import ray.data as rd
+
+    from ..datapipe import ses_forecast
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = ses_forecast(ds, unit="day")
+    out = _typed(out, {"event_type": "str", "n_windows": "int64",
+                       "forecast": "float64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_FORECAST = """
+WITH RECURSIVE c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+o AS (SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x) AS i
+      FROM c),
+m AS (SELECT event_type, max(i) AS mi FROM o GROUP BY 1),
+r AS (
+  SELECT event_type, i, n::DOUBLE AS s FROM o WHERE i = 1
+  UNION ALL
+  SELECT o.event_type, o.i, (r.s + o.n) / 2.0 AS s
+  FROM r JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1)
+SELECT r.event_type, r.i AS n_windows, r.s AS forecast
+FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.mi
+ORDER BY r.event_type
+"""
+
+
+def q_parts_supplier_diversity(sf_dir: str):
+    """TPC-H Q16 shape (supplier diversity per part group): distinct
+    supplier count per (brand, type, size) over line items, excluding
+    one brand, one type, and the complaint-analog suppliers
+    (s_acctbal < 0). Plan: part attributes and the tiny excluded-
+    supplier set BROADCAST (ray.put) into the lineitem scan — the scan
+    pre-collapses each batch to its DISTINCT (brand, type, size,
+    suppkey) quadruples (dedupe-before-shuffle), one group-keyed
+    exchange counts distinct suppliers per group. Exact integers
+    throughout."""
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..datapipe.exchange import hash_group_apply
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    keep = pac.and_(pac.not_equal(part.column("p_brand"), "Brand#15"),
+                    pac.not_equal(part.column("p_type"), "PROMO"))
+    part = part.filter(keep)
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    part_ref = ray.put((
+        pk[order],
+        part.column("p_brand").to_numpy(zero_copy_only=False)[order],
+        part.column("p_type").to_numpy(zero_copy_only=False)[order],
+        part.column("p_size").to_numpy(
+            zero_copy_only=False)[order].astype(np.int64)))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey"],
+                         filters=[("s_acctbal", "<", 0.0)])
+    bad_ref = ray.put(np.sort(
+        supp.column("s_suppkey").to_numpy(zero_copy_only=False)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def distinct_quads(tbl: pa.Table) -> pa.Table:
+        keys, brand, ptype, size = ray.get(part_ref)
+        bad = ray.get(bad_ref)
+        lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        ls = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lp)
+        pos[pos >= len(keys)] = 0
+        hit = (keys[pos] == lp) if len(keys) else np.zeros(len(lp),
+                                                          bool)
+        if len(bad):
+            bp = np.searchsorted(bad, ls)
+            bp[bp >= len(bad)] = 0
+            hit &= ~(bad[bp] == ls)
+        lp, ls, pos = lp[hit], ls[hit], pos[hit]
+        t = pa.table({"p_brand": pa.array(brand[pos]),
+                      "p_type": pa.array(ptype[pos]),
+                      "p_size": pa.array(size[pos], pa.int64()),
+                      "s": pa.array(ls, pa.int64())})
+        g = pa.TableGroupBy(t, ["p_brand", "p_type", "p_size", "s"]
+                            ).aggregate([([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    quads = li.map_batches(distinct_quads, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def count_distinct(df):
+        if df.empty:
+            return pd.DataFrame({"p_brand": [], "p_type": [],
+                                 "p_size": [], "supplier_cnt": []})
+        g = (df.drop_duplicates()
+             .groupby(["p_brand", "p_type", "p_size"], sort=False)
+             .size().reset_index(name="supplier_cnt"))
+        return g
+
+    out = hash_group_apply(quads, ["p_brand", "p_type", "p_size"],
+                           count_distinct).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"p_brand": [], "p_type": [], "p_size": [],
+                            "supplier_cnt": []})
+    out = _typed(out, {"p_brand": "str", "p_type": "str",
+                       "p_size": "int64", "supplier_cnt": "int64"})
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_type",
+                             "p_size"],
+                            ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+SQL_PARTS_SUPPLIER_DIVERSITY = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_parts_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost to
+    line items of one brand whose quantity is below 20 % of that
+    part's average order quantity. Plan: pass 1 ships only (partkey,
+    Σqty, n) integer partials for the ~80 qualifying parts and
+    broadcasts the folded map back (the source_rank_norm
+    histogram-exchange-then-broadcast shape); pass 2 filters with the
+    EXACT integer cross-multiplication 5·qty·n < Σqty (l_quantity is
+    integral — no 0.2·avg float compare), and sums revenue on the
+    floor(p·100 + 0.5) cents grid (embed_drift stance: floor, not
+    rint) so the single /700.0 division matches the SQL bit-exactly."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey"],
+                         filters=[("p_brand", "==", "Brand#12")])
+    keys_ref = ray.put(np.sort(
+        part.column("p_partkey").to_numpy(zero_copy_only=False)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def qty_partial(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lp)
+        pos[pos >= len(keys)] = 0
+        hit = (keys[pos] == lp) if len(keys) else np.zeros(len(lp),
+                                                          bool)
+        q = tbl.column("l_quantity").to_numpy(
+            zero_copy_only=False)[hit].astype(np.int64)
+        t = pa.table({"p": pa.array(lp[hit], pa.int64()),
+                      "q": pa.array(q, pa.int64())})
+        g = pa.TableGroupBy(t, "p").aggregate(
+            [("q", "sum"), ([], "count_all")])
+        return g.rename_columns(["p", "sq", "n"])
+
+    h = (li.map_batches(qty_partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby("p", sort=True).agg(sq=("sq", "sum"),
+                                      n=("n", "sum")).reset_index())
+    stats_ref = ray.put((h["p"].to_numpy(np.int64),
+                         h["sq"].to_numpy(np.int64),
+                         h["n"].to_numpy(np.int64)))
+
+    def rev_partial(tbl: pa.Table) -> pa.Table:
+        pkeys, sq, cnt = ray.get(stats_ref)
+        if len(pkeys) == 0:
+            return pa.table({"cents": pa.array([0], pa.int64()),
+                             "rows": pa.array([0], pa.int64())})
+        lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pkeys, lp)
+        pos[pos >= len(pkeys)] = 0
+        hit = pkeys[pos] == lp
+        q = tbl.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        small = hit & (5 * q * cnt[pos] < sq[pos])
+        p100 = tbl.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[small]
+        cents = np.floor(p100 * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())],
+                                           pa.int64()),
+                         "rows": pa.array([int(small.sum())],
+                                          pa.int64())})
+
+    parts = li.map_batches(rev_partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    cents = int(parts["cents"].sum())
+    nrows = int(parts["rows"].sum())
+    out = pd.DataFrame({"total_cents": [cents], "n_items": [nrows],
+                        "avg_yearly": [cents / 700.0]})
+    return _typed(out, {"total_cents": "int64", "n_items": "int64",
+                        "avg_yearly": "float64"})
+
+
+SQL_PARTS_SMALL_QTY_REVENUE = """
+WITH pq AS (
+  SELECT l_partkey, sum(l_quantity::BIGINT) AS sq,
+         count(*) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+  GROUP BY 1),
+small AS (
+  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           AS cents
+  FROM lineitem JOIN pq USING (l_partkey)
+  WHERE 5 * l_quantity::BIGINT * n < sq)
+SELECT coalesce(sum(cents), 0)::BIGINT AS total_cents,
+       count(*)::BIGINT AS n_items,
+       coalesce(sum(cents), 0)::BIGINT / 700.0 AS avg_yearly
+FROM small
+"""
+
+
 SQL_TEXT_ROUGE2 = r"""
 WITH w AS (
   SELECT doc_id,
@@ -8943,6 +9230,10 @@ QUERIES = {
     "text_rouge": q_text_rouge,
     "text_rouge2": q_text_rouge2,
     "text_rouge_l": q_text_rouge_l,
+    "text_bleu": q_text_bleu,
+    "events_forecast": q_events_forecast,
+    "parts_supplier_diversity": q_parts_supplier_diversity,
+    "parts_small_qty_revenue": q_parts_small_qty_revenue,
 }
 
 ORACLES = {
@@ -9179,4 +9470,8 @@ ORACLES = {
     "text_rouge": SQL_TEXT_ROUGE,
     "text_rouge2": SQL_TEXT_ROUGE2,
     "text_rouge_l": SQL_TEXT_ROUGE_L,
+    "text_bleu": SQL_TEXT_BLEU,
+    "events_forecast": SQL_EVENTS_FORECAST,
+    "parts_supplier_diversity": SQL_PARTS_SUPPLIER_DIVERSITY,
+    "parts_small_qty_revenue": SQL_PARTS_SMALL_QTY_REVENUE,
 }

@@ -4252,3 +4252,119 @@ def test_rouge_l_order_sensitivity():
     assert l.loc[0, "lcs"] == 1             # LCS of x vs reversed x
     assert l.loc[0, "rouge_l"] == 0.2
     assert l.loc[1, "rouge_l"] == 1.0
+
+
+def test_bleu_hand_values():
+    """BLEU-4 component counts vs hand values: identical text has all
+    precisions 1 and bleu 1.0; a clipped repeat candidate matches the
+    hand-computed smoothed geometric mean; disjoint text scores 0.0;
+    an empty candidate scores 0.0 with zero totals."""
+    import math
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import bleu_scores
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ref": ["a b c d", "a b c d e f", "x y", "a b"],
+        "cand": ["a b c d", "a b a b", "q r s", ""]})
+    out = (bleu_scores(rd.from_arrow(tbl).repartition(2), ref_col="ref",
+                       cand_col="cand")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1: every n-gram matches, cand_len == ref_len -> bleu 1.0
+    assert out.loc[0, "bleu"] == 1.0
+    assert list(out.loc[0, ["clip1", "tot1", "clip4", "tot4"]]) == \
+        [4, 4, 1, 1]
+    # doc 2: cand a b a b vs ref a b c d e f
+    # clip1: a,b each clipped at 1 -> 2 of 4; clip2: 'a b' x2 clipped
+    # at ref count 1 -> 1 of 3; 'b a' miss; clip3/clip4: 0
+    assert list(out.loc[1, ["clip1", "tot1", "clip2", "tot2",
+                            "clip3", "tot3", "clip4", "tot4"]]) == \
+        [2, 4, 1, 3, 0, 2, 0, 1]
+    p = [2 / 4, (1 + 1) / (3 + 1), (0 + 1) / (2 + 1), (0 + 1) / (1 + 1)]
+    bp = math.exp(1.0 - 6 / 4)
+    want = bp * math.exp(sum(math.log(x) for x in p) / 4)
+    assert abs(out.loc[1, "bleu"] - want) < 1e-12
+    # doc 3: no unigram overlap -> hard 0
+    assert out.loc[2, "bleu"] == 0.0 and out.loc[2, "clip1"] == 0
+    # doc 4: empty candidate -> 0, zero totals
+    assert out.loc[3, "bleu"] == 0.0
+    assert list(out.loc[3, ["tot1", "cand_len"]]) == [0, 0]
+
+
+def test_bleu_matches_golden_kernel_multibatch():
+    """The incremental-factorize batch path equals a sequential
+    Counter replay through the shared kernel, across multiple batches
+    with a vocabulary large enough to stress the re-factorize step."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import _bleu_from_counts, bleu_scores
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    refs, cands = [], []
+    for i in range(60):
+        n = int(rng.integers(0, 30))
+        ref = [vocab[int(rng.integers(0, len(vocab)))]
+               for _ in range(n)]
+        m = int(rng.integers(0, 20))
+        cand = (ref[:m // 2]
+                + [vocab[int(rng.integers(0, len(vocab)))]
+                   for _ in range(m - m // 2)])
+        refs.append(" ".join(ref))
+        cands.append(" ".join(cand))
+    tbl = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                    "ref": refs, "cand": cands})
+    out = (bleu_scores(rd.from_arrow(tbl).repartition(5), ref_col="ref",
+                       cand_col="cand")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    clip = np.zeros((60, 4), np.int64)
+    tot = np.zeros((60, 4), np.int64)
+    rl = np.zeros(60, np.int64)
+    cl = np.zeros(60, np.int64)
+    for i, (r, c) in enumerate(zip(refs, cands)):
+        ra, ca = r.split(), c.split()
+        rl[i], cl[i] = len(ra), len(ca)
+        for ng in range(1, 5):
+            rc = Counter(tuple(ra[j:j + ng])
+                         for j in range(len(ra) - ng + 1))
+            cc = Counter(tuple(ca[j:j + ng])
+                         for j in range(len(ca) - ng + 1))
+            clip[i, ng - 1] = sum(min(v, rc.get(g, 0))
+                                  for g, v in cc.items())
+            tot[i, ng - 1] = max(len(ca) - ng + 1, 0)
+    want = _bleu_from_counts(clip, tot, rl, cl)
+    for j in range(4):
+        assert out[f"clip{j + 1}"].to_numpy().tolist() == \
+            clip[:, j].tolist()
+        assert out[f"tot{j + 1}"].to_numpy().tolist() == \
+            tot[:, j].tolist()
+    assert out["bleu"].to_numpy().tolist() == want.tolist()
+
+
+def test_ses_forecast_fold():
+    """SES α=1/2 fold vs a hand replay, multi-block input; a
+    single-window group forecasts its own count."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.events import ses_forecast
+
+    day = 86_400_000_000
+    rows = []
+    # type 'a': counts 4, 2, 8 on days 0,1,2 -> s = ((4+2)/2+8)/2 = 5.5
+    for d, n in [(0, 4), (1, 2), (2, 8)]:
+        rows += [("a", d * day)] * n
+    # type 'b': one day with 3 events -> forecast 3.0
+    rows += [("b", 5 * day)] * 3
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us"))})
+    out = (ses_forecast(rd.from_arrow(tbl).repartition(3))
+           .sort_values("event_type").reset_index(drop=True))
+    assert out["n_windows"].tolist() == [3, 1]
+    assert out["forecast"].tolist() == [5.5, 3.0]
