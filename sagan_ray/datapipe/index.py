@@ -334,3 +334,57 @@ def search_index_many(index_dir: str, queries: dict[int, list[str]], *,
            .groupby("query_id", sort=True).head(k).reset_index(drop=True))
     return out.astype({"query_id": "int64", id_col: "int64",
                        "score": "float64"})
+
+
+def compact_inverted_index(index_dir: str) -> int:
+    """Compact an updated postings index back to ONE parquet file per
+    bucket (each ``update_inverted_index`` appends a file per touched
+    bucket, so read-amplification grows with update count — the
+    compact_ivf_index discipline applied to the BM25 index). Search is
+    bit-identical before/after: scores depend only on the (term,
+    doc_id, tf, dl) ROWS and the meta constants, never on file layout
+    (the bucket reduce re-sorts on the rounded ranking key), and meta
+    is untouched. Per-bucket Ray tasks rewrite into a sibling temp dir
+    (same ``bucket=`` names), then each bucket dir swaps in via
+    rmtree + os.replace — a crash between the two leaves the full
+    temp dir on disk for manual recovery (the IVF-compact stance).
+    Returns the number of buckets that had anything to compact."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    @ray.remote
+    def rewrite(bdir: str, out_dir: str) -> int:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        files = sorted(fn for fn in os.listdir(bdir)
+                       if fn.endswith(".parquet"))
+        if len(files) <= 1:
+            return 0
+        tbl = _pa.concat_tables(
+            [_pq.read_table(os.path.join(bdir, fn)) for fn in files])
+        os.makedirs(out_dir, exist_ok=True)
+        _pq.write_table(tbl, os.path.join(out_dir, "compacted.parquet"))
+        return 1
+
+    tmp = tempfile.mkdtemp(prefix="idx_cmp_", dir=os.path.dirname(
+        index_dir.rstrip("/")) or ".")
+    try:
+        buckets = sorted(ent for ent in os.listdir(index_dir)
+                         if ent.startswith("bucket="))
+        done = ray.get([rewrite.remote(os.path.join(index_dir, ent),
+                                       os.path.join(tmp, ent))
+                        for ent in buckets])
+        n = 0
+        for ent, d in zip(buckets, done):
+            if not d:
+                continue
+            shutil.rmtree(os.path.join(index_dir, ent))
+            os.replace(os.path.join(tmp, ent),
+                       os.path.join(index_dir, ent))
+            n += 1
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

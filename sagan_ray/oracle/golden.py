@@ -2961,3 +2961,51 @@ def write_golden_bleu(sf_dir: str, max_n: int = 4) -> str:
     cols["cand_len"] = pa.array(cand_len, pa.int64())
     cols["bleu"] = pa.array(bleu, pa.float64())
     return _write(pa.table(cols), "text_bleu")
+
+
+def write_golden_chrf(sf_dir: str, max_n: int = 6) -> str:
+    """Expected output of ``text_chrf``: candidate = first 10 words
+    doubled (the ROUGE/BLEU fixture). Counts come from per-row dict
+    counting over SUBSTRING n-grams of the whitespace-stripped
+    lowercased text (independent mechanics — Python substrings vs the
+    operator's packed-byte codes), then one vectorized call into the
+    operator's ``_chrf_from_counts`` kernel."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..datapipe.lines import _chrf_from_counts
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids, clip_r, ctot_r, rtot_r = [], [], [], []
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        head = (text or "").strip().split()[:10]
+        cand = "".join(w.lower() for w in (head + head))
+        ref = "".join((text or "").lower().split())
+        clips, cts, rts = [], [], []
+        for ng in range(1, max_n + 1):
+            rc = Counter(ref[i:i + ng]
+                         for i in range(len(ref) - ng + 1))
+            cc = Counter(cand[i:i + ng]
+                         for i in range(len(cand) - ng + 1))
+            clips.append(sum(min(v, rc.get(g, 0))
+                             for g, v in cc.items()))
+            cts.append(max(len(cand) - ng + 1, 0))
+            rts.append(max(len(ref) - ng + 1, 0))
+        ids.append(did)
+        clip_r.append(clips)
+        ctot_r.append(cts)
+        rtot_r.append(rts)
+    clip = np.asarray(clip_r, np.int64).reshape(len(ids), max_n)
+    ctot = np.asarray(ctot_r, np.int64).reshape(len(ids), max_n)
+    rtot = np.asarray(rtot_r, np.int64).reshape(len(ids), max_n)
+    chrf = _chrf_from_counts(clip, ctot, rtot)
+    cols = {"doc_id": pa.array(ids, pa.int64())}
+    for j in range(max_n):
+        cols[f"clip{j + 1}"] = pa.array(clip[:, j], pa.int64())
+        cols[f"ctot{j + 1}"] = pa.array(ctot[:, j], pa.int64())
+        cols[f"rtot{j + 1}"] = pa.array(rtot[:, j], pa.int64())
+    cols["chrf"] = pa.array(chrf, pa.float64())
+    return _write(pa.table(cols), "text_chrf")

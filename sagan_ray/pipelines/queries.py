@@ -2377,6 +2377,56 @@ ORDER BY doc_id
 """
 
 
+def q_text_chrf(sf_dir: str):
+    """chrF (lines.chrf_scores, byte-level char n-grams n=1..6, β=2)
+    of the first-10-words doubled candidate — the character-level MT
+    metric next to ROUGE/BLEU; whitespace-stripped so grams cross word
+    boundaries. Golden oracle: per-row substring Counter counts
+    (independent mechanics) + the SAME ``_chrf_from_counts`` kernel."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..datapipe.lines import chrf_scores
+    from ..oracle.golden import write_golden_chrf
+
+    write_golden_chrf(sf_dir)
+
+    def with_cand(tbl: pa.Table) -> pa.Table:
+        la = pc_.split_pattern_regex(
+            pc_.utf8_trim_whitespace(pc_.cast(tbl.column("text"),
+                                              pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        head = pc_.list_slice(la, 0, 10)
+        j = pc_.binary_join(head, " ")
+        cand = pc_.binary_join_element_wise(j, j, " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": cand})
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(with_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = chrf_scores(ds, ref_col="text", cand_col="cand").to_pandas()
+    types = {"doc_id": "int64"}
+    for j in range(1, 7):
+        types[f"clip{j}"] = "int64"
+        types[f"ctot{j}"] = "int64"
+        types[f"rtot{j}"] = "int64"
+    types["chrf"] = "float64"
+    out = _typed(out, types)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_CHRF = """
+SELECT doc_id, clip1, ctot1, rtot1, clip2, ctot2, rtot2,
+       clip3, ctot3, rtot3, clip4, ctot4, rtot4,
+       clip5, ctot5, rtot5, clip6, ctot6, rtot6, chrf
+FROM read_parquet('/tmp/sagan_ray_golden/text_chrf.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_events_forecast(sf_dir: str):
     """Per-type SES (α=1/2) daily-count forecast
     (events.py::ses_forecast): the map side ships only (type, day, n)
@@ -6024,6 +6074,49 @@ def q_search_bm25_index(sf_dir: str):
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def q_compact_bm25_index(sf_dir: str):
+    """Build→update→COMPACT→search chain for the postings index
+    (index.py::compact_inverted_index): build on the even doc_ids,
+    append the odd ones (two files per touched bucket), compact to one
+    file per bucket, then answer the standard BM25 query — the rescan
+    SQL oracle verifies the whole chain because search depends only on
+    posting ROWS + meta, never file layout. The query asserts the
+    compaction actually collapsed multi-file buckets."""
+    import os as _os
+
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    from ..datapipe.index import (build_inverted_index,
+                                  compact_inverted_index, search_index,
+                                  update_inverted_index)
+
+    idx = "/tmp/sagan_ray_index/bm25_compact"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    def _parity(want: int):
+        def f(tbl: pa.Table) -> pa.Table:
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(ids % 2 == want))
+        return f
+
+    even = ds.map_batches(_parity(0), batch_format="pyarrow")
+    odd = ds.map_batches(_parity(1), batch_format="pyarrow")
+    build_inverted_index(even, idx, n_buckets=16)
+    update_inverted_index(odd, idx)
+    n_compacted = compact_inverted_index(idx)
+    assert n_compacted > 0
+    for ent in _os.listdir(idx):
+        if ent.startswith("bucket="):
+            files = [f for f in _os.listdir(_os.path.join(idx, ent))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (ent, files)
+    out = search_index(idx, _BM25_TERMS, k=_BM25_K)
+    out = out.astype({"doc_id": "int64", "score": "float64"})
+    return out.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 def q_events_transitions(sf_dir: str):
     """First-order event-type transition matrix over per-user ordered
     streams (datapipe/events.py::transition_counts)."""
@@ -9231,9 +9324,11 @@ QUERIES = {
     "text_rouge2": q_text_rouge2,
     "text_rouge_l": q_text_rouge_l,
     "text_bleu": q_text_bleu,
+    "text_chrf": q_text_chrf,
     "events_forecast": q_events_forecast,
     "parts_supplier_diversity": q_parts_supplier_diversity,
     "parts_small_qty_revenue": q_parts_small_qty_revenue,
+    "compact_bm25_index": q_compact_bm25_index,
 }
 
 ORACLES = {
@@ -9471,7 +9566,9 @@ ORACLES = {
     "text_rouge2": SQL_TEXT_ROUGE2,
     "text_rouge_l": SQL_TEXT_ROUGE_L,
     "text_bleu": SQL_TEXT_BLEU,
+    "text_chrf": SQL_TEXT_CHRF,
     "events_forecast": SQL_EVENTS_FORECAST,
     "parts_supplier_diversity": SQL_PARTS_SUPPLIER_DIVERSITY,
     "parts_small_qty_revenue": SQL_PARTS_SMALL_QTY_REVENUE,
+    "compact_bm25_index": SQL_SEARCH_BM25,
 }

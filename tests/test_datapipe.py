@@ -4368,3 +4368,72 @@ def test_ses_forecast_fold():
            .sort_values("event_type").reset_index(drop=True))
     assert out["n_windows"].tolist() == [3, 1]
     assert out["forecast"].tolist() == [5.5, 3.0]
+
+
+def test_chrf_hand_values():
+    """chrF components vs hand values on tiny strings: identical text
+    scores 1.0; whitespace removal makes grams cross word boundaries;
+    disjoint text scores 0.0; empty candidate scores 0.0."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import chrf_scores
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "ref": ["a b", "xy", "ab"],
+        "cand": ["ab", "qq", ""]})
+    out = (chrf_scores(rd.from_arrow(tbl).repartition(2), ref_col="ref",
+                       cand_col="cand")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1: ref de-spaced == cand ("ab") -> perfect up to n=2,
+    # orders 3..6 excluded (no grams on either side) -> chrf 1.0
+    assert out.loc[0, "chrf"] == 1.0
+    assert list(out.loc[0, ["clip1", "ctot1", "rtot1",
+                            "clip2", "ctot2", "rtot2"]]) == \
+        [2, 2, 2, 1, 1, 1]
+    assert out.loc[1, "chrf"] == 0.0          # disjoint chars
+    assert out.loc[2, "chrf"] == 0.0          # empty candidate
+    assert out.loc[2, "ctot1"] == 0
+
+
+def test_chrf_matches_sequential_counts():
+    """Packed-byte gram codes equal per-row substring Counters through
+    the shared kernel across multiple batches (incl. repeats and
+    longer-than-6-char rows)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import _chrf_from_counts, chrf_scores
+
+    rng = np.random.default_rng(11)
+    alpha = "abcdef "
+    refs = ["".join(alpha[int(rng.integers(0, len(alpha)))]
+                    for _ in range(int(rng.integers(0, 25))))
+            for _ in range(40)]
+    cands = [r[: int(rng.integers(0, len(r) + 1))] + "xx"
+             for r in refs]
+    tbl = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "ref": refs, "cand": cands})
+    out = (chrf_scores(rd.from_arrow(tbl).repartition(4), ref_col="ref",
+                       cand_col="cand")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    clip = np.zeros((40, 6), np.int64)
+    ctot = np.zeros((40, 6), np.int64)
+    rtot = np.zeros((40, 6), np.int64)
+    for i, (r, c) in enumerate(zip(refs, cands)):
+        rs = "".join(r.lower().split())
+        cs = "".join(c.lower().split())
+        for ng in range(1, 7):
+            rc = Counter(rs[j:j + ng] for j in range(len(rs) - ng + 1))
+            cc = Counter(cs[j:j + ng] for j in range(len(cs) - ng + 1))
+            clip[i, ng - 1] = sum(min(v, rc.get(g, 0))
+                                  for g, v in cc.items())
+            ctot[i, ng - 1] = max(len(cs) - ng + 1, 0)
+            rtot[i, ng - 1] = max(len(rs) - ng + 1, 0)
+    want = _chrf_from_counts(clip, ctot, rtot)
+    for j in range(6):
+        assert out[f"clip{j + 1}"].tolist() == clip[:, j].tolist()
+        assert out[f"ctot{j + 1}"].tolist() == ctot[:, j].tolist()
+        assert out[f"rtot{j + 1}"].tolist() == rtot[:, j].tolist()
+    assert out["chrf"].tolist() == want.tolist()

@@ -110,3 +110,36 @@ def test_search_index_many_matches_single_queries(tmp_path):
                .reset_index(drop=True))
         exp = search_index(idx, terms, k=5).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_index_compact_preserves_search_and_collapses_files(tmp_path):
+    """After build + update (two files per touched bucket), compaction
+    collapses every bucket to one file, leaves meta untouched, and
+    search stays BIT-identical; re-compacting is a no-op."""
+    import json
+    import os
+
+    from sagan_ray.datapipe import (build_inverted_index, search_index,
+                                    update_inverted_index)
+    from sagan_ray.datapipe.index import compact_inverted_index
+
+    half = len(CORPUS) // 2
+    idx = str(tmp_path / "idx")
+    build_inverted_index(_ds(CORPUS[:half]), idx, n_buckets=4)
+    update_inverted_index(
+        _ds(CORPUS[half:], ids=list(range(half, len(CORPUS)))), idx)
+    meta_before = json.load(open(os.path.join(idx, "_meta.json")))
+    before = {t: search_index(idx, [t], k=5) for t in ("fox", "quick")}
+
+    assert compact_inverted_index(idx) > 0
+    for ent in os.listdir(idx):
+        if ent.startswith("bucket="):
+            files = [f for f in os.listdir(os.path.join(idx, ent))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
+    assert json.load(open(os.path.join(idx, "_meta.json"))) == meta_before
+    for t, exp in before.items():
+        pd.testing.assert_frame_equal(
+            search_index(idx, [t], k=5).reset_index(drop=True),
+            exp.reset_index(drop=True), check_exact=True)
+    assert compact_inverted_index(idx) == 0
