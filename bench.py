@@ -371,6 +371,32 @@ def run_bench() -> dict:
     timed("dedup_cdc_100k",
           lambda: cdc_chunk_stats(big_docs).count())
 
+    # generation-metric family at the same scale (candidate = first 10
+    # words doubled, built inside the timed pipeline — the gate fixture
+    # shape at 100k docs)
+    from sagan_ray.datapipe.lines import bleu_scores, chrf_scores
+
+    def _with_cand(tbl):
+        import pyarrow.compute as _pc
+        la = _pc.split_pattern_regex(
+            _pc.utf8_trim_whitespace(
+                _pc.cast(tbl.column("text"), pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        j = _pc.binary_join(_pc.list_slice(la, 0, 10), " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": _pc.binary_join_element_wise(j, j, " ")})
+
+    timed("text_bleu_100k",
+          lambda: bleu_scores(
+              big_docs.map_batches(_with_cand, batch_format="pyarrow"),
+              ref_col="text", cand_col="cand").count())
+    timed("text_chrf_100k",
+          lambda: chrf_scores(
+              big_docs.map_batches(_with_cand, batch_format="pyarrow"),
+              ref_col="text", cand_col="cand").count())
+
     # ---- mutual kNN graph: brute block-pair at 20k, IVF-cell path at
     # 50k (clustered corpus — the regime the cell restriction is for)
     from sagan_ray.datapipe.ann import knn_graph, knn_graph_ivf

@@ -38,6 +38,7 @@ from .diff import (  # noqa: F401
 )
 from .profile import (  # noqa: F401
     k_anonymity,
+    l_diversity,
     profile_table,
     validate_table,
 )

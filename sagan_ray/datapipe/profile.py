@@ -275,6 +275,50 @@ def k_anonymity(ds, quasi_cols: list[str], k: int):
     return hash_group_apply(parts, cols, bucket, out_schema=schema)
 
 
+def l_diversity(ds, quasi_cols: list[str], sensitive_col: str, l: int):
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity companion for ATTRIBUTE disclosure: an equivalence
+    class whose rows all share one sensitive value leaks it even at
+    k-anonymous size. Returns every class whose DISTINCT
+    ``sensitive_col`` count is below ``l``, with (n_rows,
+    n_distinct).
+
+    Shape: each batch pre-collapses to its distinct (quasi...,
+    sensitive) tuples with partial row counts (dedupe-before-shuffle),
+    ONE quasi-key exchange merges them; the `< l` filter runs
+    bucket-side so output is bounded by violating classes."""
+    import pandas as pd
+
+    from .exchange import hash_group_apply
+
+    cols = list(quasi_cols)
+    both = cols + [sensitive_col]
+
+    def part(tbl: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(tbl.select(both), both).aggregate(
+            [([], "count_all")])
+        assert g.column_names[:len(both)] == both
+        return g.rename_columns(both + ["n"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(both, sort=False, observed=True)["n"]
+             .sum().reset_index())
+        agg = (g.groupby(cols, sort=False, observed=True)
+               .agg(n_rows=("n", "sum"),
+                    n_distinct=(sensitive_col, "nunique"))
+               .reset_index())
+        agg = agg[agg["n_distinct"] < l]
+        return agg.astype({"n_rows": "int64", "n_distinct": "int64"})
+
+    in_schema = ds.schema().base_schema
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536)
+    schema = pa.schema([*((c, in_schema.field(c).type) for c in cols),
+                        ("n_rows", pa.int64()),
+                        ("n_distinct", pa.int64())])
+    return hash_group_apply(parts, cols, bucket, out_schema=schema)
+
+
 def fk_violations(child, parent, *, child_key: str, parent_key: str):
     """Referential-integrity check — the FOREIGN KEY expectation over
     two snapshots: every ``child_key`` value with at least one child row

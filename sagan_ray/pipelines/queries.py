@@ -2779,6 +2779,36 @@ def q_table_k_anonymity(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_table_l_diversity(sf_dir: str):
+    """l-diversity audit (profile.l_diversity): customers whose order
+    set spans fewer than 3 distinct priorities — the attribute-
+    disclosure companion to table_k_anonymity (a k-anonymous class
+    with ONE priority still leaks it). Distinct (custkey, priority)
+    partials through the custkey exchange; REAL SQL oracle (GROUP BY +
+    HAVING count(DISTINCT ...))."""
+    import ray.data as rd
+
+    from ..datapipe.profile import l_diversity
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderpriority"])
+    out = l_diversity(ds, ["o_custkey"], "o_orderpriority",
+                      3).to_pandas()
+    out = _typed(out, {"o_custkey": "int64", "n_rows": "int64",
+                       "n_distinct": "int64"})
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_TABLE_L_DIVERSITY = """
+SELECT o_custkey, count(*)::BIGINT AS n_rows,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_distinct
+FROM orders
+GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) < 3
+ORDER BY o_custkey
+"""
+
+
 SQL_TABLE_K_ANONYMITY = """
 SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows
 FROM customer
@@ -9329,6 +9359,7 @@ QUERIES = {
     "parts_supplier_diversity": q_parts_supplier_diversity,
     "parts_small_qty_revenue": q_parts_small_qty_revenue,
     "compact_bm25_index": q_compact_bm25_index,
+    "table_l_diversity": q_table_l_diversity,
 }
 
 ORACLES = {
@@ -9571,4 +9602,5 @@ ORACLES = {
     "parts_supplier_diversity": SQL_PARTS_SUPPLIER_DIVERSITY,
     "parts_small_qty_revenue": SQL_PARTS_SMALL_QTY_REVENUE,
     "compact_bm25_index": SQL_SEARCH_BM25,
+    "table_l_diversity": SQL_TABLE_L_DIVERSITY,
 }

@@ -929,3 +929,27 @@ def test_k_anonymity_boundary_and_block_layout():
     empty = k_anonymity(rd.from_arrow(tbl), ["g", "seg"], 1)
     assert empty.count() == 0
     assert empty.schema().names == ["g", "seg", "n_rows"]
+
+
+def test_l_diversity_boundary_and_block_layout():
+    """Strict < l on the DISTINCT sensitive count; duplicate sensitive
+    values inside a class count once even when split across blocks;
+    classes at exactly l are not violations."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import l_diversity
+
+    # class 0: values x,x,x,y (2 distinct) -> violates l=3
+    # class 1: values x,y,z (3 distinct)   -> NOT a violation
+    # class 2: values x,x (1 distinct)     -> violates
+    tbl = pa.table({
+        "g": pa.array([0, 0, 0, 0, 1, 1, 1, 2, 2], pa.int64()),
+        "v": ["x", "x", "x", "y", "x", "y", "z", "x", "x"]})
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = (l_diversity(ds, ["g"], "v", 3).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    assert list(zip(out["g"], out["n_rows"], out["n_distinct"])) == [
+        (0, 4, 2), (2, 2, 1)]
+    # l=1: nothing violates (every non-empty class has >= 1 distinct)
+    assert l_diversity(rd.from_arrow(tbl), ["g"], "v", 1).count() == 0
