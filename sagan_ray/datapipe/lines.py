@@ -313,6 +313,46 @@ def bleu_scores(ds, *, ref_col: str, cand_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def corpus_bleu(ds, *, ref_col: str, cand_col: str,
+                id_col: str = "doc_id", max_n: int = 4):
+    """Corpus-level BLEU (Papineni et al. 2002 — the micro-average:
+    clip/tot counts SUM over the corpus before the ratio, which is NOT
+    the mean of per-doc BLEUs): one row with the summed integer
+    components and the score. Distributed shape: ``bleu_scores``'s
+    per-doc counts collapse to ONE partial row per batch (exact int64
+    sums — order-free), the driver folds the tiny partials and calls
+    the same ``_bleu_from_counts`` kernel once. The corpus brevity
+    penalty uses Σref_len/Σcand_len; with every count an exact
+    integer the single kernel call is deterministic under any block
+    layout. Returns a 1-row pandas frame."""
+    per_doc = bleu_scores(ds, ref_col=ref_col, cand_col=cand_col,
+                          id_col=id_col, max_n=max_n)
+    cols = ([f"clip{j}" for j in range(1, max_n + 1)]
+            + [f"tot{j}" for j in range(1, max_n + 1)]
+            + ["ref_len", "cand_len"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array(
+            [int(pc.sum(tbl.column(c)).as_py() or 0)], pa.int64())
+            for c in cols})
+
+    import pandas as pd
+
+    parts = per_doc.map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    sums = {c: int(parts[c].sum()) for c in cols}
+    clip = np.array([[sums[f"clip{j}"] for j in range(1, max_n + 1)]],
+                    np.int64)
+    tot = np.array([[sums[f"tot{j}"] for j in range(1, max_n + 1)]],
+                   np.int64)
+    rl = np.array([sums["ref_len"]], np.int64)
+    cl = np.array([sums["cand_len"]], np.int64)
+    bleu = _bleu_from_counts(clip, tot, rl, cl, max_n)
+    out = {c: [sums[c]] for c in cols}
+    out["bleu"] = [float(bleu[0])]
+    return pd.DataFrame(out)
+
+
 def _chrf_from_counts(clip: np.ndarray, ctot: np.ndarray,
                       rtot: np.ndarray, beta: float = 2.0
                       ) -> np.ndarray:

@@ -2909,6 +2909,9 @@ def write_golden_rouge_l(sf_dir: str) -> str:
     return _write(tbl, "text_rouge_l")
 
 
+_BLEU_GOLDEN_CACHE: dict = {}
+
+
 def write_golden_bleu(sf_dir: str, max_n: int = 4) -> str:
     """Expected output of ``text_bleu``: candidate = each document's
     first 10 (whitespace) words doubled (the ROUGE fixture — the
@@ -2953,6 +2956,7 @@ def write_golden_bleu(sf_dir: str, max_n: int = 4) -> str:
     ref_len = np.asarray(rl_rows, np.int64)
     cand_len = np.asarray(cl_rows, np.int64)
     bleu = _bleu_from_counts(clip, tot, ref_len, cand_len, max_n)
+    _BLEU_GOLDEN_CACHE[(sf_dir, max_n)] = (clip, tot, ref_len, cand_len)
     cols = {"doc_id": pa.array(ids, pa.int64())}
     for j in range(max_n):
         cols[f"clip{j + 1}"] = pa.array(clip[:, j], pa.int64())
@@ -3009,3 +3013,29 @@ def write_golden_chrf(sf_dir: str, max_n: int = 6) -> str:
         cols[f"rtot{j + 1}"] = pa.array(rtot[:, j], pa.int64())
     cols["chrf"] = pa.array(chrf, pa.float64())
     return _write(pa.table(cols), "text_chrf")
+
+
+def write_golden_corpus_bleu(sf_dir: str, max_n: int = 4) -> str:
+    """Expected output of ``text_bleu_corpus``: the SAME sequential
+    per-doc Counter derivation as ``write_golden_bleu`` (shared via a
+    cache keyed on sf_dir), integer components summed corpus-wide,
+    one call into the shared kernel — micro-average semantics."""
+    from ..datapipe.lines import _bleu_from_counts
+
+    if (sf_dir, max_n) not in _BLEU_GOLDEN_CACHE:
+        write_golden_bleu(sf_dir, max_n)
+    clip, tot, ref_len, cand_len = _BLEU_GOLDEN_CACHE[(sf_dir, max_n)]
+    cs = clip.sum(axis=0, keepdims=True)
+    ts = tot.sum(axis=0, keepdims=True)
+    rl = np.array([int(ref_len.sum())], np.int64)
+    cl = np.array([int(cand_len.sum())], np.int64)
+    bleu = _bleu_from_counts(cs, ts, rl, cl, max_n)
+    cols = {}
+    for j in range(max_n):
+        cols[f"clip{j + 1}"] = pa.array([int(cs[0, j])], pa.int64())
+    for j in range(max_n):
+        cols[f"tot{j + 1}"] = pa.array([int(ts[0, j])], pa.int64())
+    cols["ref_len"] = pa.array(rl, pa.int64())
+    cols["cand_len"] = pa.array(cl, pa.int64())
+    cols["bleu"] = pa.array(bleu, pa.float64())
+    return _write(pa.table(cols), "text_bleu_corpus")

@@ -2377,6 +2377,54 @@ ORDER BY doc_id
 """
 
 
+def q_text_bleu_corpus(sf_dir: str):
+    """Corpus-level BLEU-4 (lines.corpus_bleu — micro-average: integer
+    clip/tot partials sum per batch, ONE kernel call on the driver;
+    not the mean of per-doc scores) over the same fixture as
+    text_bleu. Golden shares the sequential per-doc derivation with
+    write_golden_bleu and sums it."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..datapipe.lines import corpus_bleu
+    from ..oracle.golden import write_golden_corpus_bleu
+
+    write_golden_corpus_bleu(sf_dir)
+
+    def with_cand(tbl: pa.Table) -> pa.Table:
+        la = pc_.split_pattern_regex(
+            pc_.utf8_trim_whitespace(pc_.cast(tbl.column("text"),
+                                              pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        head = pc_.list_slice(la, 0, 10)
+        j = pc_.binary_join(head, " ")
+        cand = pc_.binary_join_element_wise(j, j, " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": cand})
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(with_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = corpus_bleu(ds, ref_col="text", cand_col="cand")
+    types = {}
+    for j in range(1, 5):
+        types[f"clip{j}"] = "int64"
+    for j in range(1, 5):
+        types[f"tot{j}"] = "int64"
+    types.update({"ref_len": "int64", "cand_len": "int64",
+                  "bleu": "float64"})
+    return _typed(out, types)
+
+
+SQL_TEXT_BLEU_CORPUS = """
+SELECT clip1, clip2, clip3, clip4, tot1, tot2, tot3, tot4,
+       ref_len, cand_len, bleu
+FROM read_parquet('/tmp/sagan_ray_golden/text_bleu_corpus.parquet')
+"""
+
+
 def q_text_chrf(sf_dir: str):
     """chrF (lines.chrf_scores, byte-level char n-grams n=1..6, β=2)
     of the first-10-words doubled candidate — the character-level MT
@@ -9360,6 +9408,7 @@ QUERIES = {
     "parts_small_qty_revenue": q_parts_small_qty_revenue,
     "compact_bm25_index": q_compact_bm25_index,
     "table_l_diversity": q_table_l_diversity,
+    "text_bleu_corpus": q_text_bleu_corpus,
 }
 
 ORACLES = {
@@ -9603,4 +9652,5 @@ ORACLES = {
     "parts_small_qty_revenue": SQL_PARTS_SMALL_QTY_REVENUE,
     "compact_bm25_index": SQL_SEARCH_BM25,
     "table_l_diversity": SQL_TABLE_L_DIVERSITY,
+    "text_bleu_corpus": SQL_TEXT_BLEU_CORPUS,
 }

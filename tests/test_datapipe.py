@@ -4437,3 +4437,32 @@ def test_chrf_matches_sequential_counts():
         assert out[f"ctot{j + 1}"].tolist() == ctot[:, j].tolist()
         assert out[f"rtot{j + 1}"].tolist() == rtot[:, j].tolist()
     assert out["chrf"].tolist() == want.tolist()
+
+
+def test_corpus_bleu_micro_not_macro():
+    """Corpus BLEU sums integer components before the ratio — on a
+    corpus where one doc matches perfectly and one not at all, the
+    micro score differs from the mean of per-doc scores; components
+    equal the summed per-doc components across blocks."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import bleu_scores, corpus_bleu
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "ref": ["a b c d e", "x y z w"],
+        "cand": ["a b c d e", "q r"]})
+    ds = rd.from_arrow(tbl).repartition(2)
+    per = (bleu_scores(ds, ref_col="ref", cand_col="cand").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    corp = corpus_bleu(rd.from_arrow(tbl).repartition(2),
+                       ref_col="ref", cand_col="cand")
+    assert len(corp) == 1
+    for j in range(1, 5):
+        assert corp.loc[0, f"clip{j}"] == per[f"clip{j}"].sum()
+        assert corp.loc[0, f"tot{j}"] == per[f"tot{j}"].sum()
+    assert corp.loc[0, "ref_len"] == 9
+    assert corp.loc[0, "cand_len"] == 7
+    macro = per["bleu"].mean()
+    assert corp.loc[0, "bleu"] != macro
+    assert 0.0 < corp.loc[0, "bleu"] < 1.0
