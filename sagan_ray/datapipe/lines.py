@@ -353,6 +353,84 @@ def corpus_bleu(ds, *, ref_col: str, cand_col: str,
     return pd.DataFrame(out)
 
 
+def wer_scores(ds, *, ref_col: str, cand_col: str,
+               id_col: str = "doc_id"):
+    """Per-row Word Error Rate — word-level Levenshtein(cand, ref) /
+    |ref| over lowercased whitespace tokens (unit insert/delete/
+    substitute; TER without block shifts): the ASR/generation metric
+    next to BLEU/ROUGE/chrF. Emits (id, dist, ref_total, wer) — two
+    exact integers and one int/int division.
+
+    Batch mechanics: the dedup ``_lev_block`` discipline at the WORD
+    level — tokens factorize to int codes (one np.unique over both
+    columns), sequences pad into (rows, maxlen) code matrices, and the
+    classic DP runs with the ROW axis vectorized (the sequential
+    recurrence loops only over maxa×maxb ≈ document lengths). A row
+    finishes when the DP reaches its own ref length."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+
+        def rows_codes(col):
+            la = pc.split_pattern_regex(
+                pc.utf8_lower(pc.cast(tbl.column(col), pa.string())),
+                r"\s+")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            flat = la.values
+            offs = np.asarray(la.offsets, dtype=np.int64)
+            words = flat.to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(n), offs[1:] - offs[:-1])
+            keep = np.fromiter((len(w) > 0 for w in words), bool,
+                               count=len(words))
+            return rows[keep], words[keep]
+
+        r_rows, r_words = rows_codes(ref_col)
+        c_rows, c_words = rows_codes(cand_col)
+        _, codes = np.unique(np.concatenate([r_words, c_words]),
+                             return_inverse=True)
+        rc = codes[:len(r_words)].astype(np.int64)
+        cc = codes[len(r_words):].astype(np.int64)
+        la = np.bincount(r_rows, minlength=n).astype(np.int64)
+        lb = np.bincount(c_rows, minlength=n).astype(np.int64)
+        maxa, maxb = int(la.max(initial=0)), int(lb.max(initial=0))
+
+        def pad(rows, vals, lens, width):
+            m = np.full((n, max(width, 1)), -1, np.int64)
+            if len(vals):
+                col = (np.arange(len(vals))
+                       - np.repeat(np.cumsum(lens) - lens, lens))
+                m[rows, col] = vals
+            return m
+
+        A = pad(r_rows, rc, la, maxa)
+        B = pad(c_rows, cc, lb, maxb)
+
+        dist = np.where(la == 0, lb, np.int64(-1))
+        prev = np.tile(np.arange(maxb + 1, dtype=np.int64), (n, 1))
+        cur = np.empty_like(prev)
+        for i in range(1, maxa + 1):
+            cur[:, 0] = i
+            ai = A[:, i - 1]
+            for j in range(1, maxb + 1):
+                sub = prev[:, j - 1] + (ai != B[:, j - 1])
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1,
+                           out=cur[:, j])
+                np.minimum(cur[:, j], sub, out=cur[:, j])
+            done = la == i
+            if done.any():
+                dist[done] = cur[done, lb[done]]
+            prev, cur = cur, prev
+
+        wer = np.where(la > 0, dist / np.maximum(la, 1), 0.0)
+        return pa.table({id_col: tbl.column(id_col),
+                         "dist": pa.array(dist, pa.int64()),
+                         "ref_total": pa.array(la, pa.int64()),
+                         "wer": pa.array(wer, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _chrf_from_counts(clip: np.ndarray, ctot: np.ndarray,
                       rtot: np.ndarray, beta: float = 2.0
                       ) -> np.ndarray:

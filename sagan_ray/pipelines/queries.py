@@ -2425,6 +2425,82 @@ FROM read_parquet('/tmp/sagan_ray_golden/text_bleu_corpus.parquet')
 """
 
 
+def q_text_wer(sf_dir: str):
+    """Word Error Rate (lines.wer_scores — word-level Levenshtein /
+    ref length) of the first-10-words doubled candidate. REAL SQL
+    oracle via an encoding trick: the corpus vocabulary (31 distinct
+    words) maps 1:1 onto single ASCII chars (chr(33+rank)), making
+    DuckDB's byte-level ``levenshtein`` exactly word-level — an
+    independent-engine check most edit-distance operators never get.
+    (The trick needs vocab ≤ 94; the synthetic corpus generator is
+    fixed at 31.)"""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..datapipe.lines import wer_scores
+
+    def with_cand(tbl: pa.Table) -> pa.Table:
+        la = pc_.split_pattern_regex(
+            pc_.utf8_trim_whitespace(pc_.cast(tbl.column("text"),
+                                              pa.string())), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        head = pc_.list_slice(la, 0, 10)
+        j = pc_.binary_join(head, " ")
+        cand = pc_.binary_join_element_wise(j, j, " ")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "text": tbl.column("text"),
+                         "cand": cand})
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(with_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = wer_scores(ds, ref_col="text", cand_col="cand").to_pandas()
+    out = _typed(out, {"doc_id": "int64", "dist": "int64",
+                       "ref_total": "int64", "wer": "float64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_WER = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS rw
+  FROM documents),
+cw AS (SELECT doc_id, list_concat(rw[1:10], rw[1:10]) AS cl FROM w),
+v AS (SELECT DISTINCT unnest(rw) AS word FROM w),
+m AS (SELECT word,
+             chr(33 + (row_number() OVER (ORDER BY word) - 1)::INT)
+               AS c
+      FROM v),
+re AS (
+  SELECT t.doc_id, m.c, z[2] AS ord
+  FROM (SELECT doc_id,
+               unnest(list_zip(rw, generate_series(1, len(rw)))) AS z
+        FROM w) t
+  JOIN m ON m.word = t.z[1]),
+ce AS (
+  SELECT t.doc_id, m.c, z[2] AS ord
+  FROM (SELECT doc_id,
+               unnest(list_zip(cl, generate_series(1, len(cl)))) AS z
+        FROM cw) t
+  JOIN m ON m.word = t.z[1]),
+rs AS (SELECT doc_id, string_agg(c, '' ORDER BY ord) AS s
+       FROM re GROUP BY doc_id),
+cs AS (SELECT doc_id, string_agg(c, '' ORDER BY ord) AS s
+       FROM ce GROUP BY doc_id),
+d AS (
+  SELECT w.doc_id,
+         levenshtein(coalesce(rs.s, ''), coalesce(cs.s, '')) AS dist,
+         len(w.rw) AS tot
+  FROM w LEFT JOIN rs ON w.doc_id = rs.doc_id
+         LEFT JOIN cs ON w.doc_id = cs.doc_id)
+SELECT doc_id, dist::BIGINT AS dist, tot::BIGINT AS ref_total,
+       CASE WHEN tot > 0 THEN dist::DOUBLE / tot ELSE 0.0 END AS wer
+FROM d ORDER BY doc_id
+"""
+
+
 def q_text_chrf(sf_dir: str):
     """chrF (lines.chrf_scores, byte-level char n-grams n=1..6, β=2)
     of the first-10-words doubled candidate — the character-level MT
@@ -9409,6 +9485,7 @@ QUERIES = {
     "compact_bm25_index": q_compact_bm25_index,
     "table_l_diversity": q_table_l_diversity,
     "text_bleu_corpus": q_text_bleu_corpus,
+    "text_wer": q_text_wer,
 }
 
 ORACLES = {
@@ -9653,4 +9730,5 @@ ORACLES = {
     "compact_bm25_index": SQL_SEARCH_BM25,
     "table_l_diversity": SQL_TABLE_L_DIVERSITY,
     "text_bleu_corpus": SQL_TEXT_BLEU_CORPUS,
+    "text_wer": SQL_TEXT_WER,
 }

@@ -4466,3 +4466,62 @@ def test_corpus_bleu_micro_not_macro():
     macro = per["bleu"].mean()
     assert corp.loc[0, "bleu"] != macro
     assert 0.0 < corp.loc[0, "bleu"] < 1.0
+
+
+def test_wer_hand_values():
+    """Word-level Levenshtein vs hand values: identity 0; one
+    substitution; pure insertion/deletion; reversed order costs
+    (classic WER > 0 where bag metrics say perfect); empty sides."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import wer_scores
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ref": ["a b c", "a b c", "a b", "a b c d", "", "a b c"],
+        "cand": ["a b c", "a x c", "a b c d", "a b", "x y", ""]})
+    out = (wer_scores(rd.from_arrow(tbl).repartition(3), ref_col="ref",
+                      cand_col="cand")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["dist"].tolist() == [0, 1, 2, 2, 2, 3]
+    assert out["ref_total"].tolist() == [3, 3, 2, 4, 0, 3]
+    assert out.loc[0, "wer"] == 0.0
+    assert out.loc[1, "wer"] == 1 / 3
+    assert out.loc[4, "wer"] == 0.0          # empty ref convention
+    assert out.loc[5, "wer"] == 1.0
+
+
+def test_wer_matches_python_dp_multibatch():
+    """Row-axis-vectorized DP equals a classic per-row 2-D table over
+    random token sequences across blocks (variable lengths, repeats,
+    empty rows)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import wer_scores
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(12)]
+    refs, cands = [], []
+    for _ in range(50):
+        refs.append(" ".join(vocab[int(rng.integers(0, 12))]
+                             for _ in range(int(rng.integers(0, 15)))))
+        cands.append(" ".join(vocab[int(rng.integers(0, 12))]
+                              for _ in range(int(rng.integers(0, 12)))))
+    tbl = pa.table({"doc_id": pa.array(np.arange(50, dtype=np.int64)),
+                    "ref": refs, "cand": cands})
+    out = (wer_scores(rd.from_arrow(tbl).repartition(5), ref_col="ref",
+                      cand_col="cand")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            nd = [i] + [0] * len(b)
+            for j, y in enumerate(b, 1):
+                nd[j] = min(dp[j] + 1, nd[j - 1] + 1,
+                            dp[j - 1] + (x != y))
+            dp = nd
+        return dp[-1]
+
+    for i, (r, c) in enumerate(zip(refs, cands)):
+        assert out.loc[i, "dist"] == lev(r.split(), c.split()), i
