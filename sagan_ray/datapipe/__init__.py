@@ -111,6 +111,7 @@ from .events import (  # noqa: F401
     user_paths,
     debounce,
     funnel_stages,
+    holt_forecast,
     props_key_agg,
     running_totals,
     sequence_counts,

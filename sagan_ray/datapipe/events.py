@@ -567,6 +567,49 @@ def ses_forecast(ds, *, ts_col: str = "ts",
                          "forecast": out_s})
 
 
+def holt_forecast(ds, *, ts_col: str = "ts",
+                  group_col: str = "event_type", unit: str = "day"):
+    """Per-group Holt double-exponential smoothing (α = β = 1/2,
+    l₁ = x₁, b₁ = 0) of the daily count series — ``ses_forecast``'s
+    trend-aware sibling: l_t = (x_t + (l_{t-1}+b_{t-1}))/2,
+    b_t = (b_{t-1} + (l_t − l_{t-1}))/2, forecast = l_n + b_n.
+
+    Determinism: TWO coupled recurrences, still bit-identical to the
+    SQL oracle because both sides perform the SAME IEEE op sequence in
+    the same order each step (the recursive CTE recomputes the l_t
+    expression textually inside b_t — identical operands give the
+    identical double). Same (group, window, n) partial shape as
+    ``type_trend``. Returns pandas (group, n_windows, level, trend,
+    forecast)."""
+    import pyarrow.compute as pc
+
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
+        t = pa.table({group_col: tbl.column(group_col), "x": x})
+        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "x", "n"])
+
+    h = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    out = []
+    for gval, sub in h.groupby(group_col, sort=True):
+        y = sub.sort_values("x")["n"].to_numpy(np.int64)
+        l = float(y[0])
+        b = 0.0
+        for v in y[1:]:
+            lt = (float(v) + (l + b)) / 2.0
+            b = (b + (lt - l)) / 2.0
+            l = lt
+        out.append((gval, len(y), l, b, l + b))
+    return pd.DataFrame(out, columns=[group_col, "n_windows", "level",
+                                      "trend", "forecast"])
+
+
 def debounce(ds, *, user_col: str = "user_id", ts_col: str = "ts",
              id_col: str = "event_id", type_col: str = "event_type",
              gap_us: int = 600_000_000):

@@ -2591,6 +2591,117 @@ ORDER BY r.event_type
 """
 
 
+def q_events_holt(sf_dir: str):
+    """Per-type Holt (level+trend) daily-count forecast
+    (events.py::holt_forecast): two coupled recurrences replayed by a
+    recursive CTE with the identical IEEE op sequence — the
+    events_forecast stance extended to a VECTOR state."""
+    import ray.data as rd
+
+    from ..datapipe import holt_forecast
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = holt_forecast(ds, unit="day")
+    out = _typed(out, {"event_type": "str", "n_windows": "int64",
+                       "level": "float64", "trend": "float64",
+                       "forecast": "float64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_HOLT = """
+WITH RECURSIVE c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+o AS (SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x) AS i
+      FROM c),
+m AS (SELECT event_type, max(i) AS mi FROM o GROUP BY 1),
+r AS (
+  SELECT event_type, i, n::DOUBLE AS l, 0.0::DOUBLE AS b
+  FROM o WHERE i = 1
+  UNION ALL
+  SELECT o.event_type, o.i,
+         (o.n + (r.l + r.b)) / 2.0 AS l,
+         (r.b + ((o.n + (r.l + r.b)) / 2.0 - r.l)) / 2.0 AS b
+  FROM r JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1)
+SELECT r.event_type, r.i AS n_windows, r.l AS level, r.b AS trend,
+       r.l + r.b AS forecast
+FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.mi
+ORDER BY r.event_type
+"""
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier by quarter revenue): revenue per
+    supplier over 1997Q1 shipments, return the max-revenue
+    supplier(s) — ties included, the view-based Q15 semantics. Plan:
+    the scan pushes the date window + column prune; each batch
+    pre-collapses to per-supplier cents partials on the
+    floor(p·(1−d)·100+0.5) grid (operand-identical expr in the SQL,
+    exact int64 sums — layout-free); the ~|suppliers| histogram folds
+    driver-side and the name attaches from the tiny supplier table."""
+    import datetime as _dt
+
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pac.field("l_shipdate") >= lo)
+        & (pac.field("l_shipdate") < hi))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"s": tbl.column("l_suppkey"),
+                      "c": pa.array(cents, pa.int64())})
+        g = pa.TableGroupBy(t, "s").aggregate([("c", "sum")])
+        return g.rename_columns(["s", "c"])
+
+    h = (li.map_batches(partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby("s", sort=True)["c"].sum())
+    top = int(h.max())
+    winners = h[h == top].reset_index()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.rename(columns={"s": "s_suppkey",
+                                  "c": "revenue_cents"}).merge(
+        supp, on="s_suppkey", how="left")
+    out["total_revenue"] = out["revenue_cents"] / 100.0
+    out = out[["s_suppkey", "s_name", "revenue_cents",
+               "total_revenue"]]
+    out = _typed(out, {"s_suppkey": "int64", "s_name": "str",
+                       "revenue_cents": "int64",
+                       "total_revenue": "float64"})
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, revenue_cents,
+       revenue_cents / 100.0 AS total_revenue
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 def q_parts_supplier_diversity(sf_dir: str):
     """TPC-H Q16 shape (supplier diversity per part group): distinct
     supplier count per (brand, type, size) over line items, excluding
@@ -9486,6 +9597,8 @@ QUERIES = {
     "table_l_diversity": q_table_l_diversity,
     "text_bleu_corpus": q_text_bleu_corpus,
     "text_wer": q_text_wer,
+    "events_holt": q_events_holt,
+    "top_supplier": q_top_supplier,
 }
 
 ORACLES = {
@@ -9731,4 +9844,6 @@ ORACLES = {
     "table_l_diversity": SQL_TABLE_L_DIVERSITY,
     "text_bleu_corpus": SQL_TEXT_BLEU_CORPUS,
     "text_wer": SQL_TEXT_WER,
+    "events_holt": SQL_EVENTS_HOLT,
+    "top_supplier": SQL_TOP_SUPPLIER,
 }

@@ -953,3 +953,30 @@ def test_l_diversity_boundary_and_block_layout():
         (0, 4, 2), (2, 2, 1)]
     # l=1: nothing violates (every non-empty class has >= 1 distinct)
     assert l_diversity(rd.from_arrow(tbl), ["g"], "v", 1).count() == 0
+
+
+def test_holt_forecast_hand_replay():
+    """Holt level/trend fold vs a hand replay; a single-window group
+    keeps level=x, trend=0; trend tracks a perfectly linear series."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import holt_forecast
+
+    day = 86_400_000_000
+    rows = []
+    # 'a': 4, 2, 8 -> l1=4 b1=0; l2=3 b2=-0.5; l3=5.25 b3=0.875
+    for d, n in [(0, 4), (1, 2), (2, 8)]:
+        rows += [("a", d * day)] * n
+    rows += [("b", 9 * day)] * 6
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us"))})
+    out = (holt_forecast(rd.from_arrow(tbl).repartition(3))
+           .sort_values("event_type").reset_index(drop=True))
+    assert out["n_windows"].tolist() == [3, 1]
+    assert out.loc[0, "level"] == 5.25
+    assert out.loc[0, "trend"] == 0.875
+    assert out.loc[0, "forecast"] == 6.125
+    assert (out.loc[1, "level"], out.loc[1, "trend"]) == (6.0, 0.0)
