@@ -110,6 +110,7 @@ from .events import (  # noqa: F401
     cohort_retention,
     user_paths,
     debounce,
+    cusum_alarm,
     funnel_stages,
     holt_forecast,
     props_key_agg,

@@ -610,6 +610,48 @@ def holt_forecast(ds, *, ts_col: str = "ts",
                                       "trend", "forecast"])
 
 
+def cusum_alarm(ds, *, ts_col: str = "ts",
+                group_col: str = "event_type", unit: str = "day",
+                slack: float = 0.5):
+    """Per-group one-sided CUSUM over the daily count series (Page
+    1954) — the change-point/monitoring companion to
+    ``ses_forecast``/``holt_forecast``: with μ = the group's own mean
+    daily count and k = ``slack``, s₀ = 0,
+    s_t = max(0, s_{t-1} + (x_t − μ − k)); reports the final statistic
+    and the series max (the alarm level a threshold would compare
+    against). μ = Σn/nw is ONE double division computed identically on
+    both sides; the fold is the same IEEE op sequence as the recursive
+    CTE (greatest(0, ...)), so both floats are bit-identical. Returns
+    pandas (group, n_windows, mu, cusum_final, cusum_max)."""
+    import pyarrow.compute as pc
+
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
+        t = pa.table({group_col: tbl.column(group_col), "x": x})
+        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "x", "n"])
+
+    h = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    out = []
+    for gval, sub in h.groupby(group_col, sort=True):
+        y = sub.sort_values("x")["n"].to_numpy(np.int64)
+        mu = float(int(y.sum())) / float(len(y))
+        s = 0.0
+        smax = 0.0
+        for v in y:
+            s = max(0.0, s + (float(v) - mu - slack))
+            smax = max(smax, s)
+        out.append((gval, len(y), mu, s, smax))
+    return pd.DataFrame(out, columns=[group_col, "n_windows", "mu",
+                                      "cusum_final", "cusum_max"])
+
+
 def debounce(ds, *, user_col: str = "user_id", ts_col: str = "ts",
              id_col: str = "event_id", type_col: str = "event_type",
              gap_us: int = 600_000_000):

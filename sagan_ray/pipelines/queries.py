@@ -2635,6 +2635,57 @@ ORDER BY r.event_type
 """
 
 
+def q_events_cusum(sf_dir: str):
+    """Per-type CUSUM change-detection statistic
+    (events.py::cusum_alarm): the max(0, ·) fold replayed by a
+    recursive CTE with greatest() — bit-identical floats (verified the
+    Holt way); μ is one int/int division on both sides."""
+    import ray.data as rd
+
+    from ..datapipe import cusum_alarm
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = cusum_alarm(ds, unit="day")
+    out = _typed(out, {"event_type": "str", "n_windows": "int64",
+                       "mu": "float64", "cusum_final": "float64",
+                       "cusum_max": "float64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_CUSUM = """
+WITH RECURSIVE c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+o AS (SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x) AS i
+      FROM c),
+m AS (SELECT event_type, max(i) AS mi, count(*) AS nw,
+             sum(n)::DOUBLE / count(*) AS mu
+      FROM o GROUP BY 1),
+r AS (
+  SELECT event_type, 0::BIGINT AS i, 0.0::DOUBLE AS s FROM m
+  UNION ALL
+  SELECT o.event_type, o.i,
+         greatest(0.0::DOUBLE,
+                  r.s + (o.n - m.mu - 0.5)) AS s
+  FROM r
+  JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1
+  JOIN m ON m.event_type = r.event_type)
+SELECT m.event_type, m.nw AS n_windows, m.mu AS mu,
+       f.s AS cusum_final, x.smax AS cusum_max
+FROM m
+JOIN (SELECT event_type, s FROM r JOIN m USING (event_type)
+      WHERE r.i = m.mi) f USING (event_type)
+JOIN (SELECT event_type, max(s) AS smax FROM r WHERE i >= 1
+      GROUP BY 1) x USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 def q_top_supplier(sf_dir: str):
     """TPC-H Q15 shape (top supplier by quarter revenue): revenue per
     supplier over 1997Q1 shipments, return the max-revenue
@@ -9598,6 +9649,7 @@ QUERIES = {
     "text_bleu_corpus": q_text_bleu_corpus,
     "text_wer": q_text_wer,
     "events_holt": q_events_holt,
+    "events_cusum": q_events_cusum,
     "top_supplier": q_top_supplier,
 }
 
@@ -9845,5 +9897,6 @@ ORACLES = {
     "text_bleu_corpus": SQL_TEXT_BLEU_CORPUS,
     "text_wer": SQL_TEXT_WER,
     "events_holt": SQL_EVENTS_HOLT,
+    "events_cusum": SQL_EVENTS_CUSUM,
     "top_supplier": SQL_TOP_SUPPLIER,
 }

@@ -980,3 +980,35 @@ def test_holt_forecast_hand_replay():
     assert out.loc[0, "trend"] == 0.875
     assert out.loc[0, "forecast"] == 6.125
     assert (out.loc[1, "level"], out.loc[1, "trend"]) == (6.0, 0.0)
+
+
+def test_cusum_alarm_hand_replay():
+    """CUSUM fold vs hand replay: a flat series stays near zero
+    (negative drifts clamp at 0); a step change accumulates; the max
+    tracks the peak, not the final."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import cusum_alarm
+
+    day = 86_400_000_000
+    rows = []
+    # 'a': 2,2,2,10,2 -> mu=3.6 k=.5: s=0,0,0,max(0,10-4.1)=5.9,
+    # then 5.9+(2-4.1)=3.8 ; max 5.9
+    for d, n in [(0, 2), (1, 2), (2, 2), (3, 10), (4, 2)]:
+        rows += [("a", d * day)] * n
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us"))})
+    out = cusum_alarm(rd.from_arrow(tbl).repartition(3))
+    assert out.loc[0, "n_windows"] == 5
+    assert out.loc[0, "mu"] == 3.6
+    mu = 3.6
+    s = smax = 0.0
+    for v in [2, 2, 2, 10, 2]:
+        s = max(0.0, s + (float(v) - mu - 0.5))
+        smax = max(smax, s)
+    assert out.loc[0, "cusum_final"] == s
+    assert out.loc[0, "cusum_max"] == smax
+    assert out.loc[0, "cusum_max"] > out.loc[0, "cusum_final"]
