@@ -2753,6 +2753,58 @@ ORDER BY s_suppkey
 """
 
 
+def q_parts_value_share(sf_dir: str):
+    """TPC-H Q11 shape (important stock value): per-part revenue on
+    the cents grid, keeping parts holding MORE than 1/1500 of the
+    corpus total — the threshold compare is the exact integer
+    cross-multiplication cents·1500 > total (no float fraction), and
+    the reported share is one double division computed identically on
+    both sides. One map-side histogram pass; the ~|parts| fold is
+    driver-side."""
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"k": tbl.column("l_partkey"),
+                      "c": pa.array(cents, pa.int64())})
+        g = pa.TableGroupBy(t, "k").aggregate([("c", "sum")])
+        return g.rename_columns(["k", "c"])
+
+    h = (li.map_batches(partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby("k", sort=True)["c"].sum())
+    total = int(h.sum())
+    keep = h[h * 1500 > total].reset_index()
+    keep = keep.rename(columns={"k": "p_partkey", "c": "value_cents"})
+    keep["share"] = keep["value_cents"].astype(float) / float(total)
+    out = _typed(keep, {"p_partkey": "int64", "value_cents": "int64",
+                        "share": "float64"})
+    return (out.sort_values(["value_cents", "p_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+SQL_PARTS_VALUE_SHARE = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS value_cents
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(value_cents) AS total FROM v)
+SELECT p_partkey, value_cents,
+       value_cents::DOUBLE / total::DOUBLE AS share
+FROM v, t
+WHERE value_cents * 1500 > total
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
 def q_parts_supplier_diversity(sf_dir: str):
     """TPC-H Q16 shape (supplier diversity per part group): distinct
     supplier count per (brand, type, size) over line items, excluding
@@ -9651,6 +9703,7 @@ QUERIES = {
     "events_holt": q_events_holt,
     "events_cusum": q_events_cusum,
     "top_supplier": q_top_supplier,
+    "parts_value_share": q_parts_value_share,
 }
 
 ORACLES = {
@@ -9899,4 +9952,5 @@ ORACLES = {
     "events_holt": SQL_EVENTS_HOLT,
     "events_cusum": SQL_EVENTS_CUSUM,
     "top_supplier": SQL_TOP_SUPPLIER,
+    "parts_value_share": SQL_PARTS_VALUE_SHARE,
 }
