@@ -623,3 +623,137 @@ def label_propagation(edges, n_nodes: int, labels: np.ndarray,
     nz = np.arange(n_nodes, dtype=np.int64)
     return rd.from_arrow(pa.table({"node": pa.array(nz, pa.int64()),
                                    "label": pa.array(lab, pa.int64())}))
+
+
+def weighted_edges(edges):
+    """Unique canonical (a, b, w) undirected weighted edges from a
+    (src, dst) Dataset, with the DETERMINISTIC integer weight
+    w = (a·73856093 XOR b·19349663) mod 997 + 1 (a pure function of
+    the canonical pair, so multiplicity collapses trivially). The
+    shared fixture front end of ``minimum_spanning_forest`` and its
+    golden."""
+    ded = dedup_undirected(edges)
+
+    def add_w(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        w = (((a * 73856093) ^ (b * 19349663)) % 997 + 1).astype(
+            np.int64)
+        return pa.table({"a": tbl.column("a"), "b": tbl.column("b"),
+                         "w": pa.array(w, pa.int64())})
+
+    return ded.map_batches(add_w, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def minimum_spanning_forest(edges_w, n_nodes: int, *,
+                            max_rounds: int = 64):
+    """Distributed Borůvka minimum spanning forest over a unique
+    canonical (a, b, w) edge Dataset — the single-linkage clustering
+    backbone (cut the forest's heaviest edges to get clusters).
+
+    Distribution shape (the k_core pattern): edges never shuffle; each
+    round broadcasts the |V| component-label array (``ray.put``) and
+    one pass over edge blocks emits per-component MIN-outgoing-edge
+    partials (≤ |components| rows per block), the driver folds them
+    with ``np.minimum.at`` and contracts (union-find with path
+    compression over ≤ |components| chosen edges). Rounds ≤ log₂|V|
+    (component count at least halves per round).
+
+    Determinism: the per-component minimum uses the packed int64
+    pseudo-weight (w << 44) | (a << 22) | b — a strict total order on
+    edges, under which "all weights distinct" holds and the MSF is
+    UNIQUE, so sequential Kruskal under the same order (the golden,
+    oracle/golden.py::write_golden_mst) produces the identical edge
+    set. Requires n_nodes < 2^22 and w < 2^19 (asserted). Returns
+    (mst Dataset of (a, b, w), total_weight int)."""
+    import ray
+    import ray.data as rd
+
+    assert n_nodes < (1 << 22)
+    ded = edges_w.materialize()
+    comp = np.arange(n_nodes, dtype=np.int64)
+    chosen_a: list[int] = []
+    chosen_b: list[int] = []
+    chosen_w: list[int] = []
+    sentinel = np.int64(2**63 - 1)
+
+    for _ in range(max_rounds):
+        ref = ray.put(comp)
+
+        def part(tbl: pa.Table, *, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            a = tbl.column("a").to_numpy(zero_copy_only=False)
+            b = tbl.column("b").to_numpy(zero_copy_only=False)
+            w = tbl.column("w").to_numpy(zero_copy_only=False)
+            assert w.max(initial=0) < (1 << 19)
+            ca, cb = c[a], c[b]
+            m = ca != cb
+            if not m.any():
+                return pa.table({"comp": pa.array([], pa.int64()),
+                                 "key": pa.array([], pa.int64())})
+            key = (w[m] << 44) | (a[m] << 22) | b[m]
+            comps = np.concatenate([ca[m], cb[m]])
+            keys = np.concatenate([key, key])
+            best = np.full(len(c), sentinel, np.int64)
+            np.minimum.at(best, comps, keys)
+            nz = np.flatnonzero(best < sentinel)
+            return pa.table({"comp": pa.array(nz, pa.int64()),
+                             "key": pa.array(best[nz], pa.int64())})
+
+        best = np.full(n_nodes, sentinel, np.int64)
+        for t in ded.map_batches(part, batch_format="pyarrow",
+                                 batch_size=None).iter_batches(
+                                     batch_format="pyarrow"):
+            np.minimum.at(best,
+                          t.column("comp").to_numpy(zero_copy_only=False),
+                          t.column("key").to_numpy(zero_copy_only=False))
+        live = np.flatnonzero(best < sentinel)
+        if len(live) == 0:
+            break
+        # dedupe edges chosen by both endpoint components
+        uniq = np.unique(best[live])
+        ua = ((uniq >> 22) & ((1 << 22) - 1)).astype(np.int64)
+        ub = (uniq & ((1 << 22) - 1)).astype(np.int64)
+        uw = (uniq >> 44).astype(np.int64)
+
+        # union-find over component labels (comp[x] is already the
+        # current label; link label roots, then relabel all nodes)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        # with strictly-distinct pseudo-weights the round's min edges
+        # can never close a cycle (classic Borůvka invariant); the
+        # root check below is a cheap safety net, not a filter that
+        # should ever fire
+        keep_rows = []
+        for i, (x, y) in enumerate(zip(comp[ua], comp[ub])):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+                keep_rows.append(i)
+        ki = np.asarray(keep_rows, np.int64)
+        chosen_a.extend(ua[ki].tolist())
+        chosen_b.extend(ub[ki].tolist())
+        chosen_w.extend(uw[ki].tolist())
+        # relabel every node to its component's new root
+        roots = {c0: find(c0) for c0 in np.unique(comp).tolist()}
+        comp = np.array([roots[int(c0)] for c0 in comp], np.int64)
+        if len(ki) == 0:
+            break
+
+    order = np.lexsort((np.asarray(chosen_b, np.int64),
+                        np.asarray(chosen_a, np.int64)))
+    tbl = pa.table({
+        "a": pa.array(np.asarray(chosen_a, np.int64)[order], pa.int64()),
+        "b": pa.array(np.asarray(chosen_b, np.int64)[order], pa.int64()),
+        "w": pa.array(np.asarray(chosen_w, np.int64)[order], pa.int64())})
+    total = int(np.asarray(chosen_w, np.int64).sum()) if chosen_w else 0
+    return rd.from_arrow(tbl), total

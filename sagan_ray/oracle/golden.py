@@ -3039,3 +3039,39 @@ def write_golden_corpus_bleu(sf_dir: str, max_n: int = 4) -> str:
     cols["cand_len"] = pa.array(cl, pa.int64())
     cols["bleu"] = pa.array(bleu, pa.float64())
     return _write(pa.table(cols), "text_bleu_corpus")
+
+
+def write_golden_mst(edges_tbl: "pa.Table") -> str:
+    """Expected output of ``graph_mst``: sequential KRUSKAL over the
+    same unique canonical (a, b, w) edges, sorted by the packed
+    (w, a, b) pseudo-weight — the strict total order under which the
+    MSF is unique, so the distributed Borůvka in
+    datapipe/graph.py::minimum_spanning_forest must produce the
+    IDENTICAL edge set (different algorithm, same spec). Plain
+    union-find, no numpy in the accumulation."""
+    a = edges_tbl.column("a").to_pylist()
+    b = edges_tbl.column("b").to_pylist()
+    w = edges_tbl.column("w").to_pylist()
+    order = sorted(range(len(a)), key=lambda i: (w[i], a[i], b[i]))
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = []
+    for i in order:
+        ra, rb = find(a[i]), find(b[i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            rows.append((a[i], b[i], w[i]))
+    rows.sort()
+    tbl = pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+        "w": pa.array([r[2] for r in rows], pa.int64())})
+    return _write(tbl, "graph_mst")

@@ -4684,6 +4684,41 @@ def q_graph_kcore(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_graph_mst(sf_dir: str):
+    """Minimum spanning forest of the weighted link graph
+    (graph.py::minimum_spanning_forest — distributed Borůvka, the
+    single-linkage clustering backbone): per-round broadcast component
+    labels + per-component min-outgoing-edge partials on a packed
+    (w, a, b) pseudo-weight that makes the MSF UNIQUE; golden =
+    sequential KRUSKAL under the same total order (different
+    algorithm, identical edge set)."""
+    import ray.data as rd
+
+    from ..datapipe.graph import (minimum_spanning_forest,
+                                  synth_link_graph, weighted_edges)
+    from ..oracle.golden import write_golden_mst
+
+    ew = weighted_edges(
+        rd.from_arrow(synth_link_graph(2048, seed=17)).repartition(8))
+    ew = ew.materialize()
+    # the golden consumes the SAME materialized unique edge set (the
+    # fixture); only the MSF algorithm differs between the two sides
+    write_golden_mst(pa.concat_tables(
+        list(ew.iter_batches(batch_format="pyarrow"))))
+    mst, total = minimum_spanning_forest(ew, 2048)
+    out = _typed(mst.to_pandas(), {"a": "int64", "b": "int64",
+                                   "w": "int64"})
+    assert total == int(out["w"].sum())
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_GRAPH_MST = """
+SELECT a, b, w
+FROM read_parquet('/tmp/sagan_ray_golden/graph_mst.parquet')
+ORDER BY a, b
+"""
+
+
 def q_graph_bfs(sf_dir: str):
     """Multi-source BFS hop distances from seeds {0,1,2,3} over the
     link graph (graph.py::bfs_distances — per-level broadcast frontier
@@ -9704,6 +9739,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "top_supplier": q_top_supplier,
     "parts_value_share": q_parts_value_share,
+    "graph_mst": q_graph_mst,
 }
 
 ORACLES = {
@@ -9953,4 +9989,5 @@ ORACLES = {
     "events_cusum": SQL_EVENTS_CUSUM,
     "top_supplier": SQL_TOP_SUPPLIER,
     "parts_value_share": SQL_PARTS_VALUE_SHARE,
+    "graph_mst": SQL_GRAPH_MST,
 }

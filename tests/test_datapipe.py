@@ -4525,3 +4525,72 @@ def test_wer_matches_python_dp_multibatch():
 
     for i, (r, c) in enumerate(zip(refs, cands)):
         assert out.loc[i, "dist"] == lev(r.split(), c.split()), i
+
+
+def test_mst_hand_graph_and_layout_invariance():
+    """Borůvka MSF vs hand values: a weighted cycle drops exactly its
+    heaviest edge; disconnected components each get their own tree;
+    the result is identical under different block layouts."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import minimum_spanning_forest
+
+    # cycle 0-1-2-3-0 with weights 1,2,3,9 -> drop the 9 edge;
+    # separate component 5-6 (w 4)
+    tbl = pa.table({
+        "a": pa.array([0, 1, 2, 0, 5], pa.int64()),
+        "b": pa.array([1, 2, 3, 3, 6], pa.int64()),
+        "w": pa.array([1, 2, 3, 9, 4], pa.int64())})
+    for parts in (1, 3):
+        mst, total = minimum_spanning_forest(
+            rd.from_arrow(tbl).repartition(parts), 7)
+        out = mst.to_pandas()
+        assert sorted(zip(out["a"], out["b"], out["w"])) == [
+            (0, 1, 1), (1, 2, 2), (2, 3, 3), (5, 6, 4)]
+        assert total == 10
+
+
+def test_mst_matches_kruskal_random():
+    """Distributed Borůvka equals sequential Kruskal under the packed
+    pseudo-weight order on a random multigraph (ties in w broken by
+    (a, b) — both sides must pick the same edge)."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import minimum_spanning_forest
+
+    rng = np.random.default_rng(3)
+    n = 60
+    a = rng.integers(0, n, 400)
+    b = rng.integers(0, n, 400)
+    keep = a != b
+    aa = np.minimum(a, b)[keep]
+    bb = np.maximum(a, b)[keep]
+    w = (rng.integers(1, 5, keep.sum())).astype(np.int64)  # heavy ties
+    # unique canonical edges, min weight per pair
+    import pandas as pd
+    ed = (pd.DataFrame({"a": aa, "b": bb, "w": w})
+          .groupby(["a", "b"], as_index=False)["w"].min())
+    tbl = pa.Table.from_pandas(ed, preserve_index=False).cast(
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("w", pa.int64())]))
+    mst, total = minimum_spanning_forest(
+        rd.from_arrow(tbl).repartition(4), n)
+    out = mst.to_pandas()
+
+    # sequential Kruskal, same (w, a, b) order
+    order = ed.sort_values(["w", "a", "b"]).itertuples(index=False)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    want = []
+    for r in order:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            want.append((r.a, r.b, r.w))
+    assert sorted(zip(out["a"], out["b"], out["w"])) == sorted(want)
+    assert total == sum(x[2] for x in want)
