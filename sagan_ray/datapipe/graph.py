@@ -757,3 +757,36 @@ def minimum_spanning_forest(edges_w, n_nodes: int, *,
         "w": pa.array(np.asarray(chosen_w, np.int64)[order], pa.int64())})
     total = int(np.asarray(chosen_w, np.int64).sum()) if chosen_w else 0
     return rd.from_arrow(tbl), total
+
+
+def mst_cut_clusters(mst_tbl: pa.Table, n_nodes: int,
+                     threshold: int) -> pa.Table:
+    """SINGLE-LINKAGE clustering from a spanning forest: drop MST
+    edges with w > ``threshold`` and label every node with the MIN
+    node id of its remaining component (union-by-min, so the root IS
+    the minimum). By the minimax-path property, the result equals the
+    connected components of the FULL graph thresholded at w ≤ t —
+    which is exactly what the independent SQL oracle computes
+    (transitive closure over the thresholded edge table; it never
+    sees the MST). The forest has < |V| edges, so this step is a
+    trivial driver pass; the distributed work happened in Borůvka."""
+    a = mst_tbl.column("a").to_pylist()
+    b = mst_tbl.column("b").to_pylist()
+    w = mst_tbl.column("w").to_pylist()
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y, ww in zip(a, b, w):
+        if ww <= threshold:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    lab = np.array([find(i) for i in range(n_nodes)], np.int64)
+    return pa.table({"node": pa.array(np.arange(n_nodes, dtype=np.int64),
+                                      pa.int64()),
+                     "cluster": pa.array(lab, pa.int64())})

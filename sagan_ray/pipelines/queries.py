@@ -4719,6 +4719,57 @@ ORDER BY a, b
 """
 
 
+def q_graph_mst_clusters(sf_dir: str):
+    """Single-linkage clustering via MST cut
+    (graph.py::mst_cut_clusters): Borůvka forest, drop edges with
+    w > 60, min-id component labels for ALL 2048 nodes. TRUE
+    INDEPENDENT oracle: the SQL computes connected components of the
+    FULL weighted edge table thresholded at w ≤ 60 by transitive
+    closure — it never sees the MST; equality is the minimax-path
+    property of spanning forests, exercised end-to-end."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ..datapipe.graph import (minimum_spanning_forest,
+                                  mst_cut_clusters, synth_link_graph,
+                                  weighted_edges)
+
+    ew = weighted_edges(
+        rd.from_arrow(synth_link_graph(2048, seed=17)).repartition(8))
+    ew = ew.materialize()
+    edges_tbl = pa.concat_tables(
+        list(ew.iter_batches(batch_format="pyarrow")))
+    import os as _os
+    _os.makedirs("/tmp/sagan_ray_golden", exist_ok=True)
+    pq_.write_table(edges_tbl,
+                    "/tmp/sagan_ray_golden/mst_cut_edges.parquet")
+    mst, _total = minimum_spanning_forest(ew, 2048)
+    mst_tbl = pa.concat_tables(
+        list(mst.iter_batches(batch_format="pyarrow")))
+    out = mst_cut_clusters(mst_tbl, 2048, 60).to_pandas()
+    out = _typed(out, {"node": "int64", "cluster": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_MST_CLUSTERS = """
+WITH RECURSIVE e AS (
+  SELECT a, b
+  FROM read_parquet('/tmp/sagan_ray_golden/mst_cut_edges.parquet')
+  WHERE w <= 60),
+u AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+reach(x, y) AS (
+  SELECT x, y FROM u
+  UNION
+  SELECT r.x, u2.y FROM reach r JOIN u u2 ON r.y = u2.x),
+lab AS (SELECT x AS node, least(x, min(y)) AS cluster
+        FROM reach GROUP BY x),
+n AS (SELECT unnest(generate_series(0, 2047)) AS node)
+SELECT n.node, coalesce(lab.cluster, n.node) AS cluster
+FROM n LEFT JOIN lab USING (node)
+ORDER BY n.node
+"""
+
+
 def q_graph_bfs(sf_dir: str):
     """Multi-source BFS hop distances from seeds {0,1,2,3} over the
     link graph (graph.py::bfs_distances — per-level broadcast frontier
@@ -9740,6 +9791,7 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "parts_value_share": q_parts_value_share,
     "graph_mst": q_graph_mst,
+    "graph_mst_clusters": q_graph_mst_clusters,
 }
 
 ORACLES = {
@@ -9990,4 +10042,5 @@ ORACLES = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "parts_value_share": SQL_PARTS_VALUE_SHARE,
     "graph_mst": SQL_GRAPH_MST,
+    "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
 }
