@@ -2753,6 +2753,62 @@ ORDER BY s_suppkey
 """
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecasting revenue change): revenue =
+    Σ price·discount over one year of shipments with discount in
+    [0.05, 0.07] and quantity < 24 — every predicate pushes into the
+    scan, the cents grid (floor(p·d·100+0.5)) makes the distributed
+    sum layout-free, and the single /100.0 matches the SQL
+    bit-exactly. The simplest possible shape on purpose: scan → filter
+    → one integer sum, zero exchanges."""
+    import datetime as _dt
+
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pac.field("l_shipdate") >= lo)
+        & (pac.field("l_shipdate") < hi)
+        & (pac.field("l_discount") >= 0.05)
+        & (pac.field("l_discount") <= 0.07)
+        & (pac.field("l_quantity") < 24.0))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * d * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([len(cents)], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    cents = int(parts["c"].sum())
+    out = pd.DataFrame({"revenue_cents": [cents],
+                        "n_items": [int(parts["n"].sum())],
+                        "revenue": [cents / 100.0]})
+    return _typed(out, {"revenue_cents": "int64", "n_items": "int64",
+                        "revenue": "float64"})
+
+
+SQL_FORECAST_REVENUE = """
+SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100.0
+                               + 0.5) AS BIGINT)), 0)::BIGINT
+         AS revenue_cents,
+       count(*)::BIGINT AS n_items,
+       coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100.0
+                               + 0.5) AS BIGINT)), 0)::BIGINT / 100.0
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05::DOUBLE AND l_discount <= 0.07::DOUBLE
+  AND l_quantity < 24
+"""
+
+
 def q_parts_value_share(sf_dir: str):
     """TPC-H Q11 shape (important stock value): per-part revenue on
     the cents grid, keeping parts holding MORE than 1/1500 of the
@@ -9790,6 +9846,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "top_supplier": q_top_supplier,
     "parts_value_share": q_parts_value_share,
+    "forecast_revenue": q_forecast_revenue,
     "graph_mst": q_graph_mst,
     "graph_mst_clusters": q_graph_mst_clusters,
 }
@@ -10041,6 +10098,7 @@ ORACLES = {
     "events_cusum": SQL_EVENTS_CUSUM,
     "top_supplier": SQL_TOP_SUPPLIER,
     "parts_value_share": SQL_PARTS_VALUE_SHARE,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
     "graph_mst": SQL_GRAPH_MST,
     "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
 }

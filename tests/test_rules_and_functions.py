@@ -233,7 +233,8 @@ def test_query_registry_consistent():
     single_row = {"corpus_stats", "corpus_vocab_sketch",
                   "parts_promo_revenue",
                   "parts_small_qty_revenue",
-                  "text_bleu_corpus"}                      # 1-row aggs
+                  "text_bleu_corpus",
+                  "forecast_revenue"}                      # 1-row aggs
     missing = [k for k, v in ORACLES.items()
                if "ORDER BY" not in v.upper() and k not in single_row]
     assert not missing, missing
