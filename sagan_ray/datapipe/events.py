@@ -475,6 +475,37 @@ def window_rate_limit(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         [user_col], bucket, out_schema=schema)
 
 
+def _window_counts(ds, *, ts_col: str, group_col: str, unit: str):
+    """Shared (group, x, n) window-count partial + driver fold for the
+    per-group series operators (type_trend / ses_forecast /
+    holt_forecast / cusum_alarm): map side pre-collapses each batch to
+    its (group, window-index, count) rows, the tiny histogram sums
+    driver-side. Returns a pandas frame with columns
+    (group_col, "x", "n") — empty WITH those columns when the input
+    has no rows (the all-empty ``to_pandas()`` column-loss gotcha,
+    CLAUDE.md round-3)."""
+    import pyarrow.compute as pc
+
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
+        t = pa.table({group_col: tbl.column(group_col), "x": x})
+        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "x", "n"])
+
+    h = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).to_pandas()
+    if h.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "x": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    return (h.groupby([group_col, "x"], sort=True)["n"].sum()
+            .reset_index())
+
+
 def type_trend(ds, *, ts_col: str = "ts", group_col: str = "event_type",
                unit: str = "day"):
     """Per-group event-rate TREND: the OLS slope of daily (or hourly)
@@ -488,21 +519,8 @@ def type_trend(ds, *, ts_col: str = "ts", group_col: str = "event_type",
     sums. Windows with zero events contribute nothing (the SQL
     convention; a gap-filled variant would densify first). Returns
     pandas (group, n_windows, slope)."""
-    import pyarrow.compute as pc
-
-    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
-        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
-        t = pa.table({group_col: tbl.column(group_col), "x": x})
-        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns([group_col, "x", "n"])
-
-    h = (ds.map_batches(partial, batch_format="pyarrow",
-                        batch_size=65536).to_pandas()
-         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    h = _window_counts(ds, ts_col=ts_col, group_col=group_col,
+                       unit=unit)
     out_g, out_w, out_s = [], [], []
     for gval, sub in h.groupby(group_col, sort=True):
         x = sub["x"].to_numpy(np.int64)
@@ -539,21 +557,8 @@ def ses_forecast(ds, *, ts_col: str = "ts",
     stance, applied sequentially). Windows with zero events contribute
     nothing (the ``type_trend`` convention). Returns pandas
     (group, n_windows, forecast)."""
-    import pyarrow.compute as pc
-
-    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
-        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
-        t = pa.table({group_col: tbl.column(group_col), "x": x})
-        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns([group_col, "x", "n"])
-
-    h = (ds.map_batches(partial, batch_format="pyarrow",
-                        batch_size=65536).to_pandas()
-         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    h = _window_counts(ds, ts_col=ts_col, group_col=group_col,
+                       unit=unit)
     out_g, out_w, out_s = [], [], []
     for gval, sub in h.groupby(group_col, sort=True):
         y = sub.sort_values("x")["n"].to_numpy(np.int64)
@@ -581,21 +586,8 @@ def holt_forecast(ds, *, ts_col: str = "ts",
     identical double). Same (group, window, n) partial shape as
     ``type_trend``. Returns pandas (group, n_windows, level, trend,
     forecast)."""
-    import pyarrow.compute as pc
-
-    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
-        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
-        t = pa.table({group_col: tbl.column(group_col), "x": x})
-        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns([group_col, "x", "n"])
-
-    h = (ds.map_batches(partial, batch_format="pyarrow",
-                        batch_size=65536).to_pandas()
-         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    h = _window_counts(ds, ts_col=ts_col, group_col=group_col,
+                       unit=unit)
     out = []
     for gval, sub in h.groupby(group_col, sort=True):
         y = sub.sort_values("x")["n"].to_numpy(np.int64)
@@ -623,21 +615,8 @@ def cusum_alarm(ds, *, ts_col: str = "ts",
     both sides; the fold is the same IEEE op sequence as the recursive
     CTE (greatest(0, ...)), so both floats are bit-identical. Returns
     pandas (group, n_windows, mu, cusum_final, cusum_max)."""
-    import pyarrow.compute as pc
-
-    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(tbl.column(ts_col), unit=unit)
-        x = pc.divide(pc.cast(win, pa.int64()), unit_us)
-        t = pa.table({group_col: tbl.column(group_col), "x": x})
-        g = pa.TableGroupBy(t, [group_col, "x"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns([group_col, "x", "n"])
-
-    h = (ds.map_batches(partial, batch_format="pyarrow",
-                        batch_size=65536).to_pandas()
-         .groupby([group_col, "x"], sort=True)["n"].sum().reset_index())
+    h = _window_counts(ds, ts_col=ts_col, group_col=group_col,
+                       unit=unit)
     out = []
     for gval, sub in h.groupby(group_col, sort=True):
         y = sub.sort_values("x")["n"].to_numpy(np.int64)

@@ -371,20 +371,26 @@ def compact_inverted_index(index_dir: str) -> int:
 
     tmp = tempfile.mkdtemp(prefix="idx_cmp_", dir=os.path.dirname(
         index_dir.rstrip("/")) or ".")
+    # build phase may clean up after itself; the SWAP phase must NOT —
+    # once a bucket dir has been rmtree'd, the tmp copy is the only
+    # surviving replica, and a finally-cleanup on the exception path
+    # would destroy it (the recovery property the docstring promises)
     try:
         buckets = sorted(ent for ent in os.listdir(index_dir)
                          if ent.startswith("bucket="))
         done = ray.get([rewrite.remote(os.path.join(index_dir, ent),
                                        os.path.join(tmp, ent))
                         for ent in buckets])
-        n = 0
-        for ent, d in zip(buckets, done):
-            if not d:
-                continue
-            shutil.rmtree(os.path.join(index_dir, ent))
-            os.replace(os.path.join(tmp, ent),
-                       os.path.join(index_dir, ent))
-            n += 1
-        return n
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)     # nothing swapped yet
+        raise
+    n = 0
+    for ent, d in zip(buckets, done):
+        if not d:
+            continue
+        shutil.rmtree(os.path.join(index_dir, ent))
+        os.replace(os.path.join(tmp, ent),
+                   os.path.join(index_dir, ent))
+        n += 1
+    shutil.rmtree(tmp, ignore_errors=True)         # success: tmp is empty
+    return n

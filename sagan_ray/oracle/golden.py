@@ -2970,9 +2970,13 @@ def write_golden_bleu(sf_dir: str, max_n: int = 4) -> str:
 def write_golden_chrf(sf_dir: str, max_n: int = 6) -> str:
     """Expected output of ``text_chrf``: candidate = first 10 words
     doubled (the ROUGE/BLEU fixture). Counts come from per-row dict
-    counting over SUBSTRING n-grams of the whitespace-stripped
-    lowercased text (independent mechanics — Python substrings vs the
-    operator's packed-byte codes), then one vectorized call into the
+    counting over BYTES-substring n-grams of the lowercased utf-8 text
+    with exactly the operator's 6 ASCII whitespace bytes removed —
+    the golden implements the SAME documented byte-level deviation
+    (not str.split, which also strips unicode whitespace and counts
+    characters: on non-ASCII text the two diverge, per the
+    fifth-session review). Mechanics stay independent (Python bytes
+    slices vs packed int64 codes); one vectorized call into the
     operator's ``_chrf_from_counts`` kernel."""
     from collections import Counter
 
@@ -2980,14 +2984,19 @@ def write_golden_chrf(sf_dir: str, max_n: int = 6) -> str:
 
     from ..datapipe.lines import _chrf_from_counts
 
+    _ws = frozenset(b"\t\n\x0b\x0c\r ")
+
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["doc_id", "text"])
     ids, clip_r, ctot_r, rtot_r = [], [], [], []
     for did, text in zip(t.column("doc_id").to_pylist(),
                          t.column("text").to_pylist()):
         head = (text or "").strip().split()[:10]
-        cand = "".join(w.lower() for w in (head + head))
-        ref = "".join((text or "").lower().split())
+        cand_s = " ".join(head) + " " + " ".join(head)
+        cand = bytes(c for c in cand_s.lower().encode("utf-8")
+                     if c not in _ws)
+        ref = bytes(c for c in (text or "").lower().encode("utf-8")
+                    if c not in _ws)
         clips, cts, rts = [], [], []
         for ng in range(1, max_n + 1):
             rc = Counter(ref[i:i + ng]

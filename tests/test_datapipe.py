@@ -4413,6 +4413,10 @@ def test_chrf_matches_sequential_counts():
             for _ in range(40)]
     cands = [r[: int(rng.integers(0, len(r) + 1))] + "xx"
              for r in refs]
+    # non-ASCII rows: the documented BYTE-level deviation — multi-byte
+    # chars count as byte grams on BOTH sides (operator and reference)
+    refs[7] = "caf\u00e9 r\u00e9sum\u00e9"
+    cands[7] = "caf\u00e9 menu"
     tbl = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
                     "ref": refs, "cand": cands})
     out = (chrf_scores(rd.from_arrow(tbl).repartition(4), ref_col="ref",
@@ -4421,9 +4425,10 @@ def test_chrf_matches_sequential_counts():
     clip = np.zeros((40, 6), np.int64)
     ctot = np.zeros((40, 6), np.int64)
     rtot = np.zeros((40, 6), np.int64)
+    ws = frozenset(b"\t\n\x0b\x0c\r ")
     for i, (r, c) in enumerate(zip(refs, cands)):
-        rs = "".join(r.lower().split())
-        cs = "".join(c.lower().split())
+        rs = bytes(x for x in r.lower().encode() if x not in ws)
+        cs = bytes(x for x in c.lower().encode() if x not in ws)
         for ng in range(1, 7):
             rc = Counter(rs[j:j + ng] for j in range(len(rs) - ng + 1))
             cc = Counter(cs[j:j + ng] for j in range(len(cs) - ng + 1))

@@ -1012,3 +1012,21 @@ def test_cusum_alarm_hand_replay():
     assert out.loc[0, "cusum_final"] == s
     assert out.loc[0, "cusum_max"] == smax
     assert out.loc[0, "cusum_max"] > out.loc[0, "cusum_final"]
+
+
+def test_series_operators_empty_input():
+    """All four window-series operators return an EMPTY typed frame on
+    a zero-row dataset instead of crashing on the all-empty
+    to_pandas() column loss (CLAUDE.md round-3 gotcha)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.datapipe import (cusum_alarm, holt_forecast,
+                                    ses_forecast, type_trend)
+
+    empty = rd.from_arrow(pa.table({
+        "event_type": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    for fn in (type_trend, ses_forecast, holt_forecast, cusum_alarm):
+        out = fn(empty)
+        assert len(out) == 0
