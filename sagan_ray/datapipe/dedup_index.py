@@ -514,3 +514,32 @@ def compact_simhash_index(index_dir: str) -> int:
     for _root, _dirs, files in os.walk(bands_dir):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def compact_minhash_index(index_dir: str) -> int:
+    """Rewrite BOTH partition trees (shingles/bucket and
+    bands/band,bucket) to ~one file per partition — appends accumulate
+    one file set per update and search unions a partition's files, so
+    this is pure layout maintenance: search is bit-equal before and
+    after (the compact_simhash_index stance, applied to both trees).
+    Same tmp + atomic-swap discipline; meta untouched. Returns the
+    total parquet file count after compaction."""
+    import ray.data as rd
+
+    n = 0
+    for sub, cols in (("shingles", ["bucket"]),
+                      ("bands", ["band", "bucket"])):
+        d = os.path.join(index_dir, sub)
+        tmp = d + ".compact"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        (rd.read_parquet(d)
+         .sort(cols)
+         .write_parquet(tmp, partition_cols=cols))
+        old = d + ".old"
+        os.replace(d, old)
+        os.replace(tmp, d)
+        shutil.rmtree(old)
+        for _root, _dirs, files in os.walk(d):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

@@ -9265,6 +9265,7 @@ def q_dedup_minhash_index(sf_dir: str):
     import ray.data as rd
 
     from ..datapipe.dedup_index import (build_minhash_index,
+                                        compact_minhash_index,
                                         search_minhash_index,
                                         update_minhash_index)
 
@@ -9280,6 +9281,10 @@ def q_dedup_minhash_index(sf_dir: str):
                             columns=["doc_id", "text"],
                             filter=pac.field("doc_id") < 100)
     update_minhash_index(idx, newer)
+    # layout maintenance is part of the verified chain: the probe below
+    # runs against the COMPACTED trees (search bit-equal by the
+    # partition-union contract; proven in test_dedup_index)
+    compact_minhash_index(idx)
 
     qt = pq.read_table(f"{sf_dir}/documents.parquet",
                        columns=["doc_id", "text"],

@@ -93,3 +93,32 @@ def test_degenerate_queries_and_misses(tmp_path):
     # no queries at all
     empty = _search_df(idx, [], [], threshold=0.5)
     assert len(empty) == 0
+
+
+def test_compact_preserves_search_bit_equal(tmp_path):
+    """After build + update, compaction rewrites both partition trees;
+    search results are bit-equal and the file count does not grow."""
+    import os
+
+    from sagan_ray.datapipe.dedup_index import (build_minhash_index,
+                                                compact_minhash_index,
+                                                update_minhash_index)
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(_ds(CORPUS[:3], ids=[0, 1, 2]), idx)
+    update_minhash_index(idx, _ds(CORPUS[3:], ids=[3, 4, 5]))
+
+    def count_files():
+        n = 0
+        for sub in ("shingles", "bands"):
+            for _r, _d, files in os.walk(os.path.join(idx, sub)):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before_files = count_files()
+    qids = list(range(len(CORPUS)))
+    before = _search_df(idx, qids, CORPUS, threshold=0.3)
+    after_files = compact_minhash_index(idx)
+    assert after_files <= before_files
+    after = _search_df(idx, qids, CORPUS, threshold=0.3)
+    pd.testing.assert_frame_equal(before, after)
