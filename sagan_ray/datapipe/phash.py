@@ -402,3 +402,36 @@ def search_phash_index(index_dir: str, query_hashes: np.ndarray, *,
         cands, ["query_id", id_col],
         lambda g: g.drop_duplicates(subset=["query_id", id_col]),
         out_schema=out_schema)
+
+
+def compact_phash_index(index_dir: str) -> int:
+    """Rewrite the band=/key= partition tree to ~one file per
+    partition (each update lands one file set per touched partition;
+    search unions a partition's files, so compaction is pure layout
+    maintenance — search bit-equal before/after, the
+    compact_minhash_index stance). ``_meta.json`` is untouched
+    (pyarrow dataset discovery ignores ``_``-prefixed files). Returns
+    the parquet file count after compaction."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    tmp = index_dir + ".compact"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (rd.read_parquet(index_dir)
+     .sort(["band", "key"])
+     .write_parquet(tmp, partition_cols=["band", "key"]))
+    for ent in sorted(os.listdir(index_dir)):
+        if ent.startswith("band="):
+            shutil.rmtree(os.path.join(index_dir, ent))
+    for ent in sorted(os.listdir(tmp)):
+        if ent.startswith("band="):
+            os.replace(os.path.join(tmp, ent),
+                       os.path.join(index_dir, ent))
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = 0
+    for _root, _dirs, files in os.walk(index_dir):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

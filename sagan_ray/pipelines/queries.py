@@ -4381,18 +4381,25 @@ def q_dedup_phash_index(sf_dir: str):
     import ray.data as rd
 
     from ..datapipe.multimodal import decode_image
-    from ..datapipe.phash import (build_phash_index, phash64,
-                                  search_phash_index, synth_phash_media)
+    from ..datapipe.phash import (build_phash_index,
+                                  compact_phash_index, phash64,
+                                  search_phash_index, synth_phash_media,
+                                  update_phash_index)
     from ..oracle.golden import write_golden_phash_search
 
     write_golden_phash_search(90, 7, max_hamming=6)
     tbl = synth_phash_media(90, seed=7)
     ids = tbl.column("media_id").to_numpy(zero_copy_only=False)
-    corpus = tbl.filter(ids < 90)
     queries = tbl.filter(ids >= 90)
     idx = "/tmp/sagan_ray_golden/phash_index"
     shutil.rmtree(idx, ignore_errors=True)
-    build_phash_index(rd.from_arrow(corpus), idx)
+    # the full lifecycle is the verified chain: build half, APPEND the
+    # other half, COMPACT, then search the compacted tree (search is
+    # layout-independent; proven bit-equal in test_datapipe)
+    build_phash_index(rd.from_arrow(tbl.filter(ids < 45)), idx)
+    update_phash_index(idx, rd.from_arrow(
+        tbl.filter((ids >= 45) & (ids < 90))))
+    compact_phash_index(idx)
     qh = np.array([phash64(decode_image(p))
                    for p in queries.column("payload").to_pylist()],
                   dtype=np.uint64)

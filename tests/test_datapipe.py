@@ -4599,3 +4599,50 @@ def test_mst_matches_kruskal_random():
             want.append((r.a, r.b, r.w))
     assert sorted(zip(out["a"], out["b"], out["w"])) == sorted(want)
     assert total == sum(x[2] for x in want)
+
+
+def test_phash_index_compact_bit_equal():
+    """compact_phash_index collapses multi-file partitions after an
+    append; search results are bit-equal, meta untouched, file count
+    does not grow."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from sagan_ray.datapipe.multimodal import decode_image
+    from sagan_ray.datapipe.phash import (build_phash_index,
+                                          compact_phash_index, phash64,
+                                          search_phash_index,
+                                          synth_phash_media,
+                                          update_phash_index)
+
+    tbl = synth_phash_media(24, seed=13)
+    ids = tbl.column("media_id").to_numpy(zero_copy_only=False)
+    idx = "/tmp/sagan_ray_test/ph_compact"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_phash_index(rd.from_arrow(tbl.filter(ids < 12)), idx)
+    update_phash_index(idx, rd.from_arrow(
+        tbl.filter((ids >= 12) & (ids < 24))))
+    qh = np.array([phash64(decode_image(p)) for p in
+                   tbl.filter(ids >= 24).column("payload").to_pylist()],
+                  dtype=np.uint64)
+
+    def nfiles():
+        return sum(1 for _r, _d, fs in os.walk(idx)
+                   for f in fs if f.endswith(".parquet"))
+
+    def run():
+        return (search_phash_index(idx, qh, max_hamming=6)
+                .to_pandas().sort_values(["query_id", "media_id"])
+                .reset_index(drop=True))
+
+    meta_before = json.load(open(os.path.join(idx, "_meta.json")))
+    files_before = nfiles()
+    before = run()
+    after_files = compact_phash_index(idx)
+    assert after_files <= files_before
+    assert json.load(open(os.path.join(idx, "_meta.json"))) == \
+        meta_before
+    assert run().equals(before)
