@@ -318,3 +318,50 @@ def test_adjacent_pairs_matches_sequential(rows):
             if pr == "r0" and nr == "r1":
                 want.add((c, nt))
     assert got == want
+
+
+_metric_text = st.text(
+    alphabet=st.sampled_from("ab xy\t\né"), max_size=30)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_metric_text, min_size=1, max_size=8))
+def test_metric_identity_and_bounds(texts):
+    """Metric-family invariants on arbitrary (incl. non-ASCII,
+    whitespace-heavy, empty) text: scoring a row against ITSELF gives
+    BLEU 1/WER 0/chrF 1 whenever the row has content, and every score
+    stays in its documented range."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.lines import (bleu_scores, chrf_scores,
+                                          wer_scores)
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "ref": pa.array(texts, pa.string()),
+        "cand": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(tbl)
+    b = (bleu_scores(ds, ref_col="ref", cand_col="cand").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    w = (wer_scores(rd.from_arrow(tbl), ref_col="ref",
+                    cand_col="cand").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    c = (chrf_scores(rd.from_arrow(tbl), ref_col="ref",
+                     cand_col="cand").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        has_words = len(t.split()) > 0
+        has_bytes = len("".join(t.split())) > 0
+        assert w.loc[i, "dist"] == 0
+        assert w.loc[i, "wer"] == 0.0
+        if has_words:
+            assert b.loc[i, "bleu"] == 1.0
+        else:
+            assert b.loc[i, "bleu"] == 0.0
+        if has_bytes:
+            assert c.loc[i, "chrf"] == 1.0
+        else:
+            assert c.loc[i, "chrf"] == 0.0
+    assert ((b["bleu"] >= 0) & (b["bleu"] <= 1)).all()
+    assert ((c["chrf"] >= 0) & (c["chrf"] <= 1)).all()
+    assert (w["wer"] >= 0).all()
