@@ -2684,6 +2684,146 @@ ORDER BY s_suppkey
 """
 
 
+def q_nations_local_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue per ASIA nation
+    from line items where the CUSTOMER and the SUPPLIER share the
+    nation, over a two-year order window. Plan: the three dimension
+    sides (region→nation names, custkey→nationkey, suppkey→nationkey)
+    BROADCAST as sorted int arrays; orders pushes its date window into
+    the scan and pre-collapses to (orderkey, c_nationkey) map-side;
+    ONE orderkey hash exchange joins lineitem's (orderkey, suppkey,
+    cents) rows to it; the s_nation == c_nation filter and the
+    per-nation cents fold happen in-bucket. Cents grid throughout."""
+    import datetime as _dt
+
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..datapipe.joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        filters=[("r_name", "==", "ASIA")])
+    rkeys = set(reg.column("r_regionkey").to_pylist())
+    keep = [i for i, rk in enumerate(
+        nat.column("n_regionkey").to_pylist()) if rk in rkeys]
+    nat = nat.take(pa.array(keep))
+    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nnames = nat.column("n_name").to_pylist()
+    order_n = np.argsort(nkeys)
+    nat_ref = ray.put((nkeys[order_n],
+                       np.array(nnames, object)[order_n]))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    cn = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    oc = np.argsort(ck)
+    cust_ref = ray.put((ck[oc], cn[oc]))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    sn = supp.column("s_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    os_ = np.argsort(sk)
+    supp_ref = ray.put((sk[os_], sn[os_]))
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pac.field("o_orderdate") >= lo)
+        & (pac.field("o_orderdate") < hi))
+
+    def order_nation(tbl: pa.Table) -> pa.Table:
+        keys, nats = ray.get(cust_ref)
+        nk, _names = ray.get(nat_ref)
+        c = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, c)
+        pos[pos >= len(keys)] = 0
+        cnat = nats[pos]
+        # keep only customers of the region's nations
+        p2 = np.searchsorted(nk, cnat)
+        p2[p2 >= len(nk)] = 0
+        hit = (keys[pos] == c) & (nk[p2] == cnat) if len(nk) else \
+            np.zeros(len(c), bool)
+        return pa.table({
+            "o_orderkey": tbl.column("o_orderkey").filter(
+                pa.array(hit)),
+            "c_nat": pa.array(cnat[hit], pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_rows(tbl: pa.Table) -> pa.Table:
+        keys, nats = ray.get(supp_ref)
+        s = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, s)
+        pos[pos >= len(keys)] = 0
+        snat = np.where(keys[pos] == s, nats[pos], np.int64(-1))
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": tbl.column("l_orderkey"),
+                         "s_nat": pa.array(snat, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    joined = hash_join(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        orders.map_batches(order_nation, batch_format="pyarrow"),
+        on="o_orderkey", left_cols=["s_nat", "cents"],
+        right_cols=["c_nat"])
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        sn_ = tbl.column("s_nat").to_numpy(zero_copy_only=False)
+        cn_ = tbl.column("r_c_nat").to_numpy(zero_copy_only=False)
+        m = sn_ == cn_
+        t = pa.table({"nat": pa.array(sn_[m], pa.int64()),
+                      "cents": tbl.column("cents").filter(
+                          pa.array(m))})
+        g = pa.TableGroupBy(t, "nat").aggregate([("cents", "sum")])
+        return g.rename_columns(["nat", "cents"])
+
+    h = (joined.map_batches(fold, batch_format="pyarrow")
+         .to_pandas().groupby("nat", sort=True)["cents"].sum())
+    nat_full = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap = dict(zip(nat_full.column("n_nationkey").to_pylist(),
+                    nat_full.column("n_name").to_pylist()))
+    out = pd.DataFrame({
+        "n_name": [nmap[int(k)] for k in h.index],
+        "revenue_cents": h.to_numpy(np.int64)})
+    out["revenue"] = out["revenue_cents"] / 100.0
+    out = _typed(out, {"n_name": "str", "revenue_cents": "int64",
+                       "revenue": "float64"})
+    return (out.sort_values(["revenue_cents", "n_name"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+SQL_NATIONS_LOCAL_VOLUME = """
+SELECT n.n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                      + 0.5) AS BIGINT)) AS revenue_cents,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                      + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n ON c_nationkey = n.n_nationkey
+JOIN region   ON n.n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY revenue_cents DESC, n.n_name
+"""
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape (forecasting revenue change): revenue =
     Σ price·discount over one year of shipments with discount in
@@ -9797,6 +9937,7 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "parts_value_share": q_parts_value_share,
     "forecast_revenue": q_forecast_revenue,
+    "nations_local_volume": q_nations_local_volume,
     "graph_mst": q_graph_mst,
     "graph_mst_clusters": q_graph_mst_clusters,
 }
@@ -10049,6 +10190,7 @@ ORACLES = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "parts_value_share": SQL_PARTS_VALUE_SHARE,
     "forecast_revenue": SQL_FORECAST_REVENUE,
+    "nations_local_volume": SQL_NATIONS_LOCAL_VOLUME,
     "graph_mst": SQL_GRAPH_MST,
     "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
 }
