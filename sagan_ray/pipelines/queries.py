@@ -2824,6 +2824,155 @@ ORDER BY revenue_cents DESC, n.n_name
 """
 
 
+def q_nations_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): among MEDIUM-type parts
+    sold to AMERICA-region customers over 1996-97, the per-order-year
+    revenue share supplied by nation 2. Plan: part keys, qualifying
+    custkeys and the suppkey→is-target-nation flag broadcast; orders
+    pre-collapses to (orderkey, year) on the qualifying customers; ONE
+    orderkey exchange join; per-year CONDITIONAL cents sums fold
+    in-bucket and the share is one double division of two exact ints
+    on both sides."""
+    import datetime as _dt
+
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..datapipe.joins import hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey"],
+                         filters=[("p_type", "==", "MEDIUM")])
+    part_ref = ray.put(np.sort(
+        part.column("p_partkey").to_numpy(zero_copy_only=False)))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        filters=[("r_name", "==", "AMERICA")])
+    rkeys = set(reg.column("r_regionkey").to_pylist())
+    region_nations = {k for k, rk in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_regionkey").to_pylist()) if rk in rkeys}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cmask = [i for i, nk in enumerate(
+        cust.column("c_nationkey").to_pylist())
+        if nk in region_nations]
+    cust_ref = ray.put(np.sort(
+        cust.take(pa.array(cmask)).column("c_custkey").to_numpy(
+            zero_copy_only=False)))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    st = (supp.column("s_nationkey").to_numpy(zero_copy_only=False)
+          == 2)
+    os_ = np.argsort(sk)
+    supp_ref = ray.put((sk[os_], st[os_]))
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pac.field("o_orderdate") >= lo)
+        & (pac.field("o_orderdate") < hi))
+
+    def order_year(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        c = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, c)
+        pos[pos >= len(keys)] = 0
+        hit = (keys[pos] == c) if len(keys) else np.zeros(len(c), bool)
+        # year via datetime64[Y] + 1970 == SQL EXTRACT(year) (the
+        # nations_trade stance)
+        yrs = (tbl.column("o_orderdate").to_numpy(zero_copy_only=False)
+               .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({
+            "o_orderkey": tbl.column("o_orderkey").filter(
+                pa.array(hit)),
+            "yr": pa.array(yrs[hit], pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def li_rows(tbl: pa.Table) -> pa.Table:
+        pkeys = ray.get(part_ref)
+        skeys, stgt = ray.get(supp_ref)
+        lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pkeys, lp)
+        pos[pos >= len(pkeys)] = 0
+        hit = (pkeys[pos] == lp) if len(pkeys) else np.zeros(
+            len(lp), bool)
+        tbl = tbl.filter(pa.array(hit))
+        s = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sp = np.searchsorted(skeys, s)
+        sp[sp >= len(skeys)] = 0
+        tgt = (skeys[sp] == s) & stgt[sp]
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": tbl.column("l_orderkey"),
+                         "cents": pa.array(cents, pa.int64()),
+                         "tgt": pa.array(tgt, pa.bool_())})
+
+    joined = hash_join(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        orders.map_batches(order_year, batch_format="pyarrow"),
+        on="o_orderkey", left_cols=["cents", "tgt"],
+        right_cols=["yr"])
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        yr = tbl.column("r_yr").to_numpy(zero_copy_only=False)
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        tgt = tbl.column("tgt").to_numpy(zero_copy_only=False)
+        t = pa.table({"yr": pa.array(yr, pa.int64()),
+                      "num": pa.array(np.where(tgt, cents, 0),
+                                      pa.int64()),
+                      "den": pa.array(cents, pa.int64())})
+        g = pa.TableGroupBy(t, "yr").aggregate(
+            [("num", "sum"), ("den", "sum")])
+        return g.rename_columns(["yr", "num", "den"])
+
+    h = (joined.map_batches(fold, batch_format="pyarrow")
+         .to_pandas().groupby("yr", sort=True)
+         .agg(num=("num", "sum"), den=("den", "sum")).reset_index())
+    h["mkt_share"] = h["num"].astype(float) / h["den"].astype(float)
+    out = h.rename(columns={"yr": "o_year", "num": "target_cents",
+                            "den": "total_cents"})
+    out = _typed(out, {"o_year": "int64", "target_cents": "int64",
+                       "total_cents": "int64", "mkt_share": "float64"})
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+SQL_NATIONS_MARKET_SHARE = """
+WITH rows_ AS (
+  SELECT extract(year FROM o_orderdate)::BIGINT AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                    + 0.5) AS BIGINT) AS cents,
+         (s_nationkey = 2) AS tgt
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN nation n ON c_nationkey = n.n_nationkey
+  JOIN region   ON n.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'MEDIUM'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01')
+SELECT o_year,
+       sum(CASE WHEN tgt THEN cents ELSE 0 END)::BIGINT
+         AS target_cents,
+       sum(cents)::BIGINT AS total_cents,
+       sum(CASE WHEN tgt THEN cents ELSE 0 END)::DOUBLE
+         / sum(cents)::DOUBLE AS mkt_share
+FROM rows_ GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape (forecasting revenue change): revenue =
     Σ price·discount over one year of shipments with discount in
@@ -9938,6 +10087,7 @@ QUERIES = {
     "parts_value_share": q_parts_value_share,
     "forecast_revenue": q_forecast_revenue,
     "nations_local_volume": q_nations_local_volume,
+    "nations_market_share": q_nations_market_share,
     "graph_mst": q_graph_mst,
     "graph_mst_clusters": q_graph_mst_clusters,
 }
@@ -10191,6 +10341,7 @@ ORACLES = {
     "parts_value_share": SQL_PARTS_VALUE_SHARE,
     "forecast_revenue": SQL_FORECAST_REVENUE,
     "nations_local_volume": SQL_NATIONS_LOCAL_VOLUME,
+    "nations_market_share": SQL_NATIONS_MARKET_SHARE,
     "graph_mst": SQL_GRAPH_MST,
     "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
 }
