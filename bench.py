@@ -413,6 +413,19 @@ def run_bench() -> dict:
         32).materialize()
     timed("knn_graph_20k",
           lambda: knn_graph(_kds20, k=10, n_blocks=16).count())
+
+    # distributed Borůvka MSF over the 2^16-node hub-skew graph
+    # (~360k unique weighted edges): broadcast-label rounds, edges
+    # never shuffle
+    from sagan_ray.datapipe.graph import (minimum_spanning_forest,
+                                          synth_link_graph,
+                                          weighted_edges)
+
+    _mst_ew = weighted_edges(
+        rd.from_arrow(synth_link_graph(1 << 16, seed=17))
+        .repartition(32)).materialize()
+    timed("graph_mst_65k",
+          lambda: minimum_spanning_forest(_mst_ew, 1 << 16)[0].count())
     timed("knn_graph_ivf_50k",
           lambda: knn_graph_ivf(_kds, k=10, n_cells=64,
                                 sample_size=4096).count())

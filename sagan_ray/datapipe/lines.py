@@ -353,6 +353,44 @@ def corpus_bleu(ds, *, ref_col: str, cand_col: str,
     return pd.DataFrame(out)
 
 
+def corpus_chrf(ds, *, ref_col: str, cand_col: str,
+                id_col: str = "doc_id", max_n: int = 6,
+                beta: float = 2.0):
+    """Corpus-level chrF (micro-average — clip/ctot/rtot SUM over the
+    corpus before the precision/recall ratios, the sacrebleu corpus
+    convention): one row with the summed integer components and the
+    score from the shared ``_chrf_from_counts`` kernel. Same
+    distributed shape as ``corpus_bleu``: per-doc rows collapse to ONE
+    int64 partial row per batch, the driver folds the tiny partials
+    and calls the kernel once."""
+    per_doc = chrf_scores(ds, ref_col=ref_col, cand_col=cand_col,
+                          id_col=id_col, max_n=max_n, beta=beta)
+    cols = ([f"clip{j}" for j in range(1, max_n + 1)]
+            + [f"ctot{j}" for j in range(1, max_n + 1)]
+            + [f"rtot{j}" for j in range(1, max_n + 1)])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array(
+            [int(pc.sum(tbl.column(c)).as_py() or 0)], pa.int64())
+            for c in cols})
+
+    import pandas as pd
+
+    parts = per_doc.map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    sums = {c: int(parts[c].sum()) for c in cols}
+    clip = np.array([[sums[f"clip{j}"] for j in range(1, max_n + 1)]],
+                    np.int64)
+    ctot = np.array([[sums[f"ctot{j}"] for j in range(1, max_n + 1)]],
+                    np.int64)
+    rtot = np.array([[sums[f"rtot{j}"] for j in range(1, max_n + 1)]],
+                    np.int64)
+    score = _chrf_from_counts(clip, ctot, rtot, beta)
+    out = {c: [sums[c]] for c in cols}
+    out["chrf"] = [float(score[0])]
+    return pd.DataFrame(out)
+
+
 def wer_scores(ds, *, ref_col: str, cand_col: str,
                id_col: str = "doc_id"):
     """Per-row Word Error Rate — word-level Levenshtein(cand, ref) /

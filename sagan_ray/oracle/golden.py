@@ -3084,3 +3084,47 @@ def write_golden_mst(edges_tbl: "pa.Table") -> str:
         "b": pa.array([r[1] for r in rows], pa.int64()),
         "w": pa.array([r[2] for r in rows], pa.int64())})
     return _write(tbl, "graph_mst")
+
+
+def write_golden_corpus_chrf(sf_dir: str, max_n: int = 6) -> str:
+    """Expected output of ``text_chrf_corpus``: the write_golden_chrf
+    sequential byte-substring derivation re-run (cheap), components
+    summed corpus-wide, one call into the shared kernel."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..datapipe.lines import _chrf_from_counts
+
+    _ws = frozenset(b"\t\n\x0b\x0c\r ")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    clip = np.zeros((1, max_n), np.int64)
+    ctot = np.zeros((1, max_n), np.int64)
+    rtot = np.zeros((1, max_n), np.int64)
+    for text in t.column("text").to_pylist():
+        head = (text or "").strip().split()[:10]
+        cand_s = " ".join(head) + " " + " ".join(head)
+        cand = bytes(c for c in cand_s.lower().encode("utf-8")
+                     if c not in _ws)
+        ref = bytes(c for c in (text or "").lower().encode("utf-8")
+                    if c not in _ws)
+        for ng in range(1, max_n + 1):
+            rc = Counter(ref[i:i + ng]
+                         for i in range(len(ref) - ng + 1))
+            cc = Counter(cand[i:i + ng]
+                         for i in range(len(cand) - ng + 1))
+            clip[0, ng - 1] += sum(min(v, rc.get(g, 0))
+                                   for g, v in cc.items())
+            ctot[0, ng - 1] += max(len(cand) - ng + 1, 0)
+            rtot[0, ng - 1] += max(len(ref) - ng + 1, 0)
+    score = _chrf_from_counts(clip, ctot, rtot)
+    cols = {}
+    for j in range(max_n):
+        cols[f"clip{j + 1}"] = pa.array([int(clip[0, j])], pa.int64())
+    for j in range(max_n):
+        cols[f"ctot{j + 1}"] = pa.array([int(ctot[0, j])], pa.int64())
+    for j in range(max_n):
+        cols[f"rtot{j + 1}"] = pa.array([int(rtot[0, j])], pa.int64())
+    cols["chrf"] = pa.array(score, pa.float64())
+    return _write(pa.table(cols), "text_chrf_corpus")

@@ -2482,6 +2482,38 @@ ORDER BY doc_id
 """
 
 
+def q_text_chrf_corpus(sf_dir: str):
+    """Corpus-level chrF (lines.corpus_chrf — micro-average over
+    summed integer components; the sacrebleu corpus convention) on
+    the shared metric fixture; golden re-runs the byte-substring
+    derivation and sums."""
+    from ..datapipe.lines import corpus_chrf
+    from ..oracle.golden import write_golden_corpus_chrf
+
+    write_golden_corpus_chrf(sf_dir)
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(_first10_doubled_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = corpus_chrf(ds, ref_col="text", cand_col="cand")
+    types = {}
+    for j in range(1, 7):
+        types[f"clip{j}"] = "int64"
+    for j in range(1, 7):
+        types[f"ctot{j}"] = "int64"
+    for j in range(1, 7):
+        types[f"rtot{j}"] = "int64"
+    types["chrf"] = "float64"
+    return _typed(out, types)
+
+
+SQL_TEXT_CHRF_CORPUS = """
+SELECT clip1, clip2, clip3, clip4, clip5, clip6,
+       ctot1, ctot2, ctot3, ctot4, ctot5, ctot6,
+       rtot1, rtot2, rtot3, rtot4, rtot5, rtot6, chrf
+FROM read_parquet('/tmp/sagan_ray_golden/text_chrf_corpus.parquet')
+"""
+
+
 def q_events_forecast(sf_dir: str):
     """Per-type SES (α=1/2) daily-count forecast
     (events.py::ses_forecast): the map side ships only (type, day, n)
@@ -10088,6 +10120,7 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "nations_local_volume": q_nations_local_volume,
     "nations_market_share": q_nations_market_share,
+    "text_chrf_corpus": q_text_chrf_corpus,
     "graph_mst": q_graph_mst,
     "graph_mst_clusters": q_graph_mst_clusters,
 }
@@ -10342,6 +10375,7 @@ ORACLES = {
     "forecast_revenue": SQL_FORECAST_REVENUE,
     "nations_local_volume": SQL_NATIONS_LOCAL_VOLUME,
     "nations_market_share": SQL_NATIONS_MARKET_SHARE,
+    "text_chrf_corpus": SQL_TEXT_CHRF_CORPUS,
     "graph_mst": SQL_GRAPH_MST,
     "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
 }
