@@ -790,3 +790,111 @@ def mst_cut_clusters(mst_tbl: pa.Table, n_nodes: int,
     return pa.table({"node": pa.array(np.arange(n_nodes, dtype=np.int64),
                                       pa.int64()),
                      "cluster": pa.array(lab, pa.int64())})
+
+
+def betweenness_from_sources(edges_ds, n_nodes: int, sources,
+                             *, max_rounds: int = 10000):
+    """Brandes betweenness centrality accumulated from a FIXED pivot
+    set (Brandes 2001; the sampled-pivot estimator of Brandes &
+    Pich 2007 with deterministic pivots) over the undirected simple
+    graph — the centrality signal between `pagerank` (eigenvector
+    family) and `k_core` (density family).
+
+    Per source: forward BFS levels with shortest-path COUNTS σ as
+    exact int64 (order-free bincount partials per edge block against
+    the broadcast (dist, σ) arrays — the k_core pattern, edges never
+    shuffle), then the backward dependency sweep
+    δ[v] += σ[v]/σ[w]·(1+δ[w]) level by level.
+
+    Determinism: σ is exact integer; δ is float, so the SUM ORDER
+    matters — each level's (v, w, contrib) rows (computed elementwise
+    map-side) are lexsorted by (v, w) on the driver and folded with
+    ONE ``np.add.at`` (which applies strictly in element order), and
+    the sequential golden iterates the same level's DAG edges in the
+    same (v, w) order with plain float adds — bit-identical results.
+    Driver holds per-level DAG edge rows (≤ |E|) and the |V| state
+    arrays (the pagerank node-table bound). σ is asserted < 2^62.
+    Returns a pandas (node, betweenness) frame over all nodes."""
+    import ray
+    import ray.data as rd
+
+    ded = dedup_undirected(edges_ds) if not hasattr(
+        edges_ds, "_sagan_ded") else edges_ds
+    bc = np.zeros(n_nodes, np.float64)
+
+    for s in sources:
+        dist = np.full(n_nodes, -1, np.int64)
+        sigma = np.zeros(n_nodes, np.int64)
+        dist[s] = 0
+        sigma[s] = 1
+        lvl = 0
+        for _ in range(max_rounds):
+            ref = ray.put((dist, sigma, lvl))
+
+            def fwd(tbl: pa.Table, *, _ref=ref) -> pa.Table:
+                d, sg, L = ray.get(_ref)
+                a = tbl.column("a").to_numpy(zero_copy_only=False)
+                b = tbl.column("b").to_numpy(zero_copy_only=False)
+                acc = np.zeros(len(d), np.int64)
+                m1 = (d[a] == L) & (d[b] == -1)
+                np.add.at(acc, b[m1], sg[a[m1]])
+                m2 = (d[b] == L) & (d[a] == -1)
+                np.add.at(acc, a[m2], sg[b[m2]])
+                nz = np.flatnonzero(acc)
+                return pa.table({"node": pa.array(nz, pa.int64()),
+                                 "s": pa.array(acc[nz], pa.int64())})
+
+            acc = np.zeros(n_nodes, np.int64)
+            for t in ded.map_batches(fwd, batch_format="pyarrow",
+                                     batch_size=None).iter_batches(
+                                         batch_format="pyarrow"):
+                np.add.at(acc,
+                          t.column("node").to_numpy(
+                              zero_copy_only=False),
+                          t.column("s").to_numpy(zero_copy_only=False))
+            newly = np.flatnonzero(acc)
+            if len(newly) == 0:
+                break
+            assert acc[newly].max(initial=0) < (1 << 62)
+            dist[newly] = lvl + 1
+            sigma[newly] = acc[newly]
+            lvl += 1
+
+        # backward sweep: levels lvl..1
+        delta = np.zeros(n_nodes, np.float64)
+        for L in range(lvl, 0, -1):
+            ref = ray.put((dist, sigma, delta, L))
+
+            def back(tbl: pa.Table, *, _ref=ref) -> pa.Table:
+                d, sg, dl, LL = ray.get(_ref)
+                a = tbl.column("a").to_numpy(zero_copy_only=False)
+                b = tbl.column("b").to_numpy(zero_copy_only=False)
+                # DAG edges v(level L-1) -> w(level L), both orients
+                va = np.concatenate([a, b])
+                wb = np.concatenate([b, a])
+                m = (d[va] == LL - 1) & (d[wb] == LL)
+                v, w = va[m], wb[m]
+                contrib = (sg[v] / sg[w]) * (1.0 + dl[w])
+                return pa.table({"v": pa.array(v, pa.int64()),
+                                 "w": pa.array(w, pa.int64()),
+                                 "c": pa.array(contrib, pa.float64())})
+
+            vs, ws, cs = [], [], []
+            for t in ded.map_batches(back, batch_format="pyarrow",
+                                     batch_size=None).iter_batches(
+                                         batch_format="pyarrow"):
+                vs.append(t.column("v").to_numpy(zero_copy_only=False))
+                ws.append(t.column("w").to_numpy(zero_copy_only=False))
+                cs.append(t.column("c").to_numpy(zero_copy_only=False))
+            if not vs:
+                continue
+            v = np.concatenate(vs)
+            w = np.concatenate(ws)
+            c = np.concatenate(cs)
+            order = np.lexsort((w, v))
+            np.add.at(delta, v[order], c[order])
+        delta[s] = 0.0
+        bc += delta
+
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "betweenness": bc})

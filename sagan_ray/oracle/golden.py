@@ -3128,3 +3128,73 @@ def write_golden_corpus_chrf(sf_dir: str, max_n: int = 6) -> str:
         cols[f"rtot{j + 1}"] = pa.array([int(rtot[0, j])], pa.int64())
     cols["chrf"] = pa.array(score, pa.float64())
     return _write(pa.table(cols), "text_chrf_corpus")
+
+
+def write_golden_betweenness(n_nodes: int, seed: int,
+                             sources: list) -> str:
+    """Expected output of ``graph_betweenness``: sequential Brandes
+    from the same pivot set over the same unique undirected edge set.
+    σ is exact int; each backward level iterates the DAG edges in
+    (v asc, w asc) order with plain float adds — the operator folds
+    the identical elementwise contributions with np.add.at in the
+    identical order, so the floats are bit-equal."""
+    from ..datapipe.graph import dedup_undirected, synth_link_graph
+
+    import ray.data as rd
+
+    ded = dedup_undirected(
+        rd.from_arrow(synth_link_graph(n_nodes, seed=seed)))
+    import pyarrow as _pa
+    tbl = _pa.concat_tables(list(ded.iter_batches(
+        batch_format="pyarrow")))
+    a = tbl.column("a").to_pylist()
+    b = tbl.column("b").to_pylist()
+    adj: dict = {}
+    for x, y in zip(a, b):
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+
+    bc = [0.0] * n_nodes
+    for s in sources:
+        dist = [-1] * n_nodes
+        sigma = [0] * n_nodes
+        dist[s] = 0
+        sigma[s] = 1
+        frontier = [s]
+        levels = [[s]]
+        while frontier:
+            nxt = set()
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if dist[w] == -1:
+                        nxt.add(w)
+            nxt = sorted(nxt)
+            for w in nxt:
+                dist[w] = len(levels)
+                sigma[w] = sum(sigma[v] for v in adj.get(w, ())
+                               if dist[v] == len(levels) - 1)
+            if not nxt:
+                break
+            levels.append(nxt)
+            frontier = nxt
+        delta = [0.0] * n_nodes
+        for L in range(len(levels) - 1, 0, -1):
+            # DAG edges (v at L-1, w at L) in (v, w) order — the
+            # operator's np.add.at order
+            dag = sorted(
+                (v, w)
+                for x, y in zip(a, b)
+                for (v, w) in ((x, y), (y, x))
+                if dist[v] == L - 1 and dist[w] == L)
+            for v, w in dag:
+                delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+        delta[s] = 0.0
+        for i in range(n_nodes):
+            bc[i] += delta[i]
+
+    out = pa.table({
+        "node": pa.array(np.arange(n_nodes, dtype=np.int64),
+                         pa.int64()),
+        "betweenness": pa.array(np.asarray(bc, np.float64),
+                                pa.float64())})
+    return _write(out, "graph_betweenness")

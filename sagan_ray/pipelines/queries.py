@@ -5092,6 +5092,34 @@ ORDER BY n.node
 """
 
 
+def q_graph_betweenness(sf_dir: str):
+    """Pivot-sampled Brandes betweenness over the link graph
+    (graph.py::betweenness_from_sources, sources {0,1,2,3}): exact
+    int64 σ through bincount edge-pass partials, backward δ folded
+    with ONE canonically-ordered np.add.at per level so the float
+    accumulation is BIT-identical to the sequential golden's
+    (v, w)-ordered edge loop."""
+    import ray.data as rd
+
+    from ..datapipe.graph import (betweenness_from_sources,
+                                  synth_link_graph)
+    from ..oracle.golden import write_golden_betweenness
+
+    write_golden_betweenness(2048, 17, [0, 1, 2, 3])
+    out = betweenness_from_sources(
+        rd.from_arrow(synth_link_graph(2048, seed=17)).repartition(8),
+        2048, [0, 1, 2, 3])
+    out = _typed(out, {"node": "int64", "betweenness": "float64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_BETWEENNESS = """
+SELECT node, betweenness
+FROM read_parquet('/tmp/sagan_ray_golden/graph_betweenness.parquet')
+ORDER BY node
+"""
+
+
 def q_graph_bfs(sf_dir: str):
     """Multi-source BFS hop distances from seeds {0,1,2,3} over the
     link graph (graph.py::bfs_distances — per-level broadcast frontier
@@ -10123,6 +10151,7 @@ QUERIES = {
     "text_chrf_corpus": q_text_chrf_corpus,
     "graph_mst": q_graph_mst,
     "graph_mst_clusters": q_graph_mst_clusters,
+    "graph_betweenness": q_graph_betweenness,
 }
 
 ORACLES = {
@@ -10378,4 +10407,5 @@ ORACLES = {
     "text_chrf_corpus": SQL_TEXT_CHRF_CORPUS,
     "graph_mst": SQL_GRAPH_MST,
     "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
+    "graph_betweenness": SQL_GRAPH_BETWEENNESS,
 }

@@ -4646,3 +4646,83 @@ def test_phash_index_compact_bit_equal():
     assert json.load(open(os.path.join(idx, "_meta.json"))) == \
         meta_before
     assert run().equals(before)
+
+
+def test_betweenness_hand_values_and_layout():
+    """Brandes from one source on a path 0-1-2-3: dependencies are
+    exact (delta[2]=1, delta[1]=2 from source 0); a diamond (two
+    shortest paths) splits sigma credit 0.5/0.5; identical results
+    under different block layouts."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import betweenness_from_sources
+
+    path = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                     "dst": pa.array([1, 2, 3], pa.int64())})
+    for parts in (1, 3):
+        out = betweenness_from_sources(
+            rd.from_arrow(path).repartition(parts), 4, [0])
+        assert out["betweenness"].tolist() == [0.0, 2.0, 1.0, 0.0]
+
+    # diamond: 0-1, 0-2, 1-3, 2-3 — two shortest 0..3 paths
+    dia = pa.table({"src": pa.array([0, 0, 1, 2], pa.int64()),
+                    "dst": pa.array([1, 2, 3, 3], pa.int64())})
+    out = betweenness_from_sources(rd.from_arrow(dia), 4, [0])
+    assert out["betweenness"].tolist() == [0.0, 0.5, 0.5, 0.0]
+
+
+def test_betweenness_matches_sequential_brandes():
+    """Distributed pivots equal a reference per-source Brandes (heap-
+    free BFS variant) on a random graph, to float equality — the
+    canonical np.add.at ordering makes the float sums deterministic."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import betweenness_from_sources
+
+    rng = np.random.default_rng(9)
+    n = 40
+    a = rng.integers(0, n, 120)
+    b = rng.integers(0, n, 120)
+    tbl = pa.table({"src": pa.array(a, pa.int64()),
+                    "dst": pa.array(b, pa.int64())})
+    srcs = [0, 5, 7]
+    out = betweenness_from_sources(
+        rd.from_arrow(tbl).repartition(4), n, srcs)
+
+    # reference: networkx-style Brandes accumulation per source
+    adj = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x == y:
+            continue
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    bc = np.zeros(n)
+    for s in srcs:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in sorted(adj.get(v, ())):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0
+                        nxt.append(w)
+            for w in nxt:
+                sigma[w] = sum(sigma[u] for u in sorted(adj[w])
+                               if dist.get(u) == dist[w] - 1)
+            order.extend(sorted(set(nxt)))
+            frontier = sorted(set(nxt))
+        delta = {v: 0.0 for v in dist}
+        maxl = max(dist.values())
+        for L in range(maxl, 0, -1):
+            dag = sorted((v, w) for v in dist for w in adj.get(v, ())
+                         if dist[v] == L - 1 and dist.get(w) == L)
+            for v, w in dag:
+                delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+        delta[s] = 0.0
+        for v, d in delta.items():
+            bc[v] += d
+    assert out["betweenness"].to_numpy().tolist() == bc.tolist()
