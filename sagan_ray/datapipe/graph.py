@@ -898,3 +898,31 @@ def betweenness_from_sources(edges_ds, n_nodes: int, sources,
 
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "betweenness": bc})
+
+
+def closeness_from_pivots(edges, n_nodes: int, pivots):
+    """Pivot-sampled closeness centrality (Eppstein & Wang 2004 shape
+    with DETERMINISTIC pivots): for every node reachable from ALL
+    pivots, closeness = k / Σ_p dist(p, node) — one ``bfs_distances``
+    run per pivot (the broadcast-frontier edge-pass primitive; edges
+    materialize once and never shuffle), distance sums folded in two
+    |V| int64 driver arrays. Exact integer distances + ONE double
+    division per node, so the recursive-CTE SQL oracle (per-seed BFS,
+    the graph_bfs pattern with a seed column) matches bit-for-bit.
+    Returns pandas (node, total_dist, closeness)."""
+    import ray.data as rd  # noqa: F401  (bfs_distances owns the work)
+
+    total = np.zeros(n_nodes, np.int64)
+    seen = np.zeros(n_nodes, np.int64)
+    for p in pivots:
+        out = bfs_distances(edges, n_nodes, [p]).to_pandas()
+        nodes = out["node"].to_numpy(np.int64)
+        total[nodes] += out["dist"].to_numpy(np.int64)
+        seen[nodes] += 1
+    k = len(list(pivots))
+    ok = (seen == k) & (total > 0)
+    nz = np.flatnonzero(ok)
+    return pd.DataFrame({
+        "node": nz.astype(np.int64),
+        "total_dist": total[nz],
+        "closeness": float(k) / total[nz].astype(np.float64)})

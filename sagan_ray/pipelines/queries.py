@@ -5162,6 +5162,54 @@ SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY node ORDER BY node
 """
 
 
+def q_graph_closeness(sf_dir: str):
+    """Pivot-sampled closeness centrality from pivots {0,1,2,3}
+    (graph.py::closeness_from_pivots — one BFS per pivot, exact int
+    distance sums, one double division). REAL SQL oracle: per-seed
+    recursive-CTE BFS (seed column carried through the recursion),
+    nodes reaching all four pivots."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..datapipe.graph import closeness_from_pivots, synth_link_graph
+
+    edges = synth_link_graph(2048, seed=17)
+    os.makedirs(os.path.dirname(_TRI_EDGES_PATH), exist_ok=True)
+    tmp = _TRI_EDGES_PATH + ".tmp"
+    pq.write_table(edges, tmp)
+    os.replace(tmp, _TRI_EDGES_PATH)
+    out = closeness_from_pivots(
+        rd.from_arrow(edges).repartition(8), 2048, [0, 1, 2, 3])
+    out = _typed(out, {"node": "int64", "total_dist": "int64",
+                       "closeness": "float64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_CLOSENESS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('/tmp/sagan_ray_golden/tri_edges.parquet')
+  WHERE src <> dst),
+und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+bfs AS (
+  SELECT * FROM (VALUES (0::BIGINT, 0::BIGINT, 0::BIGINT),
+                        (1, 1, 0), (2, 2, 0), (3, 3, 0))
+       t(seed, node, dist)
+  UNION
+  SELECT bfs.seed, und.y, bfs.dist + 1
+  FROM bfs JOIN und ON und.x = bfs.node
+  WHERE bfs.dist < 16),
+d AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2),
+agg AS (SELECT node, count(*) AS k, sum(dist) AS sd
+        FROM d GROUP BY node)
+SELECT node, sd::BIGINT AS total_dist,
+       4.0::DOUBLE / sd::DOUBLE AS closeness
+FROM agg WHERE k = 4 AND sd > 0 ORDER BY node
+"""
+
+
 SQL_GRAPH_KCORE = """
 SELECT node, deg
 FROM read_parquet('/tmp/sagan_ray_golden/graph_kcore.parquet')
@@ -10152,6 +10200,7 @@ QUERIES = {
     "graph_mst": q_graph_mst,
     "graph_mst_clusters": q_graph_mst_clusters,
     "graph_betweenness": q_graph_betweenness,
+    "graph_closeness": q_graph_closeness,
 }
 
 ORACLES = {
@@ -10408,4 +10457,5 @@ ORACLES = {
     "graph_mst": SQL_GRAPH_MST,
     "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
     "graph_betweenness": SQL_GRAPH_BETWEENNESS,
+    "graph_closeness": SQL_GRAPH_CLOSENESS,
 }

@@ -4726,3 +4726,20 @@ def test_betweenness_matches_sequential_brandes():
         for v, d in delta.items():
             bc[v] += d
     assert out["betweenness"].to_numpy().tolist() == bc.tolist()
+
+
+def test_closeness_hand_values():
+    """Closeness from two pivots on a path 0-1-2-3: node sums of
+    distances to {0, 3} are 3,3,3,3 -> closeness 2/3 everywhere; a
+    node unreachable from one pivot is dropped."""
+    import ray.data as rd
+
+    from sagan_ray.datapipe.graph import closeness_from_pivots
+
+    path = pa.table({"src": pa.array([0, 1, 2, 5], pa.int64()),
+                     "dst": pa.array([1, 2, 3, 6], pa.int64())})
+    out = closeness_from_pivots(rd.from_arrow(path), 7, [0, 3])
+    # nodes 5,6 never reach pivot 0 -> absent; pivots have sd=3 too
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["total_dist"].tolist() == [3, 3, 3, 3]
+    assert out["closeness"].tolist() == [2 / 3] * 4
