@@ -469,6 +469,32 @@ def wer_scores(ds, *, ref_col: str, cand_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def corpus_wer(ds, *, ref_col: str, cand_col: str,
+               id_col: str = "doc_id"):
+    """Corpus-level WER (micro-average: Σdist / Σref_len — the ASR
+    convention, NOT the mean of per-row rates): per-row ``wer_scores``
+    integers collapse to one (dist, ref_total) partial per batch, the
+    driver folds and performs the single double division. Returns a
+    1-row pandas frame (total_dist, total_ref, wer)."""
+    per = wer_scores(ds, ref_col=ref_col, cand_col=cand_col,
+                     id_col=id_col)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pa.array([int(pc.sum(tbl.column("dist")).as_py()
+                               or 0)], pa.int64()),
+            "r": pa.array([int(pc.sum(tbl.column("ref_total")).as_py()
+                               or 0)], pa.int64())})
+
+    import pandas as pd
+
+    parts = per.map_batches(partial, batch_format="pyarrow").to_pandas()
+    d = int(parts["d"].sum())
+    r = int(parts["r"].sum())
+    return pd.DataFrame({"total_dist": [d], "total_ref": [r],
+                         "wer": [d / r if r else 0.0]})
+
+
 def _chrf_from_counts(clip: np.ndarray, ctot: np.ndarray,
                       rtot: np.ndarray, beta: float = 2.0
                       ) -> np.ndarray:

@@ -2445,6 +2445,62 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_text_wer_corpus(sf_dir: str):
+    """Corpus-level WER (lines.corpus_wer — Σdist/Σref, the ASR
+    micro convention) on the shared fixture; REAL SQL oracle: the
+    per-doc ASCII-encoded levenshtein CTE summed corpus-wide."""
+    from ..datapipe.lines import corpus_wer
+
+    ds = (_docs(sf_dir, columns=["doc_id", "text"])
+          .map_batches(_first10_doubled_cand, batch_format="pyarrow",
+                       batch_size=4096))
+    out = corpus_wer(ds, ref_col="text", cand_col="cand")
+    return _typed(out, {"total_dist": "int64", "total_ref": "int64",
+                        "wer": "float64"})
+
+
+SQL_TEXT_WER_CORPUS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS rw
+  FROM documents),
+cw AS (SELECT doc_id, list_concat(rw[1:10], rw[1:10]) AS cl FROM w),
+v AS (SELECT DISTINCT unnest(rw) AS word FROM w),
+m AS (SELECT word,
+             chr(33 + (row_number() OVER (ORDER BY word) - 1)::INT)
+               AS c
+      FROM v),
+re AS (
+  SELECT t.doc_id, m.c, z[2] AS ord
+  FROM (SELECT doc_id,
+               unnest(list_zip(rw, generate_series(1, len(rw)))) AS z
+        FROM w) t
+  JOIN m ON m.word = t.z[1]),
+ce AS (
+  SELECT t.doc_id, m.c, z[2] AS ord
+  FROM (SELECT doc_id,
+               unnest(list_zip(cl, generate_series(1, len(cl)))) AS z
+        FROM cw) t
+  JOIN m ON m.word = t.z[1]),
+rs AS (SELECT doc_id, string_agg(c, '' ORDER BY ord) AS s
+       FROM re GROUP BY doc_id),
+cs AS (SELECT doc_id, string_agg(c, '' ORDER BY ord) AS s
+       FROM ce GROUP BY doc_id),
+d AS (
+  SELECT w.doc_id,
+         levenshtein(coalesce(rs.s, ''), coalesce(cs.s, '')) AS dist,
+         len(w.rw) AS tot
+  FROM w LEFT JOIN rs ON w.doc_id = rs.doc_id
+         LEFT JOIN cs ON w.doc_id = cs.doc_id)
+SELECT sum(dist)::BIGINT AS total_dist, sum(tot)::BIGINT AS total_ref,
+       CASE WHEN sum(tot) > 0
+            THEN sum(dist)::DOUBLE / sum(tot)::DOUBLE
+            ELSE 0.0 END AS wer
+FROM d
+"""
+
+
 def q_text_chrf(sf_dir: str):
     """chrF (lines.chrf_scores, byte-level char n-grams n=1..6, β=2)
     of the first-10-words doubled candidate — the character-level MT
@@ -10201,6 +10257,7 @@ QUERIES = {
     "graph_mst_clusters": q_graph_mst_clusters,
     "graph_betweenness": q_graph_betweenness,
     "graph_closeness": q_graph_closeness,
+    "text_wer_corpus": q_text_wer_corpus,
 }
 
 ORACLES = {
@@ -10458,4 +10515,5 @@ ORACLES = {
     "graph_mst_clusters": SQL_GRAPH_MST_CLUSTERS,
     "graph_betweenness": SQL_GRAPH_BETWEENNESS,
     "graph_closeness": SQL_GRAPH_CLOSENESS,
+    "text_wer_corpus": SQL_TEXT_WER_CORPUS,
 }

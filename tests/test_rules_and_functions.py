@@ -235,7 +235,8 @@ def test_query_registry_consistent():
                   "parts_small_qty_revenue",
                   "text_bleu_corpus",
                   "forecast_revenue",
-                  "text_chrf_corpus"}                      # 1-row aggs
+                  "text_chrf_corpus",
+                  "text_wer_corpus"}                      # 1-row aggs
     missing = [k for k, v in ORACLES.items()
                if "ORDER BY" not in v.upper() and k not in single_row]
     assert not missing, missing
